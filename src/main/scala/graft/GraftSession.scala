@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session settings for the engine.
+  *
+  * Tuned for local[N] testing but chosen to survive cluster scale:
+  *   - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+  *   - shuffle partitions sized to cores locally; on a real cluster this is
+  *     superseded by AQE's coalescing + `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+  *   - UTC session timezone pinned (oracle parity; reference serializes all
+  *     dates in UTC, monstachemap/encoding.go:27-36)
+  *   - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS)
+  *     which Spark does not read natively; as a long it is exact and
+  *     `ts div 1000` equals DuckDB's `epoch_us(ts)`.
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Ensure runtime confs are present even on a session we did not build
+    * (the driver's Verify/Bench mains build their own). */
+  def ensure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def local(cores: Int = 4): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]"), cores.toString
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

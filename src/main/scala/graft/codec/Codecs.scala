@@ -1,0 +1,81 @@
+package graft.codec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure column-level codecs, the Spark re-expression of the reference's
+  * per-document scalar plumbing (see /root/reference/monstache.go and
+  * monstachemap/encoding.go; cited per function).
+  *
+  * Everything here stays inside Catalyst built-ins so it participates in
+  * whole-stage codegen — no UDFs on the hot path.
+  */
+object Codecs {
+
+  /** Operation → version offset. Insert 0, update 1, delete 2 — the
+    * "delete wins ties by +2" trick that makes unordered replay converge
+    * (monstache.go:4053-4063 `tsVersion`). */
+  def opOffset(op: Column): Column =
+    when(op === "i", 0L).when(op === "u", 1L).when(op === "d", 2L).otherwise(1L)
+
+  /** External version from a MongoDB cluster time `{T: seconds, I: counter}`:
+    * `(T << 32 | I) + offset` (monstache.go:4053-4063). Last-writer-wins on
+    * this column replaces sink-side external versioning. */
+  def tsVersion(tsT: Column, tsI: Column, op: Column): Column =
+    (shiftleft(tsT.cast("long"), 32) + tsI.cast("long")) + opOffset(op)
+
+  /** Canonical `_id` string for a numeric id: whole doubles collapse to
+    * integer form ("10.0" → "10", monstache.go:822-835 `opIDToString`). */
+  def numericIdToString(c: Column): Column =
+    when(c.cast("double") === floor(c.cast("double")) && !isnan(c.cast("double")),
+      c.cast("double").cast("long").cast("string")
+    ).otherwise(c.cast("string"))
+
+  /** Sink id guards: empty ids and ids over 512 bytes are rejected
+    * (monstache.go:3167-3171). */
+  def idAccepted(id: Column): Column =
+    id.isNotNull && length(id) > 0 && octet_length(id) <= 512
+
+  /** NaN/±Inf → null (opt-in `prune-invalid-json`, monstache.go:878-950). */
+  def pruneInvalidDouble(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d) || abs(d) === lit(Double.PositiveInfinity), lit(null).cast("double"))
+      .otherwise(d)
+  }
+
+  /** Dates outside year [0, 9999] are pruned (monstache.go:887-895). */
+  def pruneInvalidDate(c: Column): Column =
+    when(year(c).between(0, 9999), c) // no otherwise → null of c's type
+
+  /** Translate a Go reference-time layout (e.g. "2006/01/02 15:04:05",
+    * monstache.go:2882-2890) into a JVM DateTimeFormatter pattern.
+    * Longest-token-first so "01" does not eat the "1" in "15". */
+  private val goTokens: Seq[(String, String)] = Seq(
+    "2006" -> "yyyy",
+    "01" -> "MM", "02" -> "dd", "15" -> "HH", "04" -> "mm", "05" -> "ss",
+    "Jan" -> "MMM", "Mon" -> "EEE", ".000" -> ".SSS",
+    "-07:00" -> "XXX", "Z07:00" -> "XXX", "-0700" -> "Z", "MST" -> "zzz"
+  )
+  def goLayoutToJvm(layout: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      goTokens.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, jvm)) => sb.append(jvm); i += go.length
+        case None =>
+          val c = layout.charAt(i)
+          // quote letters that would otherwise be pattern chars
+          if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** The reference's default oplog-date format "2006/01/02 15:04:05"
+    * (monstache.go:2882-2890) as a JVM pattern. */
+  val DefaultOplogDateFormat: String = goLayoutToJvm("2006/01/02 15:04:05")
+
+  /** Default index name: lowercased namespace (monstache.go:795-800). */
+  def defaultIndexName(namespace: Column): Column = lower(namespace)
+}

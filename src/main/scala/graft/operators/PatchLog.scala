@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JSON merge-patch log (SURVEY §2.3 P10, monstache.go:3084-3158).
+  *
+  * The reference, for `patch-namespaces`, fetches the *previous* doc from
+  * Elasticsearch on every update and appends an RFC-7386 merge patch to a
+  * `json-merge-patches` array (v1 = the full doc on insert).
+  *
+  * Querying the sink per-op does not scale; the Spark re-expression derives
+  * the previous version with a `lag()` window over (id, version) — one
+  * shuffle, no sink round-trips — and numbers patches with `row_number()`.
+  * The merge-patch diff itself is a pure function of (prev, curr) computed
+  * by [[graft.codec.JsonMergePatch]] once the pairs exist.
+  */
+object PatchLog {
+
+  /** (id, v, prev_document, document) pairs per patch-namespace doc,
+    * v starting at 1 on the insert — prev is null there, matching the
+    * reference storing the full doc as patch v1 (monstache.go:3138-3150). */
+  def pairs(df: DataFrame, namespaces: Seq[String],
+            tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("version").asc, col(tieBreak).asc)
+    df.filter(col("namespace").isin(namespaces: _*))
+      .filter(col("operation").isin("i", "u"))
+      .withColumn("v", row_number().over(w))
+      .withColumn("prev_document", lag(col("document"), 1).over(w))
+  }
+}

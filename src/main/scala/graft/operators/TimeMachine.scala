@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-machine history sink (SURVEY §2.9 K4, monstache.go:3253-3291).
+  *
+  * For namespaces opted in, every version of every doc is appended to a
+  * dated history index `log.<index>.<yyyy-MM-dd>` with `_source_id` = the
+  * doc id and routing by doc id; entries are append-only (no id → no
+  * overwrite).
+  *
+  * Spark shape: a projection adding the history index name as a column; a
+  * real writer would `partitionBy(history_date)` so history lands in
+  * day-partitioned append-only storage — the idiomatic equivalent of dated
+  * indices, and partition-prunable at read time.
+  */
+object TimeMachine {
+
+  def history(df: DataFrame, namespaces: Seq[String],
+              prefix: String = "log"): DataFrame = {
+    val day = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
+    df.filter(col("namespace").isin(namespaces: _*))
+      .filter(col("operation").isin("i", "u", "d"))
+      .withColumn("history_date", day)
+      .withColumn("history_index",
+        concat_ws(".", lit(prefix), lower(col("namespace")), day))
+      .withColumn("source_id", col("id"))
+      .withColumn("history_routing", col("id"))
+  }
+}

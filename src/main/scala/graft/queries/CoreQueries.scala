@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs
+import graft.operators._
+import graft.source.EventLog
+
+/** Core monstache-semantics queries (SURVEY §2.1-2.3, §2.8-2.9) over the
+  * driver tables. Every query is ordered by a unique key so Spark and the
+  * DuckDB oracle agree row-for-row. */
+object CoreQueries extends QueryFamily {
+
+  private def withEnvelope(sql: String): String =
+    s"WITH ${EventLog.oracleCte}\n$sql"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── S1/S3: the envelope itself (change-stream decode, §1.3) ──────────
+    QueryDef(
+      "q01_envelope",
+      (s, dir) => EventLog.envelope(s, dir)
+        .select("event_id", "id", "namespace", "operation", "ts_us",
+          "version", "source", "document")
+        .orderBy("event_id"),
+      Some(withEnvelope(
+        """SELECT event_id, id, namespace, operation, ts_us, version, source, document
+          |FROM envelope ORDER BY event_id""".stripMargin))),
+
+    // ── F1-F3: namespace include/exclude regex chain ─────────────────────
+    QueryDef(
+      "q02_ns_filter",
+      (s, dir) => {
+        val cfg = NamespaceFilterConfig(
+          include = Some("^app\\.t[0-2]$"), exclude = Some("^app\\.t2$"))
+        NamespaceFilter(EventLog.envelope(s, dir), cfg)
+          .groupBy("namespace", "operation")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("namespace", "operation")
+      },
+      Some(withEnvelope(
+        """SELECT namespace, operation, count(*) AS n
+          |FROM envelope
+          |WHERE regexp_matches(namespace, '^app\.t[0-2]$')
+          |  AND NOT regexp_matches(namespace, '^app\.t2$')
+          |GROUP BY namespace, operation
+          |ORDER BY namespace, operation""".stripMargin))),
+
+    // ── P1: mapper projection (computed columns over lineitem) ───────────
+    QueryDef(
+      "q03_mapper_project",
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("charge"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("status"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_partkey,
+          |       l_extendedprice * (1 - l_discount) AS revenue,
+          |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+          |       l_returnflag || '/' || l_linestatus AS status
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)),
+
+    // ── P1/§2.7: JSON payload field extraction ───────────────────────────
+    QueryDef(
+      "q04_json_extract",
+      (s, dir) => EventLog.envelope(s, dir)
+        .filter(col("document").isNotNull)
+        .select(col("event_id"),
+          get_json_object(col("document"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some(withEnvelope(
+        """SELECT event_id, CAST(json_extract_string(document, '$.k') AS INTEGER) AS k
+          |FROM envelope WHERE document IS NOT NULL ORDER BY event_id""".stripMargin))),
+
+    // ── P4/T4/K1: last-writer-wins upsert (the sink's final state) ───────
+    QueryDef(
+      "q05_upsert_lww",
+      (s, dir) => Upsert.liveDocuments(EventLog.envelope(s, dir))
+        .select(col("id"), col("namespace"), col("version"),
+          col("operation").as("last_op"),
+          get_json_object(col("document"), "$.k").cast("int").as("k"),
+          col("value"))
+        .orderBy(col("id").cast("long")),
+      Some(withEnvelope(
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  FROM envelope)
+          |SELECT id, namespace, version, operation AS last_op,
+          |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS k, value
+          |FROM ranked WHERE rn = 1 AND operation <> 'd'
+          |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
+    // ── K2: tombstones (stateless delete strategy, version-protected) ────
+    QueryDef(
+      "q06_tombstones",
+      (s, dir) => Upsert.tombstones(EventLog.envelope(s, dir))
+        .select(col("id"), col("namespace"), col("version"))
+        .orderBy(col("id").cast("long")),
+      Some(withEnvelope(
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  FROM envelope)
+          |SELECT id, namespace, version
+          |FROM ranked WHERE rn = 1 AND operation = 'd'
+          |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
+    // ── K7/P3: index-name + routing resolution ───────────────────────────
+    QueryDef(
+      "q07_index_routing",
+      (s, dir) => {
+        val mapping = Map("app.t0" -> "users_primary")
+        Routing.withMeta(EventLog.envelope(s, dir), mapping,
+            routing = Some((col("id").cast("long") % 8).cast("string")))
+          .groupBy("namespace", "meta_index")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("meta_routing")).as("n_shards"))
+          .orderBy("namespace")
+      },
+      Some(withEnvelope(
+        """SELECT namespace,
+          |       CASE WHEN namespace = 'app.t0' THEN 'users_primary' ELSE lower(namespace) END AS meta_index,
+          |       count(*) AS n,
+          |       count(DISTINCT CAST(CAST(id AS BIGINT) % 8 AS VARCHAR)) AS n_shards
+          |FROM envelope
+          |WHERE id IS NOT NULL AND length(id) > 0 AND length(id) <= 512
+          |GROUP BY 1, 2 ORDER BY namespace""".stripMargin))),
+
+    // ── P5: oplog date injection (Go layout → JVM pattern) ───────────────
+    QueryDef(
+      "q08_oplog_date",
+      (s, dir) => EventLog.envelope(s, dir)
+        .select(col("event_id"),
+          date_format(timestamp_micros(col("ts_us")),
+            Codecs.DefaultOplogDateFormat).as("oplog_date"),
+          col("ts_us").as("oplog_ts"))
+        .orderBy("event_id"),
+      Some(withEnvelope(
+        """SELECT event_id,
+          |       strftime(make_timestamp(ts_us), '%Y/%m/%d %H:%M:%S') AS oplog_date,
+          |       ts_us AS oplog_ts
+          |FROM envelope ORDER BY event_id""".stripMargin))),
+
+    // ── P6: _id canonicalization (whole floats collapse) ─────────────────
+    QueryDef(
+      "q09_id_canon",
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_quantity"),
+          Codecs.numericIdToString(col("l_quantity")).as("canon_id"))
+        .distinct()
+        .orderBy("l_quantity"),
+      Some(
+        """SELECT DISTINCT l_quantity,
+          |       CASE WHEN l_quantity = floor(l_quantity)
+          |            THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+          |            ELSE CAST(l_quantity AS VARCHAR) END AS canon_id
+          |FROM lineitem ORDER BY l_quantity""".stripMargin)),
+
+    // ── P7: invalid-JSON pruning (NaN / ±Inf → null) ─────────────────────
+    QueryDef(
+      "q10_prune_invalid",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("v",
+            when(col("event_id") % 97 === 0, lit("NaN").cast("double"))
+              .when(col("event_id") % 101 === 0, lit("Infinity").cast("double"))
+              .otherwise(col("value")))
+        raw.select(col("event_id"),
+            Codecs.pruneInvalidDouble(col("v")).as("pruned"),
+            (isnan(col("v")) || abs(col("v")) === lit(Double.PositiveInfinity))
+              .as("was_pruned"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH raw AS (
+          |  SELECT event_id,
+          |         CASE WHEN event_id % 97 = 0 THEN CAST('NaN' AS DOUBLE)
+          |              WHEN event_id % 101 = 0 THEN CAST('Infinity' AS DOUBLE)
+          |              ELSE value END AS v
+          |  FROM events)
+          |SELECT event_id,
+          |       CASE WHEN isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE v END AS pruned,
+          |       (isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE)) AS was_pruned
+          |FROM raw ORDER BY event_id""".stripMargin)),
+
+    // ── P4: cluster-time version bit packing ─────────────────────────────
+    QueryDef(
+      "q11_version_pack",
+      (s, dir) => EventLog.envelope(s, dir)
+        .withColumn("ts_t", expr("ts_us div 1000000"))
+        .withColumn("ts_i", col("event_id") % 4096)
+        .select(col("event_id"), col("ts_t"), col("ts_i"),
+          Codecs.tsVersion(col("ts_t"), col("ts_i"), col("operation"))
+            .as("ext_version"))
+        .orderBy("event_id"),
+      Some(withEnvelope(
+        """SELECT event_id,
+          |       ts_us // 1000000 AS ts_t,
+          |       event_id % 4096 AS ts_i,
+          |       (ts_us // 1000000) * 4294967296 + (event_id % 4096)
+          |         + (CASE operation WHEN 'i' THEN 0 WHEN 'u' THEN 1 WHEN 'd' THEN 2 ELSE 1 END) AS ext_version
+          |FROM envelope ORDER BY event_id""".stripMargin))),
+
+    // ── K4: time-machine dated history index ─────────────────────────────
+    QueryDef(
+      "q12_time_machine",
+      (s, dir) => TimeMachine.history(
+          EventLog.envelope(s, dir), Seq("app.t1", "app.t2"))
+        .select(col("event_id"), col("id").as("source_id"),
+          col("version"), col("history_index"))
+        .orderBy("event_id"),
+      Some(withEnvelope(
+        """SELECT event_id, id AS source_id, version,
+          |       'log' || '.' || lower(namespace) || '.' ||
+          |         strftime(make_timestamp(ts_us), '%Y-%m-%d') AS history_index
+          |FROM envelope
+          |WHERE namespace IN ('app.t1', 'app.t2') AND operation IN ('i','u','d')
+          |ORDER BY event_id""".stripMargin))),
+
+    // ── P10: merge-patch log pair construction + version numbering ───────
+    QueryDef(
+      "q13_patch_pairs",
+      (s, dir) => PatchLog.pairs(EventLog.envelope(s, dir), Seq("app.t1"))
+        .select(col("id"), col("v"), col("version"),
+          get_json_object(col("prev_document"), "$.k").cast("int").as("prev_k"),
+          get_json_object(col("document"), "$.k").cast("int").as("new_k"))
+        .orderBy(col("id").cast("long"), col("v")),
+      Some(withEnvelope(
+        """, patchable AS (
+          |  SELECT * FROM envelope
+          |  WHERE namespace = 'app.t1' AND operation IN ('i','u'))
+          |SELECT id,
+          |       row_number() OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS v,
+          |       version,
+          |       CAST(json_extract_string(lag(document) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC), '$.k') AS INTEGER) AS prev_k,
+          |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS new_k
+          |FROM patchable
+          |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
+
+    // ── §2.6: multi-source union fan-in (stream + direct read) ───────────
+    QueryDef(
+      "q14_union_fanin",
+      (s, dir) => {
+        val stream = EventLog.envelope(s, dir)
+          .select(col("id"), col("namespace"), col("operation"),
+            col("version"), col("source"))
+        val direct = EventLog.directRead(s, dir, "orders", "o_orderkey", "app.orders")
+          .select(col("id"), col("namespace"), col("operation"),
+            col("version"), col("source"))
+        stream.unionByName(direct)
+          .groupBy("source", "namespace")
+          .agg(count(lit(1)).as("n"), max(col("version")).as("max_version"))
+          .orderBy("source", "namespace")
+      },
+      Some(withEnvelope(
+        """, unioned AS (
+          |  SELECT id, namespace, operation, version, source FROM envelope
+          |  UNION ALL
+          |  SELECT CAST(o_orderkey AS VARCHAR) AS id, 'app.orders' AS namespace,
+          |         'i' AS operation, 0 AS version, 'direct_read' AS source
+          |  FROM orders)
+          |SELECT source, namespace, count(*) AS n, max(version) AS max_version
+          |FROM unioned GROUP BY source, namespace ORDER BY source, namespace""".stripMargin))),
+
+    // ── A3/K5: bulk-stats aggregation ────────────────────────────────────
+    QueryDef(
+      "q15_stats_agg",
+      (s, dir) => EventLog.envelope(s, dir)
+        .groupBy("namespace", "operation")
+        .agg(count(lit(1)).as("n_ops"),
+          sum(length(col("document"))).as("doc_chars"),
+          min(col("version")).as("min_version"),
+          max(col("version")).as("max_version"))
+        .orderBy("namespace", "operation"),
+      Some(withEnvelope(
+        """SELECT namespace, operation, count(*) AS n_ops,
+          |       CAST(sum(length(document)) AS BIGINT) AS doc_chars,
+          |       min(version) AS min_version, max(version) AS max_version
+          |FROM envelope GROUP BY namespace, operation
+          |ORDER BY namespace, operation""".stripMargin)))
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.source.EventLog
+
+/** Relate fan-out / lookup queries (SURVEY §2.4 J1-J6, §2.5 A2). The TPC-H
+  * FK chain lineitem→orders→customer→nation→region is exactly a reference
+  * relate chain (src-field/match-field per hop, FIXTURES.md §4). */
+object RelateQueries extends QueryFamily {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── J1: one relate hop (change in orders → fan out to customer) ──────
+    QueryDef(
+      "q20_relate_1hop",
+      (s, dir) => {
+        val changed = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 7 === 0)
+        val customer = s.read.parquet(s"$dir/customer.parquet")
+        Relate.hopPairs(changed, customer,
+            Relation("app.orders", "app.customer", "o_custkey", "c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            col("c_mktsegment"))
+          .distinct()
+          .orderBy("o_orderkey", "c_custkey")
+      },
+      Some(
+        """SELECT DISTINCT o_orderkey, c_custkey, c_name, c_mktsegment
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderkey % 7 = 0
+          |ORDER BY o_orderkey, c_custkey""".stripMargin)),
+
+    // ── J1 recursive: 4-hop relate chain, depth-bounded ──────────────────
+    QueryDef(
+      "q21_relate_chain",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 13 === 0)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val n = s.read.parquet(s"$dir/nation.parquet")
+        val r = s.read.parquet(s"$dir/region.parquet")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
+            col("n_name"), col("r_name"))
+          .orderBy("l_orderkey", "l_linenumber", "c_custkey")
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, c_custkey, n_name, r_name
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE l_orderkey % 13 = 0
+          |ORDER BY l_orderkey, l_linenumber, c_custkey""".stripMargin)),
+
+    // ── J2: identity-relation delete propagation (semi-join) ─────────────
+    QueryDef(
+      "q22_relate_delete",
+      (s, dir) => {
+        val deleted = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("src_key"))
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        Relate.propagateDeletes(deleted, li, "src_key", "l_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            lit("d").as("operation"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, 'd' AS operation
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── J3: keep-src routing (join-only namespace drops the source doc) ──
+    QueryDef(
+      "q23_keep_src",
+      (s, dir) => {
+        val changed = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 11 === 0)
+        val customer = s.read.parquet(s"$dir/customer.parquet")
+        // keep_src=false: only the related side is emitted (monstache.go:3419-3462)
+        changed.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey").cast("string").as("doc_id"),
+            lit("app.customer").as("namespace"))
+          .distinct()
+          .groupBy("namespace").agg(count(lit(1)).as("n_docs"))
+          .orderBy("namespace")
+      },
+      Some(
+        """SELECT 'app.customer' AS namespace,
+          |       count(DISTINCT c_custkey) AS n_docs
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderkey % 11 = 0""".stripMargin)),
+
+    // ── J5: find with sort + limit (top-3 updates per doc id) ────────────
+    QueryDef(
+      "q24_find_sort_limit",
+      (s, dir) => {
+        val env = EventLog.envelope(s, dir).filter(col("operation") === "u")
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        env.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("id"), col("rnk"), col("event_id"), col("value"))
+          .orderBy(col("id").cast("long"), col("rnk"))
+      },
+      Some(
+        s"""WITH ${EventLog.oracleCte},
+           |updates AS (SELECT * FROM envelope WHERE operation = 'u'),
+           |ranked AS (
+           |  SELECT id, event_id, value,
+           |         row_number() OVER (PARTITION BY id ORDER BY value DESC, event_id ASC) AS rnk
+           |  FROM updates)
+           |SELECT id, rnk, event_id, value FROM ranked WHERE rnk <= 3
+           |ORDER BY CAST(id AS BIGINT), rnk""".stripMargin)),
+
+    // ── J6/A2: aggregation-pipeline lookup ($match→$group→$sort→$limit) ──
+    QueryDef(
+      "q25_pipe_agg",
+      (s, dir) => {
+        EventLog.envelope(s, dir)
+          .filter(col("operation") === "u" && col("value") > 50)
+          .groupBy("id")
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+            count(lit(1)).as("n"))
+          .orderBy(col("total").desc, col("id").cast("long"))
+          .limit(100)
+      },
+      Some(
+        s"""WITH ${EventLog.oracleCte}
+           |SELECT id,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |       count(*) AS n
+           |FROM envelope WHERE operation = 'u' AND value > 50
+           |GROUP BY id
+           |ORDER BY total DESC, CAST(id AS BIGINT)
+           |LIMIT 100""".stripMargin))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** The change-event envelope (SURVEY.md §1.3) derived deterministically from
+  * the driver's `events` table, which stands in for a MongoDB change stream
+  * (gtm.Op, monstache.go:815-840): every event becomes an insert / update /
+  * delete op on a per-user document living in one of four collections.
+  *
+  * The derivation is defined twice — once as Spark column algebra here, once
+  * as the ANSI SQL fragment [[EventLog.oracleCte]] — and the two MUST stay
+  * in lockstep: the driver hash-compares results of both.
+  *
+  * Versioning follows the reference's external-version scheme
+  * (monstache.go:4053-4063): monotonic in cluster time, with insert/update/
+  * delete offset 0/1/2 so a delete beats a same-timestamp update. Here the
+  * cluster time is the event's epoch-microsecond instant: version =
+  * ts_us * 4 + offset.
+  *
+  * Scale note: this is a pure narrow projection over the parquet scan — no
+  * shuffle, fully codegen'd, and column pruning reaches the reader.
+  */
+object EventLog {
+
+  /** Envelope columns: event_id, id, db, coll, namespace, operation,
+    * ts_us, version, document (JSON, null for deletes), value, source. */
+  def envelope(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.ensure(spark)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val op = when(col("event_type") === "signup", "i")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val offset = when(col("event_type") === "signup", 0L)
+      .when(col("event_type") === "error", 2L)
+      .otherwise(1L)
+    val tsUs = expr("ts div 1000")
+    val shard = (col("user_id") % 4).cast("string")
+    ev.select(
+      col("event_id"),
+      col("user_id").cast("string").as("id"),
+      lit("app").as("db"),
+      concat(lit("t"), shard).as("coll"),
+      concat(lit("app.t"), shard).as("namespace"),
+      op.as("operation"),
+      tsUs.as("ts_us"),
+      (tsUs * 4 + offset).as("version"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(col("props")).as("document"),
+      col("value"),
+      lit("oplog").as("source")
+    )
+  }
+
+  /** DuckDB CTE computing exactly [[envelope]] from the raw `events` table.
+    * Prepend as `WITH envelope AS (...)` in oracle SQL. */
+  val oracleCte: String =
+    """envelope AS (
+      |  SELECT event_id,
+      |         CAST(user_id AS VARCHAR) AS id,
+      |         'app' AS db,
+      |         't' || CAST(user_id % 4 AS VARCHAR) AS coll,
+      |         'app.t' || CAST(user_id % 4 AS VARCHAR) AS namespace,
+      |         CASE event_type WHEN 'signup' THEN 'i' WHEN 'error' THEN 'd' ELSE 'u' END AS operation,
+      |         epoch_us(ts) AS ts_us,
+      |         epoch_us(ts) * 4 + (CASE event_type WHEN 'signup' THEN 0 WHEN 'error' THEN 2 ELSE 1 END) AS version,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS document,
+      |         value,
+      |         'oplog' AS source
+      |  FROM events
+      |)""".stripMargin
+
+  /** Batch "direct read" stand-in (SURVEY §2.1 S3): a full collection scan
+    * where every row is an insert op at version 0, exactly how the reference
+    * replays a collection through the same pipeline (monstache.go:3088). */
+  def directRead(spark: SparkSession, dir: String, table: String,
+                 idCol: String, namespace: String): DataFrame = {
+    GraftSession.ensure(spark)
+    spark.read.parquet(s"$dir/$table.parquet")
+      .withColumn("id", col(idCol).cast("string"))
+      .withColumn("namespace", lit(namespace))
+      .withColumn("operation", lit("i"))
+      .withColumn("version", lit(0L))
+      .withColumn("source", lit("direct_read"))
+  }
+}
