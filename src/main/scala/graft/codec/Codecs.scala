@@ -14,9 +14,10 @@ object Codecs {
 
   /** Operation → version offset. Insert 0, update 1, delete 2 — the
     * "delete wins ties by +2" trick that makes unordered replay converge
-    * (monstache.go:4053-4063 `tsVersion`). */
+    * (monstache.go:4053-4063 `tsVersion`). Any other op (drops, no-ops)
+    * gets +0, exactly the reference's switch fall-through. */
   def opOffset(op: Column): Column =
-    when(op === "i", 0L).when(op === "u", 1L).when(op === "d", 2L).otherwise(1L)
+    when(op === "u", 1L).when(op === "d", 2L).otherwise(0L)
 
   /** External version from a MongoDB cluster time `{T: seconds, I: counter}`:
     * `(T << 32 | I) + offset` (monstache.go:4053-4063). Last-writer-wins on
@@ -53,9 +54,10 @@ object Codecs {
   private val goTokens: Seq[(String, String)] = Seq(
     "2006" -> "yyyy",
     "01" -> "MM", "02" -> "dd", "15" -> "HH", "04" -> "mm", "05" -> "ss",
-    "Jan" -> "MMM", "Mon" -> "EEE", ".000" -> ".SSS",
+    "Jan" -> "MMM", "Mon" -> "EEE",
+    ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
     "-07:00" -> "XXX", "Z07:00" -> "XXX", "-0700" -> "Z", "MST" -> "zzz"
-  )
+  ).sortBy(-_._1.length)
   def goLayoutToJvm(layout: String): String = {
     val sb = new StringBuilder
     var i = 0

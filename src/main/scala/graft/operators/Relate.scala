@@ -28,8 +28,12 @@ case class Relation(
     srcField: String,
     matchField: String,
     keepSrc: Boolean = false,
-    maxDepth: Int = 0, // 0 = unbounded, like the reference
-    broadcastRelated: Boolean = true)
+    maxDepth: Int = 0, // 0 = unbounded, like the reference (cycle-guarded)
+    // Broadcast is an explicit opt-in for true dimension tables only. At
+    // 100 TB the related side of most relations is NOT broadcastable
+    // (driver OOM); default lets AQE pick broadcast at runtime when the
+    // built side turns out small.
+    broadcastRelated: Boolean = false)
 
 object Relate {
 

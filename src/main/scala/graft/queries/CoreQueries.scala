@@ -202,7 +202,7 @@ object CoreQueries extends QueryFamily {
           |       ts_us // 1000000 AS ts_t,
           |       event_id % 4096 AS ts_i,
           |       (ts_us // 1000000) * 4294967296 + (event_id % 4096)
-          |         + (CASE operation WHEN 'i' THEN 0 WHEN 'u' THEN 1 WHEN 'd' THEN 2 ELSE 1 END) AS ext_version
+          |         + (CASE operation WHEN 'u' THEN 1 WHEN 'd' THEN 2 ELSE 0 END) AS ext_version
           |FROM envelope ORDER BY event_id""".stripMargin))),
 
     // ── K4: time-machine dated history index ─────────────────────────────

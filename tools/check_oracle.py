@@ -9,8 +9,17 @@ import duckdb
 import pandas as pd
 import numpy as np
 
+from decimal import Decimal
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Spark decimal columns arrive as object-dtype Decimal while DuckDB
+    # returns float64 — normalize both to float64 so the float path compares.
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: v is None or isinstance(v, Decimal)).all() \
+                and df[c].notna().any():
+            df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 
 def compare(name, spark_df, duck_df):
@@ -23,7 +32,11 @@ def compare(name, spark_df, duck_df):
         av, bv = a[c], b[c]
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                eq = ((av.isna() & bv.isna()) | (av == bv)).all()
+                af = av.astype("float64").to_numpy()
+                bf = bv.astype("float64").to_numpy()
+                eq = bool(np.all((np.isnan(af) & np.isnan(bf))
+                                 | np.isclose(af, bf, rtol=1e-9, atol=1e-12,
+                                              equal_nan=True)))
             else:
                 av2 = av.astype(object).where(~av.isna(), None)
                 bv2 = bv.astype(object).where(~bv.isna(), None)
