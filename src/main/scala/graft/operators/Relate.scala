@@ -57,17 +57,36 @@ object Relate {
   /** Breadth-first fan-out across a relation graph keyed by namespace.
     * `collections`: namespace → its full collection DataFrame (the Spark
     * stand-in for the reference's Mongo lookups). Returns the union of all
-    * emitted related docs, tagged with the namespace they belong to and the
-    * depth at which they were produced. */
+    * emitted related docs, tagged with the namespace they belong to
+    * (`rel_namespace`) and the depth at which they were produced
+    * (`rel_depth`; 0 = a kept source doc).
+    *
+    * Depth semantics follow the reference (monstache.go:1331-1335): each
+    * relation's `maxDepth` bounds how deep *that* relation may fire;
+    * 0 means unbounded. Unbounded relations are cycle-guarded — a
+    * (namespace → withNamespace) edge fires at most once, so a cyclic
+    * relation graph terminates instead of unioning an unbounded lineage.
+    * `safetyCap` bounds the driver-side loop regardless.
+    *
+    * keep-src (monstache.go:3419-3462): a seed namespace's own docs are
+    * part of the output only when some relation on that namespace has
+    * `keepSrc = true`; otherwise the namespace is join-only. */
   def fanOut(spark: SparkSession,
              seeds: Map[String, DataFrame],
              collections: Map[String, DataFrame],
              relations: Seq[Relation],
-             maxDepth: Int): DataFrame = {
-    var frontier: Map[String, DataFrame] = seeds
+             safetyCap: Int = 32): DataFrame = {
     var out: Option[DataFrame] = None
+    def emit(df: DataFrame): Unit =
+      out = out.map(_.unionByName(df, allowMissingColumns = true)).orElse(Some(df))
+
+    for ((ns, df) <- seeds if relations.exists(r => r.namespace == ns && r.keepSrc))
+      emit(df.withColumn("rel_namespace", lit(ns)).withColumn("rel_depth", lit(0)))
+
+    val takenEdges = scala.collection.mutable.Set[(String, String)]()
+    var frontier: Map[String, DataFrame] = seeds
     var depth = 0
-    while (frontier.nonEmpty && depth < maxDepth) {
+    while (frontier.nonEmpty && depth < safetyCap) {
       depth += 1
       val produced = scala.collection.mutable.Map[String, DataFrame]()
       for {
@@ -75,16 +94,20 @@ object Relate {
         rel <- relations.filter(_.namespace == ns)
         coll <- collections.get(rel.withNamespace)
       } {
-        val emitted = hop(changed, coll, rel)
-        produced(rel.withNamespace) = produced.get(rel.withNamespace)
-          .map(_.unionByName(emitted)).getOrElse(emitted)
+        val edge = (rel.namespace, rel.withNamespace)
+        val depthOk = rel.maxDepth == 0 || depth <= rel.maxDepth
+        val cycleOk = rel.maxDepth != 0 || !takenEdges.contains(edge)
+        if (depthOk && cycleOk) {
+          if (rel.maxDepth == 0) takenEdges += edge
+          val emitted = hop(changed, coll, rel)
+          produced(rel.withNamespace) = produced.get(rel.withNamespace)
+            .map(_.unionByName(emitted)).getOrElse(emitted)
+        }
       }
       val tagged = produced.toSeq.map { case (ns, df) =>
         df.withColumn("rel_namespace", lit(ns)).withColumn("rel_depth", lit(depth))
       }
-      tagged.foreach { df =>
-        out = out.map(o => o.unionByName(df, allowMissingColumns = true)).orElse(Some(df))
-      }
+      tagged.foreach(emit)
       frontier = produced.toMap
     }
     out.getOrElse(spark.emptyDataFrame)

@@ -101,6 +101,46 @@ object RelateQueries extends QueryFamily {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |WHERE o_orderkey % 11 = 0""".stripMargin)),
 
+    // ── J1: the same chain driven through the generic fanOut operator ────
+    // (config-driven BFS with per-relation depth bounds + cycle guard,
+    // monstache.go:1221-1358). Each depth's emitted-op count equals the
+    // progressive join cardinality, which the oracle computes directly.
+    QueryDef(
+      "q26_relate_fanout",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 13 === 0)
+        val rels = Seq(
+          Relation("app.lineitem", "app.orders", "l_orderkey", "o_orderkey"),
+          Relation("app.orders", "app.customer", "o_custkey", "c_custkey",
+            broadcastRelated = true),
+          Relation("app.customer", "app.nation", "c_nationkey", "n_nationkey",
+            broadcastRelated = true),
+          Relation("app.nation", "app.region", "n_regionkey", "r_regionkey",
+            broadcastRelated = true))
+        val colls = Map(
+          "app.orders" -> s.read.parquet(s"$dir/orders.parquet"),
+          "app.customer" -> s.read.parquet(s"$dir/customer.parquet"),
+          "app.nation" -> s.read.parquet(s"$dir/nation.parquet"),
+          "app.region" -> s.read.parquet(s"$dir/region.parquet"))
+        Relate.fanOut(s, Map("app.lineitem" -> li), colls, rels)
+          .groupBy("rel_namespace", "rel_depth")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("rel_depth", "rel_namespace")
+      },
+      Some(
+        """WITH seed AS (SELECT * FROM lineitem WHERE l_orderkey % 13 = 0),
+          |d1 AS (SELECT o_orderkey, o_custkey FROM seed JOIN orders ON l_orderkey = o_orderkey),
+          |d2 AS (SELECT c_custkey, c_nationkey FROM d1 JOIN customer ON o_custkey = c_custkey),
+          |d3 AS (SELECT n_nationkey, n_regionkey FROM d2 JOIN nation ON c_nationkey = n_nationkey),
+          |d4 AS (SELECT r_regionkey FROM d3 JOIN region ON n_regionkey = r_regionkey)
+          |SELECT * FROM (
+          |  SELECT 'app.orders' AS rel_namespace, 1 AS rel_depth, count(*) AS n FROM d1
+          |  UNION ALL SELECT 'app.customer', 2, count(*) FROM d2
+          |  UNION ALL SELECT 'app.nation', 3, count(*) FROM d3
+          |  UNION ALL SELECT 'app.region', 4, count(*) FROM d4)
+          |ORDER BY rel_depth, rel_namespace""".stripMargin)),
+
     // ── J5: find with sort + limit (top-3 updates per doc id) ────────────
     QueryDef(
       "q24_find_sort_limit",
