@@ -16,18 +16,22 @@ import graft.source.EventLog
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The hot path is wired through the transform registry — the config
+    * surface a reference user would actually program against. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val env = EventLog.envelope(spark, dir)
     val filtered = NamespaceFilter(env,
       NamespaceFilterConfig(include = Some("^app\\..*$")))
-    val mapped = filtered
-      .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
-      .withColumn("oplog_date",
-        date_format(timestamp_micros(col("ts_us")),
-          graft.codec.Codecs.DefaultOplogDateFormat))
-    val routed = Routing.withMeta(mapped, Map("app.t0" -> "users_primary"))
+    val reg = TransformRegistry(
+      mappers = Map(
+        "" -> (df => df
+          .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
+          .withColumn("oplog_date",
+            date_format(timestamp_micros(col("ts_us")),
+              graft.codec.Codecs.DefaultOplogDateFormat)))))
+    val routed = Routing.withMeta(reg(filtered), Map("app.t0" -> "users_primary"))
     Upsert.liveDocuments(routed)
       .select("meta_index", "meta_id", "meta_routing", "meta_version",
         "namespace", "operation", "k", "value", "oplog_date")

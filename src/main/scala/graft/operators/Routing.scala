@@ -31,13 +31,25 @@ object Routing {
 
   /** Attach meta_index / meta_id / meta_routing / meta_version columns.
     * Routing defaults to the doc id (what ES does); a custom routing column
-    * mirrors the plugin's Routing override (monstachemap/plugin.go:33). */
+    * mirrors the plugin's Routing override (monstachemap/plugin.go:33).
+    *
+    * Per-doc `m_meta_*` override columns (set by a [[TransformRegistry]]
+    * mapper — the `_meta_monstache` analog, monstache.go:3547-3594) take
+    * precedence over everything when present: doc override > ns `[[mapping]]`
+    * override > default. */
   def withMeta(df: DataFrame, nsMapping: Map[String, String] = Map.empty,
-               routing: Option[Column] = None): DataFrame =
-    df.withColumn("meta_index", resolveIndex(nsMapping))
-      .withColumn("meta_id", col("id"))
-      .withColumn("meta_routing", routing.getOrElse(col("id")))
-      .withColumn("meta_version", col("version"))
-      .withColumn("meta_version_type", lit("external"))
+               routing: Option[Column] = None): DataFrame = {
+    def ov(name: String): Seq[Column] =
+      if (df.columns.contains(name)) Seq(col(name)) else Seq.empty
+    df.withColumn("meta_index",
+        coalesce(ov("m_meta_index") :+ resolveIndex(nsMapping): _*))
+      .withColumn("meta_id", coalesce(ov("m_meta_id") :+ col("id"): _*))
+      .withColumn("meta_routing",
+        coalesce(ov("m_meta_routing") :+ routing.getOrElse(col("id")): _*))
+      .withColumn("meta_version",
+        coalesce(ov("m_meta_version") :+ col("version"): _*))
+      .withColumn("meta_version_type",
+        coalesce(ov("m_meta_version_type") :+ lit("external"): _*))
       .filter(Codecs.idAccepted(col("id")))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Canonical control columns a mapper may set, mirroring the plugin output
+  * contract `MapperPluginOutput` (monstachemap/plugin.go:19-44):
+  * Drop/Skip flags plus the per-doc sink-metadata overrides the reference
+  * stashes under `_meta_monstache` (monstache.go:1059-1096). Columns a
+  * mapper does not set default to "no override". */
+object Mapper {
+  val controls: Seq[(String, Column)] = Seq(
+    "m_drop" -> lit(false),
+    "m_skip" -> lit(false),
+    "m_meta_index" -> lit(null).cast("string"),
+    "m_meta_id" -> lit(null).cast("string"),
+    "m_meta_routing" -> lit(null).cast("string"),
+    "m_meta_version" -> lit(null).cast("long"),
+    "m_meta_version_type" -> lit(null).cast("string"),
+    "m_meta_pipeline" -> lit(null).cast("string"))
+
+  def ensureControls(df: DataFrame): DataFrame =
+    controls.foldLeft(df) { case (d, (n, c)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, c)
+    }
+}
+
+/** Namespace-keyed transform/filter registry (SURVEY §2.10) — the Spark
+  * replacement for the reference's embedded-JS / Go-plugin surface. A
+  * "script" here is a named set-oriented transform; configuration selects
+  * which transforms run for which namespace, with the reference's chaining
+  * rule: the global `""` entry runs first, then the namespace-specific one
+  * (monstache.go:1001 `names := []string{"", op.Namespace}`, 1502).
+  *
+  * Filter semantics (F5/F6, monstache.go:1498-1529): predicates apply only
+  * to inserts/updates that carry data; deletes and drops always pass.
+  * A failing predicate removes the op from the stream.
+  *
+  * Mapper semantics (P1/P2, monstache.go:1000-1103): a mapper may replace
+  * the document, set `m_drop` (JS falsy return / plugin Drop → doc removed
+  * from the index), set `m_skip` (plugin Skip → not indexed but still
+  * flows), or set `m_meta_*` overrides. A row dropped by the global mapper
+  * bypasses the namespace mapper, like the JS chain's `break`.
+  *
+  * Scale: filters are one conjunctive predicate (pushes into the scan).
+  * Mapper dispatch splits the frame per registered namespace and unions —
+  * each slice is a narrow pipeline over the same scan, no shuffle; with
+  * column-pruned parquet input the per-slice scans are cheap and Catalyst
+  * merges common subplans under AQE. Registries are small (config-sized),
+  * so the plan stays bounded.
+  */
+case class TransformRegistry(
+    filters: Map[String, Column] = Map.empty,
+    mappers: Map[String, DataFrame => DataFrame] = Map.empty) {
+
+  private val isDataOp: Column =
+    col("operation").isin("i", "u") && col("document").isNotNull
+
+  /** F5/F6: global-then-namespace predicate chain as one filter. */
+  def applyFilters(df: DataFrame): DataFrame = {
+    if (filters.isEmpty) df
+    else {
+      val global = filters.getOrElse("", lit(true))
+      val nsCase = filters.view.filterKeys(_.nonEmpty).toSeq
+        .foldLeft(lit(true)) { case (acc, (ns, p)) =>
+          when(col("namespace") === ns, p).otherwise(acc)
+        }
+      df.filter(!isDataOp || (global && nsCase))
+    }
+  }
+
+  /** Run `m` over the slice of `df` satisfying `eligible`; pass the rest
+    * through unchanged (mapper-added columns become null there). */
+  private def applyToSlice(df: DataFrame, eligible: Column,
+                           m: DataFrame => DataFrame): DataFrame = {
+    val hit = m(df.filter(eligible))
+    val miss = df.filter(!coalesce(eligible, lit(false)))
+    hit.unionByName(miss, allowMissingColumns = true)
+  }
+
+  /** P1/P2: global mapper first, then each namespace's mapper over its
+    * not-yet-dropped data ops. */
+  def applyMappers(df: DataFrame): DataFrame = {
+    val base = Mapper.ensureControls(df)
+    val afterGlobal = mappers.get("") match {
+      case Some(m) => applyToSlice(base, isDataOp, m)
+      case None => base
+    }
+    val nsKeys = mappers.keys.filter(_.nonEmpty).toSeq.sorted
+    if (nsKeys.isEmpty) afterGlobal
+    else {
+      val parts = nsKeys.map { ns =>
+        applyToSlice(afterGlobal.filter(col("namespace") === ns),
+          isDataOp && !col("m_drop"), mappers(ns))
+      }
+      val rest = afterGlobal.filter(!col("namespace").isin(nsKeys: _*))
+      (parts :+ rest).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Post-mapping routing (doIndex, monstache.go:3295-3304): a dropped
+    * update becomes a delete (P11; version moves from the update offset +1
+    * to the delete offset +2 so it still wins LWW over the original
+    * update), a dropped insert vanishes, `m_skip` surfaces as `meta_skip`
+    * (doIndexing:3162 skips indexing but the op still flows). */
+  def finalizeOps(df: DataFrame): DataFrame = {
+    val d = Mapper.ensureControls(df)
+    d.filter(!(col("m_drop") && col("operation") === "i"))
+      .withColumn("document",
+        when(col("m_drop"), lit(null).cast("string")).otherwise(col("document")))
+      .withColumn("version",
+        when(col("m_drop") && col("operation") === "u", col("version") + 1)
+          .otherwise(col("version")))
+      .withColumn("operation",
+        when(col("m_drop") && col("operation") === "u", "d")
+          .otherwise(col("operation")))
+      .drop("m_drop")
+      .withColumnRenamed("m_skip", "meta_skip")
+  }
+
+  /** The full chain: filter → map → finalize. */
+  def apply(df: DataFrame): DataFrame =
+    finalizeOps(applyMappers(applyFilters(df)))
+}

@@ -266,6 +266,63 @@ object CoreQueries extends QueryFamily {
           |SELECT source, namespace, count(*) AS n, max(version) AS max_version
           |FROM unioned GROUP BY source, namespace ORDER BY source, namespace""".stripMargin))),
 
+    // ── §2.10/F5/P1/P2/P11: namespace-keyed transform/filter registry ────
+    // Two namespaces get different registered mappers: app.t0 replaces the
+    // doc and overrides its index; app.t1 drops docs (k%3==0 → falsy), and
+    // dropped updates become deletes with the +2 offset. A global filter
+    // (k != 13) and a ns filter (app.t2: value > 10) run first.
+    QueryDef(
+      "q27_transform_registry",
+      (s, dir) => {
+        val reg = TransformRegistry(
+          filters = Map(
+            "" -> (get_json_object(col("document"), "$.k").cast("int") =!= 13),
+            "app.t2" -> (col("value") > 10)),
+          mappers = Map(
+            "" -> (df => df.withColumn("k",
+              get_json_object(col("document"), "$.k").cast("int"))),
+            "app.t0" -> (df => df
+              .withColumn("document", to_json(struct((col("k") * 2).as("k2"))))
+              .withColumn("m_meta_index", lit("users_primary"))),
+            "app.t1" -> (df => df.withColumn("m_drop", col("k") % 3 === 0))))
+        Routing.withMeta(reg(EventLog.envelope(s, dir)))
+          .groupBy("namespace", "operation", "meta_index")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            count(col("document")).as("n_docs"))
+          .orderBy("namespace", "operation", "meta_index")
+      },
+      Some(withEnvelope(
+        """, flt AS (
+          |  SELECT * FROM envelope
+          |  WHERE NOT (operation IN ('i','u') AND document IS NOT NULL)
+          |     OR (CAST(json_extract_string(document,'$.k') AS INTEGER) != 13
+          |         AND (namespace <> 'app.t2' OR value > 10))),
+          |mapped AS (
+          |  SELECT namespace, operation, document,
+          |         CASE WHEN operation IN ('i','u') AND document IS NOT NULL
+          |              THEN CAST(json_extract_string(document,'$.k') AS INTEGER) END AS k,
+          |         (namespace = 'app.t1' AND operation IN ('i','u') AND document IS NOT NULL
+          |          AND CAST(json_extract_string(document,'$.k') AS INTEGER) % 3 = 0) AS m_drop,
+          |         CASE WHEN namespace = 'app.t0' AND operation IN ('i','u') AND document IS NOT NULL
+          |              THEN 'users_primary' END AS m_meta_index
+          |  FROM flt),
+          |fin AS (
+          |  SELECT namespace,
+          |         CASE WHEN m_drop AND operation = 'u' THEN 'd' ELSE operation END AS operation,
+          |         CASE WHEN m_drop THEN NULL ELSE document END AS document,
+          |         k,
+          |         coalesce(m_meta_index, lower(namespace)) AS meta_index
+          |  FROM mapped
+          |  WHERE NOT (m_drop AND operation = 'i'))
+          |SELECT namespace, operation, meta_index,
+          |       count(*) AS n,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
+          |       count(document) AS n_docs
+          |FROM fin
+          |GROUP BY namespace, operation, meta_index
+          |ORDER BY namespace, operation, meta_index""".stripMargin))),
+
     // ── A3/K5: bulk-stats aggregation ────────────────────────────────────
     QueryDef(
       "q15_stats_agg",
