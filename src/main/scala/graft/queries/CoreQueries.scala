@@ -266,6 +266,29 @@ object CoreQueries extends QueryFamily {
           |SELECT source, namespace, count(*) AS n, max(version) AS max_version
           |FROM unioned GROUP BY source, namespace ORDER BY source, namespace""".stripMargin))),
 
+    // ── T2/T3: restart-merge semantics. A stream killed after the first
+    // half of the ops and resumed over the second half must converge to
+    // the same state as one uninterrupted pass: LWW(LWW(first) ∪ second)
+    // == LWW(all). The Spark side computes the two-phase merge, the
+    // oracle the single pass — a hash match proves resume correctness.
+    QueryDef(
+      "q16_restart_merge",
+      (s, dir) => {
+        val env = EventLog.envelope(s, dir)
+        val run1 = Upsert.lastWriterWins(env.filter(col("event_id") <= 5000))
+        val resumed = Upsert.lastWriterWins(
+          run1.unionByName(env.filter(col("event_id") > 5000)))
+        resumed.select(col("id"), col("operation"), col("version"))
+          .orderBy(col("id").cast("long"))
+      },
+      Some(withEnvelope(
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  FROM envelope)
+          |SELECT id, operation, version
+          |FROM ranked WHERE rn = 1
+          |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
     // ── §2.10/F5/P1/P2/P11: namespace-keyed transform/filter registry ────
     // Two namespaces get different registered mappers: app.t0 replaces the
     // doc and overrides its index; app.t1 drops docs (k%3==0 → falsy), and

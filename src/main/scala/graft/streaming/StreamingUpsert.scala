@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.operators.Upsert
+import graft.source.ChangeEvent
+
+/** Streaming half of the engine (SURVEY §2.8, §3.1): the same envelope →
+  * transform → last-writer-wins pipeline, run continuously with durable
+  * checkpoint/resume — the reference's event loop + 10s timestamp save
+  * (monstache.go:5019-5101, saveTimestamp 1689-1702, buildTimestampGen
+  * 4664-4716) re-expressed as Structured Streaming.
+  *
+  * Delivery contract (T1/T2/T4): the source is replayed at-least-once from
+  * the checkpoint after a crash; correctness is restored by *idempotent*
+  * per-batch state merges keyed on (id, version) — exactly how the
+  * reference leans on ES external versioning instead of ordering. Each
+  * micro-batch writes state version `v<batchId>`; a replayed batch
+  * overwrites its own output deterministically, so duplicate delivery
+  * cannot double-apply.
+  *
+  * Scale path: this file's merge rewrites full state per batch, which is
+  * right for state that fits a few GB. At 100 TB state the same contract
+  * holds with (a) state bucketed by `hash(id)` so only buckets touched by
+  * the batch rewrite, or (b) [[latestWinners]]'s keyed-state variant backed
+  * by the RocksDB state store. The operator semantics are identical.
+  */
+object StreamingUpsert {
+
+  private val VersionRe = "^v(\\d+)$".r
+
+  /** State versions present under `stateDir`, newest first. */
+  private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      }
+    }.sorted.reverse
+  }
+
+  /** Latest committed state strictly before `beforeBatch` (a replayed batch
+    * must merge against its predecessor, never its own partial output). */
+  def latestState(spark: SparkSession, stateDir: String,
+                  beforeBatch: Long = Long.MaxValue): Option[DataFrame] =
+    versions(spark, stateDir).find(_ < beforeBatch)
+      .map(v => spark.read.parquet(s"$stateDir/v$v"))
+
+  /** Idempotent merge of one micro-batch into the versioned state. */
+  def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = latestState(spark, stateDir, beforeBatch = batchId)
+    val merged = Upsert.lastWriterWins(
+      prev.map(_.unionByName(batch)).getOrElse(batch))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    // GC: keep this version and its predecessor (crash-recovery window)
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(spark, stateDir).filter(_ < batchId).drop(1)
+      .foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
+  }
+
+  /** Start the continuous pipeline: envelope stream → optional transform →
+    * LWW-merged durable state, checkpointed for resume (T2/T3). */
+  def start(events: DataFrame, stateDir: String, checkpointDir: String,
+            transform: DataFrame => DataFrame = identity): StreamingQuery =
+    transform(events).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, stateDir)
+      }
+      .start()
+
+  /** What the sink index holds now: winners whose last op isn't a delete.
+    * Tombstones stay in the state (a late update must still lose to them)
+    * but are excluded from the live view. */
+  def liveState(spark: SparkSession, stateDir: String): DataFrame =
+    latestState(spark, stateDir)
+      .map(_.filter(col("operation") =!= "d"))
+      .getOrElse(spark.emptyDataFrame)
+
+  /** T6 keyed-state alternative: the current winner per key as an
+    * update-mode stream via mapGroupsWithState — the operator to use when
+    * state must live in the engine's (RocksDB) store rather than in an
+    * external table. Same (version, event_id) total order as the batch
+    * path. */
+  def latestWinners(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (_: String, ops: Iterator[ChangeEvent], state: GroupState[ChangeEvent]) =>
+          val best = (state.getOption.iterator ++ ops)
+            .maxBy(e => (e.version, e.event_id))
+          state.update(best)
+          best
+      }
+  }
+}
