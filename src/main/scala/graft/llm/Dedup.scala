@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Deduplication operators for training-data pipelines, all bucketed —
+  * never all-pairs. The 100 TB shape: per-row hashing is narrow and
+  * codegen'd; candidate generation shuffles once on the band key (skew-safe
+  * under AQE because band keys are md5-uniform); verification joins only
+  * within buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one shuffle on md5(text).
+    * Returns (text_hash, n, min_id) for groups with more than one member. */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
+      .filter(col("n") > 1)
+
+  /** Per-doc shingle + minhash-signature + band-key columns. */
+  def withSignature(docs: DataFrame, textCol: String = "text",
+                    shingleN: Int = 3): DataFrame =
+    docs.withColumn("ws", words(col(textCol)))
+      .withColumn("sh", shingles(col("ws"), shingleN))
+      .withColumn("hs", hashedShingles(col("sh")))
+      .withColumn("sig", minhashSig(col("hs")))
+      .withColumn("bkeys", bandKeys(col("sig")))
+
+  /** LSH candidate pairs: explode band keys, self-join per (band, key),
+    * id_a < id_b, distinct. The join key space is uniform (md5), so no
+    * hot buckets; identical docs share all bands but collapse in the
+    * distinct. */
+  def candidatePairs(signed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bands = signed.select(col(idCol).as("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Verify candidates with exact shingle-set Jaccard, kept in integer
+    * arithmetic (2·|∩| ≥ t·|∪| avoids float compares): returns
+    * (id_a, id_b, inter, uni) for pairs with Jaccard ≥ 1/2. */
+  def verifiedNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           shingleN: Int = 3): DataFrame = {
+    val signed = withSignature(docs, textCol, shingleN)
+    val sh = signed.select(col(idCol).as("doc_id"), col("sh"))
+    candidatePairs(signed, idCol)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** 32-bit SimHash over hashed shingles: bit b of the fingerprint is set
+    * when at least half the shingle hashes have bit b set (deterministic
+    * ≥ tie-break). Near-dup docs land in the same high-bit bucket. */
+  def withSimhash(docs: DataFrame, textCol: String = "text",
+                  shingleN: Int = 3, bucketShift: Int = 20): DataFrame =
+    withSignature(docs, textCol, shingleN)
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+          |  IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
+          |     shiftleft(1L, b), 0L))""".stripMargin))
+      .withColumn("sim_bucket", expr(s"shiftright(simhash, $bucketShift)"))
+      .drop("ws", "sh", "hs", "sig", "bkeys")
+
+  /** SQL twin of [[withSimhash]]'s fingerprint over a hashed-shingle list
+    * expression (DuckDB). */
+  def sqlSimhash(hs: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 32), b ->
+       | CASE WHEN 2 * len(list_filter($hs, h -> (h >> b) & 1 = 1)) >= len($hs)
+       | THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\n", "")
+}

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force is the correctness baseline: broadcast the (small) query
+  * set against every candidate — one pass over the data, no shuffle of the
+  * big side, top-k per query via window. The scale path is IVF: vectors
+  * are bucketed by nearest centroid once (a narrow pass against a
+  * broadcast centroid table), and a query probes only its `nprobe`
+  * closest centroids' buckets — the classic inverted-file trade of recall
+  * for a ~buckets/nprobe scan reduction. At 100 TB the bucket column
+  * becomes the partition key so a probe is partition-pruned I/O, not a
+  * scan.
+  *
+  * All arithmetic is double, folded left-to-right in index order, so the
+  * DuckDB oracle (same fold) produces bit-identical cosines.
+  */
+object Similarity {
+
+  /** Elementwise-fold cosine between two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force top-k cosine neighbors for a query subset.
+    * `queryPred` selects the query rows (small!); the query side is
+    * broadcast so the candidate scan never shuffles. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cands = embeddings.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = cands.join(broadcast(queries),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF bucket assignment: nearest centroid per vector (ties break to the
+    * lower centroid id). Centroids are broadcast; one narrow pass. */
+  def ivfAssign(embeddings: DataFrame, centroidPred: Column,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = embeddings.filter(centroidPred)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
+  }
+
+  /** IVF probe: top-k within the query's `nprobe` nearest centroid
+    * buckets. Recall < 1 by design; the oracle replicates the same probe
+    * so results still hash-match. */
+  def ivfTopK(embeddings: DataFrame, centroidPred: Column, queryPred: Column,
+              k: Int, nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidPred, idCol, vecCol)
+    val cents = embeddings.filter(centroidPred)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val queries = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id").asc)
+    val probes = queries.join(broadcast(cents), lit(true))
+      .withColumn("pcos", cosine(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col(idCol).as("neighbor_id"), col("v"), col("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "bucket")
+  }
+
+  // ── DuckDB twins ──────────────────────────────────────────────────────
+  /** SQL: the same left-fold cosine over two DOUBLE[] expressions.
+    * DuckDB list indexing is 1-based; `dim` is the vector length. */
+  def sqlCosine(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($x)[i] * ($y)[i])) AS DOUBLE)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** SQL: cast a FLOAT[] column to DOUBLE[]. */
+  def sqlAsDouble(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+}

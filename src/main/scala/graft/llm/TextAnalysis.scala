@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, and content fingerprinting. Everything
+  * is per-row column algebra (no UDFs, no shuffle) and each heuristic has
+  * an exact SQL twin for the oracle. Ratios are kept in integer form
+  * (n·threshold comparisons) so no float ever reaches a hash compare.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the n-gram/stopword-hit language ID.
+    * Deterministic argmax with a fixed priority order on ties. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "mit", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you"))
+
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop.map(lit): _*)))
+
+  /** Per-language stopword-hit scores plus the argmax prediction
+    * (priority order = declaration order on ties). */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = StopWords.foldLeft(docs.withColumn("ws", ws)) {
+      case (d, (lang, stop)) => d.withColumn(s"s_$lang", hits(col("ws"), stop))
+    }
+    val langs = StopWords.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), els) =>
+        val rest = langs.drop(i + 1).map(l => col(s"s_$l"))
+        when(col(s"s_$lang") >= (if (rest.size == 1) rest.head
+                                 else greatest(rest: _*)), lang).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).drop("ws")
+  }
+
+  /** SQL twin of [[withLangId]]'s scores + argmax over a words-list
+    * expression `w`. Returns (scoreSelects, predCase). */
+  def sqlLangId(w: String): (Seq[String], String) = {
+    def hitsSql(stop: Seq[String]) =
+      s"len(list_filter($w, x -> x IN (${stop.map(s => s"'$s'").mkString(",")})))"
+    val scores = StopWords.map { case (lang, stop) =>
+      s"${hitsSql(stop)} AS s_$lang"
+    }
+    val langs = StopWords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(l => s"s_$l")
+      val mx = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
+      s"WHEN s_$lang >= $mx THEN '$lang'"
+    }
+    (scores, s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END")
+  }
+
+  /** Quality signals in integer/boolean form: word count, character
+    * totals, stopword hits (any language), and a coarse quality bucket —
+    * the length/stopword-ratio heuristics of a pretraining filter. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val allStops = StopWords.flatMap(_._2).distinct
+    docs.withColumn("ws", words(col(textCol)))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("word_chars", aggregate(col("ws"), lit(0),
+        (acc, w) => acc + length(w)))
+      .withColumn("stop_hits", hits(col("ws"), allStops))
+      .withColumn("quality_bucket",
+        when(col("n_words") < 20, "too_short")
+          .when(col("stop_hits") * 5 >= col("n_words"), "fluent")
+          .otherwise("listy"))
+      .drop("ws")
+  }
+
+  /** Whitespace tokens vs a BPE-ish regex tokenization (letter runs,
+    * digit runs, single other marks) — the token-count pair a data
+    * pipeline budgets by. */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("ws_tokens", size(words(col(textCol))))
+      .withColumn("bpe_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+
+  /** Content fingerprints: `fp_min` = min hashed shingle (winnowing-style
+    * content fingerprint, stable under word reorder outside the window)
+    * and `fp_pos` = position-weighted word-hash sum mod P (order
+    * sensitive). */
+  def withFingerprint(docs: DataFrame, textCol: String = "text",
+                      shingleN: Int = 4): DataFrame =
+    docs.withColumn("ws", words(col(textCol)))
+      .withColumn("fp_min",
+        array_min(hashedShingles(shingles(col("ws"), shingleN))))
+      .withColumn("fp_pos", expr(
+        s"""aggregate(transform(${"ws"}, (w, i) ->
+           |  (${sqlLikeH32pSpark("w")}) * ((i % 64) + 1)),
+           |  0L, (acc, v) -> acc + v) % $P""".stripMargin))
+      .drop("ws")
+
+  /** Spark-SQL fragment of h32p for use inside expr() lambdas. */
+  private def sqlLikeH32pSpark(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT) % $P"
+
+  /** SQL twin of `fp_pos` over a words-list expression (1-based index). */
+  def sqlFpPos(w: String): String =
+    s"""CAST(list_sum(list_transform($w, (x, i) ->
+       | (${TextHash.sqlH32p("x")}) * (((i - 1) % 64) + 1))) AS BIGINT) % $P""".stripMargin.replaceAll("\n", "")
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text hashing for the LLM-pipeline operators: every hash here
+  * is defined once and emitted twice — as a Catalyst column expression and
+  * as the equivalent DuckDB SQL fragment — so the oracle replays the exact
+  * same minhash/LSH math and the correctness gate can hash-compare results
+  * bit for bit.
+  *
+  * Base hash: the first 8 hex chars of md5 (md5 is identical everywhere),
+  * reduced mod P = 2^31-1 so affine minhash products stay in 63 bits.
+  * Affine family: h_j(x) = (a_j * x + b_j) mod P with fixed coefficients.
+  *
+  * Scale: all of this is per-row column algebra over string arrays — no
+  * shuffle, fully whole-stage-codegen'd; the only shuffles in dedup are
+  * the band groupBy/join, which is the point of LSH.
+  */
+object TextHash {
+  val P = 2147483647L // 2^31 - 1
+
+  /** Minhash signature length and LSH banding (8 bands × 3 rows). */
+  val K = 24
+  val BandRows = 3
+  val NumBands: Int = K / BandRows
+
+  /** Fixed affine coefficients, j = 0 until K. */
+  val A: IndexedSeq[Long] = (0 until K).map(j => ((j + 1) * 1103515245L + 12345L) % P)
+  val B: IndexedSeq[Long] = (0 until K).map(j => ((j + 1) * 69069L + 7L) % P)
+
+  // ── Spark side ────────────────────────────────────────────────────────
+  /** 32-bit md5-prefix hash reduced mod P. */
+  def h32p(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
+
+  /** Non-empty whitespace tokens. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Distinct word n-gram shingles ("a b c"-style); whole text if shorter
+    * than n words. */
+  def shingles(ws: Column, n: Int): Column =
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", ws))))
+
+  /** Hashed shingle array (mod P). */
+  def hashedShingles(sh: Column): Column = transform(sh, s => h32p(s))
+
+  /** K-element minhash signature over hashed shingles. */
+  def minhashSig(hs: Column): Column =
+    array((0 until K).map { j =>
+      array_min(transform(hs, h => (lit(A(j)) * h + lit(B(j))) % P))
+    }: _*)
+
+  /** LSH band keys: NumBands strings of BandRows comma-joined sig values. */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumBands).map { bi =>
+      concat_ws(",", (0 until BandRows).map(ri => sig(bi * BandRows + ri)): _*)
+    }: _*)
+
+  // ── DuckDB side (same math, same constants) ───────────────────────────
+  /** SQL: h32p over a string expression. */
+  def sqlH32p(e: String): String =
+    s"(CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $P)"
+
+  /** SQL: tokens CTE fragment — `list_filter(string_split(text,' '), ...)`. */
+  def sqlWords(e: String): String =
+    s"list_filter(string_split($e, ' '), x -> x <> '')"
+
+  /** SQL: distinct n-gram shingles over a words list expression `w`. */
+  def sqlShingles(w: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len($w) >= $n
+       | THEN list_transform(range(1, len($w) - ${n - 2}), i -> array_to_string(($w)[i:i+${n - 1}], ' '))
+       | ELSE [array_to_string($w, ' ')] END)""".stripMargin.replaceAll("\n", "")
+
+  /** SQL: hashed shingles over a shingle-list expression. */
+  def sqlHashedShingles(sh: String): String =
+    s"list_transform($sh, s -> ${sqlH32p("s")})"
+
+  /** SQL: minhash signature list over a hashed-shingle list expression. */
+  def sqlMinhashSig(hs: String): String =
+    (0 until K).map { j =>
+      s"list_min(list_transform($hs, h -> (${A(j)} * h + ${B(j)}) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** SQL: band-key list over a signature list expression (1-based index). */
+  def sqlBandKeys(sig: String): String =
+    (0 until NumBands).map { bi =>
+      (0 until BandRows).map(ri => s"CAST(($sig)[${bi * BandRows + ri + 1}] AS VARCHAR)")
+        .mkString("concat(", " , ',', ", ")")
+    }.mkString("[", ", ", "]")
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+import graft.llm.TextHash._
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`
+  * (the driver's synthetic corpus): dedup (exact, minhash-LSH, simhash,
+  * n-gram Jaccard), similarity search (brute force + IVF), and text
+  * analysis (language ID, quality, token counts, fingerprints).
+  *
+  * Every hash/heuristic is emitted as both a Catalyst expression and the
+  * same-constants DuckDB SQL (see [[graft.llm.TextHash]]), so the oracle
+  * replays the exact math — including the LSH candidate structure, which
+  * is deterministic given the fixed coefficient set.
+  *
+  * The synthetic corpus has no natural duplicates, so the dedup queries
+  * derive them deterministically in-query: exact copies of every 7th doc,
+  * truncated variants (last 5 words dropped) of every 10th.
+  */
+object LlmQueries extends QueryFamily {
+
+  private val DupOffset = 200000L
+  private val VarOffset = 100000L
+
+  /** DuckDB words list for a text expression. */
+  private def W(e: String) = TextHash.sqlWords(e)
+
+  /** Shared corpus CTEs. */
+  private val dupCorpusSql =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  private val varCorpusSql =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VarOffset,
+       |         array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')
+       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: one shuffle on md5(text) ────────────────────────────
+    QueryDef(
+      "q30_exact_dedup",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+        Dedup.exactDupGroups(corpus)
+          .select(col("text_hash"), col("n").cast("long").as("n"),
+            col("min_id").cast("long").as("min_id"))
+          .orderBy("text_hash")
+      },
+      Some(
+        s"""WITH $dupCorpusSql
+           |SELECT md5(text) AS text_hash, count(*) AS n,
+           |       CAST(min(doc_id) AS BIGINT) AS min_id
+           |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+           |ORDER BY text_hash""".stripMargin)),
+
+    // ── MinHash-LSH near-dedup: band-bucketed candidates, integer-Jaccard
+    //    verification; never all-pairs ────────────────────────────────────
+    QueryDef(
+      "q31_minhash_lsh",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val ws = words(col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
+        val corpus = docs.unionByName(vars)
+        Dedup.verifiedNearDupPairs(corpus)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("inter").cast("long"), col("uni").cast("long"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH $varCorpusSql,
+           |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+           |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
+           |hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
+           |sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM hsh),
+           |bk AS (SELECT doc_id, sh, ${TextHash.sqlBandKeys("sig")} AS bkeys FROM sig),
+           |bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
+           |                 unnest(range(0, $NumBands)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b,
+           |                 len(list_intersect(sa.sh, sb.sh)) AS inter,
+           |                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+           |          FROM cand
+           |          JOIN bk sa ON sa.doc_id = cand.id_a
+           |          JOIN bk sb ON sb.doc_id = cand.id_b)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+           |FROM pairs WHERE 2 * inter >= uni
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── SimHash fingerprints + prefix buckets ────────────────────────────
+    QueryDef(
+      "q32_simhash",
+      (s, dir) => Dedup.withSimhash(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select(col("doc_id").cast("long"), col("simhash"), col("sim_bucket"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
+           |hsh AS (SELECT doc_id, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${Dedup.sqlSimhash("hs")} AS simhash,
+           |       ${Dedup.sqlSimhash("hs")} >> 20 AS sim_bucket
+           |FROM hsh ORDER BY doc_id""".stripMargin)),
+
+    // ── n-gram Jaccard on known pairs (original vs truncated variant) ────
+    QueryDef(
+      "q33_ngram_jaccard",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val ws = words(col("text"))
+        val base = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("sh_a", shingles(ws, 3))
+          .withColumn("sh_b", shingles(
+            filter(split(concat_ws(" ", slice(ws, lit(1), size(ws) - 5)), " "),
+              w => w =!= ""), 3))
+        base.select(col("doc_id").cast("long"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+            size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT doc_id, ${W("text")} AS wa,
+           |         ${W(s"array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')")} AS wb
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |sh AS (SELECT doc_id, ${TextHash.sqlShingles("wa", 3)} AS sh_a,
+           |              ${TextHash.sqlShingles("wb", 3)} AS sh_b FROM pairs)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
+           |       CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS BIGINT) AS uni
+           |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // ── Brute-force cosine top-k (correctness baseline for ANN) ──────────
+    QueryDef(
+      "q34_ann_bruteforce",
+      (s, dir) => Similarity.bruteForceTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          queryPred = col("vec_id") % 100 === 0, k = 3)
+        .select(col("query_id").cast("long"), col("rank").cast("long").as("rnk"),
+          col("neighbor_id").cast("long"))
+        .orderBy("query_id", "rnk"),
+      Some {
+        val cos = Similarity.sqlCosine("q.qv", "e.v", 64)
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |                            ORDER BY $cos DESC, e.vec_id ASC) AS rnk
+           |  FROM q, e WHERE e.vec_id <> q.query_id)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(neighbor_id AS BIGINT) AS neighbor_id
+           |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ── IVF-bucketed ANN (the scale path: probe 2 of 10 buckets) ─────────
+    QueryDef(
+      "q35_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          centroidPred = col("vec_id") % 50 === 0,
+          queryPred = col("vec_id") % 100 === 0,
+          k = 3, nprobe = 2)
+        .select(col("query_id").cast("long"), col("rank").cast("long").as("rnk"),
+          col("neighbor_id").cast("long"), col("bucket").cast("long"))
+        .orderBy("query_id", "rnk"),
+      Some {
+        val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
+        val pcos = Similarity.sqlCosine("q.qv", "c.cv", 64)
+        val kcos = Similarity.sqlCosine("p.qv", "a.v", 64)
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+           |assign AS (
+           |  SELECT vec_id, v, centroid_id AS bucket FROM (
+           |    SELECT e.vec_id, e.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+           |    FROM e, cents c) WHERE cr = 1),
+           |probes AS (
+           |  SELECT query_id, qv, bucket FROM (
+           |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
+           |    FROM q, cents c) WHERE pr <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id, a.bucket,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $kcos DESC, a.vec_id ASC) AS rnk
+           |  FROM probes p JOIN assign a USING (bucket)
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
+           |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ── Language ID: stopword-hit argmax with fixed priority ─────────────
+    QueryDef(
+      "q36_lang_id",
+      (s, dir) => TextAnalysis.withLangId(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "text"))
+        .select(col("doc_id").cast("long") +:
+          TextAnalysis.StopWords.map { case (l, _) => col(s"s_$l").cast("long") } :+
+          col("pred_lang") :+ (col("pred_lang") === col("lang")).as("is_match"): _*)
+        .orderBy("doc_id"),
+      Some {
+        val (scores, pred) = TextAnalysis.sqlLangId("w")
+        s"""WITH tok AS (SELECT doc_id, lang, ${W("text")} AS w FROM documents),
+           |scored AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM tok)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${TextAnalysis.StopWords.map { case (l, _) => s"CAST(s_$l AS BIGINT) AS s_$l" }.mkString(", ")},
+           |       $pred AS pred_lang,
+           |       ($pred = lang) AS is_match
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Quality scoring: integer length/stopword signals + bucket ────────
+    QueryDef(
+      "q37_quality",
+      (s, dir) => TextAnalysis.withQuality(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select(col("doc_id").cast("long"), col("n_words").cast("long"),
+          col("n_chars").cast("long"), col("word_chars").cast("long"),
+          col("stop_hits").cast("long"), col("quality_bucket"))
+        .orderBy("doc_id"),
+      Some {
+        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+          .map(s => s"'$s'").mkString(",")
+        s"""WITH tok AS (SELECT doc_id, text, ${W("text")} AS w FROM documents),
+           |sig AS (SELECT doc_id,
+           |               len(w) AS n_words,
+           |               length(text) AS n_chars,
+           |               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
+           |               len(list_filter(w, x -> x IN ($allStops))) AS stop_hits
+           |        FROM tok)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |       CAST(n_chars AS BIGINT) AS n_chars, word_chars,
+           |       CAST(stop_hits AS BIGINT) AS stop_hits,
+           |       CASE WHEN n_words < 20 THEN 'too_short'
+           |            WHEN stop_hits * 5 >= n_words THEN 'fluent'
+           |            ELSE 'listy' END AS quality_bucket
+           |FROM sig ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Token counting: whitespace + BPE-ish regex ───────────────────────
+    QueryDef(
+      "q38_token_count",
+      (s, dir) => TextAnalysis.withTokenCounts(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select(col("doc_id").cast("long"), col("ws_tokens").cast("long"),
+          col("bpe_tokens").cast("long"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(len(${W("text")}) AS BIGINT) AS ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Content fingerprints: winnowing-min + position-weighted hash ─────
+    QueryDef(
+      "q39_fingerprint",
+      (s, dir) => TextAnalysis.withFingerprint(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select(col("doc_id").cast("long"), col("fp_min"), col("fp_pos"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |shg AS (SELECT doc_id, w, ${TextHash.sqlShingles("w", 4)} AS sh FROM tok)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       list_min(${TextHash.sqlHashedShingles("sh")}) AS fp_min,
+           |       ${TextAnalysis.sqlFpPos("w")} AS fp_pos
+           |FROM shg ORDER BY doc_id""".stripMargin))
+  )
+}
