@@ -78,6 +78,39 @@ object Codecs {
     * (monstache.go:2882-2890) as a JVM pattern. */
   val DefaultOplogDateFormat: String = goLayoutToJvm("2006/01/02 15:04:05")
 
+  // ── P6/P8: BSON identity + value codecs ───────────────────────────────
+
+  /** ObjectID (12-byte binary) → 24-char lowercase hex id
+    * (monstache.go:818-819 `opIDToString`). */
+  def objectIdHex(bin: Column): Column = lower(hex(bin))
+
+  /** Binary subtype 0x03/0x04 (16 bytes) → dashed lowercase UUID string
+    * (monstachemap/encoding.go:58-76). */
+  def binaryToUuid(bin: Column): Column = {
+    val h = lower(hex(bin))
+    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Binary (other subtypes) → base64 string (encoding.go:77-80). */
+  def binaryToBase64(bin: Column): Column = base64(bin)
+
+  /** Decimal128 → JSON value: raw decimal literal; NaN/±Inf → null
+    * (encoding.go:47-56). */
+  def decimal128Json(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d) || abs(d) === lit(Double.PositiveInfinity),
+      lit(null).cast("string"))
+      .otherwise(c.cast("decimal(38,6)").cast("string"))
+  }
+
+  /** BSON DateTime → ISO-8601 with millis, UTC ("Z"); dates outside year
+    * [0, 9999] are invalid JSON dates → null (encoding.go:13,27-36; prune
+    * monstache.go:887-895). */
+  def bsonDateString(ts: Column): Column =
+    when(year(ts).between(0, 9999),
+      concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")))
+
   /** Default index name: lowercased namespace (monstache.go:795-800). */
   def defaultIndexName(namespace: Column): Column = lower(namespace)
 }

@@ -187,6 +187,53 @@ object CoreQueries extends QueryFamily {
           |       (isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE)) AS was_pruned
           |FROM raw ORDER BY event_id""".stripMargin)),
 
+    // ── P6/P8: BSON id + date codecs over a mixed-type id fixture.
+    // Every 5th user gets a different id shape (numeric, ObjectID-hex,
+    // UUID, base64-binary, plain string), derived from md5 so the binary
+    // round-trip (unhex → codec) is provable against the oracle's direct
+    // string slicing. Dates: ISO-millis with the year-[0,9999] validity
+    // rule — the +3e17µs/+6e17µs shifted rows land past year 9999 → null.
+    QueryDef(
+      "q28_bson_codecs",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("kind", col("user_id") % 5)
+          .withColumn("md", md5(col("user_id").cast("string")))
+        val canonical = when(col("kind") === 0, col("user_id").cast("string"))
+          .when(col("kind") === 1,
+            Codecs.objectIdHex(unhex(substring(col("md"), 1, 24))))
+          .when(col("kind") === 2, Codecs.binaryToUuid(unhex(col("md"))))
+          .when(col("kind") === 3,
+            Codecs.binaryToBase64(unhex(substring(col("md"), 1, 16))))
+          .otherwise(concat(lit("u"), col("user_id")))
+        val bigTs = timestamp_micros(
+          expr("ts div 1000") + (col("event_id") % 3) * 300000000000000000L)
+        ev.select(col("event_id"), col("kind"), canonical.as("canon_id"),
+            Codecs.idAccepted(canonical).as("id_ok"),
+            Codecs.bsonDateString(bigTs).as("bson_date"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id % 5 AS kind,
+          |         md5(CAST(user_id AS VARCHAR)) AS md,
+          |         user_id, epoch_us(ts) AS ts_us
+          |  FROM events),
+          |canon AS (
+          |  SELECT event_id, kind,
+          |         CASE WHEN kind = 0 THEN CAST(user_id AS VARCHAR)
+          |              WHEN kind = 1 THEN substr(md, 1, 24)
+          |              WHEN kind = 2 THEN concat_ws('-', substr(md,1,8), substr(md,9,4), substr(md,13,4), substr(md,17,4), substr(md,21,12))
+          |              WHEN kind = 3 THEN to_base64(unhex(substr(md, 1, 16)))
+          |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS canon_id,
+          |         make_timestamp(ts_us + (event_id % 3) * 300000000000000000) AS big_ts
+          |  FROM ev)
+          |SELECT event_id, kind, canon_id,
+          |       (canon_id IS NOT NULL AND length(canon_id) > 0 AND octet_length(encode(canon_id)) <= 512) AS id_ok,
+          |       CASE WHEN year(big_ts) BETWEEN 0 AND 9999
+          |            THEN strftime(big_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' END AS bson_date
+          |FROM canon ORDER BY event_id""".stripMargin)),
+
     // ── P4: cluster-time version bit packing ─────────────────────────────
     QueryDef(
       "q11_version_pack",

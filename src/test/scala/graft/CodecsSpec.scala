@@ -70,6 +70,38 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.goLayoutToJvm("x2006") == "'x'yyyy")
   }
 
+  test("BSON binary codecs: ObjectID hex, UUID, base64 (encoding.go:58-80)") {
+    val hexes = Seq("0123456789abcdef01234567")
+    val got = hexes.toDF("h").select(
+      Codecs.objectIdHex(unhex(col("h"))).as("oid"),
+      Codecs.binaryToUuid(unhex(concat(col("h"), lit("89abcdef")))).as("uuid"),
+      Codecs.binaryToBase64(unhex(substring(col("h"), 1, 16))).as("b64"))
+      .collect().head
+    assert(got.getString(0) == "0123456789abcdef01234567")
+    assert(got.getString(1) == "01234567-89ab-cdef-0123-456789abcdef")
+    // 8 bytes 0123456789abcdef → base64
+    assert(got.getString(2) ==
+      java.util.Base64.getEncoder.encodeToString(
+        Array(0x01, 0x23, 0x45, 0x67, 0x89, 0xab, 0xcd, 0xef).map(_.toByte)))
+  }
+
+  test("decimal128Json: decimal literal, NaN/Inf → null (encoding.go:47-56)") {
+    val got = Seq(1.5, Double.NaN, Double.PositiveInfinity, -2.25)
+      .toDF("v").select(Codecs.decimal128Json(col("v")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("1.500000"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+    assert(got(3).contains("-2.250000"))
+  }
+
+  test("bsonDateString: ISO millis UTC; years outside [0,9999] → null") {
+    val got = Seq(1750000000000000L, 300000000000000000L)
+      .toDF("us").select(Codecs.bsonDateString(timestamp_micros(col("us"))).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("2025-06-15T15:06:40.000Z"))
+    assert(got(1).isEmpty) // year 11476
+  }
+
   test("idAccepted rejects empty and >512-byte ids (monstache.go:3167-3171)") {
     val ids = Seq("a", "", null, "x" * 512, "x" * 513, "é" * 256, "é" * 257)
     val got = ids.toDF("id")
