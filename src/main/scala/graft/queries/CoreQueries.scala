@@ -393,6 +393,46 @@ object CoreQueries extends QueryFamily {
           |GROUP BY namespace, operation, meta_index
           |ORDER BY namespace, operation, meta_index""".stripMargin))),
 
+    // ── F4/K3: drop ops end-to-end. The envelope emits dropCollection /
+    // dropDatabase ops; the drop-regex pair admits app drops but excludes
+    // legacy.* drops (F4 all four branches live); index survival follows
+    // doDrop semantics — an index survives iff data ops outlive its last
+    // covering drop.
+    QueryDef(
+      "q29_drop_propagation",
+      (s, dir) => {
+        val ops = NamespaceFilter(EventLog.envelopeWithDrops(s, dir),
+          NamespaceFilterConfig(dropInclude = Some("^app(\\..*)?$"),
+            dropExclude = Some("^app\\.t3$")))
+        DropPropagation.indexSurvival(ops)
+          .select(col("ix"), col("last_drop_version"), col("n_ops"),
+            col("max_version"), col("n_after_drop"), col("survives"))
+          .orderBy("ix")
+      },
+      Some(
+        s"""WITH ${EventLog.oracleCteWithDrops},
+           |flt AS (
+           |  SELECT * FROM envd
+           |  WHERE operation NOT IN ('drop_coll','drop_db')
+           |     OR (regexp_matches(namespace, '^app(\\..*)?$$')
+           |         AND NOT regexp_matches(namespace, '^app\\.t3$$'))),
+           |data AS (SELECT lower(namespace) AS ix, version FROM flt
+           |         WHERE operation IN ('i','u','d')),
+           |drops AS (SELECT operation AS d_op, namespace AS d_ns, db AS d_db,
+           |                 version AS d_version
+           |          FROM flt WHERE operation IN ('drop_coll','drop_db')),
+           |ld AS (SELECT ix, max(d_version) AS last_drop_version
+           |       FROM (SELECT DISTINCT ix FROM data) dx
+           |       LEFT JOIN drops ON (d_op = 'drop_coll' AND lower(d_ns) = dx.ix)
+           |                       OR (d_op = 'drop_db' AND dx.ix LIKE d_db || '.%')
+           |       GROUP BY ix),
+           |j AS (SELECT data.ix, data.version, ld.last_drop_version
+           |      FROM data LEFT JOIN ld USING (ix))
+           |SELECT ix, last_drop_version, count(*) AS n_ops, max(version) AS max_version,
+           |       CAST(sum(CASE WHEN version > coalesce(last_drop_version, -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_after_drop,
+           |       (sum(CASE WHEN version > coalesce(last_drop_version, -1) THEN 1 ELSE 0 END) > 0) AS survives
+           |FROM j GROUP BY ix, last_drop_version ORDER BY ix""".stripMargin)),
+
     // ── A3/K5: bulk-stats aggregation ────────────────────────────────────
     QueryDef(
       "q15_stats_agg",

@@ -72,6 +72,70 @@ object EventLog {
       |  FROM events
       |)""".stripMargin
 
+  /** Envelope plus deterministic drop ops (F4/K3): every 500th event also
+    * emits a dropCollection on its shard's namespace, every 1750th a
+    * dropDatabase on `app`, every 3333rd a dropCollection on
+    * `legacy.users` (exists to be excluded by drop-regex configs). Drop
+    * ops carry no id/document and version offset 0, the reference's
+    * fall-through (monstache.go:4053-4063); drops are detected via
+    * IsDropDatabase/IsDropCollection at monstache.go:3057/3065. */
+  def envelopeWithDrops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = expr("ts div 1000")
+    def dropOps(pred: org.apache.spark.sql.Column, db: String,
+                coll: org.apache.spark.sql.Column, ns: org.apache.spark.sql.Column,
+                op: String) =
+      ev.filter(pred).select(
+        col("event_id"),
+        lit(null).cast("string").as("id"),
+        lit(db).as("db"),
+        coll.cast("string").as("coll"),
+        ns.cast("string").as("namespace"),
+        lit(op).as("operation"),
+        tsUs.as("ts_us"),
+        (tsUs * 4).as("version"),
+        lit(null).cast("string").as("document"),
+        lit(null).cast("double").as("value"),
+        lit("oplog").as("source"))
+    val shard = concat(lit("t"), col("user_id") % 4)
+    envelope(spark, dir)
+      .unionByName(dropOps(col("event_id") % 500 === 0, "app", shard,
+        concat(lit("app."), shard), "drop_coll"))
+      .unionByName(dropOps(col("event_id") % 1750 === 0, "app",
+        lit(null), lit("app"), "drop_db"))
+      .unionByName(dropOps(col("event_id") % 3333 === 0, "legacy",
+        lit("users"), lit("legacy.users"), "drop_coll"))
+  }
+
+  /** DuckDB CTE computing exactly [[envelopeWithDrops]]. */
+  val oracleCteWithDrops: String =
+    """envd AS (
+      |  SELECT event_id,
+      |         CAST(user_id AS VARCHAR) AS id,
+      |         'app' AS db,
+      |         't' || CAST(user_id % 4 AS VARCHAR) AS coll,
+      |         'app.t' || CAST(user_id % 4 AS VARCHAR) AS namespace,
+      |         CASE event_type WHEN 'signup' THEN 'i' WHEN 'error' THEN 'd' ELSE 'u' END AS operation,
+      |         epoch_us(ts) AS ts_us,
+      |         epoch_us(ts) * 4 + (CASE event_type WHEN 'signup' THEN 0 WHEN 'error' THEN 2 ELSE 1 END) AS version,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS document,
+      |         value, 'oplog' AS source
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, NULL, 'app', 't' || CAST(user_id % 4 AS VARCHAR),
+      |         'app.t' || CAST(user_id % 4 AS VARCHAR), 'drop_coll',
+      |         epoch_us(ts), epoch_us(ts) * 4, NULL, NULL, 'oplog'
+      |  FROM events WHERE event_id % 500 = 0
+      |  UNION ALL
+      |  SELECT event_id, NULL, 'app', NULL, 'app', 'drop_db',
+      |         epoch_us(ts), epoch_us(ts) * 4, NULL, NULL, 'oplog'
+      |  FROM events WHERE event_id % 1750 = 0
+      |  UNION ALL
+      |  SELECT event_id, NULL, 'legacy', 'users', 'legacy.users', 'drop_coll',
+      |         epoch_us(ts), epoch_us(ts) * 4, NULL, NULL, 'oplog'
+      |  FROM events WHERE event_id % 3333 = 0
+      |)""".stripMargin
+
   /** Batch "direct read" stand-in (SURVEY §2.1 S3): a full collection scan
     * where every row is an insert op at version 0, exactly how the reference
     * replays a collection through the same pipeline (monstache.go:3088). */
