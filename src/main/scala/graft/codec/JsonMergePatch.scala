@@ -1,0 +1,55 @@
+package graft.codec
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** RFC-7386 JSON merge patch computation — the diff the reference appends
+  * to a doc's `json-merge-patches` array on every update
+  * (`addPatch` → jsonpatch.CreateMergePatch, monstache.go:3084-3158).
+  *
+  * Patch(old → new): keys changed or added carry the new value, keys
+  * removed carry null, equal keys are omitted; object-vs-object recurses,
+  * anything else is replaced wholesale. Output is rendered compact with
+  * keys sorted at every level so the result is a deterministic canonical
+  * string (hash-comparable against an oracle that constructs the same
+  * patch textually).
+  *
+  * Used as a scalar UDF: JSON diffing over dynamic shapes is genuinely
+  * row-local scalar work the reference also does per-op; the surrounding
+  * pairing (lag over (id, version)) stays set-oriented column algebra, so
+  * the UDF sits on an already-minimal projection.
+  */
+object JsonMergePatch {
+
+  def diffAst(oldV: JValue, newV: JValue): JValue = (oldV, newV) match {
+    case (JObject(of), JObject(nf)) =>
+      val om = of.toMap
+      val nm = nf.toMap
+      val removed = om.keysIterator.filterNot(nm.contains).map(k => k -> JNull)
+      val changed = nf.iterator.collect {
+        case (k, nv) if !om.get(k).contains(nv) =>
+          (om.get(k), nv) match {
+            case (Some(ov: JObject), nvo: JObject) => k -> diffAst(ov, nvo)
+            case _ => k -> nv
+          }
+      }
+      JObject((changed ++ removed).toList.sortBy(_._1))
+    case (_, n) => n
+  }
+
+  private def canonical(v: JValue): JValue = v match {
+    case JObject(fs) => JObject(fs.map { case (k, x) => k -> canonical(x) }.sortBy(_._1))
+    case JArray(xs) => JArray(xs.map(canonical))
+    case other => other
+  }
+
+  /** Merge patch old→new as a canonical compact JSON string. */
+  def diff(oldJson: String, newJson: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      diffAst(JsonMethods.parse(oldJson), JsonMethods.parse(newJson))))
+
+  /** A document rendered in the same canonical form (for insert rows,
+    * where patch v1 is the full doc, monstache.go:3138-3150). */
+  def canonicalJson(json: String): String =
+    JsonMethods.compact(JsonMethods.render(canonical(JsonMethods.parse(json))))
+}

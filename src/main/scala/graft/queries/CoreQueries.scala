@@ -288,6 +288,66 @@ object CoreQueries extends QueryFamily {
           |FROM patchable
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
 
+    // ── P10: RFC-7386 merge-patch log. Docs are enriched to three fields
+    // (b from the value, k from the payload, x present only when k%5≠0 so
+    // removals occur); patch v1 = full doc on insert, later patches carry
+    // changed keys and removed→null, all in canonical sorted-key compact
+    // form. The oracle constructs the same patches textually.
+    QueryDef(
+      "q17_merge_patch",
+      (s, dir) => {
+        val diffUdf = udf((prev: String, curr: String) =>
+          graft.codec.JsonMergePatch.diff(prev, curr))
+        val canonUdf = udf((doc: String) =>
+          graft.codec.JsonMergePatch.canonicalJson(doc))
+        val base = EventLog.envelope(s, dir)
+          .filter(col("namespace") === "app.t1" && col("operation").isin("i", "u"))
+          .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
+          .withColumn("doc", to_json(struct(
+            floor(col("value")).cast("int").as("b"),
+            col("k"),
+            when(col("k") % 5 =!= 0, col("k") % 7).as("x"))))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("version").asc, col("event_id").asc)
+        base.withColumn("v", row_number().over(w))
+          .withColumn("prev_doc", lag(col("doc"), 1).over(w))
+          .withColumn("patch",
+            when(col("prev_doc").isNull, canonUdf(col("doc")))
+              .otherwise(diffUdf(col("prev_doc"), col("doc"))))
+          .select(col("id"), col("v"), col("patch"))
+          .orderBy(col("id").cast("long"), col("v"))
+      },
+      Some(withEnvelope(
+        """, enriched AS (
+          |  SELECT id, version, event_id,
+          |         CAST(floor(value) AS INTEGER) AS b,
+          |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
+          |         CASE WHEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 5 <> 0
+          |              THEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 7 END AS x
+          |  FROM envelope
+          |  WHERE namespace = 'app.t1' AND operation IN ('i','u')),
+          |laged AS (
+          |  SELECT id,
+          |         row_number() OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS v,
+          |         b, k, x,
+          |         lag(b) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS pb,
+          |         lag(k) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS pk,
+          |         lag(x) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS px
+          |  FROM enriched)
+          |SELECT id, v,
+          |       CASE WHEN v = 1 THEN
+          |         '{"b":' || b || ',"k":' || k ||
+          |         (CASE WHEN x IS NOT NULL THEN ',"x":' || x ELSE '' END) || '}'
+          |       ELSE
+          |         '{' || concat_ws(',',
+          |           CASE WHEN b <> pb THEN '"b":' || b END,
+          |           CASE WHEN k <> pk THEN '"k":' || k END,
+          |           CASE WHEN x IS NOT NULL AND (px IS NULL OR x <> px) THEN '"x":' || x
+          |                WHEN x IS NULL AND px IS NOT NULL THEN '"x":null' END) || '}'
+          |       END AS patch
+          |FROM laged
+          |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
+
     // ── §2.6: multi-source union fan-in (stream + direct read) ───────────
     QueryDef(
       "q14_union_fanin",
