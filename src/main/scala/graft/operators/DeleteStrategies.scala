@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The three delete strategies (K2, `doDelete` monstache.go:4065-4147)
+  * plus non-identity delete recovery (J2, `findDeletedSrcDoc`
+  * 3371-3406). The reference answers "where does this delete land?" by
+  * searching Elasticsearch per op; the Spark re-expression keeps "what
+  * the sink holds" as keyed DataFrames (sink-as-state, SURVEY §7.4) and
+  * joins — set-oriented, no per-op round trips.
+  *
+  * Scale: meta/sink-state joins shuffle on the id key once; the delete
+  * side is usually small relative to state, so AQE broadcast kicks in.
+  */
+object DeleteStrategies {
+
+  /** stateful(1): routing metadata saved at index time for docs that had
+    * overrides (`shouldSave` monstache.go:3596-3605; meta store
+    * 3607-3664), consulted on delete (4081-4094); docs without saved
+    * meta fall back to default resolution. `metaStore` columns:
+    * (id, saved_index, saved_routing). */
+  def stateful(tombstones: DataFrame, metaStore: DataFrame): DataFrame =
+    tombstones.join(metaStore, Seq("id"), "left")
+      .withColumn("meta_index", coalesce(col("saved_index"), lower(col("namespace"))))
+      .withColumn("meta_routing", coalesce(col("saved_routing"), col("id")))
+      .drop("saved_index", "saved_routing")
+
+  /** stateless(0), routed case: find the unique sink doc matching the
+    * delete's id across the delete-index-pattern (monstache.go:4096-4139);
+    * exactly one hit resolves the delete, zero or many refuse it — the
+    * delete protection the reference enforces unless
+    * `disable-delete-protection`. */
+  def statelessRouted(deletes: DataFrame, sinkState: DataFrame,
+                      stateIdCol: String = "id"): DataFrame = {
+    val hits = sinkState.groupBy(col(stateIdCol).as("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("meta_index")).as("hit_index"),
+        min(col("meta_routing")).as("hit_routing"))
+    deletes.join(hits, Seq("id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("status", when(col("n_hits") === 1, "deleted").otherwise("refused"))
+      .withColumn("hit_index", when(col("status") === "deleted", col("hit_index")))
+      .withColumn("hit_routing", when(col("status") === "deleted", col("hit_routing")))
+  }
+
+  /** ignore(2): deletes are dropped entirely (monstache.go:4068-4070). */
+  def ignore(ops: DataFrame): DataFrame = ops.filter(col("operation") =!= "d")
+
+  /** J2 non-identity recovery: a delete carries only its id; the relate
+    * source field is recovered from the last-known doc state (the
+    * reference's sink search, exactly-one guarded upstream), and a delete
+    * is emitted per related doc with the delete version offset. */
+  def recoverAndPropagate(deleteKeys: DataFrame, lastKnown: DataFrame,
+                          srcField: String, related: DataFrame,
+                          matchField: String): DataFrame =
+    deleteKeys.join(lastKnown, Seq("id"))
+      .select(col("id").as("src_id"), col(srcField), col("version"))
+      .join(related, col(srcField) === related(matchField))
+      .withColumn("operation", lit("d"))
+      .withColumn("rel_version", col("version") + 2)
+}

@@ -288,6 +288,95 @@ object CoreQueries extends QueryFamily {
           |FROM patchable
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
 
+    // ── K2 stateful delete strategy: docs indexed with routing/index
+    // overrides save their meta (shouldSave); a later delete consults the
+    // meta store and falls back to default resolution without it.
+    QueryDef(
+      "q18_delete_stateful",
+      (s, dir) => {
+        val env = EventLog.envelope(s, dir)
+        val k = get_json_object(col("document"), "$.k").cast("int")
+        val metaStore = env
+          .filter(col("namespace") === "app.t0" &&
+            col("operation").isin("i", "u") && k % 4 === 0)
+          .select(col("id")).distinct()
+          .withColumn("saved_index", lit("routed_t0"))
+          .withColumn("saved_routing", concat(lit("r"), col("id").cast("long") % 8))
+        DeleteStrategies.stateful(Upsert.tombstones(env), metaStore)
+          .select(col("id"), col("namespace"), col("version"),
+            col("meta_index"), col("meta_routing"))
+          .orderBy(col("id").cast("long"))
+      },
+      Some(withEnvelope(
+        """, meta_store AS (
+          |  SELECT DISTINCT id, 'routed_t0' AS saved_index,
+          |         'r' || CAST(CAST(id AS BIGINT) % 8 AS VARCHAR) AS saved_routing
+          |  FROM envelope
+          |  WHERE namespace = 'app.t0' AND operation IN ('i','u')
+          |    AND CAST(json_extract_string(document, '$.k') AS INTEGER) % 4 = 0),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  FROM envelope),
+          |tombs AS (SELECT id, namespace, version FROM ranked WHERE rn = 1 AND operation = 'd')
+          |SELECT t.id, t.namespace, t.version,
+          |       coalesce(m.saved_index, lower(t.namespace)) AS meta_index,
+          |       coalesce(m.saved_routing, t.id) AS meta_routing
+          |FROM tombs t LEFT JOIN meta_store m ON t.id = m.id
+          |ORDER BY CAST(t.id AS BIGINT)""".stripMargin))),
+
+    // ── K2 stateless-routed + J2 recovery: a delete knows only its id.
+    // The sink state is searched for the unique matching doc (two copies
+    // of every 100th order make those ambiguous → refused, the delete
+    // protection); resolved deletes recover the customer key from the
+    // last-known doc and propagate a delete to the related namespace.
+    QueryDef(
+      "q19_delete_recovery",
+      (s, dir) => {
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val deletes = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").cast("string").as("id"))
+        val state = orders.select(col("o_orderkey").cast("string").as("id"),
+            col("o_custkey"), lit("app.orders").as("meta_index"))
+          .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+            .select(col("o_orderkey").cast("string").as("id"),
+              col("o_custkey"), lit("app.orders_v2").as("meta_index")))
+          .withColumn("meta_routing", col("id"))
+        val searched = DeleteStrategies.statelessRouted(deletes, state)
+        val resolvedKeys = searched.filter(col("status") === "deleted")
+          .join(orders.select(col("o_orderkey").cast("string").as("id"),
+            col("o_custkey")), Seq("id"))
+        val customer = s.read.parquet(s"$dir/customer.parquet")
+        val propagated = resolvedKeys
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .select(col("id"), col("c_custkey"))
+        searched.join(propagated, Seq("id"), "left")
+          .select(col("id").cast("long").as("order_id"), col("n_hits"),
+            col("status"), col("c_custkey").cast("long"))
+          .orderBy("order_id")
+      },
+      Some(
+        """WITH deletes AS (
+          |  SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders WHERE o_orderkey % 10 = 0),
+          |state AS (
+          |  SELECT CAST(o_orderkey AS VARCHAR) AS id, o_custkey FROM orders
+          |  UNION ALL
+          |  SELECT CAST(o_orderkey AS VARCHAR), o_custkey FROM orders WHERE o_orderkey % 100 = 0),
+          |hits AS (SELECT id, count(*) AS n_hits FROM state GROUP BY id),
+          |searched AS (
+          |  SELECT d.id, coalesce(h.n_hits, 0) AS n_hits,
+          |         CASE WHEN coalesce(h.n_hits, 0) = 1 THEN 'deleted' ELSE 'refused' END AS status
+          |  FROM deletes d LEFT JOIN hits h ON d.id = h.id),
+          |prop AS (
+          |  SELECT s.id, c.c_custkey
+          |  FROM searched s
+          |  JOIN orders o ON CAST(o.o_orderkey AS VARCHAR) = s.id
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  WHERE s.status = 'deleted')
+          |SELECT CAST(s.id AS BIGINT) AS order_id, s.n_hits, s.status,
+          |       CAST(p.c_custkey AS BIGINT) AS c_custkey
+          |FROM searched s LEFT JOIN prop p ON s.id = p.id
+          |ORDER BY order_id""".stripMargin)),
+
     // ── P10: RFC-7386 merge-patch log. Docs are enriched to three fields
     // (b from the value, k from the payload, x present only when k%5≠0 so
     // removals occur); patch v1 = full doc on insert, later patches carry
