@@ -38,7 +38,8 @@ object SparkEntry {
   }
 
   private val all: Seq[QueryDef] =
-    CoreQueries.queries ++ RelateQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ RelateQueries.queries ++ LlmQueries.queries ++
+      SourceQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

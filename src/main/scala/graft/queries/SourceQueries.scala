@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FileContent, Lookups}
+import graft.source.Discovery
+
+/** Source/lookup queries: dynamic namespace discovery (S4), GridFS-analog
+  * file content (S7), and the findId/findOne script builtins (J4). */
+object SourceQueries extends QueryFamily {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── J4 findId: broadcast point lookup with projection ────────────────
+    QueryDef(
+      "q40_find_id",
+      (s, dir) => {
+        val keys = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_custkey").as("c_custkey")).distinct()
+        val customer = s.read.parquet(s"$dir/customer.parquet")
+        Lookups.findId(keys, customer, "c_custkey",
+            Seq("c_name", "c_mktsegment", "c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+          |FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderkey % 500 = 0)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // ── J4 findOne: first match per group under a deterministic sort,
+    //    via min_by (partial agg — no window sort at scale) ───────────────
+    QueryDef(
+      "q43_find_one",
+      (s, dir) => Lookups.findOne(
+          s.read.parquet(s"$dir/customer.parquet"),
+          groupCol = "c_mktsegment", sortCol = "c_custkey",
+          select = Seq("c_custkey", "c_name"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment, min(c_custkey) AS c_custkey,
+          |       min_by(c_name, c_custkey) AS c_name
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── S7: file-content attach with the max-file-size cap ───────────────
+    QueryDef(
+      "q41_file_content",
+      (s, dir) => FileContent.attach(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "text", maxBytes = 300)
+        .select(col("doc_id").cast("long"),
+          octet_length(col("text")).cast("long").as("n_bytes"), col("file"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       CASE WHEN octet_length(encode(text)) <= 300
+          |            THEN to_base64(encode(text)) END AS file
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── S4: dynamic namespace discovery → direct-read union ──────────────
+    QueryDef(
+      "q42_dynamic_direct_read",
+      (s, dir) => {
+        val nss = Discovery.filterNamespaces(
+          Discovery.listCollections(s, dir),
+          include = Some("^app\\.(region|nation|supplier|customer)$"),
+          exclude = Some("^app\\.nation$"))
+        Discovery.directReadNamespaces(s, dir, nss)
+          .groupBy("namespace", "source")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("namespace")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'app.customer' AS namespace, 'direct_read' AS source, count(*) AS n FROM customer
+          |  UNION ALL SELECT 'app.region', 'direct_read', count(*) FROM region
+          |  UNION ALL SELECT 'app.supplier', 'direct_read', count(*) FROM supplier)
+          |ORDER BY namespace""".stripMargin))
+  )
+}
