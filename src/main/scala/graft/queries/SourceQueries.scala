@@ -2,14 +2,42 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.Multimodal
 import graft.operators.{FileContent, Lookups}
 import graft.source.Discovery
 
 /** Source/lookup queries: dynamic namespace discovery (S4), GridFS-analog
-  * file content (S7), and the findId/findOne script builtins (J4). */
+  * file content (S7), the findId/findOne script builtins (J4), and the
+  * multimodal asset schema. */
 object SourceQueries extends QueryFamily {
 
   val queries: Seq[QueryDef] = Seq(
+
+    // ── Multimodal asset plumbing: opaque binary + typed metadata. The
+    //    decode stays a stubbed Scala step (no codecs in this container,
+    //    unit-tested); the schema/metadata derivation is oracle-checked.
+    QueryDef(
+      "q44_multimodal_meta",
+      (s, dir) => Multimodal.assetsFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select(col("asset_id"), col("kind"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          col("meta.width"), col("meta.height"), col("meta.sample_rate"),
+          col("meta.duration_ms"), col("meta.format"))
+        .orderBy("asset_id"),
+      Some(
+        """WITH a AS (
+          |  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |         octet_length(encode(text)) AS n FROM documents)
+          |SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
+          |       CAST(CASE WHEN kind = 'image' THEN n % 640 ELSE 0 END AS INTEGER) AS width,
+          |       CAST(CASE WHEN kind = 'image' THEN n % 480 ELSE 0 END AS INTEGER) AS height,
+          |       CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+          |       CAST(CASE WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms,
+          |       CASE WHEN kind = 'image' THEN 'png' WHEN kind = 'audio' THEN 'wav' ELSE 'mkv' END AS format
+          |FROM a ORDER BY asset_id""".stripMargin)),
 
     // ── J4 findId: broadcast point lookup with projection ────────────────
     QueryDef(
