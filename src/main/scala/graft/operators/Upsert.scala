@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Last-writer-wins upsert resolution (SURVEY §2.8 T4 + §2.9 K1/K2).
@@ -12,10 +11,14 @@ import org.apache.spark.sql.functions._
   * version-max reduction: for each id keep the op with the highest version;
   * delete ops carry +2 so a delete beats a same-instant update.
   *
-  * Scale: one shuffle on the key. AQE handles skewed ids. For pure
-  * "latest row" (no rank needed) `max_by(struct(...), version)` would be a
-  * partial-aggregating alternative; `row_number` is used here because the
-  * tie-break must be total (version, then arrival id) for determinism.
+  * Scale: `max_by(struct(row), struct(version, tieBreak))` aggregates with
+  * map-side partial combine — each input partition reduces to one candidate
+  * per key before the shuffle, and no per-key sort happens at all. Against
+  * hot keys (one doc updated millions of times) this is the difference
+  * between shuffling a handful of partial winners and shuffling + sorting
+  * the full history, which is why it replaced the earlier `row_number`
+  * window. The (version, tieBreak) struct comparison is the same total
+  * order the window used, so results are identical.
   */
 object Upsert {
 
@@ -23,11 +26,10 @@ object Upsert {
   def lastWriterWins(df: DataFrame, keyCol: String = "id",
                      versionCol: String = "version",
                      tieBreak: String = "event_id"): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col(tieBreak).desc)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(keyCol).as("__lww_key"))
+      .agg(max_by(payload, struct(col(versionCol), col(tieBreak))).as("__lww_w"))
+      .select(col("__lww_w.*"))
   }
 
   /** Final sink state: winners whose last op is not a delete. The companion
