@@ -96,6 +96,27 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "bucket")
   }
 
+  /** Embedding-cosine near-dedup, bucketed: vectors are IVF-assigned once,
+    * and only intra-bucket pairs are scored — no all-pairs. Recall is
+    * bounded by bucket purity (a near-dup pair split across buckets is
+    * missed), the standard ANN-dedup trade; the oracle replays the same
+    * assignment so results match exactly. The assignment is persisted
+    * before the self-join (see Dedup.verifiedNearDupPairs for why). */
+  def embeddingNearDupPairs(vectors: DataFrame, centroidPred: Column,
+                            minCos: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(vectors, centroidPred, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.alias("a").join(assigned.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.bucket").as("bucket"),
+        floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
+  }
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
   /** SQL: the same left-fold cosine over two DOUBLE[] expressions.
     * DuckDB list indexing is 1-based; `dim` is the vector length. */

@@ -215,6 +215,72 @@ object LlmQueries extends QueryFamily {
            |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ── Embedding-cosine near-dedup: IVF-bucketed, never all-pairs. No
+    //    natural near-dups exist in the corpus (max pairwise cos ≈ 0.51),
+    //    so every 25th vector gets a perturbed variant (+0.05 on the first
+    //    4 dims, cos ≈ 0.99 with its original); intra-bucket pairs ≥ 0.95
+    //    recover exactly the variant pairs. Cosine is emitted as
+    //    floor(cos·1e6) — the identical left-fold arithmetic makes the
+    //    integer stable across engines. ─────────────────────────────────
+    QueryDef(
+      "q45_embedding_neardup",
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val corpus = e.unionByName(vars)
+        Similarity.embeddingNearDupPairs(corpus,
+            centroidPred = col("vec_id") % 50 === 0 && col("vec_id") < 100000,
+            minCos = 0.95, idCol = "vec_id", vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("bucket").cast("long"), col("cos_scaled"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 50 = 0),
+           |assign AS (
+           |  SELECT vec_id, v, centroid_id AS bucket FROM (
+           |    SELECT e.vec_id, e.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+           |    FROM corpus e, cents c) WHERE cr = 1)
+           |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           |       CAST(a.bucket AS BIGINT) AS bucket,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM assign a JOIN assign b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE $pcos >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ── T5 extension: tumbling-window aggregation (event-time hours) ─────
+    QueryDef(
+      "q46_windowed_agg",
+      (s, dir) => graft.source.EventLog.envelope(s, dir)
+        .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"),
+          col("namespace"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy("hour", "namespace"),
+      Some(
+        s"""WITH ${graft.source.EventLog.oracleCte}
+           |SELECT date_trunc('hour', make_timestamp(ts_us)) AS hour, namespace,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM envelope GROUP BY 1, 2 ORDER BY hour, namespace""".stripMargin)),
+
     // ── Language ID: stopword-hit argmax with fixed priority ─────────────
     QueryDef(
       "q36_lang_id",

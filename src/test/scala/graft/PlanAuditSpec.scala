@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Upsert
+import graft.source.EventLog
+
+/** Physical-plan shape guards: the properties that make the operators
+  * survive 100× scale must be visible in the plan, not just hoped for —
+  * filter/projection pushdown to the parquet scan (A1), broadcast on
+  * dimension joins, and map-side partial aggregation for LWW. A
+  * regression that silently loses one of these fails here, not in a
+  * cluster. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter and projection reach the parquet scan (A1 pushdown)") {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") < 100).select("event_id", "user_id")
+    val plan = fmt(df)
+    assert(plan.contains("LessThan(user_id,100)"), s"filter not pushed:\n$plan")
+    // column pruning: the wide props/ts columns must not be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("the envelope's namespace filter pushes to the events scan") {
+    val df = EventLog.envelope(spark, dir).filter(col("value") > 99.5)
+    assert(fmt(df).contains("GreaterThan(value,99.5)"))
+  }
+
+  test("relate chain broadcasts its dimension tables") {
+    val plan = fmt(SparkEntry.queries("q21_relate_chain")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("LWW shows partial max_by before the key shuffle (no window sort)") {
+    val plan = fmt(Upsert.lastWriterWins(EventLog.envelope(spark, dir)))
+    assert(plan.contains("partial_max_by"), s"no partial agg:\n$plan")
+    assert(!plan.contains("Window"), "LWW must not plan a window")
+  }
+}
