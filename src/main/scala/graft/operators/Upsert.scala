@@ -42,4 +42,24 @@ object Upsert {
     * (delete-strategy "stateless", monstache.go:4065-4147). */
   def tombstones(df: DataFrame): DataFrame =
     lastWriterWins(df).filter(col("operation") === "d")
+
+  /** K1 `index-as-update` mode (BulkUpdateRequest doc-as-upsert,
+    * monstache.go:3203-3215): instead of whole-doc overwrite, each update
+    * merges its fields into the stored doc — fields absent from an update
+    * survive from earlier versions, nothing is removed. Per key and per
+    * field that is "latest non-null value by (version, tieBreak)", which
+    * aggregates with map-side partial combine (max over a (version, tie,
+    * value) struct ignores rows where the field is null). */
+  def indexAsUpdate(df: DataFrame, fields: Seq[String],
+                    keyCol: String = "id", versionCol: String = "version",
+                    tieBreak: String = "event_id"): DataFrame = {
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(versionCol), col(tieBreak), col(f).as("v"))))
+        .getField("v").as(f)
+    } :+ max(col(versionCol)).as("merged_version")
+    df.filter(col("operation").isin("i", "u"))
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

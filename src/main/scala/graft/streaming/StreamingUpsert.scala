@@ -67,15 +67,21 @@ object StreamingUpsert {
   }
 
   /** Start the continuous pipeline: envelope stream → optional transform →
-    * LWW-merged durable state, checkpointed for resume (T2/T3). */
+    * LWW-merged durable state, checkpointed for resume (T2/T3).
+    * `postProcess` is the K6 plugin hook (`Process`,
+    * monstachemap/plugin.go:46-52; pool monstache.go:4486-4498): user
+    * side-effects invoked per micro-batch after the state merge, with the
+    * batch and its id — fan-out sinks, audit logs, notifications. */
   def start(events: DataFrame, stateDir: String, checkpointDir: String,
-            transform: DataFrame => DataFrame = identity): StreamingQuery =
+            transform: DataFrame => DataFrame = identity,
+            postProcess: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
     transform(events).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, stateDir)
+        postProcess(batch, batchId)
       }
       .start()
 
