@@ -21,17 +21,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runToNoop(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.benchQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warm-up: execute the first query once untimed (session + codegen warm).
-    runToNoop(names.head)
+    // SPARK_GRAFT_ONLY=q31,q45 restricts the run (local iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.benchQueries.keys.toSeq.sorted
+      .filter(n => only.forall(o => o.exists(n.startsWith)))
+    // Warm-up: execute every query once untimed, so the timed pass
+    // measures the operator plans rather than per-plan codegen + JIT
+    // compilation (each query has a distinct plan, so warming one query
+    // does not warm the others). Persisted frames from the warm-up are
+    // dropped before timing — data comes cold off parquet every time.
+    names.foreach(runToNoop)
 
+    // SPARK_GRAFT_REPEAT=3 times each query N times and keeps the median
+    // (local iteration aid against run-to-run noise; driver default is 1).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      runToNoop(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeat).map { _ =>
+        // Isolate queries from each other: drop persisted frames left by
+        // earlier queries (operators like Dedup/Similarity persist their
+        // signature tables) so no query is timed against another's cache
+        // hit or pays another's memory pressure.
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        runToNoop(name)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

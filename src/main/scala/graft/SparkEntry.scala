@@ -45,6 +45,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  /** The same queries without verification-only presentation sorts —
+    * the plans Bench times (see [[graft.queries.QueryDef]]). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.bench).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -21,12 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-fold cosine between two double-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Left-fold dot product of two double-array columns.
+    *
+    * A compiled UDF, not `aggregate(zip_with(...))`: Catalyst higher-order
+    * functions are interpreted (CodegenFallback) and allocate a lambda
+    * frame per element, which made the fold itself the bottleneck of every
+    * pair comparison. The while-loop accumulates in exactly the same
+    * index order as the SQL fold, so results stay bit-identical to the
+    * DuckDB oracle's `list_sum(list_transform(...))`. */
+  private val dotUdf = udf { (x: Seq[Double], y: Seq[Double]) =>
+    var acc = 0.0d
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
   }
+
+  def dot(x: Column, y: Column): Column = dotUdf(x, y)
+
+  /** Elementwise-fold cosine between two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine when each side's norm is already a column. Precomputing the
+    * norm once per vector (instead of once per pair) removes 2 of the 3
+    * array folds from every pair comparison — at n·m pairs that is the
+    * dominant cost. Identical arithmetic to [[cosine]]: the same fold and
+    * sqrt, evaluated once. */
+  def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -37,12 +62,15 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cands = embeddings.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val queries = embeddings.filter(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = cands.join(broadcast(queries),
         col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -57,14 +85,17 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val cents = embeddings.filter(centroidPred)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
     embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v")))
       .join(broadcast(cents), lit(true))
-      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("ccos",
+        cosinePre(col("v"), col("vn"), col("cv"), col("cn")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
-      .select(col(idCol), col("v"), col("centroid_id").as("bucket"))
+      .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("bucket"))
   }
 
   /** IVF probe: top-k within the query's `nprobe` nearest centroid
@@ -76,21 +107,27 @@ object Similarity {
     val assigned = ivfAssign(embeddings, centroidPred, idCol, vecCol)
     val cents = embeddings.filter(centroidPred)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val queries = embeddings.filter(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("centroid_id").asc)
     val probes = queries.join(broadcast(cents), lit(true))
-      .withColumn("pcos", cosine(col("qv"), col("cv")))
+      .withColumn("pcos",
+        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")))
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("centroid_id").as("bucket"))
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned.select(col(idCol).as("neighbor_id"), col("v"), col("bucket"))
+    assigned.select(col(idCol).as("neighbor_id"), col("v"), col("vn"),
+        col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        cosinePre(col("qv"), col("qn"), col("v"), col("vn")))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "bucket")
@@ -110,7 +147,8 @@ object Similarity {
     assigned.alias("a").join(assigned.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
       .filter(col("cos") >= minCos)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.bucket").as("bucket"),

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udf
 
 /** Portable text hashing for the LLM-pipeline operators: every hash here
   * is defined once and emitted twice — as a Catalyst column expression and
@@ -50,11 +51,35 @@ object TextHash {
   /** Hashed shingle array (mod P). */
   def hashedShingles(sh: Column): Column = transform(sh, s => h32p(s))
 
-  /** K-element minhash signature over hashed shingles. */
-  def minhashSig(hs: Column): Column =
-    array((0 until K).map { j =>
-      array_min(transform(hs, h => (lit(A(j)) * h + lit(B(j))) % P))
-    }: _*)
+  /** K-element minhash signature over hashed shingles.
+    *
+    * A compiled UDF rather than K × `array_min(transform(...))`: the
+    * higher-order form is interpreted (CodegenFallback) and walks the
+    * shingle array K times allocating an intermediate array per walk; the
+    * loop below makes one pass with a K-slot accumulator. Arithmetic is
+    * unchanged — `(A(j)·h + B(j)) mod P` with the same fixed coefficients
+    * — so signatures stay bit-identical to the DuckDB oracle's
+    * [[sqlMinhashSig]]. Empty input degenerates to all-null, matching
+    * `array_min` of an empty array. */
+  private val minhashSigUdf = udf { (hs: Seq[Long]) =>
+    if (hs.isEmpty) Array.fill[java.lang.Long](K)(null)
+    else {
+      val out = Array.fill(K)(Long.MaxValue)
+      val it = hs.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        var j = 0
+        while (j < K) {
+          val v = (A(j) * h + B(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      out.map(java.lang.Long.valueOf)
+    }
+  }
+
+  def minhashSig(hs: Column): Column = minhashSigUdf(hs)
 
   /** LSH band keys: NumBands strings of BandRows comma-joined sig values. */
   def bandKeys(sig: Column): Column =

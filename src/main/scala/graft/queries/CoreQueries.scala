@@ -18,18 +18,18 @@ object CoreQueries extends QueryFamily {
   val queries: Seq[QueryDef] = Seq(
 
     // ── S1/S3: the envelope itself (change-stream decode, §1.3) ──────────
-    QueryDef(
+    QueryDef.sorted(
       "q01_envelope",
       (s, dir) => EventLog.envelope(s, dir)
         .select("event_id", "id", "namespace", "operation", "ts_us",
-          "version", "source", "document")
-        .orderBy("event_id"),
+          "version", "source", "document"),
+      _.orderBy("event_id"),
       Some(withEnvelope(
         """SELECT event_id, id, namespace, operation, ts_us, version, source, document
           |FROM envelope ORDER BY event_id""".stripMargin))),
 
     // ── F1-F3: namespace include/exclude regex chain ─────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q02_ns_filter",
       (s, dir) => {
         val cfg = NamespaceFilterConfig(
@@ -37,8 +37,8 @@ object CoreQueries extends QueryFamily {
         NamespaceFilter(EventLog.envelope(s, dir), cfg)
           .groupBy("namespace", "operation")
           .agg(count(lit(1)).as("n"))
-          .orderBy("namespace", "operation")
       },
+      _.orderBy("namespace", "operation"),
       Some(withEnvelope(
         """SELECT namespace, operation, count(*) AS n
           |FROM envelope
@@ -48,7 +48,7 @@ object CoreQueries extends QueryFamily {
           |ORDER BY namespace, operation""".stripMargin))),
 
     // ── P1: mapper projection (computed columns over lineitem) ───────────
-    QueryDef(
+    QueryDef.sorted(
       "q03_mapper_project",
       (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
         .select(
@@ -56,8 +56,8 @@ object CoreQueries extends QueryFamily {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).as("charge"),
-          concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("status"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("status")),
+      _.orderBy("l_orderkey", "l_linenumber", "l_partkey"),
       Some(
         """SELECT l_orderkey, l_linenumber, l_partkey,
           |       l_extendedprice * (1 - l_discount) AS revenue,
@@ -66,26 +66,26 @@ object CoreQueries extends QueryFamily {
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin)),
 
     // ── P1/§2.7: JSON payload field extraction ───────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q04_json_extract",
       (s, dir) => EventLog.envelope(s, dir)
         .filter(col("document").isNotNull)
         .select(col("event_id"),
-          get_json_object(col("document"), "$.k").cast("int").as("k"))
-        .orderBy("event_id"),
+          get_json_object(col("document"), "$.k").cast("int").as("k")),
+      _.orderBy("event_id"),
       Some(withEnvelope(
         """SELECT event_id, CAST(json_extract_string(document, '$.k') AS INTEGER) AS k
           |FROM envelope WHERE document IS NOT NULL ORDER BY event_id""".stripMargin))),
 
     // ── P4/T4/K1: last-writer-wins upsert (the sink's final state) ───────
-    QueryDef(
+    QueryDef.sorted(
       "q05_upsert_lww",
       (s, dir) => Upsert.liveDocuments(EventLog.envelope(s, dir))
         .select(col("id"), col("namespace"), col("version"),
           col("operation").as("last_op"),
           get_json_object(col("document"), "$.k").cast("int").as("k"),
-          col("value"))
-        .orderBy(col("id").cast("long")),
+          col("value")),
+      _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
@@ -96,11 +96,11 @@ object CoreQueries extends QueryFamily {
           |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
     // ── K2: tombstones (stateless delete strategy, version-protected) ────
-    QueryDef(
+    QueryDef.sorted(
       "q06_tombstones",
       (s, dir) => Upsert.tombstones(EventLog.envelope(s, dir))
-        .select(col("id"), col("namespace"), col("version"))
-        .orderBy(col("id").cast("long")),
+        .select(col("id"), col("namespace"), col("version")),
+      _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
@@ -110,7 +110,7 @@ object CoreQueries extends QueryFamily {
           |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
     // ── K7/P3: index-name + routing resolution ───────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q07_index_routing",
       (s, dir) => {
         val mapping = Map("app.t0" -> "users_primary")
@@ -119,8 +119,8 @@ object CoreQueries extends QueryFamily {
           .groupBy("namespace", "meta_index")
           .agg(count(lit(1)).as("n"),
             countDistinct(col("meta_routing")).as("n_shards"))
-          .orderBy("namespace")
       },
+      _.orderBy("namespace"),
       Some(withEnvelope(
         """SELECT namespace,
           |       CASE WHEN namespace = 'app.t0' THEN 'users_primary' ELSE lower(namespace) END AS meta_index,
@@ -131,14 +131,14 @@ object CoreQueries extends QueryFamily {
           |GROUP BY 1, 2 ORDER BY namespace""".stripMargin))),
 
     // ── P5: oplog date injection (Go layout → JVM pattern) ───────────────
-    QueryDef(
+    QueryDef.sorted(
       "q08_oplog_date",
       (s, dir) => EventLog.envelope(s, dir)
         .select(col("event_id"),
           date_format(timestamp_micros(col("ts_us")),
             Codecs.DefaultOplogDateFormat).as("oplog_date"),
-          col("ts_us").as("oplog_ts"))
-        .orderBy("event_id"),
+          col("ts_us").as("oplog_ts")),
+      _.orderBy("event_id"),
       Some(withEnvelope(
         """SELECT event_id,
           |       strftime(make_timestamp(ts_us), '%Y/%m/%d %H:%M:%S') AS oplog_date,
@@ -146,13 +146,13 @@ object CoreQueries extends QueryFamily {
           |FROM envelope ORDER BY event_id""".stripMargin))),
 
     // ── P6: _id canonicalization (whole floats collapse) ─────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q09_id_canon",
       (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_quantity"),
           Codecs.numericIdToString(col("l_quantity")).as("canon_id"))
-        .distinct()
-        .orderBy("l_quantity"),
+        .distinct(),
+      _.orderBy("l_quantity"),
       Some(
         """SELECT DISTINCT l_quantity,
           |       CASE WHEN l_quantity = floor(l_quantity)
@@ -161,7 +161,7 @@ object CoreQueries extends QueryFamily {
           |FROM lineitem ORDER BY l_quantity""".stripMargin)),
 
     // ── P7: invalid-JSON pruning (NaN / ±Inf → null) ─────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q10_prune_invalid",
       (s, dir) => {
         val raw = s.read.parquet(s"$dir/events.parquet")
@@ -173,8 +173,8 @@ object CoreQueries extends QueryFamily {
             Codecs.pruneInvalidDouble(col("v")).as("pruned"),
             (isnan(col("v")) || abs(col("v")) === lit(Double.PositiveInfinity))
               .as("was_pruned"))
-          .orderBy("event_id")
       },
+      _.orderBy("event_id"),
       Some(
         """WITH raw AS (
           |  SELECT event_id,
@@ -193,7 +193,7 @@ object CoreQueries extends QueryFamily {
     // round-trip (unhex → codec) is provable against the oracle's direct
     // string slicing. Dates: ISO-millis with the year-[0,9999] validity
     // rule — the +3e17µs/+6e17µs shifted rows land past year 9999 → null.
-    QueryDef(
+    QueryDef.sorted(
       "q28_bson_codecs",
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")
@@ -211,8 +211,8 @@ object CoreQueries extends QueryFamily {
         ev.select(col("event_id"), col("kind"), canonical.as("canon_id"),
             Codecs.idAccepted(canonical).as("id_ok"),
             Codecs.bsonDateString(bigTs).as("bson_date"))
-          .orderBy("event_id")
       },
+      _.orderBy("event_id"),
       Some(
         """WITH ev AS (
           |  SELECT event_id, user_id % 5 AS kind,
@@ -235,15 +235,15 @@ object CoreQueries extends QueryFamily {
           |FROM canon ORDER BY event_id""".stripMargin)),
 
     // ── P4: cluster-time version bit packing ─────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q11_version_pack",
       (s, dir) => EventLog.envelope(s, dir)
         .withColumn("ts_t", expr("ts_us div 1000000"))
         .withColumn("ts_i", col("event_id") % 4096)
         .select(col("event_id"), col("ts_t"), col("ts_i"),
           Codecs.tsVersion(col("ts_t"), col("ts_i"), col("operation"))
-            .as("ext_version"))
-        .orderBy("event_id"),
+            .as("ext_version")),
+      _.orderBy("event_id"),
       Some(withEnvelope(
         """SELECT event_id,
           |       ts_us // 1000000 AS ts_t,
@@ -253,13 +253,13 @@ object CoreQueries extends QueryFamily {
           |FROM envelope ORDER BY event_id""".stripMargin))),
 
     // ── K4: time-machine dated history index ─────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q12_time_machine",
       (s, dir) => TimeMachine.history(
           EventLog.envelope(s, dir), Seq("app.t1", "app.t2"))
         .select(col("event_id"), col("id").as("source_id"),
-          col("version"), col("history_index"))
-        .orderBy("event_id"),
+          col("version"), col("history_index")),
+      _.orderBy("event_id"),
       Some(withEnvelope(
         """SELECT event_id, id AS source_id, version,
           |       'log' || '.' || lower(namespace) || '.' ||
@@ -269,13 +269,13 @@ object CoreQueries extends QueryFamily {
           |ORDER BY event_id""".stripMargin))),
 
     // ── P10: merge-patch log pair construction + version numbering ───────
-    QueryDef(
+    QueryDef.sorted(
       "q13_patch_pairs",
       (s, dir) => PatchLog.pairs(EventLog.envelope(s, dir), Seq("app.t1"))
         .select(col("id"), col("v"), col("version"),
           get_json_object(col("prev_document"), "$.k").cast("int").as("prev_k"),
-          get_json_object(col("document"), "$.k").cast("int").as("new_k"))
-        .orderBy(col("id").cast("long"), col("v")),
+          get_json_object(col("document"), "$.k").cast("int").as("new_k")),
+      _.orderBy(col("id").cast("long"), col("v")),
       Some(withEnvelope(
         """, patchable AS (
           |  SELECT * FROM envelope
@@ -291,7 +291,7 @@ object CoreQueries extends QueryFamily {
     // ── K2 stateful delete strategy: docs indexed with routing/index
     // overrides save their meta (shouldSave); a later delete consults the
     // meta store and falls back to default resolution without it.
-    QueryDef(
+    QueryDef.sorted(
       "q18_delete_stateful",
       (s, dir) => {
         val env = EventLog.envelope(s, dir)
@@ -305,8 +305,8 @@ object CoreQueries extends QueryFamily {
         DeleteStrategies.stateful(Upsert.tombstones(env), metaStore)
           .select(col("id"), col("namespace"), col("version"),
             col("meta_index"), col("meta_routing"))
-          .orderBy(col("id").cast("long"))
       },
+      _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, meta_store AS (
           |  SELECT DISTINCT id, 'routed_t0' AS saved_index,
@@ -329,7 +329,7 @@ object CoreQueries extends QueryFamily {
     // of every 100th order make those ambiguous → refused, the delete
     // protection); resolved deletes recover the customer key from the
     // last-known doc and propagate a delete to the related namespace.
-    QueryDef(
+    QueryDef.sorted(
       "q19_delete_recovery",
       (s, dir) => {
         val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -352,8 +352,8 @@ object CoreQueries extends QueryFamily {
         searched.join(propagated, Seq("id"), "left")
           .select(col("id").cast("long").as("order_id"), col("n_hits"),
             col("status"), col("c_custkey").cast("long"))
-          .orderBy("order_id")
       },
+      _.orderBy("order_id"),
       Some(
         """WITH deletes AS (
           |  SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders WHERE o_orderkey % 10 = 0),
@@ -382,7 +382,7 @@ object CoreQueries extends QueryFamily {
     // removals occur); patch v1 = full doc on insert, later patches carry
     // changed keys and removed→null, all in canonical sorted-key compact
     // form. The oracle constructs the same patches textually.
-    QueryDef(
+    QueryDef.sorted(
       "q17_merge_patch",
       (s, dir) => {
         val diffUdf = udf((prev: String, curr: String) =>
@@ -404,8 +404,8 @@ object CoreQueries extends QueryFamily {
             when(col("prev_doc").isNull, canonUdf(col("doc")))
               .otherwise(diffUdf(col("prev_doc"), col("doc"))))
           .select(col("id"), col("v"), col("patch"))
-          .orderBy(col("id").cast("long"), col("v"))
       },
+      _.orderBy(col("id").cast("long"), col("v")),
       Some(withEnvelope(
         """, enriched AS (
           |  SELECT id, version, event_id,
@@ -438,7 +438,7 @@ object CoreQueries extends QueryFamily {
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
 
     // ── §2.6: multi-source union fan-in (stream + direct read) ───────────
-    QueryDef(
+    QueryDef.sorted(
       "q14_union_fanin",
       (s, dir) => {
         val stream = EventLog.envelope(s, dir)
@@ -450,8 +450,8 @@ object CoreQueries extends QueryFamily {
         stream.unionByName(direct)
           .groupBy("source", "namespace")
           .agg(count(lit(1)).as("n"), max(col("version")).as("max_version"))
-          .orderBy("source", "namespace")
       },
+      _.orderBy("source", "namespace"),
       Some(withEnvelope(
         """, unioned AS (
           |  SELECT id, namespace, operation, version, source FROM envelope
@@ -467,7 +467,7 @@ object CoreQueries extends QueryFamily {
     // the same state as one uninterrupted pass: LWW(LWW(first) ∪ second)
     // == LWW(all). The Spark side computes the two-phase merge, the
     // oracle the single pass — a hash match proves resume correctness.
-    QueryDef(
+    QueryDef.sorted(
       "q16_restart_merge",
       (s, dir) => {
         val env = EventLog.envelope(s, dir)
@@ -475,8 +475,8 @@ object CoreQueries extends QueryFamily {
         val resumed = Upsert.lastWriterWins(
           run1.unionByName(env.filter(col("event_id") > 5000)))
         resumed.select(col("id"), col("operation"), col("version"))
-          .orderBy(col("id").cast("long"))
       },
+      _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
@@ -490,7 +490,7 @@ object CoreQueries extends QueryFamily {
     // doc and overrides its index; app.t1 drops docs (k%3==0 → falsy), and
     // dropped updates become deletes with the +2 offset. A global filter
     // (k != 13) and a ns filter (app.t2: value > 10) run first.
-    QueryDef(
+    QueryDef.sorted(
       "q27_transform_registry",
       (s, dir) => {
         val reg = TransformRegistry(
@@ -509,8 +509,8 @@ object CoreQueries extends QueryFamily {
           .agg(count(lit(1)).as("n"),
             sum(col("k")).as("sum_k"),
             count(col("document")).as("n_docs"))
-          .orderBy("namespace", "operation", "meta_index")
       },
+      _.orderBy("namespace", "operation", "meta_index"),
       Some(withEnvelope(
         """, flt AS (
           |  SELECT * FROM envelope
@@ -547,7 +547,7 @@ object CoreQueries extends QueryFamily {
     // legacy.* drops (F4 all four branches live); index survival follows
     // doDrop semantics — an index survives iff data ops outlive its last
     // covering drop.
-    QueryDef(
+    QueryDef.sorted(
       "q29_drop_propagation",
       (s, dir) => {
         val ops = NamespaceFilter(EventLog.envelopeWithDrops(s, dir),
@@ -556,8 +556,8 @@ object CoreQueries extends QueryFamily {
         DropPropagation.indexSurvival(ops)
           .select(col("ix"), col("last_drop_version"), col("n_ops"),
             col("max_version"), col("n_after_drop"), col("survives"))
-          .orderBy("ix")
       },
+      _.orderBy("ix"),
       Some(
         s"""WITH ${EventLog.oracleCteWithDrops},
            |flt AS (
@@ -583,15 +583,15 @@ object CoreQueries extends QueryFamily {
            |FROM j GROUP BY ix, last_drop_version ORDER BY ix""".stripMargin)),
 
     // ── A3/K5: bulk-stats aggregation ────────────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q15_stats_agg",
       (s, dir) => EventLog.envelope(s, dir)
         .groupBy("namespace", "operation")
         .agg(count(lit(1)).as("n_ops"),
           sum(length(col("document"))).as("doc_chars"),
           min(col("version")).as("min_version"),
-          max(col("version")).as("max_version"))
-        .orderBy("namespace", "operation"),
+          max(col("version")).as("max_version")),
+      _.orderBy("namespace", "operation"),
       Some(withEnvelope(
         """SELECT namespace, operation, count(*) AS n_ops,
           |       CAST(sum(length(document)) AS BIGINT) AS doc_chars,

@@ -24,6 +24,17 @@ object LlmQueries extends QueryFamily {
   private val DupOffset = 200000L
   private val VarOffset = 100000L
 
+  /** Read a corpus table and spread it across the session's cores. The
+    * test files are single-row-group parquet — one scan partition — while
+    * the shingle/minhash/cosine math downstream is compute-dense, so
+    * without a redistribution every hash runs on one core. At cluster
+    * scale the same move is sizing partitions to compute density (not
+    * bytes) before a CPU-bound narrow stage; the shuffled bytes here are
+    * trivial relative to the work they unlock. */
+  private def spread(s: org.apache.spark.sql.SparkSession,
+                     df: org.apache.spark.sql.DataFrame) =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** DuckDB words list for a text expression. */
   private def W(e: String) = TextHash.sqlWords(e)
 
@@ -45,7 +56,7 @@ object LlmQueries extends QueryFamily {
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: one shuffle on md5(text) ────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q30_exact_dedup",
       (s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -56,8 +67,8 @@ object LlmQueries extends QueryFamily {
         Dedup.exactDupGroups(corpus)
           .select(col("text_hash"), col("n").cast("long").as("n"),
             col("min_id").cast("long").as("min_id"))
-          .orderBy("text_hash")
       },
+      _.orderBy("text_hash"),
       Some(
         s"""WITH $dupCorpusSql
            |SELECT md5(text) AS text_hash, count(*) AS n,
@@ -67,11 +78,11 @@ object LlmQueries extends QueryFamily {
 
     // ── MinHash-LSH near-dedup: band-bucketed candidates, integer-Jaccard
     //    verification; never all-pairs ────────────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q31_minhash_lsh",
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text")
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
         val ws = words(col("text"))
         val vars = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + VarOffset).as("doc_id"),
@@ -80,8 +91,8 @@ object LlmQueries extends QueryFamily {
         Dedup.verifiedNearDupPairs(corpus)
           .select(col("id_a").cast("long"), col("id_b").cast("long"),
             col("inter").cast("long"), col("uni").cast("long"))
-          .orderBy("id_a", "id_b")
       },
+      _.orderBy("id_a", "id_b"),
       Some(
         s"""WITH $varCorpusSql,
            |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
@@ -107,12 +118,13 @@ object LlmQueries extends QueryFamily {
            |ORDER BY id_a, id_b""".stripMargin)),
 
     // ── SimHash fingerprints + prefix buckets ────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q32_simhash",
       (s, dir) => Dedup.withSimhash(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
-        .select(col("doc_id").cast("long"), col("simhash"), col("sim_bucket"))
-        .orderBy("doc_id"),
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"), col("simhash"), col("sim_bucket")),
+      _.orderBy("doc_id"),
       Some(
         s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
            |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
@@ -123,11 +135,11 @@ object LlmQueries extends QueryFamily {
            |FROM hsh ORDER BY doc_id""".stripMargin)),
 
     // ── n-gram Jaccard on known pairs (original vs truncated variant) ────
-    QueryDef(
+    QueryDef.sorted(
       "q33_ngram_jaccard",
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text")
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
         val ws = words(col("text"))
         val base = docs.filter(col("doc_id") % 10 === 0)
           .withColumn("sh_a", shingles(ws, 3))
@@ -137,8 +149,8 @@ object LlmQueries extends QueryFamily {
         base.select(col("doc_id").cast("long"),
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
             size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
-          .orderBy("doc_id")
       },
+      _.orderBy("doc_id"),
       Some(
         s"""WITH pairs AS (
            |  SELECT doc_id, ${W("text")} AS wa,
@@ -152,14 +164,14 @@ object LlmQueries extends QueryFamily {
            |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // ── Brute-force cosine top-k (correctness baseline for ANN) ──────────
-    QueryDef(
+    QueryDef.sorted(
       "q34_ann_bruteforce",
       (s, dir) => Similarity.bruteForceTopK(
-          s.read.parquet(s"$dir/embeddings.parquet"),
+          spread(s, s.read.parquet(s"$dir/embeddings.parquet")),
           queryPred = col("vec_id") % 100 === 0, k = 3)
         .select(col("query_id").cast("long"), col("rank").cast("long").as("rnk"),
-          col("neighbor_id").cast("long"))
-        .orderBy("query_id", "rnk"),
+          col("neighbor_id").cast("long")),
+      _.orderBy("query_id", "rnk"),
       Some {
         val cos = Similarity.sqlCosine("q.qv", "e.v", 64)
         s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
@@ -175,16 +187,16 @@ object LlmQueries extends QueryFamily {
       }),
 
     // ── IVF-bucketed ANN (the scale path: probe 2 of 10 buckets) ─────────
-    QueryDef(
+    QueryDef.sorted(
       "q35_ann_ivf",
       (s, dir) => Similarity.ivfTopK(
-          s.read.parquet(s"$dir/embeddings.parquet"),
+          spread(s, s.read.parquet(s"$dir/embeddings.parquet")),
           centroidPred = col("vec_id") % 50 === 0,
           queryPred = col("vec_id") % 100 === 0,
           k = 3, nprobe = 2)
         .select(col("query_id").cast("long"), col("rank").cast("long").as("rnk"),
-          col("neighbor_id").cast("long"), col("bucket").cast("long"))
-        .orderBy("query_id", "rnk"),
+          col("neighbor_id").cast("long"), col("bucket").cast("long")),
+      _.orderBy("query_id", "rnk"),
       Some {
         val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
         val pcos = Similarity.sqlCosine("q.qv", "c.cv", 64)
@@ -222,10 +234,10 @@ object LlmQueries extends QueryFamily {
     //    recover exactly the variant pairs. Cosine is emitted as
     //    floor(cos·1e6) — the identical left-fold arithmetic makes the
     //    integer stable across engines. ─────────────────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q45_embedding_neardup",
       (s, dir) => {
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
         val vars = e.filter(col("vec_id") % 25 === 0)
@@ -237,8 +249,8 @@ object LlmQueries extends QueryFamily {
             minCos = 0.95, idCol = "vec_id", vecCol = "v")
           .select(col("id_a").cast("long"), col("id_b").cast("long"),
             col("bucket").cast("long"), col("cos_scaled"))
-          .orderBy("id_a", "id_b")
       },
+      _.orderBy("id_a", "id_b"),
       Some {
         val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
         val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
@@ -266,14 +278,14 @@ object LlmQueries extends QueryFamily {
       }),
 
     // ── T5 extension: tumbling-window aggregation (event-time hours) ─────
-    QueryDef(
+    QueryDef.sorted(
       "q46_windowed_agg",
       (s, dir) => graft.source.EventLog.envelope(s, dir)
         .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"),
           col("namespace"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
-        .orderBy("hour", "namespace"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v")),
+      _.orderBy("hour", "namespace"),
       Some(
         s"""WITH ${graft.source.EventLog.oracleCte}
            |SELECT date_trunc('hour', make_timestamp(ts_us)) AS hour, namespace,
@@ -282,14 +294,15 @@ object LlmQueries extends QueryFamily {
            |FROM envelope GROUP BY 1, 2 ORDER BY hour, namespace""".stripMargin)),
 
     // ── Language ID: stopword-hit argmax with fixed priority ─────────────
-    QueryDef(
+    QueryDef.sorted(
       "q36_lang_id",
       (s, dir) => TextAnalysis.withLangId(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang", "text"))
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "lang", "text")))
         .select(col("doc_id").cast("long") +:
           TextAnalysis.StopWords.map { case (l, _) => col(s"s_$l").cast("long") } :+
-          col("pred_lang") :+ (col("pred_lang") === col("lang")).as("is_match"): _*)
-        .orderBy("doc_id"),
+          col("pred_lang") :+ (col("pred_lang") === col("lang")).as("is_match"): _*),
+      _.orderBy("doc_id"),
       Some {
         val (scores, pred) = TextAnalysis.sqlLangId("w")
         s"""WITH tok AS (SELECT doc_id, lang, ${W("text")} AS w FROM documents),
@@ -302,14 +315,15 @@ object LlmQueries extends QueryFamily {
       }),
 
     // ── Quality scoring: integer length/stopword signals + bucket ────────
-    QueryDef(
+    QueryDef.sorted(
       "q37_quality",
       (s, dir) => TextAnalysis.withQuality(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
         .select(col("doc_id").cast("long"), col("n_words").cast("long"),
           col("n_chars").cast("long"), col("word_chars").cast("long"),
-          col("stop_hits").cast("long"), col("quality_bucket"))
-        .orderBy("doc_id"),
+          col("stop_hits").cast("long"), col("quality_bucket")),
+      _.orderBy("doc_id"),
       Some {
         val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
           .map(s => s"'$s'").mkString(",")
@@ -330,13 +344,14 @@ object LlmQueries extends QueryFamily {
       }),
 
     // ── Token counting: whitespace + BPE-ish regex ───────────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q38_token_count",
       (s, dir) => TextAnalysis.withTokenCounts(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
         .select(col("doc_id").cast("long"), col("ws_tokens").cast("long"),
-          col("bpe_tokens").cast("long"))
-        .orderBy("doc_id"),
+          col("bpe_tokens").cast("long")),
+      _.orderBy("doc_id"),
       Some(
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |       CAST(len(${W("text")}) AS BIGINT) AS ws_tokens,
@@ -344,12 +359,13 @@ object LlmQueries extends QueryFamily {
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── Content fingerprints: winnowing-min + position-weighted hash ─────
-    QueryDef(
+    QueryDef.sorted(
       "q39_fingerprint",
       (s, dir) => TextAnalysis.withFingerprint(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
-        .select(col("doc_id").cast("long"), col("fp_min"), col("fp_pos"))
-        .orderBy("doc_id"),
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"), col("fp_min"), col("fp_pos")),
+      _.orderBy("doc_id"),
       Some(
         s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
            |shg AS (SELECT doc_id, w, ${TextHash.sqlShingles("w", 4)} AS sh FROM tok)

@@ -14,7 +14,7 @@ object RelateQueries extends QueryFamily {
   val queries: Seq[QueryDef] = Seq(
 
     // ── J1: one relate hop (change in orders → fan out to customer) ──────
-    QueryDef(
+    QueryDef.sorted(
       "q20_relate_1hop",
       (s, dir) => {
         val changed = s.read.parquet(s"$dir/orders.parquet")
@@ -25,8 +25,8 @@ object RelateQueries extends QueryFamily {
           .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
             col("c_mktsegment"))
           .distinct()
-          .orderBy("o_orderkey", "c_custkey")
       },
+      _.orderBy("o_orderkey", "c_custkey"),
       Some(
         """SELECT DISTINCT o_orderkey, c_custkey, c_name, c_mktsegment
           |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -34,7 +34,7 @@ object RelateQueries extends QueryFamily {
           |ORDER BY o_orderkey, c_custkey""".stripMargin)),
 
     // ── J1 recursive: 4-hop relate chain, depth-bounded ──────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q21_relate_chain",
       (s, dir) => {
         val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -49,8 +49,8 @@ object RelateQueries extends QueryFamily {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .select(col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
             col("n_name"), col("r_name"))
-          .orderBy("l_orderkey", "l_linenumber", "c_custkey")
       },
+      _.orderBy("l_orderkey", "l_linenumber", "c_custkey"),
       Some(
         """SELECT l_orderkey, l_linenumber, c_custkey, n_name, r_name
           |FROM lineitem
@@ -62,7 +62,7 @@ object RelateQueries extends QueryFamily {
           |ORDER BY l_orderkey, l_linenumber, c_custkey""".stripMargin)),
 
     // ── J2: identity-relation delete propagation (semi-join) ─────────────
-    QueryDef(
+    QueryDef.sorted(
       "q22_relate_delete",
       (s, dir) => {
         val deleted = s.read.parquet(s"$dir/orders.parquet")
@@ -72,8 +72,8 @@ object RelateQueries extends QueryFamily {
         Relate.propagateDeletes(deleted, li, "src_key", "l_orderkey")
           .select(col("l_orderkey"), col("l_linenumber"),
             lit("d").as("operation"))
-          .orderBy("l_orderkey", "l_linenumber")
       },
+      _.orderBy("l_orderkey", "l_linenumber"),
       Some(
         """SELECT l_orderkey, l_linenumber, 'd' AS operation
           |FROM lineitem
@@ -81,7 +81,7 @@ object RelateQueries extends QueryFamily {
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ── J3: keep-src routing (join-only namespace drops the source doc) ──
-    QueryDef(
+    QueryDef.sorted(
       "q23_keep_src",
       (s, dir) => {
         val changed = s.read.parquet(s"$dir/orders.parquet")
@@ -93,8 +93,8 @@ object RelateQueries extends QueryFamily {
             lit("app.customer").as("namespace"))
           .distinct()
           .groupBy("namespace").agg(count(lit(1)).as("n_docs"))
-          .orderBy("namespace")
       },
+      _.orderBy("namespace"),
       Some(
         """SELECT 'app.customer' AS namespace,
           |       count(DISTINCT c_custkey) AS n_docs
@@ -105,7 +105,7 @@ object RelateQueries extends QueryFamily {
     // (config-driven BFS with per-relation depth bounds + cycle guard,
     // monstache.go:1221-1358). Each depth's emitted-op count equals the
     // progressive join cardinality, which the oracle computes directly.
-    QueryDef(
+    QueryDef.sorted(
       "q26_relate_fanout",
       (s, dir) => {
         val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -126,8 +126,8 @@ object RelateQueries extends QueryFamily {
         Relate.fanOut(s, Map("app.lineitem" -> li), colls, rels)
           .groupBy("rel_namespace", "rel_depth")
           .agg(count(lit(1)).as("n"))
-          .orderBy("rel_depth", "rel_namespace")
       },
+      _.orderBy("rel_depth", "rel_namespace"),
       Some(
         """WITH seed AS (SELECT * FROM lineitem WHERE l_orderkey % 13 = 0),
           |d1 AS (SELECT o_orderkey, o_custkey FROM seed JOIN orders ON l_orderkey = o_orderkey),
@@ -142,7 +142,7 @@ object RelateQueries extends QueryFamily {
           |ORDER BY rel_depth, rel_namespace""".stripMargin)),
 
     // ── J5: find with sort + limit (top-3 updates per doc id) ────────────
-    QueryDef(
+    QueryDef.sorted(
       "q24_find_sort_limit",
       (s, dir) => {
         val env = EventLog.envelope(s, dir).filter(col("operation") === "u")
@@ -151,8 +151,8 @@ object RelateQueries extends QueryFamily {
         env.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("id"), col("rnk"), col("event_id"), col("value"))
-          .orderBy(col("id").cast("long"), col("rnk"))
       },
+      _.orderBy(col("id").cast("long"), col("rnk")),
       Some(
         s"""WITH ${EventLog.oracleCte},
            |updates AS (SELECT * FROM envelope WHERE operation = 'u'),

@@ -16,15 +16,15 @@ object SourceQueries extends QueryFamily {
     // ── Multimodal asset plumbing: opaque binary + typed metadata. The
     //    decode stays a stubbed Scala step (no codecs in this container,
     //    unit-tested); the schema/metadata derivation is oracle-checked.
-    QueryDef(
+    QueryDef.sorted(
       "q44_multimodal_meta",
       (s, dir) => Multimodal.assetsFromDocuments(
           s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
         .select(col("asset_id"), col("kind"),
           octet_length(col("content")).cast("long").as("n_bytes"),
           col("meta.width"), col("meta.height"), col("meta.sample_rate"),
-          col("meta.duration_ms"), col("meta.format"))
-        .orderBy("asset_id"),
+          col("meta.duration_ms"), col("meta.format")),
+      _.orderBy("asset_id"),
       Some(
         """WITH a AS (
           |  SELECT CAST(doc_id AS BIGINT) AS asset_id,
@@ -40,7 +40,7 @@ object SourceQueries extends QueryFamily {
           |FROM a ORDER BY asset_id""".stripMargin)),
 
     // ── J4 findId: broadcast point lookup with projection ────────────────
-    QueryDef(
+    QueryDef.sorted(
       "q40_find_id",
       (s, dir) => {
         val keys = s.read.parquet(s"$dir/orders.parquet")
@@ -49,8 +49,8 @@ object SourceQueries extends QueryFamily {
         val customer = s.read.parquet(s"$dir/customer.parquet")
         Lookups.findId(keys, customer, "c_custkey",
             Seq("c_name", "c_mktsegment", "c_acctbal"))
-          .orderBy("c_custkey")
       },
+      _.orderBy("c_custkey"),
       Some(
         """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
           |FROM customer
@@ -59,27 +59,27 @@ object SourceQueries extends QueryFamily {
 
     // ── J4 findOne: first match per group under a deterministic sort,
     //    via min_by (partial agg — no window sort at scale) ───────────────
-    QueryDef(
+    QueryDef.sorted(
       "q43_find_one",
       (s, dir) => Lookups.findOne(
           s.read.parquet(s"$dir/customer.parquet"),
           groupCol = "c_mktsegment", sortCol = "c_custkey",
-          select = Seq("c_custkey", "c_name"))
-        .orderBy("c_mktsegment"),
+          select = Seq("c_custkey", "c_name")),
+      _.orderBy("c_mktsegment"),
       Some(
         """SELECT c_mktsegment, min(c_custkey) AS c_custkey,
           |       min_by(c_name, c_custkey) AS c_name
           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // ── S7: file-content attach with the max-file-size cap ───────────────
-    QueryDef(
+    QueryDef.sorted(
       "q41_file_content",
       (s, dir) => FileContent.attach(
           s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
           "text", maxBytes = 300)
         .select(col("doc_id").cast("long"),
-          octet_length(col("text")).cast("long").as("n_bytes"), col("file"))
-        .orderBy("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"), col("file")),
+      _.orderBy("doc_id"),
       Some(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -88,7 +88,7 @@ object SourceQueries extends QueryFamily {
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── S4: dynamic namespace discovery → direct-read union ──────────────
-    QueryDef(
+    QueryDef.sorted(
       "q42_dynamic_direct_read",
       (s, dir) => {
         val nss = Discovery.filterNamespaces(
@@ -98,8 +98,8 @@ object SourceQueries extends QueryFamily {
         Discovery.directReadNamespaces(s, dir, nss)
           .groupBy("namespace", "source")
           .agg(count(lit(1)).as("n"))
-          .orderBy("namespace")
       },
+      _.orderBy("namespace"),
       Some(
         """SELECT * FROM (
           |  SELECT 'app.customer' AS namespace, 'direct_read' AS source, count(*) AS n FROM customer
