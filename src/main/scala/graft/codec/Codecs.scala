@@ -84,24 +84,35 @@ object Codecs {
     * (monstache.go:818-819 `opIDToString`). */
   def objectIdHex(bin: Column): Column = lower(hex(bin))
 
-  /** Binary subtype 0x03/0x04 (16 bytes) → dashed lowercase UUID string
-    * (monstachemap/encoding.go:58-76). */
+  /** Binary subtype 0x03/0x04 → dashed lowercase UUID string when the
+    * payload is the expected 16 bytes; any other length falls back to
+    * plain hex, exactly the reference's guard (monstachemap/encoding.go:
+    * 58-76 formats only len==16, default branch emits unformatted). */
   def binaryToUuid(bin: Column): Column = {
     val h = lower(hex(bin))
-    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
-      substring(h, 17, 4), substring(h, 21, 12))
+    when(length(h) === 32,
+      concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+        substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12)))
+      .otherwise(h)
   }
 
-  /** Binary (other subtypes) → base64 string (encoding.go:77-80). */
-  def binaryToBase64(bin: Column): Column = base64(bin)
+  /** Binary (other subtypes) → plain RFC-4648 base64 (encoding.go:77-80).
+    * Spark's `base64` emits MIME CRLF chunks every 76 chars when
+    * `spark.sql.chunkBase64String.enabled` is set; the reference never
+    * chunks, so strip any line breaks unconditionally. */
+  def binaryToBase64(bin: Column): Column =
+    regexp_replace(base64(bin), "[\\r\\n]", "")
 
-  /** Decimal128 → JSON value: raw decimal literal; NaN/±Inf → null
-    * (encoding.go:47-56). */
+  /** Decimal128 → JSON value: the raw literal at the source value's own
+    * scale (encoding.go:47-56 emits `primitive.Decimal128.String()`
+    * verbatim — up to 34 significant digits, no re-scaling); only NaN/±Inf
+    * are intercepted → null. A fixed-scale recast here would round >6-dp
+    * values and pad trailing zeros the reference does not emit. */
   def decimal128Json(c: Column): Column = {
     val d = c.cast("double")
     when(isnan(d) || abs(d) === lit(Double.PositiveInfinity),
       lit(null).cast("string"))
-      .otherwise(c.cast("decimal(38,6)").cast("string"))
+      .otherwise(c.cast("string"))
   }
 
   /** BSON DateTime → ISO-8601 with millis, UTC ("Z"); dates outside year

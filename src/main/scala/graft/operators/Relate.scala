@@ -59,18 +59,23 @@ object Relate {
     * stand-in for the reference's Mongo lookups). Returns the union of all
     * emitted related docs, tagged with the namespace they belong to
     * (`rel_namespace`) and the depth at which they were produced
-    * (`rel_depth`; 0 = a kept source doc).
+    * (`rel_depth`; 0 = an indexed source doc).
     *
     * Depth semantics follow the reference (monstache.go:1331-1335): each
     * relation's `maxDepth` bounds how deep *that* relation may fire;
-    * 0 means unbounded. Unbounded relations are cycle-guarded — a
-    * (namespace → withNamespace) edge fires at most once, so a cyclic
-    * relation graph terminates instead of unioning an unbounded lineage.
-    * `safetyCap` bounds the driver-side loop regardless.
+    * 0 means unbounded. An edge fires on every wave that reaches its
+    * source namespace — in a DAG where a namespace re-enters the frontier
+    * via a longer path, the later wave propagates onward too (the
+    * reference re-queues every synthetic op, monstache.go:1327-1341).
+    * Termination for *cyclic* unbounded graphs is `safetyCap` waves: the
+    * reference has no cycle guard at all and relies on relate-queue
+    * overflow dropping work (monstache.go:3397-3401); a deterministic
+    * depth cap replaces that load-shedding.
     *
-    * keep-src (monstache.go:3419-3462): a seed namespace's own docs are
-    * part of the output only when some relation on that namespace has
-    * `keepSrc = true`; otherwise the namespace is join-only. */
+    * Emission follows routeDataRelate (monstache.go:3419-3462), applied at
+    * every depth: docs of a namespace are indexed iff the namespace has no
+    * onward relations, or some onward relation has `keepSrc = true`;
+    * otherwise the namespace is join-only and its docs only propagate. */
   def fanOut(spark: SparkSession,
              seeds: Map[String, DataFrame],
              collections: Map[String, DataFrame],
@@ -79,11 +84,15 @@ object Relate {
     var out: Option[DataFrame] = None
     def emit(df: DataFrame): Unit =
       out = out.map(_.unionByName(df, allowMissingColumns = true)).orElse(Some(df))
+    def indexed(ns: String): Boolean = {
+      val onward = relations.filter(_.namespace == ns)
+      onward.isEmpty || onward.exists(_.keepSrc)
+    }
+    def tag(ns: String, df: DataFrame, depth: Int): DataFrame =
+      df.withColumn("rel_namespace", lit(ns)).withColumn("rel_depth", lit(depth))
 
-    for ((ns, df) <- seeds if relations.exists(r => r.namespace == ns && r.keepSrc))
-      emit(df.withColumn("rel_namespace", lit(ns)).withColumn("rel_depth", lit(0)))
+    for ((ns, df) <- seeds if indexed(ns)) emit(tag(ns, df, 0))
 
-    val takenEdges = scala.collection.mutable.Set[(String, String)]()
     var frontier: Map[String, DataFrame] = seeds
     var depth = 0
     while (frontier.nonEmpty && depth < safetyCap) {
@@ -93,21 +102,13 @@ object Relate {
         (ns, changed) <- frontier
         rel <- relations.filter(_.namespace == ns)
         coll <- collections.get(rel.withNamespace)
+        if rel.maxDepth == 0 || depth <= rel.maxDepth
       } {
-        val edge = (rel.namespace, rel.withNamespace)
-        val depthOk = rel.maxDepth == 0 || depth <= rel.maxDepth
-        val cycleOk = rel.maxDepth != 0 || !takenEdges.contains(edge)
-        if (depthOk && cycleOk) {
-          if (rel.maxDepth == 0) takenEdges += edge
-          val emitted = hop(changed, coll, rel)
-          produced(rel.withNamespace) = produced.get(rel.withNamespace)
-            .map(_.unionByName(emitted)).getOrElse(emitted)
-        }
+        val emitted = hop(changed, coll, rel)
+        produced(rel.withNamespace) = produced.get(rel.withNamespace)
+          .map(_.unionByName(emitted)).getOrElse(emitted)
       }
-      val tagged = produced.toSeq.map { case (ns, df) =>
-        df.withColumn("rel_namespace", lit(ns)).withColumn("rel_depth", lit(depth))
-      }
-      tagged.foreach(emit)
+      for ((ns, df) <- produced if indexed(ns)) emit(tag(ns, df, depth))
       frontier = produced.toMap
     }
     out.getOrElse(spark.emptyDataFrame)

@@ -99,18 +99,17 @@ case class TransformRegistry(
   }
 
   /** Post-mapping routing (doIndex, monstache.go:3295-3304): a dropped
-    * update becomes a delete (P11; version moves from the update offset +1
-    * to the delete offset +2 so it still wins LWW over the original
-    * update), a dropped insert vanishes, `m_skip` surfaces as `meta_skip`
-    * (doIndexing:3162 skips indexing but the op still flows). */
+    * update becomes a delete (P11) that KEEPS the update's version — the
+    * reference routes it to doDelete while `op.IsUpdate()` is still true,
+    * so tsVersion stamps the update offset +1, not the delete offset +2
+    * (monstache.go:4053-4063). A dropped insert vanishes; `m_skip`
+    * surfaces as `meta_skip` (doIndexing:3162 skips indexing but the op
+    * still flows). */
   def finalizeOps(df: DataFrame): DataFrame = {
     val d = Mapper.ensureControls(df)
     d.filter(!(col("m_drop") && col("operation") === "i"))
       .withColumn("document",
         when(col("m_drop"), lit(null).cast("string")).otherwise(col("document")))
-      .withColumn("version",
-        when(col("m_drop") && col("operation") === "u", col("version") + 1)
-          .otherwise(col("version")))
       .withColumn("operation",
         when(col("m_drop") && col("operation") === "u", "d")
           .otherwise(col("operation")))

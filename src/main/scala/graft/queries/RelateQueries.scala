@@ -110,14 +110,18 @@ object RelateQueries extends QueryFamily {
       (s, dir) => {
         val li = s.read.parquet(s"$dir/lineitem.parquet")
           .filter(col("l_orderkey") % 13 === 0)
+        // keepSrc on every hop: all depths are indexed, including the
+        // depth-0 seeds (without it the intermediate namespaces would be
+        // join-only and only region docs would surface)
         val rels = Seq(
-          Relation("app.lineitem", "app.orders", "l_orderkey", "o_orderkey"),
+          Relation("app.lineitem", "app.orders", "l_orderkey", "o_orderkey",
+            keepSrc = true),
           Relation("app.orders", "app.customer", "o_custkey", "c_custkey",
-            broadcastRelated = true),
+            keepSrc = true, broadcastRelated = true),
           Relation("app.customer", "app.nation", "c_nationkey", "n_nationkey",
-            broadcastRelated = true),
+            keepSrc = true, broadcastRelated = true),
           Relation("app.nation", "app.region", "n_regionkey", "r_regionkey",
-            broadcastRelated = true))
+            keepSrc = true, broadcastRelated = true))
         val colls = Map(
           "app.orders" -> s.read.parquet(s"$dir/orders.parquet"),
           "app.customer" -> s.read.parquet(s"$dir/customer.parquet"),
@@ -135,7 +139,8 @@ object RelateQueries extends QueryFamily {
           |d3 AS (SELECT n_nationkey, n_regionkey FROM d2 JOIN nation ON c_nationkey = n_nationkey),
           |d4 AS (SELECT r_regionkey FROM d3 JOIN region ON n_regionkey = r_regionkey)
           |SELECT * FROM (
-          |  SELECT 'app.orders' AS rel_namespace, 1 AS rel_depth, count(*) AS n FROM d1
+          |  SELECT 'app.lineitem' AS rel_namespace, 0 AS rel_depth, count(*) AS n FROM seed
+          |  UNION ALL SELECT 'app.orders', 1, count(*) FROM d1
           |  UNION ALL SELECT 'app.customer', 2, count(*) FROM d2
           |  UNION ALL SELECT 'app.nation', 3, count(*) FROM d3
           |  UNION ALL SELECT 'app.region', 4, count(*) FROM d4)

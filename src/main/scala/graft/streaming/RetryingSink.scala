@@ -22,8 +22,11 @@ object RetryingSink {
     math.min(capMs, baseMs * (1L << math.min(attempt, 30)))
 
   /** Run `write`, retrying transient failures up to `maxRetries` with
-    * exponential backoff. Counts attempts via the returned value for
-    * observability. */
+    * exponential backoff. Only non-fatal errors retry: a fatal error
+    * (OutOfMemoryError, linkage...) must kill the task immediately, not
+    * sleep through an hour-long backoff on a dying executor, and an
+    * interrupt (task kill / query stop) restores the flag and rethrows so
+    * cancellation is never swallowed. */
   def withRetry[T](maxRetries: Int, baseMs: Long = 60000L,
                    capMs: Long = 3600000L,
                    sleep: Long => Unit = Thread.sleep)(write: => T): T = {
@@ -31,7 +34,10 @@ object RetryingSink {
     while (true) {
       try return write
       catch {
-        case e: Throwable if attempt < maxRetries =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
           sleep(backoffMillis(attempt, baseMs, capMs))
           attempt += 1
       }

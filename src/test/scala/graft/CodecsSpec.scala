@@ -83,15 +83,26 @@ class CodecsSpec extends AnyFunSuite {
     assert(got.getString(2) ==
       java.util.Base64.getEncoder.encodeToString(
         Array(0x01, 0x23, 0x45, 0x67, 0x89, 0xab, 0xcd, 0xef).map(_.toByte)))
+    // non-16-byte payloads fall back to plain hex (encoding.go default branch)
+    val fallback = Seq("0badf00d").toDF("h")
+      .select(Codecs.binaryToUuid(unhex(col("h"))).as("u"))
+      .as[String].collect().head
+    assert(fallback == "0badf00d")
   }
 
-  test("decimal128Json: decimal literal, NaN/Inf → null (encoding.go:47-56)") {
+  test("decimal128Json: raw literal at source scale, NaN/Inf → null (encoding.go:47-56)") {
     val got = Seq(1.5, Double.NaN, Double.PositiveInfinity, -2.25)
       .toDF("v").select(Codecs.decimal128Json(col("v")).as("s"))
       .collect().map(r => Option(r.getString(0)))
-    assert(got(0).contains("1.500000"))
+    // the source value's own scale, not a fixed-scale recast ("1.500000")
+    assert(got(0).contains("1.5"))
     assert(got(1).isEmpty && got(2).isEmpty)
-    assert(got(3).contains("-2.250000"))
+    assert(got(3).contains("-2.25"))
+    // a decimal source keeps its declared scale and survives > 6 dp
+    val dec = Seq("1.23456789", "42.10")
+      .toDF("s").select(Codecs.decimal128Json(col("s").cast("decimal(20,8)")).as("j"))
+      .as[String].collect().toSeq
+    assert(dec == Seq("1.23456789", "42.10000000"))
   }
 
   test("bsonDateString: ISO millis UTC; years outside [0,9999] → null") {

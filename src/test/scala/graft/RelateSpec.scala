@@ -15,25 +15,50 @@ class RelateSpec extends AnyFunSuite {
   private def collA = Seq((1, 10), (2, 20)).toDF("a_id", "b_ref")
   private def collB = Seq((10, 1), (20, 2)).toDF("b_id", "a_ref")
 
-  test("maxDepth=0 is unbounded but a relation cycle terminates") {
+  test("maxDepth=0 is unbounded but a relation cycle terminates at safetyCap") {
     val rels = Seq(
-      Relation("a", "b", "b_ref", "b_id", maxDepth = 0),
-      Relation("b", "a", "a_ref", "a_id", maxDepth = 0))
+      Relation("a", "b", "b_ref", "b_id", keepSrc = true, maxDepth = 0),
+      Relation("b", "a", "a_ref", "a_id", keepSrc = true, maxDepth = 0))
     val out = Relate.fanOut(spark,
       seeds = Map("a" -> collA.filter(col("a_id") === 1)),
       collections = Map("a" -> collA, "b" -> collB),
-      relations = rels)
+      relations = rels, safetyCap = 5)
     val byDepth = out.groupBy("rel_depth", "rel_namespace").count()
       .as[(Int, String, Long)].collect().toSet
-    // depth 1: a→b fires once; depth 2: b→a fires once; then the cycle guard
-    // stops re-firing a→b, so the loop ends instead of looping to safetyCap
-    assert(byDepth == Set((1, "b", 1L), (2, "a", 1L)))
+    // the cycle alternates a→b→a…, one doc per wave, truncated after 5
+    // waves (the reference has no cycle guard — it load-sheds on queue
+    // overflow; the cap is the deterministic replacement)
+    assert(byDepth == Set((0, "a", 1L), (1, "b", 1L), (2, "a", 1L),
+      (3, "b", 1L), (4, "a", 1L), (5, "b", 1L)))
+  }
+
+  test("a DAG re-entry wave still propagates onward (no global edge guard)") {
+    // a→b and a→c→b: b gets waves at depth 1 and depth 2; b→d must fire
+    // for BOTH waves (ADVICE r2: a global once-per-edge guard dropped the
+    // second wave's d docs, diverging from monstache.go:1327-1341)
+    val a = Seq((1, 100, 200)).toDF("a_id", "b_ref", "c_ref")
+    val b = Seq((100, 7), (300, 7)).toDF("b_id", "d_ref")
+    val c = Seq((200, 300)).toDF("c_id", "b_ref2")
+    val d = Seq((7, "leaf")).toDF("d_id", "d_val")
+    val rels = Seq(
+      Relation("a", "b", "b_ref", "b_id"),
+      Relation("a", "c", "c_ref", "c_id"),
+      Relation("c", "b", "b_ref2", "b_id"),
+      Relation("b", "d", "d_ref", "d_id"))
+    val out = Relate.fanOut(spark,
+      seeds = Map("a" -> a),
+      collections = Map("b" -> b, "c" -> c, "d" -> d),
+      relations = rels)
+    val dWaves = out.filter(col("rel_namespace") === "d")
+      .select("rel_depth").as[Int].collect().toSeq.sorted
+    // d reached from the depth-1 b wave (at 2) and the depth-2 b wave (at 3)
+    assert(dWaves == Seq(2, 3))
   }
 
   test("per-relation maxDepth bounds only that relation") {
     val rels = Seq(
-      Relation("a", "b", "b_ref", "b_id", maxDepth = 1),
-      Relation("b", "a", "a_ref", "a_id", maxDepth = 1))
+      Relation("a", "b", "b_ref", "b_id", keepSrc = true, maxDepth = 1),
+      Relation("b", "a", "a_ref", "a_id", keepSrc = true, maxDepth = 1))
     val out = Relate.fanOut(spark,
       seeds = Map("a" -> collA.filter(col("a_id") === 1)),
       collections = Map("a" -> collA, "b" -> collB),
@@ -41,7 +66,25 @@ class RelateSpec extends AnyFunSuite {
     // a→b allowed at depth 1; b→a would need depth 2 > its maxDepth=1
     val byDepth = out.groupBy("rel_depth", "rel_namespace").count()
       .as[(Int, String, Long)].collect().toSet
-    assert(byDepth == Set((1, "b", 1L)))
+    assert(byDepth == Set((0, "a", 1L), (1, "b", 1L)))
+  }
+
+  test("join-only intermediate namespaces are not emitted at any depth") {
+    // chain a→b→d where b is join-only (has an onward relation, none
+    // keepSrc): b's docs propagate to d but are not indexed themselves
+    // (routeDataRelate, monstache.go:3419-3462)
+    val a = Seq((1, 100)).toDF("a_id", "b_ref")
+    val b = Seq((100, 7)).toDF("b_id", "d_ref")
+    val d = Seq((7, "leaf")).toDF("d_id", "d_val")
+    val rels = Seq(
+      Relation("a", "b", "b_ref", "b_id"),
+      Relation("b", "d", "d_ref", "d_id"))
+    val out = Relate.fanOut(spark,
+      seeds = Map("a" -> a),
+      collections = Map("b" -> b, "d" -> d),
+      relations = rels)
+    val nss = out.select("rel_namespace").as[String].collect().toSet
+    assert(nss == Set("d")) // a join-only (rel, no keepSrc); b join-only; d leaf
   }
 
   test("keepSrc emits the seed docs at depth 0; join-only namespaces do not") {

@@ -40,6 +40,25 @@ class RetryingSinkSpec extends AnyFunSuite {
     assert(e.getMessage == "down" && calls == 3)
   }
 
+  test("fatal errors and interrupts never retry (ADVICE r2)") {
+    // a fatal error fails fast instead of sleeping through backoff
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      RetryingSink.withRetry(maxRetries = 5, baseMs = 1, sleep = _ => ()) {
+        calls += 1; throw new OutOfMemoryError("boom")
+      }
+    }
+    assert(calls == 1)
+    // an interrupt rethrows and restores the thread's interrupt status
+    var icalls = 0
+    intercept[InterruptedException] {
+      RetryingSink.withRetry(maxRetries = 5, baseMs = 1, sleep = _ => ()) {
+        icalls += 1; throw new InterruptedException("stop")
+      }
+    }
+    assert(icalls == 1 && Thread.interrupted()) // interrupted() also clears
+  }
+
   test("observed bulk stats surface per-batch counters (A3/K5)") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark

@@ -42,7 +42,10 @@ class TransformRegistrySpec extends AnyFunSuite {
     val byId = out.select("event_id", "operation", "version", "document")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
     assert(!byId.contains(1L)) // dropped insert is gone
-    assert(byId(2L) == (("d", 21L, null))) // dropped update → delete, version+1 (u+1 → d+2)
+    // dropped update → delete but the version keeps the UPDATE offset +1:
+    // the reference versions it via tsVersion while op.IsUpdate() is still
+    // true (doIndex → doDelete, monstache.go:3295-3304, 4053-4063)
+    assert(byId(2L) == (("d", 20L, null)))
     assert(byId(3L)._1 == "u") // k=3 survives
     assert(byId(5L) == (("d", 40L, null))) // original delete untouched
   }
