@@ -3,15 +3,84 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.operators.{FileContent, Lookups}
-import graft.source.Discovery
+import graft.operators.{FileContent, Lookups, PipelineRegistry}
+import graft.source.{Discovery, EventLog, Shards}
 
-/** Source/lookup queries: dynamic namespace discovery (S4), GridFS-analog
-  * file content (S7), the findId/findOne script builtins (J4), and the
-  * multimodal asset schema. */
+/** Source/lookup queries: dynamic namespace discovery (S4), sharded
+  * fan-in + per-stream resume tokens (S6/T2), pipeline pushdown (A1),
+  * GridFS-analog file content (S7), the findId/findOne script builtins
+  * (J4), and the multimodal asset schema. */
 object SourceQueries extends QueryFamily {
 
   val queries: Seq[QueryDef] = Seq(
+
+    // ── S6/T2: sharded fan-in. Three "shards" tail disjoint slices of
+    //    the oplog; a fourth (a direct-read) is hot-added to the union.
+    //    Resume tokens = furthest version per stream id, what saveTokens
+    //    persists each checkpoint tick (monstache.go:1658-1687). ─────────
+    QueryDef.sorted(
+      "q47_shard_fanin",
+      (s, dir) => {
+        val env = EventLog.envelope(s, dir)
+        val shards = (0 until 3).map(i =>
+          s"shard-$i" -> env.filter(col("event_id") % 3 === i))
+        val hotAdded = "shard-orders" ->
+          EventLog.directRead(s, dir, "orders", "o_orderkey", "app.orders")
+        Shards.resumeTokens(Shards.fanIn(shards :+ hotAdded))
+      },
+      _.orderBy("stream_id"),
+      Some(
+        s"""WITH ${EventLog.oracleCte},
+           |tagged AS (
+           |  SELECT 'shard-' || CAST(event_id % 3 AS VARCHAR) AS stream_id, version
+           |  FROM envelope
+           |  UNION ALL
+           |  SELECT 'shard-orders', 0 FROM orders)
+           |SELECT stream_id, max(version) AS resume_token, count(*) AS n_ops
+           |FROM tagged GROUP BY stream_id ORDER BY stream_id""".stripMargin)),
+
+    // ── A1: per-namespace pipeline pushdown. The registry's stages are
+    //    applied at the source, so the $match lands in PushedFilters and
+    //    the $project prunes the read schema (PlanAuditSpec pins this);
+    //    change-stream and direct-read paths get different stages via the
+    //    changeEvent flag (monstache.go:4357-4377). ──────────────────────
+    QueryDef.sorted(
+      "q48_pipeline_pushdown",
+      (s, dir) => {
+        val reg = PipelineRegistry(Map(
+          "" -> ((_, ce) =>
+            if (ce) Seq(df => df.filter(col("value").isNotNull)) else Seq.empty),
+          "app.events" -> ((_, ce) =>
+            if (ce) Seq(
+              df => df.filter(col("value") > 50),
+              df => df.select("event_id", "user_id", "value"))
+            else Seq.empty),
+          "app.orders" -> ((_, ce) =>
+            if (!ce) Seq(df => df.filter(col("o_orderkey") % 100 === 0))
+            else Seq.empty)))
+        val stream = reg(s.read.parquet(s"$dir/events.parquet"),
+            "app.events", changeEvent = true)
+          .select(lit("stream").as("path"), col("value"))
+        val direct = reg(s.read.parquet(s"$dir/orders.parquet"),
+            "app.orders", changeEvent = false)
+          .select(lit("direct").as("path"),
+            col("o_totalprice").cast("double").as("value"))
+        stream.unionByName(direct)
+          .groupBy("path")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      },
+      _.orderBy("path"),
+      Some(
+        """WITH u AS (
+          |  SELECT 'stream' AS path, value FROM events
+          |  WHERE value IS NOT NULL AND value > 50
+          |  UNION ALL
+          |  SELECT 'direct', CAST(o_totalprice AS DOUBLE) FROM orders
+          |  WHERE o_orderkey % 100 = 0)
+          |SELECT path, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          |FROM u GROUP BY path ORDER BY path""".stripMargin)),
 
     // ── Multimodal asset plumbing: opaque binary + typed metadata. The
     //    decode stays a stubbed Scala step (no codecs in this container,

@@ -37,6 +37,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(fmt(df).contains("GreaterThan(value,99.5)"))
   }
 
+  test("pipeline registry $match/$project reach the scan (A1 pushdown)") {
+    val reg = graft.operators.PipelineRegistry(Map(
+      "app.events" -> ((_, _) => Seq(
+        df => df.filter(col("user_id") < 100),
+        df => df.select("event_id", "user_id")))))
+    val plan = fmt(reg(spark.read.parquet(s"$dir/events.parquet"),
+      "app.events", changeEvent = true))
+    assert(plan.contains("LessThan(user_id,100)"), s"stage not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props"), s"stage did not prune: $readSchema")
+  }
+
   test("relate chain broadcasts its dimension tables") {
     val plan = fmt(SparkEntry.queries("q21_relate_chain")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

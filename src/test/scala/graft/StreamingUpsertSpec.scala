@@ -73,6 +73,28 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(once == twice)
   }
 
+  test("post-process hook (K6) sees every batch after its merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ops = mkOps(120)
+    val stateDir = Files.createTempDirectory("graft-state3").toString
+    val ckptDir = Files.createTempDirectory("graft-ckpt3").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val src = MemoryStream[ChangeEvent]
+    src.addData(ops)
+    val q = StreamingUpsert.start(src.toDF(), stateDir, ckptDir,
+      postProcess = (batch, id) => seen.synchronized {
+        // the hook runs after the merge (runProcessor is downstream of
+        // doIndex, monstache.go:3306-3326): state must already hold it
+        val merged = StreamingUpsert.latestState(spark, stateDir).isDefined
+        seen += ((id, batch.count(), merged))
+      })
+    q.awaitTermination()
+    val rows = seen.synchronized(seen.toList)
+    assert(rows.map(_._2).sum == 120) // every op handed to the hook once
+    assert(rows.forall(_._3), "hook ran before the state merge")
+  }
+
   test("keyed-state winners stream equals batch winners (T6)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
