@@ -16,8 +16,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    val spark = GraftSession.ensure(GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     def runToNoop(name: String): Unit =

@@ -25,11 +25,13 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Ensure runtime confs are present even on a session we did not build
-    * (the driver's Verify/Bench mains build their own). */
+  /** Ensure runtime confs and native functions are present even on a
+    * session we did not build (the driver's Verify/Bench mains build
+    * their own). Idempotent. */
   def ensure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native left-fold dot product over two `array<double>` columns.
+  *
+  * This is the engine's one custom Catalyst expression: a tight numeric
+  * loop evaluated O(pairs·dim) times inside similarity search, where the
+  * preference order of the build (builtin > native Expression > UDF)
+  * bottoms out — the builtin form (`aggregate(zip_with(...))`) is an
+  * interpreted higher-order function, and a Scala UDF pays
+  * serialization/boxing at every call. `doGenCode` splices a primitive
+  * `while` loop over the unsafe array data straight into whole-stage
+  * codegen: no allocation, no boxing, no virtual calls.
+  *
+  * The accumulation order is the same left-to-right fold as the DuckDB
+  * oracle's `list_sum(list_transform(...))`, so cosines stay
+  * bit-identical across engines (floating-point addition is not
+  * associative — order is part of the contract).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native functions. Uses the session's
+  * function registry directly (idempotent, safe on sessions the library
+  * did not build — the same surface `SparkSessionExtensions.injectFunction`
+  * feeds at session build time). */
+object GraftFunctions {
+  val DotName = "graft_dot"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(DotName)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[DotProduct].getName, DotName),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+  }
+}

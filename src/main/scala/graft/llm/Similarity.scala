@@ -21,23 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double-array columns.
-    *
-    * A compiled UDF, not `aggregate(zip_with(...))`: Catalyst higher-order
-    * functions are interpreted (CodegenFallback) and allocate a lambda
-    * frame per element, which made the fold itself the bottleneck of every
-    * pair comparison. The while-loop accumulates in exactly the same
-    * index order as the SQL fold, so results stay bit-identical to the
-    * DuckDB oracle's `list_sum(list_transform(...))`. */
-  private val dotUdf = udf { (x: Seq[Double], y: Seq[Double]) =>
-    var acc = 0.0d
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { acc += x(i) * y(i); i += 1 }
-    acc
-  }
-
-  def dot(x: Column, y: Column): Column = dotUdf(x, y)
+  /** Left-fold dot product of two double-array columns, backed by the
+    * engine's native codegen expression [[graft.functions.DotProduct]]
+    * (`aggregate(zip_with(...))` is interpreted and a Scala UDF boxes
+    * every element; the custom Expression splices a primitive loop into
+    * whole-stage codegen). Same left-to-right accumulation order as the
+    * DuckDB oracle's `list_sum(list_transform(...))` — bit-identical.
+    * Requires [[graft.GraftSession.ensure]] on sessions the library did
+    * not build. */
+  def dot(x: Column, y: Column): Column =
+    call_function(graft.functions.GraftFunctions.DotName, x, y)
 
   /** Elementwise-fold cosine between two double-array columns. */
   def cosine(a: Column, b: Column): Column =

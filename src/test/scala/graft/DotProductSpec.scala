@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** The native DotProduct expression: value parity with the interpreted
+  * SQL fold (the oracle's arithmetic), null behavior, and codegen
+  * participation. */
+class DotProductSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(0.1, 0.2), Seq(0.3, 0.4)),
+    (Seq.empty[Double], Seq.empty[Double])
+  ).toDF("a", "b")
+
+  test("matches the interpreted aggregate(zip_with(...)) fold bit for bit") {
+    val got = df.select(
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+          lit(0.0d), (acc, v) => acc + v).as("slow"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, slow) => assert(fast == slow) }
+    assert(got.head._1 == 32.0)
+  }
+
+  test("null input yields null (BinaryExpression null-safety)") {
+    val r = Seq((Seq(1.0), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("stays inside whole-stage codegen (no CodegenFallback)") {
+    // a parquet-backed frame so the projection isn't constant-folded away
+    val scan = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(array(col("value"), col("value") * 2).as("a"),
+        array(col("value") * 3, col("value")).as("b"))
+    val q = scan.select(Similarity.dot(col("a"), col("b")).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the "*(n)" marker flags operators inside a WholeStageCodegen span;
+    // a CodegenFallback expression would strip it from its Project
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_dot") && l.trim.startsWith("*(")),
+      s"graft_dot not inside a codegen span:\n$plan")
+    // and it actually evaluates: 3v² + 2v²  = 5v²
+    val row = q.agg(count(lit(1))).collect()
+    assert(row.head.getLong(0) > 0)
+  }
+}

@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   * suites must not stop it). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.configure(
+    val s = GraftSession.ensure(GraftSession.configure(
       SparkSession.builder().master("local[2]").appName("graft-test"), "4"
-    ).getOrCreate()
+    ).getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     s
   }
