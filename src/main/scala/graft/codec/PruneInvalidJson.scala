@@ -1,0 +1,66 @@
+package graft.codec
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** P7, the recursive half: prune NaN/±Inf numbers and out-of-range dates
+  * *inside* a document, not just at top level — `fixPruneInvalidJSON`
+  * walks maps and slices removing float NaN/Inf and `time.Time` values
+  * with year outside [0, 9999] (monstache.go:878-950; the opt-in
+  * `prune-invalid-json` flag).
+  *
+  * In the engine's JSON-string document model the invalid values surface
+  * two ways: as non-finite numerics (when a parser admits the literals)
+  * and as the quoted `"NaN"`/`"Infinity"`/`"-Infinity"` strings Spark's
+  * JSON writer emits for non-finite doubles. Dates are ISO-8601 strings,
+  * so the year test reads the leading year field. Both are pruned, at any
+  * nesting depth, in objects and arrays alike.
+  *
+  * Scalar UDF by design, like [[JsonMergePatch]]: recursive work over
+  * dynamic shapes is row-local; the surrounding plan stays column
+  * algebra. Output is canonical (sorted keys, compact) so it is
+  * hash-comparable against an oracle that constructs the same document
+  * textually.
+  */
+object PruneInvalidJson {
+
+  /** Lenient parser: admits the bare NaN/Infinity literals (the BSON
+    * side of the reference can hold them; strict JSON cannot). */
+  private val lenientMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS,
+      true)
+    m
+  }
+
+  private val IsoDate = "^([+-]?)(\\d{1,6})-\\d{2}-\\d{2}T.*".r
+
+  private def invalidString(s: String): Boolean = s match {
+    case "NaN" | "Infinity" | "-Infinity" => true
+    case IsoDate(sign, year) => sign == "-" || year.toInt > 9999
+    case _ => false
+  }
+
+  private def invalid(v: JValue): Boolean = v match {
+    case JDouble(d) => d.isNaN || d.isInfinite
+    case JString(s) => invalidString(s)
+    case _ => false
+  }
+
+  def pruneAst(v: JValue): JValue = v match {
+    case JObject(fields) =>
+      JObject(fields.collect {
+        case (k, x) if !invalid(x) => k -> pruneAst(x)
+      }.sortBy(_._1))
+    case JArray(xs) => JArray(xs.filterNot(invalid).map(pruneAst))
+    case other => other
+  }
+
+  /** Prune a JSON document string; null passes through (deletes carry no
+    * document). */
+  def prune(json: String): String =
+    if (json == null) null
+    else JsonMethods.compact(JsonMethods.render(
+      pruneAst(JsonMethods.fromJsonNode(lenientMapper.readTree(json)))))
+}

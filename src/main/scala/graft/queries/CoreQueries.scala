@@ -187,6 +187,49 @@ object CoreQueries extends QueryFamily {
           |       (isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE)) AS was_pruned
           |FROM raw ORDER BY event_id""".stripMargin)),
 
+    // ── P7 recursive: prune NaN/Inf and out-of-range dates INSIDE docs
+    // (fixPruneInvalidJSON walks maps/slices, monstache.go:878-950). The
+    // fixture builds a nested doc {"k":int, "n":{"w":num}, "t":iso}:
+    // w is NaN / Infinity / a whole double by event_id mod 3 (Spark's
+    // JSON writer quotes non-finite doubles, so the invalid cases arrive
+    // as the "NaN"/"Infinity" strings the pruner recognizes); t's year
+    // overflows 9999 on odd events. The oracle constructs the pruned
+    // canonical document textually.
+    QueryDef.sorted(
+      "q49_prune_recursive",
+      (s, dir) => {
+        val pruneUdf = udf((doc: String) => graft.codec.PruneInvalidJson.prune(doc))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val k = (col("event_id") % 50).cast("int")
+        val w = when(col("event_id") % 3 === 0, lit(Double.NaN))
+          .when(col("event_id") % 3 === 1, lit(Double.PositiveInfinity))
+          .otherwise((k + 1).cast("double"))
+        val ts = timestamp_micros(
+          expr("ts div 1000") + (col("event_id") % 2) * 300000000000000000L)
+        val doc = to_json(struct(
+          k.as("k"),
+          struct(w.as("w")).as("n"),
+          concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")).as("t")))
+        ev.select(col("event_id"), pruneUdf(doc).as("pruned"))
+      },
+      _.orderBy("event_id"),
+      Some(
+        """WITH f AS (
+          |  SELECT event_id,
+          |         CAST(event_id % 50 AS INTEGER) AS k,
+          |         (event_id % 3) AS wm,
+          |         CAST(CAST(event_id % 50 AS INTEGER) + 1 AS DOUBLE) AS wv,
+          |         make_timestamp(epoch_us(ts) + (event_id % 2) * 300000000000000000) AS big_ts
+          |  FROM events)
+          |SELECT event_id,
+          |       '{"k":' || k ||
+          |       ',"n":{' || CASE WHEN wm = 2 THEN '"w":' || CAST(wv AS VARCHAR) ELSE '' END || '}' ||
+          |       CASE WHEN year(big_ts) BETWEEN 0 AND 9999
+          |            THEN ',"t":"' || strftime(big_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z"'
+          |            ELSE '' END ||
+          |       '}' AS pruned
+          |FROM f ORDER BY event_id""".stripMargin)),
+
     // ── P6/P8: BSON id + date codecs over a mixed-type id fixture.
     // Every 5th user gets a different id shape (numeric, ObjectID-hex,
     // UUID, base64-binary, plain string), derived from md5 so the binary
