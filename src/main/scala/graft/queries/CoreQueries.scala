@@ -480,6 +480,44 @@ object CoreQueries extends QueryFamily {
           |FROM laged
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
 
+    // ── K1 index-as-update: doc-as-upsert partial merge. Updates carry
+    // field x only when k%5≠0, so the merged doc must keep x from the
+    // last update that HAD it while b/k advance to the newest values —
+    // the BulkUpdateRequest merge the reference switches to under
+    // `index-as-update` (monstache.go:3203-3215).
+    QueryDef.sorted(
+      "q50_index_as_update",
+      (s, dir) => {
+        val k = get_json_object(col("document"), "$.k").cast("int")
+        val enriched = EventLog.envelope(s, dir)
+          .filter(col("namespace") === "app.t1")
+          .withColumn("b", floor(col("value")).cast("int"))
+          .withColumn("k", k)
+          .withColumn("x", when(k % 5 =!= 0, k % 7))
+        Upsert.indexAsUpdate(enriched, Seq("b", "k", "x"))
+      },
+      _.orderBy(col("id").cast("long")),
+      Some(withEnvelope(
+        """, en AS (
+          |  SELECT id, version, event_id,
+          |         CAST(floor(value) AS INTEGER) AS b,
+          |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
+          |         CASE WHEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 5 <> 0
+          |              THEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 7 END AS x
+          |  FROM envelope
+          |  WHERE namespace = 'app.t1' AND operation IN ('i','u')),
+          |keyed AS (
+          |  SELECT *, lpad(CAST(version AS VARCHAR), 20, '0')
+          |         || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+          |  FROM en)
+          |SELECT id,
+          |       arg_max(b, ord) FILTER (WHERE b IS NOT NULL) AS b,
+          |       arg_max(k, ord) FILTER (WHERE k IS NOT NULL) AS k,
+          |       arg_max(x, ord) FILTER (WHERE x IS NOT NULL) AS x,
+          |       max(version) AS merged_version
+          |FROM keyed GROUP BY id
+          |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
+
     // ── §2.6: multi-source union fan-in (stream + direct read) ───────────
     QueryDef.sorted(
       "q14_union_fanin",

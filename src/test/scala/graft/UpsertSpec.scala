@@ -31,6 +31,26 @@ class UpsertSpec extends AnyFunSuite {
       }
   }
 
+  test("indexAsUpdate merges per field: latest non-null wins, gaps survive") {
+    import org.apache.spark.sql.functions._
+    // id 1: v1 sets (a=1, b=10); v2 sets only a=2  → merged (a=2, b=10)
+    // id 2: v1 sets only b=5; v2 sets only a=7     → merged (a=7, b=5)
+    // deletes are ignored by the merge path
+    val df = Seq(
+      (1L, "1", "i", 1L, Some(1), Some(10)),
+      (2L, "1", "u", 2L, Some(2), None),
+      (3L, "2", "i", 1L, None, Some(5)),
+      (4L, "2", "u", 2L, Some(7), None),
+      (5L, "2", "d", 3L, None, None)
+    ).toDF("event_id", "id", "operation", "version", "a", "b")
+    val got = Upsert.indexAsUpdate(df, Seq("a", "b"))
+      .select("id", "a", "b", "merged_version")
+      .as[(String, Option[Int], Option[Int], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("1") == ((Some(2), Some(10), 2L)))
+    assert(got("2") == ((Some(7), Some(5), 2L)))
+  }
+
   test("liveDocuments/tombstones match a sequential max-version replay") {
     for (seed <- Seq(1L, 2L, 3L)) {
       val ops = genOps(seed)
