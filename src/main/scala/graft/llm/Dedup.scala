@@ -73,6 +73,48 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  /** Duplicate-cluster resolution: connected components over verified
+    * near-dup pairs, the step that turns pairwise matches into keep/drop
+    * decisions (cluster representative = min id). Pregel-style min-label
+    * propagation: every node starts as its own label; each round takes the
+    * min over neighbors; fixpoint in O(component diameter) rounds — dup
+    * clusters are shallow (stars around an original), so this converges in
+    * 2-3 rounds. Each round is one join + partial-aggregated groupBy on
+    * the (small) pair set, not the corpus; the driver-side loop carries
+    * only a changed-row count per round. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round: iterative self-joins
+    // compound the logical plan exponentially without a lineage cut —
+    // the planner, not the data, is what blows up. On a cluster with
+    // lineage-durability requirements this becomes checkpoint() into the
+    // checkpoint dir; the algorithm is unchanged.
+    val edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
+        .groupBy(col("a").as("n")).agg(min("lbl").as("nbl"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("n", "n2"), col("n") === col("n2"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "n")
+        .filter(col("lbl") < col("old")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+  }
+
   /** 32-bit SimHash over hashed shingles: bit b of the fingerprint is set
     * when at least half the shingle hashes have bit b set (deterministic
     * ≥ tie-break). Near-dup docs land in the same high-bit bucket.

@@ -53,6 +53,40 @@ object LlmQueries extends QueryFamily {
        |         array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')
        |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** The Spark twin of [[varCorpusSql]]: originals plus truncated variants
+    * (shared by the minhash-LSH and cluster queries). */
+  private def varCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+    val ws = words(col("text"))
+    val vars = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VarOffset).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
+    docs.unionByName(vars)
+  }
+
+  /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)` — the LSH
+    * candidate/verification structure shared by q31 and q51. */
+  private val pairsCtes: String =
+    s"""$varCorpusSql,
+       |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+       |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
+       |hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
+       |sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM hsh),
+       |bk AS (SELECT doc_id, sh, ${TextHash.sqlBandKeys("sig")} AS bkeys FROM sig),
+       |bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
+       |                 unnest(range(0, $NumBands)) AS band_idx FROM bk),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |          AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b,
+       |                 len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+       |          FROM cand
+       |          JOIN bk sa ON sa.doc_id = cand.id_a
+       |          JOIN bk sb ON sb.doc_id = cand.id_b)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: one shuffle on md5(text) ────────────────────────────
@@ -80,42 +114,40 @@ object LlmQueries extends QueryFamily {
     //    verification; never all-pairs ────────────────────────────────────
     QueryDef.sorted(
       "q31_minhash_lsh",
-      (s, dir) => {
-        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text"))
-        val ws = words(col("text"))
-        val vars = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + VarOffset).as("doc_id"),
-            concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
-        val corpus = docs.unionByName(vars)
-        Dedup.verifiedNearDupPairs(corpus)
-          .select(col("id_a").cast("long"), col("id_b").cast("long"),
-            col("inter").cast("long"), col("uni").cast("long"))
-      },
+      (s, dir) => Dedup.verifiedNearDupPairs(varCorpus(s, dir))
+        .select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("inter").cast("long"), col("uni").cast("long")),
       _.orderBy("id_a", "id_b"),
       Some(
-        s"""WITH $varCorpusSql,
-           |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
-           |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
-           |hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
-           |sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM hsh),
-           |bk AS (SELECT doc_id, sh, ${TextHash.sqlBandKeys("sig")} AS bkeys FROM sig),
-           |bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
-           |                 unnest(range(0, $NumBands)) AS band_idx FROM bk),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |          AND a.doc_id < b.doc_id),
-           |pairs AS (SELECT id_a, id_b,
-           |                 len(list_intersect(sa.sh, sb.sh)) AS inter,
-           |                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
-           |          FROM cand
-           |          JOIN bk sa ON sa.doc_id = cand.id_a
-           |          JOIN bk sb ON sb.doc_id = cand.id_b)
+        s"""WITH $pairsCtes
            |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            |       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
            |FROM pairs WHERE 2 * inter >= uni
            |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Dup-cluster resolution: connected components (min-label
+    //    propagation) over the verified pairs → keep/drop decisions; the
+    //    oracle replays reachability with a recursive CTE ────────────────
+    QueryDef.sorted(
+      "q51_dup_clusters",
+      (s, dir) => Dedup.dupClusters(
+          Dedup.verifiedNearDupPairs(varCorpus(s, dir)))
+        .select(col("doc_id").cast("long"), col("cluster_id").cast("long"),
+          col("is_rep")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $pairsCtes,
+           |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+           |SELECT CAST(n AS BIGINT) AS doc_id,
+           |       CAST(min(m) AS BIGINT) AS cluster_id,
+           |       (n = min(m)) AS is_rep
+           |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin)),
 
     // ── SimHash fingerprints + prefix buckets ────────────────────────────
     QueryDef.sorted(

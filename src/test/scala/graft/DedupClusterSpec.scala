@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Connected-component dup clustering: chains (multi-round propagation),
+  * separate components, and representative flags. */
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("min-label propagation resolves chains and separate components") {
+    // component {1,2,3,4} as a chain (needs >1 round) + component {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("a long path still converges (label walks the diameter)") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got.forall(_._2 == 1L))
+    assert(got.count(_._3) == 1)
+  }
+}
