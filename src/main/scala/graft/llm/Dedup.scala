@@ -101,11 +101,13 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
         .groupBy(col("a").as("n")).agg(min("lbl").as("nbl"))
+      // lazy checkpoint: the convergence count below is the action that
+      // materializes it — one job per round instead of two
       val next = labels
         .join(nbrMin.withColumnRenamed("n", "n2"), col("n") === col("n2"), "left")
         .select(col("n"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "n")
         .filter(col("lbl") < col("old")).limit(1).count() == 0
       labels = next

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Upsert
+import graft.operators.{NamespaceFilter, NamespaceFilterConfig, Routing, TransformRegistry, Upsert}
 import graft.source.ChangeEvent
 import graft.streaming.StreamingUpsert
 
@@ -71,6 +71,44 @@ class StreamingUpsertSpec extends AnyFunSuite {
     val twice = StreamingUpsert.liveState(spark, stateDir)
       .select("id", "version").as[(String, Long)].collect().toSet
     assert(once == twice)
+  }
+
+  test("the full hot path is batch/stream equivalent under checkpointing") {
+    // SURVEY §3.1 as one transform: ns filter → registry (filter + mapper
+    // + finalize) → routing meta → LWW state; run it both as a batch pass
+    // and under foreachBatch with a mid-stream restart — same final docs.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val ops = mkOps(400)
+    val hotPath: DataFrame => DataFrame = { df =>
+      val reg = TransformRegistry(
+        filters = Map("" -> (col("value") < 380)),
+        mappers = Map("app.t0" -> (d => d.withColumn("m_meta_index", lit("hot_t0")))))
+      Routing.withMeta(reg(NamespaceFilter(df,
+        NamespaceFilterConfig(include = Some("^app\\..*$")))))
+    }
+    val batchFinal = Upsert.liveDocuments(hotPath(ops.toDF()))
+      .select("id", "version", "meta_index")
+      .as[(String, Long, String)].collect().toSet
+
+    val stateDir = Files.createTempDirectory("graft-hot-state").toString
+    val ckptDir = Files.createTempDirectory("graft-hot-ckpt").toString
+    val (h1, h2) = ops.splitAt(200)
+    val s1 = MemoryStream[ChangeEvent]
+    s1.addData(h1)
+    StreamingUpsert.start(s1.toDF(), stateDir, ckptDir, transform = hotPath)
+      .awaitTermination()
+    val s2 = MemoryStream[ChangeEvent]
+    s2.addData(h1); s2.addData(h2) // replayed prefix; checkpoint skips it
+    StreamingUpsert.start(s2.toDF(), stateDir, ckptDir, transform = hotPath)
+      .awaitTermination()
+    val streamFinal = StreamingUpsert.liveState(spark, stateDir)
+      .select("id", "version", "meta_index")
+      .as[(String, Long, String)].collect().toSet
+    assert(streamFinal == batchFinal && streamFinal.nonEmpty)
+    // the per-doc meta override survived the streaming path
+    assert(streamFinal.exists(_._3 == "hot_t0"))
   }
 
   test("post-process hook (K6) sees every batch after its merge") {
