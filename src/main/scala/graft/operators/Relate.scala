@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
 case class Relation(
     namespace: String,
     withNamespace: String,
-    srcField: String,
+    srcField: String, // a column, or "document.a.b" — a dotted path into the JSON doc
     matchField: String,
     keepSrc: Boolean = false,
     maxDepth: Int = 0, // 0 = unbounded, like the reference (cycle-guarded)
+    // `match-field-type` coercion (monstache.go:1157-1219): cast the
+    // extracted src value to the related key's type before the join
+    // (objectId/string → "string", int/long → "long", decimal → "decimal").
+    matchFieldType: Option[String] = None,
     // Broadcast is an explicit opt-in for true dimension tables only. At
     // 100 TB the related side of most relations is NOT broadcastable
     // (driver OOM); default lets AQE pick broadcast at runtime when the
@@ -37,13 +41,28 @@ case class Relation(
 
 object Relate {
 
+  /** The join key on the changed side (alias `c`): a plain column, or
+    * `extractData`'s dotted path into the document (monstache.go:
+    * 1112-1138 — the reference always reads src-field out of op.Data),
+    * coerced to the configured match-field type (1157-1219). Alias-based
+    * resolution keeps recursive hops (self-join lineage in relation
+    * cycles) unambiguous. */
+  private def srcKey(rel: Relation) = {
+    val raw =
+      if (rel.srcField.startsWith("document."))
+        get_json_object(col("c.document"),
+          "$." + rel.srcField.stripPrefix("document."))
+      else col("c." + rel.srcField)
+    rel.matchFieldType.map(raw.cast).getOrElse(raw)
+  }
+
   /** One hop: changed docs of `rel.namespace` joined to the related
     * collection. Emits the related docs as synthetic direct-query ops
     * (source=direct_query, fresh version, monstache.go:1289-1298). */
   def hop(changes: DataFrame, related: DataFrame, rel: Relation): DataFrame = {
     val r = if (rel.broadcastRelated) broadcast(related) else related
     changes.alias("c")
-      .join(r.alias("r"), col("c." + rel.srcField) === col("r." + rel.matchField))
+      .join(r.alias("r"), srcKey(rel) === col("r." + rel.matchField))
       .select(col("r.*"))
   }
 
@@ -51,7 +70,8 @@ object Relate {
     * provenance (e.g. delete propagation bookkeeping, keep-src=true). */
   def hopPairs(changes: DataFrame, related: DataFrame, rel: Relation): DataFrame = {
     val r = if (rel.broadcastRelated) broadcast(related) else related
-    changes.join(r, changes(rel.srcField) === r(rel.matchField))
+    changes.alias("c")
+      .join(r.alias("r"), srcKey(rel) === col("r." + rel.matchField))
   }
 
   /** Breadth-first fan-out across a relation graph keyed by namespace.

@@ -146,6 +146,33 @@ object RelateQueries extends QueryFamily {
           |  UNION ALL SELECT 'app.region', 4, count(*) FROM d4)
           |ORDER BY rel_depth, rel_namespace""".stripMargin)),
 
+    // ── J1 typed: src-field as a dotted path INTO the document with
+    // match-field-type coercion (extractData monstache.go:1112-1138,
+    // coerceRelateType 1157-1219) — a change's payload field k joins the
+    // supplier dimension after string→long coercion. ─────────────────────
+    QueryDef.sorted(
+      "q52_relate_typed",
+      (s, dir) => {
+        val changes = EventLog.envelope(s, dir)
+          .filter(col("namespace") === "app.t2" && col("document").isNotNull)
+        val supplier = s.read.parquet(s"$dir/supplier.parquet")
+        Relate.hopPairs(changes, supplier,
+            Relation("app.t2", "app.supplier", "document.k", "s_suppkey",
+              matchFieldType = Some("long"), broadcastRelated = true))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("n_ops"))
+      },
+      _.orderBy("s_suppkey"),
+      Some(
+        s"""WITH ${EventLog.oracleCte}
+           |SELECT s_suppkey, s_name, count(*) AS n_ops
+           |FROM envelope e
+           |JOIN supplier s
+           |  ON CAST(json_extract_string(e.document, '$$.k') AS BIGINT) = s.s_suppkey
+           |WHERE e.namespace = 'app.t2' AND e.document IS NOT NULL
+           |GROUP BY s_suppkey, s_name
+           |ORDER BY s_suppkey""".stripMargin)),
+
     // ── J5: find with sort + limit (top-3 updates per doc id) ────────────
     QueryDef.sorted(
       "q24_find_sort_limit",

@@ -87,6 +87,20 @@ class RelateSpec extends AnyFunSuite {
     assert(nss == Set("d")) // a join-only (rel, no keepSrc); b join-only; d leaf
   }
 
+  test("dotted src-field reads the document; matchFieldType coerces the key") {
+    val changes = Seq(
+      (1L, """{"ref":{"key":"10"}}"""),
+      (2L, """{"ref":{"key":"20"}}"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("event_id", "document")
+    val related = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("rid", "val")
+    val got = Relate.hop(changes, related,
+        Relation("a", "b", "document.ref.key", "rid",
+          matchFieldType = Some("long")))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "x"), (20L, "y")))
+  }
+
   test("keepSrc emits the seed docs at depth 0; join-only namespaces do not") {
     val rels = Seq(Relation("a", "b", "b_ref", "b_id", keepSrc = true, maxDepth = 1))
     val out = Relate.fanOut(spark,
