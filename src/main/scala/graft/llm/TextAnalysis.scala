@@ -104,6 +104,77 @@ object TextAnalysis {
   private def sqlLikeH32pSpark(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT) % $P"
 
+  /** Rabin-Karp rolling-hash winnowing: polynomial window hash
+    * H_i = (Σ h(word_{i+j})·B^{w-1-j}) mod P over a sliding w-word
+    * window, updated incrementally in O(1) per step — O(n) per doc
+    * total, vs O(n·w) for recomputing windows — and the fingerprint is
+    * the minimum window hash. Integer mod arithmetic, so the incremental
+    * update is EXACTLY the direct polynomial (no float drift) and the
+    * oracle can recompute windows directly. Shorter-than-w docs hash
+    * their full word list as one window. */
+  val RollB = 31L
+  val RollW = 4
+
+  private val rollUdf = udf { (ws: Seq[String]) =>
+    def h32p(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val hs = ws.map(h32p).toArray
+    val n = hs.length
+    if (n == 0) (0L, 0L)
+    else if (n < RollW) {
+      // one window over everything: Σ h_j · B^{n-1-j}
+      var h = 0L
+      hs.foreach { x => h = (h * RollB + x) % P }
+      (h, 1L)
+    } else {
+      val topPow = { var p = 1L; (1 until RollW).foreach(_ => p = p * RollB % P); p }
+      var h = 0L
+      (0 until RollW).foreach { j => h = (h * RollB + hs(j)) % P }
+      var minH = h
+      var i = 1
+      while (i + RollW - 1 < n) {
+        var t = (h - hs(i - 1) * topPow % P) % P
+        if (t < 0) t += P
+        h = (t * RollB + hs(i + RollW - 1)) % P
+        if (h < minH) minH = h
+        i += 1
+      }
+      (minH, (n - RollW + 1).toLong)
+    }
+  }
+
+  /** fp_roll = min rolling-window hash; n_windows = window count. */
+  def withRollingFingerprint(docs: DataFrame,
+                             textCol: String = "text"): DataFrame =
+    docs.withColumn("__rw", rollUdf(words(col(textCol))))
+      .withColumn("fp_roll", col("__rw._1"))
+      .withColumn("n_windows", col("__rw._2"))
+      .drop("__rw")
+
+  /** SQL twin: direct polynomial per window (the incremental update is
+    * arithmetically identical in exact integer mod math). */
+  def sqlRollingFp(w: String): String = {
+    val b1 = RollB % P
+    val b2 = RollB * RollB % P
+    val b3 = RollB * RollB * RollB % P
+    val hs = s"list_transform($w, x -> ${TextHash.sqlH32p("x")})"
+    s"""CASE WHEN len($w) = 0 THEN 0
+       | WHEN len($w) = 1 THEN (($hs)[1]) % $P
+       | WHEN len($w) = 2 THEN (($hs)[1]*$b1 + ($hs)[2]) % $P
+       | WHEN len($w) = 3 THEN (($hs)[1]*$b2 + ($hs)[2]*$b1 + ($hs)[3]) % $P
+       | ELSE list_min(list_transform(range(1, len($w) - ${RollW - 2}), i ->
+       |   (($hs)[i]*$b3 + ($hs)[i+1]*$b2 + ($hs)[i+2]*$b1 + ($hs)[i+3]) % $P))
+       | END""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** SQL twin of the window count. */
+  def sqlRollingWindows(w: String): String =
+    s"CASE WHEN len($w) = 0 THEN 0 WHEN len($w) < $RollW THEN 1 ELSE len($w) - ${RollW - 1} END"
+
   /** SQL twin of `fp_pos` over a words-list expression (1-based index). */
   def sqlFpPos(w: String): String =
     s"""CAST(list_sum(list_transform($w, (x, i) ->

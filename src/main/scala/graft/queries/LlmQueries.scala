@@ -390,6 +390,24 @@ object LlmQueries extends QueryFamily {
            |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── Rolling-hash winnowing fingerprint (Rabin-Karp windows, O(n)
+    //    incremental; oracle recomputes windows directly — exact integer
+    //    math makes the two identical) ─────────────────────────────────────
+    QueryDef.sorted(
+      "q53_rolling_fp",
+      (s, dir) => TextAnalysis.withRollingFingerprint(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"), col("fp_roll"),
+          col("n_windows")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${TextAnalysis.sqlRollingFp("w")} AS fp_roll,
+           |       CAST(${TextAnalysis.sqlRollingWindows("w")} AS BIGINT) AS n_windows
+           |FROM tok ORDER BY doc_id""".stripMargin)),
+
     // ── Content fingerprints: winnowing-min + position-weighted hash ─────
     QueryDef.sorted(
       "q39_fingerprint",

@@ -38,3 +38,46 @@ class PruneInvalidJsonSpec extends AnyFunSuite {
     assert(prune(null) == null)
   }
 }
+
+/** Rolling-hash fingerprint: incremental update ≡ direct polynomial,
+  * short-doc fallback, window counts. */
+class RollingFingerprintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.llm.{TextAnalysis, TextHash}
+
+  private def directMin(words: Seq[String]): Long = {
+    def h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % TextHash.P
+    }
+    val hs = words.map(h)
+    val b = TextAnalysis.RollB
+    if (hs.length < TextAnalysis.RollW)
+      hs.foldLeft(0L)((acc, x) => (acc * b + x) % TextHash.P)
+    else hs.sliding(TextAnalysis.RollW).map(
+      _.foldLeft(0L)((acc, x) => (acc * b + x) % TextHash.P)).min
+  }
+
+  test("incremental rolling hash equals the direct window polynomial") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l m",
+      "one two three", // shorter than the window
+      "solo")
+    val got = texts.toDF("text")
+      .select(col("text"))
+      .transform(df => TextAnalysis.withRollingFingerprint(df))
+      .select("text", "fp_roll", "n_windows")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, f, n) => t -> ((f, n)) }.toMap
+    texts.foreach { t =>
+      val ws = t.split(" ").toSeq
+      val expWindows = if (ws.length < TextAnalysis.RollW) 1L
+        else (ws.length - TextAnalysis.RollW + 1).toLong
+      assert(got(t) == ((directMin(ws), expWindows)), s"mismatch for: $t")
+    }
+  }
+}
