@@ -88,9 +88,12 @@ object Dedup {
     // the planner, not the data, is what blows up. On a cluster with
     // lineage-durability requirements this becomes checkpoint() into the
     // checkpoint dir; the algorithm is unchanged.
-    val edges = pairs
+    // materialize pairs BEFORE the symmetric union — both union branches
+    // would otherwise re-run the whole LSH candidate/verification lineage
+    val p = pairs.localCheckpoint(true)
+    val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))

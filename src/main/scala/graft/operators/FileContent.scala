@@ -16,8 +16,5 @@ object FileContent {
   def attach(df: DataFrame, contentCol: String, maxBytes: Int): DataFrame =
     df.withColumn("file",
       when(octet_length(col(contentCol)) <= maxBytes,
-        // Spark may emit MIME-chunked base64 (CRLF every 76 chars,
-        // spark.sql.chunkBase64String.enabled); normalize to the plain
-        // RFC-4648 form the reference produces (encoding.go:77-80).
-        regexp_replace(base64(col(contentCol).cast("binary")), "[\\r\\n]", "")))
+        graft.codec.Codecs.binaryToBase64(col(contentCol).cast("binary"))))
 }

@@ -117,7 +117,20 @@ case class TransformRegistry(
       .withColumnRenamed("m_skip", "meta_skip")
   }
 
-  /** The full chain: filter → map → finalize. */
-  def apply(df: DataFrame): DataFrame =
-    finalizeOps(applyMappers(applyFilters(df)))
+  /** The full chain: filter → map → finalize.
+    *
+    * `materializeInput`: when several namespace mappers are registered,
+    * the dispatch re-reads the filtered input once per branch (each
+    * slice is an independent scan lineage). Materializing the
+    * post-filter frame once trades one cached pass for N re-scans — the
+    * reference reads each op off a channel exactly once. At cluster
+    * scale prefer namespace-partitioned storage (each branch's filter
+    * prunes to its own partitions) and leave this off; localCheckpoint
+    * is the local/hot-cache variant of that trade. */
+  def apply(df: DataFrame, materializeInput: Boolean = false): DataFrame = {
+    val filtered = applyFilters(df)
+    val in = if (materializeInput && mappers.size > 1)
+      filtered.localCheckpoint(true) else filtered
+    finalizeOps(applyMappers(in))
+  }
 }

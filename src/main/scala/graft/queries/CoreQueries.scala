@@ -585,7 +585,7 @@ object CoreQueries extends QueryFamily {
               .withColumn("document", to_json(struct((col("k") * 2).as("k2"))))
               .withColumn("m_meta_index", lit("users_primary"))),
             "app.t1" -> (df => df.withColumn("m_drop", col("k") % 3 === 0))))
-        Routing.withMeta(reg(EventLog.envelope(s, dir)))
+        Routing.withMeta(reg(EventLog.envelope(s, dir), materializeInput = true))
           .groupBy("namespace", "operation", "meta_index")
           .agg(count(lit(1)).as("n"),
             sum(col("k")).as("sum_k"),
