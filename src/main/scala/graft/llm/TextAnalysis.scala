@@ -77,6 +77,21 @@ object TextAnalysis {
       .drop("ws")
   }
 
+  /** Canonical text normalization ahead of dedup/shingling: lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed. Pure
+    * codegen'd string ops; the standard first stage of a pretraining
+    * dedup pipeline (near-dup detection over raw text misses
+    * case/punctuation variants). */
+  def withNormalizedText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** SQL twin of [[withNormalizedText]] (DuckDB needs the 'g' flag for
+    * global replacement; Spark replaces all matches by default). */
+  def sqlNormalizedText(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Whitespace tokens vs a BPE-ish regex tokenization (letter runs,
     * digit runs, single other marks) — the token-count pair a data
     * pipeline budgets by. */

@@ -375,6 +375,25 @@ object LlmQueries extends QueryFamily {
            |FROM sig ORDER BY doc_id""".stripMargin
       }),
 
+    // ── Text normalization (the stage ahead of dedup): case/punct/space
+    //    canonicalization, verified via hash + length deltas ───────────────
+    QueryDef.sorted(
+      "q54_text_normalize",
+      (s, dir) => TextAnalysis.withNormalizedText(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("norm_text")).cast("long").as("n_after"),
+          md5(col("norm_text")).as("norm_hash")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(length(text) AS BIGINT) AS n_before,
+           |       CAST(length(${TextAnalysis.sqlNormalizedText("text")}) AS BIGINT) AS n_after,
+           |       md5(${TextAnalysis.sqlNormalizedText("text")}) AS norm_hash
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── Token counting: whitespace + BPE-ish regex ───────────────────────
     QueryDef.sorted(
       "q38_token_count",
