@@ -28,4 +28,12 @@ object TimeMachine {
       .withColumn("source_id", col("id"))
       .withColumn("history_routing", col("id"))
   }
+
+  /** The history sink itself: append-only, day-partitioned storage — the
+    * idiomatic equivalent of the reference's dated indices (one index per
+    * day ↔ one partition directory per day; both prune reads by date and
+    * let retention drop whole days). Append mode mirrors the no-id bulk
+    * requests (every version is a new row, never an overwrite). */
+  def writeHistory(historyDf: DataFrame, dir: String): Unit =
+    historyDf.write.mode("append").partitionBy("history_date").parquet(dir)
 }
