@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.codec.Codecs
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Index-name / routing metadata resolution (SURVEY §2.3 P3-P4, §2.9 K7).
   *
@@ -27,6 +29,37 @@ object Routing {
       docOverride.getOrElse(lit(null).cast("string")),
       mapped,
       Codecs.defaultIndexName(col("namespace")))
+  }
+
+  /** P3, doc-embedded form: a document may carry its sink metadata under
+    * `_meta_monstache` (index/id/routing/version — parseIndexMeta,
+    * monstache.go:1377-1403). Pull the overrides into `m_meta_*` columns
+    * and STRIP the key from the document (the reference deletes it before
+    * indexing, 1379/3551). The strip is a scalar rewrite in canonical
+    * sorted-key form, applied only to docs that carry the key — the
+    * common no-meta path never leaves column algebra. */
+  private val stripMetaUdf = udf { (doc: String) =>
+    if (doc == null) null
+    else JsonMethods.parse(doc) match {
+      case JObject(fields) =>
+        JsonMethods.compact(JsonMethods.render(
+          JObject(fields.filterNot(_._1 == "_meta_monstache").sortBy(_._1))))
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+  }
+
+  def extractDocMeta(df: DataFrame): DataFrame = {
+    val meta = "$._meta_monstache"
+    val hasMeta = get_json_object(col("document"), meta).isNotNull
+    df.withColumn("m_meta_index",
+        get_json_object(col("document"), s"$meta.index"))
+      .withColumn("m_meta_id", get_json_object(col("document"), s"$meta.id"))
+      .withColumn("m_meta_routing",
+        get_json_object(col("document"), s"$meta.routing"))
+      .withColumn("m_meta_version",
+        get_json_object(col("document"), s"$meta.version").cast("long"))
+      .withColumn("document",
+        when(hasMeta, stripMetaUdf(col("document"))).otherwise(col("document")))
   }
 
   /** Attach meta_index / meta_id / meta_routing / meta_version columns.

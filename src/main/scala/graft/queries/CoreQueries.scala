@@ -480,6 +480,41 @@ object CoreQueries extends QueryFamily {
           |FROM laged
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
 
+    // ── P3 doc-embedded: every k%4==0 doc carries `_meta_monstache`
+    // (index/routing/version overrides) INSIDE the document; extraction
+    // pulls the overrides into m_meta_* and strips the key before
+    // indexing (parseIndexMeta, monstache.go:1377-1403) — the oracle
+    // reconstructs both the resolved meta and the stripped doc.
+    QueryDef.sorted(
+      "q55_doc_meta",
+      (s, dir) => {
+        val env = EventLog.envelope(s, dir)
+          .filter(col("operation").isin("i", "u"))
+          .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
+        val doc = when(col("k") % 4 === 0,
+            to_json(struct(
+              struct(lit("ix_override").as("index"),
+                concat(lit("r"), col("k") % 8).as("routing"),
+                (col("version") + 1000L).as("version")).as("_meta_monstache"),
+              col("k"))))
+          .otherwise(to_json(struct(col("k"))))
+        Routing.withMeta(Routing.extractDocMeta(env.withColumn("document", doc)))
+          .select(col("event_id"), col("meta_index"), col("meta_routing"),
+            col("meta_version"), col("document"))
+      },
+      _.orderBy("event_id"),
+      Some(withEnvelope(
+        """, en AS (
+          |  SELECT event_id, id, namespace, version,
+          |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k
+          |  FROM envelope WHERE operation IN ('i','u'))
+          |SELECT event_id,
+          |       CASE WHEN k % 4 = 0 THEN 'ix_override' ELSE lower(namespace) END AS meta_index,
+          |       CASE WHEN k % 4 = 0 THEN 'r' || CAST(k % 8 AS VARCHAR) ELSE id END AS meta_routing,
+          |       CASE WHEN k % 4 = 0 THEN version + 1000 ELSE version END AS meta_version,
+          |       '{"k":' || k || '}' AS document
+          |FROM en ORDER BY event_id""".stripMargin))),
+
     // ── K1 index-as-update: doc-as-upsert partial merge. Updates carry
     // field x only when k%5≠0, so the merged doc must keep x from the
     // last update that HAD it while b/k advance to the newest values —

@@ -29,7 +29,13 @@ object EventLog {
     * ts_us, version, document (JSON, null for deletes), value, source. */
   def envelope(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.ensure(spark)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    envelopeFrom(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The same derivation over any events frame — including a streaming
+    * one (`readStream.schema(...).parquet(dir)`), so the change-stream
+    * path (S1) uses the identical decode as the batch stand-in. */
+  def envelopeFrom(ev: DataFrame): DataFrame = {
     val op = when(col("event_type") === "signup", "i")
       .when(col("event_type") === "error", "d")
       .otherwise("u")

@@ -56,6 +56,27 @@ class StreamingRelateSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 200)
   }
 
+  test("file-based streaming source: same envelope decode, same final state (S1)") {
+    import spark.implicits._
+    // stage the events table as a stream-source directory
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(srcDir)
+    val stateDir = Files.createTempDirectory("graft-fs-state").toString
+    val ckpt = Files.createTempDirectory("graft-fs-ckpt").toString
+
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    StreamingUpsert.start(graft.source.EventLog.envelopeFrom(stream),
+      stateDir, ckpt).awaitTermination()
+
+    val streamed = StreamingUpsert.liveState(spark, stateDir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+    val batch = graft.operators.Upsert.liveDocuments(
+        graft.source.EventLog.envelope(spark, "/root/testdata/sf0.001"))
+      .select("id", "version").as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("time-machine appends day-partitioned history (K4 sink layout)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-history").toString
