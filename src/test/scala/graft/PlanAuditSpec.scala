@@ -59,4 +59,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_max_by"), s"no partial agg:\n$plan")
     assert(!plan.contains("Window"), "LWW must not plan a window")
   }
+
+  test("no declared query plans a cartesian product (fleet-wide guard)") {
+    // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
+    // shape (ANN query sets, centroid tables); CartesianProduct — both
+    // sides big, every pair materialized — must never appear. This runs
+    // every bench plan so a future operator edit cannot silently
+    // introduce an all-pairs join.
+    SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
 }
