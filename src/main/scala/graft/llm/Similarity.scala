@@ -86,6 +86,9 @@ object Similarity {
       .join(broadcast(cents), lit(true))
       .withColumn("ccos",
         cosinePre(col("v"), col("vn"), col("cv"), col("cn")))
+      // drop the centroid vectors BEFORE the per-vector window: the rank
+      // shuffle otherwise carries |vectors|·|centroids| copies of cv
+      .select(col(idCol), col("v"), col("vn"), col("centroid_id"), col("ccos"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("bucket"))
