@@ -95,8 +95,11 @@ object Dedup {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("n")).distinct()
-      .withColumn("lbl", col("n"))
+    // seed labels with min(self, direct neighbors) — one propagation step
+    // for free inside the init aggregation; star-shaped dup clusters (the
+    // common case) converge immediately and pay only the confirm round
+    var labels = edges.groupBy(col("a").as("n"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
