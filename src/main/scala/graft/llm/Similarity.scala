@@ -1,20 +1,67 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** An IVF centroid held driver-side: id, vector, precomputed norm.
+  * Centroid tables are config-sized (k buckets), never data-sized — they
+  * are broadcast to executors, the same way the reference broadcasts its
+  * (tiny) relate/mapping config to worker goroutines. */
+final case class Centroid(id: Long, vec: Array[Double], norm: Double)
+
+/** One scored candidate flowing into the bounded top-k aggregation. */
+final case class Scored(neighbor_id: Long, cos: Double, bucket: Long)
+
+/** Top-k buffer: descending (cos, then ascending neighbor_id), length ≤ k. */
+final case class TopBuf(items: Seq[Scored])
+
+/** Bounded-heap top-k per group as a typed [[Aggregator]]: the buffer never
+  * exceeds k entries, so map-side partial aggregation collapses each
+  * partition's candidates to ≤ k rows per query BEFORE the shuffle — the
+  * shuffle then carries |queries|·partitions·k tiny structs instead of
+  * every scored candidate. This replaces a `row_number` window whose sort
+  * shuffled ALL n·m scored rows (with their vector payloads) into
+  * |queries| reducer partitions — a hot-partition scale-killer when
+  * queries are few and candidates are 100 TB.
+  *
+  * Ordering matches the verification sort exactly: cos descending, ties to
+  * the lower neighbor id, compared on raw doubles (no epsilon) so results
+  * are bit-identical to the oracle's `row_number() OVER (ORDER BY cos
+  * DESC, id ASC)`. */
+final class TopKNeighbors(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
+  private def beats(a: Scored, b: Scored): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.neighbor_id < b.neighbor_id)
+
+  override def zero: TopBuf = TopBuf(Nil)
+
+  override def reduce(buf: TopBuf, in: Scored): TopBuf = {
+    val items = buf.items
+    if (items.length >= k && !beats(in, items.last)) buf
+    else {
+      val (better, worse) = items.span(beats(_, in))
+      TopBuf(((better :+ in) ++ worse).take(k))
+    }
+  }
+
+  override def merge(x: TopBuf, y: TopBuf): TopBuf =
+    y.items.foldLeft(x)(reduce)
+
+  override def finish(r: TopBuf): TopBuf = r
+  override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force is the correctness baseline: broadcast the (small) query
-  * set against every candidate — one pass over the data, no shuffle of the
-  * big side, top-k per query via window. The scale path is IVF: vectors
-  * are bucketed by nearest centroid once (a narrow pass against a
-  * broadcast centroid table), and a query probes only its `nprobe`
-  * closest centroids' buckets — the classic inverted-file trade of recall
-  * for a ~buckets/nprobe scan reduction. At 100 TB the bucket column
-  * becomes the partition key so a probe is partition-pruned I/O, not a
-  * scan.
+  * set against every candidate — one narrow pass over the data, top-k via
+  * the bounded-heap aggregation above. The scale path is IVF: vectors are
+  * bucketed by nearest centroid in a purely map-side pass against a
+  * broadcast centroid table (zero shuffle — the classic IVF assignment),
+  * and a query probes only its `nprobe` closest centroids' buckets. At
+  * 100 TB the bucket column becomes the partition key so a probe is
+  * partition-pruned I/O, not a scan.
   *
   * All arithmetic is double, folded left-to-right in index order, so the
   * DuckDB oracle (same fold) produces bit-identical cosines.
@@ -44,97 +91,174 @@ object Similarity {
   def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  private def norm(v: Column): Column = sqrt(dot(v, v))
-
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** The same left fold as [[graft.functions.DotProduct]], driver/executor
+    * side. Kept in one place so every code path accumulates in identical
+    * order (float addition is not associative — order is the contract). */
+  private def dotArr(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** Materialize a centroid table driver-side, sorted by id ascending
+    * (the tie-break order every argmax below relies on). This is a
+    * control-plane collect of a k-row table — bounded like config, never
+    * the corpus. */
+  def collectCentroids(centroids: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Centroid] =
+    centroids.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        Centroid(r.getLong(0), v, math.sqrt(dotArr(v, v)))
+      }
+      .sortBy(_.id)
+
+  /** IVF bucket assignment: nearest centroid per vector (ties break to the
+    * lower centroid id). Purely map-side: centroids ride an executor
+    * broadcast and each row computes its argmax in a compiled loop — no
+    * expansion join, no shuffle, nothing but the scan. (A `row_number`
+    * window here shuffled |vectors|·|centroids| expanded rows; a
+    * `max_by` groupBy still shuffled every vector once. The narrow form
+    * is what a 1000-executor assignment pass actually wants: the output
+    * partitioning is the input partitioning.)
+    *
+    * The per-row loop is a compiled UDF rather than column algebra
+    * because the argmax over a broadcast array is row-local imperative
+    * code — the same justified-UDF class as the simhash bit-fold
+    * (higher-order-function forms are interpreted). Cosines use the same
+    * left fold as the native [[dot]], so oracle hashes are unchanged. */
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Centroid],
+                idCol: String, vecCol: String): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignU = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val vn = math.sqrt(dotArr(arr, arr))
+      val cents = bc.value
+      var bestId = Long.MinValue
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        val cos = dotArr(arr, c.vec) / (vn * c.norm)
+        // strict > over ascending ids == (cos DESC, centroid_id ASC)
+        if (cos > best) { best = cos; bestId = c.id }
+        i += 1
+      }
+      (bestId, vn)
+    }
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("a", assignU(col("v")))
+      .select(col(idCol), col("v"), col("a._2").as("vn"),
+        col("a._1").as("bucket"))
+  }
+
+  /** Predicate-selected centroids (the untrained/demo path; see
+    * [[IvfTrain]] for Lloyd's-trained centroids). */
+  def ivfAssign(embeddings: DataFrame, centroidPred: Column,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    ivfAssign(embeddings,
+      collectCentroids(embeddings.filter(centroidPred), idCol, vecCol),
+      idCol, vecCol)
+
+  /** Query rows with their `nprobe` nearest centroid buckets exploded:
+    * (query_id, qv, qn, bucket). Narrow for the same reason as
+    * [[ivfAssign]]; the query side is small by contract. */
+  private def probeFrame(embeddings: DataFrame, centroids: Array[Centroid],
+                         queryPred: Column, nprobe: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val probeU = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val qn = math.sqrt(dotArr(arr, arr))
+      val scored = bc.value.map(c => (dotArr(arr, c.vec) / (qn * c.norm), c.id))
+      val top = scored
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(nprobe).map(_._2)
+      (top, qn)
+    }
+    embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("p", probeU(col("qv")))
+      .select(col("query_id"), col("qv"), col("p._2").as("qn"),
+        explode(col("p._1")).as("bucket"))
+  }
+
+  /** Explode a per-query [[TopBuf]] into (query_id, rank, neighbor_id,
+    * bucket) rows. */
+  private def explodeTopK(agged: DataFrame): DataFrame =
+    agged.select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.bucket").as("bucket"))
 
   /** Brute-force top-k cosine neighbors for a query subset.
     * `queryPred` selects the query rows (small!); the query side is
-    * broadcast so the candidate scan never shuffles. */
+    * broadcast so the candidate scan never shuffles, and the bounded-heap
+    * aggregation keeps the top-k reduction map-side (≤ k rows per query
+    * per partition cross the wire). */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cands = embeddings.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val queries = embeddings.filter(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = cands.join(broadcast(queries),
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Scored])
+    val agged = cands.join(broadcast(queries),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePre(col("qv"), col("qn"), col("cv"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
-  }
-
-  /** IVF bucket assignment: nearest centroid per vector (ties break to the
-    * lower centroid id). Centroids are broadcast; one narrow pass. */
-  def ivfAssign(embeddings: DataFrame, centroidPred: Column,
-                idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val cents = embeddings.filter(centroidPred)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("vn", norm(col("v")))
-      .join(broadcast(cents), lit(true))
-      .withColumn("ccos",
-        cosinePre(col("v"), col("vn"), col("cv"), col("cn")))
-      // drop the centroid vectors BEFORE the per-vector window: the rank
-      // shuffle otherwise carries |vectors|·|centroids| copies of cv
-      .select(col(idCol), col("v"), col("vn"), col("centroid_id"), col("ccos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col(idCol), col("v"), col("vn"), col("centroid_id").as("bucket"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id").cast("long"), col("cos"), lit(-1L)).as("tk"))
+    explodeTopK(agged).select("query_id", "rank", "neighbor_id")
   }
 
   /** IVF probe: top-k within the query's `nprobe` nearest centroid
     * buckets. Recall < 1 by design; the oracle replicates the same probe
-    * so results still hash-match. */
-  def ivfTopK(embeddings: DataFrame, centroidPred: Column, queryPred: Column,
-              k: Int, nprobe: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(embeddings, centroidPred, idCol, vecCol)
-    val cents = embeddings.filter(centroidPred)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val queries = embeddings.filter(queryPred)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("centroid_id").asc)
-    val probes = queries.join(broadcast(cents), lit(true))
-      .withColumn("pcos",
-        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")))
-      .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("centroid_id").as("bucket"))
-    val wk = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned.select(col(idCol).as("neighbor_id"), col("v"), col("vn"),
-        col("bucket"))
+    * so results still hash-match. The probe side is broadcast, so the
+    * only movement of the big side is the ≤ k-per-partition top-k
+    * shuffle. */
+  def ivfTopK(embeddings: DataFrame, centroids: Array[Centroid],
+              queryPred: Column, k: Int, nprobe: Int,
+              idCol: String, vecCol: String): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol)
+    val probes = probeFrame(embeddings, centroids, queryPred, nprobe,
+      idCol, vecCol)
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Scored])
+    val agged = assigned.select(col(idCol).as("neighbor_id"), col("v"),
+        col("vn"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePre(col("qv"), col("qn"), col("v"), col("vn")))
-      .withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "bucket")
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id").cast("long"), col("cos"),
+        col("bucket").cast("long")).as("tk"))
+    explodeTopK(agged)
   }
 
-  /** Embedding-cosine near-dedup, bucketed: vectors are IVF-assigned once,
-    * and only intra-bucket pairs are scored — no all-pairs. Recall is
-    * bounded by bucket purity (a near-dup pair split across buckets is
-    * missed), the standard ANN-dedup trade; the oracle replays the same
-    * assignment so results match exactly. The assignment is persisted
-    * before the self-join (see Dedup.verifiedNearDupPairs for why). */
+  /** Predicate-selected centroids variant of [[ivfTopK]]. */
+  def ivfTopK(embeddings: DataFrame, centroidPred: Column, queryPred: Column,
+              k: Int, nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    ivfTopK(embeddings,
+      collectCentroids(embeddings.filter(centroidPred), idCol, vecCol),
+      queryPred, k, nprobe, idCol, vecCol)
+
+  /** Embedding-cosine near-dedup, bucketed: vectors are IVF-assigned once
+    * (narrow), and only intra-bucket pairs are scored — no all-pairs.
+    * Recall is bounded by bucket purity (a near-dup pair split across
+    * buckets is missed), the standard ANN-dedup trade; the oracle replays
+    * the same assignment so results match exactly. The assignment is
+    * persisted before the self-join so both join branches reuse one scan
+    * (see Dedup.verifiedNearDupPairs for the same barrier). */
   def embeddingNearDupPairs(vectors: DataFrame, centroidPred: Column,
                             minCos: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
