@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means training for IVF centroids — the difference between
+  * demo-ANN (centroids picked by predicate) and usable-ANN (centroids that
+  * follow the data's density, so buckets balance and probes recall more).
+  *
+  * The loop is the standard scalable shape (the same one MLlib's k-means
+  * and [[Dedup.dupClusters]] use): per iteration, one narrow map-side
+  * assignment pass against broadcast centroids, one partially-aggregated
+  * groupBy producing k·dim tiny rows, and a driver-side collect of just
+  * those k·dim sums to rebuild the centroid array. Nothing data-sized ever
+  * reaches the driver, and no lineage accumulates across iterations (each
+  * round's frame is rebuilt from the source scan + the new broadcast).
+  *
+  * Determinism across engines (the oracle replays the same iterations in
+  * SQL): per-dimension sums are computed on `floor(x·1e6)` integers, so
+  * accumulation order cannot change the result (long addition is
+  * associative; double addition is not), and the mean is re-derived as
+  * `sum.toDouble / (1e6 · n)` — one double division, bit-identical on both
+  * engines. Assignment uses the cosine argmax of [[Similarity.ivfAssign]]
+  * (ties to the lower centroid id), matching the probe metric — spherical-
+  * style k-means. Buckets that receive no vectors drop out of the next
+  * round (mirrors the SQL GROUP BY); with data-dense init that does not
+  * happen in practice.
+  */
+object IvfTrain {
+
+  /** Scale factor for the order-free integer coordinate sums. */
+  val Scale = 1e6
+
+  /** One Lloyd's update: assign every vector to its nearest current
+    * centroid, then move each centroid to its bucket's mean. */
+  private def step(vectors: DataFrame, cents: Array[Centroid],
+                   idCol: String, vecCol: String): Array[Centroid] = {
+    val sums = Similarity.ivfAssign(vectors, cents, idCol, vecCol)
+      .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(floor(col("x") * Scale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    sums.groupBy(_.getLong(0)).map { case (b, rows) =>
+      val coords = rows.sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / (Scale * r.getLong(3)))
+      Centroid(b, coords, math.sqrt(Similarity.dotArr(coords, coords)))
+    }.toArray.sortBy(_.id)
+  }
+
+  /** Train centroids from a seed set for a fixed number of iterations
+    * (fixed, not converged-tested, so the oracle can replay the exact
+    * schedule). */
+  def train(vectors: DataFrame, init: Array[Centroid], iters: Int,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): Array[Centroid] =
+    (1 to iters).foldLeft(init)((c, _) => step(vectors, c, idCol, vecCol))
+
+  /** Predicate-seeded convenience: seed centroids from matching rows. */
+  def train(vectors: DataFrame, initPred: Column, iters: Int,
+            idCol: String, vecCol: String): Array[Centroid] =
+    train(vectors,
+      Similarity.collectCentroids(vectors.filter(initPred), idCol, vecCol),
+      iters, idCol, vecCol)
+
+  /** Integer fingerprint of a centroid: sum over dims of floor(coord·1e6).
+    * Cross-engine stable (same double ops, then exact integer sum). */
+  def fingerprint(c: Centroid): Long =
+    c.vec.map(x => math.floor(x * Scale).toLong).sum
+
+  /** Post-training summary frame: every trained centroid joined to its
+    * final assignment count — the bucket-balance report an IVF build
+    * would log (and the cross-engine-checkable output of q57). */
+  def balance(vectors: DataFrame, trained: Array[Centroid],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val fps = spark.createDataFrame(
+      trained.toSeq.map(c => (c.id, fingerprint(c))))
+      .toDF("bucket", "c_fp")
+    Similarity.ivfAssign(vectors, trained, idCol, vecCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_assigned"))
+      .join(fps, Seq("bucket"))
+      .select(col("bucket").cast("long"), col("n_assigned").cast("long"),
+        col("c_fp"))
+  }
+}

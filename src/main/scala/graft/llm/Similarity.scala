@@ -96,7 +96,7 @@ object Similarity {
   /** The same left fold as [[graft.functions.DotProduct]], driver/executor
     * side. Kept in one place so every code path accumulates in identical
     * order (float addition is not associative — order is the contract). */
-  private def dotArr(x: Array[Double], y: Array[Double]): Double = {
+  private[llm] def dotArr(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var acc = 0.0d
     var i = 0
@@ -286,4 +286,16 @@ object Similarity {
 
   /** SQL: cast a FLOAT[] column to DOUBLE[]. */
   def sqlAsDouble(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** SQL: the assignment argmax as a CTE body — vectors of `eCte(vec_id,
+    * v)` to nearest centroid of `centsCte(centroid_id, cv)`, same
+    * cos-DESC/id-ASC tie-break as [[ivfAssign]]. */
+  def sqlIvfAssign(eCte: String, centsCte: String, dim: Int): String = {
+    val acos = sqlCosine("e.v", "c.cv", dim)
+    s"""SELECT vec_id, v, centroid_id AS bucket FROM (
+       |    SELECT e.vec_id, e.v, c.centroid_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+       |    FROM $eCte e, $centsCte c) WHERE cr = 1""".stripMargin
+  }
 }

@@ -46,14 +46,24 @@ object Relate {
     * 1112-1138 — the reference always reads src-field out of op.Data),
     * coerced to the configured match-field type (1157-1219). Alias-based
     * resolution keeps recursive hops (self-join lineage in relation
-    * cycles) unambiguous. */
+    * cycles) unambiguous.
+    *
+    * `objectId` coercion (monstache.go:1167-1171): the reference
+    * stringifies the value and hex-decodes it into a 12-byte ObjectID —
+    * case-insensitive by construction, erroring (op skipped) on
+    * non-24-hex input. The string-world port: lowercase valid 24-hex,
+    * null otherwise (a null key joins nothing = the same skip). */
   private def srcKey(rel: Relation) = {
     val raw =
       if (rel.srcField.startsWith("document."))
         get_json_object(col("c.document"),
           "$." + rel.srcField.stripPrefix("document."))
       else col("c." + rel.srcField)
-    rel.matchFieldType.map(raw.cast).getOrElse(raw)
+    rel.matchFieldType.map {
+      case t if t.equalsIgnoreCase("objectId") =>
+        when(raw.rlike("^[0-9A-Fa-f]{24}$"), lower(raw))
+      case t => raw.cast(t)
+    }.getOrElse(raw)
   }
 
   /** One hop: changed docs of `rel.namespace` joined to the related
@@ -137,8 +147,13 @@ object Relate {
   /** J2 identity-relation delete propagation: delete keys in the parent
     * namespace select the related docs to delete (monstache.go:1239-1251).
     * A semi-join keeps it set-oriented; versions get the reference's +2
-    * delete offset over the parent's version. */
+    * delete offset over the parent's version.
+    *
+    * No forced broadcast: a mass delete (the reference's dropDatabase-
+    * scale cascade) makes the key side arbitrarily large, so the join
+    * strategy is left to AQE — it broadcasts small delete sets at runtime
+    * and falls back to a shuffled semi-join when they are not. */
   def propagateDeletes(deletedKeys: DataFrame, related: DataFrame,
                        srcField: String, matchField: String): DataFrame =
-    related.join(broadcast(deletedKeys), col(matchField) === col(srcField), "left_semi")
+    related.join(deletedKeys, col(matchField) === col(srcField), "left_semi")
 }

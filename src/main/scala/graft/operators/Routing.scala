@@ -31,6 +31,14 @@ object Routing {
       Codecs.defaultIndexName(col("namespace")))
   }
 
+  /** K5 dated stats-index naming: the reference writes each bulk-stats
+    * doc to `monstache.stats.<yyyy-MM-dd>` (doIndexStats
+    * monstache.go:3510-3527, format default 2858-2860). The batch analog
+    * derives the date from the data's own cluster time (deterministic and
+    * replayable) rather than the wall clock. */
+  def statsIndexName(ts: Column): Column =
+    concat(lit("monstache.stats."), date_format(ts, "yyyy-MM-dd"))
+
   /** P3, doc-embedded form: a document may carry its sink metadata under
     * `_meta_monstache` (index/id/routing/version — parseIndexMeta,
     * monstache.go:1377-1403). Pull the overrides into `m_meta_*` columns

@@ -123,11 +123,13 @@ case class TransformRegistry(
     * the dispatch re-reads the filtered input once per branch (each
     * slice is an independent scan lineage). Materializing the
     * post-filter frame once trades one cached pass for N re-scans — the
-    * reference reads each op off a channel exactly once. At cluster
-    * scale prefer namespace-partitioned storage (each branch's filter
-    * prunes to its own partitions) and leave this off; localCheckpoint
-    * is the local/hot-cache variant of that trade. */
-  def apply(df: DataFrame, materializeInput: Boolean = false): DataFrame = {
+    * reference reads each op off a channel exactly once, so this is the
+    * default whenever more than one mapper would re-scan. Set it false
+    * at cluster scale when storage is namespace-partitioned (each
+    * branch's filter then prunes to its own partitions and the re-scans
+    * are already minimal); localCheckpoint is the local/hot-cache
+    * variant of that trade. */
+  def apply(df: DataFrame, materializeInput: Boolean = true): DataFrame = {
     val filtered = applyFilters(df)
     val in = if (materializeInput && mappers.size > 1)
       filtered.localCheckpoint(true) else filtered

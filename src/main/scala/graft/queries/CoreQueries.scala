@@ -706,12 +706,20 @@ object CoreQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_ops"),
           sum(length(col("document"))).as("doc_chars"),
           min(col("version")).as("min_version"),
-          max(col("version")).as("max_version")),
+          max(col("version")).as("max_version"),
+          max(col("ts_us")).as("max_ts_us"))
+        // K5 dated sink naming: the flush's stats doc goes to a daily
+        // index; batch derives the day from the flush's own max cluster
+        // time (monstache.go:3510-3527)
+        .withColumn("stats_index",
+          Routing.statsIndexName(timestamp_micros(col("max_ts_us"))))
+        .drop("max_ts_us"),
       _.orderBy("namespace", "operation"),
       Some(withEnvelope(
         """SELECT namespace, operation, count(*) AS n_ops,
           |       CAST(sum(length(document)) AS BIGINT) AS doc_chars,
-          |       min(version) AS min_version, max(version) AS max_version
+          |       min(version) AS min_version, max(version) AS max_version,
+          |       'monstache.stats.' || strftime(make_timestamp(max(ts_us)), '%Y-%m-%d') AS stats_index
           |FROM envelope GROUP BY namespace, operation
           |ORDER BY namespace, operation""".stripMargin)))
   )

@@ -309,6 +309,42 @@ object LlmQueries extends QueryFamily {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ── Trained IVF: two deterministic Lloyd's iterations (integer-scaled
+    //    per-dim sums make the means order-free and cross-engine exact),
+    //    then the bucket-balance report over the final assignment. The
+    //    oracle replays the identical iteration schedule. ─────────────────
+    QueryDef.sorted(
+      "q56_ivf_train",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+        val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
+          "vec_id", "embedding")
+        IvfTrain.balance(e, trained)
+      },
+      _.orderBy("bucket"),
+      Some {
+        def update(a: String) =
+          s"""SELECT bucket, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s, count(*) AS n
+             |    FROM $a, unnest(range(1, 65)) AS t(i) GROUP BY bucket, i""".stripMargin
+        val mean = "list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i)"
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+           |a1 AS (${Similarity.sqlIvfAssign("e", "c0", 64)}),
+           |u1 AS (${update("a1")}),
+           |c1 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u1 GROUP BY bucket),
+           |a2 AS (${Similarity.sqlIvfAssign("e", "c1", 64)}),
+           |u2 AS (${update("a2")}),
+           |c2 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u2 GROUP BY bucket),
+           |a3 AS (${Similarity.sqlIvfAssign("e", "c2", 64)}),
+           |fp AS (SELECT centroid_id AS bucket,
+           |              CAST(list_sum(list_transform(cv, x -> CAST(floor(x*1000000) AS BIGINT))) AS BIGINT) AS c_fp
+           |       FROM c2),
+           |cnt AS (SELECT bucket, count(*) AS n_assigned FROM a3 GROUP BY bucket)
+           |SELECT CAST(cnt.bucket AS BIGINT) AS bucket,
+           |       CAST(n_assigned AS BIGINT) AS n_assigned, c_fp
+           |FROM cnt JOIN fp USING (bucket) ORDER BY bucket""".stripMargin
+      }),
+
     // ── T5 extension: tumbling-window aggregation (event-time hours) ─────
     QueryDef.sorted(
       "q46_windowed_agg",

@@ -173,6 +173,46 @@ object RelateQueries extends QueryFamily {
            |GROUP BY s_suppkey, s_name
            |ORDER BY s_suppkey""".stripMargin)),
 
+    // ── J1 objectId: match-field-type = objectId hex normalization
+    // (convertSrcDataToObjectID monstache.go:1167-1171): src keys arrive
+    // as MIXED-CASE hex (and some invalid strings); the coercion
+    // lowercases valid 24-hex and nulls the rest, so the join matches the
+    // related side's canonical lowercase ids and skips bad keys — the
+    // reference's ObjectIDFromHex-or-error behavior. ─────────────────────
+    QueryDef.sorted(
+      "q57_relate_objectid",
+      (s, dir) => {
+        val changed = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 13 === 0)
+          .withColumn("src_oid",
+            when(col("o_orderkey") % 3 === 0, lit("not-a-24-hex-objectid"))
+              .otherwise(upper(substring(
+                md5(col("o_custkey").cast("string")), 1, 24))))
+        val related = s.read.parquet(s"$dir/customer.parquet")
+          .withColumn("c_oid",
+            substring(md5(col("c_custkey").cast("string")), 1, 24))
+        Relate.hopPairs(changed, related,
+            Relation("app.orders", "app.customer", "src_oid", "c_oid",
+              matchFieldType = Some("objectId"), broadcastRelated = true))
+          .groupBy("c_custkey", "c_name")
+          .agg(count(lit(1)).as("n_ops"))
+      },
+      _.orderBy("c_custkey"),
+      Some(
+        """WITH changed AS (
+          |  SELECT o_custkey,
+          |         CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-24-hex-objectid'
+          |              ELSE upper(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 24)) END AS src_oid
+          |  FROM orders WHERE o_orderkey % 13 = 0)
+          |SELECT c_custkey, c_name, count(*) AS n_ops
+          |FROM changed
+          |JOIN customer
+          |  ON CASE WHEN regexp_matches(src_oid, '^[0-9A-Fa-f]{24}$')
+          |          THEN lower(src_oid) END
+          |     = substr(md5(CAST(c_custkey AS VARCHAR)), 1, 24)
+          |GROUP BY c_custkey, c_name
+          |ORDER BY c_custkey""".stripMargin)),
+
     // ── J5: find with sort + limit (top-3 updates per doc id) ────────────
     QueryDef.sorted(
       "q24_find_sort_limit",
