@@ -17,22 +17,20 @@ import graft.source.EventLog
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The hot path is wired through the transform registry — the config
-    * surface a reference user would actually program against. */
+    * Driven by the checked-in TOML fixture (the reference's config
+    * surface): namespace regex, oplog-time injection, and index mappings
+    * come from the file; the one payload transform is a registry entry,
+    * as the reference's scripts are. EntrySpec pins this against the
+    * hand-wired DAG. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val env = EventLog.envelope(spark, dir)
-    val filtered = NamespaceFilter(env,
-      NamespaceFilterConfig(include = Some("^app\\..*$")))
+    val cfg = graft.config.GraftConfig.loadResource("/graft.toml")
     val reg = TransformRegistry(
       mappers = Map(
         "" -> (df => df
-          .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
-          .withColumn("oplog_date",
-            date_format(timestamp_micros(col("ts_us")),
-              graft.codec.Codecs.DefaultOplogDateFormat)))))
-    val routed = Routing.withMeta(reg(filtered), Map("app.t0" -> "users_primary"))
-    Upsert.liveDocuments(routed)
+          .withColumn("k", get_json_object(col("document"), "$.k").cast("int")))))
+    graft.config.ConfiguredPipeline
+      .indexedDocuments(cfg, reg)(EventLog.envelope(spark, dir))
       .select("meta_index", "meta_id", "meta_routing", "meta_version",
         "namespace", "operation", "k", "value", "oplog_date")
   }

@@ -1,0 +1,126 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs
+import graft.operators._
+
+/** The engine's config-file surface: the subset of the reference's TOML
+  * options (`configOptions`, monstache.go:280-450; loaded by `mustConfig`
+  * 2106-2504) that drives in-scope operators. Connection/TLS/HTTP options
+  * have no analog here (zero-egress build); scripts/plugins map to the
+  * code-registered [[TransformRegistry]] — in the reference those are
+  * code too (JS files / compiled plugins), selected by config.
+  *
+  * Key names match the reference's TOML tags exactly, so a monstache
+  * config file's relevant lines carry over unedited. */
+case class GraftConfig(
+    namespaceRegex: Option[String] = None,           // namespace-regex (monstache.go:341)
+    namespaceExcludeRegex: Option[String] = None,     // namespace-exclude-regex
+    namespaceDropRegex: Option[String] = None,        // namespace-drop-regex
+    namespaceDropExcludeRegex: Option[String] = None, // namespace-drop-exclude-regex
+    configDb: String = "monstache",                   // config-database-name
+    deleteStrategy: Int = 0,                          // delete-strategy (117-123)
+    indexAsUpdate: Boolean = false,                   // index-as-update
+    indexOplogTime: Boolean = false,                  // index-oplog-time (373)
+    oplogTsFieldName: String = "oplog_ts",            // oplog-ts-field-name
+    oplogDateFieldName: String = "oplog_date",        // oplog-date-field-name
+    oplogDateFieldFormat: String = "2006/01/02 15:04:05", // Go layout (2882-2890)
+    patchNamespaces: Seq[String] = Nil,               // patch-namespaces (395)
+    timeMachineNamespaces: Seq[String] = Nil,         // time-machine-namespaces (410)
+    relates: Seq[Relation] = Nil,                     // [[relate]] (206-217)
+    mappings: Map[String, String] = Map.empty) {      // [[mapping]] (indexMapping)
+
+  def namespaceFilter: NamespaceFilterConfig =
+    NamespaceFilterConfig(namespaceRegex, namespaceExcludeRegex,
+      namespaceDropRegex, namespaceDropExcludeRegex, configDb)
+
+  /** The oplog-date format translated from the reference's Go layout. */
+  def oplogDateJvmFormat: String = Codecs.goLayoutToJvm(oplogDateFieldFormat)
+}
+
+object GraftConfig {
+
+  def fromToml(text: String): GraftConfig = {
+    val doc = Toml.parse(text)
+    val base = GraftConfig()
+    GraftConfig(
+      namespaceRegex = doc.str("namespace-regex"),
+      namespaceExcludeRegex = doc.str("namespace-exclude-regex"),
+      namespaceDropRegex = doc.str("namespace-drop-regex"),
+      namespaceDropExcludeRegex = doc.str("namespace-drop-exclude-regex"),
+      configDb = doc.str("config-database-name").getOrElse(base.configDb),
+      deleteStrategy = doc.int("delete-strategy", base.deleteStrategy),
+      indexAsUpdate = doc.bool("index-as-update"),
+      indexOplogTime = doc.bool("index-oplog-time"),
+      oplogTsFieldName =
+        doc.str("oplog-ts-field-name").getOrElse(base.oplogTsFieldName),
+      oplogDateFieldName =
+        doc.str("oplog-date-field-name").getOrElse(base.oplogDateFieldName),
+      oplogDateFieldFormat =
+        doc.str("oplog-date-field-format").getOrElse(base.oplogDateFieldFormat),
+      patchNamespaces = doc.strings("patch-namespaces"),
+      timeMachineNamespaces = doc.strings("time-machine-namespaces"),
+      relates = doc.arrays.getOrElse("relate", Nil).map { t =>
+        Relation(
+          namespace = t("namespace").toString,
+          withNamespace = t("with-namespace").toString,
+          srcField = t("src-field").toString,
+          matchField = t("match-field").toString,
+          keepSrc = t.get("keep-src").contains(true),
+          maxDepth = t.get("max-depth").map(_.asInstanceOf[Long].toInt).getOrElse(0),
+          matchFieldType = t.get("match-field-type").map(_.toString))
+      },
+      mappings = doc.arrays.getOrElse("mapping", Nil)
+        .map(t => t("namespace").toString -> t("index").toString).toMap)
+  }
+
+  def load(path: String): GraftConfig =
+    fromToml(Files.readString(Paths.get(path)))
+
+  /** Load a classpath resource (the checked-in fixture config travels
+    * with the jar, so entry points work regardless of working dir). */
+  def loadResource(name: String): GraftConfig = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"config resource not found: $name")
+    try fromToml(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+}
+
+/** Assembles the hot path (SURVEY §3.1) from a [[GraftConfig]] — the
+  * config-file front door a reference user programs against: filters,
+  * oplog-time injection, index mappings, and delete strategy come from
+  * the file; per-namespace transforms stay a code registry (the
+  * reference's JS/plugin scripts are code selected by config too). */
+object ConfiguredPipeline {
+
+  /** envelope → F1-F4 chain → registry (F5/F6, P1-P3, P11) → P5 oplog
+    * date/ts injection → K7/P3/P4 routing metadata. */
+  def hotPath(cfg: GraftConfig,
+              registry: TransformRegistry = TransformRegistry())(
+              df: DataFrame): DataFrame = {
+    val filtered = NamespaceFilter(df, cfg.namespaceFilter)
+    val mapped = registry(filtered)
+    val stamped =
+      if (!cfg.indexOplogTime) mapped
+      else mapped
+        .withColumn(cfg.oplogTsFieldName, col("ts_us"))
+        .withColumn(cfg.oplogDateFieldName,
+          date_format(timestamp_micros(col("ts_us")), cfg.oplogDateJvmFormat))
+    Routing.withMeta(stamped, cfg.mappings)
+  }
+
+  /** The "what the index holds" batch answer: hot path + last-writer-wins
+    * + the configured delete strategy's view (strategy 2 = ignore keeps
+    * tombstoned docs' final data op, 0/1 drop deleted keys from the live
+    * view — DeleteStrategies holds the full routed forms). */
+  def indexedDocuments(cfg: GraftConfig,
+                       registry: TransformRegistry = TransformRegistry())(
+                       df: DataFrame): DataFrame =
+    Upsert.liveDocuments(hotPath(cfg, registry)(df))
+}

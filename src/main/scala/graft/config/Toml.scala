@@ -1,0 +1,130 @@
+package graft.config
+
+import scala.collection.mutable
+
+/** Minimal TOML-subset parser for the engine's config surface — the
+  * reference is driven entirely by a TOML file (+ env + flags,
+  * `mustConfig` monstache.go:2106-2504), so a config-file front door is
+  * part of operator parity, not a convenience.
+  *
+  * Supported subset (what monstache's own config files use): root
+  * `key = value` pairs, `[table]`, `[[array-of-tables]]`, values that are
+  * basic strings (with \\ \" \n \t \r escapes), integers, floats,
+  * booleans, and single-line arrays thereof; `#` comments. Multi-line
+  * strings, dates, dotted keys, and inline tables are out of scope and
+  * rejected loudly rather than misparsed. Zero dependencies by
+  * construction (the build resolves nothing beyond Spark + scalatest).
+  */
+object Toml {
+
+  /** Parsed document: root keys, named tables, arrays-of-tables. Values
+    * are String | Long | Double | Boolean | Seq[Any]. */
+  final case class Doc(root: Map[String, Any],
+                       tables: Map[String, Map[String, Any]],
+                       arrays: Map[String, Seq[Map[String, Any]]]) {
+    def str(key: String): Option[String] = root.get(key).map(_.toString)
+    def strings(key: String): Seq[String] =
+      root.get(key).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+    def bool(key: String, default: Boolean = false): Boolean =
+      root.get(key).map(_.asInstanceOf[Boolean]).getOrElse(default)
+    def int(key: String, default: Int = 0): Int =
+      root.get(key).map(_.asInstanceOf[Long].toInt).getOrElse(default)
+  }
+
+  def parse(text: String): Doc = {
+    val root = mutable.LinkedHashMap[String, Any]()
+    val tables = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, Any]]()
+    val arrays = mutable.LinkedHashMap[String, mutable.ListBuffer[mutable.LinkedHashMap[String, Any]]]()
+    var current: mutable.LinkedHashMap[String, Any] = root
+    for ((raw, idx) <- text.linesIterator.zipWithIndex) {
+      val line = stripComment(raw).trim
+      val ln = idx + 1
+      if (line.nonEmpty) {
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          val name = line.substring(2, line.length - 2).trim
+          val m = mutable.LinkedHashMap[String, Any]()
+          arrays.getOrElseUpdate(name, mutable.ListBuffer()) += m
+          current = m
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          current = tables.getOrElseUpdate(
+            line.substring(1, line.length - 1).trim,
+            mutable.LinkedHashMap[String, Any]())
+        } else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"TOML line $ln: expected `key = value`, got: $line")
+          current(line.substring(0, eq).trim) =
+            parseValue(line.substring(eq + 1).trim, ln)
+        }
+      }
+    }
+    Doc(root.toMap,
+      tables.map { case (k, v) => k -> v.toMap }.toMap,
+      arrays.map { case (k, v) => k -> v.map(_.toMap).toSeq }.toMap)
+  }
+
+  /** Drop a trailing `#` comment (quote-aware). */
+  private def stripComment(line: String): String = {
+    var inStr = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"' && (i == 0 || line.charAt(i - 1) != '\\')) inStr = !inStr
+      else if (c == '#' && !inStr) return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  private def parseValue(s: String, ln: Int): Any = s match {
+    case "true" => true
+    case "false" => false
+    case _ if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+      unescape(s.substring(1, s.length - 1), ln)
+    case _ if s.startsWith("[") && s.endsWith("]") =>
+      splitTop(s.substring(1, s.length - 1)).map(v => parseValue(v.trim, ln))
+    case _ if s.matches("[+-]?\\d+") => s.toLong
+    case _ if s.matches("[+-]?\\d*\\.\\d+") => s.toDouble
+    case _ =>
+      throw new IllegalArgumentException(
+        s"TOML line $ln: unsupported value syntax: $s")
+  }
+
+  /** Split a single-line array body on top-level commas (quote-aware). */
+  private def splitTop(body: String): Seq[String] = {
+    val out = mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"' && (i == 0 || body.charAt(i - 1) != '\\')) { inStr = !inStr; cur.append(c) }
+      else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  private def unescape(s: String, ln: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case '"' => sb.append('"')
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case other =>
+            throw new IllegalArgumentException(
+              s"TOML line $ln: unsupported escape \\$other")
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.codec.JsonMergePatch
+import graft.source.ChangeEvent
+
+/** Per-key patch-log state: how many patches exist and the last document
+  * seen — the streaming stand-in for the reference's "GET previous doc
+  * from Elasticsearch" (addPatch, monstache.go:3084-3158). */
+case class PatchState(v: Int, lastDoc: String)
+
+/** One emitted patch: the key, its 1-based patch number, the RFC-7386
+  * merge patch (v1 = the canonical full doc), and the source op's
+  * version for downstream ordering. */
+case class PatchEntry(id: String, v: Int, patch: String, version: Long)
+
+/** Streaming twin of the JSON merge-patch log (P10). The batch form
+  * ([[graft.operators.PatchLog]]) pairs each doc with its predecessor via
+  * `lag()` — but a window only sees one batch. Continuously, the previous
+  * doc per key must OUTLIVE the micro-batch, so it lives in keyed state
+  * (`flatMapGroupsWithState`, checkpointed with the query): each arriving
+  * op diffs against the state's last doc, emits its patch, and becomes
+  * the new last doc — exactly the reference's per-op addPatch cycle with
+  * the ES round-trip replaced by the engine's own state store.
+  *
+  * Ordering: ops within a micro-batch are applied in (version, event_id)
+  * order; across batches arrival order is trusted, which is the
+  * reference's behavior too (it diffs against whatever the sink holds at
+  * op time — a late-arriving old op produces a "backwards" patch there as
+  * well). At scale, state is per-key-tiny (one doc + a counter) and the
+  * RocksDB store shards it by key; bound it in production with a
+  * watermark + state TTL when key cardinality is unbounded.
+  */
+object StreamingPatchLog {
+
+  /** Patches for data ops of the given patch-namespaces
+    * (`patch-namespaces`, monstache.go:2833-2835). Append-mode output. */
+  def patches(events: Dataset[ChangeEvent],
+              namespaces: Seq[String]): Dataset[PatchEntry] = {
+    import events.sparkSession.implicits._
+    val nsSet = namespaces.toSet
+    events
+      .filter(e => nsSet.contains(e.namespace) &&
+        (e.operation == "i" || e.operation == "u") && e.document != null)
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (id: String, ops: Iterator[ChangeEvent], state: GroupState[PatchState]) => {
+          val ordered = ops.toArray.sortBy(e => (e.version, e.event_id))
+          var st = state.getOption.getOrElse(PatchState(0, null))
+          val out = ordered.map { e =>
+            val patch =
+              if (st.lastDoc == null) JsonMergePatch.canonicalJson(e.document)
+              else JsonMergePatch.diff(st.lastDoc, e.document)
+            st = PatchState(st.v + 1, e.document)
+            PatchEntry(id, st.v, patch, e.version)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

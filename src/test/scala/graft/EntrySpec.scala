@@ -1,9 +1,16 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.config.{ConfiguredPipeline, GraftConfig, Toml}
+import graft.operators._
+import graft.source.EventLog
+
 /** The driver's t1 smoke gate, pinned locally: the flagship DAG returns
-  * rows on sf0.001 and carries the sink metadata columns. */
+  * rows on sf0.001 and carries the sink metadata columns — plus the
+  * config-file front door: the TOML-driven entry must equal the
+  * hand-wired operator DAG exactly. */
 class EntrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -13,5 +20,82 @@ class EntrySpec extends AnyFunSuite {
     assert(Set("meta_index", "meta_id", "meta_routing", "meta_version")
       .subsetOf(cols))
     assert(df.count() > 0)
+  }
+
+  test("TOML fixture parses to the expected config") {
+    val cfg = GraftConfig.loadResource("/graft.toml")
+    assert(cfg.namespaceRegex.contains("^app\\..*$"))
+    assert(cfg.indexOplogTime)
+    assert(cfg.oplogDateFieldFormat == "2006/01/02 15:04:05")
+    assert(cfg.mappings == Map("app.t0" -> "users_primary"))
+  }
+
+  test("config-driven entry equals the hand-wired DAG") {
+    val dir = "/root/testdata/sf0.001"
+    val env = EventLog.envelope(spark, dir)
+    val handWired = {
+      val filtered = NamespaceFilter(env,
+        NamespaceFilterConfig(include = Some("^app\\..*$")))
+      val reg = TransformRegistry(
+        mappers = Map(
+          "" -> (df => df
+            .withColumn("k",
+              get_json_object(col("document"), "$.k").cast("int"))
+            .withColumn("oplog_ts", col("ts_us"))
+            .withColumn("oplog_date",
+              date_format(timestamp_micros(col("ts_us")),
+                graft.codec.Codecs.DefaultOplogDateFormat)))))
+      val routed = Routing.withMeta(reg(filtered),
+        Map("app.t0" -> "users_primary"))
+      Upsert.liveDocuments(routed)
+        .select("meta_index", "meta_id", "meta_version", "namespace",
+          "operation", "k", "oplog_date")
+    }
+    val fromConfig = SparkEntry.entry(spark)
+      .select("meta_index", "meta_id", "meta_version", "namespace",
+        "operation", "k", "oplog_date")
+    assert(fromConfig.count() == handWired.count())
+    assert(fromConfig.exceptAll(handWired).isEmpty &&
+      handWired.exceptAll(fromConfig).isEmpty)
+  }
+
+  test("relate and delete-strategy config map onto operator settings") {
+    val cfg = GraftConfig.fromToml(
+      """namespace-regex = "^app\\..*$"   # data include
+        |delete-strategy = 1
+        |patch-namespaces = ["app.t1"]
+        |time-machine-namespaces = ["app.t0", "app.t2"]
+        |
+        |[[relate]]
+        |namespace = "app.orders"
+        |with-namespace = "app.customer"
+        |src-field = "o_custkey"
+        |match-field = "c_custkey"
+        |match-field-type = "objectId"
+        |keep-src = true
+        |max-depth = 3
+        |
+        |[[relate]]
+        |namespace = "app.customer"
+        |with-namespace = "app.nation"
+        |src-field = "c_nationkey"
+        |match-field = "n_nationkey"
+        |""".stripMargin)
+    assert(cfg.deleteStrategy == 1)
+    assert(cfg.patchNamespaces == Seq("app.t1"))
+    assert(cfg.timeMachineNamespaces == Seq("app.t0", "app.t2"))
+    assert(cfg.relates == Seq(
+      Relation("app.orders", "app.customer", "o_custkey", "c_custkey",
+        keepSrc = true, maxDepth = 3, matchFieldType = Some("objectId")),
+      Relation("app.customer", "app.nation", "c_nationkey", "n_nationkey")))
+  }
+
+  test("TOML parser rejects unsupported syntax loudly") {
+    intercept[IllegalArgumentException] {
+      Toml.parse("""key = 2024-01-01""") // dates are out of scope
+    }
+    intercept[IllegalArgumentException] {
+      Toml.parse("""key = { inline = "table" }""")
+    }
   }
 }
