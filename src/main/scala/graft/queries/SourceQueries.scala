@@ -156,6 +156,35 @@ object SourceQueries extends QueryFamily {
           |            THEN to_base64(encode(text)) END AS file
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── S7 over REAL binary files: generated non-UTF-8 fixtures read
+    //    through the binaryFile source, then the same cap/base64 path as
+    //    q41. The oracle rebuilds the identical bytes from the documents
+    //    table (unhex(repeat(md5(text), r))) — no filesystem needed. The
+    //    40-byte cap bites the r ≥ 3 files, exercising the "too big →
+    //    doc indexes without content" branch on real lengths. ────────────
+    QueryDef.sorted(
+      "q58_binary_files",
+      (s, dir) => {
+        val fixDir = graft.source.BinaryFixtures.ensure(s, dir)
+        FileContent.attach(
+            s.read.format("binaryFile").load(s"$fixDir/*.bin"),
+            "content", maxBytes = 40)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("length").cast("long").as("n_bytes"),
+            col("file"),
+            substring(hex(col("content")), 1, 16).as("hex_prefix"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes,
+          |       CASE WHEN 16 * (doc_id % 4 + 1) <= 40
+          |            THEN to_base64(unhex(repeat(md5(text), CAST(doc_id % 4 + 1 AS INT)))) END AS file,
+          |       upper(substr(md5(text), 1, 16)) AS hex_prefix
+          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
     // ── S4: dynamic namespace discovery → direct-read union ──────────────
     QueryDef.sorted(
       "q42_dynamic_direct_read",

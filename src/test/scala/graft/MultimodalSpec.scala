@@ -37,6 +37,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.feature.sum - 1f) < 1e-3)
   }
 
+  test("feature extraction over REAL binary files via the binaryFile source") {
+    import spark.implicits._
+    // genuine non-UTF-8 bytes on disk, read through the production
+    // source — not text cast to binary
+    val fixDir = graft.source.BinaryFixtures.ensure(spark, "/root/testdata/sf0.001")
+    val real = spark.read.format("binaryFile").load(s"$fixDir/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("asset_id"),
+        lit("image").as("kind"), col("content"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sample_rate"), lit(0L).as("duration_ms"),
+          lit("bin").as("format")).as("meta"))
+      .as[MediaAsset]
+    val feats = Multimodal.extractFeatures(real).collect()
+    assert(feats.nonEmpty)
+    // lengths follow the generator's 16·(id%4+1) rule and features
+    // reproduce the stub decode of the same on-disk bytes
+    assert(feats.forall(f => f.n_bytes == 16 * (f.asset_id % 4 + 1)))
+    val byId = real.collect().map(a => a.asset_id -> a.content).toMap
+    assert(feats.forall(f =>
+      f.feature.toSeq == Multimodal.decodeStub(byId(f.asset_id)).toSeq))
+  }
+
   test("resize pads/crops to the requested dim; frame sampling strides") {
     assert(Multimodal.resizeStub(Array(1f, 2f, 3f), 2).toSeq == Seq(1f, 2f))
     assert(Multimodal.resizeStub(Array(1f), 3).toSeq == Seq(1f, 0f, 0f))
