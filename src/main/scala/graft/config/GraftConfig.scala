@@ -121,6 +121,26 @@ object ConfiguredPipeline {
     * view — DeleteStrategies holds the full routed forms). */
   def indexedDocuments(cfg: GraftConfig,
                        registry: TransformRegistry = TransformRegistry())(
-                       df: DataFrame): DataFrame =
-    Upsert.liveDocuments(hotPath(cfg, registry)(df))
+                       df: DataFrame): DataFrame = {
+    val ops =
+      if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(df) else df
+    Upsert.liveDocuments(hotPath(cfg, registry)(ops))
+  }
+
+  /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured
+    * relation graph (seeds/collections keyed by namespace). */
+  def relateFanOut(cfg: GraftConfig,
+                   spark: org.apache.spark.sql.SparkSession,
+                   seeds: Map[String, DataFrame],
+                   collections: Map[String, DataFrame]): DataFrame =
+    Relate.fanOut(spark, seeds, collections, cfg.relates)
+
+  /** P10 from `patch-namespaces`: the batch patch-pair frame (see
+    * [[graft.streaming.StreamingPatchLog]] for the continuous form). */
+  def patchPairs(cfg: GraftConfig)(df: DataFrame): DataFrame =
+    PatchLog.pairs(df, cfg.patchNamespaces)
+
+  /** K4 from `time-machine-namespaces`: the dated history projection. */
+  def history(cfg: GraftConfig)(df: DataFrame): DataFrame =
+    TimeMachine.history(df, cfg.timeMachineNamespaces)
 }

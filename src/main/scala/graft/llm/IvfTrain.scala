@@ -68,6 +68,25 @@ object IvfTrain {
   def fingerprint(c: Centroid): Long =
     c.vec.map(x => math.floor(x * Scale).toLong).sum
 
+  /** DuckDB twin of [[train]] with 2 iterations: the CTE chain
+    * `c0 → a1 → u1 → c1 → a2 → u2 → c2` replaying the exact schedule —
+    * integer-scaled sums, listed means, same assignment argmax. Requires
+    * an `e(vec_id, v)` CTE in scope; `initWhere` selects the seed rows
+    * of `e`. The final centroids are CTE `c2(centroid_id, cv)`. */
+  def sqlTrainCtes(initWhere: String, dim: Int): String = {
+    def update(a: String) =
+      s"""SELECT bucket, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s, count(*) AS n
+         |    FROM $a, unnest(range(1, ${dim + 1})) AS t(i) GROUP BY bucket, i""".stripMargin
+    val mean = "list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i)"
+    s"""c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE $initWhere),
+       |a1 AS (${Similarity.sqlIvfAssign("e", "c0", dim)}),
+       |u1 AS (${update("a1")}),
+       |c1 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u1 GROUP BY bucket),
+       |a2 AS (${Similarity.sqlIvfAssign("e", "c1", dim)}),
+       |u2 AS (${update("a2")}),
+       |c2 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u2 GROUP BY bucket)""".stripMargin
+  }
+
   /** Post-training summary frame: every trained centroid joined to its
     * final assignment count — the bucket-balance report an IVF build
     * would log (and the cross-engine-checkable output of q57). */

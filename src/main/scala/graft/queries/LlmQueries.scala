@@ -316,25 +316,20 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q56_ivf_train",
       (s, dir) => {
+        // one materialization, four passes (2 train iterations + the final
+        // assignment + balance) — without the lineage cut every pass would
+        // re-scan and re-repartition the source (see Dedup.dupClusters for
+        // the same iterative-loop barrier)
         val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
         val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
           "vec_id", "embedding")
         IvfTrain.balance(e, trained)
       },
       _.orderBy("bucket"),
-      Some {
-        def update(a: String) =
-          s"""SELECT bucket, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s, count(*) AS n
-             |    FROM $a, unnest(range(1, 65)) AS t(i) GROUP BY bucket, i""".stripMargin
-        val mean = "list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i)"
+      Some(
         s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
-           |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 0),
-           |a1 AS (${Similarity.sqlIvfAssign("e", "c0", 64)}),
-           |u1 AS (${update("a1")}),
-           |c1 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u1 GROUP BY bucket),
-           |a2 AS (${Similarity.sqlIvfAssign("e", "c1", 64)}),
-           |u2 AS (${update("a2")}),
-           |c2 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u2 GROUP BY bucket),
+           |${IvfTrain.sqlTrainCtes("vec_id % 64 = 0", 64)},
            |a3 AS (${Similarity.sqlIvfAssign("e", "c2", 64)}),
            |fp AS (SELECT centroid_id AS bucket,
            |              CAST(list_sum(list_transform(cv, x -> CAST(floor(x*1000000) AS BIGINT))) AS BIGINT) AS c_fp
@@ -342,7 +337,48 @@ object LlmQueries extends QueryFamily {
            |cnt AS (SELECT bucket, count(*) AS n_assigned FROM a3 GROUP BY bucket)
            |SELECT CAST(cnt.bucket AS BIGINT) AS bucket,
            |       CAST(n_assigned AS BIGINT) AS n_assigned, c_fp
-           |FROM cnt JOIN fp USING (bucket) ORDER BY bucket""".stripMargin
+           |FROM cnt JOIN fp USING (bucket) ORDER BY bucket""".stripMargin)),
+
+    // ── The usable-ANN flagship: IVF top-k probing TRAINED centroids —
+    //    k-means buckets follow the data's density, so probes recall more
+    //    than predicate-picked centroids at the same nprobe. Same narrow
+    //    assignment + bounded-heap top-k plan as q35. ─────────────────────
+    QueryDef.sorted(
+      "q59_ann_trained",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
+          "vec_id", "embedding")
+        Similarity.ivfTopK(e, trained, col("vec_id") % 100 === 0,
+            k = 3, nprobe = 2, "vec_id", "embedding")
+          .select(col("query_id").cast("long"),
+            col("rank").cast("long").as("rnk"),
+            col("neighbor_id").cast("long"), col("bucket").cast("long"))
+      },
+      _.orderBy("query_id", "rnk"),
+      Some {
+        val pcos = Similarity.sqlCosine("q.qv", "c.cv", 64)
+        val kcos = Similarity.sqlCosine("p.qv", "a.v", 64)
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |${IvfTrain.sqlTrainCtes("vec_id % 64 = 0", 64)},
+           |assign AS (${Similarity.sqlIvfAssign("e", "c2", 64)}),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, qv, bucket FROM (
+           |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
+           |    FROM q, c2 c) WHERE pr <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id, a.bucket,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $kcos DESC, a.vec_id ASC) AS rnk
+           |  FROM probes p JOIN assign a USING (bucket)
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
+           |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       }),
 
     // ── T5 extension: tumbling-window aggregation (event-time hours) ─────

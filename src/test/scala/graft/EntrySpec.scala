@@ -90,6 +90,40 @@ class EntrySpec extends AnyFunSuite {
       Relation("app.customer", "app.nation", "c_nationkey", "n_nationkey")))
   }
 
+  test("config drives relate fan-out, patch pairs, history, delete strategy") {
+    val dir = "/root/testdata/sf0.001"
+    val cfg = GraftConfig.fromToml(
+      """delete-strategy = 2
+        |patch-namespaces = ["app.t1"]
+        |time-machine-namespaces = ["app.t0"]
+        |
+        |[[relate]]
+        |namespace = "app.orders"
+        |with-namespace = "app.customer"
+        |src-field = "o_custkey"
+        |match-field = "c_custkey"
+        |""".stripMargin)
+    val env = EventLog.envelope(spark, dir)
+    // relate graph from config == the same hand-built relation
+    val seeds = Map("app.orders" ->
+      spark.read.parquet(s"$dir/orders.parquet").filter(col("o_orderkey") % 50 === 0))
+    val colls = Map("app.customer" -> spark.read.parquet(s"$dir/customer.parquet"))
+    val fanned = ConfiguredPipeline.relateFanOut(cfg, spark, seeds, colls)
+    val hand = Relate.fanOut(spark, seeds, colls,
+      Seq(Relation("app.orders", "app.customer", "o_custkey", "c_custkey")))
+    assert(fanned.count() == hand.count() && fanned.count() > 0)
+    // patch pairs restricted to the configured namespace
+    val pairs = ConfiguredPipeline.patchPairs(cfg)(env)
+    assert(pairs.select("namespace").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("app.t1"))
+    // history restricted + dated index naming
+    val hist = ConfiguredPipeline.history(cfg)(env)
+    assert(hist.filter(!col("history_index").startsWith("log.app.t0.")).count() == 0)
+    // delete-strategy 2 = ignore: no tombstones reach the live view
+    val live = ConfiguredPipeline.indexedDocuments(cfg)(env)
+    assert(live.filter(col("operation") === "d").count() == 0)
+  }
+
   test("TOML parser rejects unsupported syntax loudly") {
     intercept[IllegalArgumentException] {
       Toml.parse("""key = 2024-01-01""") // dates are out of scope
