@@ -52,4 +52,31 @@ object JsonMergePatch {
     * where patch v1 is the full doc, monstache.go:3138-3150). */
   def canonicalJson(json: String): String =
     JsonMethods.compact(JsonMethods.render(canonical(JsonMethods.parse(json))))
+
+  /** RFC-7386 §2 application — the consumer side of the patch log (how a
+    * reader reconstructs document history from the appended patches): an
+    * object patch merges member-wise (null deletes the key, any other
+    * value applies recursively against the existing member or `{}`); a
+    * non-object patch replaces the target wholesale.
+    *
+    * Inverse law: `apply(a, diff(a, b)) == b` for documents without
+    * explicit null values — merge patch cannot *set* null, the format's
+    * documented lossiness (RFC 7386 §1), shared by the reference's
+    * jsonpatch.CreateMergePatch. */
+  def applyAst(target: JValue, patch: JValue): JValue = patch match {
+    case JObject(pf) =>
+      val base = target match { case JObject(tf) => tf; case _ => Nil }
+      val tm = scala.collection.mutable.LinkedHashMap(base: _*)
+      pf.foreach {
+        case (k, JNull) => tm.remove(k)
+        case (k, pv) => tm.update(k, applyAst(tm.getOrElse(k, JNothing), pv))
+      }
+      JObject(tm.toList)
+    case other => other
+  }
+
+  /** Apply a merge patch to a document; canonical compact output. */
+  def applyPatch(oldJson: String, patch: String): String =
+    JsonMethods.compact(JsonMethods.render(canonical(
+      applyAst(JsonMethods.parse(oldJson), JsonMethods.parse(patch)))))
 }

@@ -60,6 +60,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "LWW must not plan a window")
   }
 
+  test("ANN plans never rank through a window (bounded-heap top-k only)") {
+    // the round-3 scale-killer: row_number windows shuffled every scored
+    // candidate (with vector payloads) into |queries| partitions. The
+    // rework must stay window-free — top-k is a partial-aggregated
+    // ObjectHashAggregate, assignment is a narrow projection.
+    for (q <- Seq("q34_ann_bruteforce", "q35_ann_ivf", "q45_embedding_neardup")) {
+      val plan = SparkEntry.benchQueries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q ranks via a window again:\n$plan")
+    }
+    val topk = fmt(SparkEntry.benchQueries("q35_ann_ivf")(spark, dir))
+    assert(topk.contains("ObjectHashAggregate") || topk.contains("SortAggregate"),
+      s"q35 top-k is not an aggregation:\n$topk")
+  }
+
+  test("IVF assignment is narrow: no shuffle between scan and bucket") {
+    // map-side argmax against broadcast centroids — the assignment
+    // subtree must contain no Exchange (the only exchanges in the full
+    // ivfAssign plan belong to the input spread/repartition, which this
+    // bare call does not include)
+    val assigned = graft.llm.Similarity.ivfAssign(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      centroidPred = col("vec_id") % 50 === 0)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment shuffles:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
