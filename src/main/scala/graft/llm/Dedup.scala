@@ -73,6 +73,46 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  /** Incremental near-dedup: candidate pairs for a NEW document batch
+    * against an already-signed corpus, without recomputing a single old
+    * signature — the run-over-run ingest shape (daily batch vs 100 TB
+    * corpus). Only the new docs are shingled/minhashed; candidates
+    * require a new doc on at least one side (old-old pairs were the
+    * previous runs' output); verification reads shingles from whichever
+    * signature table owns each side. `existingSigned` is the persisted
+    * output of [[withSignature]] (doc_id, sh, bkeys) — exactly what
+    * [[verifiedNearDupPairs]] materializes before its self-join.
+    * Returns the same (id_a, id_b, inter, uni) contract. */
+  def incrementalNearDupPairs(newDocs: DataFrame, existingSigned: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              shingleN: Int = 3): DataFrame = {
+    val newSigned = withSignature(newDocs, textCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allSigned = existingSigned.select("doc_id", "sh", "bkeys")
+      .unionByName(newSigned)
+    def bands(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    // new side drives the join: band keys of old docs are touched only
+    // where a new doc shares the bucket
+    val cand = bands(newSigned).alias("a")
+      .join(bands(allSigned).alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    cand
+      .join(allSigned.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(allSigned.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs, the step that turns pairwise matches into keep/drop
     * decisions (cluster representative = min id). Pregel-style min-label

@@ -275,6 +275,22 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
   }
 
+  /** Persist an IVF index: the assignment frame written bucket-partitioned
+    * — the claimed 100 TB layout made literal. One directory per bucket
+    * means a probe is partition-pruned I/O (the scan never lists, let
+    * alone reads, unprobed buckets); see PlanAuditSpec for the
+    * PartitionFilters proof. Rewriting per build is the IVF trade: the
+    * index is rebuilt/appended offline, probed online. */
+  def writeIndex(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Open an IVF index restricted to the probed buckets. The `isin`
+    * lands in the scan's PartitionFilters, so only `buckets.size`
+    * directories are read. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                buckets: Seq[Long]): DataFrame =
+    spark.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
   /** SQL: the same left-fold cosine over two DOUBLE[] expressions.
     * DuckDB list indexing is 1-based; `dim` is the vector length. */

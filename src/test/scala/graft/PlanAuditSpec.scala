@@ -88,6 +88,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"IVF assignment shuffles:\n$plan")
   }
 
+  test("bucket-partitioned IVF index prunes unprobed buckets at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val assigned = graft.llm.Similarity.ivfAssign(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      centroidPred = col("vec_id") % 50 === 0)
+    graft.llm.Similarity.writeIndex(assigned, tmp)
+    val probed = graft.llm.Similarity.readIndex(spark, tmp, Seq(0L, 50L))
+    val plan = fmt(probed)
+    // the probe must be a partition filter (directory pruning), not a
+    // post-scan data filter over every bucket
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe did not reach PartitionFilters:\n$plan")
+    val expected = assigned.filter(col("bucket").isin(0L, 50L)).count()
+    assert(probed.count() == expected && expected > 0)
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
