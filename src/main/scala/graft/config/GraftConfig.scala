@@ -32,6 +32,11 @@ case class GraftConfig(
     oplogDateFieldFormat: String = "2006/01/02 15:04:05", // Go layout (2882-2890)
     patchNamespaces: Seq[String] = Nil,               // patch-namespaces (395)
     timeMachineNamespaces: Seq[String] = Nil,         // time-machine-namespaces (410)
+    timeMachineIndexPrefix: String = "log",           // time-machine-index-prefix (411)
+    timeMachineIndexSuffix: String = "2006-01-02",    // time-machine-index-suffix (412; a Go date layout)
+    directReadNamespaces: Seq[String] = Nil,          // direct-read-namespaces (399)
+    directReadDynamicIncludeRegex: Option[String] = None, // direct-read-dynamic-include-regex (406)
+    directReadDynamicExcludeRegex: Option[String] = None, // direct-read-dynamic-exclude-regex (405)
     relates: Seq[Relation] = Nil,                     // [[relate]] (206-217)
     mappings: Map[String, String] = Map.empty) {      // [[mapping]] (indexMapping)
 
@@ -65,6 +70,13 @@ object GraftConfig {
         doc.str("oplog-date-field-format").getOrElse(base.oplogDateFieldFormat),
       patchNamespaces = doc.strings("patch-namespaces"),
       timeMachineNamespaces = doc.strings("time-machine-namespaces"),
+      timeMachineIndexPrefix =
+        doc.str("time-machine-index-prefix").getOrElse(base.timeMachineIndexPrefix),
+      timeMachineIndexSuffix =
+        doc.str("time-machine-index-suffix").getOrElse(base.timeMachineIndexSuffix),
+      directReadNamespaces = doc.strings("direct-read-namespaces"),
+      directReadDynamicIncludeRegex = doc.str("direct-read-dynamic-include-regex"),
+      directReadDynamicExcludeRegex = doc.str("direct-read-dynamic-exclude-regex"),
       relates = doc.arrays.getOrElse("relate", Nil).map { t =>
         Relation(
           namespace = t("namespace").toString,
@@ -140,7 +152,26 @@ object ConfiguredPipeline {
   def patchPairs(cfg: GraftConfig)(df: DataFrame): DataFrame =
     PatchLog.pairs(df, cfg.patchNamespaces)
 
-  /** K4 from `time-machine-namespaces`: the dated history projection. */
+  /** K4 from `time-machine-namespaces`: the dated history projection,
+    * named per the configured prefix + Go-layout suffix. */
   def history(cfg: GraftConfig)(df: DataFrame): DataFrame =
-    TimeMachine.history(df, cfg.timeMachineNamespaces)
+    TimeMachine.history(df, cfg.timeMachineNamespaces,
+      cfg.timeMachineIndexPrefix, cfg.timeMachineIndexSuffix)
+
+  /** S3/S4/F8 from `direct-read-namespaces`: the configured namespaces
+    * read directly, or — with the reference's `[""]` convention
+    * (buildDynamicDirectReadNs, monstache.go:4783-4825) — dynamic
+    * discovery filtered by the dynamic include/exclude regex pair. */
+  def directRead(cfg: GraftConfig,
+                 spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    val nss =
+      if (cfg.directReadNamespaces.forall(_.isEmpty))
+        graft.source.Discovery.filterNamespaces(
+          graft.source.Discovery.listCollections(spark, dir),
+          cfg.directReadDynamicIncludeRegex,
+          cfg.directReadDynamicExcludeRegex)
+      else cfg.directReadNamespaces
+    graft.source.Discovery.directReadNamespaces(spark, dir, nss)
+  }
 }

@@ -17,14 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TimeMachine {
 
+  /** The reference's name rule (monstache.go:3256-3260):
+    * `lower(prefix.index.<date>)` where the configurable SUFFIX is itself
+    * a Go date layout applied to the clock (`t.Format(suf)`, defaults
+    * prefix "log", suffix "2006-01-02" → daily indices). Here the date
+    * comes from the op's own cluster time, not the wall clock —
+    * deterministic and replayable; the layout is translated via
+    * [[graft.codec.Codecs.goLayoutToJvm]]. */
   def history(df: DataFrame, namespaces: Seq[String],
-              prefix: String = "log"): DataFrame = {
-    val day = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
+              prefix: String = "log",
+              suffixGoLayout: String = "2006-01-02"): DataFrame = {
+    val day = date_format(timestamp_micros(col("ts_us")),
+      graft.codec.Codecs.goLayoutToJvm(suffixGoLayout))
     df.filter(col("namespace").isin(namespaces: _*))
       .filter(col("operation").isin("i", "u", "d"))
       .withColumn("history_date", day)
       .withColumn("history_index",
-        concat_ws(".", lit(prefix), lower(col("namespace")), day))
+        lower(concat_ws(".", lit(prefix), col("namespace"), day)))
       .withColumn("source_id", col("id"))
       .withColumn("history_routing", col("id"))
   }

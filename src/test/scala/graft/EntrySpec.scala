@@ -96,6 +96,9 @@ class EntrySpec extends AnyFunSuite {
       """delete-strategy = 2
         |patch-namespaces = ["app.t1"]
         |time-machine-namespaces = ["app.t0"]
+        |time-machine-index-prefix = "hist"
+        |time-machine-index-suffix = "2006.01"   # monthly indices (Go layout)
+        |direct-read-namespaces = ["app.region", "app.nation"]
         |
         |[[relate]]
         |namespace = "app.orders"
@@ -116,12 +119,26 @@ class EntrySpec extends AnyFunSuite {
     val pairs = ConfiguredPipeline.patchPairs(cfg)(env)
     assert(pairs.select("namespace").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("app.t1"))
-    // history restricted + dated index naming
+    // history restricted + configured prefix and Go-layout suffix
+    // (monthly "2006.01" → yyyy.MM)
     val hist = ConfiguredPipeline.history(cfg)(env)
-    assert(hist.filter(!col("history_index").startsWith("log.app.t0.")).count() == 0)
+    assert(hist.filter(
+      !col("history_index").rlike("^hist\\.app\\.t0\\.\\d{4}\\.\\d{2}$"))
+      .count() == 0)
     // delete-strategy 2 = ignore: no tombstones reach the live view
     val live = ConfiguredPipeline.indexedDocuments(cfg)(env)
     assert(live.filter(col("operation") === "d").count() == 0)
+    // direct-read-namespaces: exactly the configured namespaces are read
+    val dr = ConfiguredPipeline.directRead(cfg, spark, dir)
+    assert(dr.select("namespace").distinct().collect()
+      .map(_.getString(0)).toSet == Set("app.region", "app.nation"))
+    // dynamic form: [""] discovers and the regex pair filters
+    val dyn = cfg.copy(directReadNamespaces = Seq(""),
+      directReadDynamicIncludeRegex = Some("^app\\.(region|nation)$"),
+      directReadDynamicExcludeRegex = Some("^app\\.nation$"))
+    val dynNs = ConfiguredPipeline.directRead(dyn, spark, dir)
+      .select("namespace").distinct().collect().map(_.getString(0)).toSet
+    assert(dynNs == Set("app.region"))
   }
 
   test("TOML parser rejects unsupported syntax loudly") {
