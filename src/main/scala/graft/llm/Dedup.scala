@@ -33,11 +33,32 @@ object Dedup {
 
   /** LSH candidate pairs: explode band keys, self-join per (band, key),
     * id_a < id_b, distinct. The join key space is uniform (md5), so no
-    * hot buckets; identical docs share all bands but collapse in the
-    * distinct. */
-  def candidatePairs(signed: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val bands = signed.select(col(idCol).as("doc_id"),
+    * hot buckets from hashing itself; identical docs share all bands but
+    * collapse in the distinct.
+    *
+    * `maxBucketSize` is the degenerate-corpus guard: a band bucket of n
+    * docs yields n² pairs, so one pathological bucket (boilerplate pages,
+    * empty documents) can dominate the whole join at corpus scale.
+    * Capped buckets are dropped wholesale — an explicit recall trade
+    * (their members usually co-occur in other, smaller buckets); the cap
+    * turns worst-case quadratic blowup into a bounded cost, where the
+    * reference sheds overload by dropping relate work
+    * (monstache.go:3397-3401) — here the shed set is deterministic.
+    * The bucket-size count reuses the self-join's shuffle key, so with
+    * co-partitioning it costs one aggregation, not an extra exchange. */
+  def candidatePairs(signed: DataFrame, idCol: String = "doc_id",
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val all = signed.select(col(idCol).as("doc_id"),
       posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    val bands = maxBucketSize match {
+      case None => all
+      case Some(cap) =>
+        val ok = all.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select("band_idx", "band_key")
+        all.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
