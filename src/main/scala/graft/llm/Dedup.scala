@@ -211,6 +211,31 @@ object Dedup {
       .withColumn("sim_bucket", expr(s"shiftright(simhash, $bucketShift)"))
       .drop("ws", "sh", "hs", "sig", "bkeys")
 
+  /** SimHash near-dup pairs: intra-bucket pairs whose fingerprints differ
+    * in at most `maxHamming` bits — the cheap dedup tier (one 64-bit
+    * compare per pair vs MinHash's shingle-set arithmetic). Bucketing by
+    * the fingerprint's high bits keeps the self-join bounded (never
+    * all-pairs); pairs whose differing bits fall in the bucket prefix are
+    * missed — the standard single-probe trade (multi-probe = union over
+    * rotated bucketings). Hamming distance is codegen'd column algebra:
+    * `bit_count(a ^ b)`. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          shingleN: Int = 3): DataFrame = {
+    val fp = withSimhash(docs, textCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("simhash"), col("sim_bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fp.alias("a").join(fp.alias("b"),
+        col("a.sim_bucket") === col("b.sim_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("hamming"))
+  }
+
   /** SQL twin of [[withSimhash]]'s fingerprint over a hashed-shingle list
     * expression (DuckDB). */
   def sqlSimhash(hs: String): String =

@@ -166,6 +166,47 @@ object LlmQueries extends QueryFamily {
            |       ${Dedup.sqlSimhash("hs")} >> 20 AS sim_bucket
            |FROM hsh ORDER BY doc_id""".stripMargin)),
 
+    // ── SimHash near-dup pairs: the cheap dedup tier — one bit_count per
+    //    intra-bucket pair. Exact copies land at hamming 0; truncated
+    //    variants at small distances when their bucket prefix survives
+    //    (single-probe trade, replayed identically by the oracle). ────────
+    QueryDef.sorted(
+      "q60_simhash_pairs",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
+        Dedup.simhashNearDupPairs(docs.unionByName(dups).unionByName(vars),
+            maxHamming = 6)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("hamming"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset,
+           |         array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+           |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
+           |hsh AS (SELECT doc_id, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
+           |fp AS (SELECT doc_id, ${Dedup.sqlSimhash("hs")} AS simhash,
+           |              ${Dedup.sqlSimhash("hs")} >> 20 AS bucket FROM hsh)
+           |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── n-gram Jaccard on known pairs (original vs truncated variant) ────
     QueryDef.sorted(
       "q33_ngram_jaccard",
