@@ -159,19 +159,24 @@ object ConfiguredPipeline {
       cfg.timeMachineIndexPrefix, cfg.timeMachineIndexSuffix)
 
   /** S3/S4/F8 from `direct-read-namespaces`: the configured namespaces
-    * read directly, or — with the reference's `[""]` convention
+    * read directly, or — with the reference's explicit `[""]` convention
     * (buildDynamicDirectReadNs, monstache.go:4783-4825) — dynamic
-    * discovery filtered by the dynamic include/exclude regex pair. */
+    * discovery filtered by the dynamic include/exclude regex pair. A
+    * config that OMITS the key configures no direct reads at all
+    * (change-stream-only, exactly the reference's default) — it must
+    * never fall through to scan-everything discovery. */
   def directRead(cfg: GraftConfig,
                  spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame = {
     val nss =
-      if (cfg.directReadNamespaces.forall(_.isEmpty))
+      if (cfg.directReadNamespaces.isEmpty) Nil
+      else if (cfg.directReadNamespaces.forall(_.isEmpty))
         graft.source.Discovery.filterNamespaces(
           graft.source.Discovery.listCollections(spark, dir),
           cfg.directReadDynamicIncludeRegex,
           cfg.directReadDynamicExcludeRegex)
       else cfg.directReadNamespaces
-    graft.source.Discovery.directReadNamespaces(spark, dir, nss)
+    if (nss.isEmpty) spark.emptyDataFrame
+    else graft.source.Discovery.directReadNamespaces(spark, dir, nss)
   }
 }

@@ -62,13 +62,23 @@ object Toml {
       arrays.map { case (k, v) => k -> v.map(_.toMap).toSeq }.toMap)
   }
 
+  /** A quote at position `i` is escaped iff preceded by an ODD run of
+    * backslashes — checking one character would misread `\\"` (escaped
+    * backslash, then a REAL closing quote) as an escaped quote. */
+  private def isEscaped(s: String, i: Int): Boolean = {
+    var n = 0
+    var j = i - 1
+    while (j >= 0 && s.charAt(j) == '\\') { n += 1; j -= 1 }
+    n % 2 == 1
+  }
+
   /** Drop a trailing `#` comment (quote-aware). */
   private def stripComment(line: String): String = {
     var inStr = false
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (c == '"' && (i == 0 || line.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == '"' && !isEscaped(line, i)) inStr = !inStr
       else if (c == '#' && !inStr) return line.substring(0, i)
       i += 1
     }
@@ -97,7 +107,7 @@ object Toml {
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
-      if (c == '"' && (i == 0 || body.charAt(i - 1) != '\\')) { inStr = !inStr; cur.append(c) }
+      if (c == '"' && !isEscaped(body, i)) { inStr = !inStr; cur.append(c) }
       else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
       else cur.append(c)
       i += 1

@@ -79,17 +79,21 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     call_function(graft.functions.GraftFunctions.DotName, x, y)
 
-  /** Elementwise-fold cosine between two double-array columns. */
+  /** Elementwise-fold cosine between two double-array columns. A
+    * zero-norm side yields NULL (via `nullif` on the denominator) rather
+    * than an ANSI DIVIDE_BY_ZERO error — Spark 4 runs ANSI mode, so a
+    * raw `/` would kill the whole job on the first all-zeros embedding,
+    * and at corpus scale a few broken vectors are a certainty. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0d))
 
   /** Cosine when each side's norm is already a column. Precomputing the
     * norm once per vector (instead of once per pair) removes 2 of the 3
     * array folds from every pair comparison — at n·m pairs that is the
     * dominant cost. Identical arithmetic to [[cosine]]: the same fold and
-    * sqrt, evaluated once. */
+    * sqrt, evaluated once, and the same zero-norm → NULL contract. */
   def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    dot(a, b) / nullif(na * nb, lit(0.0d))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -145,7 +149,10 @@ object Similarity {
       while (i < cents.length) {
         val c = cents(i)
         val cos = dotArr(arr, c.vec) / (vn * c.norm)
-        // strict > over ascending ids == (cos DESC, centroid_id ASC)
+        // strict > over ascending ids == (cos DESC, centroid_id ASC);
+        // a zero-norm vector scores NaN against every centroid (NaN >
+        // best is always false) and lands deterministically in the
+        // Long.MinValue "unassignable" bucket, which no probe selects
         if (cos > best) { best = cos; bestId = c.id }
         i += 1
       }
@@ -176,7 +183,11 @@ object Similarity {
     val probeU = udf { (v: Seq[Double]) =>
       val arr = v.toArray
       val qn = math.sqrt(dotArr(arr, arr))
+      // NaN scores (zero-norm query or centroid) are dropped before the
+      // sort: NaN breaks strict-weak ordering (sortWith may throw) and a
+      // zero query has no meaningful probes anyway
       val scored = bc.value.map(c => (dotArr(arr, c.vec) / (qn * c.norm), c.id))
+        .filterNot(_._1.isNaN)
       val top = scored
         .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
         .take(nprobe).map(_._2)
@@ -215,6 +226,12 @@ object Similarity {
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePre(col("qv"), col("qn"), col("cv"), col("cn")))
+      // zero-norm vectors produce NULL cosines (nullif above) and NaN
+      // components produce NaN ones; neither has a place in a total
+      // order — excluded BEFORE the aggregation so top-k stays
+      // partition-invariant and the non-nullable Scored encoder never
+      // sees a null
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id").cast("long"), col("cos"), lit(-1L)).as("tk"))
     explodeTopK(agged).select("query_id", "rank", "neighbor_id")
@@ -238,6 +255,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePre(col("qv"), col("qn"), col("v"), col("vn")))
+      // see bruteForceTopK: null/NaN cosines have no rank
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id").cast("long"), col("cos"),
         col("bucket").cast("long")).as("tk"))

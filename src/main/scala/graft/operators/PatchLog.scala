@@ -20,13 +20,18 @@ object PatchLog {
 
   /** (id, v, prev_document, document) pairs per patch-namespace doc,
     * v starting at 1 on the insert — prev is null there, matching the
-    * reference storing the full doc as patch v1 (monstache.go:3138-3150). */
+    * reference storing the full doc as patch v1 (monstache.go:3138-3150).
+    * Only data ops that CARRY a document participate: the reference's
+    * addPatch runs downstream of routeData, which never routes a
+    * data-less op — and the streaming twin
+    * ([[graft.streaming.StreamingPatchLog]]) applies the same guard, so
+    * the two logs stay op-for-op identical. */
   def pairs(df: DataFrame, namespaces: Seq[String],
             tieBreak: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("version").asc, col(tieBreak).asc)
     df.filter(col("namespace").isin(namespaces: _*))
-      .filter(col("operation").isin("i", "u"))
+      .filter(col("operation").isin("i", "u") && col("document").isNotNull)
       .withColumn("v", row_number().over(w))
       .withColumn("prev_document", lag(col("document"), 1).over(w))
   }

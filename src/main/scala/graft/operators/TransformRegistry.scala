@@ -131,7 +131,10 @@ case class TransformRegistry(
     * variant of that trade. */
   def apply(df: DataFrame, materializeInput: Boolean = true): DataFrame = {
     val filtered = applyFilters(df)
-    val in = if (materializeInput && mappers.size > 1)
+    // streaming frames cannot be checkpointed at plan-construction time
+    // (and each micro-batch is already materialized once by the engine),
+    // so the barrier applies to batch inputs only
+    val in = if (materializeInput && !df.isStreaming && mappers.size > 1)
       filtered.localCheckpoint(true) else filtered
     finalizeOps(applyMappers(in))
   }

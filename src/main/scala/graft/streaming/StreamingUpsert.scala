@@ -30,7 +30,7 @@ import graft.source.ChangeEvent
   */
 object StreamingUpsert {
 
-  private val VersionRe = "^v(\\d+)$".r
+  private val VersionRe = "^v(-?\\d+)$".r
 
   /** State versions present under `stateDir`, newest first. */
   private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
@@ -51,6 +51,16 @@ object StreamingUpsert {
                   beforeBatch: Long = Long.MaxValue): Option[DataFrame] =
     versions(spark, stateDir).find(_ < beforeBatch)
       .map(v => spark.read.parquet(s"$stateDir/v$v"))
+
+  /** Seed the state with a direct-read backfill snapshot BEFORE the
+    * stream starts (SURVEY §3.2: initial sync, then tail from the
+    * snapshot's timestamp). Written as version -1 so the stream's FIRST
+    * micro-batch (batchId 0) merges against it — `mergeBatch(_, 0)` only
+    * consults versions strictly below the batch id, so a snapshot at v0
+    * would be invisible to batch 0 and silently overwritten. */
+  def seedState(snapshot: DataFrame, stateDir: String): Unit =
+    Upsert.lastWriterWins(snapshot)
+      .write.mode("overwrite").parquet(s"$stateDir/v-1")
 
   /** Idempotent merge of one micro-batch into the versioned state. */
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {

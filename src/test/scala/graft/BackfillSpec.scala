@@ -33,10 +33,11 @@ class BackfillSpec extends AnyFunSuite {
     val snapshotTs = 1000299L // backfill covers ops up to this cluster time
     val (snapshot, tail) = ops.partition(_.ts_us <= snapshotTs)
 
-    // phase 1: direct-read backfill → state version 0 (the snapshot)
+    // phase 1: direct-read backfill seeds the state (below batchId 0, so
+    // the stream's first micro-batch merges AGAINST it, not over it)
     val stateDir = Files.createTempDirectory("graft-backfill-state").toString
     val ckptDir = Files.createTempDirectory("graft-backfill-ckpt").toString
-    StreamingUpsert.mergeBatch(snapshot.toDF(), 0L, stateDir)
+    StreamingUpsert.seedState(snapshot.toDF(), stateDir)
 
     // phase 2: the stream carries only ops AFTER the snapshot timestamp
     // (the saved resume point) and merges into the same state
@@ -53,6 +54,35 @@ class BackfillSpec extends AnyFunSuite {
     assert(converged == batch && converged.nonEmpty)
   }
 
+  test("seedState: snapshot-only keys survive the stream's FIRST batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // id "cold" is written ONLY by the backfill; the stream never touches
+    // it. mergeBatch(_, 0) consults versions strictly below the batch id,
+    // so this converges iff the seed landed below batchId 0 — a snapshot
+    // written at v0 would be silently overwritten by the first micro-batch
+    // and this assertion would catch it.
+    val snapshot = Seq(
+      ChangeEvent(0L, "cold", "app", "t0", "app.t0", "i",
+        1000000L, 4000000L, """{"k":"cold"}""", 0.0, "oplog"),
+      ChangeEvent(1L, "hot", "app", "t0", "app.t0", "i",
+        1000001L, 4000004L, """{"k":0}""", 1.0, "oplog"))
+    val tail = Seq(
+      ChangeEvent(2L, "hot", "app", "t0", "app.t0", "u",
+        1000002L, 4000008L, """{"k":1}""", 2.0, "oplog"))
+
+    val stateDir = Files.createTempDirectory("graft-seed-state").toString
+    val ckptDir = Files.createTempDirectory("graft-seed-ckpt").toString
+    StreamingUpsert.seedState(snapshot.toDF(), stateDir)
+    val src = MemoryStream[ChangeEvent]
+    src.addData(tail)
+    StreamingUpsert.start(src.toDF(), stateDir, ckptDir).awaitTermination()
+
+    val live = StreamingUpsert.liveState(spark, stateDir)
+      .select("id", "version").as[(String, Long)].collect().toMap
+    assert(live == Map("cold" -> 4000000L, "hot" -> 4000008L))
+  }
+
   test("overlap at the boundary is harmless (at-least-once replay)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -62,7 +92,7 @@ class BackfillSpec extends AnyFunSuite {
     // the stream replays 50 ops the backfill already covered — versions
     // make the re-merge idempotent, like the reference's replay semantics
     val (snapshot, _) = ops.splitAt(200)
-    StreamingUpsert.mergeBatch(snapshot.toDF(), 0L, stateDir)
+    StreamingUpsert.seedState(snapshot.toDF(), stateDir)
     val src = MemoryStream[ChangeEvent]
     src.addData(ops.drop(150))
     StreamingUpsert.start(src.toDF(), stateDir, ckptDir).awaitTermination()

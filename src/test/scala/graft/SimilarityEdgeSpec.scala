@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** Zero-norm embeddings (an all-zeros vector is a real artifact of
+  * failed upstream encoders at corpus scale) must degrade
+  * deterministically: NaN cosines never enter a top-k ordering, the
+  * assignment argmax routes them to the unassignable bucket, and no
+  * code path throws. */
+class SimilarityEdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame() = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.0f, 0.0f)) // zero-norm: cosine undefined vs everything
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: zero-norm candidates never appear as neighbors") {
+    val out = Similarity.bruteForceTopK(frame(), col("vec_id") === 1L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // only 2 and 3 are rankable; 4 is NaN against everything
+    assert(out.toSeq == Seq((1L, 1, 2L), (1L, 2, 3L)))
+  }
+
+  test("bruteForceTopK: a zero-norm query yields no rows, not a crash") {
+    val out = Similarity.bruteForceTopK(frame(), col("vec_id") === 4L, k = 3)
+    assert(out.collect().isEmpty)
+  }
+
+  test("ivfAssign: zero-norm vectors land in the unassignable bucket") {
+    val assigned = Similarity.ivfAssign(frame(),
+        centroidPred = col("vec_id").isin(1L, 3L))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) == 1L && assigned(2L) == 1L && assigned(3L) == 3L)
+    assert(assigned(4L) == Long.MinValue)
+  }
+
+  test("ivfTopK: zero-norm rows are inert on both sides") {
+    val out = Similarity.ivfTopK(frame(), centroidPred = col("vec_id").isin(1L, 3L),
+        queryPred = col("vec_id") === 2L, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // both buckets probed; 4 (zero-norm, unassignable bucket) never scored
+    assert(out.toSeq == Seq((2L, 1, 1L), (2L, 2, 3L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{ConfiguredPipeline, GraftConfig, Toml}
+
+/** The TOML front door's edge behavior: escape-aware quote scanning (an
+  * escaped BACKSLASH before a quote must not be misread as an escaped
+  * quote), comment stripping inside vs outside strings, and the
+  * direct-read key's three-way semantics (omitted → none, `[""]` →
+  * dynamic discovery, explicit list → exactly those). */
+class TomlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("escaped backslash before a closing quote still closes the string") {
+    // value is a single backslash; the `#` after it is a real comment
+    val doc = Toml.parse("""k = "a\\"  # trailing comment""")
+    assert(doc.root("k") == "a\\")
+  }
+
+  test("escaped quote keeps the string open across a # character") {
+    val doc = Toml.parse("""k = "a\"#b"  # comment""")
+    assert(doc.root("k") == "a\"#b")
+  }
+
+  test("array split is escape-aware too") {
+    val doc = Toml.parse("""k = ["a\\", "b,c", "d\"e"]""")
+    assert(doc.strings("k") == Seq("a\\", "b,c", "d\"e"))
+  }
+
+  test("unsupported escapes and syntax fail loudly with the line number") {
+    val e1 = intercept[IllegalArgumentException](Toml.parse("k = \"\\q\""))
+    assert(e1.getMessage.contains("line 1"))
+    val e2 = intercept[IllegalArgumentException](Toml.parse("\nk = 1979-05-27"))
+    assert(e2.getMessage.contains("line 2"))
+  }
+
+  test("directRead: omitted key means NO direct reads, not scan-everything") {
+    val cfg = GraftConfig.fromToml("namespace-regex = \"^app\\\\.\"")
+    assert(cfg.directReadNamespaces.isEmpty)
+    val df = ConfiguredPipeline.directRead(cfg, spark, "/root/testdata/sf0.001")
+    assert(df.isEmpty)
+  }
+
+  test("directRead: the [\"\"] convention turns on dynamic discovery") {
+    val cfg = GraftConfig.fromToml(
+      """direct-read-namespaces = [""]
+        |direct-read-dynamic-include-regex = "^app\\.(region|nation)$"
+        |""".stripMargin)
+    val df = ConfiguredPipeline.directRead(cfg, spark, "/root/testdata/sf0.001")
+    val nss = df.select("namespace").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(nss == Set("app.region", "app.nation"))
+  }
+
+  test("directRead: an explicit list reads exactly those namespaces") {
+    val cfg = GraftConfig.fromToml("""direct-read-namespaces = ["app.region"]""")
+    val df = ConfiguredPipeline.directRead(cfg, spark, "/root/testdata/sf0.001")
+    val nss = df.select("namespace").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(nss == Set("app.region"))
+  }
+}
