@@ -52,6 +52,15 @@ object GraftConfig {
 
   def fromToml(text: String): GraftConfig = {
     val doc = Toml.parse(text)
+    // `[mapping]` / `[relate]` (single-bracket TABLES) are the classic
+    // typo for the `[[...]]` array-of-tables the reference documents —
+    // Toml.parse files them under tables, the array lookups below would
+    // see nothing, and every doc would silently route to the default
+    // index. Reject loudly instead.
+    Seq("mapping", "relate").foreach { k =>
+      require(!doc.tables.contains(k),
+        s"config: [$k] is a table — use an [[${k}]] array-of-tables entry")
+    }
     val base = GraftConfig()
     GraftConfig(
       namespaceRegex = doc.str("namespace-regex"),
@@ -130,13 +139,28 @@ object ConfiguredPipeline {
   /** The "what the index holds" batch answer: hot path + last-writer-wins
     * + the configured delete strategy's view (strategy 2 = ignore keeps
     * tombstoned docs' final data op, 0/1 drop deleted keys from the live
-    * view — DeleteStrategies holds the full routed forms). */
+    * view — DeleteStrategies holds the full routed forms).
+    *
+    * `index-as-update = true` (K1 doc-as-upsert, monstache.go:3203-3215)
+    * switches whole-doc overwrite to per-field merge — `mergeFields`
+    * names the columns whose latest non-null value survives partial
+    * updates (the columnar analog of the reference merging into the
+    * stored ES doc). The config key without the field list is a loud
+    * error, never a silent fall-through to overwrite semantics. */
   def indexedDocuments(cfg: GraftConfig,
-                       registry: TransformRegistry = TransformRegistry())(
+                       registry: TransformRegistry = TransformRegistry(),
+                       mergeFields: Seq[String] = Nil)(
                        df: DataFrame): DataFrame = {
     val ops =
       if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(df) else df
-    Upsert.liveDocuments(hotPath(cfg, registry)(ops))
+    val hot = hotPath(cfg, registry)(ops)
+    if (!cfg.indexAsUpdate) Upsert.liveDocuments(hot)
+    else {
+      require(mergeFields.nonEmpty,
+        "config: index-as-update = true needs mergeFields — the columns " +
+          "whose latest non-null value merges across partial updates")
+      Upsert.indexAsUpdate(hot, mergeFields)
+    }
   }
 
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured

@@ -88,8 +88,16 @@ object Toml {
   private def parseValue(s: String, ln: Int): Any = s match {
     case "true" => true
     case "false" => false
-    case _ if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
-      unescape(s.substring(1, s.length - 1), ln)
+    case _ if s.startsWith("\"") =>
+      // the FIRST unescaped quote after the opener must be the LAST
+      // character — otherwise `"a" "b"` would silently parse to `a" "b`
+      // and `"abc\"` (unterminated: the final quote is escaped) to
+      // `abc\`, feeding a typo'd regex/value into the pipeline unseen
+      var i = 1
+      while (i < s.length && !(s.charAt(i) == '"' && !isEscaped(s, i))) i += 1
+      require(i == s.length - 1,
+        s"TOML line $ln: malformed string value: $s")
+      unescape(s.substring(1, i), ln)
     case _ if s.startsWith("[") && s.endsWith("]") =>
       splitTop(s.substring(1, s.length - 1)).map(v => parseValue(v.trim, ln))
     case _ if s.matches("[+-]?\\d+") => s.toLong

@@ -111,7 +111,13 @@ object Dedup {
     val newSigned = withSignature(newDocs, textCol, shingleN)
       .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // a re-delivered doc_id (an UPDATED document arriving in a later
+    // batch) must be represented by its NEW signature only — keeping both
+    // rows would give the id two signatures, and every pair touching it
+    // would multiply into contradictory (inter, uni) rows through the
+    // verification joins below
     val allSigned = existingSigned.select("doc_id", "sh", "bkeys")
+      .join(newSigned.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(newSigned)
     def bands(df: DataFrame) = df.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))

@@ -36,6 +36,10 @@ object IvfTrain {
   private def step(vectors: DataFrame, cents: Array[Centroid],
                    idCol: String, vecCol: String): Array[Centroid] = {
     val sums = Similarity.ivfAssign(vectors, cents, idCol, vecCol)
+      // zero-norm/NULL vectors sit in the unassignable bucket; folding
+      // them in would fabricate a bogus zero centroid the SQL replay
+      // (whose assignment CTE drops NaN rows) never sees
+      .filter(col("bucket") =!= Similarity.UnassignedBucket)
       .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("bucket"), col("pos"))
       .agg(sum(floor(col("x") * Scale).cast("long")).as("s"),

@@ -68,6 +68,12 @@ final class TopKNeighbors(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
   */
 object Similarity {
 
+  /** Bucket id for vectors with no meaningful nearest centroid (zero-norm
+    * or NULL embeddings). No probe ever selects it and no pair generation
+    * reads it — the rows are quarantined, not dropped, so corpus counts
+    * still reconcile. */
+  val UnassignedBucket: Long = Long.MinValue
+
   /** Left-fold dot product of two double-array columns, backed by the
     * engine's native codegen expression [[graft.functions.DotProduct]]
     * (`aggregate(zip_with(...))` is interpreted and a Scala UDF boxes
@@ -140,23 +146,28 @@ object Similarity {
                 idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
     val assignU = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val vn = math.sqrt(dotArr(arr, arr))
-      val cents = bc.value
-      var bestId = Long.MinValue
-      var best = Double.NegativeInfinity
-      var i = 0
-      while (i < cents.length) {
-        val c = cents(i)
-        val cos = dotArr(arr, c.vec) / (vn * c.norm)
-        // strict > over ascending ids == (cos DESC, centroid_id ASC);
-        // a zero-norm vector scores NaN against every centroid (NaN >
-        // best is always false) and lands deterministically in the
-        // Long.MinValue "unassignable" bucket, which no probe selects
-        if (cos > best) { best = cos; bestId = c.id }
-        i += 1
+      // a NULL embedding (failed upstream encoder) must not NPE the whole
+      // job — it joins the zero-norm vectors in the unassignable bucket
+      if (v == null) (UnassignedBucket, 0.0)
+      else {
+        val arr = v.toArray
+        val vn = math.sqrt(dotArr(arr, arr))
+        val cents = bc.value
+        var bestId = UnassignedBucket
+        var best = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          val cos = dotArr(arr, c.vec) / (vn * c.norm)
+          // strict > over ascending ids == (cos DESC, centroid_id ASC);
+          // a zero-norm vector scores NaN against every centroid (NaN >
+          // best is always false) and lands deterministically in the
+          // unassignable bucket, which no probe selects
+          if (cos > best) { best = cos; bestId = c.id }
+          i += 1
+        }
+        (bestId, vn)
       }
-      (bestId, vn)
     }
     embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("a", assignU(col("v")))
@@ -181,17 +192,20 @@ object Similarity {
                          idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
     val probeU = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val qn = math.sqrt(dotArr(arr, arr))
-      // NaN scores (zero-norm query or centroid) are dropped before the
-      // sort: NaN breaks strict-weak ordering (sortWith may throw) and a
-      // zero query has no meaningful probes anyway
-      val scored = bc.value.map(c => (dotArr(arr, c.vec) / (qn * c.norm), c.id))
-        .filterNot(_._1.isNaN)
-      val top = scored
-        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
-        .take(nprobe).map(_._2)
-      (top, qn)
+      if (v == null) (Array.empty[Long], 0.0) // null query probes nothing
+      else {
+        val arr = v.toArray
+        val qn = math.sqrt(dotArr(arr, arr))
+        // NaN scores (zero-norm query or centroid) are dropped before the
+        // sort: NaN breaks strict-weak ordering (sortWith may throw) and a
+        // zero query has no meaningful probes anyway
+        val scored = bc.value.map(c => (dotArr(arr, c.vec) / (qn * c.norm), c.id))
+          .filterNot(_._1.isNaN)
+        val top = scored
+          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          .take(nprobe).map(_._2)
+        (top, qn)
+      }
     }
     embeddings.filter(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
@@ -282,6 +296,10 @@ object Similarity {
                             minCos: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(vectors, centroidPred, idCol, vecCol)
+      // the unassignable bucket collects ALL broken vectors (zero-norm,
+      // NULL) — self-joining it would pair every broken vector with every
+      // other, a quadratic blowup scoring nothing but NULL cosines
+      .filter(col("bucket") =!= UnassignedBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.alias("a").join(assigned.alias("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -324,13 +342,18 @@ object Similarity {
 
   /** SQL: the assignment argmax as a CTE body — vectors of `eCte(vec_id,
     * v)` to nearest centroid of `centsCte(centroid_id, cv)`, same
-    * cos-DESC/id-ASC tie-break as [[ivfAssign]]. */
+    * cos-DESC/id-ASC tie-break as [[ivfAssign]]. NaN cosines (zero-norm
+    * vector or centroid) are excluded BEFORE ranking — DuckDB orders NaN
+    * first, so without the guard a zero-norm vector would "win" the
+    * lowest centroid id where [[ivfAssign]] quarantines it in the
+    * unassignable bucket; with the guard such a vector simply has no row
+    * here, which downstream joins see identically. */
   def sqlIvfAssign(eCte: String, centsCte: String, dim: Int): String = {
     val acos = sqlCosine("e.v", "c.cv", dim)
     s"""SELECT vec_id, v, centroid_id AS bucket FROM (
        |    SELECT e.vec_id, e.v, c.centroid_id,
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
-       |    FROM $eCte e, $centsCte c) WHERE cr = 1""".stripMargin
+       |    FROM $eCte e, $centsCte c WHERE NOT isnan($acos)) WHERE cr = 1""".stripMargin
   }
 }

@@ -133,9 +133,12 @@ case class TransformRegistry(
     val filtered = applyFilters(df)
     // streaming frames cannot be checkpointed at plan-construction time
     // (and each micro-batch is already materialized once by the engine),
-    // so the barrier applies to batch inputs only
+    // so the barrier applies to batch inputs only. LAZY checkpoint: the
+    // barrier materializes on the first action and is reused by the rest
+    // — eager would run a full Spark job right here, during what callers
+    // reasonably treat as pure plan construction (explain, branching)
     val in = if (materializeInput && !df.isStreaming && mappers.size > 1)
-      filtered.localCheckpoint(true) else filtered
+      filtered.localCheckpoint(false) else filtered
     finalizeOps(applyMappers(in))
   }
 }

@@ -253,7 +253,7 @@ object LlmQueries extends QueryFamily {
            |  SELECT q.query_id, e.vec_id AS neighbor_id,
            |         row_number() OVER (PARTITION BY q.query_id
            |                            ORDER BY $cos DESC, e.vec_id ASC) AS rnk
-           |  FROM q, e WHERE e.vec_id <> q.query_id)
+           |  FROM q, e WHERE e.vec_id <> q.query_id AND NOT isnan($cos))
            |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
            |       CAST(neighbor_id AS BIGINT) AS neighbor_id
            |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
@@ -282,19 +282,19 @@ object LlmQueries extends QueryFamily {
            |    SELECT e.vec_id, e.v, c.centroid_id,
            |           row_number() OVER (PARTITION BY e.vec_id
            |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
-           |    FROM e, cents c) WHERE cr = 1),
+           |    FROM e, cents c WHERE NOT isnan($acos)) WHERE cr = 1),
            |probes AS (
            |  SELECT query_id, qv, bucket FROM (
            |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
            |           row_number() OVER (PARTITION BY q.query_id
            |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
-           |    FROM q, cents c) WHERE pr <= 2),
+           |    FROM q, cents c WHERE NOT isnan($pcos)) WHERE pr <= 2),
            |scored AS (
            |  SELECT p.query_id, a.vec_id AS neighbor_id, a.bucket,
            |         row_number() OVER (PARTITION BY p.query_id
            |                            ORDER BY $kcos DESC, a.vec_id ASC) AS rnk
            |  FROM probes p JOIN assign a USING (bucket)
-           |  WHERE a.vec_id <> p.query_id)
+           |  WHERE a.vec_id <> p.query_id AND NOT isnan($kcos))
            |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
            |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
            |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
@@ -340,13 +340,13 @@ object LlmQueries extends QueryFamily {
            |    SELECT e.vec_id, e.v, c.centroid_id,
            |           row_number() OVER (PARTITION BY e.vec_id
            |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
-           |    FROM corpus e, cents c) WHERE cr = 1)
+           |    FROM corpus e, cents c WHERE NOT isnan($acos)) WHERE cr = 1)
            |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
            |       CAST(a.bucket AS BIGINT) AS bucket,
            |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
            |FROM assign a JOIN assign b
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE $pcos >= 0.95
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.95
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
@@ -410,13 +410,13 @@ object LlmQueries extends QueryFamily {
            |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
            |           row_number() OVER (PARTITION BY q.query_id
            |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
-           |    FROM q, c2 c) WHERE pr <= 2),
+           |    FROM q, c2 c WHERE NOT isnan($pcos)) WHERE pr <= 2),
            |scored AS (
            |  SELECT p.query_id, a.vec_id AS neighbor_id, a.bucket,
            |         row_number() OVER (PARTITION BY p.query_id
            |                            ORDER BY $kcos DESC, a.vec_id ASC) AS rnk
            |  FROM probes p JOIN assign a USING (bucket)
-           |  WHERE a.vec_id <> p.query_id)
+           |  WHERE a.vec_id <> p.query_id AND NOT isnan($kcos))
            |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
            |       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
            |FROM scored WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin

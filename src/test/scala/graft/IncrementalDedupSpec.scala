@@ -38,4 +38,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incremental == expected)
     assert(incremental.nonEmpty)
   }
+
+  test("a re-delivered doc_id is represented by its NEW signature only") {
+    import spark.implicits._
+    // "existing" corpus: docs 1 and 2 are identical → a dup pair.
+    // The new batch RE-DELIVERS doc 2 with completely different text and
+    // adds doc 3 identical to the new 2. Correct output: exactly one
+    // (2,3) pair from the fresh signatures; the stale 2-signature must
+    // neither pair 2 with 1 nor duplicate any pair rows.
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "entirely different words about boats harbors tides and salt air"
+    val existing = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val newBatch = Seq((2L, b), (3L, b)).toDF("doc_id", "text")
+    val existingSigned = Dedup.withSignature(existing)
+      .select(col("doc_id"), col("sh"), col("bkeys"))
+    val rows = Dedup.incrementalNearDupPairs(newBatch, existingSigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 3L)), s"got ${rows.toSeq}")
+  }
 }

@@ -44,6 +44,38 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     assert(assigned(4L) == Long.MinValue)
   }
 
+  test("NULL embeddings are quarantined, never an NPE") {
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Option.empty[Array[Float]].orNull) // failed upstream encoder
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(withNull,
+        centroidPred = col("vec_id") === 1L)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(3L) == Similarity.UnassignedBucket)
+    // as a query row: probes nothing, crashes nothing
+    val out = Similarity.ivfTopK(withNull, centroidPred = col("vec_id") === 1L,
+      queryPred = col("vec_id") === 3L, k = 2, nprobe = 1)
+    assert(out.collect().isEmpty)
+  }
+
+  test("near-dup pair generation never self-joins the unassignable bucket") {
+    import spark.implicits._
+    // two zero vectors with cosine NaN between them: without the bucket
+    // guard they would pair up (quadratically, at corpus scale)
+    val vs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.001)),
+      (10L, Array(0.0, 0.0)), (11L, Array(0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vs,
+        centroidPred = col("vec_id") === 1L, minCos = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("ivfTopK: zero-norm rows are inert on both sides") {
     val out = Similarity.ivfTopK(frame(), centroidPred = col("vec_id").isin(1L, 3L),
         queryPred = col("vec_id") === 2L, k = 5, nprobe = 2)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.{ConfiguredPipeline, GraftConfig, Toml}
@@ -26,6 +27,49 @@ class TomlSpec extends AnyFunSuite {
   test("array split is escape-aware too") {
     val doc = Toml.parse("""k = ["a\\", "b,c", "d\"e"]""")
     assert(doc.strings("k") == Seq("a\\", "b,c", "d\"e"))
+  }
+
+  test("malformed strings are rejected, not silently misparsed") {
+    // interior unescaped quote: `"^a" "b$"` must not parse to `^a" "b$`
+    val e1 = intercept[IllegalArgumentException](
+      Toml.parse("""k = "^a" "b$""""))
+    assert(e1.getMessage.contains("malformed string"))
+    // unterminated: the final quote is escaped, so the string never closes
+    val e2 = intercept[IllegalArgumentException](
+      Toml.parse("""k = "abc\""""))
+    assert(e2.getMessage.contains("malformed string"))
+  }
+
+  test("[mapping]/[relate] single-bracket tables are rejected loudly") {
+    val e = intercept[IllegalArgumentException](GraftConfig.fromToml(
+      "[mapping]\nnamespace = \"app.t0\"\nindex = \"custom\"\n"))
+    assert(e.getMessage.contains("[[mapping]]"))
+    // the correct array-of-tables form still works
+    val cfg = GraftConfig.fromToml(
+      "[[mapping]]\nnamespace = \"app.t0\"\nindex = \"custom\"\n")
+    assert(cfg.mappings == Map("app.t0" -> "custom"))
+  }
+
+  test("index-as-update without mergeFields is a loud error, with them a merge") {
+    import spark.implicits._
+    val cfg = GraftConfig.fromToml("index-as-update = true")
+    val ops = Seq(
+      graft.source.ChangeEvent(1L, "k", "app", "t0", "app.t0", "i",
+        10L, 40L, """{"k":1}""", 1.0, "oplog"),
+      graft.source.ChangeEvent(2L, "k", "app", "t0", "app.t0", "u",
+        11L, 44L, """{"x":7}""", 2.0, "oplog")).toDF()
+    val e = intercept[IllegalArgumentException](
+      ConfiguredPipeline.indexedDocuments(cfg)(ops))
+    assert(e.getMessage.contains("mergeFields"))
+    // with the field list: per-field latest-non-null merge — the k from
+    // the insert survives the update that omitted it
+    val reg = graft.operators.TransformRegistry(mappers = Map("" -> (df => df
+      .withColumn("k", get_json_object(col("document"), "$.k").cast("int"))
+      .withColumn("x", get_json_object(col("document"), "$.x").cast("int")))))
+    val merged = ConfiguredPipeline
+      .indexedDocuments(cfg, reg, mergeFields = Seq("k", "x"))(ops)
+      .select("id", "k", "x").as[(String, Int, Int)].collect().toSeq
+    assert(merged == Seq(("k", 1, 7)))
   }
 
   test("unsupported escapes and syntax fail loudly with the line number") {
