@@ -153,4 +153,66 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .select("id", "version").as[(String, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("keyed state survives kill+resume on the RocksDB store (the 100 TB path)") {
+    // StreamingUpsert's docs claim the scale path for state beyond a few
+    // GB is latestWinners over the RocksDB state store — prove the claim:
+    // same operator, RocksDB provider, state carried across a query
+    // restart through the checkpoint (not through memory)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // run 1 carries every key's TRUE winner (high versions); run 2
+      // re-delivers only LATE, lower-version ops for the same keys — the
+      // keys are touched (so update mode re-emits them) but their winners
+      // exist solely in run 1's persisted state
+      def ev(eid: Long, id: String, ver: Long) =
+        ChangeEvent(eid, id, "app", "t0", "app.t0", "u",
+          1000000L + eid, ver, s"""{"k":$eid}""", 0.0, "oplog")
+      val h1 = (0 until 100).map(i => ev(i, "k" + (i % 7), 1000L + i))
+      val h2 = (0 until 30).map(i => ev(200L + i, "k" + (i % 7), 10L + i))
+      val ops = h1 ++ h2
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-rocksdb-ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-rocksdb-out").toString
+      val src = MemoryStream[ChangeEvent]
+      def run(): Unit = {
+        // memory sinks cannot recover from a checkpoint; foreachBatch can
+        val q = StreamingUpsert.latestWinners(src.toDS())
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[ChangeEvent], _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      src.addData(h1)
+      run() // run 1, then the "crash"
+      src.addData(h2)
+      run() // resume: h1's winners must come from RocksDB state
+      // winners are monotonic per key, so the max emission is the final one
+      val streamed = spark.read.parquet(outDir)
+        .groupBy("id").agg(max(struct(col("version"), col("event_id"))).as("w"))
+        .select(col("id"), col("w.version"))
+        .as[(String, Long)].collect().toSet
+      val batch = Upsert.lastWriterWins(ops.toDF())
+        .select("id", "version").as[(String, Long)].collect().toSet
+      // h2 alone cannot reproduce keys whose winner lives in h1 — equality
+      // requires the resumed query to have read run 1's RocksDB state
+      val h2Winners = Upsert.lastWriterWins(h2.toDF())
+        .select("id", "version").as[(String, Long)].collect().toSet
+      assert(streamed == batch && h2Winners != batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
