@@ -72,6 +72,36 @@ class TomlSpec extends AnyFunSuite {
     assert(merged == Seq(("k", 1, 7)))
   }
 
+  test("property: escape round-trip over hostile strings (quotes, backslashes, #)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+    val hostile = Gen.listOf(Gen.oneOf('a', 'b', '\\', '"', '#', ',', ' ',
+      '\n', '\t', '=', '[', ']')).map(_.mkString)
+    val gen = for {
+      v <- hostile
+      xs <- Gen.listOfN(3, hostile)
+    } yield (v, xs)
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    cases.foreach { case (v, xs) =>
+      val text =
+        s"""k = "${esc(v)}"  # trailing comment with " and \\
+           |arr = [${xs.map(x => "\"" + esc(x) + "\"").mkString(", ")}]
+           |""".stripMargin
+      val doc = Toml.parse(text)
+      assert(doc.root("k") == v, s"k mismatch for ${esc(v)}")
+      assert(doc.strings("arr") == xs, s"arr mismatch for $xs")
+    }
+  }
+
   test("unsupported escapes and syntax fail loudly with the line number") {
     val e1 = intercept[IllegalArgumentException](Toml.parse("k = \"\\q\""))
     assert(e1.getMessage.contains("line 1"))
