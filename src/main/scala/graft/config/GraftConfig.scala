@@ -163,6 +163,20 @@ object ConfiguredPipeline {
     }
   }
 
+  /** The reference's actual runtime shape (SURVEY §3.1: a continuous
+    * daemon driven by its TOML file), assembled from config: the same
+    * [[hotPath]], run as a stream into LWW-merged durable state with
+    * checkpoint/resume. Pair with
+    * [[graft.streaming.StreamingUpsert.seedState]] (over a
+    * [[hotPath]]-transformed [[directRead]] snapshot) for the full
+    * initial-sync → tail lifecycle. */
+  def startStream(cfg: GraftConfig,
+                  registry: TransformRegistry = TransformRegistry())(
+                  events: DataFrame, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingUpsert.start(events, stateDir, checkpointDir,
+      transform = hotPath(cfg, registry))
+
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured
     * relation graph (seeds/collections keyed by namespace). */
   def relateFanOut(cfg: GraftConfig,
