@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // many-small-file sources (the GridFS-analog binary corpus): the
+      // 4 MB default open-cost treats every tiny file as 4 MB when
+      // packing scan partitions, exploding a 5k-file read into ~150
+      // tasks of ~32 files each. 256 KB still overweights real opens vs
+      // bytes but packs ~500 files per task — scheduling amortized, and
+      // single-file parquet scans are unaffected (nothing to pack).
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Ensure runtime confs and native functions are present even on a
