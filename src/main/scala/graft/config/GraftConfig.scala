@@ -159,7 +159,13 @@ object ConfiguredPipeline {
       require(mergeFields.nonEmpty,
         "config: index-as-update = true needs mergeFields — the columns " +
           "whose latest non-null value merges across partial updates")
+      // doc-as-upsert indexing does not suspend deletes: the reference
+      // routes deletes through doDelete regardless of indexing mode, so
+      // a key whose FINAL op is a delete leaves the index here too
+      // (under strategy 2 the deletes were filtered above — tombstones
+      // is then empty and the anti-join a no-op)
       Upsert.indexAsUpdate(hot, mergeFields)
+        .join(Upsert.tombstones(hot).select(col("id")), Seq("id"), "left_anti")
     }
   }
 
@@ -173,9 +179,19 @@ object ConfiguredPipeline {
   def startStream(cfg: GraftConfig,
                   registry: TransformRegistry = TransformRegistry())(
                   events: DataFrame, stateDir: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the streamed state merge is whole-doc LWW; running it under
+    // index-as-update would be the silent fall-through to overwrite
+    // semantics the batch path refuses — refuse here too
+    require(!cfg.indexAsUpdate,
+      "config: index-as-update = true has no streamed state merge yet — " +
+        "use indexedDocuments(cfg, registry, mergeFields) for the batch answer")
+    val transform: DataFrame => DataFrame = df =>
+      hotPath(cfg, registry)(
+        if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(df) else df)
     graft.streaming.StreamingUpsert.start(events, stateDir, checkpointDir,
-      transform = hotPath(cfg, registry))
+      transform = transform)
+  }
 
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured
     * relation graph (seeds/collections keyed by namespace). */
@@ -215,6 +231,8 @@ object ConfiguredPipeline {
           cfg.directReadDynamicExcludeRegex)
       else cfg.directReadNamespaces
     if (nss.isEmpty) spark.emptyDataFrame
-    else graft.source.Discovery.directReadNamespaces(spark, dir, nss)
+    // FULL envelopes (not the namespace summary): the config front
+    // door's backfill must flow through hotPath/seedState unchanged
+    else graft.source.Discovery.directReadEnvelopes(spark, dir, nss)
   }
 }

@@ -120,7 +120,12 @@ object Similarity {
     * the corpus. */
   def collectCentroids(centroids: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Array[Centroid] =
-    centroids.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+    centroids
+      // a NULL embedding can land in any centroid predicate — skipping it
+      // here matches the SQL twin, whose NULL cosines fail every NOT
+      // isnan ranking guard (and .toArray on a null Seq would NPE)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray

@@ -54,6 +54,34 @@ object Discovery {
         .select(lit(ns).as("namespace"), lit("i").as("operation"),
           lit(0L).as("version"), lit("direct_read").as("source"))
     }.reduce(_.unionByName(_))
+
+  /** FULL-envelope direct reads: every document of each namespace as a
+    * synthetic insert op in the change-event schema, so a backfill flows
+    * through the SAME hot path as the stream (the reference pipes
+    * direct-read docs through identical filter→map→index stages,
+    * monstache.go:1704-1759). id = the table's leading column (the `_id`
+    * analog of the parquet twins), document = the whole row as JSON;
+    * version/ts/event_id are 0 so ANY subsequent change op wins
+    * last-writer-wins against the snapshot — exactly the initial-sync
+    * contract [[graft.streaming.StreamingUpsert.seedState]] wants. */
+  def directReadEnvelopes(spark: SparkSession, dir: String,
+                          nss: Seq[String]): DataFrame =
+    nss.map { ns =>
+      val Array(db, table) = ns.split("\\.", 2)
+      val df = spark.read.parquet(s"$dir/$table.parquet")
+      df.select(
+        lit(0L).as("event_id"),
+        col(df.columns.head).cast("string").as("id"),
+        lit(db).as("db"),
+        lit(table).as("coll"),
+        lit(ns).as("namespace"),
+        lit("i").as("operation"),
+        lit(0L).as("ts_us"),
+        lit(0L).as("version"),
+        to_json(struct(df.columns.map(col): _*)).as("document"),
+        lit(0.0d).as("value"),
+        lit("direct_read").as("source"))
+    }.reduce(_.unionByName(_))
 }
 
 /** S5: completion manifest for stateful direct reads. */

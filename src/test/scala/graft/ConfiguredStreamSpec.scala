@@ -71,4 +71,68 @@ class ConfiguredStreamSpec extends AnyFunSuite {
     assert(live.forall(_._1 == "custom_index"))
     assert(live.forall(r => r._5 == r._3 / 4)) // ots = ts_us, version = ts_us*4
   }
+
+  test("delete-strategy 2 streams identically to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // strategy 2 = ignore: a key whose final op is a delete KEEPS its
+    // last data op. Without the strategy applied in the stream transform,
+    // the tombstone would win LWW and liveState would drop the key.
+    val cfg = GraftConfig.fromToml(
+      "namespace-regex = \"^app\\\\.keep$\"\ndelete-strategy = 2")
+    val ops = mkOps(120)
+    assert(ops.exists(o => o.operation == "d" && o.namespace == "app.keep"))
+    val stateDir = Files.createTempDirectory("graft-ds2-state").toString
+    val ckptDir = Files.createTempDirectory("graft-ds2-ckpt").toString
+    val src = MemoryStream[ChangeEvent]
+    src.addData(ops)
+    ConfiguredPipeline.startStream(cfg)(src.toDF(), stateDir, ckptDir)
+      .awaitTermination()
+    val live = StreamingUpsert.liveState(spark, stateDir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+    val batch = ConfiguredPipeline.indexedDocuments(cfg)(ops.toDF())
+      .select("id", "version").as[(String, Long)].collect().toSet
+    assert(live == batch && live.nonEmpty)
+  }
+
+  test("index-as-update refuses to stream (no silent overwrite fall-through)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cfg = GraftConfig.fromToml("index-as-update = true")
+    val src = MemoryStream[ChangeEvent]
+    val e = intercept[IllegalArgumentException](
+      ConfiguredPipeline.startStream(cfg)(src.toDF(), "/tmp/x", "/tmp/y"))
+    assert(e.getMessage.contains("index-as-update"))
+  }
+
+  test("the README lifecycle runs: directRead envelopes → seed → tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the exact documented migration path, over the real testdata dir:
+    // config-selected direct read (full envelopes), hot path, state seed,
+    // then a change-stream tail that updates one key
+    val cfg = GraftConfig.fromToml(
+      """namespace-regex = "^app\\.region$"
+        |direct-read-namespaces = ["app.region"]
+        |""".stripMargin)
+    val snapshot = ConfiguredPipeline
+      .directRead(cfg, spark, "/root/testdata/sf0.001")
+    val stateDir = Files.createTempDirectory("graft-readme-state").toString
+    val ckptDir = Files.createTempDirectory("graft-readme-ckpt").toString
+    StreamingUpsert.seedState(
+      ConfiguredPipeline.hotPath(cfg)(snapshot), stateDir)
+    val tail = Seq(ChangeEvent(1L, "0", "app", "region", "app.region", "u",
+      2000000L, 8000000L, """{"r_name":"RENAMED"}""", 1.0, "oplog"))
+    val src = MemoryStream[ChangeEvent]
+    src.addData(tail)
+    ConfiguredPipeline.startStream(cfg)(src.toDF(), stateDir, ckptDir)
+      .awaitTermination()
+    val live = StreamingUpsert.liveState(spark, stateDir)
+      .select("id", "version", "document")
+      .as[(String, Long, String)].collect()
+    assert(live.length == 5) // all region rows survived the backfill
+    val byId = live.map(r => r._1 -> r).toMap
+    assert(byId("0")._2 == 8000000L && byId("0")._3.contains("RENAMED"))
+    assert(byId("1")._2 == 0L && byId("1")._3.contains("r_name"))
+  }
 }

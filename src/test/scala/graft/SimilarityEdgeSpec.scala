@@ -60,6 +60,13 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     val out = Similarity.ivfTopK(withNull, centroidPred = col("vec_id") === 1L,
       queryPred = col("vec_id") === 3L, k = 2, nprobe = 1)
     assert(out.collect().isEmpty)
+    // selected as a CENTROID: skipped driver-side, not an NPE — vectors
+    // assign among the remaining (non-null) centroids
+    val a2 = Similarity.ivfAssign(withNull,
+        centroidPred = col("vec_id").isin(1L, 3L))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(1L) == 1L && a2(2L) == 1L)
   }
 
   test("near-dup pair generation never self-joins the unassignable bucket") {

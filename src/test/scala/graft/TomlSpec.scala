@@ -57,7 +57,13 @@ class TomlSpec extends AnyFunSuite {
       graft.source.ChangeEvent(1L, "k", "app", "t0", "app.t0", "i",
         10L, 40L, """{"k":1}""", 1.0, "oplog"),
       graft.source.ChangeEvent(2L, "k", "app", "t0", "app.t0", "u",
-        11L, 44L, """{"x":7}""", 2.0, "oplog")).toDF()
+        11L, 44L, """{"x":7}""", 2.0, "oplog"),
+      // a second key whose FINAL op is a delete: doc-as-upsert indexing
+      // does not suspend deletes, so "gone" must not appear in the merge
+      graft.source.ChangeEvent(3L, "gone", "app", "t0", "app.t0", "i",
+        12L, 48L, """{"k":9}""", 3.0, "oplog"),
+      graft.source.ChangeEvent(4L, "gone", "app", "t0", "app.t0", "d",
+        13L, 52L, null, 4.0, "oplog")).toDF()
     val e = intercept[IllegalArgumentException](
       ConfiguredPipeline.indexedDocuments(cfg)(ops))
     assert(e.getMessage.contains("mergeFields"))
