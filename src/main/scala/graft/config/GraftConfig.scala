@@ -175,10 +175,14 @@ object ConfiguredPipeline {
     * checkpoint/resume. Pair with
     * [[graft.streaming.StreamingUpsert.seedState]] (over a
     * [[hotPath]]-transformed [[directRead]] snapshot) for the full
-    * initial-sync → tail lifecycle. */
+    * initial-sync → tail lifecycle. The default trigger drains available
+    * input and stops (backfills, scheduled syncs, tests); the
+    * always-on daemon passes `Trigger.ProcessingTime(...)`. */
   def startStream(cfg: GraftConfig,
                   registry: TransformRegistry = TransformRegistry())(
-                  events: DataFrame, stateDir: String, checkpointDir: String)
+                  events: DataFrame, stateDir: String, checkpointDir: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the streamed state merge is whole-doc LWW; running it under
     // index-as-update would be the silent fall-through to overwrite
@@ -190,7 +194,7 @@ object ConfiguredPipeline {
       hotPath(cfg, registry)(
         if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(df) else df)
     graft.streaming.StreamingUpsert.start(events, stateDir, checkpointDir,
-      transform = transform)
+      transform = transform, trigger = trigger)
   }
 
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured

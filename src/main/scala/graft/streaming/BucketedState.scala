@@ -1,10 +1,13 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Upsert
+import graft.source.ChangeEvent
 
 /** The 100 TB shape of [[StreamingUpsert]]'s durable state: state bucketed
   * by `hash(id)`, so a micro-batch rewrites ONLY the buckets it touches
@@ -18,7 +21,14 @@ import graft.operators.Upsert
   *    the same idempotent versioned-merge contract as the global path
   *    (a replayed batch merges against its predecessor, never its own
   *    partial output), now per bucket;
-  *  - untouched buckets are not read, not written, not listed;
+  *  - untouched buckets are not read, not written, not listed; touched
+  *    buckets merge CONCURRENTLY (independent chains — per-batch latency
+  *    must not scale linearly with touched-bucket count, or the layout's
+  *    own scale story dies);
+  *  - the bucket count is pinned in `stateDir/_meta` on first write and
+  *    validated on every merge — a different count silently splits each
+  *    key's history across buckets (two "latest" rows per id, deletes
+  *    resurrected from the other bucket), so a mismatch is a loud error;
   *  - reading full state unions each bucket's latest version — on a real
   *    cluster each bucket is its own partition subtree, so point lookups
   *    and delete-meta reads prune to one bucket.
@@ -28,72 +38,94 @@ import graft.operators.Upsert
   */
 object BucketedState {
 
-  private val VersionRe = "^v(\\d+)$".r
-
   def bucketOf(id: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(xxhash64(id), lit(numBuckets.toLong))
-
-  private def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.flatMap(_.getPath.getName match {
-      case VersionRe(n) => Some(n.toLong)
-      case _ => None
-    }).sorted.reverse
-  }
 
   private def latestBucket(spark: SparkSession, stateDir: String, bucket: Long,
                            beforeBatch: Long): Option[DataFrame] = {
     val dir = s"$stateDir/b$bucket"
-    versions(spark, dir).find(_ < beforeBatch)
+    VersionedState.versions(spark, dir).find(_ < beforeBatch)
       .map(v => spark.read.parquet(s"$dir/v$v"))
+  }
+
+  /** Pin (first write) or validate (every later write) the bucket count. */
+  private def ensureMeta(spark: SparkSession, stateDir: String,
+                         numBuckets: Int): Unit = {
+    val f = VersionedState.fs(spark, stateDir)
+    val meta = new Path(stateDir, "_meta")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val pinned =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(pinned == numBuckets,
+        s"state dir $stateDir was created with numBuckets=$pinned; " +
+          s"merging with numBuckets=$numBuckets would split each key's " +
+          "history across buckets — pass the original count")
+    } else {
+      f.mkdirs(new Path(stateDir))
+      val out = f.create(meta, true)
+      try out.write(numBuckets.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Idempotent per-bucket merge of one micro-batch. */
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String,
                  numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    ensureMeta(spark, stateDir, numBuckets)
     val bucketed = batch
       .withColumn("__bucket", bucketOf(col("id"), numBuckets))
       .persist()
     try {
       val touched = bucketed.select("__bucket").distinct()
         .collect().map(_.getLong(0)).sorted
-      touched.foreach { b =>
-        val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
-        val prev = latestBucket(spark, stateDir, b, beforeBatch = batchId)
-        val merged = Upsert.lastWriterWins(
-          prev.map(_.unionByName(slice)).getOrElse(slice))
-        merged.write.mode("overwrite").parquet(s"$stateDir/b$b/v$batchId")
-        // GC: keep this version + predecessor (crash-recovery window)
-        val dir = s"$stateDir/b$b"
-        val p = new Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        versions(spark, dir).filter(_ < batchId).drop(1)
-          .foreach(v => fs.delete(new Path(s"$dir/v$v"), true))
-      }
+      // independent version chains → concurrent Spark jobs (the scheduler
+      // is thread-safe); a bounded pool keeps driver/fs pressure sane
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, math.min(touched.length, 8)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val merges = touched.toSeq.map { b =>
+          Future {
+            val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
+            val prev = latestBucket(spark, stateDir, b, beforeBatch = batchId)
+            val merged = Upsert.lastWriterWins(
+              prev.map(_.unionByName(slice)).getOrElse(slice))
+            merged.write.mode("overwrite").parquet(s"$stateDir/b$b/v$batchId")
+            // GC: keep this version + predecessor (crash-recovery window)
+            VersionedState.gcBefore(spark, s"$stateDir/b$b", batchId)
+          }
+        }
+        Await.result(Future.sequence(merges), Duration.Inf)
+      } finally pool.shutdown()
     } finally bucketed.unpersist()
   }
 
-  /** Full state: each bucket's latest version, unioned. */
+  /** Full state: each bucket's latest COMMITTED version, unioned. */
   def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = VersionedState.fs(spark, stateDir)
     if (!fs.exists(p)) return None
     val frames = fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
       .flatMap { st =>
         val dir = st.getPath.toString
-        versions(spark, dir).headOption.map(v => spark.read.parquet(s"$dir/v$v"))
+        VersionedState.versions(spark, dir).headOption
+          .map(v => spark.read.parquet(s"$dir/v$v"))
       }
     frames.reduceOption(_.unionByName(_))
   }
 
   /** Live view (winners that are not tombstones), like
-    * [[StreamingUpsert.liveState]]. */
+    * [[StreamingUpsert.liveState]] — empty-envelope schema before the
+    * first commit, for the same reason. */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
     latestState(spark, stateDir)
       .map(_.filter(col("operation") =!= "d"))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.emptyDataset(
+        org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
 }

@@ -37,10 +37,19 @@ object RetryingSink {
         case e: InterruptedException =>
           Thread.currentThread().interrupt()
           throw e
-        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
-          sleep(backoffMillis(attempt, baseMs, capMs))
-          attempt += 1
+        case scala.util.control.NonFatal(_) if attempt < maxRetries => ()
       }
+      // the backoff sleep runs OUTSIDE the catch: the thread spends
+      // nearly all its time here, so an interrupt (task kill / query
+      // stop) usually lands in the sleep — it must restore the flag and
+      // rethrow too, or cooperative cancellation upstream misses it
+      try sleep(backoffMillis(attempt, baseMs, capMs))
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+      }
+      attempt += 1
     }
     throw new IllegalStateException("unreachable")
   }

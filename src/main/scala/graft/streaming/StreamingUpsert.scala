@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
@@ -30,26 +29,14 @@ import graft.source.ChangeEvent
   */
 object StreamingUpsert {
 
-  private val VersionRe = "^v(-?\\d+)$".r
-
-  /** State versions present under `stateDir`, newest first. */
-  private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case VersionRe(n) => Some(n.toLong)
-        case _ => None
-      }
-    }.sorted.reverse
-  }
-
   /** Latest committed state strictly before `beforeBatch` (a replayed batch
-    * must merge against its predecessor, never its own partial output). */
+    * must merge against its predecessor, never its own partial output).
+    * "Committed" = carries the `_SUCCESS` job-commit marker — a version
+    * torn by a crash mid-write is invisible here, so recovery reads the
+    * intact predecessor (see [[VersionedState]]). */
   def latestState(spark: SparkSession, stateDir: String,
                   beforeBatch: Long = Long.MaxValue): Option[DataFrame] =
-    versions(spark, stateDir).find(_ < beforeBatch)
+    VersionedState.versions(spark, stateDir).find(_ < beforeBatch)
       .map(v => spark.read.parquet(s"$stateDir/v$v"))
 
   /** Seed the state with a direct-read backfill snapshot BEFORE the
@@ -65,15 +52,13 @@ object StreamingUpsert {
   /** Idempotent merge of one micro-batch into the versioned state. */
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
+    VersionedState.requireNoNewerThan(spark, stateDir, batchId)
     val prev = latestState(spark, stateDir, beforeBatch = batchId)
     val merged = Upsert.lastWriterWins(
       prev.map(_.unionByName(batch)).getOrElse(batch))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     // GC: keep this version and its predecessor (crash-recovery window)
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions(spark, stateDir).filter(_ < batchId).drop(1)
-      .foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
+    VersionedState.gcBefore(spark, stateDir, batchId)
   }
 
   /** Start the continuous pipeline: envelope stream → optional transform →
@@ -84,11 +69,16 @@ object StreamingUpsert {
     * batch and its id — fan-out sinks, audit logs, notifications. */
   def start(events: DataFrame, stateDir: String, checkpointDir: String,
             transform: DataFrame => DataFrame = identity,
-            postProcess: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+            postProcess: (DataFrame, Long) => Unit = (_, _) => (),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     transform(events).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      // default AvailableNow = drain-and-stop (backfills, tests, cron
+      // syncs); the continuous daemon passes e.g.
+      // Trigger.ProcessingTime("10 seconds") — the reference's event
+      // loop cadence (monstache.go:5019-5101)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, stateDir)
         postProcess(batch, batchId)
@@ -97,11 +87,16 @@ object StreamingUpsert {
 
   /** What the sink index holds now: winners whose last op isn't a delete.
     * Tombstones stay in the state (a late update must still lose to them)
-    * but are excluded from the live view. */
+    * but are excluded from the live view. Before the first commit the
+    * result is an empty frame with the ENVELOPE schema — a zero-column
+    * `emptyDataFrame` would make `select("id", …)` crash exactly and only
+    * when state is empty (columns a transform added on top of the
+    * envelope appear only once state exists). */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
     latestState(spark, stateDir)
       .map(_.filter(col("operation") =!= "d"))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.emptyDataset(
+        org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
 
   /** T6 keyed-state alternative: the current winner per key as an
     * update-mode stream via mapGroupsWithState — the operator to use when

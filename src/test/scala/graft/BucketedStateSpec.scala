@@ -39,6 +39,23 @@ class BucketedStateSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("a different numBuckets against existing state is a loud error") {
+    val dir = Files.createTempDirectory("graft-bstate-meta").toString
+    BucketedState.mergeBatch(toDF(mkOps(0 until 50)), 0L, dir, numBuckets = 8)
+    // silently accepting 4 would split each id's history across buckets
+    val e = intercept[IllegalArgumentException](
+      BucketedState.mergeBatch(toDF(mkOps(50 until 80)), 1L, dir,
+        numBuckets = 4))
+    assert(e.getMessage.contains("numBuckets=8"))
+    // the pinned count still works
+    BucketedState.mergeBatch(toDF(mkOps(50 until 80)), 1L, dir, numBuckets = 8)
+    val got = BucketedState.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+    val want = Upsert.liveDocuments(toDF(mkOps(0 until 80)))
+      .select("id", "version").as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("a replayed batch is idempotent per bucket") {
     val dir = Files.createTempDirectory("graft-bstate2").toString
     val (b0, b1) = mkOps(0 until 200).splitAt(100)

@@ -40,6 +40,20 @@ class RetryingSinkSpec extends AnyFunSuite {
     assert(e.getMessage == "down" && calls == 3)
   }
 
+  test("an interrupt during the BACKOFF sleep restores the flag and rethrows") {
+    // the thread spends nearly all its time in the backoff sleep, so this
+    // is the common interrupt path — it must not swallow cancellation
+    var calls = 0
+    val e = intercept[InterruptedException] {
+      RetryingSink.withRetry(maxRetries = 5, baseMs = 1,
+        sleep = _ => throw new InterruptedException("stop")) {
+        calls += 1; sys.error("transient")
+      }
+    }
+    assert(e.getMessage == "stop" && calls == 1)
+    assert(Thread.interrupted(), "interrupt flag must be restored")
+  }
+
   test("fatal errors and interrupts never retry (ADVICE r2)") {
     // a fatal error fails fast instead of sleeping through backoff
     var calls = 0

@@ -25,6 +25,41 @@ class StreamingUpsertSpec extends AnyFunSuite {
         1000000L + i, (1000000L + i) * 4, s"""{"k":$i}""", i.toDouble, "oplog")
     }
 
+  test("a torn (uncommitted) state version is invisible to readers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-torn-state").toString
+    StreamingUpsert.mergeBatch(mkOps(60).toDF(), 5L, dir)
+    val committed = StreamingUpsert.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+    // simulate a crash mid-write of batch 6: a v6 directory exists but
+    // carries no _SUCCESS job-commit marker
+    val torn = java.nio.file.Paths.get(dir, "v6")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-garbage"), Array[Byte](1, 2))
+    val seen = StreamingUpsert.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+    assert(seen == committed && seen.nonEmpty,
+      "reader must select the intact predecessor, not the torn version")
+  }
+
+  test("merging into a further-progressed state dir is a loud error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-future-state").toString
+    StreamingUpsert.mergeBatch(mkOps(60).toDF(), 5L, dir)
+    // a FRESH checkpoint reusing this state dir would merge batch 0
+    // blindly and invisibly under the committed v5 — silent resurrection
+    val e = intercept[IllegalArgumentException](
+      StreamingUpsert.mergeBatch(mkOps(10).toDF(), 0L, dir))
+    assert(e.getMessage.contains("further-progressed"))
+  }
+
+  test("liveState before any commit is empty WITH the envelope schema") {
+    val dir = Files.createTempDirectory("graft-nostate").toString
+    val live = StreamingUpsert.liveState(spark, s"$dir/never-written")
+    // the documented call shape must not crash on the empty case
+    assert(live.select("id", "version", "operation").count() == 0)
+  }
+
   test("kill + resume from checkpoint converges to the batch LWW state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
