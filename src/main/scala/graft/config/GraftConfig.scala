@@ -164,8 +164,9 @@ object ConfiguredPipeline {
       // a key whose FINAL op is a delete leaves the index here too
       // (under strategy 2 the deletes were filtered above — tombstones
       // is then empty and the anti-join a no-op)
+      val keys = Upsert.identityCols(hot)
       Upsert.indexAsUpdate(hot, mergeFields)
-        .join(Upsert.tombstones(hot).select(col("id")), Seq("id"), "left_anti")
+        .join(Upsert.tombstones(hot).select(keys.map(col): _*), keys, "left_anti")
     }
   }
 

@@ -36,9 +36,13 @@ object Bucketed {
 
   /** Catalog-safe table name, unique per logical table + source dir (the
     * in-memory catalog is JVM-wide and Verify/Bench/test sessions may
-    * touch several scale factors). */
+    * touch several scale factors). The hash suffix keeps distinct dirs
+    * distinct even when sanitization collides (`sf0.1` vs `sf0_1` both
+    * sanitize to `sf0_1` — without it the second caller would silently
+    * read the FIRST dir's data). */
   def tableName(base: String, sfDir: String): String =
-    base + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    base + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(sfDir.hashCode)
 
   /** Idempotently materialize `build` as a bucketed+sorted external
     * table; returns the catalog name to read via `spark.table(_)`.
@@ -48,7 +52,10 @@ object Bucketed {
     * index-build step of the layout, never part of the per-batch
     * query. */
   def ensure(spark: SparkSession, base: String, sfDir: String, key: String,
-             nBuckets: Int)(build: => DataFrame): String = {
+             nBuckets: Int)(build: => DataFrame): String = synchronized {
+    // synchronized: the tableExists check-then-write is not atomic, and
+    // two concurrent first callers would race into overlapping
+    // saveAsTable writes of the same path
     val name = tableName(base, sfDir)
     if (!spark.catalog.tableExists(name)) {
       val path = java.nio.file.Paths.get("target", "bucketed", name)

@@ -54,9 +54,14 @@ object DeleteStrategies {
   def recoverAndPropagate(deleteKeys: DataFrame, lastKnown: DataFrame,
                           srcField: String, related: DataFrame,
                           matchField: String): DataFrame =
+    // the recovered columns get reserved names BEFORE joining the related
+    // collection: envelope-shaped collections carry their own `version`
+    // (and possibly a column named like srcField), and unqualified
+    // references after the join would be ambiguous
     deleteKeys.join(lastKnown, Seq("id"))
-      .select(col("id").as("src_id"), col(srcField), col("version"))
-      .join(related, col(srcField) === related(matchField))
+      .select(col("id").as("src_id"), col(srcField).as("src_key"),
+        col("version").as("src_version"))
+      .join(related, col("src_key") === related(matchField))
       .withColumn("operation", lit("d"))
-      .withColumn("rel_version", col("version") + 2)
+      .withColumn("rel_version", col("src_version") + 2)
 }

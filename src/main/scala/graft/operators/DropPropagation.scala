@@ -22,8 +22,11 @@ object DropPropagation {
     val drops = ops.filter(col("operation").isin("drop_coll", "drop_db"))
       .select(col("operation").as("d_op"), col("namespace").as("d_ns"),
         col("db").as("d_db"), col("version").as("d_version"))
+    // both branches compare LOWERCASED names against ix (itself lowered):
+    // a mixed-case dropDatabase must still cover its indexes
     val covers = (col("d_op") === "drop_coll" && lower(col("d_ns")) === col("ix")) ||
-      (col("d_op") === "drop_db" && col("ix").startsWith(concat(col("d_db"), lit("."))))
+      (col("d_op") === "drop_db" &&
+        col("ix").startsWith(concat(lower(col("d_db")), lit("."))))
     val lastDrop = data.select("ix").distinct()
       .join(broadcast(drops), covers, "left")
       .groupBy("ix").agg(max(col("d_version")).as("last_drop_version"))

@@ -19,12 +19,15 @@ object Lookups {
 
   /** findOne: first match of a predicate under a deterministic sort —
     * per-group min via max_by/min_by (partial-aggregating; no window
-    * shuffle-and-sort). */
+    * shuffle-and-sort). Determinism holds only when the ordering key is
+    * unique per group: pass `tieBreak` columns (e.g. the unique id) when
+    * `sortCol` alone can tie, or min_by picks whichever partial
+    * aggregate wins — an answer that changes with partitioning. */
   def findOne(collection: DataFrame, groupCol: String, sortCol: String,
-              select: Seq[String]): DataFrame = {
+              select: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val payload = struct(select.map(col): _*)
     collection.groupBy(col(groupCol))
-      .agg(min_by(payload, col(sortCol)).as("doc"))
+      .agg(min_by(payload, struct((sortCol +: tieBreak).map(col): _*)).as("doc"))
       .select(col(groupCol) +: select.filterNot(_ == groupCol)
         .map(c => col(s"doc.$c").as(c)): _*)
   }

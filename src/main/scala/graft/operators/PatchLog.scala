@@ -28,7 +28,9 @@ object PatchLog {
     * the two logs stay op-for-op identical. */
   def pairs(df: DataFrame, namespaces: Seq[String],
             tieBreak: String = "event_id"): DataFrame = {
-    val w = Window.partitionBy(col("id"))
+    // chains are per (namespace, id): several patch namespaces may reuse
+    // ids, and interleaving them would diff unrelated documents
+    val w = Window.partitionBy(col("namespace"), col("id"))
       .orderBy(col("version").asc, col(tieBreak).asc)
     df.filter(col("namespace").isin(namespaces: _*))
       .filter(col("operation").isin("i", "u") && col("document").isNotNull)

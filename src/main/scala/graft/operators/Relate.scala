@@ -62,6 +62,11 @@ object Relate {
     rel.matchFieldType.map {
       case t if t.equalsIgnoreCase("objectId") =>
         when(raw.rlike("^[0-9A-Fa-f]{24}$"), lower(raw))
+      // bare "decimal" is decimal(10,0) — any key over 10 digits would
+      // overflow to NULL and silently never join; widen to Decimal128's
+      // 34-significant-digit shape (the reference coerces to
+      // primitive.Decimal128, monstache.go:1208-1219)
+      case t if t.equalsIgnoreCase("decimal") => raw.cast("decimal(38,6)")
       case t => raw.cast(t)
     }.getOrElse(raw)
   }

@@ -91,6 +91,11 @@ object Routing {
         coalesce(ov("m_meta_version") :+ col("version"): _*))
       .withColumn("meta_version_type",
         coalesce(ov("m_meta_version_type") :+ lit("external"): _*))
-      .filter(Codecs.idAccepted(col("id")))
+      // the id guard applies to DOCUMENT ops only: drop ops legitimately
+      // carry no id (monstache.go:3057/3065 routes them before any id
+      // check), and eating them here would dead-end the K3 drop chain
+      // the namespace filter's drop regex pair just admitted
+      .filter(Codecs.idAccepted(col("id")) ||
+        col("operation").isin("drop_coll", "drop_db"))
   }
 }

@@ -93,7 +93,10 @@ case class TransformRegistry(
         applyToSlice(afterGlobal.filter(col("namespace") === ns),
           isDataOp && !col("m_drop"), mappers(ns))
       }
-      val rest = afterGlobal.filter(!col("namespace").isin(nsKeys: _*))
+      // coalesce: a NULL namespace makes isin NULL, and a bare negation
+      // would silently drop the row instead of passing it through unmapped
+      val rest = afterGlobal.filter(
+        !coalesce(col("namespace").isin(nsKeys: _*), lit(false)))
       (parts :+ rest).reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -106,7 +109,12 @@ case class TransformRegistry(
     * surfaces as `meta_skip` (doIndexing:3162 skips indexing but the op
     * still flows). */
   def finalizeOps(df: DataFrame): DataFrame = {
+    // m_drop can be NULL even after ensureControls: a mapper that
+    // projects the control columns away gets them reinstated as NULL by
+    // applyToSlice's allowMissingColumns union, and NULL && true = NULL
+    // would silently delete every insert that crossed such a mapper
     val d = Mapper.ensureControls(df)
+      .withColumn("m_drop", coalesce(col("m_drop"), lit(false)))
     d.filter(!(col("m_drop") && col("operation") === "i"))
       .withColumn("document",
         when(col("m_drop"), lit(null).cast("string")).otherwise(col("document")))

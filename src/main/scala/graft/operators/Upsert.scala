@@ -22,21 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Sink identity: (namespace, id) when the frame carries a namespace
+    * column, bare id for single-collection slices. Two collections
+    * freely reuse ids (sequential integer `_id`s are the MongoDB norm,
+    * and the sink dedupes per index, not globally — routeOp keys on the
+    * namespace-resolved index, monstache.go:3295-3304), so keying on id
+    * alone would let `app.a` id 7 and `app.b` id 7 clobber each other. */
+  def identityCols(df: DataFrame, keyCol: String = "id"): Seq[String] =
+    if (df.columns.contains("namespace")) Seq("namespace", keyCol)
+    else Seq(keyCol)
+
   /** Keep exactly the winning op per key, with deterministic tie-break. */
   def lastWriterWins(df: DataFrame, keyCol: String = "id",
                      versionCol: String = "version",
                      tieBreak: String = "event_id"): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
-    df.groupBy(col(keyCol).as("__lww_key"))
+    val keys = identityCols(df, keyCol).zipWithIndex
+      .map { case (k, i) => col(k).as(s"__lww_k$i") }
+    df.groupBy(keys: _*)
       .agg(max_by(payload, struct(col(versionCol), col(tieBreak))).as("__lww_w"))
       .select(col("__lww_w.*"))
   }
 
   /** Final sink state: winners whose last op is not a delete. The companion
     * tombstone set is [[tombstones]]. Together they are what the reference's
-    * ES index would hold after replaying the stream in any order. */
+    * ES index would hold after replaying the stream in any order. The live
+    * view selects DATA ops explicitly — control ops (drop_coll/drop_db,
+    * which flow through the hot path since they carry no id) are not
+    * documents and never appear here. */
   def liveDocuments(df: DataFrame): DataFrame =
-    lastWriterWins(df).filter(col("operation") =!= "d")
+    lastWriterWins(df).filter(col("operation").isin("i", "u"))
 
   /** Ids whose final op is a delete — the delete stream the sink must apply
     * (delete-strategy "stateless", monstache.go:4065-4147). */
@@ -59,7 +74,7 @@ object Upsert {
         .getField("v").as(f)
     } :+ max(col(versionCol)).as("merged_version")
     df.filter(col("operation").isin("i", "u"))
-      .groupBy(col(keyCol))
+      .groupBy(identityCols(df, keyCol).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -534,7 +534,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, en AS (
-          |  SELECT id, version, event_id,
+          |  SELECT namespace, id, version, event_id,
           |         CAST(floor(value) AS INTEGER) AS b,
           |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
           |         CASE WHEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 5 <> 0
@@ -545,12 +545,12 @@ object CoreQueries extends QueryFamily {
           |  SELECT *, lpad(CAST(version AS VARCHAR), 20, '0')
           |         || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
           |  FROM en)
-          |SELECT id,
+          |SELECT namespace, id,
           |       arg_max(b, ord) FILTER (WHERE b IS NOT NULL) AS b,
           |       arg_max(k, ord) FILTER (WHERE k IS NOT NULL) AS k,
           |       arg_max(x, ord) FILTER (WHERE x IS NOT NULL) AS x,
           |       max(version) AS merged_version
-          |FROM keyed GROUP BY id
+          |FROM keyed GROUP BY namespace, id
           |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
     // ── §2.6: multi-source union fan-in (stream + direct read) ───────────

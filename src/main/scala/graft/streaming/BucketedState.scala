@@ -125,7 +125,7 @@ object BucketedState {
     * first commit, for the same reason. */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
     latestState(spark, stateDir)
-      .map(_.filter(col("operation") =!= "d"))
+      .map(_.filter(col("operation").isin("i", "u")))
       .getOrElse(spark.emptyDataset(
         org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
 }

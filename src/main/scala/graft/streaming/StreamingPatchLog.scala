@@ -44,9 +44,13 @@ object StreamingPatchLog {
     events
       .filter(e => nsSet.contains(e.namespace) &&
         (e.operation == "i" || e.operation == "u") && e.document != null)
-      .groupByKey(_.id)
+      // state per (namespace, id): patch chains are per collection, like
+      // the batch twin's window partitioning
+      .groupByKey(e => (e.namespace, e.id))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (id: String, ops: Iterator[ChangeEvent], state: GroupState[PatchState]) => {
+        (key: (String, String), ops: Iterator[ChangeEvent],
+         state: GroupState[PatchState]) => {
+          val id = key._2
           val ordered = ops.toArray.sortBy(e => (e.version, e.event_id))
           var st = state.getOption.getOrElse(PatchState(0, null))
           val out = ordered.map { e =>

@@ -94,7 +94,7 @@ object StreamingUpsert {
     * envelope appear only once state exists). */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
     latestState(spark, stateDir)
-      .map(_.filter(col("operation") =!= "d"))
+      .map(_.filter(col("operation").isin("i", "u")))
       .getOrElse(spark.emptyDataset(
         org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
 
@@ -105,9 +105,12 @@ object StreamingUpsert {
     * path. */
   def latestWinners(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id)
+    // keyed on (namespace, id) — sink identity is per collection, same
+    // as Upsert.identityCols (ids freely repeat across collections)
+    events.groupByKey(e => (e.namespace, e.id))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (_: String, ops: Iterator[ChangeEvent], state: GroupState[ChangeEvent]) =>
+        (_: (String, String), ops: Iterator[ChangeEvent],
+         state: GroupState[ChangeEvent]) =>
           val best = (state.getOption.iterator ++ ops)
             .maxBy(e => (e.version, e.event_id))
           state.update(best)
