@@ -27,10 +27,20 @@ object Codecs {
 
   /** Canonical `_id` string for a numeric id: whole doubles collapse to
     * integer form ("10.0" → "10", monstache.go:822-835 `opIDToString`). */
-  def numericIdToString(c: Column): Column =
-    when(c.cast("double") === floor(c.cast("double")) && !isnan(c.cast("double")),
-      c.cast("double").cast("long").cast("string")
-    ).otherwise(c.cast("string"))
+  def numericIdToString(c: Column): Column = {
+    val s = c.cast("string")
+    val d = c.cast("double")
+    // exact integral forms (long ids, integral strings) pass VERBATIM:
+    // the reference collapses only float64 ids and formats int64/string
+    // ids exactly (opIDToString monstache.go:818-833) — a double
+    // round-trip here would corrupt ids beyond 2^53 into a DIFFERENT
+    // document id. The float collapse applies only to values carrying a
+    // fraction mark, and never to non-finite ones.
+    when(s.rlike("^[+-]?\\d+$"), s)
+      .otherwise(when(d === floor(d) && !isnan(d) &&
+          abs(d) =!= lit(Double.PositiveInfinity),
+        d.cast("long").cast("string")).otherwise(s))
+  }
 
   /** Sink id guards: empty ids and ids over 512 bytes are rejected
     * (monstache.go:3167-3171). */
@@ -56,7 +66,9 @@ object Codecs {
     "01" -> "MM", "02" -> "dd", "15" -> "HH", "04" -> "mm", "05" -> "ss",
     "Jan" -> "MMM", "Mon" -> "EEE",
     ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
-    "-07:00" -> "XXX", "Z07:00" -> "XXX", "-0700" -> "Z", "MST" -> "zzz"
+    // Go "-07:00" ALWAYS emits a numeric offset ("+00:00" at UTC) → JVM
+    // "xxx"; only "Z07:00" emits a literal Z at UTC → JVM "XXX"
+    "-07:00" -> "xxx", "Z07:00" -> "XXX", "-0700" -> "Z", "MST" -> "zzz"
   ).sortBy(-_._1.length)
   def goLayoutToJvm(layout: String): String = {
     val sb = new StringBuilder
@@ -109,10 +121,14 @@ object Codecs {
     * are intercepted → null. A fixed-scale recast here would round >6-dp
     * values and pad trailing zeros the reference does not emit. */
   def decimal128Json(c: Column): Column = {
-    val d = c.cast("double")
-    when(isnan(d) || abs(d) === lit(Double.PositiveInfinity),
+    val s = c.cast("string")
+    // NaN/±Inf are detected on the STRING form: Decimal128 exponents
+    // reach ±6144 while doubles stop near 1.8E308, so a double-cast
+    // detour would read a legitimate huge literal as Infinity and null
+    // a finite value the reference emits verbatim
+    when(upper(s).isin("NAN", "INFINITY", "-INFINITY", "+INFINITY"),
       lit(null).cast("string"))
-      .otherwise(c.cast("string"))
+      .otherwise(s)
   }
 
   /** BSON DateTime → ISO-8601 with millis, UTC ("Z"); dates outside year

@@ -43,15 +43,22 @@ object JsonMergePatch {
     case other => other
   }
 
-  /** Merge patch old→new as a canonical compact JSON string. */
+  /** Merge patch old→new as a canonical compact JSON string. A null
+    * `oldJson` means "no previous document": the patch is the canonical
+    * full doc — the v1 convention every patch-log producer shares
+    * (monstache.go:3138-3150), centralized here so call sites stop
+    * re-implementing the null branch around `JsonMethods.parse(null)`. */
   def diff(oldJson: String, newJson: String): String =
-    JsonMethods.compact(JsonMethods.render(
+    if (oldJson == null) canonicalJson(newJson)
+    else JsonMethods.compact(JsonMethods.render(
       diffAst(JsonMethods.parse(oldJson), JsonMethods.parse(newJson))))
 
   /** A document rendered in the same canonical form (for insert rows,
-    * where patch v1 is the full doc, monstache.go:3138-3150). */
+    * where patch v1 is the full doc, monstache.go:3138-3150). Null in,
+    * null out — delete ops carry no document. */
   def canonicalJson(json: String): String =
-    JsonMethods.compact(JsonMethods.render(canonical(JsonMethods.parse(json))))
+    if (json == null) null
+    else JsonMethods.compact(JsonMethods.render(canonical(JsonMethods.parse(json))))
 
   /** RFC-7386 §2 application — the consumer side of the patch log (how a
     * reader reconstructs document history from the appended patches): an

@@ -16,6 +16,13 @@ import org.json4s.jackson.JsonMethods
   * so the year test reads the leading year field. Both are pruned, at any
   * nesting depth, in objects and arrays alike.
   *
+  * Known modeling trade: once a document is a JSON string, a GENUINE
+  * string field that happens to equal `"NaN"` (or to look like an
+  * out-of-range ISO date) is indistinguishable from a writer-emitted
+  * non-finite marker and is pruned with it. The reference sees typed
+  * BSON and does not have this ambiguity; the opt-in flag is the
+  * user's acknowledgment of the string-model cost.
+  *
   * Scalar UDF by design, like [[JsonMergePatch]]: recursive work over
   * dynamic shapes is row-local; the surrounding plan stays column
   * algebra. Output is canonical (sorted keys, compact) so it is

@@ -179,9 +179,9 @@ object SourceQueries extends QueryFamily {
       _.orderBy("doc_id"),
       Some(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-          |       CAST(16 * (doc_id % 4 + 1) AS BIGINT) AS n_bytes,
-          |       CASE WHEN 16 * (doc_id % 4 + 1) <= 40
-          |            THEN to_base64(unhex(repeat(md5(text), CAST(doc_id % 4 + 1 AS INT)))) END AS file,
+          |       CAST(16 * ((doc_id // 10) % 4 + 1) AS BIGINT) AS n_bytes,
+          |       CASE WHEN 16 * ((doc_id // 10) % 4 + 1) <= 40
+          |            THEN to_base64(unhex(repeat(md5(text), CAST((doc_id // 10) % 4 + 1 AS INT)))) END AS file,
           |       upper(substr(md5(text), 1, 16)) AS hex_prefix
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
 

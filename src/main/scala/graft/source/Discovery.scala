@@ -32,15 +32,22 @@ object Discovery {
   }
 
   /** F8 + F1 driver-side: system guards then the dynamic include/exclude
-    * regex pair (monstache.go:4785-4790, guards 547-557). */
+    * regex pair (monstache.go:4785-4790, guards 547-557). Matching is
+    * UNANCHORED like Go's `regexp.MatchString`: the reference accepts
+    * substring patterns ("app" matches "app.users"), and fully-anchored
+    * `String.matches` would silently filter everything a monstache-style
+    * pattern was meant to keep. Anchored patterns (`^…$`) behave
+    * identically under both. */
   def filterNamespaces(nss: Seq[String], include: Option[String] = None,
                        exclude: Option[String] = None,
-                       configDb: String = "monstache"): Seq[String] =
+                       configDb: String = "monstache"): Seq[String] = {
+    def found(re: String, ns: String) = re.r.findFirstIn(ns).isDefined
     nss.filterNot(ns => ns.startsWith(configDb + ".") ||
         ns.startsWith("config.") || ns.startsWith("local.") ||
         ns.startsWith("admin.") || ns.contains(".system."))
-      .filter(ns => include.forall(re => ns.matches(re)))
-      .filterNot(ns => exclude.exists(re => ns.matches(re)))
+      .filter(ns => include.forall(found(_, ns)))
+      .filterNot(ns => exclude.exists(found(_, ns)))
+  }
 
   /** Union of direct-read envelopes for the discovered namespaces,
     * reduced to the envelope columns shared by all tables. Each table
@@ -48,12 +55,20 @@ object Discovery {
     * reference's DirectReadSplitMax cursors). */
   def directReadNamespaces(spark: SparkSession, dir: String,
                            nss: Seq[String]): DataFrame =
-    nss.map { ns =>
+    // an empty namespace list (all completed in the manifest, or a regex
+    // matching nothing) is a legitimate empty read, not an empty.reduce
+    if (nss.isEmpty)
+      emptyEnvelope(spark).select("namespace", "operation", "version", "source")
+    else nss.map { ns =>
       val table = ns.split("\\.", 2)(1)
       spark.read.parquet(s"$dir/$table.parquet")
         .select(lit(ns).as("namespace"), lit("i").as("operation"),
           lit(0L).as("version"), lit("direct_read").as("source"))
     }.reduce(_.unionByName(_))
+
+  private def emptyEnvelope(spark: SparkSession): DataFrame =
+    spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF()
 
   /** FULL-envelope direct reads: every document of each namespace as a
     * synthetic insert op in the change-event schema, so a backfill flows
@@ -66,7 +81,8 @@ object Discovery {
     * contract [[graft.streaming.StreamingUpsert.seedState]] wants. */
   def directReadEnvelopes(spark: SparkSession, dir: String,
                           nss: Seq[String]): DataFrame =
-    nss.map { ns =>
+    if (nss.isEmpty) emptyEnvelope(spark)
+    else nss.map { ns =>
       val Array(db, table) = ns.split("\\.", 2)
       val df = spark.read.parquet(s"$dir/$table.parquet")
       df.select(

@@ -28,9 +28,13 @@ object Shards {
   /** S6 fan-in: the union of per-shard envelopes. Hot-adding a shard is
     * appending to `shards` and re-planning — exactly the reference's
     * shard-insert handler (makeShardInsertHandler, monstache.go:4328). */
-  def fanIn(shards: Seq[(String, DataFrame)]): DataFrame =
+  def fanIn(shards: Seq[(String, DataFrame)]): DataFrame = {
+    // an empty shard list is a configuration error, not an empty union
+    // (`Seq.reduce` would throw the opaque "empty.reduce" instead)
+    require(shards.nonEmpty, "fanIn needs at least one shard")
     shards.map { case (sid, df) => tagged(df, sid) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** T2 per-stream resume tokens over a fanned-in frame: the furthest
     * version each shard's tailer has processed, plus the op count — what

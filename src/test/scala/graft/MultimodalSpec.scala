@@ -53,9 +53,11 @@ class MultimodalSpec extends AnyFunSuite {
       .as[MediaAsset]
     val feats = Multimodal.extractFeatures(real).collect()
     assert(feats.nonEmpty)
-    // lengths follow the generator's 16·(id%4+1) rule and features
-    // reproduce the stub decode of the same on-disk bytes
-    assert(feats.forall(f => f.n_bytes == 16 * (f.asset_id % 4 + 1)))
+    // lengths follow the generator's 16·((id div 10)%4+1) rule (all four
+    // 16/32/48/64 variants present) and features reproduce the stub
+    // decode of the same on-disk bytes
+    assert(feats.forall(f => f.n_bytes == 16 * (f.asset_id / 10 % 4 + 1)))
+    assert(feats.map(_.n_bytes).distinct.sorted.toSeq == Seq(16, 32, 48, 64))
     val byId = real.collect().map(a => a.asset_id -> a.content).toMap
     assert(feats.forall(f =>
       f.feature.toSeq == Multimodal.decodeStub(byId(f.asset_id)).toSeq))
