@@ -41,14 +41,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // null on LENGTH MISMATCH too (a truncated embedding must not produce
+  // a plausible partial dot product that top-k then ranks on silently) —
+  // the same observable behavior as the builtin aggregate(zip_with(...))
+  // form this expression replaces, whose null padding nulls the sum
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0d
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0d
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -85,7 +98,13 @@ object GraftFunctions {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[DotProduct].getName, DotName),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          // a real arity error, not a silently-dropped third argument or
+          // a raw IndexOutOfBoundsException
+          require(children.size == 2,
+            s"$DotName expects exactly 2 arguments, got ${children.size}")
+          DotProduct(children(0), children(1))
+        })
     }
   }
 }

@@ -7,9 +7,11 @@ import TextHash._
 
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token counting, and content fingerprinting. Everything
-  * is per-row column algebra (no UDFs, no shuffle) and each heuristic has
-  * an exact SQL twin for the oracle. Ratios are kept in integer form
-  * (n·threshold comparisons) so no float ever reaches a hash compare.
+  * is per-row column algebra (no shuffle; the one UDF is the rolling-hash
+  * fold, whose O(1)-per-step incremental update has no column-algebra
+  * form) and each heuristic has an exact SQL twin for the oracle. Ratios
+  * are kept in integer form (n·threshold comparisons) so no float ever
+  * reaches a hash compare.
   */
 object TextAnalysis {
 
@@ -96,9 +98,12 @@ object TextAnalysis {
     * digit runs, single other marks) — the token-count pair a data
     * pipeline budgets by. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // case-insensitive letter runs: a lowercase-only class would count
+    // every uppercase letter as its own single-mark token and inflate
+    // mixed-case budgets wildly
     docs.withColumn("ws_tokens", size(words(col(textCol))))
       .withColumn("bpe_tokens",
-        size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")))
 
   /** Content fingerprints: `fp_min` = min hashed shingle (winnowing-style
     * content fingerprint, stable under word reorder outside the window)
@@ -109,15 +114,14 @@ object TextAnalysis {
     docs.withColumn("ws", words(col(textCol)))
       .withColumn("fp_min",
         array_min(hashedShingles(shingles(col("ws"), shingleN))))
-      .withColumn("fp_pos", expr(
-        s"""aggregate(transform(${"ws"}, (w, i) ->
-           |  (${sqlLikeH32pSpark("w")}) * ((i % 64) + 1)),
-           |  0L, (acc, v) -> acc + v) % $P""".stripMargin))
+      // position-weighted sum reuses TextHash.h32p directly (the base
+      // hash is defined once — an embedded SQL-string copy here would
+      // have to be kept in sync by hand)
+      .withColumn("fp_pos",
+        aggregate(
+          transform(col("ws"), (w, i) => h32p(w) * ((i % 64) + 1)),
+          lit(0L), (acc, v) => acc + v) % P)
       .drop("ws")
-
-  /** Spark-SQL fragment of h32p for use inside expr() lambdas. */
-  private def sqlLikeH32pSpark(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT) % $P"
 
   /** Rabin-Karp rolling-hash winnowing: polynomial window hash
     * H_i = (Σ h(word_{i+j})·B^{w-1-j}) mod P over a sliding w-word
@@ -131,13 +135,19 @@ object TextAnalysis {
   val RollW = 4
 
   private val rollUdf = udf { (ws: Seq[String]) =>
+    // one digest per row, reset per word; the 32-bit prefix is built
+    // numerically from the first 4 digest bytes — identical to parsing
+    // the first 8 hex chars, without the per-word provider lookup and
+    // hex round-trip. A NULL word list (null text) must not NPE the
+    // whole job: it fingerprints like the empty document.
+    val md = java.security.MessageDigest.getInstance("MD5")
     def h32p(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).take(4)
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16) % P
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
     }
-    val hs = ws.map(h32p).toArray
+    val hs = if (ws == null) Array.empty[Long] else ws.map(h32p).toArray
     val n = hs.length
     if (n == 0) (0L, 0L)
     else if (n < RollW) {
@@ -190,8 +200,11 @@ object TextAnalysis {
   def sqlRollingWindows(w: String): String =
     s"CASE WHEN len($w) = 0 THEN 0 WHEN len($w) < $RollW THEN 1 ELSE len($w) - ${RollW - 1} END"
 
-  /** SQL twin of `fp_pos` over a words-list expression (1-based index). */
+  /** SQL twin of `fp_pos` over a words-list expression (1-based index).
+    * The empty arm matters: DuckDB `list_sum([])` is NULL where Spark's
+    * 0-seeded aggregate returns 0 — same convention as [[sqlRollingFp]]. */
   def sqlFpPos(w: String): String =
-    s"""CAST(list_sum(list_transform($w, (x, i) ->
-       | (${TextHash.sqlH32p("x")}) * (((i - 1) % 64) + 1))) AS BIGINT) % $P""".stripMargin.replaceAll("\n", "")
+    s"""CASE WHEN len($w) = 0 THEN 0
+       | ELSE CAST(list_sum(list_transform($w, (x, i) ->
+       | (${TextHash.sqlH32p("x")}) * (((i - 1) % 64) + 1))) AS BIGINT) % $P END""".stripMargin.replaceAll("\n", "")
 }

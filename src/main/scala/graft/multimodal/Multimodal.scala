@@ -65,10 +65,15 @@ object Multimodal {
   /** Frame sampling for video-kind assets: every `stride`-th
     * `frameBytes`-sized block, as (frame_idx, bytes). */
   def sampleFrames(content: Array[Byte], frameBytes: Int,
-                   stride: Int): Seq[(Int, Array[Byte])] =
+                   stride: Int): Seq[(Int, Array[Byte])] = {
+    // fail fast with the bad parameter's name: a zero stride would
+    // otherwise surface as a bare ArithmeticException mid-task
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     content.grouped(frameBytes).zipWithIndex.collect {
       case (blk, i) if i % stride == 0 => (i, blk)
     }.toSeq
+  }
 
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * loop: drain the partition in BatchSize groups, decode each batch,

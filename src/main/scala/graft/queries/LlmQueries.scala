@@ -476,7 +476,9 @@ object LlmQueries extends QueryFamily {
            |sig AS (SELECT doc_id,
            |               len(w) AS n_words,
            |               length(text) AS n_chars,
-           |               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS word_chars,
+           |               CASE WHEN len(w) = 0 THEN 0
+           |                    ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           |               END AS word_chars,
            |               len(list_filter(w, x -> x IN ($allStops))) AS stop_hits
            |        FROM tok)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -519,7 +521,7 @@ object LlmQueries extends QueryFamily {
       Some(
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |       CAST(len(${W("text")}) AS BIGINT) AS ws_tokens,
-           |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+           |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── Rolling-hash winnowing fingerprint (Rabin-Karp windows, O(n)

@@ -34,6 +34,28 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("length mismatch yields null, never a plausible partial sum") {
+    // interpreted path (local relation)
+    val r1 = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect().head
+    assert(r1.isNullAt(0))
+    // codegen path (parquet-backed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dot-mm").toString
+    Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)), (Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSet == Set(None, Some(11.0)))
+  }
+
+  test("wrong arity is a real error, not a dropped argument") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), array(1.0d))")
+        .collect())
+    assert(e.getMessage.contains("2 arguments"))
+  }
+
   test("stays inside whole-stage codegen (no CodegenFallback)") {
     // a parquet-backed frame so the projection isn't constant-folded away
     val scan = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
