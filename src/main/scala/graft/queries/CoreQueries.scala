@@ -88,7 +88,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  SELECT *, row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
           |  FROM envelope)
           |SELECT id, namespace, version, operation AS last_op,
           |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS k, value
@@ -103,7 +103,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  SELECT *, row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
           |  FROM envelope)
           |SELECT id, namespace, version
           |FROM ranked WHERE rn = 1 AND operation = 'd'
@@ -324,9 +324,9 @@ object CoreQueries extends QueryFamily {
           |  SELECT * FROM envelope
           |  WHERE namespace = 'app.t1' AND operation IN ('i','u'))
           |SELECT id,
-          |       row_number() OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS v,
+          |       row_number() OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS v,
           |       version,
-          |       CAST(json_extract_string(lag(document) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC), '$.k') AS INTEGER) AS prev_k,
+          |       CAST(json_extract_string(lag(document) OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC), '$.k') AS INTEGER) AS prev_k,
           |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS new_k
           |FROM patchable
           |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
@@ -358,7 +358,7 @@ object CoreQueries extends QueryFamily {
           |  WHERE namespace = 'app.t0' AND operation IN ('i','u')
           |    AND CAST(json_extract_string(document, '$.k') AS INTEGER) % 4 = 0),
           |ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  SELECT *, row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
           |  FROM envelope),
           |tombs AS (SELECT id, namespace, version FROM ranked WHERE rn = 1 AND operation = 'd')
           |SELECT t.id, t.namespace, t.version,
@@ -451,7 +451,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long"), col("v")),
       Some(withEnvelope(
         """, enriched AS (
-          |  SELECT id, version, event_id,
+          |  SELECT namespace, id, version, event_id,
           |         CAST(floor(value) AS INTEGER) AS b,
           |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
           |         CASE WHEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 5 <> 0
@@ -460,11 +460,11 @@ object CoreQueries extends QueryFamily {
           |  WHERE namespace = 'app.t1' AND operation IN ('i','u')),
           |laged AS (
           |  SELECT id,
-          |         row_number() OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS v,
+          |         row_number() OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS v,
           |         b, k, x,
-          |         lag(b) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS pb,
-          |         lag(k) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS pk,
-          |         lag(x) OVER (PARTITION BY id ORDER BY version ASC, event_id ASC) AS px
+          |         lag(b) OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS pb,
+          |         lag(k) OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS pk,
+          |         lag(x) OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS px
           |  FROM enriched)
           |SELECT id, v,
           |       CASE WHEN v = 1 THEN
@@ -595,7 +595,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+          |  SELECT *, row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
           |  FROM envelope)
           |SELECT id, operation, version
           |FROM ranked WHERE rn = 1

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.llm._
@@ -38,6 +39,23 @@ object LlmQueries extends QueryFamily {
   /** DuckDB words list for a text expression. */
   private def W(e: String) = TextHash.sqlWords(e)
 
+  /** Truncated-variant text (last 5 words dropped), length CLAMPED at 0
+    * on both engines: Spark's `slice` throws on a negative length and
+    * DuckDB's negative slice bound counts from the END, so a sub-6-word
+    * document would crash one engine and silently keep words on the
+    * other. Defined once, emitted twice (TextHash's rule) — this
+    * expression previously existed in three Spark and three SQL copies.
+    *
+    * The synthetic-variant ids (original + VarOffset/DupOffset) assume
+    * real ids stay below the offsets; both engines apply the same
+    * arithmetic, so an id collision would corrupt both sides identically
+    * and invisibly — fixtures must keep ids < VarOffset. */
+  private def truncWords(ws: Column): Column =
+    slice(ws, lit(1), greatest(size(ws) - 5, lit(0)))
+  private def truncText(ws: Column): Column = concat_ws(" ", truncWords(ws))
+  private def sqlTruncText(e: String): String =
+    s"array_to_string((${W(e)})[1:greatest(len(${W(e)}) - 5, 0)], ' ')"
+
   /** Shared corpus CTEs. */
   private val dupCorpusSql =
     s"""corpus AS (
@@ -49,8 +67,7 @@ object LlmQueries extends QueryFamily {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $VarOffset,
-       |         array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')
+       |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
        |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** The Spark twin of [[varCorpusSql]]: originals plus truncated variants
@@ -61,7 +78,7 @@ object LlmQueries extends QueryFamily {
     val ws = words(col("text"))
     val vars = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + VarOffset).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
+        truncText(ws).as("text"))
     docs.unionByName(vars)
   }
 
@@ -93,8 +110,8 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q30_exact_dedup",
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text")
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
         val corpus = docs.unionByName(
           docs.filter(col("doc_id") % 7 === 0)
             .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
@@ -180,7 +197,7 @@ object LlmQueries extends QueryFamily {
           .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
         val vars = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + VarOffset).as("doc_id"),
-            concat_ws(" ", slice(ws, lit(1), size(ws) - 5)).as("text"))
+            truncText(ws).as("text"))
         Dedup.simhashNearDupPairs(docs.unionByName(dups).unionByName(vars),
             maxHamming = 6)
           .select(col("id_a").cast("long"), col("id_b").cast("long"),
@@ -193,8 +210,7 @@ object LlmQueries extends QueryFamily {
            |  UNION ALL
            |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
            |  UNION ALL
-           |  SELECT doc_id + $VarOffset,
-           |         array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
            |  FROM documents WHERE doc_id % 10 = 0),
            |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
            |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
@@ -216,9 +232,9 @@ object LlmQueries extends QueryFamily {
         val ws = words(col("text"))
         val base = docs.filter(col("doc_id") % 10 === 0)
           .withColumn("sh_a", shingles(ws, 3))
-          .withColumn("sh_b", shingles(
-            filter(split(concat_ws(" ", slice(ws, lit(1), size(ws) - 5)), " "),
-              w => w =!= ""), 3))
+          // the sliced array IS the truncated token list (its elements
+          // are already non-empty) — no join/re-split round-trip needed
+          .withColumn("sh_b", shingles(truncWords(ws), 3))
         base.select(col("doc_id").cast("long"),
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
             size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
@@ -227,7 +243,7 @@ object LlmQueries extends QueryFamily {
       Some(
         s"""WITH pairs AS (
            |  SELECT doc_id, ${W("text")} AS wa,
-           |         ${W(s"array_to_string((${W("text")})[1:len(${W("text")}) - 5], ' ')")} AS wb
+           |         ${W(sqlTruncText("text"))} AS wb
            |  FROM documents WHERE doc_id % 10 = 0),
            |sh AS (SELECT doc_id, ${TextHash.sqlShingles("wa", 3)} AS sh_a,
            |              ${TextHash.sqlShingles("wb", 3)} AS sh_b FROM pairs)
@@ -334,7 +350,8 @@ object LlmQueries extends QueryFamily {
            |  SELECT vec_id + 100000,
            |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
            |  FROM base WHERE vec_id % 25 = 0),
-           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id % 50 = 0),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+           |          WHERE vec_id % 50 = 0 AND vec_id < 100000),
            |assign AS (
            |  SELECT vec_id, v, centroid_id AS bucket FROM (
            |    SELECT e.vec_id, e.v, c.centroid_id,
