@@ -11,6 +11,14 @@ import TextHash._
   * codegen'd; candidate generation shuffles once on the band key (skew-safe
   * under AQE because band keys are md5-uniform); verification joins only
   * within buckets.
+  *
+  * Caching contract: the pair generators persist their signature /
+  * fingerprint frames (the materialization barrier their own doc
+  * comments justify) and the returned frame lazily depends on that
+  * cache, so it cannot be unpersisted inside the call. Long-lived
+  * sessions running dedup repeatedly should `spark.sharedState
+  * .cacheManager.clearCache()` between rounds (what Bench does), or
+  * persist the signature table to storage and use the incremental path.
   */
 object Dedup {
 
@@ -81,18 +89,25 @@ object Dedup {
     * over run); MEMORY_AND_DISK keeps the local path spill-safe. */
   def verifiedNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text",
-                           shingleN: Int = 3): DataFrame = {
+                           shingleN: Int = 3,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
     val signed = withSignature(docs, textCol, shingleN)
       .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    candidatePairs(signed)
+    verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a signature
+    * table — the one definition both the batch and incremental paths
+    * share (a drifted copy would silently change one path's semantics). */
+  private def verifyPairs(cand: DataFrame, signed: DataFrame): DataFrame =
+    cand
       .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(lit(2) * col("inter") >= col("uni"))
       .select("id_a", "id_b", "inter", "uni")
-  }
 
   /** Incremental near-dedup: candidate pairs for a NEW document batch
     * against an already-signed corpus, without recomputing a single old
@@ -107,7 +122,8 @@ object Dedup {
   def incrementalNearDupPairs(newDocs: DataFrame, existingSigned: DataFrame,
                               idCol: String = "doc_id",
                               textCol: String = "text",
-                              shingleN: Int = 3): DataFrame = {
+                              shingleN: Int = 3,
+                              maxBucketSize: Option[Int] = None): DataFrame = {
     val newSigned = withSignature(newDocs, textCol, shingleN)
       .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,29 +131,41 @@ object Dedup {
     // batch) must be represented by its NEW signature only — keeping both
     // rows would give the id two signatures, and every pair touching it
     // would multiply into contradictory (inter, uni) rows through the
-    // verification joins below
+    // verification joins below. Persisted: the band join reads it once
+    // and BOTH verification joins read it again — without the barrier
+    // the big-corpus scan + anti-join would run three times (the same
+    // measured trade as verifiedNearDupPairs' signature persist).
     val allSigned = existingSigned.select("doc_id", "sh", "bkeys")
       .join(newSigned.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(newSigned)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def bands(df: DataFrame) = df.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    // the degenerate-bucket cap measures bucket size over the FULL corpus
+    // (old + new) and drops capped buckets from both join sides — the
+    // same bounded-cost trade as candidatePairs
+    val allBands = bands(allSigned)
+    val (aBands, bBands) = maxBucketSize match {
+      case None => (bands(newSigned), allBands)
+      case Some(cap) =>
+        val ok = allBands.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select("band_idx", "band_key")
+        (bands(newSigned).join(ok, Seq("band_idx", "band_key"), "left_semi"),
+          allBands.join(ok, Seq("band_idx", "band_key"), "left_semi"))
+    }
     // new side drives the join: band keys of old docs are touched only
     // where a new doc shares the bucket
-    val cand = bands(newSigned).alias("a")
-      .join(bands(allSigned).alias("b"),
+    val cand = aBands.alias("a")
+      .join(bBands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    cand
-      .join(allSigned.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(allSigned.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(lit(2) * col("inter") >= col("uni"))
-      .select("id_a", "id_b", "inter", "uni")
+    verifyPairs(cand, allSigned)
   }
 
   /** Duplicate-cluster resolution: connected components over verified
@@ -186,6 +214,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent partial closure would emit multiple cluster_ids (and
+    // multiple representatives) for one true component — wrong keep/drop
+    // decisions with no signal. Deep chains are rare (dup clusters are
+    // stars); when one appears, the caller must raise maxIter, not
+    // receive corrupt clusters.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds maxIter; raise it")
     labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_rep", col("doc_id") === col("cluster_id"))
   }
@@ -228,8 +264,9 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
                           idCol: String = "doc_id",
                           textCol: String = "text",
-                          shingleN: Int = 3): DataFrame = {
-    val fp = withSimhash(docs, textCol, shingleN)
+                          shingleN: Int = 3,
+                          bucketShift: Int = 20): DataFrame = {
+    val fp = withSimhash(docs, textCol, shingleN, bucketShift)
       .select(col(idCol).as("doc_id"), col("simhash"), col("sim_bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     fp.alias("a").join(fp.alias("b"),

@@ -78,8 +78,11 @@ object IvfTrain {
     * an `e(vec_id, v)` CTE in scope; `initWhere` selects the seed rows
     * of `e`. The final centroids are CTE `c2(centroid_id, cv)`. */
   def sqlTrainCtes(initWhere: String, dim: Int): String = {
+    // count(v[i]), not count(*): the Spark step's posexplode emits one
+    // row per PRESENT element, so a vector shorter than `dim` must not
+    // inflate the divisor on the SQL side (count(expr) skips NULLs)
     def update(a: String) =
-      s"""SELECT bucket, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s, count(*) AS n
+      s"""SELECT bucket, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s, count(v[i]) AS n
          |    FROM $a, unnest(range(1, ${dim + 1})) AS t(i) GROUP BY bucket, i""".stripMargin
     val mean = "list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i)"
     s"""c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE $initWhere),
@@ -91,9 +94,12 @@ object IvfTrain {
        |c2 AS (SELECT bucket AS centroid_id, $mean AS cv FROM u2 GROUP BY bucket)""".stripMargin
   }
 
-  /** Post-training summary frame: every trained centroid joined to its
+  /** Post-training summary frame: EVERY trained centroid joined to its
     * final assignment count — the bucket-balance report an IVF build
-    * would log (and the cross-engine-checkable output of q57). */
+    * would log (and the cross-engine-checkable output of q56). Left join
+    * from the centroid side: a trained centroid that captures zero
+    * vectors in the final assignment is exactly the imbalance signal the
+    * report exists to surface, and an inner join would drop it. */
   def balance(vectors: DataFrame, trained: Array[Centroid],
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
@@ -101,10 +107,11 @@ object IvfTrain {
     val fps = spark.createDataFrame(
       trained.toSeq.map(c => (c.id, fingerprint(c))))
       .toDF("bucket", "c_fp")
-    Similarity.ivfAssign(vectors, trained, idCol, vecCol)
+    val counts = Similarity.ivfAssign(vectors, trained, idCol, vecCol)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_assigned"))
-      .join(fps, Seq("bucket"))
-      .select(col("bucket").cast("long"), col("n_assigned").cast("long"),
+    fps.join(counts, Seq("bucket"), "left")
+      .select(col("bucket").cast("long"),
+        coalesce(col("n_assigned"), lit(0L)).cast("long").as("n_assigned"),
         col("c_fp"))
   }
 }

@@ -35,7 +35,11 @@ object TextHash {
   def h32p(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
 
-  /** Non-empty whitespace tokens. */
+  /** Non-empty SINGLE-SPACE-separated tokens — the corpus contract (and
+    * the DuckDB twin's `string_split` on ' '). Text using tabs/newlines
+    * as separators must be normalized first (withNormalizedText does
+    * exactly that); splitting here on `\\s+` would double the regex cost
+    * on the hottest path for a case normalization already handles. */
   def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 

@@ -393,9 +393,9 @@ object LlmQueries extends QueryFamily {
            |              CAST(list_sum(list_transform(cv, x -> CAST(floor(x*1000000) AS BIGINT))) AS BIGINT) AS c_fp
            |       FROM c2),
            |cnt AS (SELECT bucket, count(*) AS n_assigned FROM a3 GROUP BY bucket)
-           |SELECT CAST(cnt.bucket AS BIGINT) AS bucket,
-           |       CAST(n_assigned AS BIGINT) AS n_assigned, c_fp
-           |FROM cnt JOIN fp USING (bucket) ORDER BY bucket""".stripMargin)),
+           |SELECT CAST(fp.bucket AS BIGINT) AS bucket,
+           |       CAST(coalesce(n_assigned, 0) AS BIGINT) AS n_assigned, c_fp
+           |FROM fp LEFT JOIN cnt USING (bucket) ORDER BY bucket""".stripMargin)),
 
     // ── The usable-ANN flagship: IVF top-k probing TRAINED centroids —
     //    k-means buckets follow the data's density, so probes recall more

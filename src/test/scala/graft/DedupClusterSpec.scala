@@ -28,4 +28,13 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
     assert(got.count(_._3) == 1)
   }
+
+  test("exceeding maxIter fails loudly instead of emitting partial clusters") {
+    // diameter ~9 > maxIter 2: a silent exit would return several
+    // cluster_ids (and representatives) for ONE true component
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.dupClusters(pairs, maxIter = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -22,6 +22,28 @@ class LshBucketCapSpec extends AnyFunSuite {
     docs.unionByName(boiler)
   }
 
+  test("the cap is reachable from BOTH verified entry points") {
+    import spark.implicits._
+    // the guard only matters if the public pair generators can engage it
+    val capped = Dedup.verifiedNearDupPairs(corpus, maxBucketSize = Some(10))
+      .filter(col("id_a") >= 900000L).count()
+    assert(capped == 0, "boilerplate bucket must be shed by the cap")
+    val uncapped = Dedup.verifiedNearDupPairs(corpus)
+      .filter(col("id_a") >= 900000L).count()
+    assert(uncapped == 30L * 29 / 2, "without the cap the blowup is real")
+    // incremental path: new batch = the boilerplate, existing = the rest
+    val existing = Dedup.withSignature(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text").limit(40))
+      .select(col("doc_id"), col("sh"), col("bkeys"))
+    val boiler = (0 until 30).map(i =>
+      (900000L + i, "the same boilerplate page text repeated verbatim " * 5))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(boiler, existing,
+      maxBucketSize = Some(10)).count()
+    assert(inc == 0)
+  }
+
   test("no cap / loose cap: identical candidates; tight cap sheds the blowup") {
     val signed = Dedup.withSignature(corpus)
       .select(col("doc_id"), col("sh"), col("bkeys"))
