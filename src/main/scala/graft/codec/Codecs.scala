@@ -31,15 +31,23 @@ object Codecs {
     val s = c.cast("string")
     val d = c.cast("double")
     // exact integral forms (long ids, integral strings) pass VERBATIM:
-    // the reference collapses only float64 ids and formats int64/string
-    // ids exactly (opIDToString monstache.go:818-833) — a double
-    // round-trip here would corrupt ids beyond 2^53 into a DIFFERENT
-    // document id. The float collapse applies only to values carrying a
-    // fraction mark, and never to non-finite ones.
-    when(s.rlike("^[+-]?\\d+$"), s)
-      .otherwise(when(d === floor(d) && !isnan(d) &&
-          abs(d) =!= lit(Double.PositiveInfinity),
-        d.cast("long").cast("string")).otherwise(s))
+    // the reference collapses only float64/float32-TYPED ids and formats
+    // int64/string ids exactly (opIDToString monstache.go:818-838) — a
+    // double round-trip here would corrupt ids beyond 2^53 into a
+    // DIFFERENT document id. The collapse therefore applies only to
+    // values whose string form carries a fraction mark (which is how
+    // every double-typed column stringifies: "10.0", "1.0E8") — an
+    // exotic-but-valid STRING id like "1e5" has no fraction mark and
+    // passes verbatim, exactly the reference's default branch. The
+    // long-cast is additionally bounded to the doubles that represent
+    // integers exactly (|d| < 2^53): beyond that the reference's %v
+    // prints the float form anyway, and ANSI mode would turn an
+    // overflowing cast into a job-killing error.
+    when(s.rlike("^[+-]?\\d+\\.\\d+(E[+-]?\\d+)?$") &&
+        d === floor(d) && !isnan(d) &&
+        abs(d) < lit(9007199254740992.0d),
+      d.cast("long").cast("string"))
+      .otherwise(s)
   }
 
   /** Sink id guards: empty ids and ids over 512 bytes are rejected

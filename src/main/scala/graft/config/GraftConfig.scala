@@ -50,6 +50,16 @@ case class GraftConfig(
 
 object GraftConfig {
 
+  /** A required, type-checked string key inside an `[[table]]` entry —
+    * missing or mistyped keys name the table and key, not a bare
+    * NoSuchElementException. */
+  private def req(t: Map[String, Any], table: String, key: String): String =
+    t.get(key) match {
+      case Some(v) => Toml.Doc.str(s"$table.$key", v)
+      case None => throw new IllegalArgumentException(
+        s"config: every [[${table}]] entry needs `$key`")
+    }
+
   def fromToml(text: String): GraftConfig = {
     val doc = Toml.parse(text)
     // `[mapping]` / `[relate]` (single-bracket TABLES) are the classic
@@ -88,16 +98,24 @@ object GraftConfig {
       directReadDynamicExcludeRegex = doc.str("direct-read-dynamic-exclude-regex"),
       relates = doc.arrays.getOrElse("relate", Nil).map { t =>
         Relation(
-          namespace = t("namespace").toString,
-          withNamespace = t("with-namespace").toString,
-          srcField = t("src-field").toString,
-          matchField = t("match-field").toString,
-          keepSrc = t.get("keep-src").contains(true),
-          maxDepth = t.get("max-depth").map(_.asInstanceOf[Long].toInt).getOrElse(0),
-          matchFieldType = t.get("match-field-type").map(_.toString))
+          namespace = req(t, "relate", "namespace"),
+          withNamespace = req(t, "relate", "with-namespace"),
+          srcField = req(t, "relate", "src-field"),
+          matchField = req(t, "relate", "match-field"),
+          keepSrc = t.get("keep-src").exists {
+            case b: Boolean => b
+            case other => Toml.Doc.mismatch("relate.keep-src", "boolean", other)
+          },
+          maxDepth = t.get("max-depth").map {
+            case n: Long => n.toInt
+            case other => Toml.Doc.mismatch("relate.max-depth", "integer", other)
+          }.getOrElse(0),
+          matchFieldType =
+            t.get("match-field-type").map(Toml.Doc.str("relate.match-field-type", _)))
       },
       mappings = doc.arrays.getOrElse("mapping", Nil)
-        .map(t => t("namespace").toString -> t("index").toString).toMap)
+        .map(t => req(t, "mapping", "namespace") -> req(t, "mapping", "index"))
+        .toMap)
   }
 
   def load(path: String): GraftConfig =

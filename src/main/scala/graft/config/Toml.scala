@@ -18,17 +18,52 @@ import scala.collection.mutable
 object Toml {
 
   /** Parsed document: root keys, named tables, arrays-of-tables. Values
-    * are String | Long | Double | Boolean | Seq[Any]. */
+    * are String | Long | Double | Boolean | Seq[Any].
+    *
+    * Accessors are TYPE-CHECKED: a mistyped `namespace-regex = true` or
+    * `delete-strategy = "2"` is a loud error naming the key and the found
+    * type — never a silent toString coercion (which would feed `true` to
+    * a regex compile downstream) or a raw ClassCastException (which names
+    * neither the key nor the file). The rest of the config front door
+    * promises loud failures; the leaf accessors must keep that promise. */
   final case class Doc(root: Map[String, Any],
                        tables: Map[String, Map[String, Any]],
                        arrays: Map[String, Seq[Map[String, Any]]]) {
-    def str(key: String): Option[String] = root.get(key).map(_.toString)
-    def strings(key: String): Seq[String] =
-      root.get(key).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+    def str(key: String): Option[String] = root.get(key).map(Doc.str(key, _))
+    def strings(key: String): Seq[String] = root.get(key) match {
+      case None => Nil
+      case Some(xs: Seq[_]) => xs.map(Doc.str(key, _))
+      case Some(other) => Doc.mismatch(key, "array of strings", other)
+    }
     def bool(key: String, default: Boolean = false): Boolean =
-      root.get(key).map(_.asInstanceOf[Boolean]).getOrElse(default)
+      root.get(key).map {
+        case b: Boolean => b
+        case other => Doc.mismatch(key, "boolean", other)
+      }.getOrElse(default)
     def int(key: String, default: Int = 0): Int =
-      root.get(key).map(_.asInstanceOf[Long].toInt).getOrElse(default)
+      root.get(key).map {
+        case n: Long => n.toInt
+        case other => Doc.mismatch(key, "integer", other)
+      }.getOrElse(default)
+  }
+
+  object Doc {
+    private def typeName(v: Any): String = v match {
+      case _: String => "string"
+      case _: Long => "integer"
+      case _: Double => "float"
+      case _: Boolean => "boolean"
+      case _: Seq[_] => "array"
+      case other => other.getClass.getSimpleName
+    }
+    private[config] def mismatch(key: String, want: String, found: Any): Nothing =
+      throw new IllegalArgumentException(
+        s"config key `$key` expects a $want, found ${typeName(found)}: $found")
+    /** Typed string extraction shared with the array-of-table readers. */
+    private[config] def str(key: String, v: Any): String = v match {
+      case s: String => s
+      case other => mismatch(key, "string", other)
+    }
   }
 
   def parse(text: String): Doc = {

@@ -41,10 +41,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  // null on LENGTH MISMATCH too (a truncated embedding must not produce
-  // a plausible partial dot product that top-k then ranks on silently) —
-  // the same observable behavior as the builtin aggregate(zip_with(...))
-  // form this expression replaces, whose null padding nulls the sum
+  // null on LENGTH MISMATCH and on NULL ELEMENTS too (a truncated or
+  // partially-encoded embedding must not produce a plausible partial dot
+  // product that top-k then ranks on silently — and ArrayData.getDouble
+  // on a null slot reads unspecified garbage) — the same observable
+  // behavior as the builtin aggregate(zip_with(...)) form this expression
+  // replaces, whose null padding/elements null the sum
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -55,7 +57,11 @@ case class DotProduct(left: Expression, right: Expression)
     else {
       var acc = 0.0d
       var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
   }
@@ -72,9 +78,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -103,6 +103,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** A vector carrying NULL elements (`[0.1, null, 0.2]` — a partially
+    * failed upstream encoder) is as broken as a NULL vector, and worse at
+    * runtime: the `Seq[Double]` UDF deserializer throws on the null
+    * element, killing the whole job on one bad row. Null the vector WHOLE
+    * here so such rows flow down the existing quarantine paths
+    * (unassignable bucket / no probes) instead. A NULL array input stays
+    * NULL (`exists` propagates it). */
+  private def cleanVec(c: Column): Column =
+    when(!exists(c, x => x.isNull), asDouble(c))
+
   /** The same left fold as [[graft.functions.DotProduct]], driver/executor
     * side. Kept in one place so every code path accumulates in identical
     * order (float addition is not associative — order is the contract). */
@@ -121,11 +131,12 @@ object Similarity {
   def collectCentroids(centroids: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Array[Centroid] =
     centroids
-      // a NULL embedding can land in any centroid predicate — skipping it
-      // here matches the SQL twin, whose NULL cosines fail every NOT
-      // isnan ranking guard (and .toArray on a null Seq would NPE)
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      // a NULL embedding (or one with NULL elements) can land in any
+      // centroid predicate — skipping it here matches the SQL twin, whose
+      // NULL cosines fail every NOT isnan ranking guard (and .toArray on
+      // a null Seq / null element would NPE driver-side)
+      .select(col(idCol).cast("long"), cleanVec(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
@@ -151,7 +162,8 @@ object Similarity {
                 idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
     val assignU = udf { (v: Seq[Double]) =>
-      // a NULL embedding (failed upstream encoder) must not NPE the whole
+      // a NULL embedding (failed upstream encoder — cleanVec also folds
+      // null-ELEMENT vectors into this case) must not NPE the whole
       // job — it joins the zero-norm vectors in the unassignable bucket
       if (v == null) (UnassignedBucket, 0.0)
       else {
@@ -174,7 +186,7 @@ object Similarity {
         (bestId, vn)
       }
     }
-    embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    embeddings.select(col(idCol), cleanVec(col(vecCol)).as("v"))
       .withColumn("a", assignU(col("v")))
       .select(col(idCol), col("v"), col("a._2").as("vn"),
         col("a._1").as("bucket"))
@@ -197,7 +209,8 @@ object Similarity {
                          idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
     val probeU = udf { (v: Seq[Double]) =>
-      if (v == null) (Array.empty[Long], 0.0) // null query probes nothing
+      // null (or null-element, via cleanVec) query probes nothing
+      if (v == null) (Array.empty[Long], 0.0)
       else {
         val arr = v.toArray
         val qn = math.sqrt(dotArr(arr, arr))
@@ -213,7 +226,7 @@ object Similarity {
       }
     }
     embeddings.filter(queryPred)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col(idCol).as("query_id"), cleanVec(col(vecCol)).as("qv"))
       .withColumn("p", probeU(col("qv")))
       .select(col("query_id"), col("qv"), col("p._2").as("qn"),
         explode(col("p._1")).as("bucket"))

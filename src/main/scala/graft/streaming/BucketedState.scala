@@ -91,6 +91,11 @@ object BucketedState {
       try {
         val merges = touched.toSeq.map { b =>
           Future {
+            // same stale-checkpoint guard as StreamingUpsert.mergeBatch: a
+            // fresh checkpoint restarting batch ids under an existing chain
+            // would write b<N>/v0 beneath a committed v5 — latestBucket
+            // still reads v5 and the new merges become silently invisible
+            VersionedState.requireNoNewerThan(spark, s"$stateDir/b$b", batchId)
             val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
             val prev = latestBucket(spark, stateDir, b, beforeBatch = batchId)
             val merged = Upsert.lastWriterWins(

@@ -56,6 +56,19 @@ class BucketedStateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("a fresh checkpoint restarting batch ids under existing state is a loud error") {
+    // same guard as StreamingUpsert: b<N>/v0 written beneath a committed
+    // v5 would be silently invisible to latestState (stale state
+    // resurrected with no error anywhere)
+    val dir = Files.createTempDirectory("graft-bstate-stale").toString
+    BucketedState.mergeBatch(toDF(mkOps(0 until 50)), 5L, dir, numBuckets = 8)
+    val e = intercept[IllegalArgumentException](
+      BucketedState.mergeBatch(toDF(mkOps(0 until 50)), 0L, dir, numBuckets = 8))
+    assert(e.getMessage.contains("newer than batch 0"))
+    // the further-progressed id still merges fine
+    BucketedState.mergeBatch(toDF(mkOps(50 until 80)), 6L, dir, numBuckets = 8)
+  }
+
   test("a replayed batch is idempotent per bucket") {
     val dir = Files.createTempDirectory("graft-bstate2").toString
     val (b0, b1) = mkOps(0 until 200).splitAt(100)

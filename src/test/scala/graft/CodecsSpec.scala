@@ -46,6 +46,21 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("string ids pass verbatim — only float-form values collapse (opIDToString default branch)") {
+    // the reference collapses float64/float32-TYPED ids only; string ids
+    // — including exotic-but-valid forms like "1e5" — print verbatim
+    val ids = Seq("1e5", "1E5", "0x10", "abc", "42", "007", "-13", "10.5", "")
+    val got = ids.toDF("v")
+      .select(Codecs.numericIdToString(col("v")).as("s")).as[String].collect().toSeq
+    assert(got == ids)
+    // fraction-marked whole values are the one case indistinguishable
+    // from a stringified double-typed id, and collapse (both plain and
+    // scientific double renderings)
+    val whole = Seq("10.0", "1.0E3").toDF("v")
+      .select(Codecs.numericIdToString(col("v")).as("s")).as[String].collect().toSeq
+    assert(whole == Seq("10", "1000"))
+  }
+
   test("pruneInvalidDouble nulls NaN and ±Inf, passes everything else") {
     val vals = Seq(1.5, -2.0, 0.0, Double.NaN, Double.PositiveInfinity,
       Double.NegativeInfinity, Double.MaxValue, Double.MinPositiveValue)

@@ -49,6 +49,22 @@ class DotProductSpec extends AnyFunSuite {
     assert(rows.toSet == Set(None, Some(11.0)))
   }
 
+  test("null ELEMENT yields null, never garbage-slot arithmetic") {
+    // ArrayData.getDouble on a null slot reads unspecified memory — the
+    // expression must null the whole product like the builtin
+    // aggregate(zip_with(...)) form it replaces
+    val ne = Seq((Seq[Option[Double]](Some(1.0), None, Some(2.0)),
+      Seq[Option[Double]](Some(1.0), Some(1.0), Some(1.0)))).toDF("a", "b")
+    val r = ne.select(Similarity.dot(col("a"), col("b")).as("d")).collect().head
+    assert(r.isNullAt(0))
+    // and through parquet (unsafe array data + whole-stage codegen)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dot-ne").toString
+    ne.write.mode("overwrite").parquet(dir)
+    val r2 = spark.read.parquet(dir)
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect().head
+    assert(r2.isNullAt(0))
+  }
+
   test("wrong arity is a real error, not a dropped argument") {
     val e = intercept[Exception](
       spark.sql("SELECT graft_dot(array(1.0d), array(1.0d), array(1.0d))")

@@ -83,6 +83,36 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("NULL-ELEMENT embeddings are quarantined whole, never a deserializer crash") {
+    import spark.implicits._
+    // [0.1, null]: a partially failed encoder — without the cleanVec
+    // guard the Seq[Double] UDF deserializer throws on the null element,
+    // killing the whole job on one bad row
+    val vs = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(0.0))),
+      (2L, Seq[Option[Double]](Some(0.9), Some(0.1))),
+      (3L, Seq[Option[Double]](Some(0.1), None))
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vs, centroidPred = col("vec_id") === 1L)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(3L) == Similarity.UnassignedBucket)
+    // as a query row: probes nothing, crashes nothing
+    val out = Similarity.ivfTopK(vs, centroidPred = col("vec_id") === 1L,
+      queryPred = col("vec_id") === 3L, k = 2, nprobe = 1)
+    assert(out.collect().isEmpty)
+    // selected as a CENTROID: skipped driver-side, not an NPE
+    val a2 = Similarity.ivfAssign(vs, centroidPred = col("vec_id").isin(1L, 3L))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(1L) == 1L && a2(2L) == 1L && a2(3L) == Similarity.UnassignedBucket)
+    // brute force: null-element rows score NULL cosines (native dot) and
+    // are excluded from the ranking, on either side of the pair
+    val bf = Similarity.bruteForceTopK(vs, col("vec_id") === 1L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(bf.toSeq == Seq((1L, 1, 2L)))
+  }
+
   test("ivfTopK: zero-norm rows are inert on both sides") {
     val out = Similarity.ivfTopK(frame(), centroidPred = col("vec_id").isin(1L, 3L),
         queryPred = col("vec_id") === 2L, k = 5, nprobe = 2)

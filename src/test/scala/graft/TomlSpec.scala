@@ -78,6 +78,45 @@ class TomlSpec extends AnyFunSuite {
     assert(merged == Seq(("k", 1, 7)))
   }
 
+  test("mistyped values are loud errors naming the key and the found type") {
+    val doc = Toml.parse(
+      """namespace-regex = true
+        |delete-strategy = "2"
+        |index-as-update = 1
+        |patch-namespaces = "db.c"""".stripMargin)
+    val e1 = intercept[IllegalArgumentException](doc.str("namespace-regex"))
+    assert(e1.getMessage.contains("namespace-regex") &&
+      e1.getMessage.contains("boolean"))
+    val e2 = intercept[IllegalArgumentException](doc.int("delete-strategy"))
+    assert(e2.getMessage.contains("delete-strategy") &&
+      e2.getMessage.contains("string"))
+    val e3 = intercept[IllegalArgumentException](doc.bool("index-as-update"))
+    assert(e3.getMessage.contains("index-as-update") &&
+      e3.getMessage.contains("integer"))
+    val e4 = intercept[IllegalArgumentException](doc.strings("patch-namespaces"))
+    assert(e4.getMessage.contains("patch-namespaces") &&
+      e4.getMessage.contains("array"))
+    // well-typed lookups still work, absent keys still default
+    val ok = Toml.parse("delete-strategy = 1\nverbose = true")
+    assert(ok.int("delete-strategy") == 1 && ok.bool("verbose"))
+    assert(ok.str("namespace-regex").isEmpty && ok.int("missing", 7) == 7)
+  }
+
+  test("[[relate]] entries with mistyped or missing keys fail loudly") {
+    val mistyped =
+      """[[relate]]
+        |namespace = 5
+        |with-namespace = "a.b"
+        |src-field = "x"
+        |match-field = "_id"""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfig.fromToml(mistyped))
+    assert(e.getMessage.contains("relate.namespace") &&
+      e.getMessage.contains("integer"))
+    val missing = "[[relate]]\nnamespace = \"a.b\""
+    val e2 = intercept[IllegalArgumentException](GraftConfig.fromToml(missing))
+    assert(e2.getMessage.contains("with-namespace"))
+  }
+
   test("property: escape round-trip over hostile strings (quotes, backslashes, #)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
