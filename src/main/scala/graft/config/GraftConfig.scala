@@ -201,19 +201,25 @@ object ConfiguredPipeline {
                   registry: TransformRegistry = TransformRegistry())(
                   events: DataFrame, stateDir: String, checkpointDir: String,
                   trigger: org.apache.spark.sql.streaming.Trigger =
-                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                  mergeFields: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the streamed state merge is whole-doc LWW; running it under
-    // index-as-update would be the silent fall-through to overwrite
-    // semantics the batch path refuses — refuse here too
-    require(!cfg.indexAsUpdate,
-      "config: index-as-update = true has no streamed state merge yet — " +
-        "use indexedDocuments(cfg, registry, mergeFields) for the batch answer")
     val transform: DataFrame => DataFrame = df =>
       hotPath(cfg, registry)(
         if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(df) else df)
-    graft.streaming.StreamingUpsert.start(events, stateDir, checkpointDir,
-      transform = transform, trigger = trigger)
+    if (cfg.indexAsUpdate) {
+      // doc-as-upsert streams through the per-field partial-state merge;
+      // the config key without the field list is the same loud error as
+      // the batch path — never a silent fall-through to overwrite LWW
+      require(mergeFields.nonEmpty,
+        "config: index-as-update = true needs mergeFields — the columns " +
+          "whose latest non-null value merges across partial updates")
+      graft.streaming.StreamingIndexAsUpdate.start(events, stateDir,
+        checkpointDir, fields = mergeFields, transform = transform,
+        trigger = trigger)
+    } else
+      graft.streaming.StreamingUpsert.start(events, stateDir, checkpointDir,
+        transform = transform, trigger = trigger)
   }
 
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured

@@ -95,14 +95,16 @@ class ConfiguredStreamSpec extends AnyFunSuite {
     assert(live == batch && live.nonEmpty)
   }
 
-  test("index-as-update refuses to stream (no silent overwrite fall-through)") {
+  test("index-as-update without mergeFields refuses to stream (no silent overwrite fall-through)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val cfg = GraftConfig.fromToml("index-as-update = true")
     val src = MemoryStream[ChangeEvent]
     val e = intercept[IllegalArgumentException](
       ConfiguredPipeline.startStream(cfg)(src.toDF(), "/tmp/x", "/tmp/y"))
-    assert(e.getMessage.contains("index-as-update"))
+    assert(e.getMessage.contains("mergeFields"))
+    // with the field list it streams — StreamingIndexAsUpdateSpec proves
+    // the streamed answer equals the batch one
   }
 
   test("the README lifecycle runs: directRead envelopes → seed → tail") {
