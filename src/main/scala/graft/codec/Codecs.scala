@@ -98,6 +98,29 @@ object Codecs {
     * (monstache.go:2882-2890) as a JVM pattern. */
   val DefaultOplogDateFormat: String = goLayoutToJvm("2006/01/02 15:04:05")
 
+  private val goDurationUnit = "([0-9]*\\.?[0-9]+)(ms|s|m|h)".r
+
+  /** Parse a Go duration literal ("30s", "1.5h", "2h45m", "300ms") to
+    * milliseconds — the subset of Go's ParseDuration the reference's
+    * duration-typed config keys use (`stats-duration` monstache.go:355,
+    * parsed at 2860-2868). Unsupported text is a loud error, never a
+    * silently-zero cadence. */
+  def goDurationToMillis(s: String): Long = {
+    val t = s.trim
+    val ms = goDurationUnit.findAllMatchIn(t).toSeq
+    require(ms.nonEmpty && ms.map(_.matched).mkString == t,
+      s"unsupported Go duration: '$s'")
+    ms.map { m =>
+      val unit = m.group(2) match {
+        case "ms" => 1L
+        case "s" => 1000L
+        case "m" => 60000L
+        case "h" => 3600000L
+      }
+      (m.group(1).toDouble * unit).toLong
+    }.sum
+  }
+
   // ── P6/P8: BSON identity + value codecs ───────────────────────────────
 
   /** ObjectID (12-byte binary) → 24-char lowercase hex id

@@ -38,7 +38,13 @@ case class GraftConfig(
     directReadDynamicIncludeRegex: Option[String] = None, // direct-read-dynamic-include-regex (406)
     directReadDynamicExcludeRegex: Option[String] = None, // direct-read-dynamic-exclude-regex (405)
     relates: Seq[Relation] = Nil,                     // [[relate]] (206-217)
-    mappings: Map[String, String] = Map.empty) {      // [[mapping]] (indexMapping)
+    mappings: Map[String, String] = Map.empty,        // [[mapping]] (indexMapping)
+    indexFiles: Boolean = false,                      // index-files (monstache.go:367)
+    fileNamespaces: Seq[String] = Nil,                // file-namespaces (394)
+    maxFileSize: Long = 0,                            // max-file-size (387; 0 = no cap)
+    stats: Boolean = false,                           // stats (1798)
+    indexStats: Boolean = false,                      // index-stats (354)
+    statsDuration: Option[String] = None) {           // stats-duration (355; a Go duration)
 
   def namespaceFilter: NamespaceFilterConfig =
     NamespaceFilterConfig(namespaceRegex, namespaceExcludeRegex,
@@ -115,7 +121,13 @@ object GraftConfig {
       },
       mappings = doc.arrays.getOrElse("mapping", Nil)
         .map(t => req(t, "mapping", "namespace") -> req(t, "mapping", "index"))
-        .toMap)
+        .toMap,
+      indexFiles = doc.bool("index-files"),
+      fileNamespaces = doc.strings("file-namespaces"),
+      maxFileSize = doc.long("max-file-size"),
+      stats = doc.bool("stats"),
+      indexStats = doc.bool("index-stats"),
+      statsDuration = doc.str("stats-duration"))
   }
 
   def load(path: String): GraftConfig =
@@ -240,6 +252,36 @@ object ConfiguredPipeline {
   def history(cfg: GraftConfig)(df: DataFrame): DataFrame =
     TimeMachine.history(df, cfg.timeMachineNamespaces,
       cfg.timeMachineIndexPrefix, cfg.timeMachineIndexSuffix)
+
+  /** S7 from `index-files` + `file-namespaces` + `max-file-size`: attach
+    * base64 file content to ops from the configured file-namespaces,
+    * subject to the size cap (`addFileContent` monstache.go:1405-1433).
+    * With `index-files = false` (the reference default) the frame passes
+    * through untouched — no `file` column, no content reads. */
+  def attachFiles(cfg: GraftConfig)(df: DataFrame,
+                                    contentCol: String): DataFrame =
+    if (!cfg.indexFiles) df
+    else FileContent.attach(df, contentCol, cfg.maxFileSize,
+      cfg.fileNamespaces)
+
+  /** A3/K5 from `stats` / `index-stats`: the per-(namespace, operation)
+    * flush-stats frame — None when stats are off; the dated
+    * `monstache.stats.<date>` index name only under `index-stats = true`
+    * (plain `stats` just logs, monstache.go:3510-3527 vs 4959-4972). */
+  def bulkStats(cfg: GraftConfig)(df: DataFrame): Option[DataFrame] =
+    if (!cfg.stats && !cfg.indexStats) None
+    else Some(Stats.bulkStats(df, dated = cfg.indexStats))
+
+  /** The `stats-duration` cadence as a streaming trigger (the reference
+    * flushes stats on this timer, monstache.go:5019-5101): a Go duration
+    * → ProcessingTime; unset → drain-and-stop like every other default
+    * trigger here. */
+  def statsTrigger(cfg: GraftConfig): org.apache.spark.sql.streaming.Trigger =
+    cfg.statsDuration match {
+      case Some(d) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        Codecs.goDurationToMillis(d))
+      case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    }
 
   /** S3/S4/F8 from `direct-read-namespaces`: the configured namespaces
     * read directly, or — with the reference's explicit `[""]` convention

@@ -45,6 +45,11 @@ object Toml {
         case n: Long => n.toInt
         case other => Doc.mismatch(key, "integer", other)
       }.getOrElse(default)
+    def long(key: String, default: Long = 0L): Long =
+      root.get(key).map {
+        case n: Long => n
+        case other => Doc.mismatch(key, "integer", other)
+      }.getOrElse(default)
   }
 
   object Doc {

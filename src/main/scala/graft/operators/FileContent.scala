@@ -13,8 +13,22 @@ import org.apache.spark.sql.functions._
   * this same base64/cap projection. */
 object FileContent {
 
-  def attach(df: DataFrame, contentCol: String, maxBytes: Int): DataFrame =
+  /** Attach base64 file content as `file`. `maxBytes <= 0` means no cap
+    * (the reference's default: MaxFileSize 0 skips the size check,
+    * monstache.go:1425-1429); a non-empty `namespaces` list restricts
+    * attachment to ops from those file-namespaces (`file-namespaces`,
+    * monstache.go:394) — other rows keep a null `file` and index
+    * without content, exactly the over-cap behavior. */
+  def attach(df: DataFrame, contentCol: String, maxBytes: Long = 0L,
+             namespaces: Seq[String] = Nil): DataFrame = {
+    val underCap =
+      if (maxBytes <= 0) lit(true)
+      else octet_length(col(contentCol)) <= maxBytes
+    val inNs =
+      if (namespaces.isEmpty) lit(true)
+      else col("namespace").isin(namespaces: _*)
     df.withColumn("file",
-      when(octet_length(col(contentCol)) <= maxBytes,
+      when(inNs && underCap,
         graft.codec.Codecs.binaryToBase64(col(contentCol).cast("binary"))))
+  }
 }

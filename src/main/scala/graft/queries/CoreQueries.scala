@@ -701,19 +701,11 @@ object CoreQueries extends QueryFamily {
     // ── A3/K5: bulk-stats aggregation ────────────────────────────────────
     QueryDef.sorted(
       "q15_stats_agg",
-      (s, dir) => EventLog.envelope(s, dir)
-        .groupBy("namespace", "operation")
-        .agg(count(lit(1)).as("n_ops"),
-          sum(length(col("document"))).as("doc_chars"),
-          min(col("version")).as("min_version"),
-          max(col("version")).as("max_version"),
-          max(col("ts_us")).as("max_ts_us"))
-        // K5 dated sink naming: the flush's stats doc goes to a daily
-        // index; batch derives the day from the flush's own max cluster
-        // time (monstache.go:3510-3527)
-        .withColumn("stats_index",
-          Routing.statsIndexName(timestamp_micros(col("max_ts_us"))))
-        .drop("max_ts_us"),
+      // K5 dated sink naming included: the flush's stats doc goes to a
+      // daily index derived from the flush's own max cluster time
+      // (monstache.go:3510-3527) — Stats.bulkStats is the one definition
+      // the config front door serves too
+      (s, dir) => Stats.bulkStats(EventLog.envelope(s, dir), dated = true),
       _.orderBy("namespace", "operation"),
       Some(withEnvelope(
         """SELECT namespace, operation, count(*) AS n_ops,

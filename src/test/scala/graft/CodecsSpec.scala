@@ -46,6 +46,18 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("goDurationToMillis parses the reference's duration forms loudly") {
+    assert(Codecs.goDurationToMillis("30s") == 30000L)
+    assert(Codecs.goDurationToMillis("1.5h") == 5400000L)
+    assert(Codecs.goDurationToMillis("2h45m") == 9900000L)
+    assert(Codecs.goDurationToMillis("300ms") == 300L)
+    // unit-less, unknown-unit, and trailing-garbage forms must all be
+    // loud — a silently-zero stats cadence flushes nothing, forever
+    intercept[IllegalArgumentException](Codecs.goDurationToMillis("10"))
+    intercept[IllegalArgumentException](Codecs.goDurationToMillis("5d"))
+    intercept[IllegalArgumentException](Codecs.goDurationToMillis("1h30"))
+  }
+
   test("string ids pass verbatim — only float-form values collapse (opIDToString default branch)") {
     // the reference collapses float64/float32-TYPED ids only; string ids
     // — including exotic-but-valid forms like "1e5" — print verbatim

@@ -78,6 +78,49 @@ class TomlSpec extends AnyFunSuite {
     assert(merged == Seq(("k", 1, 7)))
   }
 
+  test("file/stats config keys drive the S7/K5 helpers") {
+    import spark.implicits._
+    val cfg = GraftConfig.fromToml(
+      """index-files = true
+        |file-namespaces = ["app.fs.files"]
+        |max-file-size = 8
+        |stats = true
+        |index-stats = true
+        |stats-duration = "30s"""".stripMargin)
+    assert(cfg.maxFileSize == 8L && cfg.fileNamespaces == Seq("app.fs.files"))
+    val df = Seq(
+      ("app.fs.files", "tiny"), ("app.fs.files", "far-too-long-content"),
+      ("app.other", "tiny")).toDF("namespace", "content")
+    val out = ConfiguredPipeline.attachFiles(cfg)(df, "content")
+      .select("namespace", "file").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    // only the configured file-namespace, only under the cap; everything
+    // else indexes without content (null file), never dropped
+    val tinyB64 = java.util.Base64.getEncoder.encodeToString("tiny".getBytes)
+    assert(out == Seq(("app.fs.files", Some(tinyB64)),
+      ("app.fs.files", None), ("app.other", None)))
+    // reference default (index-files = false): frame passes through
+    // untouched — no file column, no stats frame
+    val off = GraftConfig.fromToml("")
+    assert(!ConfiguredPipeline.attachFiles(off)(df, "content")
+      .columns.contains("file"))
+    assert(ConfiguredPipeline.bulkStats(off)(df).isEmpty)
+    // stats frames: dated index name only under index-stats
+    val env = Seq(graft.source.ChangeEvent(1L, "7", "app", "t0", "app.t0",
+      "i", 1700000000000000L, 4L, """{"k":1}""", 1.0, "oplog")).toDF()
+    val dated = ConfiguredPipeline.bulkStats(cfg)(env).get
+    assert(dated.columns.contains("stats_index"))
+    assert(dated.select("stats_index").as[String].head()
+      .startsWith("monstache.stats."))
+    val logOnly = GraftConfig.fromToml("stats = true")
+    assert(!ConfiguredPipeline.bulkStats(logOnly)(env).get
+      .columns.contains("stats_index"))
+    // the stats cadence maps onto a processing-time trigger
+    import org.apache.spark.sql.streaming.Trigger
+    assert(ConfiguredPipeline.statsTrigger(cfg) == Trigger.ProcessingTime(30000L))
+    assert(ConfiguredPipeline.statsTrigger(off) == Trigger.AvailableNow())
+  }
+
   test("mistyped values are loud errors naming the key and the found type") {
     val doc = Toml.parse(
       """namespace-regex = true
