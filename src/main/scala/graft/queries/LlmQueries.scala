@@ -82,11 +82,12 @@ object LlmQueries extends QueryFamily {
     docs.unionByName(vars)
   }
 
-  /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)` — the LSH
-    * candidate/verification structure shared by q31 and q51. */
-  private val pairsCtes: String =
-    s"""$varCorpusSql,
-       |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+  /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)`: the LSH
+    * candidate/verification structure over a named (doc_id, text) CTE —
+    * shared by q31/q51 (over `corpus`) and q62 (over the curation
+    * pipeline's deduped survivors), so the structure cannot drift. */
+  private def lshPairsCtes(src: String): String =
+    s"""tok AS (SELECT doc_id, ${W("text")} AS w FROM $src),
        |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
        |hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
        |sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM hsh),
@@ -103,6 +104,8 @@ object LlmQueries extends QueryFamily {
        |          FROM cand
        |          JOIN bk sa ON sa.doc_id = cand.id_a
        |          JOIN bk sb ON sb.doc_id = cand.id_b)""".stripMargin
+
+  private val pairsCtes: String = s"$varCorpusSql,\n${lshPairsCtes("corpus")}"
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -573,6 +576,92 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |       list_min(${TextHash.sqlHashedShingles("sh")}) AS fp_min,
            |       ${TextAnalysis.sqlFpPos("w")} AS fp_pos
-           |FROM shg ORDER BY doc_id""".stripMargin))
+           |FROM shg ORDER BY doc_id""".stripMargin)),
+
+    // ── The curation pipeline end-to-end: quality/language gate → exact
+    //    dedup (content-hash representative) → near-dup cluster drop →
+    //    the kept corpus. Each stage is the already-verified operator; the
+    //    value of the composite is proving the stages COMPOSE (filters
+    //    feed dedup feeds clustering) with one cross-engine answer. The
+    //    corpus carries both exact copies (every 7th) and truncated
+    //    variants (every 10th), so both dedup stages bite. ────────────────
+    QueryDef.sorted(
+      "q62_curation_pipeline",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val corpus = docs
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
+        // stage 1: per-doc signals, gate out too-short docs (narrow)
+        val gated = TextAnalysis.withQuality(TextAnalysis.withLangId(corpus))
+          .filter(col("quality_bucket") =!= "too_short")
+          .select("doc_id", "text", "pred_lang", "n_words", "quality_bucket")
+        // stage 2: exact dedup — each content hash keeps its min id (one
+        // shuffle on the hash; the semi-join's rep side is hash-group
+        // sized, broadcast by AQE here, co-shuffled at scale)
+        val hashed = gated.withColumn("th", md5(col("text")))
+        val reps = hashed.groupBy("th").agg(min(col("doc_id")).as("doc_id"))
+        // persisted: the survivor set feeds BOTH the LSH signature build
+        // and the final anti-join — without the barrier the whole
+        // gate+dedup lineage runs twice
+        val exactKept = hashed.join(reps, Seq("th", "doc_id"), "left_semi")
+          .drop("th")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // stage 3: near-dup clusters over the survivors; only cluster
+        // representatives (min id) survive
+        val drops = Dedup.dupClusters(Dedup.verifiedNearDupPairs(exactKept))
+          .filter(!col("is_rep")).select("doc_id")
+        exactKept.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").cast("long"), col("pred_lang"),
+            col("quality_bucket"), col("n_words").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+          .map(s => s"'$s'").mkString(",")
+        val (scores, pred) = TextAnalysis.sqlLangId("w")
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |ctok AS (SELECT doc_id, text, ${W("text")} AS w FROM corpus),
+           |csig AS (SELECT doc_id, text, len(w) AS n_words,
+           |                len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
+           |                ${scores.mkString(", ")}
+           |         FROM ctok),
+           |gated AS (SELECT doc_id, text, n_words,
+           |                 CASE WHEN stop_hits * 5 >= n_words THEN 'fluent'
+           |                      ELSE 'listy' END AS quality_bucket,
+           |                 $pred AS pred_lang
+           |          FROM csig WHERE n_words >= 20),
+           |er AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+           |       FROM gated GROUP BY md5(text)),
+           |kept AS (SELECT g.* FROM gated g
+           |         JOIN er ON md5(g.text) = er.th AND g.doc_id = er.keep_id),
+           |${lshPairsCtes("kept")},
+           |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+           |clus AS (SELECT n AS doc_id, min(m) AS cluster_id
+           |         FROM reach GROUP BY n)
+           |SELECT CAST(k.doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
+           |       CAST(n_words AS BIGINT) AS n_words
+           |FROM kept k
+           |WHERE k.doc_id NOT IN
+           |      (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }
