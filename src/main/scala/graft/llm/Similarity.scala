@@ -346,6 +346,38 @@ object Similarity {
                 buckets: Seq[Long]): DataFrame =
     spark.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
 
+  /** Persist the (config-sized) centroid table next to its index — the
+    * piece that makes the index self-contained across sessions: a later
+    * probe must select buckets with the EXACT centroids that built the
+    * assignment, or probe geometry silently drifts from bucket contents
+    * (recall collapses with no error anywhere). Stored under `_centroids`
+    * inside the index dir; the leading underscore keeps the bucket scan
+    * from reading it as data (Spark ignores `_`-prefixed paths). */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                     centroids: Array[Centroid], dir: String): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map(c => (c.id, c.vec.toSeq))
+      .toDF("centroid_id", "vec")
+      .coalesce(1) // k rows — one file, not one per shuffle partition
+      .write.mode("overwrite").parquet(s"$dir/_centroids")
+  }
+
+  /** Reload a persisted centroid table, id-sorted with norms rebuilt —
+    * ready for [[ivfAssign]]/[[ivfTopK]] against the sibling index. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Array[Centroid] =
+    collectCentroids(spark.read.parquet(s"$dir/_centroids"),
+      idCol = "centroid_id", vecCol = "vec")
+
+  /** Build and persist a self-contained IVF index in one call:
+    * bucket-partitioned assignment + the centroids that defined it. */
+  def buildIndex(embeddings: DataFrame, centroids: Array[Centroid],
+                 dir: String, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    writeIndex(ivfAssign(embeddings, centroids, idCol, vecCol), dir)
+    writeCentroids(embeddings.sparkSession, centroids, dir)
+  }
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
   /** SQL: the same left-fold cosine over two DOUBLE[] expressions.
     * DuckDB list indexing is 1-based; `dim` is the vector length. */

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{IvfTrain, Similarity}
+
+/** The persisted IVF index is self-contained: assignment AND the
+  * centroids that built it round-trip through storage, and a probe
+  * against the reloaded pair answers exactly like the in-memory path.
+  * Without persisted centroids a later session would re-derive its own —
+  * probe geometry silently drifting from bucket contents. */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("build + reload answers identically to the in-memory probe") {
+    val dir = Files.createTempDirectory("graft-ivf-index").toString
+    val trained = IvfTrain.train(embeddings, col("vec_id") % 64 === 0,
+      iters = 2, "vec_id", "embedding")
+    Similarity.buildIndex(embeddings, trained, dir)
+
+    // "another session": everything below reads only from disk
+    val reloaded = Similarity.readCentroids(spark, dir)
+    assert(reloaded.map(_.id).toSeq == trained.map(_.id).toSeq)
+    assert(reloaded.zip(trained).forall { case (a, b) =>
+      a.vec.sameElements(b.vec) && a.norm == b.norm })
+
+    val mem = Similarity.ivfTopK(embeddings, trained,
+        col("vec_id") % 100 === 0, k = 3, nprobe = 2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val disk = Similarity.ivfTopK(embeddings, reloaded,
+        col("vec_id") % 100 === 0, k = 3, nprobe = 2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mem == disk && mem.nonEmpty)
+  }
+
+  test("the centroid table is invisible to the bucket data scan") {
+    val dir = Files.createTempDirectory("graft-ivf-index2").toString
+    val cents = Similarity.collectCentroids(
+      embeddings.filter(col("vec_id") % 64 === 0))
+    Similarity.buildIndex(embeddings, cents, dir)
+    val probed = Similarity.readIndex(spark, dir, cents.take(2).map(_.id))
+    // _centroids must not leak into the data schema or rows
+    assert(!probed.columns.contains("centroid_id"))
+    assert(probed.select("bucket").distinct().count() <= 2)
+  }
+}
