@@ -80,17 +80,26 @@ object Codecs {
   ).sortBy(-_._1.length)
   def goLayoutToJvm(layout: String): String = {
     val sb = new StringBuilder
+    val run = new StringBuilder // pending literal-letter run
+    // letters must be quoted as ONE run: per-letter quoting ('m''o') is
+    // read by DateTimeFormatter as an escaped literal quote between the
+    // letters ('' = '), corrupting any layout with adjacent literal
+    // letters (e.g. the stats-index-format prefix "monstache.stats.")
+    def flush(): Unit = if (run.nonEmpty) {
+      sb.append('\'').append(run.toString.replace("'", "''")).append('\'')
+      run.clear()
+    }
     var i = 0
     while (i < layout.length) {
       goTokens.find { case (go, _) => layout.startsWith(go, i) } match {
-        case Some((go, jvm)) => sb.append(jvm); i += go.length
+        case Some((go, jvm)) => flush(); sb.append(jvm); i += go.length
         case None =>
           val c = layout.charAt(i)
-          // quote letters that would otherwise be pattern chars
-          if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+          if (c.isLetter || c == '\'') run.append(c) else { flush(); sb.append(c) }
           i += 1
       }
     }
+    flush()
     sb.toString
   }
 

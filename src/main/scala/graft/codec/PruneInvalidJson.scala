@@ -70,4 +70,10 @@ object PruneInvalidJson {
     if (json == null) null
     else JsonMethods.compact(JsonMethods.render(
       pruneAst(JsonMethods.fromJsonNode(lenientMapper.readTree(json)))))
+
+  /** Column form of [[prune]] — the one definition both q49 and the
+    * config front door (`prune-invalid-json`) apply. A justified UDF:
+    * the walk is row-local recursive JSON with no column-algebra form. */
+  def pruneCol(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf((s: String) => prune(s)).apply(doc)
 }

@@ -44,7 +44,13 @@ case class GraftConfig(
     maxFileSize: Long = 0,                            // max-file-size (387; 0 = no cap)
     stats: Boolean = false,                           // stats (1798)
     indexStats: Boolean = false,                      // index-stats (354)
-    statsDuration: Option[String] = None) {           // stats-duration (355; a Go duration)
+    statsDuration: Option[String] = None,             // stats-duration (355; a Go duration)
+    statsIndexFormat: String = "monstache.stats.2006-01-02", // stats-index-format (356; a Go layout, default 2858-2860)
+    pruneInvalidJson: Boolean = false,                // prune-invalid-json (423)
+    droppedDatabases: Boolean = true,                 // dropped-databases (365; default true, 2139)
+    droppedCollections: Boolean = true,               // dropped-collections (366)
+    disableDeleteProtection: Boolean = false,         // disable-delete-protection (351)
+    routingNamespaces: Seq[String] = Nil) {           // routing-namespaces (415)
 
   def namespaceFilter: NamespaceFilterConfig =
     NamespaceFilterConfig(namespaceRegex, namespaceExcludeRegex,
@@ -127,7 +133,14 @@ object GraftConfig {
       maxFileSize = doc.long("max-file-size"),
       stats = doc.bool("stats"),
       indexStats = doc.bool("index-stats"),
-      statsDuration = doc.str("stats-duration"))
+      statsDuration = doc.str("stats-duration"),
+      statsIndexFormat =
+        doc.str("stats-index-format").getOrElse(base.statsIndexFormat),
+      pruneInvalidJson = doc.bool("prune-invalid-json"),
+      droppedDatabases = doc.bool("dropped-databases", default = true),
+      droppedCollections = doc.bool("dropped-collections", default = true),
+      disableDeleteProtection = doc.bool("disable-delete-protection"),
+      routingNamespaces = doc.strings("routing-namespaces"))
   }
 
   def load(path: String): GraftConfig =
@@ -156,7 +169,14 @@ object ConfiguredPipeline {
               registry: TransformRegistry = TransformRegistry())(
               df: DataFrame): DataFrame = {
     val filtered = NamespaceFilter(df, cfg.namespaceFilter)
-    val mapped = registry(filtered)
+    // prune-invalid-json runs BEFORE the mappers, like the reference's
+    // fixPruneInvalidJSON ahead of script/plugin dispatch
+    // (monstache.go:1370-1374): transforms see the already-sanitized doc
+    val pruned =
+      if (!cfg.pruneInvalidJson) filtered
+      else filtered.withColumn("document",
+        graft.codec.PruneInvalidJson.pruneCol(col("document")))
+    val mapped = registry(pruned)
     val stamped =
       if (!cfg.indexOplogTime) mapped
       else mapped
@@ -270,7 +290,39 @@ object ConfiguredPipeline {
     * (plain `stats` just logs, monstache.go:3510-3527 vs 4959-4972). */
   def bulkStats(cfg: GraftConfig)(df: DataFrame): Option[DataFrame] =
     if (!cfg.stats && !cfg.indexStats) None
-    else Some(Stats.bulkStats(df, dated = cfg.indexStats))
+    else Some(Stats.bulkStats(df, dated = cfg.indexStats,
+      statsIndexFormat = cfg.statsIndexFormat))
+
+  /** K3 from `dropped-databases` / `dropped-collections`: the per-index
+    * drop-survival report with a disabled drop kind treated as no-ops
+    * (`doDrop` monstache.go:3056-3075 skips the delete when unset). */
+  def indexSurvival(cfg: GraftConfig)(ops: DataFrame): DataFrame =
+    DropPropagation.indexSurvival(ops,
+      droppedDatabases = cfg.droppedDatabases,
+      droppedCollections = cfg.droppedCollections)
+
+  /** K2 stateless deletes from `routing-namespaces` +
+    * `disable-delete-protection` (monstache.go:4082-4147): namespaces
+    * with routing overrides (or the `""` = all convention) resolve
+    * against sink state — exactly-one protected, or delete-by-query when
+    * protection is disabled; everything else deletes directly at the
+    * default-resolved index with the doc id as routing. */
+  def statelessDeletes(cfg: GraftConfig)(deletes: DataFrame,
+                                         sinkState: DataFrame): DataFrame = {
+    val routedPred =
+      if (cfg.routingNamespaces.contains("")) lit(true)
+      else if (cfg.routingNamespaces.isEmpty) lit(false)
+      else col("namespace").isin(cfg.routingNamespaces: _*)
+    val routed = DeleteStrategies.statelessRouted(
+      deletes.filter(routedPred), sinkState,
+      deleteProtection = !cfg.disableDeleteProtection)
+    val direct = deletes.filter(!routedPred)
+      .withColumn("n_hits", lit(1L))
+      .withColumn("status", lit("deleted"))
+      .withColumn("hit_index", Routing.resolveIndex(cfg.mappings))
+      .withColumn("hit_routing", col("id"))
+    routed.unionByName(direct)
+  }
 
   /** The `stats-duration` cadence as a streaming trigger (the reference
     * flushes stats on this timer, monstache.go:5019-5101): a Go duration

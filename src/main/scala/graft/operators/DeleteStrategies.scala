@@ -30,16 +30,20 @@ object DeleteStrategies {
     * delete's id across the delete-index-pattern (monstache.go:4096-4139);
     * exactly one hit resolves the delete, zero or many refuse it — the
     * delete protection the reference enforces unless
-    * `disable-delete-protection`. */
+    * `disable-delete-protection` (4097-4113), which switches to
+    * delete-by-query semantics: EVERY hit deletes, however many. */
   def statelessRouted(deletes: DataFrame, sinkState: DataFrame,
-                      stateIdCol: String = "id"): DataFrame = {
+                      stateIdCol: String = "id",
+                      deleteProtection: Boolean = true): DataFrame = {
     val hits = sinkState.groupBy(col(stateIdCol).as("id"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("meta_index")).as("hit_index"),
         min(col("meta_routing")).as("hit_routing"))
+    val resolved = if (deleteProtection) col("n_hits") === 1
+                   else col("n_hits") >= 1
     deletes.join(hits, Seq("id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("status", when(col("n_hits") === 1, "deleted").otherwise("refused"))
+      .withColumn("status", when(resolved, "deleted").otherwise("refused"))
       .withColumn("hit_index", when(col("status") === "deleted", col("hit_index")))
       .withColumn("hit_routing", when(col("status") === "deleted", col("hit_routing")))
   }

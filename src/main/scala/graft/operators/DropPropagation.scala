@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
 object DropPropagation {
 
   /** Per-index survival report: (ix, last_drop_version, n_ops,
-    * max_version, n_after_drop, survives). */
-  def indexSurvival(ops: DataFrame): DataFrame = {
+    * max_version, n_after_drop, survives). `droppedDatabases` /
+    * `droppedCollections` are the reference's config gates (both default
+    * TRUE; `doDrop` monstache.go:3056-3075 skips the index delete when
+    * unset) — a disabled kind's drop events become no-ops and every
+    * index survives them. */
+  def indexSurvival(ops: DataFrame, droppedDatabases: Boolean = true,
+                    droppedCollections: Boolean = true): DataFrame = {
     val data = ops.filter(col("operation").isin("i", "u", "d"))
       .withColumn("ix", lower(col("namespace")))
     val drops = ops.filter(col("operation").isin("drop_coll", "drop_db"))
+      .filter((col("operation") === "drop_coll" && lit(droppedCollections)) ||
+        (col("operation") === "drop_db" && lit(droppedDatabases)))
       .select(col("operation").as("d_op"), col("namespace").as("d_ns"),
         col("db").as("d_db"), col("version").as("d_version"))
     // both branches compare LOWERCASED names against ix (itself lowered):

@@ -31,13 +31,15 @@ object Routing {
       Codecs.defaultIndexName(col("namespace")))
   }
 
-  /** K5 dated stats-index naming: the reference writes each bulk-stats
-    * doc to `monstache.stats.<yyyy-MM-dd>` (doIndexStats
-    * monstache.go:3510-3527, format default 2858-2860). The batch analog
-    * derives the date from the data's own cluster time (deterministic and
-    * replayable) rather than the wall clock. */
-  def statsIndexName(ts: Column): Column =
-    concat(lit("monstache.stats."), date_format(ts, "yyyy-MM-dd"))
+  /** K5 dated stats-index naming: the reference formats each bulk-stats
+    * doc's index from a Go TIME LAYOUT embedding the prefix
+    * (`stats-index-format`, default "monstache.stats.2006-01-02",
+    * monstache.go:2858-2860) and lowercases the result (3521). The batch
+    * analog derives the date from the data's own cluster time
+    * (deterministic and replayable) rather than the wall clock. */
+  def statsIndexName(ts: Column,
+                     goFormat: String = "monstache.stats.2006-01-02"): Column =
+    lower(date_format(ts, graft.codec.Codecs.goLayoutToJvm(goFormat)))
 
   /** P3, doc-embedded form: a document may carry its sink metadata under
     * `_meta_monstache` (index/id/routing/version — parseIndexMeta,

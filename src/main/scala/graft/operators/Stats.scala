@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * logs, so the name column is omitted. */
 object Stats {
 
-  def bulkStats(df: DataFrame, dated: Boolean = true): DataFrame = {
+  def bulkStats(df: DataFrame, dated: Boolean = true,
+                statsIndexFormat: String = "monstache.stats.2006-01-02")
+      : DataFrame = {
     val base = df.groupBy("namespace", "operation")
       .agg(count(lit(1)).as("n_ops"),
         sum(length(col("document"))).as("doc_chars"),
@@ -23,7 +25,8 @@ object Stats {
     val named =
       if (!dated) base
       else base.withColumn("stats_index",
-        Routing.statsIndexName(timestamp_micros(col("max_ts_us"))))
+        Routing.statsIndexName(timestamp_micros(col("max_ts_us")),
+          statsIndexFormat))
     named.drop("max_ts_us")
   }
 }

@@ -198,7 +198,6 @@ object CoreQueries extends QueryFamily {
     QueryDef.sorted(
       "q49_prune_recursive",
       (s, dir) => {
-        val pruneUdf = udf((doc: String) => graft.codec.PruneInvalidJson.prune(doc))
         val ev = s.read.parquet(s"$dir/events.parquet")
         val k = (col("event_id") % 50).cast("int")
         val w = when(col("event_id") % 3 === 0, lit(Double.NaN))
@@ -210,7 +209,8 @@ object CoreQueries extends QueryFamily {
           k.as("k"),
           struct(w.as("w")).as("n"),
           concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")).as("t")))
-        ev.select(col("event_id"), pruneUdf(doc).as("pruned"))
+        ev.select(col("event_id"),
+          graft.codec.PruneInvalidJson.pruneCol(doc).as("pruned"))
       },
       _.orderBy("event_id"),
       Some(

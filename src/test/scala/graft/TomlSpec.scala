@@ -121,6 +121,58 @@ class TomlSpec extends AnyFunSuite {
     assert(ConfiguredPipeline.statsTrigger(off) == Trigger.AvailableNow())
   }
 
+  test("drop, delete-protection, prune, and stats-format toggles follow the reference") {
+    import spark.implicits._
+    import graft.source.ChangeEvent
+    // dropped-collections = false: the drop_coll is a no-op and the
+    // index survives it (doDrop skips the delete)
+    val ops = Seq(
+      ChangeEvent(1L, "1", "app", "t0", "app.t0", "i", 100L, 400L, "{}",
+        1.0, "oplog"),
+      ChangeEvent(2L, "", "app", "t0", "app.t0", "drop_coll", 101L, 404L,
+        null, 0.0, "oplog")).toDF()
+    val survOn = ConfiguredPipeline.indexSurvival(
+      GraftConfig.fromToml(""))(ops).select("survives").as[Boolean].head()
+    val survOff = ConfiguredPipeline.indexSurvival(
+      GraftConfig.fromToml("dropped-collections = false"))(ops)
+      .select("survives").as[Boolean].head()
+    assert(!survOn && survOff)
+
+    // prune-invalid-json: the hot path sanitizes documents BEFORE mappers
+    val dirty = Seq(ChangeEvent(1L, "1", "app", "t0", "app.t0", "i", 100L,
+      400L, """{"b":1,"w":"NaN"}""", 1.0, "oplog")).toDF()
+    def doc(cfg: GraftConfig) = ConfiguredPipeline.hotPath(cfg)(dirty)
+      .select("document").as[String].head()
+    assert(doc(GraftConfig.fromToml("prune-invalid-json = true")) == """{"b":1}""")
+    assert(doc(GraftConfig.fromToml("")) == """{"b":1,"w":"NaN"}""")
+
+    // routing-namespaces + disable-delete-protection: two sink docs under
+    // one id — protected refuses, delete-by-query deletes; a non-routed
+    // namespace deletes directly at the default-resolved index
+    val deletes = Seq(
+      ("7", "app.routed", "d"), ("8", "app.plain", "d"))
+      .toDF("id", "namespace", "operation")
+    val sink = Seq(("7", "ix_a", "r1"), ("7", "ix_b", "r2"))
+      .toDF("id", "meta_index", "meta_routing")
+    def statuses(toml: String) = ConfiguredPipeline.statelessDeletes(
+        GraftConfig.fromToml(toml))(deletes, sink)
+      .select("id", "status").as[(String, String)].collect().toMap
+    val protectedRun = statuses("routing-namespaces = [\"app.routed\"]")
+    assert(protectedRun("7") == "refused" && protectedRun("8") == "deleted")
+    val byQuery = statuses(
+      "routing-namespaces = [\"app.routed\"]\ndisable-delete-protection = true")
+    assert(byQuery("7") == "deleted")
+
+    // stats-index-format: a custom Go layout, lowercased like the
+    // reference's strings.ToLower(t.Format(...))
+    val cfgFmt = GraftConfig.fromToml(
+      "index-stats = true\nstats-index-format = \"Stats.2006\"")
+    val env = Seq(ChangeEvent(1L, "7", "app", "t0", "app.t0", "i",
+      1700000000000000L, 4L, "{}", 1.0, "oplog")).toDF()
+    assert(ConfiguredPipeline.bulkStats(cfgFmt)(env).get
+      .select("stats_index").as[String].head() == "stats.2023")
+  }
+
   test("mistyped values are loud errors naming the key and the found type") {
     val doc = Toml.parse(
       """namespace-regex = true
