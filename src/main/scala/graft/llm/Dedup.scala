@@ -184,33 +184,45 @@ object Dedup {
     // lineage-durability requirements this becomes checkpoint() into the
     // checkpoint dir; the algorithm is unchanged.
     // materialize pairs BEFORE the symmetric union — both union branches
-    // would otherwise re-run the whole LSH candidate/verification lineage
+    // would otherwise re-run the whole LSH candidate/verification lineage.
+    // Only the pairs are eagerly checkpointed: the symmetric union on top
+    // is a narrow read of the materialized RDD, cheap to recompute each
+    // round, so its own checkpoint would buy nothing but an extra job.
     val p = pairs.localCheckpoint(true)
     val edges = p
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint(true)
     // seed labels with min(self, direct neighbors) — one propagation step
     // for free inside the init aggregation; star-shaped dup clusters (the
-    // common case) converge immediately and pay only the confirm round
+    // common case) converge immediately and pay only the confirm round.
+    // Lazy checkpoint: round 1's convergence aggregate materializes it.
     var labels = edges.groupBy(col("a").as("n"))
       .agg(least(col("a"), min(col("b"))).as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
+    // labels are monotone non-increasing, so the label sum strictly
+    // decreases until the fixpoint — an unchanged sum IS convergence.
+    // Checking it costs one aggregate on `next` (the same action that
+    // materializes the round's lazy checkpoint) instead of a next-vs-old
+    // join; Long.MinValue sentinel forces at least one round.
+    var lblSum = Long.MinValue
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
         .groupBy(col("a").as("n")).agg(min("lbl").as("nbl"))
-      // lazy checkpoint: the convergence count below is the action that
-      // materializes it — one job per round instead of two
+      // lazy checkpoint: the convergence aggregate below is the action
+      // that materializes it — one job per round instead of two
       val next = labels
         .join(nbrMin.withColumnRenamed("n", "n2"), col("n") === col("n2"), "left")
         .select(col("n"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(false)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "n")
-        .filter(col("lbl") < col("old")).limit(1).count() == 0
+      // coalesce: an EMPTY pair set sums to NULL, which is still a valid
+      // (immediately-converging) fixpoint, not a driver NPE
+      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      converged = nextSum == lblSum
+      lblSum = nextSum
       labels = next
       iter += 1
     }
