@@ -79,6 +79,78 @@ object TextAnalysis {
       .drop("ws")
   }
 
+  /** Non-distinct word n-grams — repetition counting needs every
+    * occurrence, where [[TextHash.shingles]] deliberately dedups for
+    * set-Jaccard. Shorter-than-n docs have no n-gram (empty array, not a
+    * padded one): a 2-word doc has zero 3-gram repetition signal. */
+  private def ngramsAll(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition signals (the Gopher-style repetition filters), all in
+    * exact integer form so the quality decision is a pure integer
+    * comparison downstream:
+    *   - `n_words` / `n_distinct_words` — duplicate-word fraction
+    *   - `adj_dups` — adjacent equal word pairs (stutter runs)
+    *   - `n_3grams` / `top_3gram_n` — total vs most-frequent 3-gram
+    *     occurrences (boilerplate phrasing)
+    *   - `repetitive` — the filter verdict: the top 3-gram actually
+    *     repeats (≥ 2 occurrences) AND covers ≥ 1/5 of all 3-gram slots
+    *     (the occurrence floor keeps short docs, where a unique gram is
+    *     already a large fraction, out of the flag)
+    * Per-row column algebra over short token lists — narrow, no shuffle;
+    * the per-row O(distinct·n) top-gram count is bounded by document
+    * length, not corpus size, and costs nothing at the 100 TB partition
+    * level (compute-dense narrow stages scale linearly). */
+  def withRepetition(docs: DataFrame, textCol: String = "text",
+                     n: Int = 3): DataFrame = {
+    val gs = ngramsAll(col("ws"), n)
+    docs.withColumn("ws", words(col(textCol)))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_distinct_words", size(array_distinct(col("ws"))))
+      .withColumn("adj_dups",
+        size(filter(
+          zip_with(col("ws"),
+            slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+            (a, b) => a === b),
+          x => x)))
+      .withColumn("__gs", gs)
+      .withColumn("n_3grams", size(col("__gs")))
+      .withColumn("top_3gram_n",
+        coalesce(
+          array_max(transform(array_distinct(col("__gs")),
+            g => size(filter(col("__gs"), x => x === g)))),
+          lit(0)))
+      .withColumn("repetitive",
+        col("top_3gram_n") >= 2 && col("top_3gram_n") * 5 >= col("n_3grams"))
+      .drop("ws", "__gs")
+  }
+
+  /** SQL twin of [[ngramsAll]] over a words-list expression. */
+  private def sqlNgramsAll(w: String, n: Int): String =
+    s"""CASE WHEN len($w) >= $n
+       | THEN list_transform(range(1, len($w) - ${n - 2}), i -> array_to_string(($w)[i:i+${n - 1}], ' '))
+       | ELSE [] END""".stripMargin.replaceAll("\n", "")
+
+  /** SQL twins of [[withRepetition]]'s signal columns over a words-list
+    * expression `w`, as (alias, expression) pairs — the caller picks its
+    * own casts (counts are INTs on the Spark side, so oracles usually
+    * CAST to BIGINT alongside the Spark `.cast("long")`). */
+  def sqlRepetition(w: String, n: Int = 3): Seq[(String, String)] = {
+    val gs = sqlNgramsAll(w, n)
+    val top =
+      s"coalesce(list_max(list_transform(list_distinct($gs), g -> len(list_filter($gs, x -> x = g)))), 0)"
+    Seq(
+      "n_words" -> s"len($w)",
+      "n_distinct_words" -> s"len(list_distinct($w))",
+      "adj_dups" -> s"len(list_filter(range(1, len($w)), i -> ($w)[i] = ($w)[i+1]))",
+      "n_3grams" -> s"len($gs)",
+      "top_3gram_n" -> top,
+      "repetitive" -> s"($top >= 2 AND $top * 5 >= len($gs))")
+  }
+
   /** Canonical text normalization ahead of dedup/shingling: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed. Pure
     * codegen'd string ops; the standard first stage of a pretraining

@@ -25,6 +25,11 @@ object LlmQueries extends QueryFamily {
   private val DupOffset = 200000L
   private val VarOffset = 100000L
 
+  /** Per-language downsampling rates (per mille) for the stratified-sample
+    * query: cap the over-represented strata, keep the rare ones whole. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 900, "de" -> 500, "es" -> 250, "fr" -> 100, "zh" -> 50)
+
   /** Read a corpus table and spread it across the session's cores. The
     * test files are single-row-group parquet — one scan partition — while
     * the shingle/minhash/cosine math downstream is compute-dense, so
@@ -662,6 +667,118 @@ object LlmQueries extends QueryFamily {
            |WHERE k.doc_id NOT IN
            |      (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ── Repetition signals (Gopher-style filters): duplicate-word,
+    //    adjacent-stutter, and top-3-gram fractions in exact integer form,
+    //    plus the filter verdict. All narrow per-row column algebra. ──────
+    QueryDef.sorted(
+      "q63_repetition",
+      (s, dir) => TextAnalysis.withRepetition(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"), col("n_words").cast("long"),
+          col("n_distinct_words").cast("long"), col("adj_dups").cast("long"),
+          col("n_3grams").cast("long"), col("top_3gram_n").cast("long"),
+          col("repetitive")),
+      _.orderBy("doc_id"),
+      Some {
+        val reps = TextAnalysis.sqlRepetition("w")
+        val counts = reps.init.map { case (a, e) => s"CAST($e AS BIGINT) AS $a" }
+        val (vAlias, vExpr) = reps.last
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${counts.mkString(",\n           |       ")},
+           |       $vExpr AS $vAlias
+           |FROM tok ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── PII detect + redact: regex counts on the raw text, type-token
+    //    replacement in fixed order. The synthetic corpus carries no PII,
+    //    so deterministic spans are injected in-query (same arithmetic on
+    //    both engines), the same move as the dedup corpus' derived dups. ──
+    QueryDef.sorted(
+      "q64_pii_redact",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val withEmail = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com now")))
+          .otherwise(col("text"))
+        val withAll = when(col("doc_id") % 7 === 0,
+          concat(withEmail, lit(" call 555-"),
+            (col("doc_id") % 900 + 100).cast("string"), lit("-0199 or ping 10."),
+            (col("doc_id") % 200).cast("string"), lit(".0.77")))
+          .otherwise(withEmail)
+        Pii.withPiiRedaction(docs.withColumn("text", withAll))
+          .select(col("doc_id").cast("long"), col("n_emails"),
+            col("n_phones"), col("n_ips"), col("redacted"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH pii AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 5 = 0
+           |              THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com now')
+           |              ELSE text END AS t1
+           |  FROM documents),
+           |pii2 AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 = 0
+           |              THEN concat(t1, ' call 555-', CAST(doc_id % 900 + 100 AS VARCHAR),
+           |                          '-0199 or ping 10.', CAST(doc_id % 200 AS VARCHAR), '.0.77')
+           |              ELSE t1 END AS text
+           |  FROM pii)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${Pii.sqlPiiCounts("text").mkString(",\n           |       ")},
+           |       ${Pii.sqlRedacted("text")} AS redacted
+           |FROM pii2 ORDER BY doc_id""".stripMargin)),
+
+    // ── Deterministic train/val/test split: membership is a pure salted
+    //    hash of the id — replayable, partitioning-independent, and
+    //    incremental (what rand()-based splits can never be). Output is
+    //    the per-(split, lang) census with bucket-range pins. ─────────────
+    QueryDef.sorted(
+      "q65_split_census",
+      (s, dir) => Sampling.withSplit(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "lang")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"),
+          min(col("split_bucket")).as("min_bucket"),
+          max(col("split_bucket")).as("max_bucket"),
+          sum(col("doc_id")).as("id_sum")),
+      _.orderBy("split", "lang"),
+      Some(
+        s"""WITH assigned AS (
+           |  SELECT doc_id, lang, ${Sampling.sqlSplitBucket("doc_id")} AS split_bucket,
+           |         ${Sampling.sqlSplit("doc_id")} AS split
+           |  FROM documents)
+           |SELECT split, lang, count(*) AS n,
+           |       min(split_bucket) AS min_bucket,
+           |       max(split_bucket) AS max_bucket,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
+
+    // ── Stratified downsampling at per-language per-mille rates (corpus
+    //    rebalancing): survival is the salted id hash under the stratum's
+    //    rate. The id_sum checksum pins exact membership, not just
+    //    counts. ───────────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q66_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "lang")),
+          strataCol = "lang", rates = SampleRates)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum")),
+      _.orderBy("lang"),
+      Some(
+        s"""SELECT lang, count(*) AS n_kept,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM documents
+           |WHERE ${Sampling.sqlSampleKeep("doc_id", "lang", SampleRates)}
+           |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
