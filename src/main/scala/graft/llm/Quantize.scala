@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-vector int8 (0-255) min-max quantization of embedding columns —
+  * the memory side of ANN at scale: a 64-dim float32 vector is 256 bytes,
+  * its quantized form 64 bytes + two scale doubles, a 4× cut in what an
+  * IVF index must hold hot for probe scans. Quantization here is a
+  * storage/recall trade for the CANDIDATE side only; re-ranking the final
+  * k hits re-reads exact vectors (the standard IVF-int8 arrangement).
+  *
+  * All narrow column algebra. `floor` (not `round`) keeps the code point
+  * deterministic across engines — IEEE double math is bit-identical on
+  * both sides, and floor avoids the half-even-vs-half-away ambiguity.
+  * A flat vector (max == min) quantizes to all-zero codes; NULL vectors
+  * and NULL elements pass through as NULL codes (the quarantine
+  * convention of [[Similarity]]).
+  */
+object Quantize {
+
+  val Levels = 255
+
+  /** Adds `q_codes` (array<int>, 0-255), `q_min`, `q_scale` — the
+    * dequantization pair (`x ≈ q_min + code · q_scale`). */
+  def withQuantized(vectors: DataFrame,
+                    vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = (mx - mn) / lit(Levels.toDouble)
+    vectors
+      .withColumn("q_min", mn)
+      .withColumn("q_scale", scale)
+      .withColumn("q_codes",
+        when(col("q_scale") > 0d,
+          transform(v, x =>
+            // the isNotNull guard is load-bearing: least() SKIPS nulls
+            // (both engines), so an unguarded null element would silently
+            // quantize to code 255 instead of staying null
+            when(x.isNotNull,
+              least(floor((x - col("q_min")) / col("q_scale")), lit(Levels))
+                .cast("int"))))
+          .otherwise(transform(v, x =>
+            // x - x: 0 for finite, NULL for null elements; nanvl routes a
+            // NaN element (which forces this branch — NaN poisons
+            // array_max, so q_scale is NaN) to NULL instead of an ANSI
+            // CAST(NaN AS INT) error that would kill the whole job
+            nanvl(x - x, lit(null).cast("double")).cast("int"))))
+  }
+
+  /** Reconstruction-error report in scaled-integer form: per-vector max
+    * absolute dequantization error, `floor(err · 1e6)` so the oracle
+    * compare never hashes a raw float. The bound to expect is
+    * `q_scale · 1e6` (one code step). */
+  def quantError(quantized: DataFrame, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val deq = zip_with(col("q_codes"), v,
+      (c, x) => abs(col("q_min") + c * col("q_scale") - x))
+    quantized.select(col(idCol), col("q_min"), col("q_scale"),
+      aggregate(col("q_codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+      floor(coalesce(array_max(deq), lit(0d)) * 1e6).cast("long")
+        .as("max_err_scaled"))
+  }
+
+  // ── DuckDB twins (same floor/least/flat-vector conventions) ───────────
+  def sqlQuantized(v: String): (String, String, String) = {
+    val mn = s"list_min($v)"
+    val scale = s"((list_max($v) - list_min($v)) / ${Levels}.0)"
+    val codes =
+      s"""CASE WHEN $scale > 0
+         | THEN list_transform($v, x -> CASE WHEN x IS NULL THEN NULL
+         |   ELSE CAST(least(floor((x - $mn) / $scale), $Levels) AS INT) END)
+         | ELSE list_transform($v, x -> CAST(CASE WHEN isnan(x - x) THEN NULL ELSE x - x END AS INT)) END""".stripMargin
+        .replaceAll("\n", "")
+    (mn, scale, codes)
+  }
+}

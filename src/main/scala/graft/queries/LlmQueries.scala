@@ -779,6 +779,59 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum
            |FROM documents
            |WHERE ${Sampling.sqlSampleKeep("doc_id", "lang", SampleRates)}
-           |GROUP BY lang ORDER BY lang""".stripMargin))
+           |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── Sequence packing: docs → fixed token-budget packs via hash-bucket
+    //    scatter + per-bucket cumsum window (parallelism = nBuckets; no
+    //    global sort, no single-reducer window). Census output pins the
+    //    full assignment. ─────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q67_token_packing",
+      (s, dir) => Packing.packCensus(Packing.withPacks(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")),
+          budget = 256, nBuckets = 8))
+        .select(col("bucket").cast("long"), col("pack_id").cast("long"),
+          col("n_docs").cast("long"), col("tok_sum").cast("long"),
+          col("id_sum").cast("long")),
+      _.orderBy("bucket", "pack_id"),
+      Some(
+        s"""WITH packed AS (${Packing.sqlPacks("documents", 256, 8)})
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(pack_id AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs,
+           |       CAST(sum(tokens) AS BIGINT) AS tok_sum,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM packed GROUP BY bucket, pack_id
+           |ORDER BY bucket, pack_id""".stripMargin)),
+
+    // ── int8 embedding quantization + reconstruction-error report: the
+    //    ANN index memory trade (4× smaller candidate vectors), verified
+    //    via scaled-integer error bounds. ─────────────────────────────────
+    QueryDef.sorted(
+      "q68_embed_quantize",
+      (s, dir) => Quantize.quantError(Quantize.withQuantized(
+          spread(s, s.read.parquet(s"$dir/embeddings.parquet"))))
+        .select(col("vec_id").cast("long"),
+          floor(col("q_min") * 1e6).cast("long").as("qmin_scaled"),
+          floor(col("q_scale") * 1e6).cast("long").as("qscale_scaled"),
+          col("code_sum"), col("max_err_scaled")),
+      _.orderBy("vec_id"),
+      Some {
+        val (mn, scale, codes) = Quantize.sqlQuantized("v")
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |q AS (SELECT vec_id, v, $mn AS q_min, $scale AS q_scale,
+           |             $codes AS q_codes
+           |      FROM e)
+           |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(floor(q_min * 1000000) AS BIGINT) AS qmin_scaled,
+           |       CAST(floor(q_scale * 1000000) AS BIGINT) AS qscale_scaled,
+           |       CAST(list_sum(q_codes) AS BIGINT) AS code_sum,
+           |       CAST(floor(coalesce(list_max(
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> abs(q_min + q_codes[i] * q_scale - v[i]))), 0) * 1000000)
+           |         AS BIGINT) AS max_err_scaled
+           |FROM q ORDER BY vec_id""".stripMargin
+      })
   )
 }
