@@ -91,6 +91,17 @@ object TextHash {
       concat_ws(",", (0 until BandRows).map(ri => sig(bi * BandRows + ri)): _*)
     }: _*)
 
+  /** Executor/driver-side twin of [[h32p]]: first 4 md5 bytes as an
+    * unsigned 32-bit value, mod P — byte-identical to the column form's
+    * `conv(substring(md5(c),1,8),16,10) % P`, so typed (Dataset) code can
+    * partition/assign by the same hash the column-algebra operators use. */
+  def h32pScala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)): Long) % P
+  }
+
   // ── DuckDB side (same math, same constants) ───────────────────────────
   /** SQL: h32p over a string expression. */
   def sqlH32p(e: String): String =
