@@ -168,6 +168,46 @@ object Dedup {
     verifyPairs(cand, allSigned)
   }
 
+  /** Eval-set decontamination: corpus documents that near-duplicate any
+    * document of an evaluation/benchmark set — the curation stage that
+    * keeps test data out of training data. Same LSH structure as
+    * [[verifiedNearDupPairs]] but across two distinct corpora: both sides
+    * are signed, candidates come from shared band buckets (never
+    * all-pairs), and exact shingle-Jaccard verifies. Returns
+    * (doc_id, eval_id, inter, uni) for verified contamination pairs;
+    * callers usually anti-join the corpus against the distinct `doc_id`s.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs
+    * against a 100 TB corpus), so its bands and shingles broadcast — the
+    * corpus is touched by exactly one narrow signing pass plus the band
+    * join, and never self-joins. Both signature tables are persisted for
+    * the same measured reason as [[verifiedNearDupPairs]]. */
+  def contaminationPairs(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         shingleN: Int = 3): DataFrame = {
+    val cs = withSignature(corpus, textCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val es = withSignature(evalDocs, textCol, shingleN)
+      .select(col(idCol).as("eval_id"), col("sh").as("sh_e"),
+        col("bkeys").as("bkeys_e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cBands = cs.select(col("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    val eBands = es.select(col("eval_id"),
+      posexplode(col("bkeys_e")).as(Seq("band_idx", "band_key")))
+    val cand = cBands.join(eBands, Seq("band_idx", "band_key"))
+      .select("doc_id", "eval_id").distinct()
+    cand
+      .join(cs.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(es.select(col("eval_id"), col("sh_e").as("sh_b")), "eval_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select("doc_id", "eval_id", "inter", "uni")
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs, the step that turns pairwise matches into keep/drop
     * decisions (cluster representative = min id). Pregel-style min-label

@@ -24,6 +24,7 @@ object LlmQueries extends QueryFamily {
 
   private val DupOffset = 200000L
   private val VarOffset = 100000L
+  private val EvalOffset = 300000L
 
   /** Per-language downsampling rates (per mille) for the stratified-sample
     * query: cap the over-represented strata, keep the rare ones whole. */
@@ -87,18 +88,26 @@ object LlmQueries extends QueryFamily {
     docs.unionByName(vars)
   }
 
+  /** Oracle CTEs signing a (doc_id, text) CTE `src` into `<p>bk(doc_id,
+    * sh, bkeys)` + `<p>bands(doc_id, band_key, band_idx)` — the one
+    * definition of the LSH signing chain every oracle shares (self-join
+    * dedup AND two-corpus decontamination), so the structure cannot
+    * drift. */
+  private def signedCtes(src: String, p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, ${W("text")} AS w FROM $src),
+       |${p}shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM ${p}tok),
+       |${p}hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM ${p}shg),
+       |${p}sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM ${p}hsh),
+       |${p}bk AS (SELECT doc_id, sh, ${TextHash.sqlBandKeys("sig")} AS bkeys FROM ${p}sig),
+       |${p}bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
+       |                 unnest(range(0, $NumBands)) AS band_idx FROM ${p}bk)""".stripMargin
+
   /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)`: the LSH
     * candidate/verification structure over a named (doc_id, text) CTE —
     * shared by q31/q51 (over `corpus`) and q62 (over the curation
-    * pipeline's deduped survivors), so the structure cannot drift. */
+    * pipeline's deduped survivors). */
   private def lshPairsCtes(src: String): String =
-    s"""tok AS (SELECT doc_id, ${W("text")} AS w FROM $src),
-       |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
-       |hsh AS (SELECT doc_id, sh, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
-       |sig AS (SELECT doc_id, sh, ${TextHash.sqlMinhashSig("hs")} AS sig FROM hsh),
-       |bk AS (SELECT doc_id, sh, ${TextHash.sqlBandKeys("sig")} AS bkeys FROM sig),
-       |bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
-       |                 unnest(range(0, $NumBands)) AS band_idx FROM bk),
+    s"""${signedCtes(src)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -832,6 +841,47 @@ object LlmQueries extends QueryFamily {
            |           i -> abs(q_min + q_codes[i] * q_scale - v[i]))), 0) * 1000000)
            |         AS BIGINT) AS max_err_scaled
            |FROM q ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ── Eval-set decontamination: training docs that near-duplicate a
+    //    benchmark doc, found by two-corpus banded LSH (eval side is
+    //    benchmark-sized → broadcast; the corpus never self-joins). The
+    //    eval set is derived (every 13th doc, truncated) so contamination
+    //    provably exists; output is the per-doc drop report. ──────────────
+    QueryDef.sorted(
+      "q69_decontaminate",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val evalSet = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + EvalOffset).as("doc_id"),
+            truncText(words(col("text"))).as("text"))
+        Dedup.contaminationPairs(docs, evalSet)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_eval_hits"), min(col("eval_id")).as("min_eval_id"))
+          .select(col("doc_id").cast("long"),
+            col("n_eval_hits").cast("long"), col("min_eval_id").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH ev AS (
+           |  SELECT doc_id + $EvalOffset AS doc_id, ${sqlTruncText("text")} AS text
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |${signedCtes("documents", "c")},
+           |${signedCtes("ev", "e")},
+           |cand AS (SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+           |         FROM cbands c JOIN ebands e
+           |           ON c.band_idx = e.band_idx AND c.band_key = e.band_key),
+           |hits AS (SELECT cand.doc_id, cand.eval_id,
+           |                len(list_intersect(sa.sh, sb.sh)) AS inter,
+           |                len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+           |         FROM cand
+           |         JOIN cbk sa ON sa.doc_id = cand.doc_id
+           |         JOIN ebk sb ON sb.doc_id = cand.eval_id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       count(*) AS n_eval_hits,
+           |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
+           |FROM hits WHERE 2 * inter >= uni
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
