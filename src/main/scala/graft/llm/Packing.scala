@@ -36,7 +36,11 @@ object Packing {
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("tokens", size(TextHash.words(col(textCol))))
+      // coalesce: a NULL text must count 0 tokens, not NULL — a NULL here
+      // would null the cumsum difference and give the doc a NULL pack_id
+      // (and the streaming twin, which counts 0, would disagree)
+      .withColumn("tokens",
+        coalesce(size(TextHash.words(col(textCol))), lit(0)))
       .withColumn("bucket",
         TextHash.h32p(concat(lit(PackSalt), col(idCol).cast("string")))
           % nBuckets)
@@ -66,7 +70,7 @@ object Packing {
        |         (sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) - tokens)
        |         / $budget) AS BIGINT) AS pack_id
-       |FROM (SELECT doc_id, len(${TextHash.sqlWords("text")}) AS tokens,
+       |FROM (SELECT doc_id, coalesce(len(${TextHash.sqlWords("text")}), 0) AS tokens,
        |             ${sqlBucket("doc_id", nBuckets)} AS bucket
        |      FROM $src)""".stripMargin
 }

@@ -18,6 +18,15 @@ class PackingSpec extends AnyFunSuite {
       concat_ws(" ", transform(sequence(lit(1L), col("doc_id") % 40 + 1),
         _ => lit("w"))))
 
+  test("null text packs as a zero-token doc, matching the streaming twin") {
+    val withNull = docs.withColumn("text",
+      when(col("doc_id") === 5, lit(null: String)).otherwise(col("text")))
+    val row = Packing.withPacks(withNull, budget = 64, nBuckets = 4)
+      .filter(col("doc_id") === 5)
+      .select("tokens", "pack_id").as[(Int, Long)].head()
+    assert(row._1 == 0 && row._2 >= 0)
+  }
+
   test("pack assignment is deterministic and partitioning-independent") {
     val a = Packing.withPacks(docs, budget = 64, nBuckets = 4)
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
