@@ -119,15 +119,23 @@ object Codecs {
     val ms = goDurationUnit.findAllMatchIn(t).toSeq
     require(ms.nonEmpty && ms.map(_.matched).mkString == t,
       s"unsupported Go duration: '$s'")
-    ms.map { m =>
+    val total = ms.map { m =>
       val unit = m.group(2) match {
         case "ms" => 1L
         case "s" => 1000L
         case "m" => 60000L
         case "h" => 3600000L
       }
+      // per-component truncation ("1s0.5ms" → 1000 + 0) is fine — Go
+      // itself has no sub-ns precision and we have no sub-ms — EXCEPT
+      // when truncation zeroes the whole cadence (below)
       (m.group(1).toDouble * unit).toLong
     }.sum
+    // "0.5ms" would truncate to a zero cadence — exactly the silent
+    // flush-nothing failure this parser promises never to produce
+    require(total > 0 || ms.forall(_.group(1).toDouble == 0),
+      s"Go duration '$s' is sub-millisecond — it would truncate to a zero cadence")
+    total
   }
 
   // ── P6/P8: BSON identity + value codecs ───────────────────────────────

@@ -119,7 +119,11 @@ object GraftConfig {
             case other => Toml.Doc.mismatch("relate.keep-src", "boolean", other)
           },
           maxDepth = t.get("max-depth").map {
-            case n: Long => n.toInt
+            case n: Long =>
+              try Math.toIntExact(n)
+              catch { case _: ArithmeticException =>
+                Toml.Doc.mismatch("relate.max-depth", "32-bit integer", n)
+              }
             case other => Toml.Doc.mismatch("relate.max-depth", "integer", other)
           }.getOrElse(0),
           matchFieldType =
@@ -312,7 +316,11 @@ object ConfiguredPipeline {
     val routedPred =
       if (cfg.routingNamespaces.contains("")) lit(true)
       else if (cfg.routingNamespaces.isEmpty) lit(false)
-      else col("namespace").isin(cfg.routingNamespaces: _*)
+      // coalesce: a NULL namespace makes isin() NULL, and NULL fails BOTH
+      // filter(p) and filter(!p) — the delete would vanish from the
+      // report entirely; it must fall through to the direct branch
+      else coalesce(col("namespace").isin(cfg.routingNamespaces: _*),
+        lit(false))
     val routed = DeleteStrategies.statelessRouted(
       deletes.filter(routedPred), sinkState,
       deleteProtection = !cfg.disableDeleteProtection)

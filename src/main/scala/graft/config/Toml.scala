@@ -42,7 +42,14 @@ object Toml {
       }.getOrElse(default)
     def int(key: String, default: Int = 0): Int =
       root.get(key).map {
-        case n: Long => n.toInt
+        // toIntExact: a value past Int range must be a loud error, not a
+        // silent wrap (max-depth = 4294967296 would wrap to 0 and turn
+        // recursion off with no signal)
+        case n: Long =>
+          try Math.toIntExact(n)
+          catch { case _: ArithmeticException =>
+            Doc.mismatch(key, "32-bit integer", n)
+          }
         case other => Doc.mismatch(key, "integer", other)
       }.getOrElse(default)
     def long(key: String, default: Long = 0L): Long =

@@ -245,8 +245,11 @@ object Dedup {
     // decreases until the fixpoint — an unchanged sum IS convergence.
     // Checking it costs one aggregate on `next` (the same action that
     // materializes the round's lazy checkpoint) instead of a next-vs-old
-    // join; Long.MinValue sentinel forces at least one round.
-    var lblSum = Long.MinValue
+    // join. The sum runs in decimal(38,0): labels are arbitrary 64-bit
+    // ids, and a LONG sum over enough rows overflows — an ANSI error at
+    // best, a silently-wrapped false convergence (and partial clusters)
+    // with ANSI off. The None sentinel forces at least one round.
+    var lblSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
@@ -260,7 +263,10 @@ object Dedup {
         .localCheckpoint(false)
       // coalesce: an EMPTY pair set sums to NULL, which is still a valid
       // (immediately-converging) fixpoint, not a driver NPE
-      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      val nextSum = Some(next
+        .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0))
       converged = nextSum == lblSum
       lblSum = nextSum
       labels = next

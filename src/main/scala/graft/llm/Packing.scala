@@ -28,6 +28,14 @@ object Packing {
 
   val PackSalt = "graft-pack|"
 
+  /** Per-bucket pack-id stride. 2^40 packs per bucket before collision:
+    * at a 256-token budget that is ~2.8e14 tokens PER BUCKET — far past
+    * any single bucket's share of a 100 TB corpus (a 1e6-stride would
+    * overflow at ~2.6e8 tokens/bucket, i.e. collide silently on the very
+    * workload this operator claims). nBuckets up to 2^23 keeps
+    * bucket·stride inside a positive long. */
+  val PackStride: Long = 1L << 40
+
   /** Bucket + pack assignment: adds `tokens` (whitespace tokens),
     * `bucket`, and `pack_id` (unique across buckets). */
   def withPacks(docs: DataFrame, budget: Int, nBuckets: Int,
@@ -46,7 +54,7 @@ object Packing {
           % nBuckets)
       .withColumn("__cum", sum(col("tokens")).over(w))
       .withColumn("pack_id",
-        col("bucket") * 1000000L + floor((col("__cum") - col("tokens")) / budget))
+        col("bucket") * PackStride + floor((col("__cum") - col("tokens")) / budget))
       .drop("__cum")
   }
 
@@ -66,7 +74,7 @@ object Packing {
     * `(doc_id, text)` source CTE. */
   def sqlPacks(src: String, budget: Int, nBuckets: Int): String =
     s"""SELECT doc_id, tokens, bucket,
-       |       bucket * 1000000 + CAST(floor(
+       |       bucket * $PackStride + CAST(floor(
        |         (sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) - tokens)
        |         / $budget) AS BIGINT) AS pack_id

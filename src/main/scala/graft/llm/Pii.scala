@@ -30,26 +30,34 @@ object Pii {
   val PhoneToken = "<PHONE>"
   val Ipv4Token = "<IP>"
 
-  /** Per-doc PII hit counts (on the raw text) and the redacted text. */
-  def withPiiRedaction(docs: DataFrame, textCol: String = "text"): DataFrame =
+  /** Per-doc PII hit counts and the redacted text. Each count runs on the
+    * text as the EARLIER redactions left it (emails on raw, IPs on
+    * email-redacted, phones on email+IP-redacted), so the counts equal
+    * exactly the replacements present in `redacted` — counting everything
+    * on raw text would double-count spans two patterns match (the IP
+    * inside `bob@1.2.3.4.example.com` is consumed by the email pass and
+    * never replaced as an IP). */
+  def withPiiRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailRe, EmailToken)
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, Ipv4Token)
     docs
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), EmailRe, EmailToken),
-            Ipv4Re, Ipv4Token),
-          PhoneRe, PhoneToken))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRe)))
+      .withColumn("redacted", regexp_replace(afterIp, PhoneRe, PhoneToken))
+  }
 
   /** SQL twins over a text expression: count selects + the redacted
-    * expression (same pattern order; DuckDB needs the 'g' flag where
-    * Spark replaces globally by default). */
-  def sqlPiiCounts(e: String): Seq[String] = Seq(
-    s"CAST(len(regexp_extract_all($e, '$EmailRe')) AS INT) AS n_emails",
-    s"CAST(len(regexp_extract_all($e, '$PhoneRe')) AS INT) AS n_phones",
-    s"CAST(len(regexp_extract_all($e, '$Ipv4Re')) AS INT) AS n_ips")
+    * expression (same progressive-redaction counting order; DuckDB needs
+    * the 'g' flag where Spark replaces globally by default). */
+  def sqlPiiCounts(e: String): Seq[String] = {
+    val afterEmail = s"regexp_replace($e, '$EmailRe', '$EmailToken', 'g')"
+    val afterIp = s"regexp_replace($afterEmail, '$Ipv4Re', '$Ipv4Token', 'g')"
+    Seq(
+      s"CAST(len(regexp_extract_all($e, '$EmailRe')) AS INT) AS n_emails",
+      s"CAST(len(regexp_extract_all($afterIp, '$PhoneRe')) AS INT) AS n_phones",
+      s"CAST(len(regexp_extract_all($afterEmail, '$Ipv4Re')) AS INT) AS n_ips")
+  }
 
   def sqlRedacted(e: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace($e,

@@ -33,19 +33,23 @@ object Quantize {
       .withColumn("q_min", mn)
       .withColumn("q_scale", scale)
       .withColumn("q_codes",
-        when(col("q_scale") > 0d,
+        // the isnan guard is load-bearing: Spark (and DuckDB) order NaN
+        // GREATER than every number, so `NaN > 0` is TRUE and a
+        // NaN-poisoned scale (any NaN element → array_max = NaN) would
+        // take the quantizing branch and emit garbage codes; it must take
+        // the flat branch, whose per-element guards quarantine it
+        when(col("q_scale") > 0d && !isnan(col("q_scale")),
           transform(v, x =>
-            // the isNotNull guard is load-bearing: least() SKIPS nulls
-            // (both engines), so an unguarded null element would silently
-            // quantize to code 255 instead of staying null
+            // the isNotNull guard is load-bearing too: least() SKIPS
+            // nulls (both engines), so an unguarded null element would
+            // silently quantize to code 255 instead of staying null
             when(x.isNotNull,
               least(floor((x - col("q_min")) / col("q_scale")), lit(Levels))
                 .cast("int"))))
           .otherwise(transform(v, x =>
             // x - x: 0 for finite, NULL for null elements; nanvl routes a
-            // NaN element (which forces this branch — NaN poisons
-            // array_max, so q_scale is NaN) to NULL instead of an ANSI
-            // CAST(NaN AS INT) error that would kill the whole job
+            // NaN element to NULL instead of an ANSI CAST(NaN AS INT)
+            // error that would kill the whole job
             nanvl(x - x, lit(null).cast("double")).cast("int"))))
   }
 
@@ -59,7 +63,11 @@ object Quantize {
     val deq = zip_with(col("q_codes"), v,
       (c, x) => abs(col("q_min") + c * col("q_scale") - x))
     quantized.select(col(idCol), col("q_min"), col("q_scale"),
-      aggregate(col("q_codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+      // coalesce per element: a NULL code (quarantined broken element)
+      // must not null-poison the fold — DuckDB's list_sum SKIPS nulls,
+      // and the whole point of the sum is auditing the non-null codes
+      aggregate(col("q_codes"), lit(0L),
+        (acc, c) => acc + coalesce(c, lit(0))).as("code_sum"),
       floor(coalesce(array_max(deq), lit(0d)) * 1e6).cast("long")
         .as("max_err_scaled"))
   }
@@ -69,7 +77,7 @@ object Quantize {
     val mn = s"list_min($v)"
     val scale = s"((list_max($v) - list_min($v)) / ${Levels}.0)"
     val codes =
-      s"""CASE WHEN $scale > 0
+      s"""CASE WHEN $scale > 0 AND NOT isnan($scale)
          | THEN list_transform($v, x -> CASE WHEN x IS NULL THEN NULL
          |   ELSE CAST(least(floor((x - $mn) / $scale), $Levels) AS INT) END)
          | ELSE list_transform($v, x -> CAST(CASE WHEN isnan(x - x) THEN NULL ELSE x - x END AS INT)) END""".stripMargin

@@ -31,21 +31,45 @@ object DeleteStrategies {
     * exactly one hit resolves the delete, zero or many refuse it — the
     * delete protection the reference enforces unless
     * `disable-delete-protection` (4097-4113), which switches to
-    * delete-by-query semantics: EVERY hit deletes, however many. */
+    * delete-by-query semantics: EVERY hit deletes, however many — so the
+    * by-query report emits one row PER hit carrying that hit's own
+    * (index, routing). Collapsing to one row with independent min()s
+    * would fabricate an (index, routing) pair no sink doc has, and a sink
+    * executing the frame would miss every other copy. */
   def statelessRouted(deletes: DataFrame, sinkState: DataFrame,
                       stateIdCol: String = "id",
                       deleteProtection: Boolean = true): DataFrame = {
-    val hits = sinkState.groupBy(col(stateIdCol).as("id"))
+    val counts = sinkState.groupBy(col(stateIdCol).as("id"))
       .agg(count(lit(1)).as("n_hits"),
-        min(col("meta_index")).as("hit_index"),
-        min(col("meta_routing")).as("hit_routing"))
-    val resolved = if (deleteProtection) col("n_hits") === 1
-                   else col("n_hits") >= 1
-    deletes.join(hits, Seq("id"), "left")
+        min(col("meta_index")).as("one_index"),
+        min(col("meta_routing")).as("one_routing"))
+    val joined = deletes.join(counts, Seq("id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("status", when(resolved, "deleted").otherwise("refused"))
-      .withColumn("hit_index", when(col("status") === "deleted", col("hit_index")))
-      .withColumn("hit_routing", when(col("status") === "deleted", col("hit_routing")))
+    if (deleteProtection)
+      joined
+        .withColumn("status",
+          when(col("n_hits") === 1, "deleted").otherwise("refused"))
+        .withColumn("hit_index",
+          when(col("status") === "deleted", col("one_index")))
+        .withColumn("hit_routing",
+          when(col("status") === "deleted", col("one_routing")))
+        .drop("one_index", "one_routing")
+    else {
+      val base = joined.drop("one_index", "one_routing")
+      // by-query: one deleted row per actual hit, with the hit's REAL
+      // coordinates (the reference's DeleteByQuery removes all of them)
+      val perHit = base.filter(col("n_hits") >= 1)
+        .join(sinkState.select(col(stateIdCol).as("id"),
+          col("meta_index").as("hit_index"),
+          col("meta_routing").as("hit_routing")), Seq("id"))
+        .withColumn("status", lit("deleted"))
+      // zero hits: the query matched nothing — reported, not dropped
+      val misses = base.filter(col("n_hits") === 0)
+        .withColumn("status", lit("refused"))
+        .withColumn("hit_index", lit(null: String))
+        .withColumn("hit_routing", lit(null: String))
+      perHit.unionByName(misses)
+    }
   }
 
   /** ignore(2): deletes are dropped entirely (monstache.go:4068-4070). */

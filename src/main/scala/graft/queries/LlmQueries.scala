@@ -835,7 +835,8 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(vec_id AS BIGINT) AS vec_id,
            |       CAST(floor(q_min * 1000000) AS BIGINT) AS qmin_scaled,
            |       CAST(floor(q_scale * 1000000) AS BIGINT) AS qscale_scaled,
-           |       CAST(list_sum(q_codes) AS BIGINT) AS code_sum,
+           |       CAST(CASE WHEN q_codes IS NULL THEN NULL
+           |                 ELSE coalesce(list_sum(q_codes), 0) END AS BIGINT) AS code_sum,
            |       CAST(floor(coalesce(list_max(
            |         list_transform(range(1, len(v) + 1),
            |           i -> abs(q_min + q_codes[i] * q_scale - v[i]))), 0) * 1000000)

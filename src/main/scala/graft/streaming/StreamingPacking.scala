@@ -55,7 +55,7 @@ object StreamingPacking {
           val out = ordered.map { case (id, tokens, b) =>
             // integer division == floor for the non-negative running sum;
             // identical to the batch rule floor((cum_after - tokens)/budget)
-            val pack = b * 1000000L + cum / budget
+            val pack = b * Packing.PackStride + cum / budget
             cum += tokens
             PackedDoc(id, tokens, b, pack)
           }

@@ -56,6 +56,13 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.goDurationToMillis("10"))
     intercept[IllegalArgumentException](Codecs.goDurationToMillis("5d"))
     intercept[IllegalArgumentException](Codecs.goDurationToMillis("1h30"))
+    // a sub-millisecond duration truncates to 0 — the same silent
+    // flush-nothing cadence, so it must be loud too (a true "0s" is an
+    // explicit zero, allowed: callers treat it as disabled)
+    intercept[IllegalArgumentException](Codecs.goDurationToMillis("0.5ms"))
+    assert(Codecs.goDurationToMillis("0s") == 0L)
+    // sub-ms REMAINDERS truncate fine when the total stays nonzero
+    assert(Codecs.goDurationToMillis("1s0.5ms") == 1000L)
   }
 
   test("string ids pass verbatim — only float-form values collapse (opIDToString default branch)") {

@@ -29,6 +29,19 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.count(_._3) == 1)
   }
 
+  test("convergence survives 64-bit-scale labels (no long-sum overflow)") {
+    // four labels near Long.MaxValue/2 sum past Long.MaxValue — a LONG
+    // convergence sum would throw under ANSI (or wrap and falsely
+    // converge without it); the decimal(38,0) sum must not care
+    val big = Long.MaxValue / 2
+    val pairs = Seq((big, big + 1), (big + 2, big + 3)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (big, big, true), (big + 1, big, false),
+      (big + 2, big + 2, true), (big + 3, big + 2, false)))
+  }
+
   test("exceeding maxIter fails loudly instead of emitting partial clusters") {
     // diameter ~9 > maxIter 2: a silent exit would return several
     // cluster_ids (and representatives) for ONE true component

@@ -67,6 +67,17 @@ class PackingSpec extends AnyFunSuite {
     errs.foreach { case (_, err, step) => assert(err <= step + 1) }
   }
 
+  test("NaN elements force the flat branch and quarantine as null codes") {
+    // NaN > 0 is TRUE in Spark's ordering, so without the isnan guard a
+    // NaN-poisoned q_scale would take the quantizing branch and emit
+    // garbage codes instead of the null quarantine
+    val vecs = Seq((1L, Seq(1.0f, Float.NaN, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = Quantize.withQuantized(vecs)
+      .select("q_codes").collect()(0).getSeq[Any](0)
+    assert(codes == Seq(0, null, 0))
+  }
+
   test("null and null-element vectors quantize to null codes, not a crash") {
     val vecs = Seq(
       (1L, Seq[Option[Float]](Some(1.0f), None, Some(2.0f))),

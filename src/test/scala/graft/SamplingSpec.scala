@@ -80,6 +80,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.exists(r => r._5.contains("@") && r._2 > 0))
   }
 
+  test("overlapping spans are counted once, on the text a prior pass left") {
+    // the IP inside the email's domain is consumed by the email pass;
+    // counting on raw text would report an IP the redaction never made
+    val df = Seq((1L, "mail bob@1.2.3.4.example.com now"))
+      .toDF("doc_id", "text")
+    val out = Pii.withPiiRedaction(df)
+      .select("n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Int, Int, Int, String)].head()
+    assert(out == ((1, 0, 0, s"mail ${Pii.EmailToken} now")))
+  }
+
   test("repetition signals on known shapes") {
     val df = Seq(
       (1L, "a a a a a a"),        // pure stutter

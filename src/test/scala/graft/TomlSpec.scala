@@ -162,6 +162,16 @@ class TomlSpec extends AnyFunSuite {
     val byQuery = statuses(
       "routing-namespaces = [\"app.routed\"]\ndisable-delete-protection = true")
     assert(byQuery("7") == "deleted")
+    // by-query emits one row PER hit with that hit's REAL coordinates —
+    // not one row with independent min(index)/min(routing), which could
+    // name a (index, routing) pair no sink doc has
+    val hits7 = ConfiguredPipeline.statelessDeletes(GraftConfig.fromToml(
+        "routing-namespaces = [\"app.routed\"]\ndisable-delete-protection = true"))(
+        deletes, sink)
+      .filter(col("id") === "7")
+      .select("hit_index", "hit_routing").as[(String, String)]
+      .collect().toSet
+    assert(hits7 == Set("ix_a" -> "r1", "ix_b" -> "r2"))
 
     // stats-index-format: a custom Go layout, lowercased like the
     // reference's strings.ToLower(t.Format(...))
@@ -191,6 +201,11 @@ class TomlSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](doc.strings("patch-namespaces"))
     assert(e4.getMessage.contains("patch-namespaces") &&
       e4.getMessage.contains("array"))
+    // an out-of-Int-range integer must be loud, not a silent wrap (a
+    // wrapped max-depth = 4294967296 would turn relate recursion off)
+    val big = Toml.parse("max-depth = 4294967296")
+    val e5 = intercept[IllegalArgumentException](big.int("max-depth"))
+    assert(e5.getMessage.contains("max-depth"))
     // well-typed lookups still work, absent keys still default
     val ok = Toml.parse("delete-strategy = 1\nverbose = true")
     assert(ok.int("delete-strategy") == 1 && ok.bool("verbose"))
