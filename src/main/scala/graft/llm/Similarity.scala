@@ -303,6 +303,64 @@ object Similarity {
       collectCentroids(embeddings.filter(centroidPred), idCol, vecCol),
       queryPred, k, nprobe, idCol, vecCol)
 
+  /** Two-stage quantized IVF probe — the memory-bound arrangement at
+    * 100 TB: the index's candidate side holds int8 codes (4× smaller hot
+    * set, [[Quantize]]), stage 1 scores probes against DEQUANTIZED codes
+    * and keeps `rerank` ≥ k survivors per query (bounded-heap, map-side),
+    * stage 2 re-reads exact vectors for only those survivors and ranks
+    * the true top-k. Queries keep full precision throughout (they are
+    * few; the candidates are the 100 TB). Recall loss vs exact IVF is
+    * bounded by quantization error and shrinks as `rerank` grows — and
+    * the oracle replays the identical two-stage schedule, so results
+    * still hash-match exactly. */
+  def ivfTopKQuantized(embeddings: DataFrame, centroidPred: Column,
+                       queryPred: Column, k: Int, nprobe: Int, rerank: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val centroids =
+      collectCentroids(embeddings.filter(centroidPred), idCol, vecCol)
+    // assignment persisted: stage 1 scans it quantized, stage 2 joins the
+    // survivors back against its exact vectors — one scan, two readers
+    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val quant = Quantize.withQuantized(
+        assigned.select(col(idCol).as("neighbor_id"), col("v"), col("bucket")),
+        vecCol = "v")
+      .withColumn("dv",
+        transform(col("q_codes"), c => col("q_min") + c * col("q_scale")))
+      .withColumn("dvn", sqrt(dot(col("dv"), col("dv"))))
+      .select("neighbor_id", "bucket", "dv", "dvn")
+    val probes = probeFrame(embeddings, centroids, queryPred, nprobe,
+      idCol, vecCol)
+    val topR = udaf(new TopKNeighbors(rerank), Encoders.product[Scored])
+    val survivors = quant.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos",
+        cosinePre(col("qv"), col("qn"), col("dv"), col("dvn")))
+      .filter(col("acos").isNotNull && !isnan(col("acos")))
+      .groupBy(col("query_id"))
+      .agg(topR(col("neighbor_id").cast("long"), col("acos"),
+        col("bucket").cast("long")).as("tk"))
+    val cand = explodeTopK(survivors).select("query_id", "neighbor_id")
+    // stage 2: exact re-rank of the tiny survivor set
+    val exactQ = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Scored])
+    val reranked = cand
+      .join(assigned.select(col(idCol).as("neighbor_id"), col("v"),
+        col("vn"), col("bucket")), Seq("neighbor_id"))
+      .join(broadcast(exactQ), Seq("query_id"))
+      .withColumn("cos",
+        cosinePre(col("qv"), col("qn"), col("v"), col("vn")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id").cast("long"), col("cos"),
+        col("bucket").cast("long")).as("tk"))
+    explodeTopK(reranked)
+  }
+
   /** Embedding-cosine near-dedup, bucketed: vectors are IVF-assigned once
     * (narrow), and only intra-bucket pairs are scored — no all-pairs.
     * Recall is bounded by bucket purity (a near-dup pair split across

@@ -883,6 +883,62 @@ object LlmQueries extends QueryFamily {
            |       count(*) AS n_eval_hits,
            |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
            |FROM hits WHERE 2 * inter >= uni
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── Two-stage quantized ANN: int8 codes score the probe (the 4×-
+    //    smaller hot set), exact vectors re-rank only the survivors —
+    //    the memory-bound IVF arrangement, replayed exactly by the
+    //    oracle's identical two-stage schedule. ───────────────────────────
+    QueryDef.sorted(
+      "q70_ann_quantized",
+      (s, dir) => Similarity.ivfTopKQuantized(
+          spread(s, s.read.parquet(s"$dir/embeddings.parquet")),
+          centroidPred = col("vec_id") % 50 === 0,
+          queryPred = col("vec_id") % 100 === 0,
+          k = 3, nprobe = 2, rerank = 8)
+        .select(col("query_id").cast("long"),
+          col("rank").cast("long").as("rnk"),
+          col("neighbor_id").cast("long"), col("bucket").cast("long")),
+      _.orderBy("query_id", "rnk"),
+      Some {
+        val (mn, scale, codes) = Quantize.sqlQuantized("v")
+        val pcos = Similarity.sqlCosine("q.qv", "c.cv", 64)
+        val acos = Similarity.sqlCosine("p.qv", "d.dv", 64)
+        val xcos = Similarity.sqlCosine("q.qv", "a.v", 64)
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+           |assign AS (${Similarity.sqlIvfAssign("e", "cents", 64)}),
+           |quant AS (SELECT vec_id, bucket, $mn AS q_min, $scale AS q_scale,
+           |                 $codes AS q_codes
+           |          FROM assign),
+           |dq AS (SELECT vec_id, bucket,
+           |              list_transform(q_codes, c -> q_min + c * q_scale) AS dv
+           |       FROM quant),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, qv, bucket FROM (
+           |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
+           |    FROM q, cents c WHERE NOT isnan($pcos)) WHERE pr <= 2),
+           |approx AS (
+           |  SELECT p.query_id, d.vec_id,
+           |         row_number() OVER (PARTITION BY p.query_id
+           |                            ORDER BY $acos DESC, d.vec_id ASC) AS ar
+           |  FROM probes p JOIN dq d USING (bucket)
+           |  WHERE d.vec_id <> p.query_id AND NOT isnan($acos)),
+           |cand AS (SELECT query_id, vec_id FROM approx WHERE ar <= 8),
+           |exact AS (
+           |  SELECT cand.query_id, cand.vec_id, a.bucket,
+           |         row_number() OVER (PARTITION BY cand.query_id
+           |                            ORDER BY $xcos DESC, cand.vec_id ASC) AS rnk
+           |  FROM cand
+           |  JOIN assign a ON a.vec_id = cand.vec_id
+           |  JOIN q ON q.query_id = cand.query_id
+           |  WHERE NOT isnan($xcos))
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(vec_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
+           |FROM exact WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      })
   )
 }

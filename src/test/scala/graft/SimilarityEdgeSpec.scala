@@ -120,4 +120,26 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     // both buckets probed; 4 (zero-norm, unassignable bucket) never scored
     assert(out.toSeq == Seq((2L, 1, 1L), (2L, 2, 3L)))
   }
+
+  test("quantized probe with full rerank equals the exact IVF top-k") {
+    import spark.implicits._
+    // with rerank covering every probed candidate, stage 1 prunes
+    // nothing and stage 2 IS the exact computation — any divergence
+    // would mean the two-stage plumbing (not quantization) loses or
+    // reorders candidates
+    val vs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * (j + 1) + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val exact = key(Similarity.ivfTopK(vs,
+      centroidPred = col("vec_id") % 10 === 0,
+      queryPred = col("vec_id") % 7 === 0, k = 3, nprobe = 2))
+    val quant = key(Similarity.ivfTopKQuantized(vs,
+      centroidPred = col("vec_id") % 10 === 0,
+      queryPred = col("vec_id") % 7 === 0, k = 3, nprobe = 2, rerank = 40))
+    assert(quant == exact)
+  }
 }
