@@ -97,16 +97,28 @@ object Dedup {
     verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against a signature
-    * table — the one definition both the batch and incremental paths
-    * share (a drifted copy would silently change one path's semantics). */
-  private def verifyPairs(cand: DataFrame, signed: DataFrame): DataFrame =
-    cand
-      .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+  /** The integer-Jaccard acceptance (2·|∩| ≥ |∪|) over two shingle-set
+    * columns — the ONE definition every verification path shares (batch,
+    * incremental, and two-corpus decontamination); a drifted copy would
+    * silently change one path's semantics. */
+  private def jaccardKeep(df: DataFrame): DataFrame =
+    df.withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(lit(2) * col("inter") >= col("uni"))
+
+  /** (id, band_idx, band_key) rows from a signed frame — the band-join
+    * input every candidate generator shares. */
+  private def explodeBands(signed: DataFrame, idCol: String,
+                           bkeysCol: String = "bkeys"): DataFrame =
+    signed.select(col(idCol),
+      posexplode(col(bkeysCol)).as(Seq("band_idx", "band_key")))
+
+  /** Exact-Jaccard verification of candidate pairs against a signature
+    * table. */
+  private def verifyPairs(cand: DataFrame, signed: DataFrame): DataFrame =
+    jaccardKeep(cand
+      .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"))
       .select("id_a", "id_b", "inter", "uni")
 
   /** Incremental near-dedup: candidate pairs for a NEW document batch
@@ -139,8 +151,7 @@ object Dedup {
       .join(newSigned.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(newSigned)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def bands(df: DataFrame) = df.select(col("doc_id"),
-      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    def bands(df: DataFrame) = explodeBands(df, "doc_id")
     // the degenerate-bucket cap measures bucket size over the FULL corpus
     // (old + new) and drops capped buckets from both join sides — the
     // same bounded-cost trade as candidatePairs
@@ -193,18 +204,12 @@ object Dedup {
       .select(col(idCol).as("eval_id"), col("sh").as("sh_e"),
         col("bkeys").as("bkeys_e"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cBands = cs.select(col("doc_id"),
-      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
-    val eBands = es.select(col("eval_id"),
-      posexplode(col("bkeys_e")).as(Seq("band_idx", "band_key")))
-    val cand = cBands.join(eBands, Seq("band_idx", "band_key"))
+    val cand = explodeBands(cs, "doc_id")
+      .join(explodeBands(es, "eval_id", "bkeys_e"), Seq("band_idx", "band_key"))
       .select("doc_id", "eval_id").distinct()
-    cand
+    jaccardKeep(cand
       .join(cs.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-      .join(es.select(col("eval_id"), col("sh_e").as("sh_b")), "eval_id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(lit(2) * col("inter") >= col("uni"))
+      .join(es.select(col("eval_id"), col("sh_e").as("sh_b")), "eval_id"))
       .select("doc_id", "eval_id", "inter", "uni")
   }
 

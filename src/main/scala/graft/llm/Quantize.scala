@@ -47,10 +47,10 @@ object Quantize {
               least(floor((x - col("q_min")) / col("q_scale")), lit(Levels))
                 .cast("int"))))
           .otherwise(transform(v, x =>
-            // x - x: 0 for finite, NULL for null elements; nanvl routes a
-            // NaN element to NULL instead of an ANSI CAST(NaN AS INT)
-            // error that would kill the whole job
-            nanvl(x - x, lit(null).cast("double")).cast("int"))))
+            // finite → code 0; null or NaN element → NULL code (a NaN
+            // reaching CAST(... AS INT) would be an ANSI error killing
+            // the whole job)
+            when(x.isNotNull && !isnan(x), lit(0)).otherwise(lit(null)))))
   }
 
   /** Reconstruction-error report in scaled-integer form: per-vector max
@@ -80,7 +80,7 @@ object Quantize {
       s"""CASE WHEN $scale > 0 AND NOT isnan($scale)
          | THEN list_transform($v, x -> CASE WHEN x IS NULL THEN NULL
          |   ELSE CAST(least(floor((x - $mn) / $scale), $Levels) AS INT) END)
-         | ELSE list_transform($v, x -> CAST(CASE WHEN isnan(x - x) THEN NULL ELSE x - x END AS INT)) END""".stripMargin
+         | ELSE list_transform($v, x -> CASE WHEN x IS NULL OR isnan(x) THEN NULL ELSE 0 END) END""".stripMargin
         .replaceAll("\n", "")
     (mn, scale, codes)
   }

@@ -91,6 +91,13 @@ object TextHash {
       concat_ws(",", (0 until BandRows).map(ri => sig(bi * BandRows + ri)): _*)
     }: _*)
 
+  /** Executor/driver-side twin of [[words]]: the same non-empty
+    * single-space-token contract, for typed (Dataset) code — one
+    * definition, so the streaming twins cannot drift from the column
+    * operators' tokenization. */
+  def wordsScala(text: String): Array[String] =
+    if (text == null) Array.empty else text.split(" ").filter(_.nonEmpty)
+
   /** Executor/driver-side twin of [[h32p]]: first 4 md5 bytes as an
     * unsigned 32-bit value, mod P — byte-identical to the column form's
     * `conv(substring(md5(c),1,8),16,10) % P`, so typed (Dataset) code can

@@ -39,8 +39,7 @@ object StreamingPacking {
     import docs.sparkSession.implicits._
     docs
       .map { case (id, text) =>
-        val tokens =
-          if (text == null) 0 else text.split(" ").count(_.nonEmpty)
+        val tokens = TextHash.wordsScala(text).length
         val bucket =
           TextHash.h32pScala(Packing.PackSalt + id.toString) % nBuckets
         (id, tokens, bucket)
