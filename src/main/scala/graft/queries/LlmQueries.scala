@@ -611,26 +611,7 @@ object LlmQueries extends QueryFamily {
           .unionByName(docs.filter(col("doc_id") % 10 === 0)
             .select((col("doc_id") + VarOffset).as("doc_id"),
               truncText(ws).as("text")))
-        // stage 1: per-doc signals, gate out too-short docs (narrow)
-        val gated = TextAnalysis.withQuality(TextAnalysis.withLangId(corpus))
-          .filter(col("quality_bucket") =!= "too_short")
-          .select("doc_id", "text", "pred_lang", "n_words", "quality_bucket")
-        // stage 2: exact dedup — each content hash keeps its min id (one
-        // shuffle on the hash; the semi-join's rep side is hash-group
-        // sized, broadcast by AQE here, co-shuffled at scale)
-        val hashed = gated.withColumn("th", md5(col("text")))
-        val reps = hashed.groupBy("th").agg(min(col("doc_id")).as("doc_id"))
-        // persisted: the survivor set feeds BOTH the LSH signature build
-        // and the final anti-join — without the barrier the whole
-        // gate+dedup lineage runs twice
-        val exactKept = hashed.join(reps, Seq("th", "doc_id"), "left_semi")
-          .drop("th")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // stage 3: near-dup clusters over the survivors; only cluster
-        // representatives (min id) survive
-        val drops = Dedup.dupClusters(Dedup.verifiedNearDupPairs(exactKept))
-          .filter(!col("is_rep")).select("doc_id")
-        exactKept.join(drops, Seq("doc_id"), "left_anti")
+        Curation.curate(corpus)
           .select(col("doc_id").cast("long"), col("pred_lang"),
             col("quality_bucket"), col("n_words").cast("long"))
       },
