@@ -97,13 +97,14 @@ case class DotProduct(left: Expression, right: Expression)
   * feeds at session build time). */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val MinhashName = "graft_minhash"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(DotName)
-    if (!registry.functionExists(ident)) {
+    val dotIdent = FunctionIdentifier(DotName)
+    if (!registry.functionExists(dotIdent)) {
       registry.registerFunction(
-        ident,
+        dotIdent,
         new ExpressionInfo(classOf[DotProduct].getName, DotName),
         (children: Seq[Expression]) => {
           // a real arity error, not a silently-dropped third argument or
@@ -111,6 +112,17 @@ object GraftFunctions {
           require(children.size == 2,
             s"$DotName expects exactly 2 arguments, got ${children.size}")
           DotProduct(children(0), children(1))
+        })
+    }
+    val mhIdent = FunctionIdentifier(MinhashName)
+    if (!registry.functionExists(mhIdent)) {
+      registry.registerFunction(
+        mhIdent,
+        new ExpressionInfo(classOf[MinhashSig].getName, MinhashName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$MinhashName expects exactly 1 argument, got ${children.size}")
+          MinhashSig(children.head)
         })
     }
   }

@@ -55,35 +55,16 @@ object TextHash {
   /** Hashed shingle array (mod P). */
   def hashedShingles(sh: Column): Column = transform(sh, s => h32p(s))
 
-  /** K-element minhash signature over hashed shingles.
-    *
-    * A compiled UDF rather than K × `array_min(transform(...))`: the
-    * higher-order form is interpreted (CodegenFallback) and walks the
-    * shingle array K times allocating an intermediate array per walk; the
-    * loop below makes one pass with a K-slot accumulator. Arithmetic is
-    * unchanged — `(A(j)·h + B(j)) mod P` with the same fixed coefficients
-    * — so signatures stay bit-identical to the DuckDB oracle's
-    * [[sqlMinhashSig]]. Empty input degenerates to all-null, matching
-    * `array_min` of an empty array. */
-  private val minhashSigUdf = udf { (hs: Seq[Long]) =>
-    if (hs.isEmpty) Array.fill[java.lang.Long](K)(null)
-    else {
-      val out = Array.fill(K)(Long.MaxValue)
-      val it = hs.iterator
-      while (it.hasNext) {
-        val h = it.next()
-        var j = 0
-        while (j < K) {
-          val v = (A(j) * h + B(j)) % P
-          if (v < out(j)) out(j) = v
-          j += 1
-        }
-      }
-      out.map(java.lang.Long.valueOf)
-    }
-  }
-
-  def minhashSig(hs: Column): Column = minhashSigUdf(hs)
+  /** K-element minhash signature over hashed shingles, backed by the
+    * native codegen expression [[graft.functions.MinhashSig]] (one pass,
+    * K-slot primitive accumulator, no Ser/De — see its doc for the
+    * builtin-vs-UDF-vs-Expression argument). Same
+    * `(A(j)·h + B(j)) mod P` arithmetic as the DuckDB oracle's
+    * [[sqlMinhashSig]]; empty input degenerates to all-null, matching
+    * `array_min` of an empty array. Requires [[graft.GraftSession
+    * .ensure]] on sessions the library did not build. */
+  def minhashSig(hs: Column): Column =
+    call_function(graft.functions.GraftFunctions.MinhashName, hs)
 
   /** LSH band keys: NumBands strings of BandRows comma-joined sig values. */
   def bandKeys(sig: Column): Column =

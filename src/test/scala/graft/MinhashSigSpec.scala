@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextHash
+
+/** The native MinhashSig expression: value parity with the interpreted
+  * K × array_min(transform(...)) form (the oracle's arithmetic), the
+  * empty/null contracts, and both eval paths (local = interpreted,
+  * parquet = whole-stage codegen). */
+class MinhashSigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The builtin higher-order form — K walks, interpreted, but the
+    * arithmetic ground truth. */
+  private def slowSig(hs: org.apache.spark.sql.Column) =
+    array((0 until TextHash.K).map { j =>
+      array_min(transform(hs,
+        h => (lit(TextHash.A(j)) * h + lit(TextHash.B(j))) % TextHash.P))
+    }: _*)
+
+  test("matches the interpreted per-coefficient array_min fold exactly") {
+    val df = Seq(
+      Tuple1(Seq(17L, 9999999L, 42L, 0L)),
+      Tuple1(Seq(2147483646L)),
+      Tuple1(Seq.empty[Long]))
+      .toDF("hs")
+    val got = df.select(TextHash.minhashSig(col("hs")).as("fast"),
+        slowSig(col("hs")).as("slow"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    got.foreach { case (fast, slow) => assert(fast == slow) }
+    // empty input → K nulls, the array_min-of-empty shape
+    assert(got.last._1 == Seq.fill(TextHash.K)(None))
+  }
+
+  test("codegen path (parquet) equals the interpreted path (local)") {
+    val rows = Seq(
+      Tuple1(Seq(5L, 123456789L, 17L)),
+      Tuple1(Seq.empty[Long]))
+    val local = rows.toDF("hs")
+      .select(TextHash.minhashSig(col("hs")).as("sig"))
+      .as[Seq[Option[Long]]].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    rows.toDF("hs").write.mode("overwrite").parquet(dir)
+    val codegen = spark.read.parquet(dir)
+      .select(TextHash.minhashSig(col("hs")).as("sig"))
+      .as[Seq[Option[Long]]].collect().toSeq
+    assert(local.toSet == codegen.toSet)
+  }
+
+  test("null input and null elements yield a null signature") {
+    val r1 = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("hs")
+      .select(TextHash.minhashSig(col("hs")).as("sig")).collect().head
+    assert(r1.isNullAt(0))
+    // a partially-hashed list must not produce a plausible partial
+    // signature that LSH then buckets on
+    val r2 = Seq(Tuple1(Seq[Option[Long]](Some(5L), None)))
+      .toDF("hs")
+      .select(TextHash.minhashSig(col("hs")).as("sig")).collect().head
+    assert(r2.isNullAt(0))
+  }
+}
