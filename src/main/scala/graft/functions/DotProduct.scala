@@ -98,6 +98,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val MinhashName = "graft_minhash"
+  val SimhashName = "graft_simhash"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -123,6 +124,17 @@ object GraftFunctions {
           require(children.size == 1,
             s"$MinhashName expects exactly 1 argument, got ${children.size}")
           MinhashSig(children.head)
+        })
+    }
+    val shIdent = FunctionIdentifier(SimhashName)
+    if (!registry.functionExists(shIdent)) {
+      registry.registerFunction(
+        shIdent,
+        new ExpressionInfo(classOf[SimhashFp].getName, SimhashName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$SimhashName expects exactly 1 argument, got ${children.size}")
+          SimhashFp(children.head)
         })
     }
   }

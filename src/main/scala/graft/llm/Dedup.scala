@@ -292,27 +292,13 @@ object Dedup {
   /** 32-bit SimHash over hashed shingles: bit b of the fingerprint is set
     * when at least half the shingle hashes have bit b set (deterministic
     * ≥ tie-break). Near-dup docs land in the same high-bit bucket.
-    *
-    * Compiled UDF for the bit-count fold (the 32 × filter/size HOF form
-    * is interpreted); same ≥ tie-break, so identical to [[sqlSimhash]]. */
-  private val simhashUdf = udf { (hs: Seq[Long]) =>
-    val n = hs.length
-    var fp = 0L
-    var b = 0
-    while (b < 32) {
-      var c = 0
-      val it = hs.iterator
-      while (it.hasNext) if (((it.next() >> b) & 1L) == 1L) c += 1
-      if (2 * c >= n) fp |= 1L << b
-      b += 1
-    }
-    fp
-  }
-
+    * Backed by the native codegen expression
+    * [[graft.functions.SimhashFp]] — identical to [[sqlSimhash]]. */
   def withSimhash(docs: DataFrame, textCol: String = "text",
                   shingleN: Int = 3, bucketShift: Int = 20): DataFrame =
     withSignature(docs, textCol, shingleN)
-      .withColumn("simhash", simhashUdf(col("hs")))
+      .withColumn("simhash",
+        call_function(graft.functions.GraftFunctions.SimhashName, col("hs")))
       .withColumn("sim_bucket", expr(s"shiftright(simhash, $bucketShift)"))
       .drop("ws", "sh", "hs", "sig", "bkeys")
 

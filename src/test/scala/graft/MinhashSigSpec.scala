@@ -50,6 +50,33 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(local.toSet == codegen.toSet)
   }
 
+  test("simhash: native expression matches the SQL-twin vote rule on both paths") {
+    import graft.functions.GraftFunctions
+    def sim(c: org.apache.spark.sql.Column) =
+      call_function(GraftFunctions.SimhashName, c)
+    // ground truth via the documented vote rule, computed in Scala
+    def slow(hs: Seq[Long]): Long = (0 until 32).foldLeft(0L) { (fp, b) =>
+      if (2 * hs.count(h => ((h >> b) & 1L) == 1L) >= hs.length) fp | (1L << b)
+      else fp
+    }
+    val rows = Seq(
+      Tuple1(Seq(0xF0F0L, 0x0F0FL, 0xFFFFL)),
+      Tuple1(Seq(7L)),
+      Tuple1(Seq.empty[Long]))   // empty: every 2·0 ≥ 0 vote passes → all bits
+    val local = rows.toDF("hs").select(sim(col("hs"))).as[Long].collect()
+    assert(local.toSeq == rows.map(r => slow(r._1)))
+    assert(local(2) == 0xFFFFFFFFL)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sh").toString
+    rows.toDF("hs").write.mode("overwrite").parquet(dir)
+    val codegen = spark.read.parquet(dir).select(sim(col("hs")))
+      .as[Long].collect()
+    assert(codegen.sorted.toSeq == local.sorted.toSeq)
+    // null element → null fingerprint
+    val r = Seq(Tuple1(Seq[Option[Long]](Some(5L), None))).toDF("hs")
+      .select(sim(col("hs"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("null input and null elements yield a null signature") {
     val r1 = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("hs")
       .select(TextHash.minhashSig(col("hs")).as("sig")).collect().head
