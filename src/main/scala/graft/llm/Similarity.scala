@@ -161,13 +161,16 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, centroids: Array[Centroid],
                 idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    val assignU = udf { (v: Seq[Double]) =>
+    // Array[Double] (not Seq): the encoder bulk-copies the unsafe array
+    // (toDoubleArray) instead of boxing every element — this UDF runs
+    // once per corpus row per assignment pass, and the Ser/De was a
+    // measurable fraction of the whole pass
+    val assignU = udf { (arr: Array[Double]) =>
       // a NULL embedding (failed upstream encoder — cleanVec also folds
       // null-ELEMENT vectors into this case) must not NPE the whole
       // job — it joins the zero-norm vectors in the unassignable bucket
-      if (v == null) (UnassignedBucket, 0.0)
+      if (arr == null) (UnassignedBucket, 0.0)
       else {
-        val arr = v.toArray
         val vn = math.sqrt(dotArr(arr, arr))
         val cents = bc.value
         var bestId = UnassignedBucket
@@ -208,11 +211,10 @@ object Similarity {
                          queryPred: Column, nprobe: Int,
                          idCol: String, vecCol: String): DataFrame = {
     val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    val probeU = udf { (v: Seq[Double]) =>
+    val probeU = udf { (arr: Array[Double]) =>
       // null (or null-element, via cleanVec) query probes nothing
-      if (v == null) (Array.empty[Long], 0.0)
+      if (arr == null) (Array.empty[Long], 0.0)
       else {
-        val arr = v.toArray
         val qn = math.sqrt(dotArr(arr, arr))
         // NaN scores (zero-norm query or centroid) are dropped before the
         // sort: NaN breaks strict-weak ordering (sortWith may throw) and a
