@@ -401,10 +401,15 @@ object Similarity {
 
   /** Open an IVF index restricted to the probed buckets. The `isin`
     * lands in the scan's PartitionFilters, so only `buckets.size`
-    * directories are read. */
+    * directories are read. The bucket column is re-cast to long AFTER
+    * the filter: partition-type inference reads small directory names
+    * back as int, which would silently change the column's type between
+    * the in-memory frame and its disk round-trip (the cast sits above
+    * the filter, so partition pruning is unaffected). */
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                 buckets: Seq[Long]): DataFrame =
     spark.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+      .withColumn("bucket", col("bucket").cast("long"))
 
   /** Persist the (config-sized) centroid table next to its index — the
     * piece that makes the index self-contained across sessions: a later
@@ -437,6 +442,21 @@ object Similarity {
     writeIndex(ivfAssign(embeddings, centroids, idCol, vecCol), dir)
     writeCentroids(embeddings.sparkSession, centroids, dir)
   }
+
+  /** Append a new vector batch to an existing index — the run-over-run
+    * ingest path (daily batch vs standing 100 TB index): only the new
+    * batch is scanned and assigned, written append-mode into the same
+    * bucket partitioning. Assignment uses the index's OWN persisted
+    * centroids: assigning with any other centroid set would silently
+    * divorce probe geometry from bucket contents (recall collapses with
+    * no error anywhere) — the invariant [[writeCentroids]] exists to
+    * protect. */
+  def appendToIndex(newVectors: DataFrame, dir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    ivfAssign(newVectors, readCentroids(newVectors.sparkSession, dir),
+        idCol, vecCol)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
 
   // ── DuckDB twins ──────────────────────────────────────────────────────
   /** SQL: the same left-fold cosine over two DOUBLE[] expressions.

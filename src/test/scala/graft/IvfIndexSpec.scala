@@ -39,6 +39,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(mem == disk && mem.nonEmpty)
   }
 
+  test("incremental append equals a full rebuild (same centroids, same buckets)") {
+    val dirFull = Files.createTempDirectory("graft-ivf-full").toString
+    val dirIncr = Files.createTempDirectory("graft-ivf-incr").toString
+    val cents = Similarity.collectCentroids(
+      embeddings.filter(col("vec_id") % 64 === 0))
+    // full build in one shot
+    Similarity.buildIndex(embeddings, cents, dirFull)
+    // incremental: first half builds, second half appends — the append
+    // must assign with the index's PERSISTED centroids, not re-derive
+    Similarity.buildIndex(embeddings.filter(col("vec_id") % 2 === 0),
+      cents, dirIncr)
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") % 2 =!= 0),
+      dirIncr)
+    def contents(dir: String) = spark.read.parquet(dir)
+      // partition inference reads the bucket directory names as int
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = contents(dirFull)
+    assert(contents(dirIncr) == full && full.nonEmpty)
+  }
+
   test("the centroid table is invisible to the bucket data scan") {
     val dir = Files.createTempDirectory("graft-ivf-index2").toString
     val cents = Similarity.collectCentroids(
