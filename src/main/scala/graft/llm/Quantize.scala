@@ -47,10 +47,13 @@ object Quantize {
               least(floor((x - col("q_min")) / col("q_scale")), lit(Levels))
                 .cast("int"))))
           .otherwise(transform(v, x =>
-            // finite → code 0; null or NaN element → NULL code (a NaN
-            // reaching CAST(... AS INT) would be an ANSI error killing
-            // the whole job)
-            when(x.isNotNull && !isnan(x), lit(0)).otherwise(lit(null)))))
+            // x - x === 0 is the exact finiteness test: 0 for finite,
+            // NaN (≠ 0) for NaN AND ±Infinity, NULL for null — so every
+            // non-finite element quantizes to a NULL code. An Inf
+            // element given code 0 would later make quantError's
+            // dequantization NaN, and floor(NaN).cast(long) is an ANSI
+            // error killing the whole job.
+            when(x - x === 0d, lit(0)).otherwise(lit(null)))))
   }
 
   /** Reconstruction-error report in scaled-integer form: per-vector max
@@ -80,7 +83,7 @@ object Quantize {
       s"""CASE WHEN $scale > 0 AND NOT isnan($scale)
          | THEN list_transform($v, x -> CASE WHEN x IS NULL THEN NULL
          |   ELSE CAST(least(floor((x - $mn) / $scale), $Levels) AS INT) END)
-         | ELSE list_transform($v, x -> CASE WHEN x IS NULL OR isnan(x) THEN NULL ELSE 0 END) END""".stripMargin
+         | ELSE list_transform($v, x -> CASE WHEN x - x = 0 THEN 0 ELSE NULL END) END""".stripMargin
         .replaceAll("\n", "")
     (mn, scale, codes)
   }

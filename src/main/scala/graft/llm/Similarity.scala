@@ -345,10 +345,12 @@ object Similarity {
       .agg(topR(col("neighbor_id").cast("long"), col("acos"),
         col("bucket").cast("long")).as("tk"))
     val cand = explodeTopK(survivors).select("query_id", "neighbor_id")
-    // stage 2: exact re-rank of the tiny survivor set
-    val exactQ = embeddings.filter(queryPred)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    // stage 2: exact re-rank of the tiny survivor set. Query vectors and
+    // norms are reused from the probe frame (deduped across its nprobe
+    // explosion) — recomputing them from the source would be a second
+    // full queryPred scan of the corpus for work already done
+    val exactQ = probes.dropDuplicates("query_id")
+      .select("query_id", "qv", "qn")
     val topk = udaf(new TopKNeighbors(k), Encoders.product[Scored])
     val reranked = cand
       .join(assigned.select(col(idCol).as("neighbor_id"), col("v"),
@@ -450,13 +452,25 @@ object Similarity {
     * centroids: assigning with any other centroid set would silently
     * divorce probe geometry from bucket contents (recall collapses with
     * no error anywhere) — the invariant [[writeCentroids]] exists to
-    * protect. */
+    * protect.
+    *
+    * Re-delivered ids are anti-joined away first: a duplicate id would
+    * occupy two of a probe's k slots (the bounded heap dedups by rank
+    * order, not identity) and silently evict a genuinely distinct
+    * neighbor. The guard costs one column-pruned scan of the index's id
+    * column — the standard presence-check price of any append-only
+    * store. The index is append-only: an UPDATED vector for an existing
+    * id needs a rebuild (replacing in place means rewriting its bucket
+    * partition). */
   def appendToIndex(newVectors: DataFrame, dir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
-    ivfAssign(newVectors, readCentroids(newVectors.sparkSession, dir),
-        idCol, vecCol)
+                    vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val existingIds = spark.read.parquet(dir).select(col(idCol))
+    ivfAssign(newVectors.join(existingIds, Seq(idCol), "left_anti"),
+        readCentroids(spark, dir), idCol, vecCol)
       .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
 
   // ── DuckDB twins ──────────────────────────────────────────────────────
   /** SQL: the same left-fold cosine over two DOUBLE[] expressions.

@@ -66,10 +66,20 @@ object TextHash {
   def minhashSig(hs: Column): Column =
     call_function(graft.functions.GraftFunctions.MinhashName, hs)
 
-  /** LSH band keys: NumBands strings of BandRows comma-joined sig values. */
+  /** LSH band keys: NumBands strings of BandRows comma-joined sig values.
+    *
+    * `concat` (not `concat_ws`): concat PROPAGATES null, so a null
+    * signature (or null signature slot) yields null band keys, and null
+    * keys match nothing in the band equi-join — enforcing end-to-end the
+    * invariant [[graft.functions.MinhashSig]] states (no bucketing on
+    * partial signatures). concat_ws SKIPS nulls, which would give every
+    * broken doc the same "" key — N broken docs banding together is N²
+    * candidate pairs of garbage per band. */
   def bandKeys(sig: Column): Column =
     array((0 until NumBands).map { bi =>
-      concat_ws(",", (0 until BandRows).map(ri => sig(bi * BandRows + ri)): _*)
+      concat((0 until BandRows).flatMap(ri =>
+        (if (ri == 0) Nil else Seq(lit(","))) :+
+          sig(bi * BandRows + ri).cast("string")): _*)
     }: _*)
 
   /** Executor/driver-side twin of [[words]]: the same non-empty
@@ -115,10 +125,12 @@ object TextHash {
       s"list_min(list_transform($hs, h -> (${A(j)} * h + ${B(j)}) % $P))"
     }.mkString("[", ", ", "]")
 
-  /** SQL: band-key list over a signature list expression (1-based index). */
+  /** SQL: band-key list over a signature list expression (1-based index).
+    * `||` (not concat): DuckDB's concat SKIPS nulls where `||` propagates
+    * them — the same null-signature contract as [[bandKeys]]. */
   def sqlBandKeys(sig: String): String =
     (0 until NumBands).map { bi =>
       (0 until BandRows).map(ri => s"CAST(($sig)[${bi * BandRows + ri + 1}] AS VARCHAR)")
-        .mkString("concat(", " , ',', ", ")")
+        .mkString(" || ',' || ")
     }.mkString("[", ", ", "]")
 }

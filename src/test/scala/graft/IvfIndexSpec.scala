@@ -58,6 +58,12 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val full = contents(dirFull)
     assert(contents(dirIncr) == full && full.nonEmpty)
+
+    // re-delivered ids are anti-joined away: an OVERLAPPING append must
+    // not duplicate rows (a duplicate id would eat two of a probe's k
+    // slots and evict a real neighbor)
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") < 100), dirIncr)
+    assert(contents(dirIncr) == full)
   }
 
   test("the centroid table is invisible to the bucket data scan") {

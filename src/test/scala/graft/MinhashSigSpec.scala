@@ -35,19 +35,21 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(got.last._1 == Seq.fill(TextHash.K)(None))
   }
 
-  test("codegen path (parquet) equals the interpreted path (local)") {
+  test("codegen path (parquet) equals the interpreted path (local), row for row") {
+    // keyed by id: a set compare would mask the codegen path swapping or
+    // duplicating rows — the exact bug class this parity test exists for
     val rows = Seq(
-      Tuple1(Seq(5L, 123456789L, 17L)),
-      Tuple1(Seq.empty[Long]))
-    val local = rows.toDF("hs")
-      .select(TextHash.minhashSig(col("hs")).as("sig"))
-      .as[Seq[Option[Long]]].collect().toSeq
+      (1L, Seq(5L, 123456789L, 17L)),
+      (2L, Seq(42L)),
+      (3L, Seq.empty[Long]))
+    def byId(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), TextHash.minhashSig(col("hs")).as("sig"))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    val local = byId(rows.toDF("id", "hs"))
     val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
-    rows.toDF("hs").write.mode("overwrite").parquet(dir)
-    val codegen = spark.read.parquet(dir)
-      .select(TextHash.minhashSig(col("hs")).as("sig"))
-      .as[Seq[Option[Long]]].collect().toSeq
-    assert(local.toSet == codegen.toSet)
+    rows.toDF("id", "hs").write.mode("overwrite").parquet(dir)
+    val codegen = byId(spark.read.parquet(dir))
+    assert(local == codegen && local.size == 3)
   }
 
   test("simhash: native expression matches the SQL-twin vote rule on both paths") {
@@ -60,21 +62,33 @@ class MinhashSigSpec extends AnyFunSuite {
       else fp
     }
     val rows = Seq(
-      Tuple1(Seq(0xF0F0L, 0x0F0FL, 0xFFFFL)),
-      Tuple1(Seq(7L)),
-      Tuple1(Seq.empty[Long]))   // empty: every 2·0 ≥ 0 vote passes → all bits
-    val local = rows.toDF("hs").select(sim(col("hs"))).as[Long].collect()
-    assert(local.toSeq == rows.map(r => slow(r._1)))
-    assert(local(2) == 0xFFFFFFFFL)
+      (1L, Seq(0xF0F0L, 0x0F0FL, 0xFFFFL)),
+      (2L, Seq(7L)),
+      (3L, Seq.empty[Long]))   // empty: every 2·0 ≥ 0 vote passes → all bits
+    def byId(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), sim(col("hs")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val local = byId(rows.toDF("id", "hs"))
+    assert(local == rows.map { case (id, hs) => id -> slow(hs) }.toMap)
+    assert(local(3L) == 0xFFFFFFFFL)
     val dir = java.nio.file.Files.createTempDirectory("graft-sh").toString
-    rows.toDF("hs").write.mode("overwrite").parquet(dir)
-    val codegen = spark.read.parquet(dir).select(sim(col("hs")))
-      .as[Long].collect()
-    assert(codegen.sorted.toSeq == local.sorted.toSeq)
+    rows.toDF("id", "hs").write.mode("overwrite").parquet(dir)
+    // keyed compare: set/sorted compares would mask row swaps in codegen
+    assert(byId(spark.read.parquet(dir)) == local)
     // null element → null fingerprint
     val r = Seq(Tuple1(Seq[Option[Long]](Some(5L), None))).toDF("hs")
       .select(sim(col("hs"))).collect().head
     assert(r.isNullAt(0))
+  }
+
+  test("a null signature yields null band keys, never shared '' buckets") {
+    // concat_ws would skip the nulls and give every broken doc the SAME
+    // "" key — N broken docs banding together is N² garbage candidates;
+    // null keys match nothing in the band equi-join
+    val r = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("sig")
+      .select(TextHash.bandKeys(col("sig")).as("bk")).collect().head
+    val bk = r.getSeq[Any](0)
+    assert(bk.length == TextHash.NumBands && bk.forall(_ == null))
   }
 
   test("null input and null elements yield a null signature") {
