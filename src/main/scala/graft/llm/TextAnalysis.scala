@@ -24,6 +24,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you"))
 
+  /** Stopword OCCURRENCE count. Stays a filter() fold even though HOFs
+    * are interpreted: the codegen'd set ops can't express occurrence
+    * counting (array_except DEDUPS its result, so size-difference
+    * arithmetic over-counts repeated non-stop words). */
   private def hits(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, w => w.isin(stop.map(lit): _*)))
 
@@ -69,8 +73,11 @@ object TextAnalysis {
     docs.withColumn("ws", words(col(textCol)))
       .withColumn("n_words", size(col("ws")))
       .withColumn("n_chars", length(col(textCol)))
-      .withColumn("word_chars", aggregate(col("ws"), lit(0),
-        (acc, w) => acc + length(w)))
+      // length-of-concatenation == sum-of-lengths, without the
+      // interpreted aggregate() fold; the null guard keeps NULL text →
+      // NULL (concat_ws would silently treat a null array as empty)
+      .withColumn("word_chars",
+        when(col("ws").isNotNull, length(concat_ws("", col("ws")))))
       .withColumn("stop_hits", hits(col("ws"), allStops))
       .withColumn("quality_bucket",
         when(col("n_words") < 20, "too_short")
