@@ -45,4 +45,41 @@ object Curation {
       .filter(!col("is_rep")).select(col("doc_id").as(idCol))
     exactKept.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Per-source quality census — the domain-filtering stage (RefinedWeb /
+    * C4-style): aggregate each source's quality-bucket counts and decide
+    * per source whether it survives. A source is kept when it has at
+    * least `minDocs` documents and at least half of them are `fluent`
+    * (both in exact integer form — `2·n_fluent ≥ n_docs` — so the verdict
+    * hashes identically cross-engine).
+    *
+    * Scale shape: one partial-aggregated groupBy on the source key
+    * (sources number in the millions at web scale — still tiny next to
+    * documents); the census is the broadcast side of [[sourceGate]]'s
+    * filter join. */
+  def sourceStats(docs: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text",
+                  minDocs: Int = 10): DataFrame =
+    TextAnalysis.withQuality(docs, textCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_bucket") === "fluent", 1L).otherwise(0L))
+          .as("n_fluent"),
+        sum(when(col("quality_bucket") === "too_short", 1L).otherwise(0L))
+          .as("n_short"))
+      .withColumn("kept",
+        col("n_docs") >= minDocs && lit(2) * col("n_fluent") >= col("n_docs"))
+
+  /** Drop every document of a rejected source. Two passes over the input
+    * (stats, then filter) — at corpus scale the census is computed once,
+    * persisted with the corpus snapshot, and reused by every downstream
+    * run, exactly like the dedup signature table. The kept-source list is
+    * source-count-sized, so the semi-join broadcasts. */
+  def sourceGate(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text",
+                 minDocs: Int = 10): DataFrame =
+    docs.join(
+      sourceStats(docs, sourceCol, textCol, minDocs)
+        .filter(col("kept")).select(sourceCol),
+      Seq(sourceCol), "left_semi")
 }

@@ -213,6 +213,47 @@ object Dedup {
       .select("doc_id", "eval_id", "inter", "uni")
   }
 
+  /** Exact n-gram decontamination — the strict companion to
+    * [[contaminationPairs]]: a corpus document is flagged when it shares
+    * ANY whole n-gram with an evaluation document (the GPT-3/PaLM-style
+    * exact-overlap check; fuzzy LSH catches paraphrase, this catches
+    * verbatim leakage that LSH's Jaccard threshold can miss when the
+    * eval text is a small fragment of a long training doc).
+    *
+    * Returns one row per contaminated corpus doc:
+    * (doc_id, n_ngrams, n_hits, n_eval_docs, min_eval_id) — total
+    * distinct n-grams, how many of them appear in the eval set, how many
+    * eval docs are touched, and the smallest touched eval id (the
+    * attribution a drop report needs). Clean docs are absent; callers
+    * anti-join.
+    *
+    * Scale shape: the corpus is one narrow shingling pass + explode (no
+    * self-join, no signature build); the eval side is benchmark-sized, so
+    * its distinct (gram, eval_id) table broadcasts and the only shuffle
+    * is the per-doc aggregation, which partial-aggregates map-side.
+    * Grams join on the 32-bit md5-prefix hash, not the string — identical
+    * on both engines, and a false positive needs an md5-prefix collision
+    * between a doc and the (small) eval gram set. */
+  def exactNgramContamination(corpus: DataFrame, evalDocs: DataFrame,
+                              shingleN: Int = 5,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id),
+        hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+    val cg = grams(corpus, "doc_id")
+    val evalGrams = grams(evalDocs, "eval_id")
+      .select(col("eval_id"), explode(col("hs")).as("g"))
+    val hits = cg.select(col("doc_id"), size(col("hs")).as("n_ngrams"),
+        explode(col("hs")).as("g"))
+      .join(evalGrams, "g")
+    hits.groupBy("doc_id")
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        min(col("eval_id")).as("min_eval_id"))
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs, the step that turns pairwise matches into keep/drop
     * decisions (cluster representative = min id). Pregel-style min-label

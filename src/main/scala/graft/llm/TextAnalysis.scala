@@ -184,6 +184,25 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")))
 
+  /** Corpus vocabulary census: the k most frequent whitespace tokens with
+    * their occurrence counts — the fast corpus-health readout (tokenizer
+    * coverage, boilerplate tokens, encoding damage all show up at the top
+    * of the list).
+    *
+    * Scale shape: explode is narrow, the count is one partial-aggregated
+    * shuffle on the token (map-side combine collapses each partition to
+    * its distinct tokens before anything moves), and the final top-k is
+    * Spark's `TakeOrderedAndProject` — per-partition bounded heaps merged
+    * on the driver, never a global sort of the vocabulary. Ties break on
+    * the token string, so the k-th place is a total order and the cut is
+    * deterministic on both engines. */
+  def vocabCensus(docs: DataFrame, k: Int,
+                  textCol: String = "text"): DataFrame =
+    docs.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Content fingerprints: `fp_min` = min hashed shingle (winnowing-style
     * content fingerprint, stable under word reorder outside the window)
     * and `fp_pos` = position-weighted word-hash sum mod P (order

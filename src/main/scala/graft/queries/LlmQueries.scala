@@ -920,6 +920,111 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
            |       CAST(vec_id AS BIGINT) AS neighbor_id, CAST(bucket AS BIGINT) AS bucket
            |FROM exact WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ── Exact n-gram decontamination: the strict verbatim-overlap check
+    //    next to q69's fuzzy LSH — a doc is flagged on ANY shared 5-gram
+    //    with the (derived) eval set. Corpus side: one shingling pass +
+    //    explode; eval gram table broadcasts. ──────────────────────────────
+    QueryDef.sorted(
+      "q71_exact_decontaminate",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val evalSet = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + EvalOffset).as("doc_id"),
+            truncText(words(col("text"))).as("text"))
+        Dedup.exactNgramContamination(docs, evalSet, shingleN = 5)
+          .select(col("doc_id").cast("long"), col("n_ngrams").cast("long"),
+            col("n_hits"), col("n_eval_docs"),
+            col("min_eval_id").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val hs5 = TextHash.sqlHashedShingles(TextHash.sqlShingles("w", 5))
+        s"""WITH ev AS (
+           |  SELECT doc_id + $EvalOffset AS doc_id, ${sqlTruncText("text")} AS text
+           |  FROM documents WHERE doc_id % 13 = 0),
+           |ctok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |cg AS (SELECT doc_id, $hs5 AS hs FROM ctok),
+           |etok AS (SELECT doc_id, ${W("text")} AS w FROM ev),
+           |eg AS (SELECT doc_id AS eval_id, $hs5 AS hs FROM etok),
+           |cx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS g FROM cg),
+           |ex AS (SELECT eval_id, unnest(hs) AS g FROM eg),
+           |hits AS (SELECT cx.doc_id, cx.n_ngrams, cx.g, ex.eval_id
+           |         FROM cx JOIN ex USING (g))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(max(n_ngrams) AS BIGINT) AS n_ngrams,
+           |       count(DISTINCT g) AS n_hits,
+           |       count(DISTINCT eval_id) AS n_eval_docs,
+           |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
+           |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Deterministic output sharding + manifest: shard = salted id hash
+    //    (stable under re-runs/repartitioning); manifest pins membership
+    //    via count + byte total + id checksum per shard. ──────────────────
+    QueryDef.sorted(
+      "q72_shard_manifest",
+      (s, dir) => Sharding.shardManifest(Sharding.withShard(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")), nShards = 16))
+        .select(col("shard").cast("long"), col("n_docs"),
+          col("byte_sum").cast("long"), col("id_sum").cast("long"),
+          col("min_id").cast("long"), col("max_id").cast("long")),
+      _.orderBy("shard"),
+      Some(
+        s"""WITH sharded AS (
+           |  SELECT doc_id, text, ${Sharding.sqlShardId("doc_id", 16)} AS shard
+           |  FROM documents)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           |       CAST(sum(strlen(text)) AS BIGINT) AS byte_sum,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |       CAST(min(doc_id) AS BIGINT) AS min_id,
+           |       CAST(max(doc_id) AS BIGINT) AS max_id
+           |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ── Vocabulary census: top-100 tokens by occurrence (two-phase — map-
+    //    side combine then TakeOrdered bounded heaps; never a global
+    //    vocabulary sort). Token tie-break makes the cut deterministic. ────
+    QueryDef(
+      "q73_vocab_census",
+      (s, dir) => TextAnalysis.vocabCensus(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("text")), k = 100)
+        .select(col("token"), col("n")),
+      Some(
+        s"""WITH tok AS (SELECT unnest(${W("text")}) AS token FROM documents)
+           |SELECT token, count(*) AS n FROM tok
+           |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
+    // ── Per-source quality gate (domain filtering): census of quality
+    //    buckets per source + the integer-form keep verdict (≥ 10 docs and
+    //    ≥ half fluent). ───────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q74_source_gate",
+      (s, dir) => Curation.sourceStats(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("source", "text")), minDocs = 10)
+        .select(col("source"), col("n_docs"), col("n_fluent"),
+          col("n_short"), col("kept")),
+      _.orderBy("source"),
+      Some {
+        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+          .map(s => s"'$s'").mkString(",")
+        s"""WITH tok AS (SELECT source, ${W("text")} AS w FROM documents),
+           |sig AS (SELECT source, len(w) AS n_words,
+           |               len(list_filter(w, x -> x IN ($allStops))) AS stop_hits
+           |        FROM tok),
+           |agg AS (SELECT source, count(*) AS n_docs,
+           |               sum(CASE WHEN n_words >= 20 AND stop_hits * 5 >= n_words
+           |                        THEN 1 ELSE 0 END) AS n_fluent,
+           |               sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS n_short
+           |        FROM sig GROUP BY source)
+           |SELECT source, n_docs, CAST(n_fluent AS BIGINT) AS n_fluent,
+           |       CAST(n_short AS BIGINT) AS n_short,
+           |       (n_docs >= 10 AND 2 * n_fluent >= n_docs) AS kept
+           |FROM agg ORDER BY source""".stripMargin
       })
   )
 }

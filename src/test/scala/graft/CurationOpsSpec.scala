@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Curation, Dedup, TextAnalysis}
+
+/** Known-shape checks for the corpus-level curation operators: exact
+  * n-gram decontamination, the vocabulary census, and per-source quality
+  * gating. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact n-gram contamination flags verbatim overlap only") {
+    val corpus = Seq(
+      (1L, "alpha one two three four five omega"), // shares one 5-gram
+      (2L, "totally different words here entirely now"),
+      (3L, "one two three four five six"),         // exact eval copy
+      (4L, "tiny doc"))                            // sub-window, exact copy
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "one two three four five six"),
+      (101L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNgramContamination(corpus, evalSet, shingleN = 5)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toList
+    // doc 1: 3 distinct 5-grams, one ("one two three four five") leaked
+    assert(out.map(_._1) == List(1L, 3L, 4L))
+    assert(out(0) == ((1L, 3, 1L, 1L, 100L)))
+    // doc 3: both of its 5-grams are the eval doc's
+    assert(out(1) == ((3L, 2, 2L, 1L, 100L)))
+    // doc 4: shorter than the window — whole text is the gram
+    assert(out(2) == ((4L, 1, 1L, 1L, 101L)))
+  }
+
+  test("vocab census counts occurrences and cuts deterministically at k") {
+    val docs = Seq(
+      "b b b a a c", "a d d", "e").toDF("text")
+    val out = TextAnalysis.vocabCensus(docs, k = 3)
+      .as[(String, Long)].collect().toList
+    // a:3 b:3 tie broken on token; d:2 takes the last slot over c/e:1
+    assert(out == List(("a", 3L), ("b", 3L), ("d", 2L)))
+  }
+
+  test("source gate keeps majority-fluent sources of sufficient size") {
+    val fluent = Array.fill(4)("the a of and to in is").mkString(" ") // 28 stopwords
+    val listy = (1 to 25).map(i => s"item$i").mkString(" ")
+    val docs =
+      (1 to 10).map(i => (s"good", fluent)) ++
+        (1 to 10).map(i => (s"bad", listy)) ++
+        (1 to 3).map(i => (s"small", fluent))
+    val df = docs.toDF("source", "text")
+    val stats = Curation.sourceStats(df, minDocs = 10)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats("good") == (("good", 10L, 10L, 0L, true)))
+    assert(stats("bad") == (("bad", 10L, 0L, 0L, false)))
+    // fluent but below the size floor
+    assert(stats("small") == (("small", 3L, 3L, 0L, false)))
+    val kept = Curation.sourceGate(df, minDocs = 10)
+      .select("source").distinct().as[String].collect().toSet
+    assert(kept == Set("good"))
+  }
+}

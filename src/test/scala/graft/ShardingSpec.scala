@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Sharding
+
+/** The properties that make hash sharding a write contract rather than a
+  * partitioning accident: determinism, partitioning independence,
+  * append-stability, and a manifest that certifies the bytes on disk. */
+class ShardingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.range(0, 500)
+    .select(col("id").as("doc_id"),
+      concat(lit("doc body number "), col("id")).as("text"))
+
+  test("shard assignment is deterministic, bounded, and partitioning-independent") {
+    val a = Sharding.withShard(docs, 16).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    val b = Sharding.withShard(docs.repartition(7), 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.size == 500)
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    // md5 spreads: no shard hoards the corpus
+    val byShard = a.values.groupBy(identity).map(_._2.size)
+    assert(byShard.max < 100)
+  }
+
+  test("a document's shard never moves when the corpus grows") {
+    // incremental append must not reshuffle history: assignment is a pure
+    // function of the id, so the first 100 docs shard identically whether
+    // or not the other 400 exist
+    val small = Sharding.withShard(docs.filter(col("doc_id") < 100), 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val full = Sharding.withShard(docs, 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(small.forall { case (id, s) => full(id) == s })
+  }
+
+  test("writeShards lands one directory per shard and certifies them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+      .toFile.getAbsolutePath
+    val written = Sharding.writeShards(docs, dir, nShards = 8)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == (0 until 8).map(s => s"shard=$s").toSet)
+    // the read-back manifest matches the manifest of the input frame:
+    // nothing truncated, nothing double-written
+    val expected = Sharding.shardManifest(Sharding.withShard(docs, 8))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(written.as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSet == expected)
+  }
+}
