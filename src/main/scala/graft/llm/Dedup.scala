@@ -241,7 +241,14 @@ object Dedup {
     def grams(df: DataFrame, id: String) = df
       .select(col(idCol).as(id),
         hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+    // persisted for the same measured reason as verifiedNearDupPairs'
+    // signature barrier: without it, CollapseProject inlines the md5
+    // shingle chain into BOTH size() and explode() (the whole gram array
+    // is hashed twice per row) — measured ~2.8 s → ~1.5 s on q71 at
+    // sf0.1; at corpus scale the gram table is also the artifact an
+    // incremental decontamination run reuses
     val cg = grams(corpus, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val evalGrams = grams(evalDocs, "eval_id")
       .select(col("eval_id"), explode(col("hs")).as("g"))
     val hits = cg.select(col("doc_id"), size(col("hs")).as("n_ngrams"),

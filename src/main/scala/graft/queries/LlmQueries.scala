@@ -102,6 +102,51 @@ object LlmQueries extends QueryFamily {
        |${p}bands AS (SELECT doc_id, unnest(bkeys) AS band_key,
        |                 unnest(range(0, $NumBands)) AS band_idx FROM ${p}bk)""".stripMargin
 
+  /** Oracle CTE chain of the full curation pipeline, ending at
+    * `surv(doc_id, text, n_words, quality_bucket, pred_lang)` — the kept
+    * corpus after the quality gate, exact dedup, and near-dup cluster
+    * drop. Shared by q62 (census of the survivors) and q75 (split + shard
+    * the survivors); the caller must prefix `WITH RECURSIVE`. */
+  private lazy val curationCtes: String = {
+    val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+      .map(s => s"'$s'").mkString(",")
+    val (scores, pred) = TextAnalysis.sqlLangId("w")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |ctok AS (SELECT doc_id, text, ${W("text")} AS w FROM corpus),
+       |csig AS (SELECT doc_id, text, len(w) AS n_words,
+       |                len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
+       |                ${scores.mkString(", ")}
+       |         FROM ctok),
+       |gated AS (SELECT doc_id, text, n_words,
+       |                 CASE WHEN stop_hits * 5 >= n_words THEN 'fluent'
+       |                      ELSE 'listy' END AS quality_bucket,
+       |                 $pred AS pred_lang
+       |          FROM csig WHERE n_words >= 20),
+       |er AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+       |       FROM gated GROUP BY md5(text)),
+       |kept AS (SELECT g.* FROM gated g
+       |         JOIN er ON md5(g.text) = er.th AND g.doc_id = er.keep_id),
+       |${lshPairsCtes("kept")},
+       |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+       |          UNION SELECT id_b, id_a FROM vp),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |clus AS (SELECT n AS doc_id, min(m) AS cluster_id
+       |         FROM reach GROUP BY n),
+       |surv AS (SELECT k.* FROM kept k
+       |         WHERE k.doc_id NOT IN
+       |               (SELECT doc_id FROM clus WHERE doc_id <> cluster_id))""".stripMargin
+  }
+
   /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)`: the LSH
     * candidate/verification structure over a named (doc_id, text) CTE —
     * shared by q31/q51 (over `corpus`) and q62 (over the curation
@@ -616,48 +661,11 @@ object LlmQueries extends QueryFamily {
             col("quality_bucket"), col("n_words").cast("long"))
       },
       _.orderBy("doc_id"),
-      Some {
-        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
-          .map(s => s"'$s'").mkString(",")
-        val (scores, pred) = TextAnalysis.sqlLangId("w")
-        s"""WITH RECURSIVE corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
-           |  UNION ALL
-           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |ctok AS (SELECT doc_id, text, ${W("text")} AS w FROM corpus),
-           |csig AS (SELECT doc_id, text, len(w) AS n_words,
-           |                len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
-           |                ${scores.mkString(", ")}
-           |         FROM ctok),
-           |gated AS (SELECT doc_id, text, n_words,
-           |                 CASE WHEN stop_hits * 5 >= n_words THEN 'fluent'
-           |                      ELSE 'listy' END AS quality_bucket,
-           |                 $pred AS pred_lang
-           |          FROM csig WHERE n_words >= 20),
-           |er AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
-           |       FROM gated GROUP BY md5(text)),
-           |kept AS (SELECT g.* FROM gated g
-           |         JOIN er ON md5(g.text) = er.th AND g.doc_id = er.keep_id),
-           |${lshPairsCtes("kept")},
-           |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
-           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
-           |          UNION SELECT id_b, id_a FROM vp),
-           |reach(n, m) AS (
-           |  SELECT DISTINCT a, a FROM edges
-           |  UNION
-           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
-           |clus AS (SELECT n AS doc_id, min(m) AS cluster_id
-           |         FROM reach GROUP BY n)
-           |SELECT CAST(k.doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
+      Some(
+        s"""WITH RECURSIVE $curationCtes
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
            |       CAST(n_words AS BIGINT) AS n_words
-           |FROM kept k
-           |WHERE k.doc_id NOT IN
-           |      (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
-           |ORDER BY doc_id""".stripMargin
-      }),
+           |FROM surv ORDER BY doc_id""".stripMargin)),
 
     // ── Repetition signals (Gopher-style filters): duplicate-word,
     //    adjacent-stutter, and top-3-gram fractions in exact integer form,
@@ -1025,6 +1033,42 @@ object LlmQueries extends QueryFamily {
            |       CAST(n_short AS BIGINT) AS n_short,
            |       (n_docs >= 10 AND 2 * n_fluent >= n_docs) AS kept
            |FROM agg ORDER BY source""".stripMargin
-      })
+      }),
+
+    // ── The full materialization pipeline end-to-end: curate (gate →
+    //    exact dedup → cluster drop) → deterministic split → deterministic
+    //    shard, reported as the per-(split, shard) manifest a training-
+    //    shard writer would emit. Proves the whole chain composes with
+    //    one cross-engine answer. ──────────────────────────────────────────
+    QueryDef.sorted(
+      "q75_curated_shards",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val corpus = docs
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
+        Sharding.withShard(Sampling.withSplit(Curation.curate(corpus)),
+            nShards = 8)
+          .groupBy("split", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .select("split", "shard", "n_docs", "id_sum", "min_id", "max_id")
+      },
+      _.orderBy("split", "shard"),
+      Some(
+        s"""WITH RECURSIVE $curationCtes,
+           |assigned AS (SELECT doc_id, ${Sampling.sqlSplit("doc_id")} AS split,
+           |                    ${Sharding.sqlShardId("doc_id", 8)} AS shard
+           |             FROM surv)
+           |SELECT split, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |       CAST(min(doc_id) AS BIGINT) AS min_id,
+           |       CAST(max(doc_id) AS BIGINT) AS max_id
+           |FROM assigned GROUP BY split, shard ORDER BY split, shard""".stripMargin))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Pii, Sampling, TextAnalysis}
+import graft.llm.{Pii, Sampling, Sharding, TextAnalysis}
 
 /** The narrow curation operators (quality, repetition, PII, split) are
   * pure per-row column algebra, so they run UNCHANGED inside Structured
@@ -17,12 +17,13 @@ class StreamingCurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def signals(df: org.apache.spark.sql.DataFrame) =
-    Sampling.withSplit(
-      Pii.withPiiRedaction(
-        TextAnalysis.withRepetition(
-          TextAnalysis.withQuality(df))))
+    Sharding.withShard(
+      Sampling.withSplit(
+        Pii.withPiiRedaction(
+          TextAnalysis.withRepetition(
+            TextAnalysis.withQuality(df)))), nShards = 4)
       .select("doc_id", "n_words", "quality_bucket", "adj_dups",
-        "repetitive", "n_emails", "redacted", "split")
+        "repetitive", "n_emails", "redacted", "split", "shard")
 
   test("the narrow operator chain is batch/stream identical") {
     implicit val sqlCtx = spark.sqlContext
