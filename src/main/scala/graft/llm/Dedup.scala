@@ -196,20 +196,55 @@ object Dedup {
   def contaminationPairs(corpus: DataFrame, evalDocs: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text",
-                         shingleN: Int = 3): DataFrame = {
-    val cs = withSignature(corpus, textCol, shingleN)
-      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val es = withSignature(evalDocs, textCol, shingleN)
+                         shingleN: Int = 3): DataFrame =
+    contaminationPairsSigned(corpus, signEval(evalDocs, idCol, textCol,
+      shingleN), idCol, textCol, shingleN)
+
+  /** Sign an eval/benchmark set once for repeated decontamination runs:
+    * (eval_id, sh_e, bkeys_e), persisted. The continuous-ingest path
+    * ([[graft.streaming.StreamingDecontam]]) signs the eval side once at
+    * stream start and reuses it for every micro-batch — re-signing a
+    * static benchmark per batch would be pure waste. */
+  def signEval(evalDocs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", shingleN: Int = 3): DataFrame =
+    withSignature(evalDocs, textCol, shingleN)
       .select(col(idCol).as("eval_id"), col("sh").as("sh_e"),
         col("bkeys").as("bkeys_e"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = explodeBands(cs, "doc_id")
-      .join(explodeBands(es, "eval_id", "bkeys_e"), Seq("band_idx", "band_key"))
+
+  /** Sign a corpus (doc_id, sh, bkeys), persisted — the corpus-side
+    * barrier every contamination run needs (band join + verification
+    * join both read it). The streaming twin unpersists it per batch. */
+  def signCorpus(corpus: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", shingleN: Int = 3): DataFrame =
+    withSignature(corpus, textCol, shingleN)
+      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[contaminationPairs]] against a pre-signed eval table (the output
+    * of [[signEval]]). Per-corpus-doc independent: the pairs for a corpus
+    * split depend only on that split's docs, so running this per
+    * micro-batch and unioning equals one batch run over the union —
+    * the property the streaming twin's spec pins. */
+  def contaminationPairsSigned(corpus: DataFrame, evalSigned: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               shingleN: Int = 3): DataFrame =
+    pairsBetweenSigned(signCorpus(corpus, idCol, textCol, shingleN),
+      evalSigned)
+
+  /** The two-corpus band join + Jaccard verification over two signed
+    * tables ([[signCorpus]], [[signEval]]). */
+  def pairsBetweenSigned(corpusSigned: DataFrame,
+                         evalSigned: DataFrame): DataFrame = {
+    val cand = explodeBands(corpusSigned, "doc_id")
+      .join(explodeBands(evalSigned, "eval_id", "bkeys_e"),
+        Seq("band_idx", "band_key"))
       .select("doc_id", "eval_id").distinct()
     jaccardKeep(cand
-      .join(cs.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-      .join(es.select(col("eval_id"), col("sh_e").as("sh_b")), "eval_id"))
+      .join(corpusSigned.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(evalSigned.select(col("eval_id"), col("sh_e").as("sh_b")),
+        "eval_id"))
       .select("doc_id", "eval_id", "inter", "uni")
   }
 
