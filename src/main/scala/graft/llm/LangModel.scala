@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model fluency scoring — the CCNet-style
+  * quality filter of LLM-data pipelines: train bigram/unigram counts on a
+  * trusted reference slice (e.g. the `lang = 'en'` partition, or a
+  * curated wiki-like source), then score every candidate document by its
+  * add-one-smoothed bigram log-likelihood. Low-likelihood documents are
+  * gibberish, boilerplate, or wrong-language text the heuristic quality
+  * signals miss.
+  *
+  * Exactness contract (the driver hash-compares against DuckDB):
+  * - Each bigram's log-probability is floored to integer MICRO-units
+  *   (`floor(1e6 * ln(p))`) per joined row, so the per-document reduce is
+  *   an INTEGER sum — float addition is order-dependent and a
+  *   `sum(double)` over a shuffled explode would be nondeterministic
+  *   across partitionings; `sum(long)` is exact in any order.
+  * - `ln` itself is the one engine-approximate op (no correct-rounding
+  *   guarantee); the 1e-6 floor grid vs ~1e-16 relative ulp error makes a
+  *   cross-engine flip astronomically unlikely, and p = 1 (ln = 0) is
+  *   exact on both sides.
+  *
+  * Scale shape (100 TB corpus, config-sized model):
+  * - Training is two map-side-combined `groupBy` counts over the exploded
+  *   reference slice; `minCount` prunes the singleton tail so the model
+  *   stays joinable (broadcast when it fits; AQE picks otherwise —
+  *   nothing forces a broadcast of an unbounded model).
+  * - Scoring is one explode + two equi-joins keyed on the bigram/unigram
+  *   token(s) + one integer-sum `groupBy(doc)`; partial aggregation
+  *   collapses each doc's contributions map-side before the shuffle.
+  * - The vocabulary size V rides along as a broadcast 1-row frame, never
+  *   a driver-side collect.
+  */
+object LangModel {
+
+  /** Bigram array of a words array: `[(w1,w2), (w2,w3), …]` as
+    * `array<struct<w1,w2>>` — a narrow slice+zip, no generator yet. */
+  def bigramsOf(ws: Column): Column = {
+    val n1 = greatest(size(ws) - 1, lit(0))
+    zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Bigram counts of a reference corpus, tail-pruned at `minCount`.
+    * Output: `(w1, w2, n12)`. */
+  def bigramCounts(ref: DataFrame, textCol: String = "text",
+                   minCount: Int = 1): DataFrame =
+    ref.select(explode(bigramsOf(TextHash.words(col(textCol)))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+
+  /** Unigram counts of the reference corpus. Output: `(w1, n1)`. */
+  def unigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame =
+    ref.select(explode(TextHash.words(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("n1"))
+
+  /** Score documents against a trained model: per doc,
+    * `n_bigrams`, `n_oov` (bigrams unseen in the model), and `lp_micro` =
+    * Σ floor(1e6 · ln((n12+1)/(n1+V))) — the add-one-smoothed bigram
+    * log-likelihood in integer micro-nats. Documents with fewer than two
+    * words score (0, 0, 0): explode_outer keeps their row. V (vocabulary
+    * size) is taken from `unigrams` itself. */
+  def scoreDocs(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val v = unigrams.agg(count(lit(1)).as("vocab_v"))
+    val exploded = docs
+      .select(col(idCol), explode_outer(
+        bigramsOf(TextHash.words(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = exploded
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        when(col("w1").isNull, lit(null).cast("long")).otherwise(
+          floor(lit(1e6) * log(
+            (coalesce(col("n12"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("n1"), lit(0L)) + col("vocab_v"))))
+            .cast("long")))
+    scored.groupBy(idCol).agg(
+      count(col("w1")).as("n_bigrams"),
+      count(when(col("w1").isNotNull && col("n12").isNull, 1))
+        .as("n_oov"),
+      coalesce(sum(col("lp")), lit(0L)).as("lp_micro"))
+  }
+
+  // ── DuckDB twins (same tokenization, same micro-floor math) ───────────
+
+  /** SQL: bigram CTE body over a `(doc_id, text)` table — one row per
+    * bigram `(doc_id, w1, w2)`. DuckDB zips parallel unnests in the same
+    * SELECT list positionally, which IS the slice-zip above. */
+  def sqlBigrams(table: String, textExpr: String = "text"): String = {
+    val w = TextHash.sqlWords(textExpr)
+    s"""SELECT doc_id,
+       | unnest(($w)[1:greatest(len($w) - 1, 0)]) AS w1,
+       | unnest(($w)[2:len($w)]) AS w2
+       | FROM $table""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** SQL: the per-bigram micro-nat contribution given joined `n12`,
+    * `n1`, `vocab_v` columns. */
+  val sqlLpMicro: String =
+    """CAST(floor(1e6 * ln(
+      | CAST(coalesce(n12, 0) + 1 AS DOUBLE) / (coalesce(n1, 0) + vocab_v)))
+      | AS BIGINT)""".stripMargin.replaceAll("\n", "")
+}

@@ -57,6 +57,57 @@ object Sampling {
         < rate)
   }
 
+  val MixSalt = "graft-mix|"
+
+  /** Per-stratum keep rates for temperature-based corpus rebalancing
+    * (the multinomial-mixing move of multilingual/multi-source training
+    * sets: sample stratum s proportional to `n_s^alpha`, flattening the
+    * head without upsampling the tail). Realized purely by downsampling:
+    * the rarest stratum keeps everything and stratum s keeps
+    * `(n_min / n_s)^(1-alpha)` of its rows, which makes the kept counts
+    * proportional to `n_s^alpha`.
+    *
+    * The rate is emitted as an integer per-million threshold so the keep
+    * predicate is exact integer comparison (hash < threshold), replayable
+    * cross-engine. For the default `alpha = 0.5` the power is computed
+    * with `sqrt` — IEEE-correctly-rounded in both Spark and DuckDB, so
+    * `floor(1e6 * sqrt(n_min/n_s))` is bit-identical on both sides;
+    * `pow` carries no such guarantee, so other alphas are documented as
+    * engine-approximate at the floor boundary (a ~1e-16 relative band).
+    *
+    * Scale shape: one map-side-combined count per stratum (strata are
+    * config-cardinality: languages, sources), a 1-row global min joined
+    * back by broadcast — nothing here grows with the corpus. */
+  def temperatureRates(docs: DataFrame, strataCol: String,
+                       alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val counts = docs.groupBy(strataCol).agg(fcount(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs")
+    val power =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(nMin))
+      .withColumn("keep_permicro",
+        floor(lit(1e6) * power).cast("long"))
+      .drop("n_min")
+  }
+
+  /** Temperature-mix the corpus: keep a row when its salted id hash
+    * lands under its stratum's [[temperatureRates]] threshold. The rates
+    * frame is strata-sized — broadcast — so the filter is one narrow
+    * pass over the corpus with no data-sized shuffle. */
+  def temperatureMix(docs: DataFrame, strataCol: String,
+                     alpha: Double = 0.5,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val rates = temperatureRates(docs, strataCol, alpha)
+      .select(col(strataCol), col("keep_permicro"))
+    docs.join(broadcast(rates), strataCol)
+      .filter(
+        TextHash.h32p(concat(lit(MixSalt), col(idCol).cast("string")))
+          % 1000000L < col("keep_permicro"))
+  }
+
   // ── DuckDB twins (same salt, same md5-prefix hash) ────────────────────
   /** SQL: the percent bucket over an id expression. */
   def sqlSplitBucket(id: String, salt: String = SplitSalt): String =
@@ -67,6 +118,23 @@ object Sampling {
     s"""CASE WHEN ${sqlSplitBucket(id)} < $trainPct THEN 'train'
        | WHEN ${sqlSplitBucket(id)} < ${trainPct + valPct} THEN 'val'
        | ELSE 'test' END""".stripMargin.replaceAll("\n", "")
+
+  /** SQL: the [[temperatureRates]] CTE body over a `(strataCol)` table —
+    * same sqrt/floor micro-threshold math (alpha fixed at 0.5, the
+    * sqrt-exact case). */
+  def sqlTemperatureRates(table: String, strataCol: String): String =
+    s"""SELECT $strataCol, n_docs,
+       | CAST(floor(1e6 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)
+       |   AS keep_permicro
+       | FROM (SELECT $strataCol, count(*) AS n_docs FROM $table GROUP BY $strataCol),
+       |      (SELECT min(cnt) AS n_min FROM
+       |        (SELECT count(*) AS cnt FROM $table GROUP BY $strataCol))""".stripMargin
+      .replaceAll("\n", "")
+
+  /** SQL: the temperature-mix keep predicate against a joined
+    * `keep_permicro` column. */
+  def sqlMixKeep(id: String): String =
+    s"(${TextHash.sqlH32p(s"concat('$MixSalt', CAST($id AS VARCHAR))")} % 1000000) < keep_permicro"
 
   /** SQL: the stratified-sample keep predicate. */
   def sqlSampleKeep(id: String, strataCol: String, rates: Seq[(String, Int)],

@@ -203,6 +203,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Per-group TF-IDF distinctive terms — "what vocabulary makes this
+    * source/domain different", the standard corpus-characterization and
+    * topic-skew diagnostic of a training-data audit. For each group
+    * (source, domain, language shard): the top-k tokens by
+    * `tf · idf_micro`, where `tf` counts the token within the group and
+    * `idf_micro = floor(1e6 · ln((N+1)/(df+1)))` (df = documents
+    * containing the token, N = corpus doc count). The idf floor keeps the
+    * rank key an exact integer product — no float reaches the compare or
+    * the hash (ln's sub-grid ulp wobble aside, documented in
+    * [[LangModel]]).
+    *
+    * Scale shape: tf is one map-side-combined count over the exploded
+    * corpus; df explodes DISTINCT tokens per doc (`array_distinct` prunes
+    * in place before anything moves) and counts — both shuffle token-keyed,
+    * never doc-keyed. N rides along as a broadcast 1-row frame. The final
+    * per-group top-k is a `row_number` window over the post-aggregation
+    * (group, token, score) rows — group-cardinality × vocabulary rows of
+    * three scalar columns, nothing carrying document payload (the shape
+    * the Similarity rank windows were rebuilt to avoid is heavy-payload
+    * pre-aggregation rows; this window ranks the already-collapsed
+    * aggregate). Ties break on the token string so the cut is a total
+    * order on both engines. */
+  def distinctiveTerms(docs: DataFrame, k: Int,
+                       groupCol: String = "source",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs.select(col(groupCol), col(idCol),
+      words(col(textCol)).as("ws"))
+    val tf = tok.select(col(groupCol), explode(col("ws")).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("tf"))
+    val df = tok
+      .select(col(idCol), explode(array_distinct(col("ws"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        floor(lit(1e6) * log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1))).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("score_micro").desc, col("token").asc)))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("token"), col("tf"), col("score_micro"))
+  }
+
   /** Content fingerprints: `fp_min` = min hashed shingle (winnowing-style
     * content fingerprint, stable under word reorder outside the window)
     * and `fp_pos` = position-weighted word-hash sum mod P (order

@@ -1069,6 +1069,101 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
            |       CAST(min(doc_id) AS BIGINT) AS min_id,
            |       CAST(max(doc_id) AS BIGINT) AS max_id
-           |FROM assigned GROUP BY split, shard ORDER BY split, shard""".stripMargin))
+           |FROM assigned GROUP BY split, shard ORDER BY split, shard""".stripMargin)),
+
+    // ── Temperature-based source mixing: per-language keep rates
+    //    proportional to n^(alpha-1) (kept counts ∝ n^alpha), realized as
+    //    exact integer micro-thresholds over the salted id hash. The
+    //    per-stratum census pins both the computed rate and the exact
+    //    surviving membership (id_sum). ────────────────────────────────────
+    QueryDef.sorted(
+      "q76_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "lang")), strataCol = "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          max(col("keep_permicro")).as("keep_permicro")),
+      _.orderBy("lang"),
+      Some(
+        s"""WITH rates AS (${Sampling.sqlTemperatureRates("documents", "lang")})
+           |SELECT d.lang, count(*) AS n_kept,
+           |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+           |       max(keep_permicro) AS keep_permicro
+           |FROM documents d JOIN rates r ON d.lang = r.lang
+           |WHERE ${Sampling.sqlMixKeep("d.doc_id")}
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // ── Bigram-LM fluency scoring (the CCNet-style statistical quality
+    //    filter): model trained on the lang='en' slice (minCount=2 prunes
+    //    the singleton tail), every document scored by add-one-smoothed
+    //    bigram log-likelihood in integer micro-nats. Per-doc integer
+    //    outputs pin the whole model + join + reduce chain. ───────────────
+    QueryDef.sorted(
+      "q77_lm_fluency",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang"))
+        val ref = docs.filter(col("lang") === "en").select("text")
+        LangModel.scoreDocs(docs.select("doc_id", "text"),
+            LangModel.bigramCounts(ref, minCount = 2),
+            LangModel.unigramCounts(ref))
+          .withColumn("fluent",
+            col("lp_micro") >= lit(-9500000L) * col("n_bigrams"))
+          .select("doc_id", "n_bigrams", "n_oov", "lp_micro", "fluent")
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val refSrc = "(SELECT doc_id, text FROM documents WHERE lang = 'en') refsrc"
+        s"""WITH refbg AS (SELECT w1, w2, count(*) AS n12
+           |               FROM (${LangModel.sqlBigrams(refSrc)})
+           |               GROUP BY w1, w2 HAVING count(*) >= 2),
+           |refuni AS (SELECT w1, count(*) AS n1
+           |           FROM (SELECT unnest(${W("text")}) AS w1
+           |                 FROM documents WHERE lang = 'en')
+           |           GROUP BY w1),
+           |v AS (SELECT count(*) AS vocab_v FROM refuni),
+           |allbg AS (${LangModel.sqlBigrams("documents")}),
+           |contrib AS (SELECT doc_id, n12, ${LangModel.sqlLpMicro} AS lp
+           |            FROM allbg
+           |            LEFT JOIN refbg USING (w1, w2)
+           |            LEFT JOIN refuni USING (w1), v),
+           |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+           |               count(CASE WHEN n12 IS NULL THEN 1 END) AS n_oov,
+           |               CAST(coalesce(sum(lp), 0) AS BIGINT) AS lp_micro
+           |        FROM contrib GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           |       coalesce(n_oov, 0) AS n_oov,
+           |       coalesce(lp_micro, 0) AS lp_micro,
+           |       coalesce(lp_micro, 0) >= -9500000 * coalesce(n_bigrams, 0)
+           |         AS fluent
+           |FROM documents d LEFT JOIN agg USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // ── Per-source TF-IDF distinctive terms (corpus characterization):
+    //    top-5 tokens per source by tf · floor-scaled idf, exact integer
+    //    rank keys, token tie-break. ───────────────────────────────────────
+    QueryDef.sorted(
+      "q78_distinctive_terms",
+      (s, dir) => TextAnalysis.distinctiveTerms(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "text")), k = 5),
+      _.orderBy(col("source"), col("score_micro").desc, col("token")),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, source, unnest(${W("text")}) AS token
+           |             FROM documents),
+           |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (SELECT source, token, tf,
+           |                  tf * CAST(floor(1e6 * ln(
+           |                    CAST(n_docs + 1 AS DOUBLE) / (df + 1))) AS BIGINT)
+           |                    AS score_micro
+           |           FROM tf JOIN df USING (token), n),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+           |             ORDER BY score_micro DESC, token) AS rk FROM scored)
+           |SELECT source, token, tf, score_micro FROM ranked WHERE rk <= 5
+           |ORDER BY source, score_micro DESC, token""".stripMargin))
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{LangModel, Sampling, TextAnalysis}
+
+/** Bigram-LM fluency scoring, temperature mixing, and TF-IDF distinctive
+  * terms: the per-operator invariants that the oracle's aggregate compare
+  * can't isolate (hand-computed tiny-corpus scores, proportionality of
+  * mixing rates, rank determinism). */
+class LangModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bigramsOf zips adjacent words and survives short docs") {
+    val out = Seq("a b c d", "solo", "", null.asInstanceOf[String])
+      .toDF("text")
+      .select(LangModel.bigramsOf(graft.llm.TextHash.words(col("text")))
+        .as("bg"))
+      .as[Seq[(String, String)]].collect()
+    assert(out(0) == Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+    assert(out(3) == null) // null text → null words → null bigrams
+  }
+
+  test("scoreDocs matches a hand-computed add-one-smoothed model") {
+    // reference: "a b a b" → bigrams (a,b)x2, (b,a)x1; unigrams a:2 b:2
+    // V = 2
+    val ref = Seq("a b a b").toDF("text")
+    val bg = LangModel.bigramCounts(ref)
+    val uni = LangModel.unigramCounts(ref)
+    assert(bg.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 2L), ("b", "a", 1L)))
+
+    val docs = Seq((1L, "a b"), (2L, "z z"), (3L, "a")).toDF("doc_id", "text")
+    val out = LangModel.scoreDocs(docs, bg, uni)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: one bigram (a,b): ln((2+1)/(2+2)) = ln(0.75)
+    val lp1 = math.floor(1e6 * math.log(3.0 / 4.0)).toLong
+    assert(out(1L) == ((1L, 0L, lp1)))
+    // doc 2: one bigram (z,z), OOV: ln((0+1)/(0+2)) = ln(0.5)
+    val lp2 = math.floor(1e6 * math.log(0.5)).toLong
+    assert(out(2L) == ((1L, 1L, lp2)))
+    // doc 3: no bigrams
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("minCount prunes the bigram tail") {
+    val ref = Seq("a b a b c").toDF("text")
+    val kept = LangModel.bigramCounts(ref, minCount = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(kept == Set(("a", "b", 2L))) // (b,a) and (b,c) are singletons
+  }
+
+  test("temperature rates: rarest stratum keeps all, kept ∝ n^alpha") {
+    val docs = spark.range(0, 1200)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 900, "big").otherwise("small").as("lang"))
+    val rates = Sampling.temperatureRates(docs, "lang")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rates("small") == ((300L, 1000000L))) // sqrt(300/300) = 1
+    // sqrt(300/900) = 0.57735… → 577350 per-million
+    assert(rates("big")._2 == math.floor(1e6 * math.sqrt(300.0 / 900.0)).toLong)
+
+    val kept = Sampling.temperatureMix(docs, "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 300L) // rate 1.0 keeps everything
+    // expected 900 * 0.5774 ≈ 520; md5 uniformity keeps it in a loose band
+    assert(kept("big") > 450 && kept("big") < 590)
+  }
+
+  test("temperature mix is deterministic and partitioning-independent") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"),
+        (col("id") % 3).cast("string").as("lang"))
+    val a = Sampling.temperatureMix(docs, "lang")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(docs.repartition(11, col("doc_id")), "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("distinctiveTerms ranks group-heavy tokens above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "s1", "alpha alpha alpha common"),
+      (2L, "s1", "alpha common"),
+      (3L, "s2", "beta beta common"),
+      (4L, "s2", "beta common")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, k = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // "common" appears in every doc → idf = ln(5/5) = 0 → score 0;
+    // the group-specific token wins each source
+    assert(out == Map("s1" -> "alpha", "s2" -> "beta"))
+  }
+
+  test("distinctiveTerms emits exactly k rows per group with total-order ties") {
+    val docs = Seq(
+      (1L, "s1", "t1 t2 t3 t4"),
+      (2L, "s2", "t1 t2 t3 t4")).toDF("doc_id", "source", "text")
+    // every token has identical tf and df → identical score; the token
+    // tie-break must make the k-cut deterministic
+    val out = TextAnalysis.distinctiveTerms(docs, k = 2)
+      .orderBy("source", "token")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq(("s1", "t1"), ("s1", "t2"), ("s2", "t1"), ("s2", "t2")))
+  }
+}
