@@ -99,6 +99,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val MinhashName = "graft_minhash"
   val SimhashName = "graft_simhash"
+  val HashedShinglesName = "graft_hashed_shingles"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -135,6 +136,17 @@ object GraftFunctions {
           require(children.size == 1,
             s"$SimhashName expects exactly 1 argument, got ${children.size}")
           SimhashFp(children.head)
+        })
+    }
+    val hshIdent = FunctionIdentifier(HashedShinglesName)
+    if (!registry.functionExists(hshIdent)) {
+      registry.registerFunction(
+        hshIdent,
+        new ExpressionInfo(classOf[HashedShingles].getName, HashedShinglesName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$HashedShinglesName expects exactly 1 argument, got ${children.size}")
+          HashedShingles(children.head)
         })
     }
   }

@@ -52,8 +52,15 @@ object TextHash {
           i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", ws))))
 
-  /** Hashed shingle array (mod P). */
-  def hashedShingles(sh: Column): Column = transform(sh, s => h32p(s))
+  /** Hashed shingle array (mod P), backed by the native codegen
+    * expression [[graft.functions.HashedShingles]] (direct MD5 over the
+    * UTF-8 bytes, no hex round-trip, no per-element HOF dispatch — see
+    * its doc). Same numbers as `transform(sh, s => h32p(s))` and the
+    * oracle's [[sqlHashedShingles]]. Requires
+    * [[graft.GraftSession.ensure]] on sessions the library did not
+    * build. */
+  def hashedShingles(sh: Column): Column =
+    call_function(graft.functions.GraftFunctions.HashedShinglesName, sh)
 
   /** K-element minhash signature over hashed shingles, backed by the
     * native codegen expression [[graft.functions.MinhashSig]] (one pass,

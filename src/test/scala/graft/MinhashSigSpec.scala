@@ -81,6 +81,36 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("hashed shingles: native expression matches the HOF h32p form on both paths") {
+    // ground truth: the interpreted transform over the hex-conv h32p
+    def slow(c: org.apache.spark.sql.Column) =
+      transform(c, s => TextHash.h32p(s))
+    val rows = Seq(
+      (1L, Seq("a b c", "b c d", "")),
+      (2L, Seq("ünïcode tökens", "汉字 漢字")),
+      (3L, Seq.empty[String]))
+    def byId(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), TextHash.hashedShingles(col("sh")).as("fast"),
+        slow(col("sh")).as("slow"))
+      .as[(Long, Seq[Option[Long]], Seq[Option[Long]])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val local = byId(rows.toDF("id", "sh"))
+    local.values.foreach { case (fast, sl) => assert(fast == sl) }
+    assert(local(3L)._1 == Seq.empty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hs").toString
+    rows.toDF("id", "sh").write.mode("overwrite").parquet(dir)
+    // keyed compare against the local path: catches codegen row swaps
+    assert(byId(spark.read.parquet(dir)) == local)
+    // null array → null; null element → null element (the MinhashSig
+    // null-propagation contract depends on element nulls surviving)
+    val r = Seq((1L, Some(Seq(Some("x"), None))), (2L, None))
+      .toDF("id", "sh")
+      .select(col("id"), TextHash.hashedShingles(col("sh")).as("hs"))
+      .as[(Long, Option[Seq[Option[Long]]])].collect().toMap
+    assert(r(2L).isEmpty)
+    assert(r(1L).get(0).nonEmpty && r(1L).get(1).isEmpty)
+  }
+
   test("a null signature yields null band keys, never shared '' buckets") {
     // concat_ws would skip the nulls and give every broken doc the SAME
     // "" key — N broken docs banding together is N² garbage candidates;
