@@ -100,6 +100,7 @@ object GraftFunctions {
   val MinhashName = "graft_minhash"
   val SimhashName = "graft_simhash"
   val HashedShinglesName = "graft_hashed_shingles"
+  val ShinglesName = "graft_shingles"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -147,6 +148,20 @@ object GraftFunctions {
           require(children.size == 1,
             s"$HashedShinglesName expects exactly 1 argument, got ${children.size}")
           HashedShingles(children.head)
+        })
+    }
+    val wsIdent = FunctionIdentifier(ShinglesName)
+    if (!registry.functionExists(wsIdent)) {
+      registry.registerFunction(
+        wsIdent,
+        new ExpressionInfo(classOf[WordShingles].getName, ShinglesName),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            s"$ShinglesName expects exactly 2 arguments, got ${children.size}")
+          require(children(1).foldable,
+            s"$ShinglesName: shingle size must be a literal")
+          WordShingles(children(0),
+            children(1).eval().asInstanceOf[Number].intValue())
         })
     }
   }

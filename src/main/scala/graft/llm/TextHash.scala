@@ -44,13 +44,17 @@ object TextHash {
     filter(split(text, " "), w => w =!= "")
 
   /** Distinct word n-gram shingles ("a b c"-style); whole text if shorter
-    * than n words. */
+    * than n words. The windowed branch is the native one-pass
+    * [[graft.functions.WordShingles]] (fused slide+join+dedupe — see its
+    * doc for the HOF-tax argument); the short-doc branch keeps the
+    * column form, whose single `concat_ws` also defines the null-words
+    * behavior (`[""]`). Same values and order as the previous
+    * `array_distinct(transform(sequence(...), slice+concat_ws))` and the
+    * oracle's [[sqlShingles]]. */
   def shingles(ws: Column, n: Int): Column =
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", ws))))
+    when(size(ws) >= n,
+      call_function(graft.functions.GraftFunctions.ShinglesName, ws, lit(n)))
+      .otherwise(array(concat_ws(" ", ws)))
 
   /** Hashed shingle array (mod P), backed by the native codegen
     * expression [[graft.functions.HashedShingles]] (direct MD5 over the

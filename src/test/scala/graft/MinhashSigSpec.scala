@@ -111,6 +111,37 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(r(1L).get(0).nonEmpty && r(1L).get(1).isEmpty)
   }
 
+  test("shingles: native expression matches the HOF slice/concat form on both paths") {
+    // ground truth: the interpreted windowed form the native expression
+    // replaced (including array_distinct's keep-first order)
+    def slow(ws: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", ws))))
+    val rows = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b a b a b"),   // duplicate windows → dedupe order matters
+      (3L, "a b"),           // shorter than n → whole text
+      (4L, ""),              // no words → [""] via the otherwise branch
+      (5L, "x y z"))         // exactly n → one window
+    def byId(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"),
+        TextHash.shingles(TextHash.words(col("text")), 3).as("fast"),
+        slow(TextHash.words(col("text")), 3).as("slow"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val local = byId(rows.toDF("id", "text"))
+    local.foreach { case (id, (fast, sl)) => assert(fast == sl, s"id $id") }
+    assert(local(2L)._1 == Seq("a b a", "b a b"))
+    assert(local(4L)._1 == Seq(""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ws").toString
+    rows.toDF("id", "text").write.mode("overwrite").parquet(dir)
+    assert(byId(spark.read.parquet(dir)).view.mapValues(_._1).toMap ==
+      local.view.mapValues(_._1).toMap)
+  }
+
   test("a null signature yields null band keys, never shared '' buckets") {
     // concat_ws would skip the nulls and give every broken doc the SAME
     // "" key — N broken docs banding together is N² garbage candidates;
