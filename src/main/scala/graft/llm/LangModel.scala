@@ -88,6 +88,81 @@ object LangModel {
       coalesce(sum(col("lp")), lit(0L)).as("lp_micro"))
   }
 
+  /** A driver-side model snapshot for the broadcast scoring path. The
+    * model is config-sized BY CONSTRUCTION — `minCount` pruning bounds it
+    * the way `top-k` bounds the vocab census — which is what licenses a
+    * collect here (same argument as the IVF centroid table; the corpus
+    * itself never moves). */
+  case class LocalModel(bigrams: Map[(String, String), Long],
+                        unigrams: Map[String, Long],
+                        vocabV: Long)
+
+  /** Collect a trained model to the driver for broadcasting. */
+  def collectModel(bigrams: DataFrame, unigrams: DataFrame): LocalModel = {
+    val bg = bigrams.select("w1", "w2", "n12").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uni = unigrams.select("w1", "n1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    LocalModel(bg, uni, uni.size.toLong)
+  }
+
+  /** Broadcast-model scoring: the same numbers as [[scoreDocs]] with NO
+    * shuffle at all — one narrow pass over the corpus with per-row map
+    * lookups against the broadcast counts. This is the 100 TB shape when
+    * the pruned model fits executor memory (the common case: minCount ≥ 2
+    * web-scale bigram tables are tens of millions of entries); the
+    * join-based [[scoreDocs]] remains the fallback when it does not.
+    * Identical output contract: (id, n_bigrams, n_oov, lp_micro) — the
+    * per-bigram floor is computed in the same double arithmetic, and the
+    * integer sum is order-independent, so batch, broadcast, and streaming
+    * agree bit-for-bit (pinned by LangModelSpec). Stateless and per-row,
+    * so it runs unchanged under Structured Streaming. */
+  def scoreDocsBroadcast(docs: DataFrame, model: LocalModel,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          val ws = TextHash.wordsScala(text)
+          var nb = 0L; var oov = 0L; var lp = 0L
+          var i = 0
+          while (i + 1 < ws.length) {
+            val c12 = m.bigrams.getOrElse((ws(i), ws(i + 1)), 0L)
+            if (c12 == 0L) oov += 1
+            val c1 = m.unigrams.getOrElse(ws(i), 0L)
+            lp += math.floor(
+              1e6 * math.log((c12 + 1).toDouble / (c1 + m.vocabV))).toLong
+            nb += 1
+            i += 1
+          }
+          (id, nb, oov, lp)
+        }
+      }
+      .toDF(idCol, "n_bigrams", "n_oov", "lp_micro")
+  }
+
+  /** Persist a trained model (the run-over-run artifact: train once on
+    * the reference slice, score every later ingest batch against the
+    * same counts). Bigram/unigram tables keep their partitioning — a
+    * web-scale model is small next to the corpus but not one-file
+    * small. */
+  def writeModel(bigrams: DataFrame, unigrams: DataFrame,
+                 dir: String): Unit = {
+    bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+  }
+
+  /** Reopen a persisted model as (bigrams, unigrams). */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/unigrams"))
+
   // ── DuckDB twins (same tokenization, same micro-floor math) ───────────
 
   /** SQL: bigram CTE body over a `(doc_id, text)` table — one row per

@@ -84,6 +84,59 @@ class LangModelSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("broadcast scoring equals join scoring, batch and streamed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = Seq("the cat sat on the mat", "the cat ran", "el gato corre")
+      .toDF("text")
+    val bg = LangModel.bigramCounts(ref)
+    val uni = LangModel.unigramCounts(ref)
+    val model = LangModel.collectModel(bg, uni)
+    val rows = Seq(
+      (1L, "the cat sat"), (2L, "completely unseen words here"),
+      (3L, "el gato"), (4L, ""), (5L, "the"))
+    val docs = rows.toDF("doc_id", "text")
+
+    val joined = LangModel.scoreDocs(docs, bg, uni)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val broad = LangModel.scoreDocsBroadcast(docs, model)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(broad == joined)
+
+    // stateless per-row → identical under Structured Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = LangModel.scoreDocsBroadcast(src.toDF().toDF("doc_id", "text"),
+        model)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    src.addData(rows.take(2)); q.processAllAvailable()
+    src.addData(rows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lm_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == joined)
+  }
+
+  test("a persisted model scores identically after reopen") {
+    val ref = Seq("a b a b c", "b c d").toDF("text")
+    val bg = LangModel.bigramCounts(ref, minCount = 2)
+    val uni = LangModel.unigramCounts(ref)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    LangModel.writeModel(bg, uni, dir)
+    val (bg2, uni2) = LangModel.readModel(spark, dir)
+    val docs = Seq((1L, "a b c d"), (2L, "z a")).toDF("doc_id", "text")
+    val fresh = LangModel.scoreDocs(docs, bg, uni)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val reopened = LangModel.scoreDocs(docs, bg2, uni2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fresh == reopened)
+    // and the broadcast path agrees with the reopened model too
+    val broad = LangModel.scoreDocsBroadcast(
+        docs, LangModel.collectModel(bg2, uni2))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(broad == fresh)
+  }
+
   test("distinctiveTerms ranks group-heavy tokens above ubiquitous ones") {
     val docs = Seq(
       (1L, "s1", "alpha alpha alpha common"),
