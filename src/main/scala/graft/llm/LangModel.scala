@@ -163,6 +163,29 @@ object LangModel {
     (spark.read.parquet(s"$dir/bigrams"),
       spark.read.parquet(s"$dir/unigrams"))
 
+  /** Fold a new reference batch into an existing model: counts are
+    * additive, so `updateModel(train(ref1), ref2)` EQUALS
+    * `train(ref1 ∪ ref2)` (pinned by spec) — the daily-ingest shape
+    * where the 100 TB reference is never re-read.
+    *
+    * The invariant only holds for UNPRUNED models: `minCount` pruning is
+    * not additive (a bigram seen once in each of two batches survives a
+    * union retrain at minCount=2 but is invisible to both pruned
+    * batches), so persist models at minCount=1 and apply the threshold
+    * at scoring time (`bigrams.filter(col("n12") >= k)`) — the same
+    * raw-table-plus-view discipline as the dedup signature table. One
+    * count-keyed shuffle over the NEW batch's (much smaller) vocabulary;
+    * the merge groupBy is map-side combined. */
+  def updateModel(existing: (DataFrame, DataFrame), newRef: DataFrame,
+                  textCol: String = "text"): (DataFrame, DataFrame) = {
+    def merged(a: DataFrame, b: DataFrame, keys: Seq[String],
+               cnt: String): DataFrame =
+      a.unionByName(b).groupBy(keys.map(col): _*)
+        .agg(sum(col(cnt)).as(cnt))
+    (merged(existing._1, bigramCounts(newRef, textCol), Seq("w1", "w2"), "n12"),
+      merged(existing._2, unigramCounts(newRef, textCol), Seq("w1"), "n1"))
+  }
+
   // ── DuckDB twins (same tokenization, same micro-floor math) ───────────
 
   /** SQL: bigram CTE body over a `(doc_id, text)` table — one row per

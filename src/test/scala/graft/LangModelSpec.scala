@@ -137,6 +137,28 @@ class LangModelSpec extends AnyFunSuite {
     assert(broad == fresh)
   }
 
+  test("incremental model update equals retraining on the union") {
+    val ref1 = Seq("a b a b", "c d").toDF("text")
+    val ref2 = Seq("a b c", "b a").toDF("text")
+    val union = ref1.unionByName(ref2)
+    val (ubg, uuni) = LangModel.updateModel(
+      (LangModel.bigramCounts(ref1), LangModel.unigramCounts(ref1)), ref2)
+    def bgSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long)].collect().toSet
+    def uniSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toSet
+    assert(bgSet(ubg) == bgSet(LangModel.bigramCounts(union)))
+    assert(uniSet(uuni) == uniSet(LangModel.unigramCounts(union)))
+    // and scoring through the merged model matches the retrained one
+    val docs = Seq((1L, "a b c"), (2L, "d c")).toDF("doc_id", "text")
+    assert(
+      LangModel.scoreDocs(docs, ubg, uuni)
+        .as[(Long, Long, Long, Long)].collect().toSet ==
+        LangModel.scoreDocs(docs, LangModel.bigramCounts(union),
+            LangModel.unigramCounts(union))
+          .as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("distinctiveTerms ranks group-heavy tokens above ubiquitous ones") {
     val docs = Seq(
       (1L, "s1", "alpha alpha alpha common"),
