@@ -105,10 +105,8 @@ object HashedShingles {
   def localDigest(): MessageDigest = tl.get()
 
   /** First-4-MD5-bytes unsigned 32-bit prefix mod P of a UTF-8 string —
-    * the same number [[TextHash.h32pScala]] computes via hex. */
-  def h32(md: MessageDigest, u: UTF8String): Long = {
-    val d = md.digest(u.getBytes)
-    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % TextHash.P
-  }
+    * [[TextHash.h32pBytes]] over the digest (the shared core, so the
+    * bit-parity contract has one Scala definition). */
+  def h32(md: MessageDigest, u: UTF8String): Long =
+    TextHash.h32pBytes(md.digest(u.getBytes))
 }

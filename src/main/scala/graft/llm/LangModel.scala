@@ -66,21 +66,35 @@ object LangModel {
   def scoreDocs(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val v = unigrams.agg(count(lit(1)).as("vocab_v"))
+    // persisted: the unigram lineage is consumed TWICE (the vocab_v
+    // aggregate and the scoring join) — unpersisted, a freshly-trained
+    // model would re-run the whole reference-corpus aggregation for the
+    // row count. Same caching contract as Dedup's signature barrier.
+    val uni = unigrams.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = uni.agg(count(lit(1)).as("vocab_v"))
     val exploded = docs
       .select(col(idCol), explode_outer(
         bigramsOf(TextHash.words(col(textCol)))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // assert_true evaluates (and throws) before the arithmetic runs: an
+    // EMPTY reference model makes the smoothing denominator 0, and
+    // log(Inf) would flood every doc with floor(Inf) = Long.MaxValue —
+    // garbage scores (or an ANSI sum overflow) with no hint of the
+    // actual cause. Loud beats silently-Inf.
+    val guarded = when(
+      assert_true(col("vocab_v") > 0,
+        lit("LangModel: empty reference model (vocab_v = 0)")).isNull,
+      floor(lit(1e6) * log(
+        (coalesce(col("n12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n1"), lit(0L)) + col("vocab_v"))))
+        .cast("long"))
     val scored = exploded
       .join(bigrams, Seq("w1", "w2"), "left")
-      .join(unigrams, Seq("w1"), "left")
+      .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .withColumn("lp",
-        when(col("w1").isNull, lit(null).cast("long")).otherwise(
-          floor(lit(1e6) * log(
-            (coalesce(col("n12"), lit(0L)) + 1).cast("double") /
-              (coalesce(col("n1"), lit(0L)) + col("vocab_v"))))
-            .cast("long")))
+        when(col("w1").isNull, lit(null).cast("long")).otherwise(guarded))
     scored.groupBy(idCol).agg(
       count(col("w1")).as("n_bigrams"),
       count(when(col("w1").isNotNull && col("n12").isNull, 1))
@@ -92,15 +106,24 @@ object LangModel {
     * model is config-sized BY CONSTRUCTION — `minCount` pruning bounds it
     * the way `top-k` bounds the vocab census — which is what licenses a
     * collect here (same argument as the IVF centroid table; the corpus
-    * itself never moves). */
-  case class LocalModel(bigrams: Map[(String, String), Long],
+    * itself never moves).
+    *
+    * Bigrams key on `w1 + ' ' + w2` — unambiguous because the tokenizer
+    * splits on spaces, so no word contains one (the key IS the 2-gram
+    * shingle string): one string per entry instead of a boxed Tuple2 +
+    * two refs — materially smaller at web-scale model sizes, and the
+    * scoring loop's lookup is a single concat, not a tuple allocation. */
+  case class LocalModel(bigrams: Map[String, Long],
                         unigrams: Map[String, Long],
-                        vocabV: Long)
+                        vocabV: Long) {
+    def bigramKey(w1: String, w2: String): String = w1 + " " + w2
+  }
 
   /** Collect a trained model to the driver for broadcasting. */
   def collectModel(bigrams: DataFrame, unigrams: DataFrame): LocalModel = {
     val bg = bigrams.select("w1", "w2", "n12").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2))
+      .toMap
     val uni = unigrams.select("w1", "n1").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     LocalModel(bg, uni, uni.size.toLong)
@@ -120,19 +143,32 @@ object LangModel {
   def scoreDocsBroadcast(docs: DataFrame, model: LocalModel,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    require(model.vocabV > 0,
+      "LangModel: empty reference model (vocab_v = 0)")
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    // Row-based mapPartitions with an explicit schema: the id column
+    // keeps its INPUT type (string ids, composite ids — anything
+    // scoreDocs groups by), where a typed `.as[(Long, String)]` would
+    // force a cast that crashes on non-numeric ids and silently retypes
+    // numeric-string ones.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      docs.schema(idCol),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("n_oov", LongType, nullable = false),
+      StructField("lp_micro", LongType, nullable = false)))
+    docs.select(col(idCol), col(textCol))
       .mapPartitions { it =>
         val m = bc.value
-        it.map { case (id, text) =>
+        it.map { row =>
+          val text = if (row.isNullAt(1)) null else row.getString(1)
           val ws = TextHash.wordsScala(text)
           var nb = 0L; var oov = 0L; var lp = 0L
           var i = 0
           while (i + 1 < ws.length) {
-            val c12 = m.bigrams.getOrElse((ws(i), ws(i + 1)), 0L)
+            val c12 = m.bigrams.getOrElse(m.bigramKey(ws(i), ws(i + 1)), 0L)
             if (c12 == 0L) oov += 1
             val c1 = m.unigrams.getOrElse(ws(i), 0L)
             lp += math.floor(
@@ -140,9 +176,9 @@ object LangModel {
             nb += 1
             i += 1
           }
-          (id, nb, oov, lp)
+          Row(row.get(0), nb, oov, lp)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(idCol, "n_bigrams", "n_oov", "lp_micro")
   }
 

@@ -75,13 +75,20 @@ object Sampling {
     * `pow` carries no such guarantee, so other alphas are documented as
     * engine-approximate at the floor boundary (a ~1e-16 relative band).
     *
+    * Rows with a NULL stratum are excluded from the rate table (and
+    * [[temperatureMix]] drops them): a tiny null group would otherwise
+    * become n_min and silently crush every real stratum's keep rate —
+    * route unlabeled rows through a default label upstream if they must
+    * survive mixing.
+    *
     * Scale shape: one map-side-combined count per stratum (strata are
     * config-cardinality: languages, sources), a 1-row global min joined
     * back by broadcast — nothing here grows with the corpus. */
   def temperatureRates(docs: DataFrame, strataCol: String,
                        alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count => fcount}
-    val counts = docs.groupBy(strataCol).agg(fcount(lit(1)).as("n_docs"))
+    val counts = docs.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(fcount(lit(1)).as("n_docs"))
     val nMin = counts.agg(min(col("n_docs")).as("n_min"))
     val ratio = col("n_min").cast("double") / col("n_docs")
     val power =
@@ -126,9 +133,11 @@ object Sampling {
     s"""SELECT $strataCol, n_docs,
        | CAST(floor(1e6 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)
        |   AS keep_permicro
-       | FROM (SELECT $strataCol, count(*) AS n_docs FROM $table GROUP BY $strataCol),
+       | FROM (SELECT $strataCol, count(*) AS n_docs FROM $table
+       |       WHERE $strataCol IS NOT NULL GROUP BY $strataCol),
        |      (SELECT min(cnt) AS n_min FROM
-       |        (SELECT count(*) AS cnt FROM $table GROUP BY $strataCol))""".stripMargin
+       |        (SELECT count(*) AS cnt FROM $table
+       |         WHERE $strataCol IS NOT NULL GROUP BY $strataCol))""".stripMargin
       .replaceAll("\n", "")
 
   /** SQL: the temperature-mix keep predicate against a joined

@@ -235,9 +235,13 @@ object TextAnalysis {
       words(col(textCol)).as("ws"))
     val tf = tok.select(col(groupCol), explode(col("ws")).as("token"))
       .groupBy(groupCol, "token").agg(count(lit(1)).as("tf"))
+    // countDistinct, not count: the per-doc array_distinct already
+    // yields one row per (doc-row, token), but an input carrying the
+    // same doc_id twice (unioned overlapping slices) must still count
+    // the document once — the SQL twin's count(DISTINCT doc_id)
     val df = tok
       .select(col(idCol), explode(array_distinct(col("ws"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
+      .groupBy("token").agg(countDistinct(col(idCol)).as("df"))
     val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
       .withColumn("idf_micro",
         floor(lit(1e6) * log((col("n_docs") + 1).cast("double") /
@@ -289,9 +293,7 @@ object TextAnalysis {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h32p(s: String): Long = {
       md.reset()
-      val d = md.digest(s.getBytes("UTF-8"))
-      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+      h32pBytes(md.digest(s.getBytes("UTF-8")))
     }
     val hs = if (ws == null) Array.empty[Long] else ws.map(h32p).toArray
     val n = hs.length

@@ -104,12 +104,19 @@ object TextHash {
     * unsigned 32-bit value, mod P — byte-identical to the column form's
     * `conv(substring(md5(c),1,8),16,10) % P`, so typed (Dataset) code can
     * partition/assign by the same hash the column-algebra operators use. */
-  def h32pScala(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)): Long) % P
-  }
+  /** The one definition of the digest→value step: first 4 MD5 bytes as
+    * an unsigned big-endian 32-bit number, mod P. Every Scala-side hash
+    * path ([[h32pScala]], the native [[graft.functions.HashedShingles]])
+    * routes through here so the bit-parity contract with [[sqlH32p]]
+    * lives in exactly one place (the codegen template in HashedShingles
+    * is the documented exception — it inlines the same shifts). */
+  def h32pBytes(d: Array[Byte]): Long =
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+
+  def h32pScala(s: String): Long =
+    h32pBytes(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")))
 
   // ── DuckDB side (same math, same constants) ───────────────────────────
   /** SQL: h32p over a string expression. */

@@ -137,6 +137,71 @@ class LangModelSpec extends AnyFunSuite {
     assert(broad == fresh)
   }
 
+  test("broadcast scoring preserves non-numeric id types") {
+    val ref = Seq("a b a").toDF("text")
+    val model = LangModel.collectModel(
+      LangModel.bigramCounts(ref), LangModel.unigramCounts(ref))
+    val docs = Seq(("doc-1", "a b"), ("doc-2", "z z"))
+      .toDF("doc_id", "text")
+    val out = LangModel.scoreDocsBroadcast(docs, model)
+    assert(out.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val byId = out.as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set("doc-1", "doc-2"))
+    assert(byId("doc-2")._3 == 1L) // the OOV bigram is counted
+  }
+
+  test("an empty reference model fails loudly on both scoring paths") {
+    val emptyRef = Seq.empty[String].toDF("text")
+    val bg = LangModel.bigramCounts(emptyRef)
+    val uni = LangModel.unigramCounts(emptyRef)
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // join path: the assert_true guard fires during execution
+    val ex = intercept[Exception] {
+      LangModel.scoreDocs(docs, bg, uni).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("empty reference model")))
+    // broadcast path: rejected at construction
+    val ex2 = intercept[IllegalArgumentException] {
+      LangModel.scoreDocsBroadcast(docs,
+        LangModel.collectModel(bg, uni))
+    }
+    assert(ex2.getMessage.contains("empty reference model"))
+  }
+
+  test("null strata neither crush rates nor survive the mix") {
+    val docs = spark.range(0, 400)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 4, lit(null).cast("string")) // tiny null group
+          .when(col("id") < 300, "big").otherwise("small").as("lang"))
+    val rates = Sampling.temperatureRates(docs, "lang")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the 4-row null group must NOT become n_min (it would crush "big"
+    // to sqrt(4/296)); rarest REAL stratum (small, 100) keeps all
+    assert(rates.keySet == Set("big", "small"))
+    assert(rates("small")._2 == 1000000L)
+    val kept = Sampling.temperatureMix(docs, "lang")
+    assert(kept.filter(col("lang").isNull).count() == 0)
+  }
+
+  test("distinctiveTerms counts a duplicated doc row once in df") {
+    val docs = Seq(
+      (1L, "s1", "alpha common"),
+      (1L, "s1", "alpha common"), // same doc_id delivered twice
+      (2L, "s2", "beta common")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, k = 2)
+      .as[(String, String, Long, Long)].collect()
+    // df(common) must be 2 docs (not 3 rows): idf = ln(4/3) > 0, so
+    // "common" keeps a positive score in both sources
+    val common = out.filter(_._2 == "common")
+    assert(common.nonEmpty && common.forall(_._4 > 0))
+  }
+
   test("incremental model update equals retraining on the union") {
     val ref1 = Seq("a b a b", "c d").toDF("text")
     val ref2 = Seq("a b c", "b a").toDF("text")
