@@ -296,6 +296,44 @@ object Dedup {
         min(col("eval_id")).as("min_eval_id"))
   }
 
+  /** Within-corpus verbatim overlap: document pairs sharing at least
+    * `minShared` exact n-word windows — the exact-substring duplication
+    * signal (boilerplate headers, license blocks, templated spans) that
+    * MinHash's whole-document Jaccard smooths over and exact dedup's
+    * full-hash equality misses entirely. The window length is the
+    * precision knob: at the default 8 words a match is essentially never
+    * coincidental prose.
+    *
+    * Same plan family as the LSH band join (this IS an LSH where the
+    * band key is the verbatim window hash): one shuffle keyed on the
+    * gram, self-join inside gram groups only, and the same
+    * quadratic-bucket guard — a gram shared by more than `maxGramDocs`
+    * documents is boilerplate by definition and is dropped from PAIR
+    * GENERATION (its members still pair through their rarer grams),
+    * exactly the candidatePairs cap trade. Returns (id_a, id_b,
+    * n_shared) with id_a < id_b. */
+  def verbatimOverlapPairs(corpus: DataFrame, shingleN: Int = 8,
+                           minShared: Int = 1, maxGramDocs: Int = 64,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val grams = corpus
+      .select(col(idCol).as("doc_id"),
+        hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy("g")
+      .agg(count(lit(1)).as("gn"))
+      .filter(col("gn") > 1 && col("gn") <= maxGramDocs)
+      .select("g")
+    val inPlay = grams.join(rare, Seq("g"), "left_semi")
+    inPlay.alias("a")
+      .join(inPlay.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs, the step that turns pairwise matches into keep/drop
     * decisions (cluster representative = min id). Pregel-style min-label

@@ -99,21 +99,30 @@ object Sampling {
       .drop("n_min")
   }
 
-  /** Temperature-mix the corpus: keep a row when its salted id hash
-    * lands under its stratum's [[temperatureRates]] threshold. The rates
-    * frame is strata-sized — broadcast — so the filter is one narrow
-    * pass over the corpus with no data-sized shuffle. */
-  def temperatureMix(docs: DataFrame, strataCol: String,
-                     alpha: Double = 0.5,
-                     idCol: String = "doc_id"): DataFrame = {
+  /** Apply a (frozen) rate table to a corpus: keep a row when its salted
+    * id hash lands under its stratum's `keep_permicro` threshold. The
+    * rates frame is strata-sized — broadcast — so the filter is one
+    * narrow pass with no data-sized shuffle; with a STATIC rates frame
+    * this is a stream-static join, so the same call mixes a streaming
+    * ingest against a rate snapshot (batch/stream identity pinned by
+    * LangModelSpec). */
+  def temperatureMixWith(docs: DataFrame, rates: DataFrame,
+                         strataCol: String,
+                         idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val rates = temperatureRates(docs, strataCol, alpha)
-      .select(col(strataCol), col("keep_permicro"))
-    docs.join(broadcast(rates), strataCol)
+    docs.join(broadcast(rates.select(col(strataCol), col("keep_permicro"))),
+        strataCol)
       .filter(
         TextHash.h32p(concat(lit(MixSalt), col(idCol).cast("string")))
           % 1000000L < col("keep_permicro"))
   }
+
+  /** Temperature-mix the corpus against its own [[temperatureRates]]. */
+  def temperatureMix(docs: DataFrame, strataCol: String,
+                     alpha: Double = 0.5,
+                     idCol: String = "doc_id"): DataFrame =
+    temperatureMixWith(docs, temperatureRates(docs, strataCol, alpha),
+      strataCol, idCol)
 
   // ── DuckDB twins (same salt, same md5-prefix hash) ────────────────────
   /** SQL: the percent bucket over an id expression. */

@@ -1164,6 +1164,33 @@ object LlmQueries extends QueryFamily {
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY source
            |             ORDER BY score_micro DESC, token) AS rk FROM scored)
            |SELECT source, token, tf, score_micro FROM ranked WHERE rk <= 5
-           |ORDER BY source, score_micro DESC, token""".stripMargin))
+           |ORDER BY source, score_micro DESC, token""".stripMargin)),
+
+    // ── Within-corpus verbatim overlap (exact-substring duplication):
+    //    pairs sharing ≥2 exact 8-word windows — the boilerplate/templated-
+    //    span signal MinHash smooths over. Gram-keyed self-join with the
+    //    boilerplate-gram cap. ─────────────────────────────────────────────
+    QueryDef.sorted(
+      "q79_verbatim_overlap",
+      (s, dir) => Dedup.verbatimOverlapPairs(varCorpus(s, dir),
+          shingleN = 8, minShared = 2)
+        .select("id_a", "id_b", "n_shared"),
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val hs8 = TextHash.sqlHashedShingles(TextHash.sqlShingles("w", 8))
+        s"""WITH $varCorpusSql,
+           |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+           |gr AS (SELECT doc_id, unnest($hs8) AS g FROM tok),
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS gn FROM gr GROUP BY g)
+           |         WHERE gn > 1 AND gn <= 64),
+           |ip AS (SELECT doc_id, g FROM gr WHERE g IN (SELECT g FROM rare)),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |                 count(*) AS n_shared
+           |          FROM ip a JOIN ip b
+           |            ON a.g = b.g AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }

@@ -189,6 +189,58 @@ class LangModelSpec extends AnyFunSuite {
     assert(kept.filter(col("lang").isNull).count() == 0)
   }
 
+  test("frozen-rate mixing is batch/stream identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 300L).map(i => (i, if (i < 240) "big" else "small"))
+    val batchDocs = rows.toDF("doc_id", "lang")
+    val rates = Sampling.temperatureRates(batchDocs, "lang")
+      .localCheckpoint(true) // freeze the snapshot the stream joins
+    val batch = Sampling.temperatureMixWith(batchDocs, rates, "lang")
+      .select("doc_id").as[Long].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = Sampling.temperatureMixWith(
+        src.toDF().toDF("doc_id", "lang"), rates, "lang")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    src.addData(rows.take(100)); q.processAllAvailable()
+    src.addData(rows.drop(100)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mix_out").as[Long].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("verbatim overlap pairs originals with their truncated variants") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail1 tail2"),     // shares all of doc 1's windows
+      (3L, "a b c d e f g h i j k l"), // disjoint
+      (4L, "w5 w6 w7 w8 w9 w10 w11 w12 x y")) // shares a suffix span
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.verbatimOverlapPairs(docs, shingleN = 8,
+        minShared = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1 has 5 windows of 8 words; doc 2 contains every one of them.
+    // docs 1/4 and 2/4 share exactly ONE window ([w5..w12]) → cut by
+    // minShared=2; doc 3 shares nothing. Only (1,2) survives.
+    assert(pairs == Map((1L, 2L) -> 5L))
+  }
+
+  test("boilerplate grams are capped out of verbatim pair generation") {
+    // 70 docs all containing the same 8-word span: the span's gram is
+    // shared by 70 > maxGramDocs=64 docs and must generate NO pairs
+    val span = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (0L until 70L).map(i => (i, s"u$i " + span))
+      .toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.verbatimOverlapPairs(docs, shingleN = 8,
+      minShared = 1)
+    assert(pairs.count() == 0)
+  }
+
   test("distinctiveTerms counts a duplicated doc row once in df") {
     val docs = Seq(
       (1L, "s1", "alpha common"),
