@@ -43,9 +43,13 @@ object GraftSession {
   }
 
   def local(cores: Int = 4): SparkSession = {
-    val s = configure(
+    // ensure(), not just configure(): a session built here must also
+    // carry the native function registrations (graft_minhash,
+    // graft_hashed_shingles, …) — without them every LSH/ANN operator
+    // fails analysis with UNRESOLVED_ROUTINE.
+    val s = ensure(configure(
       SparkSession.builder().master(s"local[$cores]"), cores.toString
-    ).getOrCreate()
+    ).getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     s
   }

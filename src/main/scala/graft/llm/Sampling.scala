@@ -87,8 +87,13 @@ object Sampling {
   def temperatureRates(docs: DataFrame, strataCol: String,
                        alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    // persisted: the counts lineage is consumed twice (the rate rows and
+    // the global min) — unpersisted, the corpus would be SCANNED twice
+    // just to build a strata-sized table. Same caching contract as the
+    // dedup signature barrier; the cached frame is strata-cardinality.
     val counts = docs.filter(col(strataCol).isNotNull)
       .groupBy(strataCol).agg(fcount(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nMin = counts.agg(min(col("n_docs")).as("n_min"))
     val ratio = col("n_min").cast("double") / col("n_docs")
     val power =
