@@ -38,6 +38,33 @@ class CurationPropertySpec extends AnyFunSuite {
     assert(codeRange.count() == 0)
   }
 
+  test("property: LM broadcast and join scoring agree on generated corpora") {
+    import graft.llm.LangModel
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "ünï", "9", "the")
+    def corpus(n: Int, seed: Long) =
+      gen(Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 12)
+        ws <- Gen.listOfN(k, word)
+      } yield ws.mkString(" ")), seed)
+    val ref = corpus(60, 21L).toDF("text")
+    val docs = corpus(200, 22L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val bg = LangModel.bigramCounts(ref, minCount = 2)
+    val uni = LangModel.unigramCounts(ref)
+    val joined = LangModel.scoreDocs(docs, bg, uni)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val broad = LangModel.scoreDocsBroadcast(docs,
+        LangModel.collectModel(bg, uni))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(broad == joined && joined.size == 200)
+    // score sanity over arbitrary inputs: p ≤ 1 always (c12 ≤ c1,
+    // V ≥ 1) so lp_micro ≤ 0, and OOV never exceeds the bigram count
+    joined.foreach { case (id, nb, oov, lp) =>
+      assert(lp <= 0L, s"doc $id: positive log-likelihood $lp")
+      assert(oov <= nb, s"doc $id: oov $oov > n_bigrams $nb")
+    }
+  }
+
   test("property: pii redaction is idempotent (tokens contain no matches)") {
     val word = Gen.oneOf("alpha", "beta", "x1", "the", "9")
     val piiBit = Gen.oneOf(
