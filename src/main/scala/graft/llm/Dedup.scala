@@ -269,13 +269,20 @@ object Dedup {
     * Grams join on the 32-bit md5-prefix hash, not the string — identical
     * on both engines, and a false positive needs an md5-prefix collision
     * between a doc and the (small) eval gram set. */
+  /** The (id, hashed-distinct-grams) table both exact-overlap operators
+    * share — one definition of gram construction, so contamination and
+    * verbatim-overlap can't drift tokenization or hashing. */
+  private def gramTable(df: DataFrame, srcIdCol: String, outIdCol: String,
+                        textCol: String, shingleN: Int): DataFrame =
+    df.select(col(srcIdCol).as(outIdCol),
+      hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+
   def exactNgramContamination(corpus: DataFrame, evalDocs: DataFrame,
                               shingleN: Int = 5,
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame, id: String) = df
-      .select(col(idCol).as(id),
-        hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+    def grams(df: DataFrame, id: String) =
+      gramTable(df, idCol, id, textCol, shingleN)
     // persisted for the same measured reason as verifiedNearDupPairs'
     // signature barrier: without it, CollapseProject inlines the md5
     // shingle chain into BOTH size() and explode() (the whole gram array
@@ -311,14 +318,24 @@ object Dedup {
     * documents is boilerplate by definition and is dropped from PAIR
     * GENERATION (its members still pair through their rarer grams),
     * exactly the candidatePairs cap trade. Returns (id_a, id_b,
-    * n_shared) with id_a < id_b. */
+    * n_shared) with id_a < id_b.
+    *
+    * Grams join by their 31-bit hash, not the window string, so a hash
+    * COLLISION can pair two unrelated windows: expect ~nw²/2³² colliding
+    * window pairs corpus-wide (hundreds at a billion distinct windows).
+    * The default `minShared = 2` is what makes that harmless — a FALSE
+    * doc pair then needs two independent collisions landing on the SAME
+    * document pair (~p² per pair; negligible at any scale), where
+    * `minShared = 1` would report each stray collision as a verbatim
+    * overlap. Collisions can also only over-count `gn` toward the cap,
+    * never hide a true overlap. Joining on raw window strings would be
+    * collision-free but shuffles ~6× the bytes — the wrong trade for a
+    * signal column. */
   def verbatimOverlapPairs(corpus: DataFrame, shingleN: Int = 8,
-                           minShared: Int = 1, maxGramDocs: Int = 64,
+                           minShared: Int = 2, maxGramDocs: Int = 64,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
-    val grams = corpus
-      .select(col(idCol).as("doc_id"),
-        hashedShingles(shingles(words(col(textCol)), shingleN)).as("hs"))
+    val grams = gramTable(corpus, idCol, "doc_id", textCol, shingleN)
       .select(col("doc_id"), explode(col("hs")).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy("g")
