@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   val ShardSalt = "graft-shard|"
+  val OrderSalt = "graft-order|"
 
   /** Shard id 0..nShards-1 from the salted id hash. */
   def shardId(id: Column, nShards: Int): Column =
@@ -36,6 +37,25 @@ object Sharding {
   def withShard(docs: DataFrame, nShards: Int,
                 idCol: String = "doc_id"): DataFrame =
     docs.withColumn("shard", shardId(col(idCol), nShards))
+
+  /** Deterministic training order: a pseudorandom-but-reproducible sort
+    * key from the epoch-salted id hash. Training wants documents
+    * shuffled (no source/time runs), but a 100 TB corpus cannot use an
+    * RNG order — it would differ across re-runs, resumed writes, and
+    * backfilled shards. Hashing (epoch, id) gives each epoch an
+    * independent, replayable permutation: sort by `order_key` within a
+    * shard and every re-run lays the same bytes in the same order.
+    * Narrow per-row algebra; the sort rides the shard writer's existing
+    * repartition as a sortWithinPartitions — no extra shuffle. */
+  def orderKey(id: Column, epoch: Int = 0): Column =
+    TextHash.h32p(
+      concat(lit(OrderSalt), lit(epoch.toString), lit("|"),
+        id.cast("string")))
+
+  /** Attach the per-epoch `order_key` column. */
+  def withShuffleOrder(docs: DataFrame, epoch: Int = 0,
+                       idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("order_key", orderKey(col(idCol), epoch))
 
   /** Per-shard manifest over a sharded frame: doc count, content byte
     * total, and the id checksum + range that pin exact membership (a
@@ -57,10 +77,22 @@ object Sharding {
     * land there. */
   def writeShards(docs: DataFrame, path: String, nShards: Int,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  epochOrder: Option[Int] = None): DataFrame = {
     val sharded = withShard(docs, nShards, idCol)
-    sharded.repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val laidOut = epochOrder match {
+      // sortWithinPartitions after the shard repartition: the epoch's
+      // deterministic order costs a per-task sort, never a new exchange.
+      // `shard` leads the sort keys: the dynamic-partition writer
+      // REQUIRES an ordering on the partition columns and would insert
+      // its own (unstable) sort — scrambling the epoch order — unless
+      // the declared ordering already satisfies it.
+      case Some(epoch) => withShuffleOrder(sharded, epoch, idCol)
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("order_key"), col(idCol))
+      case None => sharded.repartition(nShards, col("shard"))
+    }
+    laidOut.write.mode("overwrite").partitionBy("shard").parquet(path)
     shardManifest(docs.sparkSession.read.parquet(path), idCol, textCol)
   }
 
@@ -68,4 +100,9 @@ object Sharding {
   /** SQL: the shard id over an id expression. */
   def sqlShardId(id: String, nShards: Int): String =
     s"(${TextHash.sqlH32p(s"concat('$ShardSalt', CAST($id AS VARCHAR))")} % $nShards)"
+
+  /** SQL: the epoch order key over an id expression. */
+  def sqlOrderKey(id: String, epoch: Int = 0): String =
+    TextHash.sqlH32p(
+      s"concat('$OrderSalt', '$epoch', '|', CAST($id AS VARCHAR))")
 }

@@ -1191,6 +1191,47 @@ object LlmQueries extends QueryFamily {
            |          GROUP BY 1, 2)
            |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // ── Deterministic training order: per (shard, epoch) the replayable
+    //    permutation's head/tail docs and order checksum — pins the exact
+    //    epoch-salted order assignment cross-engine. min_by/max_by on the
+    //    (order_key, id) struct: partial-aggregated, total-ordered ties. ──
+    QueryDef.sorted(
+      "q80_epoch_order",
+      (s, dir) => {
+        val d = Sharding.withShuffleOrder(
+          Sharding.withShard(
+            spread(s, s.read.parquet(s"$dir/documents.parquet")
+              .select("doc_id")), nShards = 8), epoch = 1)
+        d.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min_by(col("doc_id"), struct(col("order_key"), col("doc_id")))
+              .as("first_id"),
+            max_by(col("doc_id"), struct(col("order_key"), col("doc_id")))
+              .as("last_id"),
+            sum(col("order_key")).as("order_sum"))
+          .select(col("shard").cast("long"), col("n_docs"),
+            col("first_id"), col("last_id"), col("order_sum"))
+      },
+      _.orderBy("shard"),
+      Some(
+        s"""WITH assigned AS (
+           |  SELECT doc_id, ${Sharding.sqlShardId("doc_id", 8)} AS shard,
+           |         ${Sharding.sqlOrderKey("doc_id", 1)} AS order_key
+           |  FROM documents),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY shard
+           |      ORDER BY order_key, doc_id) AS rk_a,
+           |    row_number() OVER (PARTITION BY shard
+           |      ORDER BY order_key DESC, doc_id DESC) AS rk_d
+           |  FROM assigned)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           |       CAST(min(CASE WHEN rk_a = 1 THEN doc_id END) AS BIGINT)
+           |         AS first_id,
+           |       CAST(min(CASE WHEN rk_d = 1 THEN doc_id END) AS BIGINT)
+           |         AS last_id,
+           |       CAST(sum(order_key) AS BIGINT) AS order_sum
+           |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
