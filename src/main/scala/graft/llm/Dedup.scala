@@ -466,6 +466,57 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Corpus-level line deduplication (the C4 move, Raffel et al. 2020
+    * §2.2, applied at line rather than three-sentence granularity): a
+    * line that occurs in `minCount`-or-more *distinct documents* is
+    * boilerplate (nav bars, cookie banners, license headers) and is
+    * removed from every document; each document's text is reassembled
+    * from its surviving lines in original order. Distinct-document
+    * counting is deliberate — a line stuttered five times inside one
+    * document is repetition ([[TextAnalysis.withRepetition]]'s job), not
+    * corpus boilerplate. Lines shorter than `minChars` never enter the
+    * census: an empty or "}" line is formatting, and at web scale the
+    * short-line census would be the corpus's hottest keys for no recall.
+    *
+    * Returns (idCol, textCol [cleaned], n_lines, n_removed) — one row per
+    * input document, docs reduced to nothing kept with empty text so the
+    * caller decides their fate.
+    *
+    * Scale shape: the explode is narrow; the census is a two-phase
+    * aggregation keyed on `md5(line)` (the same 128-bit collision stance
+    * [[exactDupGroups]] takes — full text never rides the count shuffle);
+    * the post-filter boilerplate set is tiny relative to the corpus, so
+    * the removal join broadcasts under AQE. Reassembly is the one
+    * unavoidable doc-keyed shuffle, carrying struct(pos, line) into a
+    * partial-aggregated collect_list + array_sort — no window, no global
+    * sort. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", minCount: Int = 3,
+                minChars: Int = 10): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    // census key: null for ineligible lines → never matches the join below
+    val keyed = lines.withColumn("lh",
+      when(length(col("line")) >= minChars, md5(col("line"))))
+    val boiler = keyed.filter(col("lh").isNotNull)
+      .groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+      .select(col("lh"), lit(true).as("boiler"))
+    keyed.join(boiler, Seq("lh"), "left")
+      .withColumn("rm", col("boiler").isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("rm"),
+              struct(col("pos"), col("line"))))),
+            _.getField("line")),
+          "\n").as(textCol),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** SQL twin of [[withSimhash]]'s fingerprint over a hashed-shingle list
     * expression (DuckDB). */
   def sqlSimhash(hs: String): String =

@@ -26,6 +26,13 @@ object LlmQueries extends QueryFamily {
   private val VarOffset = 100000L
   private val EvalOffset = 300000L
 
+  /** Injected boilerplate lines for the line-dedup query (q81). No
+    * apostrophes — the constants are spliced into the oracle SQL as
+    * single-quoted literals. */
+  private val LineCopy = "all rights reserved by the example corpus authors"
+  private val LineNews = "subscribe to our newsletter for weekly updates"
+  private val LineCookie = "click accept to continue with all cookies enabled"
+
   /** Per-language downsampling rates (per mille) for the stratified-sample
     * query: cap the over-represented strata, keep the rare ones whole. */
   private val SampleRates: Seq[(String, Int)] =
@@ -1232,6 +1239,70 @@ object LlmQueries extends QueryFamily {
            |       CAST(min(CASE WHEN rk_d = 1 THEN doc_id END) AS BIGINT)
            |         AS last_id,
            |       CAST(sum(order_key) AS BIGINT) AS order_sum
-           |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin))
+           |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ── Corpus-level line dedup (C4-style boilerplate removal): the raw
+    //    docs are single-line word soup, so the corpus is built in-query —
+    //    each doc's words regrouped into 8-word lines, plus license /
+    //    newsletter / cookie boilerplate lines injected by id arithmetic
+    //    (every 5th / 3rd / 4th+1 doc → each well over the minCount=3
+    //    census threshold). lineDedup must strip exactly the injected
+    //    lines from every carrier and reassemble the rest in order. ──────
+    QueryDef.sorted(
+      "q81_line_dedup",
+      (s, dir) => {
+        val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val nch = greatest(floor((size(ws) + lit(7)) / lit(8)).cast("int"),
+          lit(1))
+        val chunks = transform(sequence(lit(0), nch - 1),
+          i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "))
+        val none = array().cast("array<string>")
+        val built = concat(
+          when(col("doc_id") % 5 === 0, array(lit(LineCopy))).otherwise(none),
+          chunks,
+          when(col("doc_id") % 3 === 0, array(lit(LineNews))).otherwise(none),
+          when(col("doc_id") % 4 === 1, array(lit(LineCookie)))
+            .otherwise(none))
+        Dedup.lineDedup(
+            raw.select(col("doc_id"), array_join(built, "\n").as("text")),
+            minCount = 3, minChars = 10)
+          .select(col("doc_id").cast("long"), col("text"),
+            col("n_lines"), col("n_removed"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH base AS (SELECT doc_id, ${W("text")} AS ws FROM documents),
+           |built AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 5 = 0 THEN ['$LineCopy']
+           |          ELSE CAST([] AS VARCHAR[]) END)
+           |    || list_transform(
+           |         range(0, greatest(CAST(floor((len(ws)+7)/8) AS INT), 1)),
+           |         i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
+           |    || (CASE WHEN doc_id % 3 = 0 THEN ['$LineNews']
+           |             ELSE CAST([] AS VARCHAR[]) END)
+           |    || (CASE WHEN doc_id % 4 = 1 THEN ['$LineCookie']
+           |             ELSE CAST([] AS VARCHAR[]) END) AS ls
+           |  FROM base),
+           |lines AS (
+           |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
+           |  FROM built),
+           |boiler AS (
+           |  SELECT md5(line) AS lh FROM lines WHERE length(line) >= 10
+           |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+           |flagged AS (
+           |  SELECT doc_id, pos, line,
+           |         (length(line) >= 10 AND
+           |          md5(line) IN (SELECT lh FROM boiler)) AS rm
+           |  FROM lines)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       coalesce(string_agg(line, chr(10) ORDER BY pos)
+           |                  FILTER (WHERE NOT rm), '') AS text,
+           |       count(*) AS n_lines,
+           |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_removed
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
