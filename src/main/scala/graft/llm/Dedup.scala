@@ -466,6 +466,38 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Corpus-wide line census: (lh = md5(line), n_docs = distinct documents
+    * carrying that line), for lines of at least `minChars` characters —
+    * the persisted artifact behind [[lineDedup]], kept alongside the
+    * corpus snapshot the way the dedup signature table is. One explode +
+    * one two-phase aggregation; full line text never leaves the map side. */
+  def lineCensus(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minChars: Int = 10): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(length(col("line")) >= minChars)
+      .groupBy(md5(col("line")).as("lh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** Fold a NEW batch of documents into a persisted line census without
+    * re-reading the old corpus: per-hash doc counts are additive across
+    * batches, so the merge is one aggregation over (existing ∪ new-batch
+    * census) — census-sized, not corpus-sized.
+    *
+    * Append-only contract: batch ids must be previously unseen. A
+    * re-delivered (updated) document would double-count every line it
+    * kept, and an aggregate census cannot reconcile that — pipelines that
+    * update documents in place must keep the per-(doc, line) table and
+    * recount, the same trade [[incrementalNearDupPairs]] resolves by
+    * keeping per-doc signatures. */
+  def mergeLineCensus(existing: DataFrame, newDocs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      minChars: Int = 10): DataFrame =
+    existing.select(col("lh"), col("n_docs"))
+      .unionByName(lineCensus(newDocs, idCol, textCol, minChars))
+      .groupBy(col("lh"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
   /** Corpus-level line deduplication (the C4 move, Raffel et al. 2020
     * §2.2, applied at line rather than three-sentence granularity): a
     * line that occurs in `minCount`-or-more *distinct documents* is
@@ -498,9 +530,7 @@ object Dedup {
     // census key: null for ineligible lines → never matches the join below
     val keyed = lines.withColumn("lh",
       when(length(col("line")) >= minChars, md5(col("line"))))
-    val boiler = keyed.filter(col("lh").isNotNull)
-      .groupBy(col("lh"))
-      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val boiler = lineCensus(docs, idCol, textCol, minChars)
       .filter(col("n_docs") >= minCount)
       .select(col("lh"), lit(true).as("boiler"))
     keyed.join(boiler, Seq("lh"), "left")

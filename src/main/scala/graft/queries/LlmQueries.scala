@@ -26,12 +26,56 @@ object LlmQueries extends QueryFamily {
   private val VarOffset = 100000L
   private val EvalOffset = 300000L
 
-  /** Injected boilerplate lines for the line-dedup query (q81). No
+  /** Injected boilerplate lines for the line-dedup queries (q81/q82). No
     * apostrophes — the constants are spliced into the oracle SQL as
     * single-quoted literals. */
   private val LineCopy = "all rights reserved by the example corpus authors"
   private val LineNews = "subscribe to our newsletter for weekly updates"
   private val LineCookie = "click accept to continue with all cookies enabled"
+
+  /** Multi-line corpus for the line-dedup queries: the raw docs are
+    * single-line word soup, so each doc's words are regrouped into 8-word
+    * lines and license / newsletter / cookie boilerplate lines are
+    * injected by id arithmetic (every 5th / 3rd / 4th+1 doc — each well
+    * past the census thresholds). Emitted once as columns and once as the
+    * oracle CTE pair ([[sqlLineCorpusCtes]]), TextHash's
+    * define-once-emit-twice rule. */
+  private def lineCorpus(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+    val ws = words(col("text"))
+    val nch = greatest(floor((size(ws) + lit(7)) / lit(8)).cast("int"),
+      lit(1))
+    val chunks = transform(sequence(lit(0), nch - 1),
+      i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "))
+    val none = array().cast("array<string>")
+    val built = concat(
+      when(col("doc_id") % 5 === 0, array(lit(LineCopy))).otherwise(none),
+      chunks,
+      when(col("doc_id") % 3 === 0, array(lit(LineNews))).otherwise(none),
+      when(col("doc_id") % 4 === 1, array(lit(LineCookie))).otherwise(none))
+    raw.select(col("doc_id"), array_join(built, "\n").as("text"))
+  }
+
+  /** DuckDB CTE pair `base, built` replaying [[lineCorpus]]; `built.ls`
+    * is the document's line list. The `||` list concats sit at line ENDS:
+    * this fragment is spliced into query strings that call `stripMargin`
+    * again, which would eat one pipe of a line-leading `||`. */
+  private val sqlLineCorpusCtes: String =
+    s"""base AS (SELECT doc_id, ${W("text")} AS ws FROM documents),
+       |built AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 5 = 0 THEN ['$LineCopy']
+       |          ELSE CAST([] AS VARCHAR[]) END) ||
+       |    list_transform(
+       |         range(0, greatest(CAST(floor((len(ws)+7)/8) AS INT), 1)),
+       |         i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' ')) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN ['$LineNews']
+       |          ELSE CAST([] AS VARCHAR[]) END) ||
+       |    (CASE WHEN doc_id % 4 = 1 THEN ['$LineCookie']
+       |          ELSE CAST([] AS VARCHAR[]) END) AS ls
+       |  FROM base)""".stripMargin
 
   /** Per-language downsampling rates (per mille) for the stratified-sample
     * query: cap the over-represented strata, keep the rare ones whole. */
@@ -1241,51 +1285,19 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(order_key) AS BIGINT) AS order_sum
            |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin)),
 
-    // ── Corpus-level line dedup (C4-style boilerplate removal): the raw
-    //    docs are single-line word soup, so the corpus is built in-query —
-    //    each doc's words regrouped into 8-word lines, plus license /
-    //    newsletter / cookie boilerplate lines injected by id arithmetic
-    //    (every 5th / 3rd / 4th+1 doc → each well over the minCount=3
-    //    census threshold). lineDedup must strip exactly the injected
-    //    lines from every carrier and reassemble the rest in order. ──────
+    // ── Corpus-level line dedup (C4-style boilerplate removal) over the
+    //    constructed multi-line corpus: lineDedup must strip exactly the
+    //    injected boilerplate lines from every carrier and reassemble the
+    //    rest in original order. ──────────────────────────────────────────
     QueryDef.sorted(
       "q81_line_dedup",
-      (s, dir) => {
-        val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text"))
-        val ws = words(col("text"))
-        val nch = greatest(floor((size(ws) + lit(7)) / lit(8)).cast("int"),
-          lit(1))
-        val chunks = transform(sequence(lit(0), nch - 1),
-          i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " "))
-        val none = array().cast("array<string>")
-        val built = concat(
-          when(col("doc_id") % 5 === 0, array(lit(LineCopy))).otherwise(none),
-          chunks,
-          when(col("doc_id") % 3 === 0, array(lit(LineNews))).otherwise(none),
-          when(col("doc_id") % 4 === 1, array(lit(LineCookie)))
-            .otherwise(none))
-        Dedup.lineDedup(
-            raw.select(col("doc_id"), array_join(built, "\n").as("text")),
-            minCount = 3, minChars = 10)
+      (s, dir) =>
+        Dedup.lineDedup(lineCorpus(s, dir), minCount = 3, minChars = 10)
           .select(col("doc_id").cast("long"), col("text"),
-            col("n_lines"), col("n_removed"))
-      },
+            col("n_lines"), col("n_removed")),
       _.orderBy("doc_id"),
       Some(
-        s"""WITH base AS (SELECT doc_id, ${W("text")} AS ws FROM documents),
-           |built AS (
-           |  SELECT doc_id,
-           |    (CASE WHEN doc_id % 5 = 0 THEN ['$LineCopy']
-           |          ELSE CAST([] AS VARCHAR[]) END)
-           |    || list_transform(
-           |         range(0, greatest(CAST(floor((len(ws)+7)/8) AS INT), 1)),
-           |         i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
-           |    || (CASE WHEN doc_id % 3 = 0 THEN ['$LineNews']
-           |             ELSE CAST([] AS VARCHAR[]) END)
-           |    || (CASE WHEN doc_id % 4 = 1 THEN ['$LineCookie']
-           |             ELSE CAST([] AS VARCHAR[]) END) AS ls
-           |  FROM base),
+        s"""WITH $sqlLineCorpusCtes,
            |lines AS (
            |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
            |  FROM built),
@@ -1303,6 +1315,30 @@ object LlmQueries extends QueryFamily {
            |       count(*) AS n_lines,
            |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
            |         AS n_removed
-           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental line census: fold the odd-id half of the corpus into
+    //    a census built from the even-id half, and pin merge == full-corpus
+    //    census (the oracle counts over ALL docs at once). Proves the
+    //    persisted-artifact path — appending a batch never re-reads the
+    //    old corpus — gives bit-identical boilerplate decisions. ──────────
+    QueryDef.sorted(
+      "q82_line_census",
+      (s, dir) => {
+        val corpus = lineCorpus(s, dir)
+        Dedup.mergeLineCensus(
+            Dedup.lineCensus(corpus.filter(col("doc_id") % 2 === 0)),
+            corpus.filter(col("doc_id") % 2 =!= 0))
+          .filter(col("n_docs") >= 2)
+          .select(col("lh"), col("n_docs"))
+      },
+      _.orderBy("lh"),
+      Some(
+        s"""WITH $sqlLineCorpusCtes,
+           |lines AS (SELECT doc_id, unnest(ls) AS line FROM built)
+           |SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
+           |FROM lines WHERE length(line) >= 10
+           |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY lh""".stripMargin))
   )
 }

@@ -58,6 +58,22 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == "ok\nalpha body text")
   }
 
+  test("incremental census merge equals the full-corpus census") {
+    val docs = Seq(
+      1L -> s"$Boiler\nalpha body text",
+      2L -> s"$Boiler\nbeta body text",
+      3L -> s"$Boiler\ngamma body text",
+      4L -> "gamma body text\ndelta body text")
+    val full = Dedup.lineCensus(docs.toDF("doc_id", "text"))
+      .as[(String, Long)].collect().toSet
+    val merged = Dedup.mergeLineCensus(
+        Dedup.lineCensus(docs.take(2).toDF("doc_id", "text")),
+        docs.drop(2).toDF("doc_id", "text"))
+      .as[(String, Long)].collect().toSet
+    assert(merged == full)
+    assert(full.map(_._2).max == 3L) // the boilerplate line counts 3 docs
+  }
+
   test("surviving lines keep original order; emptied docs yield empty text") {
     val got = run(Seq(
       1L -> s"first kept line\n$Boiler\nsecond kept line\nthird kept line",
