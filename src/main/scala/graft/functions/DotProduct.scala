@@ -101,6 +101,8 @@ object GraftFunctions {
   val SimhashName = "graft_simhash"
   val HashedShinglesName = "graft_hashed_shingles"
   val ShinglesName = "graft_shingles"
+  val WordsName = "graft_words"
+  val LangScoresName = "graft_lang_scores"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -162,6 +164,28 @@ object GraftFunctions {
             s"$ShinglesName: shingle size must be a literal")
           WordShingles(children(0),
             children(1).eval().asInstanceOf[Number].intValue())
+        })
+    }
+    val wIdent = FunctionIdentifier(WordsName)
+    if (!registry.functionExists(wIdent)) {
+      registry.registerFunction(
+        wIdent,
+        new ExpressionInfo(classOf[WordsSplit].getName, WordsName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$WordsName expects exactly 1 argument, got ${children.size}")
+          WordsSplit(children.head)
+        })
+    }
+    val lsIdent = FunctionIdentifier(LangScoresName)
+    if (!registry.functionExists(lsIdent)) {
+      registry.registerFunction(
+        lsIdent,
+        new ExpressionInfo(classOf[LangScores].getName, LangScoresName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$LangScoresName expects exactly 1 argument, got ${children.size}")
+          LangScores(children.head)
         })
     }
   }

@@ -16,28 +16,24 @@ import TextHash._
 object TextAnalysis {
 
   /** Stopword lists per language for the n-gram/stopword-hit language ID.
-    * Deterministic argmax with a fixed priority order on ties. */
-  val StopWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "mit", "ist", "ein"),
-    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"),
-    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you"))
-
-  /** Stopword OCCURRENCE count. Stays a filter() fold even though HOFs
-    * are interpreted: the codegen'd set ops can't express occurrence
-    * counting (array_except DEDUPS its result, so size-difference
-    * arithmetic over-counts repeated non-stop words). */
-  private def hits(ws: Column, stop: Seq[String]): Column =
-    size(filter(ws, w => w.isin(stop.map(lit): _*)))
+    * Deterministic argmax with a fixed priority order on ties. The table
+    * lives with the native scoring expression
+    * ([[graft.functions.LangScores]]) — one source of truth for the
+    * operator, the expression, and the oracle twins. */
+  val StopWords: Seq[(String, Seq[String])] =
+    graft.functions.LangScores.StopWords
 
   /** Per-language stopword-hit scores plus the argmax prediction
-    * (priority order = declaration order on ties). */
+    * (priority order = declaration order on ties). Scores come from ONE
+    * native pass over the token list ([[graft.functions.LangScores]]);
+    * the previous form ran an interpreted `filter` + `isin` walk per
+    * language. */
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    val scored = StopWords.foldLeft(docs.withColumn("ws", ws)) {
-      case (d, (lang, stop)) => d.withColumn(s"s_$lang", hits(col("ws"), stop))
-    }
+    val scored = StopWords.map(_._1).zipWithIndex
+      .foldLeft(docs.withColumn("lsc", langScores(col(textCol)))) {
+        case (d, (lang, i)) =>
+          d.withColumn(s"s_$lang", element_at(col("lsc"), i + 1))
+      }
     val langs = StopWords.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), els) =>
@@ -45,8 +41,14 @@ object TextAnalysis {
         when(col(s"s_$lang") >= (if (rest.size == 1) rest.head
                                  else greatest(rest: _*)), lang).otherwise(els)
     }
-    scored.withColumn("pred_lang", pred).drop("ws")
+    scored.withColumn("pred_lang", pred).drop("lsc")
   }
+
+  /** The native one-pass score vector over [[TextHash.words]] — null text
+    * → null scores (each `element_at` then stays null, matching the old
+    * per-language folds on a null words array). */
+  private def langScores(text: Column): Column =
+    call_function(graft.functions.GraftFunctions.LangScoresName, words(text))
 
   /** SQL twin of [[withLangId]]'s scores + argmax over a words-list
     * expression `w`. Returns (scoreSelects, predCase). */
@@ -69,7 +71,6 @@ object TextAnalysis {
     * totals, stopword hits (any language), and a coarse quality bucket —
     * the length/stopword-ratio heuristics of a pretraining filter. */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val allStops = StopWords.flatMap(_._2).distinct
     docs.withColumn("ws", words(col(textCol)))
       .withColumn("n_words", size(col("ws")))
       .withColumn("n_chars", length(col(textCol)))
@@ -78,7 +79,13 @@ object TextAnalysis {
       // NULL (concat_ws would silently treat a null array as empty)
       .withColumn("word_chars",
         when(col("ws").isNotNull, length(concat_ws("", col("ws")))))
-      .withColumn("stop_hits", hits(col("ws"), allStops))
+      // last element of the native score vector = any-language stopword
+      // occurrence count (the union set, counted independently — the
+      // per-language sets overlap, so it is not the per-language sum)
+      .withColumn("stop_hits", element_at(
+        call_function(graft.functions.GraftFunctions.LangScoresName,
+          col("ws")),
+        graft.functions.LangScores.NumLangs + 1))
       .withColumn("quality_bucket",
         when(col("n_words") < 20, "too_short")
           .when(col("stop_hits") * 5 >= col("n_words"), "fluent")

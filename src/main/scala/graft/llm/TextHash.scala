@@ -39,9 +39,14 @@ object TextHash {
     * the DuckDB twin's `string_split` on ' '). Text using tabs/newlines
     * as separators must be normalized first (withNormalizedText does
     * exactly that); splitting here on `\\s+` would double the regex cost
-    * on the hottest path for a case normalization already handles. */
+    * on the hottest path for a case normalization already handles.
+    * Backed by the native one-pass [[graft.functions.WordsSplit]]
+    * (byte-scan split + empty-drop fused — the previous
+    * `filter(split(text, " "), ...)` ran an interpreted lambda over
+    * every empty run between spaces, on EVERY text operator's first
+    * step). */
   def words(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    call_function(graft.functions.GraftFunctions.WordsName, text)
 
   /** Distinct word n-gram shingles ("a b c"-style); whole text if shorter
     * than n words. The windowed branch is the native one-pass
