@@ -103,6 +103,7 @@ object GraftFunctions {
   val ShinglesName = "graft_shingles"
   val WordsName = "graft_words"
   val LangScoresName = "graft_lang_scores"
+  val PosFpName = "graft_pos_fp"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -186,6 +187,17 @@ object GraftFunctions {
           require(children.size == 1,
             s"$LangScoresName expects exactly 1 argument, got ${children.size}")
           LangScores(children.head)
+        })
+    }
+    val pfIdent = FunctionIdentifier(PosFpName)
+    if (!registry.functionExists(pfIdent)) {
+      registry.registerFunction(
+        pfIdent,
+        new ExpressionInfo(classOf[PosWeightedFp].getName, PosFpName),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"$PosFpName expects exactly 1 argument, got ${children.size}")
+          PosWeightedFp(children.head)
         })
     }
   }

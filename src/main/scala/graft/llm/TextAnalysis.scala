@@ -271,13 +271,11 @@ object TextAnalysis {
     docs.withColumn("ws", words(col(textCol)))
       .withColumn("fp_min",
         array_min(hashedShingles(shingles(col("ws"), shingleN))))
-      // position-weighted sum reuses TextHash.h32p directly (the base
-      // hash is defined once — an embedded SQL-string copy here would
-      // have to be kept in sync by hand)
+      // one native digest-and-accumulate pass (the HOF form ran two
+      // interpreted lambdas per word); bit-parity with the old
+      // aggregate/transform fold is pinned by WordsSpec
       .withColumn("fp_pos",
-        aggregate(
-          transform(col("ws"), (w, i) => h32p(w) * ((i % 64) + 1)),
-          lit(0L), (acc, v) => acc + v) % P)
+        call_function(graft.functions.GraftFunctions.PosFpName, col("ws")))
       .drop("ws")
 
   /** Rabin-Karp rolling-hash winnowing: polynomial window hash

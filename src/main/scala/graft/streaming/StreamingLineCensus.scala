@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.llm.Dedup
+
+/** Continuous corpus line census: maintain the persisted boilerplate
+  * census ([[Dedup.lineCensus]]) as documents stream in, so line-dedup
+  * decisions ([[Dedup.lineDedup]]'s `n_docs >= minCount` set) stay
+  * current without ever re-reading the old corpus — per-hash counts are
+  * additive across batches ([[Dedup.mergeLineCensus]]), so each
+  * micro-batch costs its own census plus a census-sized merge.
+  *
+  * State lives in a [[VersionedState]] parquet chain (`<dir>/v<batchId>`):
+  * a REPLAYED batch recomputes its version from the predecessor state
+  * rather than double-merging, the `_SUCCESS` commit protocol keeps torn
+  * writes invisible, and the stale-checkpoint guard fails loudly instead
+  * of resurrecting old counts. The append-only contract of
+  * `mergeLineCensus` (batch doc ids previously unseen) carries over:
+  * this is the census for an ever-growing corpus, not an updateable one.
+  */
+object StreamingLineCensus {
+
+  /** The current committed census (lh, n_docs), if any batch committed. */
+  def latestCensus(spark: SparkSession, censusDir: String): Option[DataFrame] =
+    StreamingUpsert.latestState(spark, censusDir)
+
+  /** Idempotent fold of one micro-batch of documents into the census. */
+  def mergeBatch(batch: DataFrame, batchId: Long, censusDir: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 minChars: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    VersionedState.requireNoNewerThan(spark, censusDir, batchId)
+    val merged = StreamingUpsert
+      .latestState(spark, censusDir, beforeBatch = batchId)
+      .map(prev => Dedup.mergeLineCensus(prev, batch, idCol, textCol,
+        minChars))
+      .getOrElse(Dedup.lineCensus(batch, idCol, textCol, minChars))
+    merged.write.mode("overwrite").parquet(s"$censusDir/v$batchId")
+    VersionedState.gcBefore(spark, censusDir, batchId)
+  }
+
+  /** Start the stream. After each batch's fold commits, `onCensus` gets
+    * the updated census frame and the batch id — e.g. to refresh a
+    * broadcast boilerplate set or republish the `>= minCount` drop list. */
+  def start(docs: DataFrame, censusDir: String, checkpointDir: String,
+            onCensus: (DataFrame, Long) => Unit = (_, _) => (),
+            idCol: String = "doc_id", textCol: String = "text",
+            minChars: Int = 10,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, censusDir, idCol, textCol, minChars)
+        onCensus(latestCensus(batch.sparkSession, censusDir).get, batchId)
+      }
+      .start()
+}

@@ -70,6 +70,23 @@ class WordsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("graft_pos_fp matches the aggregate/transform fold (codegen path)") {
+    import graft.llm.TextHash.{h32p, P}
+    val tmp = java.nio.file.Files.createTempDirectory("posfp").toString
+    // >64 words exercises the (i % 64) weight wrap
+    (Texts :+ (("w " * 200).trim)).toDF("t")
+      .write.mode("overwrite").parquet(tmp)
+    val ws = nativeWords(col("t"))
+    val old = aggregate(
+      transform(ws, (w, i) => h32p(w) * ((i % 64) + 1)),
+      lit(0L), (acc, v) => acc + v) % P
+    val diff = spark.read.parquet(tmp)
+      .select(call_function(GraftFunctions.PosFpName, ws).as("a"),
+        old.as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(diff.count() == 0)
+  }
+
   test("union count is not the per-language sum (overlapping sets)") {
     // "de" is in the es/fr/zh lists: three per-language hits, ONE union hit
     val got = Seq("de").toDF("t")
