@@ -58,6 +58,26 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == "ok\nalpha body text")
   }
 
+  test("line dedup is idempotent and identity on boilerplate-free corpora") {
+    val dirty = Seq(
+      1L -> s"alpha content one\n$Boiler",
+      2L -> s"$Boiler\nbeta content two",
+      3L -> s"gamma content three\n$Boiler")
+    val once = Dedup.lineDedup(dirty.toDF("doc_id", "text"))
+      .select("doc_id", "text")
+    // second pass over the cleaned corpus removes nothing
+    val twice = Dedup.lineDedup(once)
+    assert(twice.as[(Long, String, Long, Long)].collect()
+      .forall(_._4 == 0L))
+    // a corpus with no corpus-repeated line passes through text-unchanged
+    val clean = Seq(1L -> "solo alpha line\nsecond alpha line",
+      2L -> "solo beta line here").toDF("doc_id", "text")
+    val out = Dedup.lineDedup(clean).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "solo alpha line\nsecond alpha line",
+      2L -> "solo beta line here"))
+  }
+
   test("incremental census merge equals the full-corpus census") {
     val docs = Seq(
       1L -> s"$Boiler\nalpha body text",
