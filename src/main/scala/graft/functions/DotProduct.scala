@@ -105,100 +105,55 @@ object GraftFunctions {
   val LangScoresName = "graft_lang_scores"
   val PosFpName = "graft_pos_fp"
 
+  private def arity1(name: String, clazz: Class[_],
+                     mk: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        // a real arity error, not a silently-dropped extra argument or a
+        // raw IndexOutOfBoundsException
+        require(children.size == 1,
+          s"$name expects exactly 1 argument, got ${children.size}")
+        mk(children.head)
+      })
+
+  /** (identifier, info, builder) for every native function — the single
+    * list BOTH registration paths feed from: [[register]] patches an
+    * already-built session's registry, [[graft.GraftExtensions]] hands
+    * the same tuples to `SparkSessionExtensions.injectFunction` at
+    * session build time. */
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$DotName expects exactly 2 arguments, got ${children.size}")
+        DotProduct(children(0), children(1))
+      }),
+    arity1(MinhashName, classOf[MinhashSig], MinhashSig(_)),
+    arity1(SimhashName, classOf[SimhashFp], SimhashFp(_)),
+    arity1(HashedShinglesName, classOf[HashedShingles], HashedShingles(_)),
+    (FunctionIdentifier(ShinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, ShinglesName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$ShinglesName expects exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable,
+          s"$ShinglesName: shingle size must be a literal")
+        WordShingles(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
+    arity1(WordsName, classOf[WordsSplit], WordsSplit(_)),
+    arity1(LangScoresName, classOf[LangScores], LangScores(_)),
+    arity1(PosFpName, classOf[PosWeightedFp], PosWeightedFp(_)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val dotIdent = FunctionIdentifier(DotName)
-    if (!registry.functionExists(dotIdent)) {
-      registry.registerFunction(
-        dotIdent,
-        new ExpressionInfo(classOf[DotProduct].getName, DotName),
-        (children: Seq[Expression]) => {
-          // a real arity error, not a silently-dropped third argument or
-          // a raw IndexOutOfBoundsException
-          require(children.size == 2,
-            s"$DotName expects exactly 2 arguments, got ${children.size}")
-          DotProduct(children(0), children(1))
-        })
-    }
-    val mhIdent = FunctionIdentifier(MinhashName)
-    if (!registry.functionExists(mhIdent)) {
-      registry.registerFunction(
-        mhIdent,
-        new ExpressionInfo(classOf[MinhashSig].getName, MinhashName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$MinhashName expects exactly 1 argument, got ${children.size}")
-          MinhashSig(children.head)
-        })
-    }
-    val shIdent = FunctionIdentifier(SimhashName)
-    if (!registry.functionExists(shIdent)) {
-      registry.registerFunction(
-        shIdent,
-        new ExpressionInfo(classOf[SimhashFp].getName, SimhashName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$SimhashName expects exactly 1 argument, got ${children.size}")
-          SimhashFp(children.head)
-        })
-    }
-    val hshIdent = FunctionIdentifier(HashedShinglesName)
-    if (!registry.functionExists(hshIdent)) {
-      registry.registerFunction(
-        hshIdent,
-        new ExpressionInfo(classOf[HashedShingles].getName, HashedShinglesName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$HashedShinglesName expects exactly 1 argument, got ${children.size}")
-          HashedShingles(children.head)
-        })
-    }
-    val wsIdent = FunctionIdentifier(ShinglesName)
-    if (!registry.functionExists(wsIdent)) {
-      registry.registerFunction(
-        wsIdent,
-        new ExpressionInfo(classOf[WordShingles].getName, ShinglesName),
-        (children: Seq[Expression]) => {
-          require(children.size == 2,
-            s"$ShinglesName expects exactly 2 arguments, got ${children.size}")
-          require(children(1).foldable,
-            s"$ShinglesName: shingle size must be a literal")
-          WordShingles(children(0),
-            children(1).eval().asInstanceOf[Number].intValue())
-        })
-    }
-    val wIdent = FunctionIdentifier(WordsName)
-    if (!registry.functionExists(wIdent)) {
-      registry.registerFunction(
-        wIdent,
-        new ExpressionInfo(classOf[WordsSplit].getName, WordsName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$WordsName expects exactly 1 argument, got ${children.size}")
-          WordsSplit(children.head)
-        })
-    }
-    val lsIdent = FunctionIdentifier(LangScoresName)
-    if (!registry.functionExists(lsIdent)) {
-      registry.registerFunction(
-        lsIdent,
-        new ExpressionInfo(classOf[LangScores].getName, LangScoresName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$LangScoresName expects exactly 1 argument, got ${children.size}")
-          LangScores(children.head)
-        })
-    }
-    val pfIdent = FunctionIdentifier(PosFpName)
-    if (!registry.functionExists(pfIdent)) {
-      registry.registerFunction(
-        pfIdent,
-        new ExpressionInfo(classOf[PosWeightedFp].getName, PosFpName),
-        (children: Seq[Expression]) => {
-          require(children.size == 1,
-            s"$PosFpName expects exactly 1 argument, got ${children.size}")
-          PosWeightedFp(children.head)
-        })
+    builders.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
   }
 }
