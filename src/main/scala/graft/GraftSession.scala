@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size(NULL) must be NULL, never Hive's -1: the text operators'
+      // null contracts (null text → null scores → deterministic
+      // fall-through language) are defined against it, and the native
+      // expressions replicate exactly that
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       // many-small-file sources (the GridFS-analog binary corpus): the
       // 4 MB default open-cost treats every tiny file as 4 MB when
@@ -38,6 +43,7 @@ object GraftSession {
   def ensure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     graft.functions.GraftFunctions.register(spark)
     spark
   }

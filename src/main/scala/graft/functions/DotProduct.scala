@@ -141,8 +141,9 @@ object GraftFunctions {
           s"$ShinglesName expects exactly 2 arguments, got ${children.size}")
         require(children(1).foldable,
           s"$ShinglesName: shingle size must be a literal")
-        WordShingles(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())
+        val n = children(1).eval()
+        require(n != null, s"$ShinglesName: shingle size must not be null")
+        WordShingles(children(0), n.asInstanceOf[Number].intValue())
       }),
     arity1(WordsName, classOf[WordsSplit], WordsSplit(_)),
     arity1(LangScoresName, classOf[LangScores], LangScores(_)),

@@ -489,7 +489,14 @@ object Dedup {
     * kept, and an aggregate census cannot reconcile that — pipelines that
     * update documents in place must keep the per-(doc, line) table and
     * recount, the same trade [[incrementalNearDupPairs]] resolves by
-    * keeping per-doc signatures. */
+    * keeping per-doc signatures.
+    *
+    * Same-`minChars` contract: the census is only meaningful under the
+    * `minChars` it was BUILT with — an aggregate of (lh, n_docs) rows
+    * carries no record of the gate, so merging with a different value
+    * silently under-counts the lines only one side admitted. Callers must
+    * pin `minChars` with the persisted census (the stream twin holds it
+    * constant for the life of its state dir). */
   def mergeLineCensus(existing: DataFrame, newDocs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       minChars: Int = 10): DataFrame =
@@ -512,7 +519,8 @@ object Dedup {
     *
     * Returns (idCol, textCol [cleaned], n_lines, n_removed) — one row per
     * input document, docs reduced to nothing kept with empty text so the
-    * caller decides their fate.
+    * caller decides their fate; a NULL-text document also keeps its row
+    * (empty cleaned text, one unremovable line) rather than vanishing.
     *
     * Scale shape: the explode is narrow; the census is a two-phase
     * aggregation keyed on `md5(line)` (the same 128-bit collision stance
@@ -525,12 +533,19 @@ object Dedup {
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", minCount: Int = 3,
                 minChars: Int = 10): DataFrame = {
+    // _outer keeps NULL-text documents in the output (as one null "line"
+    // that is census-ineligible and join-transparent → empty cleaned
+    // text), upholding the one-row-per-input contract
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-    // census key: null for ineligible lines → never matches the join below
+      posexplode_outer(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    // census key: null for ineligible lines → never matches the join
+    // below, and shared by the census branch so line ELIGIBILITY has
+    // exactly one definition
     val keyed = lines.withColumn("lh",
       when(length(col("line")) >= minChars, md5(col("line"))))
-    val boiler = lineCensus(docs, idCol, textCol, minChars)
+    val boiler = keyed.filter(col("lh").isNotNull)
+      .groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minCount)
       .select(col("lh"), lit(true).as("boiler"))
     keyed.join(boiler, Seq("lh"), "left")

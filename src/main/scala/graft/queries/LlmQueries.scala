@@ -42,8 +42,11 @@ object LlmQueries extends QueryFamily {
     * define-once-emit-twice rule. */
   private def lineCorpus(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
+    // the NOT NULL filter (mirrored in the CTE) pins the no-null-text
+    // assumption: a null text would make Spark's array_join skip the null
+    // chunk while DuckDB's unnest keeps it — a silent twin divergence
     val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text"))
+      .select("doc_id", "text").filter(col("text").isNotNull))
     val ws = words(col("text"))
     val nch = greatest(floor((size(ws) + lit(7)) / lit(8)).cast("int"),
       lit(1))
@@ -58,12 +61,35 @@ object LlmQueries extends QueryFamily {
     raw.select(col("doc_id"), array_join(built, "\n").as("text"))
   }
 
+  /** DuckDB CTEs `lines, boiler, flagged` replaying [[Dedup.lineDedup]]'s
+    * census + removal flagging over `built` (minCount=3, minChars=10 —
+    * the q81/q83 constants). */
+  private val sqlLineDedupCtes: String =
+    s"""lines AS (
+       |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
+       |  FROM built),
+       |boiler AS (
+       |  SELECT md5(line) AS lh FROM lines WHERE length(line) >= 10
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+       |flagged AS (
+       |  SELECT doc_id, pos, line,
+       |         (length(line) >= 10 AND
+       |          md5(line) IN (SELECT lh FROM boiler)) AS rm
+       |  FROM lines)""".stripMargin
+
+  /** The reassembled per-doc cleaned text (an aggregate over `flagged`,
+    * grouped by doc_id). */
+  private val sqlCleanedText: String =
+    "coalesce(string_agg(line, chr(10) ORDER BY pos)" +
+      " FILTER (WHERE NOT rm), '')"
+
   /** DuckDB CTE pair `base, built` replaying [[lineCorpus]]; `built.ls`
     * is the document's line list. The `||` list concats sit at line ENDS:
     * this fragment is spliced into query strings that call `stripMargin`
     * again, which would eat one pipe of a line-leading `||`. */
   private val sqlLineCorpusCtes: String =
-    s"""base AS (SELECT doc_id, ${W("text")} AS ws FROM documents),
+    s"""base AS (SELECT doc_id, ${W("text")} AS ws FROM documents
+       |          WHERE text IS NOT NULL),
        |built AS (
        |  SELECT doc_id,
        |    (CASE WHEN doc_id % 5 = 0 THEN ['$LineCopy']
@@ -158,17 +184,17 @@ object LlmQueries extends QueryFamily {
     * corpus after the quality gate, exact dedup, and near-dup cluster
     * drop. Shared by q62 (census of the survivors) and q75 (split + shard
     * the survivors); the caller must prefix `WITH RECURSIVE`. */
-  private lazy val curationCtes: String = {
+  private def curationCtes(src: String = "documents"): String = {
     val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
       .map(s => s"'$s'").mkString(",")
     val (scores, pred) = TextAnalysis.sqlLangId("w")
     s"""corpus AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text FROM $src
        |  UNION ALL
-       |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+       |  SELECT doc_id + $DupOffset, text FROM $src WHERE doc_id % 7 = 0
        |  UNION ALL
        |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
-       |  FROM documents WHERE doc_id % 10 = 0),
+       |  FROM $src WHERE doc_id % 10 = 0),
        |ctok AS (SELECT doc_id, text, ${W("text")} AS w FROM corpus),
        |csig AS (SELECT doc_id, text, len(w) AS n_words,
        |                len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
@@ -713,7 +739,7 @@ object LlmQueries extends QueryFamily {
       },
       _.orderBy("doc_id"),
       Some(
-        s"""WITH RECURSIVE $curationCtes
+        s"""WITH RECURSIVE ${curationCtes()}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
            |       CAST(n_words AS BIGINT) AS n_words
            |FROM surv ORDER BY doc_id""".stripMargin)),
@@ -1112,7 +1138,7 @@ object LlmQueries extends QueryFamily {
       },
       _.orderBy("split", "shard"),
       Some(
-        s"""WITH RECURSIVE $curationCtes,
+        s"""WITH RECURSIVE ${curationCtes()},
            |assigned AS (SELECT doc_id, ${Sampling.sqlSplit("doc_id")} AS split,
            |                    ${Sharding.sqlShardId("doc_id", 8)} AS shard
            |             FROM surv)
@@ -1298,20 +1324,9 @@ object LlmQueries extends QueryFamily {
       _.orderBy("doc_id"),
       Some(
         s"""WITH $sqlLineCorpusCtes,
-           |lines AS (
-           |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
-           |  FROM built),
-           |boiler AS (
-           |  SELECT md5(line) AS lh FROM lines WHERE length(line) >= 10
-           |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
-           |flagged AS (
-           |  SELECT doc_id, pos, line,
-           |         (length(line) >= 10 AND
-           |          md5(line) IN (SELECT lh FROM boiler)) AS rm
-           |  FROM lines)
+           |$sqlLineDedupCtes
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |       coalesce(string_agg(line, chr(10) ORDER BY pos)
-           |                  FILTER (WHERE NOT rm), '') AS text,
+           |       $sqlCleanedText AS text,
            |       count(*) AS n_lines,
            |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
            |         AS n_removed
@@ -1339,6 +1354,50 @@ object LlmQueries extends QueryFamily {
            |SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
            |FROM lines WHERE length(line) >= 10
            |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-           |ORDER BY lh""".stripMargin))
+           |ORDER BY lh""".stripMargin)),
+
+    // ── The complete pretraining pipeline, one cross-engine answer:
+    //    multi-line corpus → corpus-level line dedup (boilerplate out) →
+    //    text re-normalization (the surviving lines re-joined, newlines
+    //    collapsed back to the single-space token contract) → the
+    //    dup/variant unions → the full curation composite (gate → exact
+    //    dedup → near-dup cluster drop). Every stage is an
+    //    already-verified operator; this pins that the NEW line-dedup
+    //    stage composes with the rest end-to-end. ─────────────────────────
+    QueryDef.sorted(
+      "q83_full_pipeline",
+      (s, dir) => {
+        val cleaned = Dedup.lineDedup(lineCorpus(s, dir),
+            minCount = 3, minChars = 10)
+          .select(col("doc_id"), col("text"))
+        // the reassembly + normalization barrier: the corpus union below
+        // reads this frame three times, and each read would otherwise
+        // replay the census + reassembly subtree
+        val norm = TextAnalysis.withNormalizedText(cleaned)
+          .select(col("doc_id"), col("norm_text").as("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ws = words(col("text"))
+        val corpus = norm
+          .unionByName(norm.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+          .unionByName(norm.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
+        Curation.curate(corpus)
+          .select(col("doc_id").cast("long"), col("pred_lang"),
+            col("quality_bucket"), col("n_words").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $sqlLineCorpusCtes,
+           |$sqlLineDedupCtes,
+           |cleaned AS (
+           |  SELECT doc_id,
+           |         ${TextAnalysis.sqlNormalizedText(sqlCleanedText)} AS text
+           |  FROM flagged GROUP BY doc_id),
+           |${curationCtes("cleaned")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang,
+           |       quality_bucket, CAST(n_words AS BIGINT) AS n_words
+           |FROM surv ORDER BY doc_id""".stripMargin))
   )
 }

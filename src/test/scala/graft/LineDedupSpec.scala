@@ -58,6 +58,15 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == "ok\nalpha body text")
   }
 
+  test("a NULL-text document keeps its row (empty cleaned text)") {
+    val got = run(Seq(
+      1L -> null,
+      2L -> "real content line here",
+      3L -> "other content line here"))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == (1L, "", 1L, 0L))
+  }
+
   test("line dedup is idempotent and identity on boilerplate-free corpora") {
     val dirty = Seq(
       1L -> s"alpha content one\n$Boiler",
