@@ -87,6 +87,38 @@ class WordsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("property: natives match their column forms on generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // strings over a hostile alphabet: spaces (runs), tabs/newlines,
+    // multibyte, stopwords from several languages, punctuation
+    val token = Gen.oneOf(" ", " ", "  ", "\t", "\n", "the", "de", "le",
+      "und", "café", "中文", "a", "!", "x9", "", "d'a")
+    val texts = gen(Gen.listOfN(400,
+      Gen.listOf(token).map(_.mkString)), 11L)
+    val tmp = java.nio.file.Files.createTempDirectory("wprop").toString
+    texts.toDF("t").write.mode("overwrite").parquet(tmp)
+    val ws = nativeWords(col("t"))
+    import graft.llm.TextHash.{h32p, P}
+    val posOld = aggregate(
+      transform(ws, (w, i) => h32p(w) * ((i % 64) + 1)),
+      lit(0L), (acc, v) => acc + v) % P
+    def oldHits(stop: Seq[String]) =
+      size(filter(ws, w => w.isin(stop.map(lit): _*)))
+    val native = call_function(GraftFunctions.LangScoresName, ws)
+    val checks = (LangScores.StopWords.map(_._2) :+
+        LangScores.StopWords.flatMap(_._2).distinct)
+      .zipWithIndex.map { case (stop, i) =>
+        element_at(native, i + 1) <=> oldHits(stop)
+      } ++ Seq(
+        ws <=> oldWords(col("t")),
+        call_function(GraftFunctions.PosFpName, ws) <=> posOld)
+    val diff = spark.read.parquet(tmp).filter(!checks.reduce(_ && _))
+    assert(diff.count() == 0)
+  }
+
   test("union count is not the per-language sum (overlapping sets)") {
     // "de" is in the es/fr/zh lists: three per-language hits, ONE union hit
     val got = Seq("de").toDF("t")
