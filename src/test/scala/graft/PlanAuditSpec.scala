@@ -54,6 +54,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("line dedup broadcasts the boilerplate set and plans no window") {
+    val plan = fmt(SparkEntry.benchQueries("q81_line_dedup")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate-set join not broadcast:\n$plan")
+    assert(!plan.contains("Window"), "line dedup must not plan a window")
+    assert(plan.contains("partial_collect_list"),
+      s"reassembly lost its map-side partial agg:\n$plan")
+  }
+
   test("LWW shows partial max_by before the key shuffle (no window sort)") {
     val plan = fmt(Upsert.lastWriterWins(EventLog.envelope(spark, dir)))
     assert(plan.contains("partial_max_by"), s"no partial agg:\n$plan")
