@@ -33,6 +33,14 @@ import graft.source.ChangeEvent
   *    cluster each bucket is its own partition subtree, so point lookups
   *    and delete-meta reads prune to one bucket.
   *
+  * Consistency window: the union is per-bucket-latest with NO global cut
+  * — a read concurrent with an in-flight mergeBatch (or between a crash
+  * and its replay) can mix batch N's winners in committed buckets with
+  * batch N−1's in the rest. Per-key results are still internally
+  * consistent (a key lives in exactly one bucket); readers needing a
+  * cross-key atomic snapshot must read between merges, or use the global
+  * [[StreamingUpsert]] chain whose single version IS the cut.
+  *
   * The reference's analog is MongoDB collections as state (T6) — which
   * also only touches the documents a batch writes.
   */
@@ -55,18 +63,33 @@ object BucketedState {
     val meta = new Path(stateDir, "_meta")
     if (f.exists(meta)) {
       val in = f.open(meta)
-      val pinned =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+      val raw =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
+      val pinned = raw.toIntOption.getOrElse(throw new IllegalStateException(
+        s"state dir $stateDir has a torn _meta marker (content: '$raw') — " +
+          "a crash interrupted its write; no versions can have committed " +
+          "under it (the marker is written before the first merge), so " +
+          "delete the _meta file and re-run"))
       require(pinned == numBuckets,
         s"state dir $stateDir was created with numBuckets=$pinned; " +
           s"merging with numBuckets=$numBuckets would split each key's " +
           "history across buckets — pass the original count")
     } else {
+      // write-then-rename: a crash mid-write leaves only the temp file,
+      // never a torn _meta that later parses as garbage (the same
+      // torn-write stance as VersionedState's _SUCCESS protocol)
       f.mkdirs(new Path(stateDir))
-      val out = f.create(meta, true)
+      val tmp = new Path(stateDir, s"._meta.tmp")
+      val out = f.create(tmp, true)
       try out.write(numBuckets.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!f.rename(tmp, meta)) {
+        // lost a creation race: another writer committed first — validate
+        // against theirs instead
+        f.delete(tmp, false)
+        ensureMeta(spark, stateDir, numBuckets)
+      }
     }
   }
 
@@ -95,14 +118,19 @@ object BucketedState {
             // fresh checkpoint restarting batch ids under an existing chain
             // would write b<N>/v0 beneath a committed v5 — latestBucket
             // still reads v5 and the new merges become silently invisible
-            VersionedState.requireNoNewerThan(spark, s"$stateDir/b$b", batchId)
+            // one listing per bucket per batch, threaded through guard,
+            // predecessor lookup, and GC
+            val bDir = s"$stateDir/b$b"
+            val vs = VersionedState.versions(spark, bDir)
+            VersionedState.requireNoNewerThan(vs, bDir, batchId)
             val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
-            val prev = latestBucket(spark, stateDir, b, beforeBatch = batchId)
+            val prev = vs.find(_ < batchId)
+              .map(v => spark.read.parquet(s"$bDir/v$v"))
             val merged = Upsert.lastWriterWins(
               prev.map(_.unionByName(slice)).getOrElse(slice))
-            merged.write.mode("overwrite").parquet(s"$stateDir/b$b/v$batchId")
+            merged.write.mode("overwrite").parquet(s"$bDir/v$batchId")
             // GC: keep this version + predecessor (crash-recovery window)
-            VersionedState.gcBefore(spark, s"$stateDir/b$b", batchId)
+            VersionedState.gcBefore(spark, bDir, batchId, vs)
           }
         }
         Await.result(Future.sequence(merges), Duration.Inf)
@@ -129,8 +157,5 @@ object BucketedState {
     * [[StreamingUpsert.liveState]] — empty-envelope schema before the
     * first commit, for the same reason. */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
-    latestState(spark, stateDir)
-      .map(_.filter(col("operation").isin("i", "u")))
-      .getOrElse(spark.emptyDataset(
-        org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
+    StreamingUpsert.liveView(spark, latestState(spark, stateDir))
 }

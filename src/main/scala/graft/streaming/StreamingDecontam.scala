@@ -40,11 +40,12 @@ object StreamingDecontam {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val signed = Dedup.signCorpus(batch, idCol, textCol, shingleN)
-        onPairs(Dedup.pairsBetweenSigned(signed, evalSigned), batchId)
-        // the batch's signature persist is scoped to the batch — dropping
-        // it here keeps long-running streams from accreting one cached
-        // signature table per micro-batch
-        signed.unpersist()
+        // the batch's signature persist is scoped to the batch — the
+        // finally keeps long-running streams from accreting one cached
+        // signature table per micro-batch even when a flaky sink makes
+        // onPairs throw and Spark replays the batch
+        try onPairs(Dedup.pairsBetweenSigned(signed, evalSigned), batchId)
+        finally signed.unpersist()
         ()
       }
       .start()

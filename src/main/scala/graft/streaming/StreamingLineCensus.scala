@@ -43,7 +43,11 @@ object StreamingLineCensus {
 
   /** Start the stream. After each batch's fold commits, `onCensus` gets
     * the updated census frame and the batch id — e.g. to refresh a
-    * broadcast boilerplate set or republish the `>= minCount` drop list. */
+    * broadcast boilerplate set or republish the `>= minCount` drop list.
+    * `onCensus` must materialize the frame (write/collect) before
+    * returning: it reads the version the GC window deletes two batches
+    * later, so a deferred read can hit FileNotFoundException (the same
+    * contract as [[StreamingDecontam]]'s `onPairs`). */
   def start(docs: DataFrame, censusDir: String, checkpointDir: String,
             onCensus: (DataFrame, Long) => Unit = (_, _) => (),
             idCol: String = "doc_id", textCol: String = "text",

@@ -6,8 +6,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.llm.{Packing, TextHash}
 
 /** Per-bucket packing state: the running token total — everything the
-  * next-fit rule needs to place the next document. */
-case class PackBucketState(cumTokens: Long)
+  * next-fit rule needs to place the next document — plus the (budget,
+  * nBuckets) pair the state was built under, so a restart with different
+  * parameters fails loudly instead of silently packing against token
+  * totals from another partitioning (the same hazard BucketedState pins
+  * with its `_meta` marker; here the pin rides the checkpointed state —
+  * a bucket that never carried state cannot detect the change, but every
+  * bucket whose totals would actually corrupt placement does). */
+case class PackBucketState(cumTokens: Long, budget: Int, nBuckets: Int)
 
 /** One packed document: the id, its token count, its scatter bucket, and
   * the pack it joined. */
@@ -49,8 +55,17 @@ object StreamingPacking {
         GroupStateTimeout.NoTimeout())(
         (bucket: Long, rows: Iterator[(Long, Int, Long)],
          state: GroupState[PackBucketState]) => {
+          val prev = state.getOption
+          prev.foreach { s =>
+            require(s.budget == budget && s.nBuckets == nBuckets,
+              s"packing state was built with budget=${s.budget}, " +
+                s"nBuckets=${s.nBuckets}; restarting with budget=$budget, " +
+                s"nBuckets=$nBuckets would place documents against token " +
+                "totals of a different partitioning — pass the original " +
+                "values (or start a fresh checkpoint)")
+          }
           val ordered = rows.toArray.sortBy(_._1)
-          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          var cum = prev.map(_.cumTokens).getOrElse(0L)
           val out = ordered.map { case (id, tokens, b) =>
             // integer division == floor for the non-negative running sum;
             // identical to the batch rule floor((cum_after - tokens)/budget)
@@ -58,7 +73,7 @@ object StreamingPacking {
             cum += tokens
             PackedDoc(id, tokens, b, pack)
           }
-          state.update(PackBucketState(cum))
+          state.update(PackBucketState(cum, budget, nBuckets))
           out.iterator
         })
   }

@@ -11,10 +11,15 @@ import graft.source.ChangeEvent
   * from Elasticsearch" (addPatch, monstache.go:3084-3158). */
 case class PatchState(v: Int, lastDoc: String)
 
-/** One emitted patch: the key, its 1-based patch number, the RFC-7386
-  * merge patch (v1 = the canonical full doc), and the source op's
-  * version for downstream ordering. */
-case class PatchEntry(id: String, v: Int, patch: String, version: Long)
+/** One emitted patch: the full (namespace, id) key, its 1-based patch
+  * number, the RFC-7386 merge patch (v1 = the canonical full doc), and
+  * the source op's version for downstream ordering. The namespace rides
+  * along because ids recur across collections (sequential integer _ids
+  * are the norm) — an id-only log would interleave unrelated chains for
+  * any consumer, exactly what the batch twin's namespace column
+  * prevents. */
+case class PatchEntry(namespace: String, id: String, v: Int, patch: String,
+                      version: Long)
 
 /** Streaming twin of the JSON merge-patch log (P10). The batch form
   * ([[graft.operators.PatchLog]]) pairs each doc with its predecessor via
@@ -50,7 +55,7 @@ object StreamingPatchLog {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: (String, String), ops: Iterator[ChangeEvent],
          state: GroupState[PatchState]) => {
-          val id = key._2
+          val (ns, id) = key
           val ordered = ops.toArray.sortBy(e => (e.version, e.event_id))
           var st = state.getOption.getOrElse(PatchState(0, null))
           val out = ordered.map { e =>
@@ -58,7 +63,7 @@ object StreamingPatchLog {
               if (st.lastDoc == null) JsonMergePatch.canonicalJson(e.document)
               else JsonMergePatch.diff(st.lastDoc, e.document)
             st = PatchState(st.v + 1, e.document)
-            PatchEntry(id, st.v, patch, e.version)
+            PatchEntry(ns, id, st.v, patch, e.version)
           }
           state.update(st)
           out.iterator

@@ -49,16 +49,20 @@ object StreamingUpsert {
     Upsert.lastWriterWins(snapshot)
       .write.mode("overwrite").parquet(s"$stateDir/v-1")
 
-  /** Idempotent merge of one micro-batch into the versioned state. */
+  /** Idempotent merge of one micro-batch into the versioned state. One
+    * directory listing serves the guard, the predecessor lookup, and the
+    * GC (on object stores the listings dominate small merges). */
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    VersionedState.requireNoNewerThan(spark, stateDir, batchId)
-    val prev = latestState(spark, stateDir, beforeBatch = batchId)
+    val vs = VersionedState.versions(spark, stateDir)
+    VersionedState.requireNoNewerThan(vs, stateDir, batchId)
+    val prev = vs.find(_ < batchId)
+      .map(v => spark.read.parquet(s"$stateDir/v$v"))
     val merged = Upsert.lastWriterWins(
       prev.map(_.unionByName(batch)).getOrElse(batch))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     // GC: keep this version and its predecessor (crash-recovery window)
-    VersionedState.gcBefore(spark, stateDir, batchId)
+    VersionedState.gcBefore(spark, stateDir, batchId, vs)
   }
 
   /** Start the continuous pipeline: envelope stream → optional transform →
@@ -93,8 +97,15 @@ object StreamingUpsert {
     * when state is empty (columns a transform added on top of the
     * envelope appear only once state exists). */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
-    latestState(spark, stateDir)
-      .map(_.filter(col("operation").isin("i", "u")))
+    liveView(spark, latestState(spark, stateDir))
+
+  /** The one definition of "live": winners whose last op isn't a delete,
+    * or an empty ChangeEvent-schema frame before any commit. Shared with
+    * [[BucketedState.liveState]] so the live-op set and the empty-frame
+    * schema cannot drift between the two layouts. */
+  private[streaming] def liveView(spark: SparkSession,
+                                  latest: Option[DataFrame]): DataFrame =
+    latest.map(_.filter(col("operation").isin("i", "u")))
       .getOrElse(spark.emptyDataset(
         org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF())
 

@@ -41,8 +41,16 @@ private[streaming] object VersionedState {
     * silently invisible to `latest*` until the batch ids catch up —
     * resurrecting stale state with no error anywhere. (A replayed batch
     * seeing its OWN version is fine: `<=`.) */
-  def requireNoNewerThan(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val newer = versions(spark, dir).filter(_ > batchId)
+  def requireNoNewerThan(spark: SparkSession, dir: String, batchId: Long): Unit =
+    requireNoNewerThan(versions(spark, dir), dir, batchId)
+
+  /** As above over a pre-listed version set — merge paths list the
+    * directory ONCE and thread the result through guard, predecessor
+    * lookup, and GC: on object stores the listings, not the merge work,
+    * dominate small batches (BucketedState multiplies them per touched
+    * bucket). */
+  def requireNoNewerThan(vs: Seq[Long], dir: String, batchId: Long): Unit = {
+    val newer = vs.filter(_ > batchId)
     require(newer.isEmpty,
       s"state dir $dir already holds committed versions ${newer.mkString(",")} " +
         s"newer than batch $batchId — it belongs to a further-progressed " +
@@ -51,9 +59,16 @@ private[streaming] object VersionedState {
 
   /** GC: keep the newest version strictly below `batchId` (the
     * crash-recovery predecessor) and delete everything older. */
-  def gcBefore(spark: SparkSession, dir: String, batchId: Long): Unit = {
+  def gcBefore(spark: SparkSession, dir: String, batchId: Long): Unit =
+    gcBefore(spark, dir, batchId, versions(spark, dir))
+
+  /** As above over a pre-listed version set (targets are strictly below
+    * `batchId`, so a listing taken before this batch's own write is
+    * exactly the GC candidate set). */
+  def gcBefore(spark: SparkSession, dir: String, batchId: Long,
+               vs: Seq[Long]): Unit = {
     val f = fs(spark, dir)
-    versions(spark, dir).filter(_ < batchId).drop(1)
+    vs.filter(_ < batchId).drop(1)
       .foreach(v => f.delete(new Path(s"$dir/v$v"), true))
   }
 }

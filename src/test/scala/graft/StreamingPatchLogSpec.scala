@@ -85,6 +85,33 @@ class StreamingPatchLogSpec extends AnyFunSuite {
     assert(streamed.map(_._2).max > 10)
   }
 
+  test("same id across namespaces yields separate, labeled chains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = Seq(
+      ChangeEvent(1L, "k", "app", "t0", "app.t0", "i", 10L, 40L,
+        """{"a":1}""", 0.0, "oplog"),
+      ChangeEvent(2L, "k", "app", "t1", "app.t1", "i", 10L, 41L,
+        """{"b":2}""", 0.0, "oplog"),
+      ChangeEvent(3L, "k", "app", "t0", "app.t0", "u", 11L, 45L,
+        """{"a":9}""", 0.0, "oplog"))
+    val src = MemoryStream[ChangeEvent]
+    src.addData(ops)
+    val q = StreamingPatchLog.patches(src.toDS(), Seq("app.t0", "app.t1"))
+      .writeStream.format("memory").queryName("patch_ns")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("patch_ns")
+      .select("namespace", "id", "v", "patch")
+      .as[(String, String, Int, String)].collect().toSet
+    // app.t0's id "k" chains v1→v2; app.t1's id "k" is an independent v1
+    assert(rows == Set(
+      ("app.t0", "k", 1, """{"a":1}"""),
+      ("app.t0", "k", 2, """{"a":9}"""),
+      ("app.t1", "k", 1, """{"b":2}""")))
+  }
+
   test("v1 is the canonical full doc; later patches diff prev → curr") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
