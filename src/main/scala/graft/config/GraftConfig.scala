@@ -90,7 +90,17 @@ object GraftConfig {
       namespaceDropRegex = doc.str("namespace-drop-regex"),
       namespaceDropExcludeRegex = doc.str("namespace-drop-exclude-regex"),
       configDb = doc.str("config-database-name").getOrElse(base.configDb),
-      deleteStrategy = doc.int("delete-strategy", base.deleteStrategy),
+      deleteStrategy = {
+        val s = doc.int("delete-strategy", base.deleteStrategy)
+        // the reference's doDelete switch silently applies NO deletes for
+        // an unknown value (monstache.go delete routing) — a typo'd
+        // strategy must be a loud config error here, not a silent
+        // behavior fork between the engines
+        require(s >= 0 && s <= 2,
+          s"config: delete-strategy must be 0 (stateless), 1 (stateful) " +
+            s"or 2 (ignore); got $s")
+        s
+      },
       indexAsUpdate = doc.bool("index-as-update"),
       indexOplogTime = doc.bool("index-oplog-time"),
       oplogTsFieldName =
@@ -338,8 +348,13 @@ object ConfiguredPipeline {
     * trigger here. */
   def statsTrigger(cfg: GraftConfig): org.apache.spark.sql.streaming.Trigger =
     cfg.statsDuration match {
-      case Some(d) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-        Codecs.goDurationToMillis(d))
+      case Some(d) =>
+        val ms = Codecs.goDurationToMillis(d)
+        // a zero cadence would make Spark run micro-batches back-to-back
+        // (a silent busy-spin); the reference's ticker panics on 0
+        require(ms > 0,
+          s"config: stats-duration '$d' resolves to a zero cadence")
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)
       case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
     }
 
@@ -359,11 +374,14 @@ object ConfiguredPipeline {
         graft.source.Discovery.filterNamespaces(
           graft.source.Discovery.listCollections(spark, dir),
           cfg.directReadDynamicIncludeRegex,
-          cfg.directReadDynamicExcludeRegex)
+          cfg.directReadDynamicExcludeRegex,
+          configDb = cfg.configDb)
       else cfg.directReadNamespaces
-    if (nss.isEmpty) spark.emptyDataFrame
     // FULL envelopes (not the namespace summary): the config front
-    // door's backfill must flow through hotPath/seedState unchanged
-    else graft.source.Discovery.directReadEnvelopes(spark, dir, nss)
+    // door's backfill must flow through hotPath/seedState unchanged.
+    // The no-namespace case delegates too — Discovery returns the
+    // envelope-SCHEMA empty frame, where a bare spark.emptyDataFrame
+    // (zero columns) would blow up the first downstream col() reference
+    graft.source.Discovery.directReadEnvelopes(spark, dir, nss)
   }
 }

@@ -93,14 +93,25 @@ object Toml {
           arrays.getOrElseUpdate(name, mutable.ListBuffer()) += m
           current = m
         } else if (line.startsWith("[") && line.endsWith("]")) {
+          val name = line.substring(1, line.length - 1).trim
+          // re-opening a table is a spec violation the reference's parser
+          // rejects; silently merging would let an editing leftover
+          // override keys with no signal
+          require(!tables.contains(name),
+            s"TOML line $ln: table [$name] is defined twice")
           current = tables.getOrElseUpdate(
-            line.substring(1, line.length - 1).trim,
-            mutable.LinkedHashMap[String, Any]())
+            name, mutable.LinkedHashMap[String, Any]())
         } else {
           val eq = line.indexOf('=')
           require(eq > 0, s"TOML line $ln: expected `key = value`, got: $line")
-          current(line.substring(0, eq).trim) =
-            parseValue(line.substring(eq + 1).trim, ln)
+          val key = line.substring(0, eq).trim
+          // duplicate keys are a TOML error (the reference's parser
+          // rejects them); last-win would silently keep the stale value
+          // of exactly the kind of leftover edit this front door promises
+          // to reject loudly
+          require(!current.contains(key),
+            s"TOML line $ln: key `$key` is assigned twice")
+          current(key) = parseValue(line.substring(eq + 1).trim, ln)
         }
       }
     }
@@ -147,7 +158,13 @@ object Toml {
       unescape(s.substring(1, i), ln)
     case _ if s.startsWith("[") && s.endsWith("]") =>
       splitTop(s.substring(1, s.length - 1)).map(v => parseValue(v.trim, ln))
-    case _ if s.matches("[+-]?\\d+") => s.toLong
+    case _ if s.matches("[+-]?\\d+") =>
+      // a Long-overflowing literal must carry the line number like every
+      // other parse error, not a bare NumberFormatException
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"TOML line $ln: integer out of 64-bit range: $s")
+      }
     case _ if s.matches("[+-]?\\d*\\.\\d+") => s.toDouble
     case _ =>
       throw new IllegalArgumentException(

@@ -64,17 +64,41 @@ object Upsert {
     * survive from earlier versions, nothing is removed. Per key and per
     * field that is "latest non-null value by (version, tieBreak)", which
     * aggregates with map-side partial combine (max over a (version, tie,
-    * value) struct ignores rows where the field is null). */
+    * value) struct ignores rows where the field is null).
+    *
+    * Deletes FENCE the merge: the reference replays ops in order, so a
+    * delete wipes the stored doc and later partial updates build on an
+    * empty one — a field last set BEFORE the key's latest delete must not
+    * resurrect. Expressed aggregation-side (no join): each field's global
+    * latest-non-null winner is kept only if it outranks the latest
+    * delete's (version, tieBreak). A later write of the same field
+    * outranks the fence and wins identically either way. Keys with no
+    * data op at all (delete-only) do not appear, matching the old
+    * i/u-only grouping. */
   def indexAsUpdate(df: DataFrame, fields: Seq[String],
                     keyCol: String = "id", versionCol: String = "version",
                     tieBreak: String = "event_id"): DataFrame = {
+    val isData = col("operation").isin("i", "u")
+    val ord = struct(col(versionCol), col(tieBreak))
     val aggs = fields.map { f =>
-      max(when(col(f).isNotNull,
+      max(when(isData && col(f).isNotNull,
         struct(col(versionCol), col(tieBreak), col(f).as("v"))))
-        .getField("v").as(f)
-    } :+ max(col(versionCol)).as("merged_version")
-    df.filter(col("operation").isin("i", "u"))
-      .groupBy(identityCols(df, keyCol).map(col): _*)
+        .as(s"__m_$f")
+    } ++ Seq(
+      max(when(isData, col(versionCol))).as("merged_version"),
+      max(when(col("operation") === "d", ord)).as("__dmax"))
+    val keys = identityCols(df, keyCol)
+    val merged = df.filter(isData || col("operation") === "d")
+      .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+      // delete-only keys never appeared under the old i/u-only grouping
+      .filter(col("merged_version").isNotNull)
+    val unfenced = fields.map { f =>
+      val m = col(s"__m_$f")
+      when(col("__dmax").isNull ||
+          struct(m.getField(versionCol), m.getField(tieBreak)) > col("__dmax"),
+        m.getField("v")).as(f)
+    }
+    merged.select(keys.map(col) ++ unfenced :+ col("merged_version"): _*)
   }
 }

@@ -534,23 +534,33 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, en AS (
-          |  SELECT namespace, id, version, event_id,
+          |  SELECT namespace, id, version, event_id, operation,
           |         CAST(floor(value) AS INTEGER) AS b,
           |         CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
           |         CASE WHEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 5 <> 0
           |              THEN CAST(json_extract_string(document, '$.k') AS INTEGER) % 7 END AS x
           |  FROM envelope
-          |  WHERE namespace = 'app.t1' AND operation IN ('i','u')),
+          |  WHERE namespace = 'app.t1' AND operation IN ('i','u','d')),
           |keyed AS (
           |  SELECT *, lpad(CAST(version AS VARCHAR), 20, '0')
           |         || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
-          |  FROM en)
-          |SELECT namespace, id,
-          |       arg_max(b, ord) FILTER (WHERE b IS NOT NULL) AS b,
-          |       arg_max(k, ord) FILTER (WHERE k IS NOT NULL) AS k,
-          |       arg_max(x, ord) FILTER (WHERE x IS NOT NULL) AS x,
-          |       max(version) AS merged_version
-          |FROM keyed GROUP BY namespace, id
+          |  FROM en),
+          |del AS (
+          |  SELECT namespace, id, max(ord) AS dord FROM keyed
+          |  WHERE operation = 'd' GROUP BY namespace, id),
+          |merged AS (
+          |  SELECT k.namespace, k.id,
+          |         arg_max(b, ord) FILTER (WHERE operation IN ('i','u')
+          |           AND b IS NOT NULL AND (dord IS NULL OR ord > dord)) AS b,
+          |         arg_max(k.k, ord) FILTER (WHERE operation IN ('i','u')
+          |           AND k.k IS NOT NULL AND (dord IS NULL OR ord > dord)) AS k,
+          |         arg_max(x, ord) FILTER (WHERE operation IN ('i','u')
+          |           AND x IS NOT NULL AND (dord IS NULL OR ord > dord)) AS x,
+          |         max(version) FILTER (WHERE operation IN ('i','u'))
+          |           AS merged_version
+          |  FROM keyed k LEFT JOIN del USING (namespace, id)
+          |  GROUP BY k.namespace, k.id)
+          |SELECT * FROM merged WHERE merged_version IS NOT NULL
           |ORDER BY CAST(id AS BIGINT)""".stripMargin))),
 
     // ── §2.6: multi-source union fan-in (stream + direct read) ───────────

@@ -17,19 +17,34 @@ import org.apache.spark.sql.functions._
   * same bytes with the same expression, no filesystem needed).
   *
   * Files land under `target/binfixtures/<sanitized sf dir>` and are
-  * written once (`_SUCCESS` marker); generation collects only the id +
-  * bytes projection of the sampled slice — fixture-sized, not
-  * data-sized. */
+  * written once; the `_SUCCESS` marker records a signature of the SOURCE
+  * corpus (row count + id/byte-length sums), so a regenerated parquet
+  * corpus — or two source dirs whose names sanitize identically —
+  * invalidates the cache instead of silently serving stale bytes against
+  * a fresh oracle. Generation collects only the id + bytes projection of
+  * the sampled slice — fixture-sized, not data-sized. */
 object BinaryFixtures {
 
   def ensure(spark: SparkSession, sfDir: String): String = {
     val out = Paths.get("target", "binfixtures",
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     val marker = out.resolve("_SUCCESS")
-    if (!Files.exists(marker)) {
+    val sampled = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val sigRow = sampled
+      .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+        coalesce(sum(length(col("text"))), lit(0L)))
+      .collect()(0)
+    val sig = s"$sfDir|${sigRow.getLong(0)}|${sigRow.getLong(1)}|${sigRow.getLong(2)}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == sig
+    if (!fresh) {
+      // wipe any stale generation before rewriting
+      if (Files.exists(out)) {
+        Files.list(out).forEach(p => Files.delete(p))
+      }
       Files.createDirectories(out)
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("doc_id") % 10 === 0)
+      sampled
         .select(col("doc_id").cast("long"),
           unhex(expr("repeat(md5(text), CAST((doc_id div 10) % 4 + 1 AS INT))"))
             .as("bytes"))
@@ -38,7 +53,7 @@ object BinaryFixtures {
           Files.write(out.resolve(s"doc_${r.getLong(0)}.bin"),
             r.getAs[Array[Byte]]("bytes"))
         }
-      Files.write(marker, Array.emptyByteArray)
+      Files.write(marker, sig.getBytes("UTF-8"))
     }
     out.toAbsolutePath.toString
   }

@@ -60,7 +60,7 @@ object Discovery {
     if (nss.isEmpty)
       emptyEnvelope(spark).select("namespace", "operation", "version", "source")
     else nss.map { ns =>
-      val table = ns.split("\\.", 2)(1)
+      val (_, table) = splitNamespace(ns)
       spark.read.parquet(s"$dir/$table.parquet")
         .select(lit(ns).as("namespace"), lit("i").as("operation"),
           lit(0L).as("version"), lit("direct_read").as("source"))
@@ -69,6 +69,17 @@ object Discovery {
   private def emptyEnvelope(spark: SparkSession): DataFrame =
     spark.emptyDataset(
       org.apache.spark.sql.Encoders.product[ChangeEvent]).toDF()
+
+  /** A namespace must be `db.collection` with both parts non-empty — a
+    * dot-less name (a forgotten db prefix, or a stray "" mixed into an
+    * explicit direct-read list) is a loud config error naming the bad
+    * value, never a raw MatchError. */
+  private def splitNamespace(ns: String): (String, String) = {
+    val i = ns.indexOf('.')
+    require(i > 0 && i < ns.length - 1,
+      s"namespace '$ns' is not of the form db.collection")
+    (ns.substring(0, i), ns.substring(i + 1))
+  }
 
   /** FULL-envelope direct reads: every document of each namespace as a
     * synthetic insert op in the change-event schema, so a backfill flows
@@ -83,7 +94,7 @@ object Discovery {
                           nss: Seq[String]): DataFrame =
     if (nss.isEmpty) emptyEnvelope(spark)
     else nss.map { ns =>
-      val Array(db, table) = ns.split("\\.", 2)
+      val (db, table) = splitNamespace(ns)
       val df = spark.read.parquet(s"$dir/$table.parquet")
       df.select(
         lit(0L).as("event_id"),

@@ -38,6 +38,7 @@ object StreamingIndexAsUpdate {
 
   private val MergedVersion = "__iau_mv"
   private val WinnerOp = "__iau_w"
+  private val DeleteMax = "__iau_d"
   private def slot(f: String) = s"__iau_f_$f"
 
   private def keyCols(state: DataFrame): Seq[String] =
@@ -52,10 +53,16 @@ object StreamingIndexAsUpdate {
     val isData = col("operation").isin("i", "u")
     val aggs = fields.map { f =>
       max(when(isData && col(f).isNotNull,
-        struct(col(versionCol), col(tieBreak), col(f).as("v"))))
+        struct(col(versionCol).as("ver"), col(tieBreak).as("tie"),
+          col(f).as("v"))))
         .as(slot(f))
     } ++ Seq(
       max(when(isData, col(versionCol))).as(MergedVersion),
+      // the delete fence: a field winner older than the key's latest
+      // delete must not resurrect (same rule as the batch operator)
+      max(when(col("operation") === "d",
+        struct(col(versionCol).as("ver"), col(tieBreak).as("tie"))))
+        .as(DeleteMax),
       max_by(struct(col("operation").as("op"), col(versionCol).as("ver"),
           col(tieBreak).as("tie")),
         struct(col(versionCol), col(tieBreak))).as(WinnerOp))
@@ -81,9 +88,15 @@ object StreamingIndexAsUpdate {
     * [[Upsert.indexAsUpdate]] + the tombstone anti-join produce. */
   def finish(state: DataFrame, fields: Seq[String]): DataFrame = {
     val keys = keyCols(state)
+    val fenced = fields.map { f =>
+      when(col(DeleteMax).isNull ||
+          struct(col(s"${slot(f)}.ver"), col(s"${slot(f)}.tie")) >
+            col(DeleteMax),
+        col(s"${slot(f)}.v")).as(f)
+    }
     state
       .filter(col(s"$WinnerOp.op") =!= "d" && col(MergedVersion).isNotNull)
-      .select(keys.map(col) ++ fields.map(f => col(s"${slot(f)}.v").as(f)) :+
+      .select(keys.map(col) ++ fenced :+
         col(MergedVersion).as("merged_version"): _*)
   }
 
@@ -92,13 +105,14 @@ object StreamingIndexAsUpdate {
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String,
                  fields: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    VersionedState.requireNoNewerThan(spark, stateDir, batchId)
+    val vs = VersionedState.versions(spark, stateDir)
+    VersionedState.requireNoNewerThan(vs, stateDir, batchId)
     val part = partials(batch, fields)
-    val prev = VersionedState.versions(spark, stateDir).find(_ < batchId)
+    val prev = vs.find(_ < batchId)
       .map(v => spark.read.parquet(s"$stateDir/v$v"))
     val merged = prev.map(p => combine(p.unionByName(part))).getOrElse(part)
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    VersionedState.gcBefore(spark, stateDir, batchId)
+    VersionedState.gcBefore(spark, stateDir, batchId, vs)
   }
 
   /** Continuous doc-as-upsert: envelope stream → optional transform →

@@ -56,6 +56,30 @@ class StreamingIndexAsUpdateSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSet
   }
 
+  test("a delete fences earlier field values on both paths (no resurrection)") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    // k: i{a:1} → d → u{b:2} — the reference replays in order, so the
+    // delete wipes a; only b survives. j: no delete, both fields merge.
+    val df = Seq(
+      ("k", "app.t0", "i", 10L, 1L, Option(1L), Option.empty[Long]),
+      ("k", "app.t0", "d", 11L, 2L, Option.empty[Long], Option.empty[Long]),
+      ("k", "app.t0", "u", 12L, 3L, Option.empty[Long], Option(2L)),
+      ("j", "app.t0", "i", 10L, 4L, Option(7L), Option(8L)),
+      ("j", "app.t0", "u", 11L, 5L, Option(9L), Option.empty[Long]))
+      .toDF("id", "namespace", "operation", "version", "event_id", "a", "b")
+    val expect = Map(
+      "k" -> ((Option.empty[Long], Option(2L), 12L)),
+      "j" -> ((Option(9L), Option(8L), 11L)))
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "a", "b", "merged_version")
+        .as[(String, Option[Long], Option[Long], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(canon(Upsert.indexAsUpdate(df, fields)) == expect)
+    assert(canon(StreamingIndexAsUpdate.finish(
+      StreamingIndexAsUpdate.partials(df, fields), fields)) == expect)
+  }
+
   test("kill + resume converges to the batch doc-as-upsert answer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
