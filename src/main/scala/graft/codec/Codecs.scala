@@ -78,6 +78,16 @@ object Codecs {
     // "xxx"; only "Z07:00" emits a literal Z at UTC → JVM "XXX"
     "-07:00" -> "xxx", "Z07:00" -> "XXX", "-0700" -> "Z", "MST" -> "zzz"
   ).sortBy(-_._1.length)
+  /** Go reference-time tokens OUTSIDE the supported subset. They must be
+    * a loud error, not literals: Go substitutes them ("January" renders
+    * the month, "06" the two-digit year), so passing them through
+    * verbatim silently mistranslates every index name — the same
+    * loud-or-nothing stance as [[goDurationToMillis]]. Checked
+    * per-position BEFORE the supported match ("Jan" would otherwise eat
+    * "January"'s prefix). */
+  private val goUnsupportedPrefixes =
+    Seq("January", "Monday", "PM", "pm")
+
   def goLayoutToJvm(layout: String): String = {
     val sb = new StringBuilder
     val run = new StringBuilder // pending literal-letter run
@@ -89,12 +99,37 @@ object Codecs {
       sb.append('\'').append(run.toString.replace("'", "''")).append('\'')
       run.clear()
     }
+    def unsupported(i: Int): Nothing = throw new IllegalArgumentException(
+      s"unsupported Go layout token at position $i in '$layout' — " +
+        "supported tokens: 2006 01 02 15 04 05 Jan Mon " +
+        ".000/.000000/.000000000 -07:00 -0700 Z07:00 MST")
     var i = 0
     while (i < layout.length) {
+      if (goUnsupportedPrefixes.exists(layout.startsWith(_, i)))
+        unsupported(i)
       goTokens.find { case (go, _) => layout.startsWith(go, i) } match {
         case Some((go, jvm)) => flush(); sb.append(jvm); i += go.length
         case None =>
           val c = layout.charAt(i)
+          // any unconsumed digit IS a Go token (Go layouts cannot carry
+          // literal digits — "06" is the two-digit year, "3" the hour),
+          // as are "_2" day padding and non-supported fractional-second
+          // runs — silently passing them through would stamp wrong names
+          if (c.isDigit) unsupported(i)
+          if (c == '_' && i + 1 < layout.length &&
+            layout.charAt(i + 1) == '2') unsupported(i)
+          // fractional seconds, by Go's own rule (format.go nextStdChunk):
+          // '.'/',' + a run of all-0s or all-9s is a fraction token ONLY
+          // when the run ends at a non-digit — ".01" is a literal dot
+          // followed by the month token, NOT a fraction
+          if ((c == '.' || c == ',') && i + 1 < layout.length &&
+            (layout.charAt(i + 1) == '0' || layout.charAt(i + 1) == '9')) {
+            val ch = layout.charAt(i + 1)
+            var j = i + 1
+            while (j < layout.length && layout.charAt(j) == ch) j += 1
+            if (j >= layout.length || !layout.charAt(j).isDigit)
+              unsupported(i)
+          }
           if (c.isLetter || c == '\'') run.append(c) else { flush(); sb.append(c) }
           i += 1
       }

@@ -19,10 +19,16 @@ object DeleteStrategies {
     * overrides (`shouldSave` monstache.go:3596-3605; meta store
     * 3607-3664), consulted on delete (4081-4094); docs without saved
     * meta fall back to default resolution. `metaStore` columns:
-    * (id, saved_index, saved_routing). */
+    * (namespace, id, saved_index, saved_routing) — the reference keys
+    * saved meta by the NAMESPACE-QUALIFIED id (`<ns>.<id>`, 3607-3640),
+    * and ids recur across collections, so an id-only join would resolve
+    * one namespace's delete with another's saved routing. The saved
+    * index is lowercased on read exactly like the reference's
+    * getIndexMeta (3648). */
   def stateful(tombstones: DataFrame, metaStore: DataFrame): DataFrame =
-    tombstones.join(metaStore, Seq("id"), "left")
-      .withColumn("meta_index", coalesce(col("saved_index"), lower(col("namespace"))))
+    tombstones.join(metaStore, Seq("namespace", "id"), "left")
+      .withColumn("meta_index",
+        coalesce(lower(col("saved_index")), lower(col("namespace"))))
       .withColumn("meta_routing", coalesce(col("saved_routing"), col("id")))
       .drop("saved_index", "saved_routing")
 

@@ -25,16 +25,32 @@ object PatchLog {
     * addPatch runs downstream of routeData, which never routes a
     * data-less op — and the streaming twin
     * ([[graft.streaming.StreamingPatchLog]]) applies the same guard, so
-    * the two logs stay op-for-op identical. */
+    * the two logs stay op-for-op identical.
+    *
+    * Deletes FENCE the chain: in the reference a delete removes the sink
+    * doc and its `json-merge-patches` array with it, so a re-insert
+    * stores patch v1 = the full doc again (the insert branch,
+    * monstache.go:3146-3156). Expressed as delete EPOCHS — a running
+    * count of deletes splits each key's ops into chains that renumber
+    * from 1 and never diff across a delete. */
   def pairs(df: DataFrame, namespaces: Seq[String],
             tieBreak: String = "event_id"): DataFrame = {
     // chains are per (namespace, id): several patch namespaces may reuse
     // ids, and interleaving them would diff unrelated documents
     val w = Window.partitionBy(col("namespace"), col("id"))
       .orderBy(col("version").asc, col(tieBreak).asc)
-    df.filter(col("namespace").isin(namespaces: _*))
-      .filter(col("operation").isin("i", "u") && col("document").isNotNull)
-      .withColumn("v", row_number().over(w))
-      .withColumn("prev_document", lag(col("document"), 1).over(w))
+    val withEpoch = df.filter(col("namespace").isin(namespaces: _*))
+      .filter((col("operation").isin("i", "u") && col("document").isNotNull)
+        || col("operation") === "d")
+      .withColumn("__epoch",
+        sum(when(col("operation") === "d", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wEpoch = Window
+      .partitionBy(col("namespace"), col("id"), col("__epoch"))
+      .orderBy(col("version").asc, col(tieBreak).asc)
+    withEpoch.filter(col("operation").isin("i", "u"))
+      .withColumn("v", row_number().over(wEpoch))
+      .withColumn("prev_document", lag(col("document"), 1).over(wEpoch))
+      .drop("__epoch")
   }
 }

@@ -151,8 +151,10 @@ object Relate {
 
   /** J2 identity-relation delete propagation: delete keys in the parent
     * namespace select the related docs to delete (monstache.go:1239-1251).
-    * A semi-join keeps it set-oriented; versions get the reference's +2
-    * delete offset over the parent's version.
+    * A semi-join keeps it set-oriented. The SELECTION only: rows come
+    * back verbatim, and the caller stamps the delete op and its version
+    * (see [[DeleteStrategies.recoverAndPropagate]] for the variant that
+    * applies the reference's +2 delete offset itself).
     *
     * No forced broadcast: a mass delete (the reference's dropDatabase-
     * scale cascade) makes the key side arbitrarily large, so the join

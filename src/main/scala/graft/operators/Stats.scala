@@ -24,9 +24,20 @@ object Stats {
         max(col("ts_us")).as("max_ts_us"))
     val named =
       if (!dated) base
-      else base.withColumn("stats_index",
-        Routing.statsIndexName(timestamp_micros(col("max_ts_us")),
-          statsIndexFormat))
+      else {
+        // ONE dated index per flush, from the FLUSH's max cluster time —
+        // the reference indexes each flush's stats as one doc into one
+        // index (doIndexStats); a per-group max would let a flush
+        // straddling midnight scatter its rows across two daily indices.
+        // The whole-frame window runs on the already-aggregated stats
+        // rows (group-count-sized), not the ops.
+        import org.apache.spark.sql.expressions.Window
+        base.withColumn("stats_index",
+          Routing.statsIndexName(
+            timestamp_micros(max(col("max_ts_us"))
+              .over(Window.partitionBy())),
+            statsIndexFormat))
+      }
     named.drop("max_ts_us")
   }
 }

@@ -90,8 +90,12 @@ case class TransformRegistry(
     if (nsKeys.isEmpty) afterGlobal
     else {
       val parts = nsKeys.map { ns =>
+        // coalesce: a global mapper that projected the control columns
+        // away leaves m_drop NULL after the reinstating union, and a bare
+        // negation would make the row ineligible — silently skipping its
+        // namespace mapper instead of running it
         applyToSlice(afterGlobal.filter(col("namespace") === ns),
-          isDataOp && !col("m_drop"), mappers(ns))
+          isDataOp && !coalesce(col("m_drop"), lit(false)), mappers(ns))
       }
       // coalesce: a NULL namespace makes isin NULL, and a bare negation
       // would silently drop the row instead of passing it through unmapped
@@ -145,7 +149,9 @@ case class TransformRegistry(
     // barrier materializes on the first action and is reused by the rest
     // — eager would run a full Spark job right here, during what callers
     // reasonably treat as pure plan construction (explain, branching)
-    val in = if (materializeInput && !df.isStreaming && mappers.size > 1)
+    // even a single mapper forks the input into hit/miss (and part/rest)
+    // branches, so the barrier pays for itself from the first mapper on
+    val in = if (materializeInput && !df.isStreaming && mappers.nonEmpty)
       filtered.localCheckpoint(false) else filtered
     finalizeOps(applyMappers(in))
   }

@@ -318,18 +318,26 @@ object CoreQueries extends QueryFamily {
         .select(col("id"), col("v"), col("version"),
           get_json_object(col("prev_document"), "$.k").cast("int").as("prev_k"),
           get_json_object(col("document"), "$.k").cast("int").as("new_k")),
-      _.orderBy(col("id").cast("long"), col("v")),
+      // (id, v) stopped being total once delete epochs renumber chains
+      // from 1 — version is the per-key total order
+      _.orderBy(col("id").cast("long"), col("version")),
       Some(withEnvelope(
-        """, patchable AS (
-          |  SELECT * FROM envelope
-          |  WHERE namespace = 'app.t1' AND operation IN ('i','u'))
+        """, fenced AS (
+          |  SELECT *, sum(CASE WHEN operation = 'd' THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC
+          |          ROWS UNBOUNDED PRECEDING) AS epoch
+          |  FROM envelope
+          |  WHERE namespace = 'app.t1'
+          |    AND ((operation IN ('i','u') AND document IS NOT NULL)
+          |         OR operation = 'd')),
+          |patchable AS (SELECT * FROM fenced WHERE operation IN ('i','u'))
           |SELECT id,
-          |       row_number() OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC) AS v,
+          |       row_number() OVER (PARTITION BY namespace, id, epoch ORDER BY version ASC, event_id ASC) AS v,
           |       version,
-          |       CAST(json_extract_string(lag(document) OVER (PARTITION BY namespace, id ORDER BY version ASC, event_id ASC), '$.k') AS INTEGER) AS prev_k,
+          |       CAST(json_extract_string(lag(document) OVER (PARTITION BY namespace, id, epoch ORDER BY version ASC, event_id ASC), '$.k') AS INTEGER) AS prev_k,
           |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS new_k
           |FROM patchable
-          |ORDER BY CAST(id AS BIGINT), v""".stripMargin))),
+          |ORDER BY CAST(id AS BIGINT), version""".stripMargin))),
 
     // ── K2 stateful delete strategy: docs indexed with routing/index
     // overrides save their meta (shouldSave); a later delete consults the
@@ -342,7 +350,7 @@ object CoreQueries extends QueryFamily {
         val metaStore = env
           .filter(col("namespace") === "app.t0" &&
             col("operation").isin("i", "u") && k % 4 === 0)
-          .select(col("id")).distinct()
+          .select(col("namespace"), col("id")).distinct()
           .withColumn("saved_index", lit("routed_t0"))
           .withColumn("saved_routing", concat(lit("r"), col("id").cast("long") % 8))
         DeleteStrategies.stateful(Upsert.tombstones(env), metaStore)
@@ -352,7 +360,7 @@ object CoreQueries extends QueryFamily {
       _.orderBy(col("id").cast("long")),
       Some(withEnvelope(
         """, meta_store AS (
-          |  SELECT DISTINCT id, 'routed_t0' AS saved_index,
+          |  SELECT DISTINCT namespace, id, 'routed_t0' AS saved_index,
           |         'r' || CAST(CAST(id AS BIGINT) % 8 AS VARCHAR) AS saved_routing
           |  FROM envelope
           |  WHERE namespace = 'app.t0' AND operation IN ('i','u')
@@ -362,9 +370,10 @@ object CoreQueries extends QueryFamily {
           |  FROM envelope),
           |tombs AS (SELECT id, namespace, version FROM ranked WHERE rn = 1 AND operation = 'd')
           |SELECT t.id, t.namespace, t.version,
-          |       coalesce(m.saved_index, lower(t.namespace)) AS meta_index,
+          |       coalesce(lower(m.saved_index), lower(t.namespace)) AS meta_index,
           |       coalesce(m.saved_routing, t.id) AS meta_routing
-          |FROM tombs t LEFT JOIN meta_store m ON t.id = m.id
+          |FROM tombs t LEFT JOIN meta_store m
+          |  ON t.namespace = m.namespace AND t.id = m.id
           |ORDER BY CAST(t.id AS BIGINT)""".stripMargin))),
 
     // ── K2 stateless-routed + J2 recovery: a delete knows only its id.
@@ -721,7 +730,8 @@ object CoreQueries extends QueryFamily {
         """SELECT namespace, operation, count(*) AS n_ops,
           |       CAST(sum(length(document)) AS BIGINT) AS doc_chars,
           |       min(version) AS min_version, max(version) AS max_version,
-          |       'monstache.stats.' || strftime(make_timestamp(max(ts_us)), '%Y-%m-%d') AS stats_index
+          |       'monstache.stats.' || strftime(make_timestamp(
+          |         (SELECT max(ts_us) FROM envelope)), '%Y-%m-%d') AS stats_index
           |FROM envelope GROUP BY namespace, operation
           |ORDER BY namespace, operation""".stripMargin)))
   )

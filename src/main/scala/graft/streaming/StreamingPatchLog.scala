@@ -41,14 +41,19 @@ case class PatchEntry(namespace: String, id: String, v: Int, patch: String,
 object StreamingPatchLog {
 
   /** Patches for data ops of the given patch-namespaces
-    * (`patch-namespaces`, monstache.go:2833-2835). Append-mode output. */
+    * (`patch-namespaces`, monstache.go:2833-2835). Append-mode output.
+    * Deletes flow through as state RESETS (a delete removes the sink doc
+    * and its patch array, so the next insert starts a fresh chain at
+    * v1 = the full doc — the same delete-epoch fence as the batch twin),
+    * emitting nothing themselves. */
   def patches(events: Dataset[ChangeEvent],
               namespaces: Seq[String]): Dataset[PatchEntry] = {
     import events.sparkSession.implicits._
     val nsSet = namespaces.toSet
     events
       .filter(e => nsSet.contains(e.namespace) &&
-        (e.operation == "i" || e.operation == "u") && e.document != null)
+        (((e.operation == "i" || e.operation == "u") && e.document != null)
+          || e.operation == "d"))
       // state per (namespace, id): patch chains are per collection, like
       // the batch twin's window partitioning
       .groupByKey(e => (e.namespace, e.id))
@@ -58,12 +63,17 @@ object StreamingPatchLog {
           val (ns, id) = key
           val ordered = ops.toArray.sortBy(e => (e.version, e.event_id))
           var st = state.getOption.getOrElse(PatchState(0, null))
-          val out = ordered.map { e =>
-            val patch =
-              if (st.lastDoc == null) JsonMergePatch.canonicalJson(e.document)
-              else JsonMergePatch.diff(st.lastDoc, e.document)
-            st = PatchState(st.v + 1, e.document)
-            PatchEntry(ns, id, st.v, patch, e.version)
+          val out = ordered.flatMap { e =>
+            if (e.operation == "d") {
+              st = PatchState(0, null)
+              None
+            } else {
+              val patch =
+                if (st.lastDoc == null) JsonMergePatch.canonicalJson(e.document)
+                else JsonMergePatch.diff(st.lastDoc, e.document)
+              st = PatchState(st.v + 1, e.document)
+              Some(PatchEntry(ns, id, st.v, patch, e.version))
+            }
           }
           state.update(st)
           out.iterator

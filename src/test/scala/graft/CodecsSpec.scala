@@ -65,6 +65,25 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.goDurationToMillis("1s0.5ms") == 1000L)
   }
 
+  test("goLayoutToJvm rejects Go tokens outside the supported subset") {
+    // supported layouts translate
+    assert(Codecs.goLayoutToJvm("2006-01-02") == "yyyy-MM-dd")
+    assert(Codecs.goLayoutToJvm("monstache.stats.2006-01-02")
+      == "'monstache'.'stats'.yyyy-MM-dd")
+    // a dot followed by a 0-run that continues with digits is a literal
+    // dot + the month token, exactly Go's own fraction rule
+    assert(Codecs.goLayoutToJvm("2006.01") == "yyyy.MM")
+    // Go SUBSTITUTES these ("January" renders the month, "06" the
+    // two-digit year, "3" the 12h hour) — passing them through as
+    // literals would stamp silently wrong index names, so they are loud
+    intercept[IllegalArgumentException](
+      Codecs.goLayoutToJvm("monstache.stats.January-06"))
+    intercept[IllegalArgumentException](Codecs.goLayoutToJvm("06-01-02"))
+    intercept[IllegalArgumentException](Codecs.goLayoutToJvm("3:04PM"))
+    intercept[IllegalArgumentException](Codecs.goLayoutToJvm("Monday 01"))
+    intercept[IllegalArgumentException](Codecs.goLayoutToJvm("02 15:04:05.999"))
+  }
+
   test("string ids pass verbatim — only float-form values collapse (opIDToString default branch)") {
     // the reference collapses float64/float32-TYPED ids only; string ids
     // — including exotic-but-valid forms like "1e5" — print verbatim

@@ -21,15 +21,19 @@ class StreamingPatchLogSpec extends AnyFunSuite {
 
   /** Ops over 7 keys whose docs change shape run to run: field `b`
     * appears and disappears (exercising RFC-7386 null-removals), the
-    * nested `n.c` value moves (exercising recursive diffs), and every
-    * 13th op carries NO document (a data-less update notification) —
-    * both logs must skip those identically or the parity check fails. */
+    * nested `n.c` value moves (exercising recursive diffs), every 13th
+    * op carries NO document (a data-less update notification), and every
+    * 17th op is a DELETE (the chain fence: the next insert must restart
+    * at v1 = the full doc) — both logs must treat all of these
+    * identically or the parity check fails. */
   private def mkOps(n: Int): Seq[ChangeEvent] =
     (0 until n).map { i =>
       val id = (i % 7).toString
-      val op = if (i % 3 == 0) "i" else "u"
+      val op =
+        if (i % 17 == 5) "d" else if (i % 3 == 0) "i" else "u"
       val doc =
-        if (i % 13 == 0 && i % 3 != 0) null
+        if (op == "d") null
+        else if (i % 13 == 0 && i % 3 != 0) null
         else if (i % 5 == 0) s"""{"a":$i,"n":{"c":${i % 3}}}"""
         else s"""{"a":$i,"b":"x$i","n":{"c":${i % 3}}}"""
       ChangeEvent(i.toLong, id, "app", "t0", "app.t0", op,
