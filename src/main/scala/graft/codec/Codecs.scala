@@ -111,11 +111,19 @@ object Codecs {
         case Some((go, jvm)) => flush(); sb.append(jvm); i += go.length
         case None =>
           val c = layout.charAt(i)
-          // any unconsumed digit IS a Go token (Go layouts cannot carry
-          // literal digits — "06" is the two-digit year, "3" the hour),
-          // as are "_2" day padding and non-supported fractional-second
-          // runs — silently passing them through would stamp wrong names
-          if (c.isDigit) unsupported(i)
+          // digit sequences Go actually TOKENIZES (format.go nextStdChunk)
+          // but this subset does not support: "002" day-of-year, "06"
+          // two-digit year, "03" zero-padded 12h hour, and lone 1-5
+          // (month/day/hour/minute/second). Those must be loud — Go
+          // substitutes them, so passing them through would stamp wrong
+          // names. Digits Go treats as LITERALS ('0' not followed by 1-6,
+          // and 6-9) pass through verbatim, exactly like the reference
+          // ("...v7.2006-01-02" is a valid layout with a literal 7).
+          if (c.isDigit) {
+            if (layout.startsWith("002", i) || layout.startsWith("06", i) ||
+              layout.startsWith("03", i) || (c >= '1' && c <= '5'))
+              unsupported(i)
+          }
           if (c == '_' && i + 1 < layout.length &&
             layout.charAt(i + 1) == '2') unsupported(i)
           // fractional seconds, by Go's own rule (format.go nextStdChunk):

@@ -49,13 +49,6 @@ object BucketedState {
   def bucketOf(id: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(xxhash64(id), lit(numBuckets.toLong))
 
-  private def latestBucket(spark: SparkSession, stateDir: String, bucket: Long,
-                           beforeBatch: Long): Option[DataFrame] = {
-    val dir = s"$stateDir/b$bucket"
-    VersionedState.versions(spark, dir).find(_ < beforeBatch)
-      .map(v => spark.read.parquet(s"$dir/v$v"))
-  }
-
   /** Pin (first write) or validate (every later write) the bucket count. */
   private def ensureMeta(spark: SparkSession, stateDir: String,
                          numBuckets: Int): Unit = {
@@ -76,20 +69,24 @@ object BucketedState {
           s"merging with numBuckets=$numBuckets would split each key's " +
           "history across buckets — pass the original count")
     } else {
-      // write-then-rename: a crash mid-write leaves only the temp file,
-      // never a torn _meta that later parses as garbage (the same
-      // torn-write stance as VersionedState's _SUCCESS protocol)
+      // write-then-rename with a UNIQUE temp (a shared temp name lets a
+      // racing writer overwrite ours between write and rename): a crash
+      // mid-write leaves only the temp file, never a torn _meta (the
+      // same torn-write stance as VersionedState's _SUCCESS protocol)
       f.mkdirs(new Path(stateDir))
-      val tmp = new Path(stateDir, s"._meta.tmp")
+      val tmp = new Path(stateDir,
+        s"._meta.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(numBuckets.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (!f.rename(tmp, meta)) {
-        // lost a creation race: another writer committed first — validate
-        // against theirs instead
-        f.delete(tmp, false)
-        ensureMeta(spark, stateDir, numBuckets)
-      }
+      f.rename(tmp, meta)
+      if (f.exists(tmp)) f.delete(tmp, false)
+      // validate AFTER commit regardless of who won: local filesystems
+      // let a later rename clobber the destination, so re-reading the
+      // final marker is the only check that catches every interleaving
+      require(f.exists(meta),
+        s"state dir $stateDir: failed to commit the _meta marker")
+      ensureMeta(spark, stateDir, numBuckets)
     }
   }
 
@@ -116,9 +113,9 @@ object BucketedState {
           Future {
             // same stale-checkpoint guard as StreamingUpsert.mergeBatch: a
             // fresh checkpoint restarting batch ids under an existing chain
-            // would write b<N>/v0 beneath a committed v5 — latestBucket
-            // still reads v5 and the new merges become silently invisible
-            // one listing per bucket per batch, threaded through guard,
+            // would write b<N>/v0 beneath a committed v5 — readers still
+            // see v5 and the new merges become silently invisible.
+            // ONE listing per bucket per batch, threaded through guard,
             // predecessor lookup, and GC
             val bDir = s"$stateDir/b$b"
             val vs = VersionedState.versions(spark, bDir)

@@ -26,19 +26,22 @@ object StreamingLineCensus {
   def latestCensus(spark: SparkSession, censusDir: String): Option[DataFrame] =
     StreamingUpsert.latestState(spark, censusDir)
 
-  /** Idempotent fold of one micro-batch of documents into the census. */
+  /** Idempotent fold of one micro-batch of documents into the census.
+    * One directory listing serves the guard, the predecessor lookup, and
+    * the GC — the same single-listing shape as the other merge paths. */
   def mergeBatch(batch: DataFrame, batchId: Long, censusDir: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  minChars: Int = 10): Unit = {
     val spark = batch.sparkSession
-    VersionedState.requireNoNewerThan(spark, censusDir, batchId)
-    val merged = StreamingUpsert
-      .latestState(spark, censusDir, beforeBatch = batchId)
+    val vs = VersionedState.versions(spark, censusDir)
+    VersionedState.requireNoNewerThan(vs, censusDir, batchId)
+    val merged = vs.find(_ < batchId)
+      .map(v => spark.read.parquet(s"$censusDir/v$v"))
       .map(prev => Dedup.mergeLineCensus(prev, batch, idCol, textCol,
         minChars))
       .getOrElse(Dedup.lineCensus(batch, idCol, textCol, minChars))
     merged.write.mode("overwrite").parquet(s"$censusDir/v$batchId")
-    VersionedState.gcBefore(spark, censusDir, batchId)
+    VersionedState.gcBefore(spark, censusDir, batchId, vs)
   }
 
   /** Start the stream. After each batch's fold commits, `onCensus` gets

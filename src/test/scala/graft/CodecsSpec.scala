@@ -82,6 +82,10 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.goLayoutToJvm("3:04PM"))
     intercept[IllegalArgumentException](Codecs.goLayoutToJvm("Monday 01"))
     intercept[IllegalArgumentException](Codecs.goLayoutToJvm("02 15:04:05.999"))
+    // digits Go treats as LITERALS ('0' not before 1-6, and 6-9) pass
+    // through verbatim, like the reference renders them
+    assert(Codecs.goLayoutToJvm("v7.2006-01-02") == "'v'7.yyyy-MM-dd")
+    assert(Codecs.goLayoutToJvm("2006-01-02T00") == "yyyy-MM-dd'T'00")
   }
 
   test("string ids pass verbatim — only float-form values collapse (opIDToString default branch)") {
