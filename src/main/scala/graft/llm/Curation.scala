@@ -11,10 +11,14 @@ import org.apache.spark.storage.StorageLevel
   * pins it against a full cross-engine replay.
   *
   * Plan shape: the gate is narrow; exact dedup is one shuffle on
-  * `md5(text)`; the survivor set is persisted ONCE and feeds both the
-  * LSH signature build and the final anti-join (without the barrier the
-  * whole gate+dedup lineage runs twice); near-dup clustering runs on the
-  * (small) verified pair set, never the corpus. The drop side of both
+  * `md5(text)`. TWO barriers: the gated+hashed frame is persisted
+  * (it feeds both the representative aggregation and the semi-join
+  * probe — and when the INPUT is itself a pipeline, like the
+  * line-dedup chain in q83, re-evaluating it doubles the whole
+  * upstream cost: measured 5.7 s → 3.1 s there); and the survivor set
+  * is persisted and feeds both the LSH signature build and the final
+  * anti-join. Near-dup clustering runs on the (small) verified pair
+  * set, never the corpus. The drop side of both
   * anti-joins is duplicate-sized, so AQE broadcasts it here and
   * co-shuffles at scale.
   */
@@ -32,10 +36,18 @@ object Curation {
       .filter(col("quality_bucket") =!= "too_short")
       .select(col(idCol), col(textCol), col("pred_lang"), col("n_words"),
         col("quality_bucket"))
-    // stage 2: exact dedup — each content hash keeps its min id
+    // stage 2: exact dedup — each content hash keeps its min id. The
+    // null-SAFE join is load-bearing: md5(null text) is NULL, groupBy
+    // collects the NULL group and elects its representative, but an
+    // equi-join would never match the NULL key back — silently dropping
+    // every null-text document including the group's own winner
+    // (exactDupGroups and lineDedup both keep NULL text in-contract)
     val hashed = gated.withColumn("th", md5(col(textCol)))
-    val reps = hashed.groupBy("th").agg(min(col(idCol)).as(idCol))
-    val exactKept = hashed.join(reps, Seq("th", idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = hashed.groupBy("th").agg(min(col(idCol)).as("rep_id"))
+    val exactKept = hashed.join(reps,
+        hashed("th") <=> reps("th") && hashed(idCol) === reps("rep_id"),
+        "left_semi")
       .drop("th")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 3: near-dup clusters over the survivors; only cluster

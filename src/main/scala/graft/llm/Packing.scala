@@ -61,10 +61,19 @@ object Packing {
   /** Pack census — the verifiable summary (per-pack doc count, token
     * total, id checksum) that pins the full assignment without emitting
     * every row. */
-  def packCensus(packed: DataFrame, idCol: String = "doc_id"): DataFrame =
+  def packCensus(packed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // same numeric-id contract as Sharding.shardManifest: the id_sum
+    // checksum needs a sum, so non-numeric ids must be hashed first —
+    // loudly, not as a late ANSI cast error
+    require(packed.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packCensus: id column '$idCol' must be numeric for the id_sum " +
+        s"checksum; got ${packed.schema(idCol).dataType.simpleString} — " +
+        "hash non-numeric ids to a long first")
     packed.groupBy("bucket", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"),
         sum(col(idCol)).as("id_sum"))
+  }
 
   // ── DuckDB twins ──────────────────────────────────────────────────────
   def sqlBucket(id: String, nBuckets: Int): String =

@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
 object Pii {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  // \b word boundaries keep the digit patterns from matching INSIDE a
+  // longer digit run ("2023.12.25.1" is a version string, not an IP;
+  // "91234-567-89012" is not a phone number). \b is in the Java/RE2
+  // common subset, so the DuckDB twin replays it byte-for-byte.
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val EmailToken = "<EMAIL>"
   val PhoneToken = "<PHONE>"

@@ -33,12 +33,17 @@ object Quantize {
       .withColumn("q_min", mn)
       .withColumn("q_scale", scale)
       .withColumn("q_codes",
-        // the isnan guard is load-bearing: Spark (and DuckDB) order NaN
-        // GREATER than every number, so `NaN > 0` is TRUE and a
-        // NaN-poisoned scale (any NaN element → array_max = NaN) would
-        // take the quantizing branch and emit garbage codes; it must take
-        // the flat branch, whose per-element guards quarantine it
-        when(col("q_scale") > 0d && !isnan(col("q_scale")),
+        // the finiteness guard is load-bearing: Spark (and DuckDB) order
+        // NaN GREATER than every number, so `NaN > 0` is TRUE, and an
+        // Inf-poisoned scale (any ±Inf element → array_max = ±Inf) also
+        // passes `> 0` — either would take the quantizing branch and
+        // emit garbage codes that DIVERGE between engines (Spark's
+        // least() and DuckDB's treat the resulting NaN differently).
+        // `s - s === 0` is the exact finiteness test: 0 for finite, NaN
+        // for NaN AND ±Inf — both fall to the flat branch, whose
+        // per-element guards quarantine the broken elements
+        when(col("q_scale") > 0d &&
+            col("q_scale") - col("q_scale") === 0d,
           transform(v, x =>
             // the isNotNull guard is load-bearing too: least() SKIPS
             // nulls (both engines), so an unguarded null element would
@@ -80,7 +85,7 @@ object Quantize {
     val mn = s"list_min($v)"
     val scale = s"((list_max($v) - list_min($v)) / ${Levels}.0)"
     val codes =
-      s"""CASE WHEN $scale > 0 AND NOT isnan($scale)
+      s"""CASE WHEN $scale > 0 AND $scale - $scale = 0
          | THEN list_transform($v, x -> CASE WHEN x IS NULL THEN NULL
          |   ELSE CAST(least(floor((x - $mn) / $scale), $Levels) AS INT) END)
          | ELSE list_transform($v, x -> CASE WHEN x - x = 0 THEN 0 ELSE NULL END) END""".stripMargin

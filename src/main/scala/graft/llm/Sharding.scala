@@ -62,13 +62,22 @@ object Sharding {
     * count alone cannot distinguish "right docs" from "right number of
     * wrong docs"). */
   def shardManifest(sharded: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text"): DataFrame = {
+    // the id checksum is a SUM, so the contract is numeric ids — a loud
+    // precondition here beats an ANSI cast error after the shards have
+    // already been written (string/UUID ids: hash them to a long first)
+    require(sharded.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"shardManifest: id column '$idCol' must be numeric for the id_sum " +
+        s"checksum; got ${sharded.schema(idCol).dataType.simpleString} — " +
+        "hash non-numeric ids to a long first")
     sharded.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(octet_length(col(textCol))).as("byte_sum"),
         sum(col(idCol)).as("id_sum"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
+  }
 
   /** Write the corpus as `path/shard=N/` parquet directories (one writer
     * task per shard via the repartition) and return the manifest of what
@@ -93,7 +102,12 @@ object Sharding {
       case None => sharded.repartition(nShards, col("shard"))
     }
     laidOut.write.mode("overwrite").partitionBy("shard").parquet(path)
-    shardManifest(docs.sparkSession.read.parquet(path), idCol, textCol)
+    // partition-directory names read back as INT — re-cast to the LONG
+    // withShard produces so manifest comparisons don't silently widen
+    // (the same drift Similarity.readIndex pins for its bucket column)
+    shardManifest(docs.sparkSession.read.parquet(path)
+        .withColumn("shard", col("shard").cast("long")),
+      idCol, textCol)
   }
 
   // ── DuckDB twin (same salt, same md5-prefix hash) ─────────────────────

@@ -41,7 +41,13 @@ object TextAnalysis {
         when(col(s"s_$lang") >= (if (rest.size == 1) rest.head
                                  else greatest(rest: _*)), lang).otherwise(els)
     }
-    scored.withColumn("pred_lang", pred).drop("lsc")
+    // null text → null prediction, NOT a confident fall-through to the
+    // last language: all-NULL scores fail every when() above, and without
+    // the guard the otherwise() arm would label every null-text doc with
+    // the table's final entry (the same null-in-null-out stance as
+    // withQuality's word_chars)
+    scored.withColumn("pred_lang",
+      when(col("lsc").isNotNull, pred)).drop("lsc")
   }
 
   /** The native one-pass score vector over [[TextHash.words]] — null text
@@ -64,7 +70,11 @@ object TextAnalysis {
       val mx = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(",")})"
       s"WHEN s_$lang >= $mx THEN '$lang'"
     }
-    (scores, s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END")
+    // the leading NULL arm mirrors withLangId's null-text → null
+    // prediction (scores are all-NULL exactly when the words list is)
+    (scores,
+      s"CASE WHEN s_${langs.head} IS NULL THEN NULL " +
+        s"${cases.mkString(" ")} ELSE '${langs.last}' END")
   }
 
   /** Quality signals in integer/boolean form: word count, character
@@ -188,8 +198,11 @@ object TextAnalysis {
     // every uppercase letter as its own single-mark token and inflate
     // mixed-case budgets wildly
     docs.withColumn("ws_tokens", size(words(col(textCol))))
+      // column form, not an expr() splice: a column name needing quoting
+      // (spaces, dots) would break the SQL-string route
       .withColumn("bpe_tokens",
-        size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")))
+        size(regexp_extract_all(col(textCol),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))))
 
   /** Corpus vocabulary census: the k most frequent whitespace tokens with
     * their occurrence counts — the fast corpus-health readout (tokenizer

@@ -124,9 +124,14 @@ object TextHash {
       .digest(s.getBytes("UTF-8")))
 
   // ── DuckDB side (same math, same constants) ───────────────────────────
-  /** SQL: h32p over a string expression. */
+  /** SQL: h32p over a string expression. The NULL case is explicit:
+    * DuckDB's `concat` SKIPS null arguments, so without the guard a NULL
+    * input becomes `CAST('0x' AS BIGINT)` — a hard conversion error
+    * killing the whole oracle query — where Spark's concat/conv
+    * propagate NULL. */
   def sqlH32p(e: String): String =
-    s"(CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $P)"
+    s"(CASE WHEN $e IS NULL THEN NULL ELSE " +
+      s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $P END)"
 
   /** SQL: tokens CTE fragment — `list_filter(string_split(text,' '), ...)`. */
   def sqlWords(e: String): String =

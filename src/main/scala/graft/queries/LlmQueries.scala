@@ -208,7 +208,8 @@ object LlmQueries extends QueryFamily {
        |er AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
        |       FROM gated GROUP BY md5(text)),
        |kept AS (SELECT g.* FROM gated g
-       |         JOIN er ON md5(g.text) = er.th AND g.doc_id = er.keep_id),
+       |         JOIN er ON md5(g.text) IS NOT DISTINCT FROM er.th
+       |                AND g.doc_id = er.keep_id),
        |${lshPairsCtes("kept")},
        |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
        |edges AS (SELECT id_a AS a, id_b AS b FROM vp
