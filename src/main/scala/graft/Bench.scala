@@ -55,7 +55,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query map line grows with the suite (83+ queries) and the
+    // driver's artifact capture can truncate long lines from either end —
+    // round 5 lost the leading total when the head was cut. Emit a compact
+    // headline line on BOTH sides of the map so any one-sided truncation
+    // still preserves {total, n}.
+    val headline = s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","sf":"$sfDir"}"""
+    println(headline)
+    println(s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(headline)
     spark.stop()
   }
 }

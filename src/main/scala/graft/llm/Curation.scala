@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The end-to-end curation composite: quality/language gate → exact
   * dedup → near-dup cluster drop — the pipeline a pretraining corpus
@@ -42,14 +41,16 @@ object Curation {
     // equi-join would never match the NULL key back — silently dropping
     // every null-text document including the group's own winner
     // (exactDupGroups and lineDedup both keep NULL text in-contract)
-    val hashed = gated.withColumn("th", md5(col(textCol)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both barriers register with CacheBarriers so a long-lived session
+    // can release them after consuming the curated frame
+    val hashed = graft.CacheBarriers.barrier(
+      gated.withColumn("th", md5(col(textCol))))
     val reps = hashed.groupBy("th").agg(min(col(idCol)).as("rep_id"))
-    val exactKept = hashed.join(reps,
-        hashed("th") <=> reps("th") && hashed(idCol) === reps("rep_id"),
-        "left_semi")
-      .drop("th")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactKept = graft.CacheBarriers.barrier(
+      hashed.join(reps,
+          hashed("th") <=> reps("th") && hashed(idCol) === reps("rep_id"),
+          "left_semi")
+        .drop("th"))
     // stage 3: near-dup clusters over the survivors; only cluster
     // representatives (min id) survive
     val drops = Dedup.dupClusters(

@@ -15,10 +15,13 @@ import TextHash._
   * Caching contract: the pair generators persist their signature /
   * fingerprint frames (the materialization barrier their own doc
   * comments justify) and the returned frame lazily depends on that
-  * cache, so it cannot be unpersisted inside the call. Long-lived
-  * sessions running dedup repeatedly should `spark.sharedState
-  * .cacheManager.clearCache()` between rounds (what Bench does), or
-  * persist the signature table to storage and use the incremental path.
+  * cache, so it cannot be unpersisted inside the call. Internal barriers
+  * register with [[graft.CacheBarriers]] — long-lived sessions release
+  * them with `CacheBarriers.releaseAll()` after consuming each round's
+  * results (or persist the signature table to storage and use the
+  * incremental path). Barriers RETURNED to the caller ([[signEval]],
+  * [[signCorpus]]) are deliberately not registered: their release belongs
+  * to the caller (the streaming twins unpersist per batch).
   */
 object Dedup {
 
@@ -91,9 +94,9 @@ object Dedup {
                            textCol: String = "text",
                            shingleN: Int = 3,
                            maxBucketSize: Option[Int] = None): DataFrame = {
-    val signed = withSignature(docs, textCol, shingleN)
-      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val signed = graft.CacheBarriers.barrier(
+      withSignature(docs, textCol, shingleN)
+        .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
     verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
   }
 
@@ -136,9 +139,9 @@ object Dedup {
                               textCol: String = "text",
                               shingleN: Int = 3,
                               maxBucketSize: Option[Int] = None): DataFrame = {
-    val newSigned = withSignature(newDocs, textCol, shingleN)
-      .select(col(idCol).as("doc_id"), col("sh"), col("bkeys"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSigned = graft.CacheBarriers.barrier(
+      withSignature(newDocs, textCol, shingleN)
+        .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
     // a re-delivered doc_id (an UPDATED document arriving in a later
     // batch) must be represented by its NEW signature only — keeping both
     // rows would give the id two signatures, and every pair touching it
@@ -147,10 +150,10 @@ object Dedup {
     // and BOTH verification joins read it again — without the barrier
     // the big-corpus scan + anti-join would run three times (the same
     // measured trade as verifiedNearDupPairs' signature persist).
-    val allSigned = existingSigned.select("doc_id", "sh", "bkeys")
-      .join(newSigned.select("doc_id"), Seq("doc_id"), "left_anti")
-      .unionByName(newSigned)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allSigned = graft.CacheBarriers.barrier(
+      existingSigned.select("doc_id", "sh", "bkeys")
+        .join(newSigned.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(newSigned))
     def bands(df: DataFrame) = explodeBands(df, "doc_id")
     // the degenerate-bucket cap measures bucket size over the FULL corpus
     // (old + new) and drops capped buckets from both join sides — the
@@ -289,8 +292,7 @@ object Dedup {
     // is hashed twice per row) — measured ~2.8 s → ~1.5 s on q71 at
     // sf0.1; at corpus scale the gram table is also the artifact an
     // incremental decontamination run reuses
-    val cg = grams(corpus, "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cg = graft.CacheBarriers.barrier(grams(corpus, "doc_id"))
     val evalGrams = grams(evalDocs, "eval_id")
       .select(col("eval_id"), explode(col("hs")).as("g"))
     val hits = cg.select(col("doc_id"), size(col("hs")).as("n_ngrams"),
@@ -335,9 +337,9 @@ object Dedup {
                            minShared: Int = 2, maxGramDocs: Int = 64,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
-    val grams = gramTable(corpus, idCol, "doc_id", textCol, shingleN)
-      .select(col("doc_id"), explode(col("hs")).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.CacheBarriers.barrier(
+      gramTable(corpus, idCol, "doc_id", textCol, shingleN)
+        .select(col("doc_id"), explode(col("hs")).as("g")))
     val rare = grams.groupBy("g")
       .agg(count(lit(1)).as("gn"))
       .filter(col("gn") > 1 && col("gn") <= maxGramDocs)
@@ -453,9 +455,9 @@ object Dedup {
                           textCol: String = "text",
                           shingleN: Int = 3,
                           bucketShift: Int = 20): DataFrame = {
-    val fp = withSimhash(docs, textCol, shingleN, bucketShift)
-      .select(col(idCol).as("doc_id"), col("simhash"), col("sim_bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.CacheBarriers.barrier(
+      withSimhash(docs, textCol, shingleN, bucketShift)
+        .select(col(idCol).as("doc_id"), col("simhash"), col("sim_bucket")))
     fp.alias("a").join(fp.alias("b"),
         col("a.sim_bucket") === col("b.sim_bucket") &&
           col("a.doc_id") < col("b.doc_id"))

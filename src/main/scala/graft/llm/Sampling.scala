@@ -87,10 +87,23 @@ object Sampling {
   def temperatureRates(docs: DataFrame, strataCol: String,
                        alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count => fcount}
-    // persisted: the counts lineage is consumed twice (the rate rows and
-    // the global min) — unpersisted, the corpus would be SCANNED twice
-    // just to build a strata-sized table. Same caching contract as the
-    // dedup signature barrier; the cached frame is strata-cardinality.
+    // alpha ∈ [0, 1]: downsampling cannot realize alpha > 1 (every
+    // stratum's keep_permicro saturates at 1e6 and the mix silently
+    // no-ops), and alpha < 0 over-crushes the head — both are mis-set
+    // temperatures that must fail loudly like the other config guards.
+    // alpha = 1 is the documented identity (keep everything: rates
+    // proportional to n_s^1 IS the corpus as-is).
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in [0, 1] (got $alpha): 1 = identity " +
+        "mix, 0 = uniform strata; upsampling (alpha > 1) is not " +
+        "realizable by downsampling")
+    // persisted only WITHIN the call: the counts lineage is consumed
+    // twice (the rate rows and the global min) — unpersisted, the corpus
+    // would be SCANNED twice just to build a strata-sized table. The rate
+    // table itself is strata-cardinality (config-sized: languages,
+    // sources), so it is materialized to a LOCAL relation eagerly and the
+    // barrier released before returning — no cache outlives the call,
+    // and the local frame is exactly what temperatureMixWith broadcasts.
     val counts = docs.filter(col(strataCol).isNotNull)
       .groupBy(strataCol).agg(fcount(lit(1)).as("n_docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,10 +111,14 @@ object Sampling {
     val ratio = col("n_min").cast("double") / col("n_docs")
     val power =
       if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
-    counts.crossJoin(broadcast(nMin))
+    val rates = counts.crossJoin(broadcast(nMin))
       .withColumn("keep_permicro",
         floor(lit(1e6) * power).cast("long"))
       .drop("n_min")
+    val rows = rates.collect()
+    counts.unpersist(false)
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), rates.schema)
   }
 
   /** Apply a (frozen) rate table to a corpus: keep a row when its salted

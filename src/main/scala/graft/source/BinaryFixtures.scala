@@ -1,6 +1,7 @@
 package graft.source
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -18,42 +19,56 @@ import org.apache.spark.sql.functions._
   *
   * Files land under `target/binfixtures/<sanitized sf dir>` and are
   * written once; the `_SUCCESS` marker records a signature of the SOURCE
-  * corpus (row count + id/byte-length sums), so a regenerated parquet
-  * corpus — or two source dirs whose names sanitize identically —
-  * invalidates the cache instead of silently serving stale bytes against
-  * a fresh oracle. Generation collects only the id + bytes projection of
-  * the sampled slice — fixture-sized, not data-sized. */
+  * corpus — its parquet files' paths, sizes, and mtimes, cheap filesystem
+  * metadata rather than a Spark aggregation, so a marker hit costs no
+  * Spark job at all — and a regenerated parquet corpus (or two source
+  * dirs whose names sanitize identically) invalidates the cache instead
+  * of silently serving stale bytes against a fresh oracle. Generation
+  * collects only the id + bytes projection of the sampled slice —
+  * fixture-sized, not data-sized. */
 object BinaryFixtures {
 
-  /** Source dirs already signature-validated THIS JVM — the per-call
-    * freshness aggregate is pure overhead once a run has checked a
-    * corpus (the corpus cannot change under a running benchmark). */
+  /** Source dirs already signature-validated THIS JVM — even the
+    * metadata walk is pure overhead once a run has checked a corpus
+    * (the corpus cannot change under a running benchmark). */
   private val validated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Filesystem-metadata signature of the source parquet (file or
+    * directory): sorted `path|size|mtime` lines. Any rewrite of the
+    * corpus changes sizes or mtimes and invalidates the fixture cache. */
+  private def sourceSig(src: Path): String = {
+    val walk = Files.walk(src)
+    try {
+      val entries = new java.util.ArrayList[String]()
+      walk.filter(p => Files.isRegularFile(p))
+        .forEach(p => entries.add(
+          s"${p.toAbsolutePath}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"))
+      entries.sort(Comparator.naturalOrder[String]())
+      String.join("\n", entries)
+    } finally walk.close()
+  }
 
   def ensure(spark: SparkSession, sfDir: String): String = {
     val out = Paths.get("target", "binfixtures",
       sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     if (validated.contains(sfDir)) return out.toAbsolutePath.toString
     val marker = out.resolve("_SUCCESS")
-    val sampled = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id") % 10 === 0)
-    val sigRow = sampled
-      .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-        coalesce(sum(length(col("text"))), lit(0L)))
-      .collect()(0)
-    val sig = s"$sfDir|${sigRow.getLong(0)}|${sigRow.getLong(1)}|${sigRow.getLong(2)}"
+    val sig = s"$sfDir\n${sourceSig(Paths.get(sfDir, "documents.parquet"))}"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == sig
     if (!fresh) {
-      // wipe any stale generation before rewriting
+      // wipe any stale generation before rewriting — depth-first via walk
+      // so a stray subdirectory can't break the delete
       if (Files.exists(out)) {
-        val stale = Files.list(out)
-        try stale.forEach(p => Files.delete(p))
-        finally stale.close()
+        val walk = Files.walk(out)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
       }
       Files.createDirectories(out)
-      sampled
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long"),
           unhex(expr("repeat(md5(text), CAST((doc_id div 10) % 4 + 1 AS INT))"))
             .as("bytes"))

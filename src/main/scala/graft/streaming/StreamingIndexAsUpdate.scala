@@ -41,6 +41,43 @@ object StreamingIndexAsUpdate {
   private val DeleteMax = "__iau_d"
   private def slot(f: String) = s"__iau_f_$f"
 
+  /** Partial-state LAYOUT version, stamped as a `_layout` marker in the
+    * state dir. The layout (winner-struct field names, the delete-fence
+    * column) has changed across revisions, and resuming a state dir
+    * written by an older layout otherwise surfaces as a generic
+    * missing-column AnalysisException deep inside [[combine]]'s
+    * unionByName — nothing names the actual problem. Bump this constant
+    * whenever the partial-row schema changes shape. */
+  private[streaming] val LayoutVersion = "iau-2"
+  private val LayoutMarker = "_layout"
+
+  /** Fail loudly when `stateDir` holds state written under a different
+    * partial-row layout; stamp the marker on a virgin dir iff `stamp`.
+    * (A dir with committed versions but NO marker predates the marker
+    * protocol — treated as the older layout.) */
+  private def checkLayout(spark: SparkSession, stateDir: String,
+                          vs: Seq[Long], stamp: Boolean): Unit = {
+    val f = VersionedState.fs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(stateDir, LayoutMarker)
+    def fail(found: String): Nothing = throw new IllegalStateException(
+      s"state dir $stateDir was written by partial-state layout $found " +
+        s"but this build reads $LayoutVersion — rebuild the state dir " +
+        "(replay the stream) or migrate it; resuming would fail on " +
+        "mismatched state columns")
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (got != LayoutVersion) fail(got)
+    } else if (vs.nonEmpty) {
+      fail("<unmarked, pre-iau-2>")
+    } else if (stamp) {
+      val out = f.create(p, true)
+      try out.write(LayoutVersion.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def keyCols(state: DataFrame): Seq[String] =
     state.columns.filterNot(_.startsWith("__iau_")).toSeq
 
@@ -106,6 +143,7 @@ object StreamingIndexAsUpdate {
                  fields: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val vs = VersionedState.versions(spark, stateDir)
+    checkLayout(spark, stateDir, vs, stamp = true)
     VersionedState.requireNoNewerThan(vs, stateDir, batchId)
     val part = partials(batch, fields)
     val prev = vs.find(_ < batchId)
@@ -138,7 +176,10 @@ object StreamingIndexAsUpdate {
     * there is no honest empty frame to synthesize — see
     * [[StreamingUpsert.liveState]] for the fixed-schema contrast). */
   def mergedState(spark: SparkSession, stateDir: String,
-                  fields: Seq[String]): Option[DataFrame] =
-    VersionedState.versions(spark, stateDir).headOption
+                  fields: Seq[String]): Option[DataFrame] = {
+    val vs = VersionedState.versions(spark, stateDir)
+    checkLayout(spark, stateDir, vs, stamp = false)
+    vs.headOption
       .map(v => finish(spark.read.parquet(s"$stateDir/v$v"), fields))
+  }
 }

@@ -141,6 +141,28 @@ class StreamingIndexAsUpdateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("further-progressed"))
   }
 
+  test("state written under an older partial-row layout fails loudly") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-iau-state5").toString
+    // simulate a pre-marker (older-layout) state dir: a committed v0 with
+    // no _layout marker — resuming must name the layout mismatch, not
+    // surface a missing-column AnalysisException from combine
+    Seq(("7", 1L)).toDF("id", "__iau_mv")
+      .write.mode("overwrite").parquet(s"$stateDir/v0")
+    val hot = ConfiguredPipeline.hotPath(cfg, reg)(mkOps(30).toDF())
+    val e = intercept[IllegalStateException](
+      StreamingIndexAsUpdate.mergeBatch(hot, 1L, stateDir, fields))
+    assert(e.getMessage.contains("layout"))
+    val e2 = intercept[IllegalStateException](
+      StreamingIndexAsUpdate.mergedState(spark, stateDir, fields))
+    assert(e2.getMessage.contains("layout"))
+    // a CURRENT-layout dir stamps the marker on first merge and resumes
+    val freshDir = Files.createTempDirectory("graft-iau-state6").toString
+    StreamingIndexAsUpdate.mergeBatch(hot, 0L, freshDir, fields)
+    StreamingIndexAsUpdate.mergeBatch(hot, 1L, freshDir, fields)
+    assert(StreamingIndexAsUpdate.mergedState(spark, freshDir, fields).nonEmpty)
+  }
+
   test("a key whose final op is a delete leaves the merged view") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft-iau-state4").toString
