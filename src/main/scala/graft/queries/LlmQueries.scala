@@ -363,6 +363,51 @@ object LlmQueries extends QueryFamily {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── Multi-probe SimHash pairs: q60's fixture under 4 rotated
+    //    bucketings — recovers prefix-split near-dups (superset of q60 by
+    //    construction; the oracle replays the rotations verbatim). ────────
+    QueryDef.sorted(
+      "q85_simhash_multiprobe",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        Dedup.multiProbeSimhashPairs(docs.unionByName(dups).unionByName(vars),
+            maxHamming = 6, probes = 4)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("hamming"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |tok AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+           |shg AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh FROM tok),
+           |hsh AS (SELECT doc_id, ${TextHash.sqlHashedShingles("sh")} AS hs FROM shg),
+           |fp AS (SELECT doc_id, ${Dedup.sqlSimhash("hs")} AS simhash FROM hsh),
+           |pk AS (SELECT doc_id, simhash,
+           |              ((simhash << (k * 8)) | (simhash >> (32 - k * 8)))
+           |                & 4294967295 AS rot, k
+           |       FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+           |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+           |       CAST(b.doc_id AS BIGINT) AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM pk a JOIN pk b
+           |  ON a.k = b.k AND (a.rot >> 20) = (b.rot >> 20)
+           |  AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── n-gram Jaccard on known pairs (original vs truncated variant) ────
     QueryDef.sorted(
       "q33_ngram_jaccard",
