@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stage 1 of the composite: per-doc signals, gate out too-short docs
+    * (narrow, per-row — which is what makes every downstream artifact
+    * batch-additive: gate(b1 ∪ b2) = gate(b1) ∪ gate(b2)). */
+  private def gate(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    TextAnalysis.withQuality(
+        TextAnalysis.withLangId(docs, textCol), textCol)
+      .filter(col("quality_bucket") =!= "too_short")
+      .select(col(idCol), col(textCol), col("pred_lang"), col("n_words"),
+        col("quality_bucket"))
+
   /** Returns the kept corpus: (doc_id, text, pred_lang, n_words,
     * quality_bucket) for every document that passes the length gate, is
     * its content-hash group's representative, and is its near-dup
@@ -30,11 +41,7 @@ object Curation {
   def curate(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
     // stage 1: per-doc signals, gate out too-short docs (narrow)
-    val gated = TextAnalysis.withQuality(
-        TextAnalysis.withLangId(docs, textCol), textCol)
-      .filter(col("quality_bucket") =!= "too_short")
-      .select(col(idCol), col(textCol), col("pred_lang"), col("n_words"),
-        col("quality_bucket"))
+    val gated = gate(docs, idCol, textCol)
     // stage 2: exact dedup — each content hash keeps its min id. The
     // null-SAFE join is load-bearing: md5(null text) is NULL, groupBy
     // collects the NULL group and elects its representative, but an
@@ -73,6 +80,16 @@ object Curation {
   def sourceStats(docs: DataFrame, sourceCol: String = "source",
                   textCol: String = "text",
                   minDocs: Int = 10): DataFrame =
+    withSourceVerdict(sourceCounts(docs, sourceCol, textCol), minDocs)
+
+  /** The ADDITIVE form of [[sourceStats]] — per-source counts without the
+    * verdict column. This is what a pipeline persists: counts sum across
+    * batches ([[mergeSourceCounts]]), where the `kept` boolean does not
+    * (a source can cross `minDocs` only in the union). The verdict is a
+    * view ([[withSourceVerdict]]) applied after any merge — the same
+    * raw-table-plus-view discipline as the minCount-pruned LM model. */
+  def sourceCounts(docs: DataFrame, sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame =
     TextAnalysis.withQuality(docs, textCol)
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
@@ -80,8 +97,26 @@ object Curation {
           .as("n_fluent"),
         sum(when(col("quality_bucket") === "too_short", 1L).otherwise(0L))
           .as("n_short"))
-      .withColumn("kept",
-        col("n_docs") >= minDocs && lit(2) * col("n_fluent") >= col("n_docs"))
+
+  /** Fold a new batch's source counts into persisted counts — one
+    * census-sized aggregation; the corpus is read once (the new batch
+    * only). `mergeSourceCounts(counts(b1), b2) ≡ counts(b1 ∪ b2)` exactly,
+    * because the quality bucket is per-doc. */
+  def mergeSourceCounts(existing: DataFrame, newDocs: DataFrame,
+                        sourceCol: String = "source",
+                        textCol: String = "text"): DataFrame =
+    existing.select(col(sourceCol), col("n_docs"), col("n_fluent"),
+        col("n_short"))
+      .unionByName(sourceCounts(newDocs, sourceCol, textCol))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_fluent")).as("n_fluent"),
+        sum(col("n_short")).as("n_short"))
+
+  /** The keep verdict over (possibly merged) source counts. */
+  def withSourceVerdict(counts: DataFrame, minDocs: Int = 10): DataFrame =
+    counts.withColumn("kept",
+      col("n_docs") >= minDocs && lit(2) * col("n_fluent") >= col("n_docs"))
 
   /** Drop every document of a rejected source. Two passes over the input
     * (stats, then filter) — at corpus scale the census is computed once,
@@ -95,4 +130,188 @@ object Curation {
       sourceStats(docs, sourceCol, textCol, minDocs)
         .filter(col("kept")).select(sourceCol),
       Seq(sourceCol), "left_semi")
+
+  // ── Incremental curation ──────────────────────────────────────────────
+
+  /** The persisted run-over-run artifacts of a curation pipeline — what a
+    * daily ingest keeps beside the corpus snapshot so each new batch is
+    * curated against the WHOLE corpus without re-reading it (the Spark
+    * answer to the reference's resume-state + stateful direct reads,
+    * monstache.go:1704-1759, which make *its* pipeline incremental).
+    *
+    * All frames are corpus-derived tables a real deployment writes to
+    * parquet between runs (like [[graft.llm.Similarity.writeIndex]] /
+    * [[LangModel.writeModel]]); none is corpus-sized except `signed`
+    * (one row per kept doc — the same artifact [[Dedup
+    * .incrementalNearDupPairs]] already requires):
+    *
+    *  - `hashReps` (th, rep_id): content-hash → representative id over
+    *    GATED docs (th from `md5(text)`, null for null text).
+    *  - `signed` (doc_id, sh, bkeys): minhash signatures of exact-kept
+    *    docs — the near-dup artifact.
+    *  - `clusters` (doc_id, cluster_id): near-dup components over
+    *    exact-kept docs; pairless docs are absent (their label is
+    *    themselves).
+    *  - `lineCensus` (lh, n_docs): [[Dedup.lineCensus]] at a pinned
+    *    `minChars` — additive via [[Dedup.mergeLineCensus]].
+    *  - `sourceCounts` (source, n_docs, n_fluent, n_short): additive
+    *    per-source quality counts, when the corpus carries a source
+    *    column.
+    *  - `model` (bigrams, unigrams): UNPRUNED LM counts over the gated
+    *    slice — gated, not kept, because the gate is per-doc and
+    *    therefore batch-additive ([[LangModel.updateModel]]'s exactness
+    *    contract), where "kept" verdicts can be revised by later batches.
+    */
+  case class CurationArtifacts(hashReps: DataFrame, signed: DataFrame,
+                               clusters: DataFrame, lineCensus: DataFrame,
+                               sourceCounts: Option[DataFrame],
+                               model: (DataFrame, DataFrame))
+
+  /** Full-batch curation that also materializes the incremental
+    * artifacts: returns (kept corpus — identical to [[curate]] — and the
+    * [[CurationArtifacts]] a subsequent [[curateIncremental]] resumes
+    * from). The bootstrap run of an incremental pipeline. */
+  def artifactsOf(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  sourceCol: Option[String] = None,
+                  lineMinChars: Int = 10): (DataFrame, CurationArtifacts) = {
+    val gated = gate(docs, idCol, textCol)
+    val hashed = graft.CacheBarriers.barrier(
+      gated.withColumn("th", md5(col(textCol))))
+    val hashReps = hashed.groupBy("th").agg(min(col(idCol)).as("rep_id"))
+    val exactKept = graft.CacheBarriers.barrier(
+      hashed.join(hashReps,
+          hashed("th") <=> hashReps("th") && hashed(idCol) === hashReps("rep_id"),
+          "left_semi")
+        .drop("th"))
+    val signed = graft.CacheBarriers.barrier(
+      Dedup.withSignature(exactKept, textCol)
+        .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
+    val clusters = Dedup.dupClusters(Dedup.verifiedPairsFromSigned(signed))
+      .select(col("doc_id"), col("cluster_id"))
+    val kept = exactKept.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    (kept, CurationArtifacts(
+      hashReps = hashReps,
+      signed = signed,
+      clusters = clusters,
+      lineCensus = Dedup.lineCensus(docs, idCol, textCol, lineMinChars),
+      sourceCounts = sourceCol.map(sc => sourceCounts(docs, sc, textCol)),
+      model = (LangModel.bigramCounts(gated, textCol),
+        LangModel.unigramCounts(gated, textCol))))
+  }
+
+  /** Curate ONE new batch against the persisted artifacts of everything
+    * curated before — the daily-ingest shape: the old corpus is never
+    * re-read; every stage touches (new batch) × (artifact), and each
+    * artifact is folded forward by its additive merge. Returns the kept
+    * slice of the new batch and the updated artifacts.
+    *
+    * Identity (pinned by CurationIncrementalSpec and cross-engine by
+    * q84): `curateIncremental(b2, artifactsOf(b1)) ≡ curate(b1 ∪ b2)`
+    * restricted to b2's documents. The stages compose incrementally
+    * because each one's cross-batch coupling runs through an additive
+    * artifact:
+    *
+    *  - exact dedup: the full-union representative of hash h is
+    *    `min(old rep(h), min new id with h)` — computable from `hashReps`
+    *    alone (null-safe on h for null-text groups).
+    *  - near-dup: [[Dedup.incrementalPairsFromSigned]] yields every
+    *    verified pair with a new doc on ≥ 1 side; old endpoints are then
+    *    CONTRACTED to their persisted cluster label (label = old
+    *    component min, or the doc itself when pairless). Min-label CC
+    *    over the contracted graph equals full-graph CC restricted to the
+    *    reachable part: any old doc reachable from a new doc pulls in its
+    *    whole old cluster, whose min IS its label — so component minima
+    *    agree, including when one new doc merges two old clusters.
+    *
+    * Append-only contracts (documented, not checked): batch ids are
+    * previously unseen (the census/signature contracts upstream), and
+    * verdicts already published for OLD docs are not revised — a new doc
+    * that out-ranks an old representative (smaller id, same content or
+    * cluster) wins in ITS batch's output, but the old doc's prior
+    * verdict stands; the demoted doc's signature row is retained in
+    * `signed`, which is harmless (it is content-identical to the new
+    * representative, so it contributes the same buckets and labels).
+    *
+    * Scale shape: the new batch is gated/hashed/signed once (narrow +
+    * one shuffle each); `hashReps` is joined once (AQE broadcasts the
+    * batch side against the artifact or co-shuffles at scale); the band
+    * join touches old bands only where a new doc shares the bucket; CC
+    * runs on the contracted PAIR set, never the corpus; census/counts/
+    * model merges are artifact-sized aggregations. */
+  def curateIncremental(newBatch: DataFrame, artifacts: CurationArtifacts,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sourceCol: Option[String] = None,
+                        lineMinChars: Int = 10): (DataFrame, CurationArtifacts) = {
+    val gated = gate(newBatch, idCol, textCol)
+    val hashed = graft.CacheBarriers.barrier(
+      gated.withColumn("th", md5(col(textCol))))
+    // merged representative per hash: least() ignores the absent side
+    val newMin = hashed.groupBy("th").agg(min(col(idCol)).as("new_min"))
+    val mergedReps = graft.CacheBarriers.barrier(
+      artifacts.hashReps.select(col("th").as("th_a"), col("rep_id"))
+        .join(newMin.select(col("th").as("th_b"), col("new_min")),
+          col("th_a") <=> col("th_b"), "full_outer")
+        .select(coalesce(col("th_a"), col("th_b")).as("th"),
+          least(col("rep_id"), col("new_min")).as("rep_id")))
+    // a new doc survives the exact stage iff it IS the merged
+    // representative of its hash (null-safe: null-text group included)
+    val newKept = graft.CacheBarriers.barrier(
+      hashed.join(mergedReps,
+          hashed("th") <=> mergedReps("th") && hashed(idCol) === mergedReps("rep_id"),
+          "left_semi")
+        .drop("th"))
+    val newSigned = graft.CacheBarriers.barrier(
+      Dedup.withSignature(newKept, textCol)
+        .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
+    val pairs = Dedup.incrementalPairsFromSigned(newSigned, artifacts.signed)
+    // contract old endpoints to their persisted cluster labels (new ids
+    // are unseen, so they never match the artifact and keep themselves)
+    val lbls = artifacts.clusters.select(col("doc_id").as("cid"),
+      col("cluster_id").as("lbl"))
+    val contracted = pairs.select("id_a", "id_b")
+      .join(lbls, col("id_a") === col("cid"), "left")
+      .select(coalesce(col("lbl"), col("id_a")).as("id_a"), col("id_b"))
+      .join(lbls, col("id_b") === col("cid"), "left")
+      .select(col("id_a"), coalesce(col("lbl"), col("id_b")).as("id_b"))
+    val cc = Dedup.dupClusters(contracted)
+    val kept = newKept.join(
+      cc.filter(!col("is_rep")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    // artifact roll-forward
+    val ccNodes = cc.select(col("doc_id").as("node"),
+      col("cluster_id").as("new_lbl"))
+    // old rows whose component label was merged into a bigger component
+    // get relabeled; untouched rows pass through
+    val oldRelabeled = artifacts.clusters
+      .join(ccNodes, artifacts.clusters("cluster_id") === ccNodes("node"),
+        "left")
+      .select(artifacts.clusters("doc_id"),
+        coalesce(col("new_lbl"), artifacts.clusters("cluster_id"))
+          .as("cluster_id"))
+    // nodes newly entering the cluster table: kept-batch docs in pairs,
+    // and previously-pairless old docs a new doc just connected to
+    val freshRows = ccNodes
+      .join(artifacts.clusters.select(col("doc_id").as("d0")),
+        ccNodes("node") === col("d0"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_lbl").as("cluster_id"))
+    val clustersU = oldRelabeled.unionByName(freshRows)
+    val countsU = (artifacts.sourceCounts, sourceCol) match {
+      case (Some(existing), Some(sc)) =>
+        Some(mergeSourceCounts(existing, newBatch, sc, textCol))
+      case _ => None
+    }
+    (kept, CurationArtifacts(
+      hashReps = mergedReps,
+      signed = artifacts.signed.unionByName(newSigned),
+      clusters = clustersU,
+      lineCensus = Dedup.mergeLineCensus(artifacts.lineCensus, newBatch,
+        idCol, textCol, lineMinChars),
+      sourceCounts = countsU,
+      model = LangModel.updateModel(artifacts.model, gated, textCol)))
+  }
 }

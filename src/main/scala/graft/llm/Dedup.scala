@@ -97,8 +97,16 @@ object Dedup {
     val signed = graft.CacheBarriers.barrier(
       withSignature(docs, textCol, shingleN)
         .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
-    verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
+    verifiedPairsFromSigned(signed, maxBucketSize)
   }
+
+  /** [[verifiedNearDupPairs]] over an already-signed (and already
+    * persisted/stored) corpus — the entry point for pipelines that keep
+    * the signature table as a run-over-run artifact
+    * ([[graft.llm.Curation.artifactsOf]]) instead of re-shingling. */
+  def verifiedPairsFromSigned(signed: DataFrame,
+                              maxBucketSize: Option[Int] = None): DataFrame =
+    verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
 
   /** The integer-Jaccard acceptance (2·|∩| ≥ |∪|) over two shingle-set
     * columns — the ONE definition every verification path shares (batch,
@@ -142,6 +150,16 @@ object Dedup {
     val newSigned = graft.CacheBarriers.barrier(
       withSignature(newDocs, textCol, shingleN)
         .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
+    incrementalPairsFromSigned(newSigned, existingSigned, maxBucketSize)
+  }
+
+  /** [[incrementalNearDupPairs]] over a pre-signed new batch (doc_id, sh,
+    * bkeys) — lets a composite sign the batch ONCE and reuse the
+    * signatures for both pair generation and the signature-table append
+    * ([[graft.llm.Curation.curateIncremental]]). */
+  def incrementalPairsFromSigned(newSigned: DataFrame,
+                                 existingSigned: DataFrame,
+                                 maxBucketSize: Option[Int] = None): DataFrame = {
     // a re-delivered doc_id (an UPDATED document arriving in a later
     // batch) must be represented by its NEW signature only — keeping both
     // rows would give the id two signatures, and every pair touching it

@@ -25,6 +25,12 @@ object LlmQueries extends QueryFamily {
   private val DupOffset = 200000L
   private val VarOffset = 100000L
   private val EvalOffset = 300000L
+  // q84's second-batch derived docs: fresh reversed texts, their exact
+  // dups, and their truncated variants (all ids >= FreshOffset; every b2
+  // id is >= VarOffset, which is what the oracle's restriction keys on)
+  private val FreshOffset = 400000L
+  private val FreshDupOffset = 500000L
+  private val FreshVarOffset = 600000L
 
   /** Injected boilerplate lines for the line-dedup queries (q81/q82). No
     * apostrophes — the constants are spliced into the oracle SQL as
@@ -139,6 +145,17 @@ object LlmQueries extends QueryFamily {
   private def sqlTruncText(e: String): String =
     s"array_to_string((${W(e)})[1:greatest(len(${W(e)}) - 5, 0)], ' ')"
 
+  /** Reversed-word-order text — FRESH content relative to the original
+    * (every 3-shingle is order-reversed, so the two share no shingles and
+    * never near-dup), from the same vocabulary. The q84 second batch uses
+    * it for documents that must survive incremental curation. */
+  private def revText(ws: Column): Column = concat_ws(" ", reverse(ws))
+  private def sqlRevText(e: String): String =
+    s"array_to_string(list_reverse(${W(e)}), ' ')"
+  private def sqlRevTruncText(e: String): String =
+    s"array_to_string((list_reverse(${W(e)}))" +
+      s"[1:greatest(len(${W(e)}) - 5, 0)], ' ')"
+
   /** Shared corpus CTEs. */
   private val dupCorpusSql =
     s"""corpus AS (
@@ -184,17 +201,15 @@ object LlmQueries extends QueryFamily {
     * corpus after the quality gate, exact dedup, and near-dup cluster
     * drop. Shared by q62 (census of the survivors) and q75 (split + shard
     * the survivors); the caller must prefix `WITH RECURSIVE`. */
-  private def curationCtes(src: String = "documents"): String = {
+  /** The full curation-replay CTE chain over a caller-supplied corpus
+    * CTE body (doc_id, text) — shared by q62/q75/q83 (derived-dup corpus)
+    * and q84 (two-batch incremental corpus). */
+  private def curationCtesOver(corpusSql: String): String = {
     val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
       .map(s => s"'$s'").mkString(",")
     val (scores, pred) = TextAnalysis.sqlLangId("w")
     s"""corpus AS (
-       |  SELECT doc_id, text FROM $src
-       |  UNION ALL
-       |  SELECT doc_id + $DupOffset, text FROM $src WHERE doc_id % 7 = 0
-       |  UNION ALL
-       |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
-       |  FROM $src WHERE doc_id % 10 = 0),
+       |  $corpusSql),
        |ctok AS (SELECT doc_id, text, ${W("text")} AS w FROM corpus),
        |csig AS (SELECT doc_id, text, len(w) AS n_words,
        |                len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
@@ -224,6 +239,17 @@ object LlmQueries extends QueryFamily {
        |         WHERE k.doc_id NOT IN
        |               (SELECT doc_id FROM clus WHERE doc_id <> cluster_id))""".stripMargin
   }
+
+  /** [[curationCtesOver]] with the standard derived-dup corpus (exact
+    * copies of every 7th doc, truncated variants of every 10th). */
+  private def curationCtes(src: String = "documents"): String =
+    curationCtesOver(
+      s"""SELECT doc_id, text FROM $src
+         |  UNION ALL
+         |  SELECT doc_id + $DupOffset, text FROM $src WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+         |  FROM $src WHERE doc_id % 10 = 0""".stripMargin)
 
   /** Oracle CTE chain ending at `pairs(id_a, id_b, inter, uni)`: the LSH
     * candidate/verification structure over a named (doc_id, text) CTE —
@@ -789,6 +815,63 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
            |       CAST(n_words AS BIGINT) AS n_words
            |FROM surv ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental curation (the daily-ingest shape): batch 1 = the
+    //    originals, curated once into persisted artifacts (hash reps,
+    //    signatures, clusters); batch 2 = derived docs (exact dups +
+    //    truncated near-dups of b1, plus fresh reversed docs with their
+    //    own in-batch dups/near-dups), curated against the ARTIFACTS ONLY
+    //    — b1 is never re-read. The oracle replays a FULL re-run over
+    //    b1 ∪ b2 restricted to b2's ids, so the cross-engine hash match
+    //    IS the incremental-equals-batch identity the composite claims
+    //    (the reference's analog: resume-state + stateful direct reads,
+    //    monstache.go:1704-1759, make its pipeline incremental). ──────────
+    QueryDef.sorted(
+      "q84_incremental_curation",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val b2 = docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + FreshOffset).as("doc_id"),
+              revText(ws).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 22 === 0)
+            .select((col("doc_id") + FreshDupOffset).as("doc_id"),
+              revText(ws).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 33 === 0)
+            .select((col("doc_id") + FreshVarOffset).as("doc_id"),
+              truncText(reverse(ws)).as("text")))
+        val (_, art) = Curation.artifactsOf(docs)
+        val (kept2, _) = Curation.curateIncremental(b2, art)
+        kept2.select(col("doc_id").cast("long"), col("pred_lang"),
+          col("quality_bucket"), col("n_words").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE ${curationCtesOver(
+             s"""SELECT doc_id, text FROM documents
+                |  UNION ALL
+                |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+                |  UNION ALL
+                |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+                |  FROM documents WHERE doc_id % 10 = 0
+                |  UNION ALL
+                |  SELECT doc_id + $FreshOffset, ${sqlRevText("text")}
+                |  FROM documents WHERE doc_id % 11 = 0
+                |  UNION ALL
+                |  SELECT doc_id + $FreshDupOffset, ${sqlRevText("text")}
+                |  FROM documents WHERE doc_id % 22 = 0
+                |  UNION ALL
+                |  SELECT doc_id + $FreshVarOffset, ${sqlRevTruncText("text")}
+                |  FROM documents WHERE doc_id % 33 = 0""".stripMargin)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
+           |       CAST(n_words AS BIGINT) AS n_words
+           |FROM surv WHERE doc_id >= $VarOffset ORDER BY doc_id""".stripMargin)),
 
     // ── Repetition signals (Gopher-style filters): duplicate-word,
     //    adjacent-stutter, and top-3-gram fractions in exact integer form,
