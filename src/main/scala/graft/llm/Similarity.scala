@@ -397,9 +397,47 @@ object Similarity {
     * means a probe is partition-pruned I/O (the scan never lists, let
     * alone reads, unprobed buckets); see PlanAuditSpec for the
     * PartitionFilters proof. Rewriting per build is the IVF trade: the
-    * index is rebuilt/appended offline, probed online. */
-  def writeIndex(assigned: DataFrame, dir: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    * index is rebuilt/appended offline, probed online.
+    *
+    * Beside the data, an `_ids` manifest (idCol, bucket) is written —
+    * the presence-check artifact [[appendToIndex]] reads instead of
+    * scanning the index's data files: at 100 TB the daily append must
+    * not list-and-read billions of full-width rows to admit a batch of
+    * thousands. Underscore-prefixed like `_centroids`, so bucket data
+    * scans never see it. */
+  def writeIndex(assigned: DataFrame, dir: String,
+                 idCol: String = "vec_id"): Unit = {
+    // barrier: the data write and the manifest write both consume the
+    // assignment; without it the argmax re-runs per write
+    val a = graft.CacheBarriers.barrier(assigned)
+    a.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    a.select(col(idCol), col("bucket").cast("long").as("bucket"))
+      .write.mode("overwrite").parquet(idsDir(dir))
+  }
+
+  private def idsDir(dir: String) = s"$dir/_ids"
+
+  /** Rebuild the `_ids` manifest from the index data files — the
+    * recovery / migration path: an index written before the manifest
+    * existed, or an append that crashed between its data write and its
+    * manifest write (run this BEFORE retrying such a batch: the rebuilt
+    * manifest then reflects every landed row, so the retry's anti-join
+    * cannot re-admit them as duplicates). One column-pruned scan — the
+    * cost the manifest exists to avoid paying on every append. */
+  def rebuildIdManifest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, idCol: String = "vec_id"): Unit =
+    spark.read.parquet(dir)
+      .select(col(idCol), col("bucket").cast("long").as("bucket"))
+      .distinct()
+      .write.mode("overwrite").parquet(idsDir(dir))
+
+  /** Auto-migrate a pre-manifest index on first touch. */
+  private def ensureIdManifest(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, idCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idsDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rebuildIdManifest(spark, dir, idCol)
+  }
 
   /** Open an IVF index restricted to the probed buckets. The `isin`
     * lands in the scan's PartitionFilters, so only `buckets.size`
@@ -441,7 +479,7 @@ object Similarity {
   def buildIndex(embeddings: DataFrame, centroids: Array[Centroid],
                  dir: String, idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit = {
-    writeIndex(ivfAssign(embeddings, centroids, idCol, vecCol), dir)
+    writeIndex(ivfAssign(embeddings, centroids, idCol, vecCol), dir, idCol)
     writeCentroids(embeddings.sparkSession, centroids, dir)
   }
 
@@ -457,19 +495,33 @@ object Similarity {
     * Re-delivered ids are anti-joined away first: a duplicate id would
     * occupy two of a probe's k slots (the bounded heap dedups by rank
     * order, not identity) and silently evict a genuinely distinct
-    * neighbor. The guard costs one column-pruned scan of the index's id
-    * column — the standard presence-check price of any append-only
-    * store. The index is append-only: an UPDATED vector for an existing
-    * id needs a rebuild (replacing in place means rewriting its bucket
-    * partition). */
+    * neighbor. The guard reads the `_ids` MANIFEST, never the index data
+    * files — manifest-sized I/O per append (two narrow columns, no
+    * vector payloads, no bucket-directory listing of the data), where a
+    * data-side presence scan would read billions of ids daily to admit a
+    * batch of thousands. A pre-manifest index is migrated on first touch
+    * ([[rebuildIdManifest]]).
+    *
+    * Ordering: data lands first, the manifest second — a crash between
+    * the two leaves rows the manifest does not know, and a blind retry
+    * of that batch would re-admit them as duplicates. Recovery is
+    * [[rebuildIdManifest]] before the retry (the rebuilt manifest then
+    * rejects every landed id). The index is append-only: an UPDATED
+    * vector for an existing id needs a rebuild (replacing in place means
+    * rewriting its bucket partition). */
   def appendToIndex(newVectors: DataFrame, dir: String,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
-    val existingIds = spark.read.parquet(dir).select(col(idCol))
-    ivfAssign(newVectors.join(existingIds, Seq(idCol), "left_anti"),
-        readCentroids(spark, dir), idCol, vecCol)
-      .write.mode("append").partitionBy("bucket").parquet(dir)
+    ensureIdManifest(spark, dir, idCol)
+    val known = spark.read.parquet(idsDir(dir)).select(col(idCol))
+    // barrier: the data write and the manifest write share the assignment
+    val assigned = graft.CacheBarriers.barrier(
+      ivfAssign(newVectors.join(known, Seq(idCol), "left_anti"),
+        readCentroids(spark, dir), idCol, vecCol))
+    assigned.write.mode("append").partitionBy("bucket").parquet(dir)
+    assigned.select(col(idCol), col("bucket").cast("long").as("bucket"))
+      .write.mode("append").parquet(idsDir(dir))
   }
 
   // ── DuckDB twins ──────────────────────────────────────────────────────

@@ -64,6 +64,60 @@ class IvfIndexSpec extends AnyFunSuite {
     // slots and evict a real neighbor)
     Similarity.appendToIndex(embeddings.filter(col("vec_id") < 100), dirIncr)
     assert(contents(dirIncr) == full)
+    // the _ids manifest tracks the data exactly (distinct ids, buckets)
+    val manifest = spark.read.parquet(s"$dirIncr/_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(manifest == full)
+  }
+
+  test("append presence check reads the manifest, never the data files") {
+    val dir = Files.createTempDirectory("graft-ivf-manifest").toString
+    val cents = Similarity.collectCentroids(
+      embeddings.filter(col("vec_id") % 64 === 0))
+    Similarity.buildIndex(embeddings.filter(col("vec_id") % 2 === 0),
+      cents, dir)
+    // black-box proof: CORRUPT every data file in the index. If the
+    // presence check (or anything else on the append path) touched a
+    // data file, the append would crash on unreadable parquet; the
+    // manifest path sails through.
+    val corrupted = {
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        val parts = new java.util.ArrayList[java.nio.file.Path]()
+        walk.filter(p => p.toString.contains("bucket=") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => parts.add(p))
+        parts.forEach(p =>
+          Files.write(p, "not parquet anymore".getBytes("UTF-8")))
+        parts.size()
+      } finally walk.close()
+    }
+    assert(corrupted > 0, "fixture bug: no data files found to corrupt")
+    // overlapping append: half re-delivered (rejected via manifest),
+    // half genuinely new (admitted) — no data file is ever read
+    Similarity.appendToIndex(embeddings, dir)
+    val ids = spark.read.parquet(s"$dir/_ids").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val all = embeddings.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == all)
+  }
+
+  test("a pre-manifest index is migrated on first append") {
+    val dir = Files.createTempDirectory("graft-ivf-legacy").toString
+    val cents = Similarity.collectCentroids(
+      embeddings.filter(col("vec_id") % 64 === 0))
+    Similarity.buildIndex(embeddings.filter(col("vec_id") % 2 === 0),
+      cents, dir)
+    // simulate an index written before the manifest existed
+    val walk = Files.walk(java.nio.file.Paths.get(s"$dir/_ids"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") % 2 =!= 0), dir)
+    val ids = spark.read.parquet(s"$dir/_ids").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == embeddings.select("vec_id").collect()
+      .map(_.getLong(0)).toSet)
   }
 
   test("the centroid table is invisible to the bucket data scan") {
