@@ -1,0 +1,229 @@
+package graft.sink
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.config.GraftConfig
+import graft.operators.{DeleteStrategies, Routing, TimeMachine, Upsert}
+
+/** The pluggable sink surface behind the K-layer (SURVEY §2.9) — the
+  * piece a production deployment implements against a real store, and
+  * the boundary that packages K1–K4 as ONE writer:
+  *
+  *  - [[SinkBackend.bulkUpsert]]  ← K1 bulk index/upsert (`doIndexing`,
+  *    monstache.go:3160-3251): routed live winners with `meta_*`
+  *    coordinates and external versions.
+  *  - [[SinkBackend.delete]]     ← K2 delete strategies (`doDelete`,
+  *    monstache.go:4065-4147): normalized to resolved (id, index,
+  *    routing) coordinates, whatever strategy produced them.
+  *  - [[SinkBackend.dropIndexes]] ← K3 drop propagation (`doDrop`,
+  *    monstache.go:3056-3075): exact / db-prefix index patterns.
+  *  - [[SinkBackend.appendHistory]] ← K4 time-machine appends
+  *    (monstache.go:3253-3291): dated history rows, append-only.
+  *
+  * The backend also exposes [[SinkBackend.sinkState]] — what the sink
+  * currently holds, keyed for delete resolution. The reference answers
+  * the same question by SEARCHING Elasticsearch per delete
+  * (monstache.go:4096-4139); a set-oriented writer asks once per batch.
+  *
+  * Scale notes: every frame handed to the backend is the batch-sized
+  * output of the already-bounded operators (LWW winners, resolved
+  * tombstones, control-plane drop patterns); a real backend partitions
+  * its bulk requests from these frames (`foreachPartition` → bulk API)
+  * and serves `sinkState` from its own index — nothing here collects.
+  */
+trait SinkBackend {
+
+  /** Routed live winners: (namespace, id, document, meta_index, meta_id,
+    * meta_routing, meta_version, …). External-version semantics: the
+    * backend must ignore a version at or below what it already holds
+    * (the reference's 409-ignore, monstache.go:566-571) — that is what
+    * makes replayed batches idempotent. */
+  def bulkUpsert(docs: DataFrame): Unit
+
+  /** Resolved deletes: (id, del_index, del_routing). */
+  def delete(deletes: DataFrame): Unit
+
+  /** Index deletions: (kind ∈ exact|prefix, pattern). */
+  def dropIndexes(drops: DataFrame): Unit
+
+  /** Dated history appends: TimeMachine.history's columns. */
+  def appendHistory(history: DataFrame): Unit
+
+  /** What the sink holds now: (namespace, id, meta_index, meta_routing)
+    * — the delete-resolution view. */
+  def sinkState(spark: SparkSession): DataFrame
+}
+
+/** One `foreachBatch` writer driving all four op kinds through a
+  * [[SinkBackend]], honoring the [[GraftConfig]] surface (delete
+  * strategy, delete protection, drop gates, time-machine namespaces,
+  * index mappings).
+  *
+  * In-batch ordering mirrors the reference's replay order without
+  * per-op application: drops land first; data winners at or below their
+  * namespace's last covering drop version are FENCED (the reference
+  * replays in order, so the drop wiped them before they could land);
+  * deletes resolve against the post-upsert sink state, so a delete
+  * following an insert in the same batch sees it. */
+object SinkWriter {
+
+  /** Apply one micro-batch of hot-path envelope ops to the backend.
+    * `batch` is the (filtered, transformed) envelope — what
+    * [[graft.config.ConfiguredPipeline.hotPath]] emits; meta columns are
+    * resolved here when absent. */
+  def writeBatch(batch: DataFrame, cfg: GraftConfig,
+                 backend: SinkBackend): Unit = {
+    val spark = batch.sparkSession
+    val routed0 =
+      if (batch.columns.contains("meta_index")) batch
+      else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings)
+    // persisted for the batch only (streaming-twin contract): up to four
+    // consumers below, released before returning
+    val b = routed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // K4 history first: every version appends, before dedup/fences
+      if (cfg.timeMachineNamespaces.nonEmpty)
+        backend.appendHistory(TimeMachine.history(b,
+          cfg.timeMachineNamespaces, cfg.timeMachineIndexPrefix,
+          cfg.timeMachineIndexSuffix))
+
+      // K3 drops: control-plane sized; patterns resolve through the same
+      // [[mapping]] table as data ops so a mapped collection's drop
+      // deletes the index its documents actually landed in
+      val dropOps = b.filter(
+        (col("operation") === "drop_coll" && lit(cfg.droppedCollections)) ||
+          (col("operation") === "drop_db" && lit(cfg.droppedDatabases)))
+      val drops = dropOps.select(col("operation").as("d_op"),
+        lower(col("namespace")).as("d_ns"), lower(col("db")).as("d_db"),
+        col("version").as("d_version"),
+        when(col("operation") === "drop_coll",
+          Routing.resolveIndex(cfg.mappings)).as("d_index"))
+      backend.dropIndexes(drops.select(
+        when(col("d_op") === "drop_coll", "exact").otherwise("prefix")
+          .as("kind"),
+        when(col("d_op") === "drop_coll", col("d_index"))
+          .otherwise(concat(col("d_db"), lit(".")))
+          .as("pattern")))
+
+      // in-batch drop fence: data ops at or below their namespace's last
+      // covering drop were wiped before they could land
+      val nsFence = b.select(lower(col("namespace")).as("ix"),
+          lower(col("db")).as("ix_db")).distinct()
+        .join(broadcast(drops),
+          (col("d_op") === "drop_coll" && col("ix") === col("d_ns")) ||
+            (col("d_op") === "drop_db" && col("ix_db") === col("d_db")),
+          "left")
+        .groupBy("ix").agg(max(col("d_version")).as("fence_v"))
+      def fenced(df: DataFrame): DataFrame =
+        df.join(broadcast(nsFence), lower(col("namespace")) === col("ix"),
+            "left")
+          .filter(col("fence_v").isNull || col("version") > col("fence_v"))
+          .drop("ix", "fence_v")
+
+      // K1 bulk upsert: the batch's LWW winners that outlive any drop
+      backend.bulkUpsert(fenced(Upsert.liveDocuments(b)))
+
+      // K2 deletes, resolved per configured strategy against the
+      // POST-upsert sink state, normalized to (id, del_index, del_routing)
+      val tombs = fenced(Upsert.tombstones(b))
+      cfg.deleteStrategy match {
+        case 2 => // ignore: deletes are dropped (monstache.go:4068-4070)
+        case 1 =>
+          val metaStore = backend.sinkState(spark)
+            .select(col("namespace"), col("id"),
+              col("meta_index").as("saved_index"),
+              col("meta_routing").as("saved_routing"))
+          backend.delete(DeleteStrategies.stateful(tombs, metaStore)
+            .select(col("id"), col("meta_index").as("del_index"),
+              col("meta_routing").as("del_routing")))
+        case _ =>
+          val resolved = DeleteStrategies.statelessRouted(
+            tombs.drop("meta_index", "meta_routing"),
+            backend.sinkState(spark),
+            deleteProtection = !cfg.disableDeleteProtection)
+          backend.delete(resolved.filter(col("status") === "deleted")
+            .select(col("id"), col("hit_index").as("del_index"),
+              col("hit_routing").as("del_routing")))
+      }
+    } finally b.unpersist(false)
+  }
+
+  /** Continuous form: envelope stream → optional transform → the batch
+    * writer, checkpointed. The transform is where
+    * [[graft.config.ConfiguredPipeline.hotPath]] plugs in. */
+  def start(events: DataFrame, checkpointDir: String, cfg: GraftConfig,
+            backend: SinkBackend,
+            transform: DataFrame => DataFrame = identity,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    transform(events).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(batch, cfg, backend)
+      }
+      .start()
+}
+
+/** In-memory [[SinkBackend]] — the mock the spec drives and the template
+  * a real connector follows. Keeps (index, id) → doc with EXTERNAL
+  * version semantics: an upsert at or below the stored version is
+  * ignored (the reference's 409-ignore), so replayed batches cannot
+  * regress state. Collects each frame — mock-sized by design; a real
+  * backend replaces each method body with partitioned bulk requests. */
+class InMemorySinkBackend extends SinkBackend {
+
+  final case class SinkDoc(namespace: String, routing: String,
+                           version: Long, document: String)
+
+  /** (index, id) → doc. */
+  val state = TrieMap[(String, String), SinkDoc]()
+  /** (history_index, source_id, version) appends, in arrival order. */
+  val history = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+
+  override def bulkUpsert(docs: DataFrame): Unit =
+    docs.select(col("meta_index"), col("meta_id"), col("meta_routing"),
+        col("meta_version"), col("namespace"), col("document"))
+      .collect().foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        val v = r.getLong(3)
+        if (state.get(key).forall(_.version < v))
+          state(key) = SinkDoc(r.getString(4), r.getString(2), v,
+            if (r.isNullAt(5)) null else r.getString(5))
+      }
+
+  override def delete(deletes: DataFrame): Unit =
+    deletes.select("del_index", "id").collect()
+      .foreach(r => state.remove((r.getString(0), r.getString(1))))
+
+  override def dropIndexes(drops: DataFrame): Unit =
+    drops.select("kind", "pattern").collect().foreach { r =>
+      val pattern = r.getString(1)
+      val doomed =
+        if (r.getString(0) == "exact") state.keys.filter(_._1 == pattern)
+        else state.keys.filter(_._1.startsWith(pattern))
+      doomed.foreach(state.remove)
+    }
+
+  override def appendHistory(h: DataFrame): Unit =
+    history ++= h.select("history_index", "source_id", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  override def sinkState(spark: SparkSession): DataFrame = {
+    val rows = state.toSeq.map { case ((ix, id), d) =>
+      Row(d.namespace, id, ix, d.routing)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("namespace", StringType),
+        StructField("id", StringType),
+        StructField("meta_index", StringType),
+        StructField("meta_routing", StringType))))
+  }
+}

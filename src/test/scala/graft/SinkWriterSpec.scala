@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.GraftConfig
+import graft.sink.{InMemorySinkBackend, SinkWriter}
+import graft.source.ChangeEvent
+
+/** One writer drives all four K-layer op kinds (bulk upsert, delete
+  * strategy, drop propagation, time-machine history) through the
+  * pluggable [[SinkBackend]] against the in-memory mock — the packaged
+  * `doIndexing`/`doDelete`/`doDrop` surface. */
+class SinkWriterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(eid: Long, id: String, ns: String, op: String, ver: Long,
+                 doc: String = """{"a":1}"""): ChangeEvent = {
+    val Array(db, coll) = ns.split("\\.", 2)
+    ChangeEvent(eid, id, db, coll, ns, op, ver * 1000L, ver, doc, 0.0,
+      "oplog")
+  }
+  private def drop(eid: Long, ns: String, op: String,
+                   ver: Long): ChangeEvent = {
+    val db = ns.split("\\.", 2)(0)
+    ChangeEvent(eid, null, db, null, ns, op, ver * 1000L, ver, null, 0.0,
+      "oplog")
+  }
+
+  private val cfg = GraftConfig(
+    mappings = Map("app.t1" -> "custom_t1"),
+    timeMachineNamespaces = Seq("app.t0"))
+
+  test("all four op kinds flow through one writer against the mock") {
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    // batch 1: inserts/updates in two namespaces (one mapped), then a
+    // dropCollection that fences the EARLY t1 write but not the later one
+    val b1 = Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      ev(1, "1", "app.t0", "u", 11, """{"a":2}"""),
+      ev(2, "2", "app.t0", "i", 12),
+      ev(3, "9", "app.t1", "i", 13),          // loses LWW to ev(5) anyway
+      ev(9, "8", "app.t1", "i", 13),          // FENCED: only op, pre-drop
+      drop(4, "app.t1", "drop_coll", 14),
+      ev(5, "9", "app.t1", "i", 15, """{"a":9}""")) // outlives the drop
+    SinkWriter.writeBatch(b1.toDF(), cfg, backend)
+    assert(backend.state.keySet == Set(
+      ("app.t0", "1"), ("app.t0", "2"), ("custom_t1", "9")))
+    assert(backend.state(("app.t0", "1")).version == 11)
+    assert(backend.state(("custom_t1", "9")).version == 15)
+    // K4: every t0 version appended (3 ops), dated index naming
+    assert(backend.history.size == 3)
+    assert(backend.history.forall(_._1.startsWith("log.app.t0.")))
+
+    // batch 2: a delete for id 1 (resolved against sink state), an
+    // update for id 2, and a dropDatabase wiping the custom-mapped index?
+    // no — custom_t1 is outside the app.* prefix, which is exactly the
+    // mapping-vs-prefix nuance: dropDatabase covers indexes named under
+    // the db prefix; the mapped index survives it (its collection drop
+    // is what deletes it, as batch 1 showed)
+    val b2 = Seq(
+      ev(6, "1", "app.t0", "d", 20),
+      ev(7, "2", "app.t0", "u", 21, """{"a":3}"""))
+    SinkWriter.writeBatch(b2.toDF(), cfg, backend)
+    assert(backend.state.keySet == Set(("app.t0", "2"), ("custom_t1", "9")))
+    assert(backend.state(("app.t0", "2")).version == 21)
+    assert(backend.history.size == 5)
+
+    // replay batch 2 (at-least-once): external versions make it a no-op
+    SinkWriter.writeBatch(b2.toDF(), cfg, backend)
+    assert(backend.state.keySet == Set(("app.t0", "2"), ("custom_t1", "9")))
+    assert(backend.state(("app.t0", "2")).version == 21)
+  }
+
+  test("dropDatabase wipes the db prefix; later ops recreate") {
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    SinkWriter.writeBatch(Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      ev(1, "2", "app.t2", "i", 11)).toDF(), GraftConfig(), backend)
+    assert(backend.state.size == 2)
+    SinkWriter.writeBatch(Seq(
+      drop(2, "app", "drop_db", 20),
+      ev(3, "3", "app.t0", "i", 21)).toDF(), GraftConfig(), backend)
+    assert(backend.state.keySet == Set(("app.t0", "3")))
+    // a disabled gate turns the drop into a no-op (dropped-databases)
+    val backend2 = new InMemorySinkBackend
+    SinkWriter.writeBatch(Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      drop(1, "app", "drop_db", 20)).toDF(),
+      GraftConfig(droppedDatabases = false), backend2)
+    assert(backend2.state.keySet == Set(("app.t0", "1")))
+  }
+
+  test("delete protection refuses ambiguous deletes; by-query removes all") {
+    import spark.implicits._
+    // the same id indexed into TWO indexes (cross-namespace id reuse)
+    val seed = Seq(
+      ev(0, "7", "app.t0", "i", 10),
+      ev(1, "7", "app.t2", "i", 11))
+    // stateless + protection: two hits -> refused, both stay
+    val guarded = new InMemorySinkBackend
+    SinkWriter.writeBatch(seed.toDF(), GraftConfig(), guarded)
+    SinkWriter.writeBatch(Seq(ev(2, "7", "app.t0", "d", 20)).toDF(),
+      GraftConfig(), guarded)
+    assert(guarded.state.size == 2)
+    // disable-delete-protection: by-query semantics, every hit deleted
+    val byQuery = new InMemorySinkBackend
+    SinkWriter.writeBatch(seed.toDF(),
+      GraftConfig(disableDeleteProtection = true), byQuery)
+    SinkWriter.writeBatch(Seq(ev(2, "7", "app.t0", "d", 20)).toDF(),
+      GraftConfig(disableDeleteProtection = true), byQuery)
+    assert(byQuery.state.isEmpty)
+    // strategy 2: deletes are ignored entirely
+    val ignoring = new InMemorySinkBackend
+    SinkWriter.writeBatch(seed.toDF(), GraftConfig(deleteStrategy = 2),
+      ignoring)
+    SinkWriter.writeBatch(Seq(ev(2, "7", "app.t0", "d", 20)).toDF(),
+      GraftConfig(deleteStrategy = 2), ignoring)
+    assert(ignoring.state.size == 2)
+  }
+
+  test("stateful deletes resolve through saved routing metadata") {
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    // the doc carries a _meta_monstache index override: saved meta is
+    // what the stateful strategy must consult on delete
+    SinkWriter.writeBatch(Seq(
+      ev(0, "5", "app.t0", "i", 10,
+        """{"a":1,"_meta_monstache":{"index":"special","routing":"r5"}}"""))
+      .toDF(), GraftConfig(deleteStrategy = 1), backend)
+    assert(backend.state.keySet == Set(("special", "5")))
+    assert(backend.state(("special", "5")).routing == "r5")
+    SinkWriter.writeBatch(Seq(ev(1, "5", "app.t0", "d", 20)).toDF(),
+      GraftConfig(deleteStrategy = 1), backend)
+    assert(backend.state.isEmpty)
+  }
+
+  test("the streaming form drives the same writer through foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val s = MemoryStream[ChangeEvent]
+    s.addData(Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      ev(1, "2", "app.t0", "i", 11),
+      ev(2, "1", "app.t0", "d", 12)))
+    SinkWriter.start(s.toDF(), ckpt, cfg, backend).awaitTermination()
+    assert(backend.state.keySet == Set(("app.t0", "2")))
+    assert(backend.history.size == 3)
+  }
+}
