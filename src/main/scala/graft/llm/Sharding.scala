@@ -28,6 +28,7 @@ object Sharding {
 
   val ShardSalt = "graft-shard|"
   val OrderSalt = "graft-order|"
+  val FragSalt = "graft-frag|"
 
   /** Shard id 0..nShards-1 from the salted id hash. */
   def shardId(id: Column, nShards: Int): Column =
@@ -79,29 +80,60 @@ object Sharding {
         max(col(idCol)).as("max_id"))
   }
 
-  /** Write the corpus as `path/shard=N/` parquet directories (one writer
-    * task per shard via the repartition) and return the manifest of what
-    * was written, computed from a read-back of the files — the manifest
-    * certifies the bytes on storage, not the frame that was supposed to
-    * land there. */
+  /** Write the corpus as `path/shard=N/` parquet directories and return
+    * the manifest of what was written, computed from a read-back of the
+    * files — the manifest certifies the bytes on storage, not the frame
+    * that was supposed to land there.
+    *
+    * `subSplits` decouples WRITE PARALLELISM from the shard count: the
+    * default (1) writes one task per shard — the small-file optimum —
+    * but when nShards ≪ cores (or one shard runs hot) that serializes
+    * the write behind nShards tasks. With subSplits = s each shard
+    * splits into s deterministic fragments (`shard=N/frag=M/`
+    * directories), the repartition spreads nShards·s writer tasks, and
+    * the manifest — grouped by shard — aggregates over fragments
+    * unchanged. Fragment assignment is as deterministic as the shard's:
+    * a salted id hash normally; the ORDER-KEY RANGE under `epochOrder`,
+    * so fragment directories read in ascending `frag` replay the epoch
+    * permutation exactly (frag boundaries are order-key boundaries — a
+    * sequential loader walks shard=N/frag=0,1,… and sees a fully sorted
+    * stream). `maxRecordsPerFile` composes on top for file-size caps. */
   def writeShards(docs: DataFrame, path: String, nShards: Int,
                   idCol: String = "doc_id",
                   textCol: String = "text",
-                  epochOrder: Option[Int] = None): DataFrame = {
+                  epochOrder: Option[Int] = None,
+                  subSplits: Int = 1): DataFrame = {
+    require(subSplits >= 1, s"subSplits must be >= 1 (got $subSplits)")
     val sharded = withShard(docs, nShards, idCol)
-    val laidOut = epochOrder match {
+    // h32p is 31-bit non-negative, so the range bucket is exact integer
+    // algebra: frag f holds order keys in [f·2³¹/s, (f+1)·2³¹/s)
+    def orderFrag: Column =
+      expr(s"(order_key * $subSplits) div 2147483648")
+    def hashFrag: Column =
+      TextHash.h32p(concat(lit(FragSalt), col(idCol).cast("string"))) %
+        subSplits
+    val laidOut = (epochOrder, subSplits) match {
       // sortWithinPartitions after the shard repartition: the epoch's
       // deterministic order costs a per-task sort, never a new exchange.
-      // `shard` leads the sort keys: the dynamic-partition writer
-      // REQUIRES an ordering on the partition columns and would insert
-      // its own (unstable) sort — scrambling the epoch order — unless
-      // the declared ordering already satisfies it.
-      case Some(epoch) => withShuffleOrder(sharded, epoch, idCol)
+      // The partition columns LEAD the sort keys: the dynamic-partition
+      // writer REQUIRES an ordering on them and would insert its own
+      // (unstable) sort — scrambling the epoch order — unless the
+      // declared ordering already satisfies it.
+      case (Some(epoch), 1) => withShuffleOrder(sharded, epoch, idCol)
         .repartition(nShards, col("shard"))
         .sortWithinPartitions(col("shard"), col("order_key"), col(idCol))
-      case None => sharded.repartition(nShards, col("shard"))
+      case (None, 1) => sharded.repartition(nShards, col("shard"))
+      case (Some(epoch), s) => withShuffleOrder(sharded, epoch, idCol)
+        .withColumn("frag", orderFrag)
+        .repartition(nShards * s, col("shard"), col("frag"))
+        .sortWithinPartitions(col("shard"), col("frag"), col("order_key"),
+          col(idCol))
+      case (None, s) => sharded.withColumn("frag", hashFrag)
+        .repartition(nShards * s, col("shard"), col("frag"))
+        .sortWithinPartitions(col("shard"), col("frag"))
     }
-    laidOut.write.mode("overwrite").partitionBy("shard").parquet(path)
+    val partCols = if (subSplits == 1) Seq("shard") else Seq("shard", "frag")
+    laidOut.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
     // partition-directory names read back as INT — re-cast to the LONG
     // withShard produces so manifest comparisons don't silently widen
     // (the same drift Similarity.readIndex pins for its bucket column)

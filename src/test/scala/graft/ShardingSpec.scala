@@ -67,6 +67,51 @@ class ShardingSpec extends AnyFunSuite {
     assert(e0a != (0L until 500L).toSeq) // and it is actually shuffled
   }
 
+  test("subSplits decouples write parallelism from nShards, same manifest") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-sub1").toString
+    val dirN = java.nio.file.Files.createTempDirectory("graft-subN").toString
+    val single = Sharding.writeShards(docs, dir1, nShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val split = Sharding.writeShards(docs, dirN, nShards = 4, subSplits = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the certified contents are IDENTICAL — fragmentation is write-side
+    assert(split == single && single.size == 4)
+    // and the write actually fanned out: more part files than shards
+    def partFiles(d: String) = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.filter(_.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+      finally walk.close()
+    }
+    assert(partFiles(dir1) == 4)
+    assert(partFiles(dirN) > 4)
+  }
+
+  test("subSplits + epochOrder: fragment directories replay the epoch order") {
+    val docs = spark.range(0, 400)
+      .select(col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-subord").toString
+    Sharding.writeShards(docs, dir, nShards = 2, epochOrder = Some(1),
+      subSplits = 4)
+    (0 until 2).foreach { s =>
+      // walking frag=0,1,… in ascending order must yield a fully sorted
+      // order-key stream: frag boundaries ARE order-key range boundaries
+      val frags = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(_.getName.startsWith("frag=")).map(_.getName).sorted
+      assert(frags.length > 1, s"shard $s did not fragment")
+      val keys = frags.flatMap { f =>
+        spark.read.parquet(s"$dir/shard=$s/$f")
+          .select("order_key").as[Long].collect()
+      }.toSeq
+      assert(keys == keys.sorted && keys.nonEmpty,
+        s"shard $s fragments do not replay the epoch order")
+    }
+    // and the whole write still holds exactly the input membership
+    val all = spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().toSet
+    assert(all == (0L until 400L).toSet)
+  }
+
   test("writeShards with epochOrder lays each shard out in order") {
     val docs = spark.range(0, 300)
       .select(col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"))
