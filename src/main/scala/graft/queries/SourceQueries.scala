@@ -1,10 +1,13 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.operators.{FileContent, Lookups, PipelineRegistry}
-import graft.source.{Discovery, EventLog, Shards}
+import graft.source.{ChangeEvent, Discovery, DirectReadManifest, EventLog, Shards}
+import graft.streaming.{RetryingSink, StreamingUpsert}
 
 /** Source/lookup queries: dynamic namespace discovery (S4), sharded
   * fan-in + per-stream resume tokens (S6/T2), pipeline pushdown (A1),
@@ -203,6 +206,115 @@ object SourceQueries extends QueryFamily {
           |  SELECT 'app.customer' AS namespace, 'direct_read' AS source, count(*) AS n FROM customer
           |  UNION ALL SELECT 'app.region', 'direct_read', count(*) FROM region
           |  UNION ALL SELECT 'app.supplier', 'direct_read', count(*) FROM supplier)
-          |ORDER BY namespace""".stripMargin))
+          |ORDER BY namespace""".stripMargin)),
+
+    // ── S5: stateful direct reads. Run 1 reads two of three namespaces
+    //    and records them in the completion manifest ("crash" before the
+    //    third); the restarted run 2 reads ONLY the pending namespace;
+    //    run 3 finds nothing pending and reads nothing — the reference's
+    //    filterDirectReadNamespaces / saveDirectReadNamespaces contract
+    //    (monstache.go:1704-1759, 5162-5172) as data. ─────────────────────
+    QueryDef.sorted(
+      "q86_direct_read_manifest",
+      (s, dir) => {
+        val manifestDir = java.nio.file.Files
+          .createTempDirectory("graft-drm").toString
+        val all = Discovery.filterNamespaces(
+          Discovery.listCollections(s, dir),
+          include = Some("^app\\.(region|nation|supplier)$"))
+        def readRun(run: Int, nss: Seq[String]) = {
+          val read = Discovery.directReadNamespaces(s, dir, nss)
+          nss.foreach(DirectReadManifest.markCompleted(s, manifestDir, _))
+          read.groupBy("namespace")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(run.toLong).as("run"), col("namespace"), col("n"))
+        }
+        // readRun marks its namespaces complete EAGERLY (the manifest is
+        // a driver-side side effect), so each later pending() listing
+        // sees the earlier runs' completions; the read frames themselves
+        // stay lazy over their captured namespace lists
+        val r1 = readRun(1,
+          DirectReadManifest.pending(s, manifestDir, all).take(2))
+        val r2 = readRun(2, DirectReadManifest.pending(s, manifestDir, all))
+        val r3 = readRun(3, DirectReadManifest.pending(s, manifestDir, all))
+        r1.unionByName(r2).unionByName(r3)
+      },
+      _.orderBy("run", "namespace"),
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS run, 'app.nation' AS namespace, count(*) AS n FROM nation
+          |  UNION ALL SELECT 1, 'app.region', count(*) FROM region
+          |  UNION ALL SELECT 2, 'app.supplier', count(*) FROM supplier)
+          |ORDER BY run, namespace""".stripMargin)),
+
+    // ── T7: retry/backoff sink. The bulk write fails twice with injected
+    //    transient errors; withRetry backs off 7 ms then 14 ms (the
+    //    reference's 1 min → 1 h doubling, monstache.go:559-632 scaled
+    //    down) and the third attempt delivers. The query certifies the
+    //    DELIVERED bytes (read back from the sink) plus the attempt count
+    //    and the exact backoff schedule — all cross-engine checkable. ─────
+    QueryDef.sorted(
+      "q87_retry_sink",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-retry").toString
+        val attempts = new java.util.concurrent.atomic.AtomicInteger()
+        val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+        RetryingSink.withRetry(maxRetries = 5, baseMs = 7, capMs = 3600000L,
+            sleep = sleeps += _) {
+          if (attempts.getAndIncrement() < 2)
+            throw new RuntimeException("injected transient sink failure")
+          EventLog.envelope(s, dir).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy("operation")
+          .agg(count(lit(1)).as("n_ops"), max(col("version")).as("max_version"))
+          .withColumn("attempts", lit(attempts.get().toLong))
+          .withColumn("backoff_ms", lit(sleeps.mkString(",")))
+      },
+      _.orderBy("operation"),
+      Some(
+        s"""WITH ${EventLog.oracleCte}
+           |SELECT operation, count(*) AS n_ops, max(version) AS max_version,
+           |       CAST(3 AS BIGINT) AS attempts, '7,14' AS backoff_ms
+           |FROM envelope GROUP BY operation ORDER BY operation""".stripMargin)),
+
+    // ── K6: post-process plugin hook. The hook (the reference's Process
+    //    plugin, monstachemap/plugin.go:46-52, pool monstache.go:4486-4498)
+    //    runs per micro-batch after the state merge; the query feeds the
+    //    envelope through the streaming pipeline and certifies that the
+    //    hook saw EVERY op exactly once (at-least-once + committed batches
+    //    = exactly-once accounting under AvailableNow). Sums are
+    //    batch-count-independent, so micro-batch boundaries don't matter. ──
+    QueryDef.sorted(
+      "q88_post_process_hook",
+      (s, dir) => {
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-pp-state").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-pp-ckpt").toString
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[ChangeEvent]
+        stream.addData(EventLog.envelope(s, dir).as[ChangeEvent].collect().toSeq)
+        val audit = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+        StreamingUpsert.start(stream.toDF(), stateDir, ckpt,
+          postProcess = (batch, _) =>
+            batch.groupBy("operation")
+              .agg(count(lit(1)).as("n"), max(col("version")).as("mv"))
+              .collect().foreach { r =>
+                audit.merge(r.getString(0), (r.getLong(1), r.getLong(2)),
+                  (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+              }).awaitTermination()
+        audit.entrySet().iterator().asScala.toSeq
+          .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+          .toDF("operation", "n_ops", "max_version")
+      },
+      _.orderBy("operation"),
+      Some(
+        s"""WITH ${EventLog.oracleCte}
+           |SELECT operation, count(*) AS n_ops, max(version) AS max_version
+           |FROM envelope GROUP BY operation ORDER BY operation""".stripMargin))
   )
 }
