@@ -268,6 +268,23 @@ object ConfiguredPipeline {
         transform = transform, trigger = trigger)
   }
 
+  /** The full config-driven SINK lifecycle: the same [[hotPath]], run as
+    * a stream into a pluggable [[graft.sink.SinkBackend]] — the
+    * reference's daemon shape with a real (or mock) store on the other
+    * end instead of the state-dir stand-in. Every config knob the writer
+    * honors (delete strategy + protection, drop gates, time-machine
+    * namespaces, index mappings) comes from `cfg`; see
+    * [[graft.sink.SinkWriter]] for the per-batch op routing. */
+  def startSink(cfg: GraftConfig,
+                registry: TransformRegistry = TransformRegistry())(
+                events: DataFrame, checkpointDir: String,
+                backend: graft.sink.SinkBackend,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sink.SinkWriter.start(events, checkpointDir, cfg, backend,
+      transform = hotPath(cfg, registry), trigger = trigger)
+
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured
     * relation graph (seeds/collections keyed by namespace). */
   def relateFanOut(cfg: GraftConfig,

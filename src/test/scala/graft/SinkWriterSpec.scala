@@ -139,6 +139,25 @@ class SinkWriterSpec extends AnyFunSuite {
     assert(backend.state.isEmpty)
   }
 
+  test("startSink runs the config-driven hot path into the backend") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    val ckpt = Files.createTempDirectory("graft-sink-cfg-ckpt").toString
+    // config: keep only app.t0, map it to a custom index
+    val cfgT0 = graft.config.GraftConfig(
+      namespaceRegex = Some("^app\\.t0$"),
+      mappings = Map("app.t0" -> "t0_idx"))
+    val s = MemoryStream[ChangeEvent]
+    s.addData(Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      ev(1, "9", "app.t9", "i", 11), // filtered by namespace-regex
+      ev(2, "2", "app.t0", "i", 12)))
+    graft.config.ConfiguredPipeline.startSink(cfgT0)(s.toDF(), ckpt, backend)
+      .awaitTermination()
+    assert(backend.state.keySet == Set(("t0_idx", "1"), ("t0_idx", "2")))
+  }
+
   test("the streaming form drives the same writer through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
