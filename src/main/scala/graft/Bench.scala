@@ -44,7 +44,10 @@ object Bench {
         // Isolate queries from each other: drop persisted frames left by
         // earlier queries (operators like Dedup/Similarity persist their
         // signature tables) so no query is timed against another's cache
-        // hit or pays another's memory pressure.
+        // hit or pays another's memory pressure. releaseAll() also drains
+        // the barrier registry so the run doesn't pin every past query's
+        // Dataset plans in memory.
+        CacheBarriers.releaseAll()
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         runToNoop(name)

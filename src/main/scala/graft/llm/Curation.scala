@@ -303,7 +303,20 @@ object Curation {
     val countsU = (artifacts.sourceCounts, sourceCol) match {
       case (Some(existing), Some(sc)) =>
         Some(mergeSourceCounts(existing, newBatch, sc, textCol))
-      case _ => None
+      case (None, None) => None
+      // a half-configured roll-forward is silent census corruption:
+      // dropping the artifact loses every prior batch's counts with no
+      // error, and bootstrapping from the new batch alone would publish
+      // a census missing the whole old corpus
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "curateIncremental: artifacts carry sourceCounts — pass the same " +
+          "sourceCol that built them, or the census silently loses every " +
+          "prior batch")
+      case (None, Some(sc)) => throw new IllegalArgumentException(
+        s"curateIncremental: sourceCol '$sc' given but the artifacts " +
+          "carry no sourceCounts — bootstrap them with " +
+          "artifactsOf(..., sourceCol) first (a census built from one " +
+          "batch would silently miss the old corpus)")
     }
     (kept, CurationArtifacts(
       hashReps = mergedReps,

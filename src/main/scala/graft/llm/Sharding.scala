@@ -103,15 +103,21 @@ object Sharding {
                   textCol: String = "text",
                   epochOrder: Option[Int] = None,
                   subSplits: Int = 1): DataFrame = {
-    require(subSplits >= 1, s"subSplits must be >= 1 (got $subSplits)")
+    require(subSplits >= 1 && subSplits <= 9999,
+      s"subSplits must be in [1, 9999] (got $subSplits)")
     val sharded = withShard(docs, nShards, idCol)
     // h32p is 31-bit non-negative, so the range bucket is exact integer
-    // algebra: frag f holds order keys in [f·2³¹/s, (f+1)·2³¹/s)
+    // algebra: frag f holds order keys in [f·2³¹/s, (f+1)·2³¹/s).
+    // Fragment values are ZERO-PADDED to four digits: partition
+    // directories sort lexicographically, and an unpadded frag=10 would
+    // sort before frag=2 — silently scrambling the "walk frag dirs in
+    // name order" loader contract the epoch path promises.
+    def pad(c: Column): Column = format_string("%04d", c)
     def orderFrag: Column =
-      expr(s"(order_key * $subSplits) div 2147483648")
+      pad(expr(s"(order_key * $subSplits) div 2147483648"))
     def hashFrag: Column =
-      TextHash.h32p(concat(lit(FragSalt), col(idCol).cast("string"))) %
-        subSplits
+      pad(TextHash.h32p(concat(lit(FragSalt), col(idCol).cast("string"))) %
+        subSplits)
     val laidOut = (epochOrder, subSplits) match {
       // sortWithinPartitions after the shard repartition: the epoch's
       // deterministic order costs a per-task sort, never a new exchange.

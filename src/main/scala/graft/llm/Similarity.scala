@@ -407,12 +407,17 @@ object Similarity {
     * scans never see it. */
   def writeIndex(assigned: DataFrame, dir: String,
                  idCol: String = "vec_id"): Unit = {
-    // barrier: the data write and the manifest write both consume the
-    // assignment; without it the argmax re-runs per write
-    val a = graft.CacheBarriers.barrier(assigned)
-    a.write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    a.select(col(idCol), col("bucket").cast("long").as("bucket"))
-      .write.mode("overwrite").parquet(idsDir(dir))
+    // persisted for THIS call only: the data write and the manifest
+    // write both consume the assignment (without the barrier the argmax
+    // re-runs per write), and both consumers complete before return —
+    // so the cache is released here, not parked in a registry
+    val a = assigned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      a.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      a.select(col(idCol), col("bucket").cast("long").as("bucket"))
+        .write.mode("overwrite").parquet(idsDir(dir))
+    } finally a.unpersist(false)
   }
 
   private def idsDir(dir: String) = s"$dir/_ids"
@@ -515,13 +520,17 @@ object Similarity {
     val spark = newVectors.sparkSession
     ensureIdManifest(spark, dir, idCol)
     val known = spark.read.parquet(idsDir(dir)).select(col(idCol))
-    // barrier: the data write and the manifest write share the assignment
-    val assigned = graft.CacheBarriers.barrier(
-      ivfAssign(newVectors.join(known, Seq(idCol), "left_anti"),
-        readCentroids(spark, dir), idCol, vecCol))
-    assigned.write.mode("append").partitionBy("bucket").parquet(dir)
-    assigned.select(col(idCol), col("bucket").cast("long").as("bucket"))
-      .write.mode("append").parquet(idsDir(dir))
+    // persisted for THIS call only (both writes consume it) — released
+    // before return, same contract as writeIndex
+    val assigned = ivfAssign(
+      newVectors.join(known, Seq(idCol), "left_anti"),
+      readCentroids(spark, dir), idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").partitionBy("bucket").parquet(dir)
+      assigned.select(col(idCol), col("bucket").cast("long").as("bucket"))
+        .write.mode("append").parquet(idsDir(dir))
+    } finally assigned.unpersist(false)
   }
 
   // ── DuckDB twins ──────────────────────────────────────────────────────

@@ -831,6 +831,16 @@ object LlmQueries extends QueryFamily {
       (s, dir) => {
         val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text"))
+        // q84's ORACLE keys on the id threshold (WHERE doc_id >= VarOffset
+        // selects exactly b2), not merely on id disjointness like the
+        // other derived-corpus queries — a base corpus reaching the
+        // offset range would silently corrupt the cross-engine identity,
+        // so fail loudly instead (one column-pruned agg on the smallest
+        // table)
+        val maxBaseId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        require(maxBaseId < VarOffset,
+          s"q84 id-offset collision: max base doc_id $maxBaseId >= " +
+            s"$VarOffset — raise the derived-id offsets for this corpus")
         val ws = words(col("text"))
         val b2 = docs.filter(col("doc_id") % 7 === 0)
             .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))

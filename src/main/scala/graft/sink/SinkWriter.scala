@@ -79,9 +79,16 @@ object SinkWriter {
   def writeBatch(batch: DataFrame, cfg: GraftConfig,
                  backend: SinkBackend): Unit = {
     val spark = batch.sparkSession
+    // strategy 2 (ignore) drops delete ops BEFORE anything else — the
+    // reference never replays them at all, so a key whose last in-batch
+    // op is a delete still indexes its prior data op (the same pre-LWW
+    // filter ConfiguredPipeline.indexedDocuments/startStream apply;
+    // resolving it after LWW would let the dead delete eat the winner)
+    val ops =
+      if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(batch) else batch
     val routed0 =
-      if (batch.columns.contains("meta_index")) batch
-      else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings)
+      if (ops.columns.contains("meta_index")) ops
+      else Routing.withMeta(Routing.extractDocMeta(ops), cfg.mappings)
     // persisted for the batch only (streaming-twin contract): up to four
     // consumers below, released before returning
     val b = routed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,13 +141,26 @@ object SinkWriter {
       cfg.deleteStrategy match {
         case 2 => // ignore: deletes are dropped (monstache.go:4068-4070)
         case 1 =>
+          // stateful resolution against the backend's saved coordinates.
+          // The saved index is used EXACTLY as stored — the key the
+          // upsert created is authoritative for a pluggable backend.
+          // (DeleteStrategies.stateful lowercases like the reference's
+          // getIndexMeta, which is a no-op against ES where index names
+          // are lowercase by construction — but here a mixed-case
+          // [[mapping]] would make the lowered name miss the stored key
+          // forever.)
           val metaStore = backend.sinkState(spark)
             .select(col("namespace"), col("id"),
               col("meta_index").as("saved_index"),
               col("meta_routing").as("saved_routing"))
-          backend.delete(DeleteStrategies.stateful(tombs, metaStore)
-            .select(col("id"), col("meta_index").as("del_index"),
-              col("meta_routing").as("del_routing")))
+          backend.delete(tombs
+            .select(col("namespace"), col("id"))
+            .join(metaStore, Seq("namespace", "id"), "left")
+            .select(col("id"),
+              coalesce(col("saved_index"), lower(col("namespace")))
+                .as("del_index"),
+              coalesce(col("saved_routing"), col("id"))
+                .as("del_routing")))
         case _ =>
           val resolved = DeleteStrategies.statelessRouted(
             tombs.drop("meta_index", "meta_routing"),

@@ -129,6 +129,19 @@ class CurationIncrementalSpec extends AnyFunSuite {
     assert(rows(art3.clusters).contains(Seq(603L, 300L)))
   }
 
+  test("a half-configured sourceCol roll-forward fails loudly") {
+    val (_, withCounts) = Curation.artifactsOf(b1, sourceCol = Some("source"))
+    val (_, noCounts) = Curation.artifactsOf(b1)
+    // dropping the artifact (or bootstrapping from one batch) would be
+    // silent census corruption — both directions must be loud
+    val e1 = intercept[IllegalArgumentException](
+      Curation.curateIncremental(b2, withCounts))
+    assert(e1.getMessage.contains("sourceCol"))
+    val e2 = intercept[IllegalArgumentException](
+      Curation.curateIncremental(b2, noCounts, sourceCol = Some("source")))
+    assert(e2.getMessage.contains("sourceCounts"))
+  }
+
   test("LM threshold view over the merged unpruned model matches retrain") {
     // the minCount discipline: persist at 1, threshold at scoring time
     val (_, art1) = Curation.artifactsOf(b1)

@@ -123,6 +123,34 @@ class SinkWriterSpec extends AnyFunSuite {
     assert(ignoring.state.size == 2)
   }
 
+  test("strategy 2 in-batch: a trailing delete cannot eat the data winner") {
+    import spark.implicits._
+    // the reference never replays ignored deletes, so [i, d] in ONE
+    // batch must still index the insert — the delete is dropped BEFORE
+    // last-writer-wins, not resolved after it
+    val backend = new InMemorySinkBackend
+    SinkWriter.writeBatch(Seq(
+      ev(0, "1", "app.t0", "i", 10),
+      ev(1, "1", "app.t0", "d", 20)).toDF(),
+      GraftConfig(deleteStrategy = 2), backend)
+    assert(backend.state.keySet == Set(("app.t0", "1")))
+    assert(backend.state(("app.t0", "1")).version == 10)
+  }
+
+  test("stateful deletes hit mixed-case mapped indexes") {
+    import spark.implicits._
+    val cfgM = GraftConfig(mappings = Map("app.t1" -> "Custom_T1"),
+      deleteStrategy = 1)
+    val backend = new InMemorySinkBackend
+    SinkWriter.writeBatch(Seq(ev(0, "3", "app.t1", "i", 10)).toDF(),
+      cfgM, backend)
+    assert(backend.state.keySet == Set(("Custom_T1", "3")))
+    // the delete must target the EXACT stored key, not a lowercased one
+    SinkWriter.writeBatch(Seq(ev(1, "3", "app.t1", "d", 20)).toDF(),
+      cfgM, backend)
+    assert(backend.state.isEmpty)
+  }
+
   test("stateful deletes resolve through saved routing metadata") {
     import spark.implicits._
     val backend = new InMemorySinkBackend
