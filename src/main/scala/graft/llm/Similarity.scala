@@ -410,14 +410,18 @@ object Similarity {
     // persisted for THIS call only: the data write and the manifest
     // write both consume the assignment (without the barrier the argmax
     // re-runs per write), and both consumers complete before return —
-    // so the cache is released here, not parked in a registry
-    val a = assigned.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // so the cache is released here, not parked in a registry. A frame
+    // the CALLER already persisted is left exactly as it was: yanking
+    // it would silently deoptimize every post-call consumer.
+    val callerCached =
+      assigned.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!callerCached)
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      a.write.mode("overwrite").partitionBy("bucket").parquet(dir)
-      a.select(col(idCol), col("bucket").cast("long").as("bucket"))
+      assigned.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      assigned.select(col(idCol), col("bucket").cast("long").as("bucket"))
         .write.mode("overwrite").parquet(idsDir(dir))
-    } finally a.unpersist(false)
+    } finally if (!callerCached) assigned.unpersist(false)
   }
 
   private def idsDir(dir: String) = s"$dir/_ids"

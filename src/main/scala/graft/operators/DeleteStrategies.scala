@@ -25,12 +25,22 @@ object DeleteStrategies {
     * one namespace's delete with another's saved routing. The saved
     * index is lowercased on read exactly like the reference's
     * getIndexMeta (3648). */
-  def stateful(tombstones: DataFrame, metaStore: DataFrame): DataFrame =
+  def stateful(tombstones: DataFrame, metaStore: DataFrame,
+               lowercaseSavedIndex: Boolean = true): DataFrame = {
+    // the reference lowercases saved index names on read exactly like
+    // getIndexMeta (3648) — a no-op against real ES, where index names
+    // are lowercase by construction. A pluggable backend whose stored
+    // keys ARE the authority (graft.sink.SinkWriter) passes false: the
+    // saved coordinates must be used exactly as stored, or a mixed-case
+    // mapped index could never be deleted.
+    val saved =
+      if (lowercaseSavedIndex) lower(col("saved_index"))
+      else col("saved_index")
     tombstones.join(metaStore, Seq("namespace", "id"), "left")
-      .withColumn("meta_index",
-        coalesce(lower(col("saved_index")), lower(col("namespace"))))
+      .withColumn("meta_index", coalesce(saved, lower(col("namespace"))))
       .withColumn("meta_routing", coalesce(col("saved_routing"), col("id")))
       .drop("saved_index", "saved_routing")
+  }
 
   /** stateless(0), routed case: find the unique sink doc matching the
     * delete's id across the delete-index-pattern (monstache.go:4096-4139);

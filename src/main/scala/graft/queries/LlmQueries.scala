@@ -833,14 +833,19 @@ object LlmQueries extends QueryFamily {
           .select("doc_id", "text"))
         // q84's ORACLE keys on the id threshold (WHERE doc_id >= VarOffset
         // selects exactly b2), not merely on id disjointness like the
-        // other derived-corpus queries — a base corpus reaching the
-        // offset range would silently corrupt the cross-engine identity,
-        // so fail loudly instead (one column-pruned agg on the smallest
-        // table)
-        val maxBaseId = docs.agg(max(col("doc_id"))).head().getLong(0)
-        require(maxBaseId < VarOffset,
-          s"q84 id-offset collision: max base doc_id $maxBaseId >= " +
-            s"$VarOffset — raise the derived-id offsets for this corpus")
+        // other derived-corpus queries. That needs ids in [0, VarOffset):
+        // a base id at the offset range would leak b1 into the oracle's
+        // b2, and a NEGATIVE base id would put a derived doc BELOW the
+        // threshold — either way silent cross-engine corruption, so fail
+        // loudly (one column-pruned agg on the smallest table).
+        val idRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        require(!idRange.isNullAt(0), "q84: empty documents corpus")
+        val (minBaseId, maxBaseId) = (idRange.getAs[Number](0).longValue,
+          idRange.getAs[Number](1).longValue)
+        require(minBaseId >= 0 && maxBaseId < VarOffset,
+          s"q84 id-offset violation: base doc_id range [$minBaseId, " +
+            s"$maxBaseId] outside [0, $VarOffset) — adjust the derived-id " +
+            "offsets for this corpus")
         val ws = words(col("text"))
         val b2 = docs.filter(col("doc_id") % 7 === 0)
             .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))

@@ -79,25 +79,30 @@ object SinkWriter {
   def writeBatch(batch: DataFrame, cfg: GraftConfig,
                  backend: SinkBackend): Unit = {
     val spark = batch.sparkSession
-    // strategy 2 (ignore) drops delete ops BEFORE anything else — the
-    // reference never replays them at all, so a key whose last in-batch
-    // op is a delete still indexes its prior data op (the same pre-LWW
-    // filter ConfiguredPipeline.indexedDocuments/startStream apply;
-    // resolving it after LWW would let the dead delete eat the winner)
-    val ops =
-      if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(batch) else batch
     val routed0 =
-      if (ops.columns.contains("meta_index")) ops
-      else Routing.withMeta(Routing.extractDocMeta(ops), cfg.mappings)
+      if (batch.columns.contains("meta_index")) batch
+      else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings)
     // persisted for the batch only (streaming-twin contract): up to four
     // consumers below, released before returning
     val b = routed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // K4 history first: every version appends, before dedup/fences
+      // K4 history first: every version appends, before dedup/fences —
+      // and before the strategy-2 delete filter below: the time machine
+      // is the audit trail (its own contract includes "d" rows), and an
+      // IGNORED delete is still an op that happened
       if (cfg.timeMachineNamespaces.nonEmpty)
         backend.appendHistory(TimeMachine.history(b,
           cfg.timeMachineNamespaces, cfg.timeMachineIndexPrefix,
           cfg.timeMachineIndexSuffix))
+
+      // strategy 2 (ignore) drops delete ops before LAST-WRITER-WINS —
+      // the reference never replays them, so a key whose last in-batch
+      // op is a delete still indexes its prior data op (the same
+      // pre-LWW filter ConfiguredPipeline.indexedDocuments/startStream
+      // apply; resolving it after LWW would let the dead delete eat the
+      // winner). Applied AFTER the history append, which audits all ops.
+      val ops = if (cfg.deleteStrategy == 2) DeleteStrategies.ignore(b)
+                else b
 
       // K3 drops: control-plane sized; patterns resolve through the same
       // [[mapping]] table as data ops so a mapped collection's drop
@@ -133,34 +138,29 @@ object SinkWriter {
           .drop("ix", "fence_v")
 
       // K1 bulk upsert: the batch's LWW winners that outlive any drop
-      backend.bulkUpsert(fenced(Upsert.liveDocuments(b)))
+      backend.bulkUpsert(fenced(Upsert.liveDocuments(ops)))
 
       // K2 deletes, resolved per configured strategy against the
       // POST-upsert sink state, normalized to (id, del_index, del_routing)
-      val tombs = fenced(Upsert.tombstones(b))
+      val tombs = fenced(Upsert.tombstones(ops))
       cfg.deleteStrategy match {
         case 2 => // ignore: deletes are dropped (monstache.go:4068-4070)
         case 1 =>
-          // stateful resolution against the backend's saved coordinates.
-          // The saved index is used EXACTLY as stored — the key the
-          // upsert created is authoritative for a pluggable backend.
-          // (DeleteStrategies.stateful lowercases like the reference's
-          // getIndexMeta, which is a no-op against ES where index names
-          // are lowercase by construction — but here a mixed-case
-          // [[mapping]] would make the lowered name miss the stored key
-          // forever.)
+          // stateful resolution against the backend's saved coordinates,
+          // used EXACTLY as stored (lowercaseSavedIndex = false): the
+          // key the upsert created is authoritative for a pluggable
+          // backend, where the reference's getIndexMeta lowercasing —
+          // a no-op against ES — would make a mixed-case [[mapping]]
+          // index undeletable.
           val metaStore = backend.sinkState(spark)
             .select(col("namespace"), col("id"),
               col("meta_index").as("saved_index"),
               col("meta_routing").as("saved_routing"))
-          backend.delete(tombs
-            .select(col("namespace"), col("id"))
-            .join(metaStore, Seq("namespace", "id"), "left")
-            .select(col("id"),
-              coalesce(col("saved_index"), lower(col("namespace")))
-                .as("del_index"),
-              coalesce(col("saved_routing"), col("id"))
-                .as("del_routing")))
+          backend.delete(DeleteStrategies.stateful(
+              tombs.select(col("namespace"), col("id")), metaStore,
+              lowercaseSavedIndex = false)
+            .select(col("id"), col("meta_index").as("del_index"),
+              col("meta_routing").as("del_routing")))
         case _ =>
           val resolved = DeleteStrategies.statelessRouted(
             tombs.drop("meta_index", "meta_routing"),

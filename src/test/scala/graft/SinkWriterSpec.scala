@@ -132,9 +132,13 @@ class SinkWriterSpec extends AnyFunSuite {
     SinkWriter.writeBatch(Seq(
       ev(0, "1", "app.t0", "i", 10),
       ev(1, "1", "app.t0", "d", 20)).toDF(),
-      GraftConfig(deleteStrategy = 2), backend)
+      GraftConfig(deleteStrategy = 2,
+        timeMachineNamespaces = Seq("app.t0")), backend)
     assert(backend.state.keySet == Set(("app.t0", "1")))
     assert(backend.state(("app.t0", "1")).version == 10)
+    // the audit trail still records the IGNORED delete: strategy 2
+    // gates indexing, not history
+    assert(backend.history.size == 2)
   }
 
   test("stateful deletes hit mixed-case mapped indexes") {
