@@ -203,6 +203,42 @@ object Curation {
         LangModel.unigramCounts(gated, textCol))))
   }
 
+  /** Persist a full artifact set under `dir` (one parquet table per
+    * artifact) — the between-runs form [[curateIncremental]] resumes
+    * from, and the per-version payload of
+    * [[graft.streaming.StreamingCuration]]'s state chain. Each write is
+    * a natural lineage cut: the next increment reads these files, so
+    * plans never compound across batches. */
+  def writeArtifacts(art: CurationArtifacts, dir: String): Unit = {
+    art.hashReps.write.mode("overwrite").parquet(s"$dir/hashreps")
+    art.signed.write.mode("overwrite").parquet(s"$dir/signed")
+    art.clusters.write.mode("overwrite").parquet(s"$dir/clusters")
+    art.lineCensus.write.mode("overwrite").parquet(s"$dir/census")
+    art.sourceCounts.foreach(
+      _.write.mode("overwrite").parquet(s"$dir/counts"))
+    art.model._1.write.mode("overwrite").parquet(s"$dir/bigrams")
+    art.model._2.write.mode("overwrite").parquet(s"$dir/unigrams")
+  }
+
+  /** Reopen a persisted artifact set. `sourceCounts` is present exactly
+    * when the writing run maintained it (the counts table exists). */
+  def readArtifacts(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): CurationArtifacts = {
+    val countsPath = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val fs = countsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    CurationArtifacts(
+      hashReps = spark.read.parquet(s"$dir/hashreps"),
+      signed = spark.read.parquet(s"$dir/signed"),
+      clusters = spark.read.parquet(s"$dir/clusters"),
+      lineCensus = spark.read.parquet(s"$dir/census"),
+      sourceCounts =
+        if (fs.exists(countsPath)) Some(spark.read.parquet(s"$dir/counts"))
+        else None,
+      model = (spark.read.parquet(s"$dir/bigrams"),
+        spark.read.parquet(s"$dir/unigrams")))
+  }
+
   /** Curate ONE new batch against the persisted artifacts of everything
     * curated before — the daily-ingest shape: the old corpus is never
     * re-read; every stage touches (new batch) × (artifact), and each
