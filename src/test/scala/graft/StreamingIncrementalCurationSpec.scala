@@ -100,6 +100,27 @@ class StreamingIncrementalCurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("further-progressed"))
   }
 
+  test("an increment never re-reads the bootstrap corpus (black-box)") {
+    // bootstrap from parquet on disk, then DELETE the source files: if
+    // any stage of the incremental path touched the old corpus instead
+    // of the artifacts, the merge would crash on the missing files
+    val srcDir = Files.createTempDirectory("graft-scur-src").toString
+    val stateDir = Files.createTempDirectory("graft-scur-state4").toString
+    df(b1).write.mode("overwrite").parquet(srcDir)
+    StreamingCuration.bootstrap(spark.read.parquet(srcDir), stateDir,
+      sourceCol = Some("source"))
+    val walk = Files.walk(java.nio.file.Paths.get(srcDir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
+    StreamingCuration.mergeBatch(df(b2), 0L, stateDir,
+      sourceCol = Some("source"))
+    assert(keptSet(StreamingCuration.keptCorpus(spark, stateDir))
+      .contains(102L))
+    val art = StreamingCuration.latestArtifacts(spark, stateDir).get
+    assert(art.lineCensus.count() > 0)
+  }
+
   test("streaming without bootstrap fails loudly") {
     val stateDir = Files.createTempDirectory("graft-scur-state3").toString
     val e = intercept[IllegalStateException](
