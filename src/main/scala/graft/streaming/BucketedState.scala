@@ -90,13 +90,31 @@ object BucketedState {
     }
   }
 
-  /** Idempotent per-bucket merge of one micro-batch. */
+  /** Idempotent per-bucket LWW merge of one micro-batch (the
+    * [[StreamingUpsert]] semantics in the bucketed layout). */
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String,
-                 numBuckets: Int = 64): Unit = {
+                 numBuckets: Int = 64): Unit =
+    mergeBatchWith(batch, batchId, stateDir, numBuckets, keyCol = "id")(
+      Upsert.lastWriterWins(_))
+
+  /** Generalized per-bucket versioned merge — the bucketed layout with a
+    * pluggable combine, so the SAME only-touched-buckets-rewrite story
+    * serves every artifact whose merge is a keyed partial-aggregate:
+    * LWW winners ([[mergeBatch]]), additive censuses
+    * ([[StreamingLineCensus.mergeBatchBucketed]]), count tables, model
+    * counts. `combine` runs per touched bucket over (previous bucket
+    * state ∪ batch slice) and must treat its input rows as mergeable
+    * partials keyed within the bucket — i.e.
+    * `combine(combine(a ∪ b) ∪ c) == combine(a ∪ b ∪ c)` (max-by and
+    * sum-by aggregations both qualify); that is exactly what makes the
+    * replay-against-predecessor protocol idempotent per bucket. */
+  def mergeBatchWith(batch: DataFrame, batchId: Long, stateDir: String,
+                     numBuckets: Int, keyCol: String)
+                    (combine: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     ensureMeta(spark, stateDir, numBuckets)
     val bucketed = batch
-      .withColumn("__bucket", bucketOf(col("id"), numBuckets))
+      .withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
       .persist()
     try {
       val touched = bucketed.select("__bucket").distinct()
@@ -123,7 +141,7 @@ object BucketedState {
             val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
             val prev = vs.find(_ < batchId)
               .map(v => spark.read.parquet(s"$bDir/v$v"))
-            val merged = Upsert.lastWriterWins(
+            val merged = combine(
               prev.map(_.unionByName(slice)).getOrElse(slice))
             merged.write.mode("overwrite").parquet(s"$bDir/v$batchId")
             // GC: keep this version + predecessor (crash-recovery window)

@@ -44,6 +44,31 @@ object StreamingLineCensus {
     VersionedState.gcBefore(spark, censusDir, batchId, vs)
   }
 
+  /** The 100 TB census shape: the census bucketed by `hash(lh)`
+    * ([[BucketedState]]'s layout with an ADDITIVE combine), so a batch
+    * rewrites only the buckets its own lines hash into — the global
+    * [[mergeBatch]] rewrites the whole census per batch, which is right
+    * while the census fits a few GB and wrong at web scale, where the
+    * census is billions of rows and a daily batch touches a sliver.
+    * Same versioned-merge idempotence per bucket (sums are mergeable
+    * partials), same `_meta` bucket-count pin, same append-only and
+    * same-minChars contracts as the global path. */
+  def mergeBatchBucketed(batch: DataFrame, batchId: Long, censusDir: String,
+                         numBuckets: Int = 64, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         minChars: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    BucketedState.mergeBatchWith(
+      Dedup.lineCensus(batch, idCol, textCol, minChars),
+      batchId, censusDir, numBuckets, keyCol = "lh")(
+      _.groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** The committed bucketed census (union of bucket latests). */
+  def latestCensusBucketed(spark: SparkSession,
+                           censusDir: String): Option[DataFrame] =
+    BucketedState.latestState(spark, censusDir)
+
   /** Start the stream. After each batch's fold commits, `onCensus` gets
     * the updated census frame and the batch id — e.g. to refresh a
     * broadcast boilerplate set or republish the `>= minCount` drop list.

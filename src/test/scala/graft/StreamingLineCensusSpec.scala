@@ -80,4 +80,34 @@ class StreamingLineCensusSpec extends AnyFunSuite {
     assert(streamed ==
       censusSet(Dedup.lineCensus(docRows.toDF("doc_id", "text"))))
   }
+
+  test("bucketed census: equal to global, only touched buckets rewrite") {
+    val censusDir = java.nio.file.Files
+      .createTempDirectory("graft-linecensus-bkt").toString
+    def fold(rows: Seq[(Long, String)], batchId: Long): Unit =
+      StreamingLineCensus.mergeBatchBucketed(
+        rows.toDF("doc_id", "text"), batchId, censusDir, numBuckets = 8)
+    fold(docRows.take(2), 0L)
+    fold(docRows.drop(2), 1L)
+    val bucketed = censusSet(
+      StreamingLineCensus.latestCensusBucketed(spark, censusDir).get)
+    assert(bucketed ==
+      censusSet(Dedup.lineCensus(docRows.toDF("doc_id", "text"))))
+    // replay idempotence per bucket
+    fold(docRows.drop(2), 1L)
+    assert(censusSet(
+      StreamingLineCensus.latestCensusBucketed(spark, censusDir).get)
+      == bucketed)
+    // only-touched-buckets: a single-line batch hashes into exactly one
+    // bucket — no other bucket directory gains a v2 version
+    fold(Seq((99L, "a single fresh line of text")), 2L)
+    val root = new java.io.File(censusDir)
+    val withV2 = root.listFiles().filter(_.getName.startsWith("b"))
+      .filter(d => new java.io.File(d, "v2").exists())
+    assert(withV2.length == 1,
+      s"expected exactly one bucket to rewrite, got ${withV2.length}")
+    assert(censusSet(
+      StreamingLineCensus.latestCensusBucketed(spark, censusDir).get)
+      .exists(_._1.nonEmpty))
+  }
 }
