@@ -1542,6 +1542,47 @@ object LlmQueries extends QueryFamily {
            |${curationCtes("cleaned")}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang,
            |       quality_bucket, CAST(n_words AS BIGINT) AS n_words
-           |FROM surv ORDER BY doc_id""".stripMargin))
+           |FROM surv ORDER BY doc_id""".stripMargin)),
+
+    // ── Model-based quality classifier (fastText/CCNet lineage): naive-
+    //    Bayes log-odds per token trained on the lang='en' slice as the
+    //    positive class, integer micro-nat document scores. ──────────────
+    QueryDef.sorted(
+      "q89_quality_classifier",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang"))
+        val labeled = docs.select((col("lang") === "en").as("label"),
+          col("text"))
+        QualityModel.scoreQuality(docs.select("doc_id", "text"),
+            QualityModel.tokenClassCounts(labeled))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            col("q_micro"), col("keep"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH labeled AS (SELECT (lang = 'en') AS label, text
+           |                 FROM documents),
+           |cnt AS (${QualityModel.sqlTokenClassCounts("labeled")}),
+           |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+           |               CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+           |               count(*) AS vocab_v FROM cnt),
+           |alltok AS (SELECT doc_id, unnest(${W("text")}) AS tok
+           |           FROM documents),
+           |contrib AS (SELECT doc_id, cnt.token,
+           |                   ${QualityModel.sqlWeightMicro} AS w
+           |            FROM alltok
+           |            LEFT JOIN cnt ON alltok.tok = cnt.token, tot),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |               count(CASE WHEN token IS NULL THEN 1 END)
+           |                 AS n_oov,
+           |               CAST(coalesce(sum(w), 0) AS BIGINT) AS q_micro
+           |        FROM contrib GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           |       coalesce(n_oov, 0) AS n_oov,
+           |       coalesce(q_micro, 0) AS q_micro,
+           |       coalesce(q_micro, 0) > 0 AS keep
+           |FROM documents d LEFT JOIN agg USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
   )
 }
