@@ -29,14 +29,16 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out("spam") == ((0L, 2L)))
     assert(out("junk") == ((0L, 1L)))
     assert(out("good") == ((1L, 0L)))
-    assert(out.size == 5)
+    assert(out("here") == ((1L, 0L)))
+    assert(out.size == 6)
   }
 
   test("scoreQuality matches hand-computed micro-nat log-odds") {
-    // counts above: tot_pos = 6, tot_neg = 3, V = 5
+    // counts above: tot_pos = 6, tot_neg = 3, V = 6
+    // (good, clean, prose, here, spam, junk)
     val counts = QualityModel.tokenClassCounts(labeled)
     def side(n: Long, tot: Long): Long =
-      math.floor(1e6 * math.log((n + 1).toDouble / (tot + 5))).toLong
+      math.floor(1e6 * math.log((n + 1).toDouble / (tot + 6))).toLong
     def w(np: Long, nn: Long): Long = side(np, 6) - side(nn, 3)
     val docs = Seq((1L, "clean prose"), (2L, "spam zzz"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
