@@ -36,9 +36,12 @@ object Bench {
     // dropped before timing — data comes cold off parquet every time.
     names.foreach(runToNoop)
 
-    // SPARK_GRAFT_REPEAT=3 times each query N times and keeps the median
-    // (local iteration aid against run-to-run noise; driver default is 1).
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // SPARK_GRAFT_REPEAT times each query N times and keeps the median.
+    // Default 3: single-pass numbers on a contended host have shown 2-17×
+    // swings with no code change (round 6's driver artifact), so the
+    // recorded number must be a median to be a usable artifact. Override
+    // to 1 for quick local loops, 5 for A/B attribution.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val results = names.map { name =>
       val times = (1 to repeat).map { _ =>
         // Isolate queries from each other: drop persisted frames left by
@@ -53,7 +56,15 @@ object Bench {
         runToNoop(name)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      val med = times(times.length / 2)
+      // One short JSONL line per query, flushed as it completes: the
+      // aggregate map line grows with the suite (~90 queries) and artifact
+      // capture has truncated long lines from either end before; these
+      // lines are individually short, so no truncation can amputate the
+      // per-query record. "q" disambiguates them from the headline metric.
+      println(s"""{"q":"$name","sec":$med,"runs":${times.length}}""")
+      Console.flush()
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
