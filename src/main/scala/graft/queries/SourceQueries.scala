@@ -217,27 +217,32 @@ object SourceQueries extends QueryFamily {
     QueryDef.sorted(
       "q86_direct_read_manifest",
       (s, dir) => {
-        val manifestDir = java.nio.file.Files
-          .createTempDirectory("graft-drm").toString
-        val all = Discovery.filterNamespaces(
-          Discovery.listCollections(s, dir),
-          include = Some("^app\\.(region|nation|supplier)$"))
-        def readRun(run: Int, nss: Seq[String]) = {
-          val read = Discovery.directReadNamespaces(s, dir, nss)
-          nss.foreach(DirectReadManifest.markCompleted(s, manifestDir, _))
-          read.groupBy("namespace")
+        // All manifest traffic (pending → markCompleted per simulated
+        // restart) runs in this straight-line prelude against a fresh
+        // temp manifest, so the three runs' namespace lists are fully
+        // determined before any DataFrame exists; the frame construction
+        // below is pure over the captured lists and the whole query body
+        // is re-invocable within a session.
+        val runLists: Seq[(Int, Seq[String])] = {
+          val manifestDir = java.nio.file.Files
+            .createTempDirectory("graft-drm").toString
+          val all = Discovery.filterNamespaces(
+            Discovery.listCollections(s, dir),
+            include = Some("^app\\.(region|nation|supplier)$"))
+          (1 to 3).map { run =>
+            val pending = DirectReadManifest.pending(s, manifestDir, all)
+            // run 1 "crashes" after two of three namespaces
+            val nss = if (run == 1) pending.take(2) else pending
+            nss.foreach(DirectReadManifest.markCompleted(s, manifestDir, _))
+            run -> nss
+          }
+        }
+        runLists.map { case (run, nss) =>
+          Discovery.directReadNamespaces(s, dir, nss)
+            .groupBy("namespace")
             .agg(count(lit(1)).as("n"))
             .select(lit(run.toLong).as("run"), col("namespace"), col("n"))
-        }
-        // readRun marks its namespaces complete EAGERLY (the manifest is
-        // a driver-side side effect), so each later pending() listing
-        // sees the earlier runs' completions; the read frames themselves
-        // stay lazy over their captured namespace lists
-        val r1 = readRun(1,
-          DirectReadManifest.pending(s, manifestDir, all).take(2))
-        val r2 = readRun(2, DirectReadManifest.pending(s, manifestDir, all))
-        val r3 = readRun(3, DirectReadManifest.pending(s, manifestDir, all))
-        r1.unionByName(r2).unionByName(r3)
+        }.reduce(_ unionByName _)
       },
       _.orderBy("run", "namespace"),
       Some(
