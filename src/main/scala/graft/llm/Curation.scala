@@ -266,11 +266,14 @@ object Curation {
     * Append-only contracts (documented, not checked): batch ids are
     * previously unseen (the census/signature contracts upstream), and
     * verdicts already published for OLD docs are not revised — a new doc
-    * that out-ranks an old representative (smaller id, same content or
-    * cluster) wins in ITS batch's output, but the old doc's prior
-    * verdict stands; the demoted doc's signature row is retained in
-    * `signed`, which is harmless (it is content-identical to the new
-    * representative, so it contributes the same buckets and labels).
+    * that out-ranks an old representative (smaller id, same content)
+    * wins in ITS batch's output, but the old doc's prior verdict stands.
+    * The demoted rep's `signed`/`clusters` rows do NOT roll forward: a
+    * full rebuild would never sign it, and every band neighbor it could
+    * reach is reachable through the new rep's IDENTICAL signature — so
+    * dropping its rows keeps the artifacts exactly equal to
+    * `artifactsOf(b1 ∪ b2)`'s even when batch ids are not monotone
+    * (pinned by CurationIncrementalSpec's demoted-rep test).
     *
     * Scale shape: the new batch is gated/hashed/signed once (narrow +
     * one shuffle each); `hashReps` is joined once (AQE broadcasts the
@@ -304,7 +307,22 @@ object Curation {
     val newSigned = graft.CacheBarriers.barrier(
       Dedup.withSignature(newKept, textCol)
         .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
-    val pairs = Dedup.incrementalPairsFromSigned(newSigned, artifacts.signed)
+    // hash groups whose representative changes hands: the old rep is now
+    // a duplicate of a smaller-id new doc. A full rebuild would not sign
+    // or cluster it, and its band neighbors stay reachable through the
+    // new rep's IDENTICAL signature — so its rows are excluded from pair
+    // generation (where it would only add a redundant content-identical
+    // proxy pair) and from the rolled-forward artifacts. Null-safe on th:
+    // the null-text group's rep can be demoted too. Barrier: consumed by
+    // the pair-generation anti-join and both artifact anti-joins.
+    val demoted = graft.CacheBarriers.barrier(
+      artifacts.hashReps.select(col("th").as("th_o"), col("rep_id"))
+        .join(newMin.select(col("th").as("th_n"), col("new_min")),
+          col("th_o") <=> col("th_n"))
+        .filter(col("new_min") < col("rep_id"))
+        .select(col("rep_id").as("doc_id")))
+    val oldSigned = artifacts.signed.join(demoted, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.incrementalPairsFromSigned(newSigned, oldSigned)
     // contract old endpoints to their persisted cluster labels (new ids
     // are unseen, so they never match the artifact and keep themselves)
     val lbls = artifacts.clusters.select(col("doc_id").as("cid"),
@@ -335,7 +353,12 @@ object Curation {
       .join(artifacts.clusters.select(col("doc_id").as("d0")),
         ccNodes("node") === col("d0"), "left_anti")
       .select(col("node").as("doc_id"), col("new_lbl").as("cluster_id"))
+    // demoted reps leave the cluster table with their signatures — their
+    // rows (whether carried over, relabeled, or freshly added as an old
+    // pairless endpoint of a proxy pair) would not exist in a full
+    // rebuild, where the new rep holds the hash group
     val clustersU = oldRelabeled.unionByName(freshRows)
+      .join(demoted, Seq("doc_id"), "left_anti")
     val countsU = (artifacts.sourceCounts, sourceCol) match {
       case (Some(existing), Some(sc)) =>
         Some(mergeSourceCounts(existing, newBatch, sc, textCol))
@@ -356,7 +379,7 @@ object Curation {
     }
     (kept, CurationArtifacts(
       hashReps = mergedReps,
-      signed = artifacts.signed.unionByName(newSigned),
+      signed = oldSigned.unionByName(newSigned),
       clusters = clustersU,
       lineCensus = Dedup.mergeLineCensus(artifacts.lineCensus, newBatch,
         idCol, textCol, lineMinChars),

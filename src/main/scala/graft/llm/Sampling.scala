@@ -83,9 +83,18 @@ object Sampling {
     *
     * Scale shape: one map-side-combined count per stratum (strata are
     * config-cardinality: languages, sources), a 1-row global min joined
-    * back by broadcast — nothing here grows with the corpus. */
+    * back by broadcast — nothing here grows with the corpus.
+    *
+    * EAGER: this call runs the counting job immediately and collects the
+    * rate table to the driver (it is what [[temperatureMixWith]]
+    * broadcasts, so it must be driver-local anyway). That is only safe
+    * because strata are config-cardinality; pointing `strataCol` at a
+    * data-cardinality column (a per-doc field) would be a driver OOM, so
+    * the collect is capped at `maxStrata` rows and fails loudly beyond
+    * it rather than silently truncating the mix. */
   def temperatureRates(docs: DataFrame, strataCol: String,
-                       alpha: Double = 0.5): DataFrame = {
+                       alpha: Double = 0.5,
+                       maxStrata: Int = 100000): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count => fcount}
     // alpha ∈ [0, 1]: downsampling cannot realize alpha > 1 (every
     // stratum's keep_permicro saturates at 1e6 and the mix silently
@@ -115,8 +124,16 @@ object Sampling {
       .withColumn("keep_permicro",
         floor(lit(1e6) * power).cast("long"))
       .drop("n_min")
-    val rows = rates.collect()
-    counts.unpersist(false)
+    // limit+1 bounds what can ever reach the driver; the require turns
+    // "mis-configured stratum column" into a loud error instead of an OOM
+    val rows =
+      try rates.limit(maxStrata + 1).collect()
+      finally counts.unpersist(false)
+    require(rows.length <= maxStrata,
+      s"temperatureRates: over $maxStrata distinct '$strataCol' strata — " +
+        "strata must be config-cardinality (languages, sources); a " +
+        "data-cardinality column cannot be temperature-mixed (raise " +
+        "maxStrata only if the rate table genuinely fits the driver)")
     docs.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), rates.schema)
   }

@@ -45,7 +45,16 @@ trait SinkBackend {
     * makes replayed batches idempotent. */
   def bulkUpsert(docs: DataFrame): Unit
 
-  /** Resolved deletes: (id, del_index, del_routing). */
+  /** Resolved deletes: (id, del_index, del_routing, del_version).
+    * Version-fence these like upserts: apply a delete only when
+    * `del_version` is above the stored document's version (ES's versioned
+    * delete; the reference's delete requests ride the same external
+    * versioning and 409-ignore as indexing, monstache.go:4053-4063 — and
+    * delete versions carry the +2 bias, so an in-order delete always
+    * outranks the doc it tombstones). An unfenced delete would let a
+    * replayed or out-of-order tombstone remove a NEWER document, which
+    * checkpointed batch ordering normally prevents but a real backend
+    * must not depend on. */
   def delete(deletes: DataFrame): Unit
 
   /** Index deletions: (kind ∈ exact|prefix, pattern). */
@@ -141,7 +150,9 @@ object SinkWriter {
       backend.bulkUpsert(fenced(Upsert.liveDocuments(ops)))
 
       // K2 deletes, resolved per configured strategy against the
-      // POST-upsert sink state, normalized to (id, del_index, del_routing)
+      // POST-upsert sink state, normalized to (id, del_index,
+      // del_routing, del_version) — the tombstone's own version rides
+      // along so the backend can enforce the versioned-delete fence
       val tombs = fenced(Upsert.tombstones(ops))
       cfg.deleteStrategy match {
         case 2 => // ignore: deletes are dropped (monstache.go:4068-4070)
@@ -157,10 +168,11 @@ object SinkWriter {
               col("meta_index").as("saved_index"),
               col("meta_routing").as("saved_routing"))
           backend.delete(DeleteStrategies.stateful(
-              tombs.select(col("namespace"), col("id")), metaStore,
-              lowercaseSavedIndex = false)
+              tombs.select(col("namespace"), col("id"), col("version")),
+              metaStore, lowercaseSavedIndex = false)
             .select(col("id"), col("meta_index").as("del_index"),
-              col("meta_routing").as("del_routing")))
+              col("meta_routing").as("del_routing"),
+              col("version").as("del_version")))
         case _ =>
           val resolved = DeleteStrategies.statelessRouted(
             tombs.drop("meta_index", "meta_routing"),
@@ -168,7 +180,8 @@ object SinkWriter {
             deleteProtection = !cfg.disableDeleteProtection)
           backend.delete(resolved.filter(col("status") === "deleted")
             .select(col("id"), col("hit_index").as("del_index"),
-              col("hit_routing").as("del_routing")))
+              col("hit_routing").as("del_routing"),
+              col("version").as("del_version")))
       }
     } finally b.unpersist(false)
   }
@@ -218,8 +231,16 @@ class InMemorySinkBackend extends SinkBackend {
       }
 
   override def delete(deletes: DataFrame): Unit =
-    deletes.select("del_index", "id").collect()
-      .foreach(r => state.remove((r.getString(0), r.getString(1))))
+    deletes.select("del_index", "id", "del_version").collect()
+      .foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        // versioned delete: a tombstone at or below the stored version is
+        // ignored (the +2 delete bias means an in-order delete always
+        // clears this), so a replayed/out-of-order delete cannot remove
+        // a newer document — same fence as bulkUpsert's
+        if (state.get(key).forall(_.version < r.getLong(2)))
+          state.remove(key)
+      }
 
   override def dropIndexes(drops: DataFrame): Unit =
     drops.select("kind", "pattern").collect().foreach { r =>

@@ -63,7 +63,13 @@ object StreamingCuration {
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  sourceCol: Option[String] = None,
-                 lineMinChars: Int = 10): Unit = {
+                 lineMinChars: Int = 10): Unit = graft.CacheBarriers.withScope {
+    // withScope: this batch's operator-internal barriers are registered
+    // to a scope owned by this call and released when the block exits
+    // (everything is on storage by then), so a long-lived ingest stream
+    // doesn't accrete cached tables batch over batch — WITHOUT touching
+    // any other pipeline's barriers in a shared session (a global
+    // releaseAll here would unpersist their in-flight frames)
     val spark = batch.sparkSession
     val vs = VersionedState.versions(spark, stateDir)
     VersionedState.requireNoNewerThan(vs, stateDir, batchId)
@@ -80,11 +86,6 @@ object StreamingCuration {
     // VersionedState leans on elsewhere)
     marker(spark, s"$stateDir/v$batchId")
     VersionedState.gcBefore(spark, stateDir, batchId, vs)
-    // every consumer of this batch's operator-internal barriers has run
-    // (everything is on storage) — release them so a long-lived ingest
-    // stream doesn't accrete cached tables batch over batch (the
-    // per-batch unpersist contract the other streaming twins follow)
-    graft.CacheBarriers.releaseAll()
   }
 
   /** Continuous form: document stream → per-batch incremental curation

@@ -26,6 +26,27 @@ class CacheBarriersSpec extends AnyFunSuite {
     assert(CacheBarriers.releaseAll() == 0) // idempotent, nothing left
   }
 
+  test("withScope releases its own barriers and leaves others alone") {
+    import spark.implicits._
+    CacheBarriers.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
+    // an "other pipeline's" barrier, registered to the global scope
+    val outside = CacheBarriers.barrier(
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    outside.count()
+    assert(outside.storageLevel.useMemory)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (s"alpha beta gamma delta $i " * 4) + "epsilon zeta")
+    }.toDF("doc_id", "text")
+    CacheBarriers.withScope {
+      Dedup.verbatimOverlapPairs(docs, shingleN = 4).count()
+    }
+    // the scope released the operator's internal barrier on exit...
+    assert(CacheBarriers.releaseAll() == 1) // ...but NOT the outside one
+    assert(!outside.storageLevel.useMemory)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("temperatureRates leaves no cache behind and validates alpha") {
     import spark.implicits._
     CacheBarriers.releaseAll()
@@ -47,5 +68,10 @@ class CacheBarriersSpec extends AnyFunSuite {
       Sampling.temperatureRates(docs, "lang", alpha = 1.5))
     intercept[IllegalArgumentException](
       Sampling.temperatureRates(docs, "lang", alpha = -0.1))
+    // data-cardinality stratum column fails loudly instead of collecting
+    // an unbounded rate table to the driver
+    intercept[IllegalArgumentException](
+      Sampling.temperatureRates(docs, "doc_id", maxStrata = 2))
+    assert(spark.sharedState.cacheManager.isEmpty) // even on the loud path
   }
 }

@@ -98,11 +98,43 @@ class CurationIncrementalSpec extends AnyFunSuite {
     val b1b = df(Seq((50L, text(1000L), "web"), (51L, text(1001L), "web")))
     val b2b = df(Seq((7L, text(1000L), "web"), (52L, text(1002L), "web")))
     val (_, art) = Curation.artifactsOf(b1b)
-    val (kept2, _) = Curation.curateIncremental(b2b, art)
+    val (kept2, art2) = Curation.curateIncremental(b2b, art)
     val full = Curation.curate(b1b.unionByName(b2b))
     assert(keptSet(kept2) ==
       keptSet(full.filter(col("doc_id") === 7L || col("doc_id") === 52L)))
     assert(keptSet(kept2).map(_._1) == Set(7L, 52L))
+    // the demoted (pairless) rep 50 is no longer signed: artifacts equal
+    // a full rebuild even though batch ids are not monotone
+    val (_, fullArt) = Curation.artifactsOf(b1b.unionByName(b2b))
+    assert(rows(art2.hashReps) == rows(fullArt.hashReps))
+    assert(rows(art2.signed.select("doc_id")) ==
+      rows(fullArt.signed.select("doc_id")))
+    assert(rows(art2.clusters) == rows(fullArt.clusters))
+  }
+
+  test("a demoted cluster representative's rows do not roll forward") {
+    // b1: 50 reps a REAL near-dup cluster {50, 60}; b2's doc 7 is an
+    // exact dup of 50 with a smaller id, demoting it. The full rebuild
+    // signs/clusters 7 in 50's place; the increment must converge to the
+    // same artifacts — 7 inherits 50's pairs through its identical
+    // signature, and 50's rows are dropped.
+    val base = text(2000L)
+    val b1c = df(Seq((50L, base, "web"), (60L, trunc(base, 5), "web"),
+      (51L, text(2001L), "web")))
+    val b2c = df(Seq((7L, base, "web"), (8L, text(2002L), "web")))
+    val (_, art1) = Curation.artifactsOf(b1c)
+    assert(rows(art1.clusters).contains(Seq(60L, 50L))) // precondition
+    val (kept2, art2) = Curation.curateIncremental(b2c, art1)
+    val full = Curation.curate(b1c.unionByName(b2c))
+    assert(keptSet(kept2) == keptSet(full.filter(col("doc_id") < 50L)))
+    assert(keptSet(kept2).map(_._1) == Set(7L, 8L))
+    val (_, fullArt) = Curation.artifactsOf(b1c.unionByName(b2c))
+    assert(rows(art2.hashReps) == rows(fullArt.hashReps))
+    assert(rows(art2.signed.select("doc_id")) ==
+      rows(fullArt.signed.select("doc_id")))
+    assert(rows(art2.clusters) == rows(fullArt.clusters))
+    // and concretely: 7 took over as the cluster's representative
+    assert(rows(art2.clusters) == Set(Seq(60L, 7L), Seq(7L, 7L)))
   }
 
   test("a second incremental batch composes, relabeling through old clusters") {

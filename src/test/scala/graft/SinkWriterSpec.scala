@@ -95,6 +95,23 @@ class SinkWriterSpec extends AnyFunSuite {
     assert(backend2.state.keySet == Set(("app.t0", "1")))
   }
 
+  test("deletes are version-fenced: a stale tombstone spares a newer doc") {
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    SinkWriter.writeBatch(Seq(
+      ev(0, "1", "app.t0", "i", 30)).toDF(), GraftConfig(), backend)
+    assert(backend.state(("app.t0", "1")).version == 30)
+    // a late-replayed tombstone BELOW the stored version is ignored —
+    // replay idempotency no longer rests on batch ordering alone
+    SinkWriter.writeBatch(Seq(
+      ev(1, "1", "app.t0", "d", 20)).toDF(), GraftConfig(), backend)
+    assert(backend.state(("app.t0", "1")).version == 30)
+    // the in-order delete (higher version) still clears it
+    SinkWriter.writeBatch(Seq(
+      ev(2, "1", "app.t0", "d", 31)).toDF(), GraftConfig(), backend)
+    assert(!backend.state.contains(("app.t0", "1")))
+  }
+
   test("delete protection refuses ambiguous deletes; by-query removes all") {
     import spark.implicits._
     // the same id indexed into TWO indexes (cross-namespace id reuse)
