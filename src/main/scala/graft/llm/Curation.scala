@@ -23,25 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Stage 1 of the composite: per-doc signals, gate out too-short docs
-    * (narrow, per-row — which is what makes every downstream artifact
-    * batch-additive: gate(b1 ∪ b2) = gate(b1) ∪ gate(b2)). */
-  private def gate(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame =
-    TextAnalysis.withQuality(
+  /** Stage 1 of the composite: per-doc signals, gate out too-short docs,
+    * then (when a frozen `classifier` is supplied) the MODEL gate — the
+    * RefinedWeb shape: heuristic gate → classifier gate → dedup. Both
+    * gates are narrow and per-row — which is what makes every downstream
+    * artifact batch-additive: gate(b1 ∪ b2) = gate(b1) ∪ gate(b2). The
+    * classifier must be FROZEN (trained before the run): re-deriving it
+    * from accumulated counts mid-pipeline would let later batches revise
+    * the gate that earlier published verdicts used — the additive
+    * [[CurationArtifacts.qualityCounts]] exists so the caller can retrain
+    * BETWEEN runs and pass the refreshed model to the next one. */
+  private def gate(docs: DataFrame, idCol: String, textCol: String,
+                   classifier: Option[QualityModel.LocalClassifier]): DataFrame = {
+    val heur = TextAnalysis.withQuality(
         TextAnalysis.withLangId(docs, textCol), textCol)
       .filter(col("quality_bucket") =!= "too_short")
       .select(col(idCol), col(textCol), col("pred_lang"), col("n_words"),
         col("quality_bucket"))
+    classifier.fold(heur)(m =>
+      QualityModel.withQualityScore(heur, m, textCol)
+        .filter(col("model_keep")).drop("q_micro", "model_keep"))
+  }
 
   /** Returns the kept corpus: (doc_id, text, pred_lang, n_words,
-    * quality_bucket) for every document that passes the length gate, is
-    * its content-hash group's representative, and is its near-dup
-    * cluster's representative. */
+    * quality_bucket) for every document that passes the length gate (and
+    * the model gate, when a frozen `classifier` is supplied), is its
+    * content-hash group's representative, and is its near-dup cluster's
+    * representative. */
   def curate(docs: DataFrame, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text",
+             classifier: Option[QualityModel.LocalClassifier] = None): DataFrame = {
     // stage 1: per-doc signals, gate out too-short docs (narrow)
-    val gated = gate(docs, idCol, textCol)
+    val gated = gate(docs, idCol, textCol, classifier)
     // stage 2: exact dedup — each content hash keeps its min id. The
     // null-SAFE join is load-bearing: md5(null text) is NULL, groupBy
     // collects the NULL group and elects its representative, but an
@@ -161,11 +174,36 @@ object Curation {
     *    slice — gated, not kept, because the gate is per-doc and
     *    therefore batch-additive ([[LangModel.updateModel]]'s exactness
     *    contract), where "kept" verdicts can be revised by later batches.
+    *  - `qualityCounts` (token, n_pos, n_neg): UNPRUNED classifier
+    *    training counts, self-labeled by the heuristic verdict
+    *    (fluent = positive) over the RAW batch ([[selfLabeledQualityCounts]])
+    *    — additive via [[QualityModel.updateCounts]], maintained when the
+    *    bootstrap opted in. The operational loop: accumulate here, retrain
+    *    ([[QualityModel.collectClassifier]]) between runs, pass the frozen
+    *    model as the next run's `classifier`.
     */
   case class CurationArtifacts(hashReps: DataFrame, signed: DataFrame,
                                clusters: DataFrame, lineCensus: DataFrame,
                                sourceCounts: Option[DataFrame],
-                               model: (DataFrame, DataFrame))
+                               model: (DataFrame, DataFrame),
+                               qualityCounts: Option[DataFrame] = None)
+
+  /** Classifier training counts for the bootstrap-from-heuristics loop:
+    * the heuristic quality verdict labels the batch (fluent = positive,
+    * listy/too_short = negative) and [[QualityModel.tokenClassCounts]]
+    * aggregates — per-doc labeling, so the counts are exactly additive
+    * across batches. */
+  def selfLabeledQualityCounts(docs: DataFrame,
+                               textCol: String = "text"): DataFrame =
+    QualityModel.tokenClassCounts(fluentLabeled(docs, textCol),
+      textCol = textCol)
+
+  /** The heuristic-verdict labeling behind [[selfLabeledQualityCounts]]
+    * and its incremental roll-forward. */
+  private def fluentLabeled(docs: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.withQuality(docs, textCol)
+      .select((col("quality_bucket") === "fluent").as("label"),
+        col(textCol))
 
   /** Full-batch curation that also materializes the incremental
     * artifacts: returns (kept corpus — identical to [[curate]] — and the
@@ -174,8 +212,10 @@ object Curation {
   def artifactsOf(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   sourceCol: Option[String] = None,
-                  lineMinChars: Int = 10): (DataFrame, CurationArtifacts) = {
-    val gated = gate(docs, idCol, textCol)
+                  lineMinChars: Int = 10,
+                  classifier: Option[QualityModel.LocalClassifier] = None,
+                  trainQuality: Boolean = false): (DataFrame, CurationArtifacts) = {
+    val gated = gate(docs, idCol, textCol, classifier)
     val hashed = graft.CacheBarriers.barrier(
       gated.withColumn("th", md5(col(textCol))))
     val hashReps = hashed.groupBy("th").agg(min(col(idCol)).as("rep_id"))
@@ -200,7 +240,10 @@ object Curation {
       lineCensus = Dedup.lineCensus(docs, idCol, textCol, lineMinChars),
       sourceCounts = sourceCol.map(sc => sourceCounts(docs, sc, textCol)),
       model = (LangModel.bigramCounts(gated, textCol),
-        LangModel.unigramCounts(gated, textCol))))
+        LangModel.unigramCounts(gated, textCol)),
+      qualityCounts =
+        if (trainQuality) Some(selfLabeledQualityCounts(docs, textCol))
+        else None))
   }
 
   /** Persist a full artifact set under `dir` (one parquet table per
@@ -218,6 +261,8 @@ object Curation {
       _.write.mode("overwrite").parquet(s"$dir/counts"))
     art.model._1.write.mode("overwrite").parquet(s"$dir/bigrams")
     art.model._2.write.mode("overwrite").parquet(s"$dir/unigrams")
+    art.qualityCounts.foreach(
+      _.write.mode("overwrite").parquet(s"$dir/qcounts"))
   }
 
   /** Reopen a persisted artifact set. `sourceCounts` is present exactly
@@ -225,6 +270,7 @@ object Curation {
   def readArtifacts(spark: org.apache.spark.sql.SparkSession,
                     dir: String): CurationArtifacts = {
     val countsPath = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val qcountsPath = new org.apache.hadoop.fs.Path(s"$dir/qcounts")
     val fs = countsPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     CurationArtifacts(
@@ -236,7 +282,10 @@ object Curation {
         if (fs.exists(countsPath)) Some(spark.read.parquet(s"$dir/counts"))
         else None,
       model = (spark.read.parquet(s"$dir/bigrams"),
-        spark.read.parquet(s"$dir/unigrams")))
+        spark.read.parquet(s"$dir/unigrams")),
+      qualityCounts =
+        if (fs.exists(qcountsPath)) Some(spark.read.parquet(s"$dir/qcounts"))
+        else None)
   }
 
   /** Curate ONE new batch against the persisted artifacts of everything
@@ -285,8 +334,9 @@ object Curation {
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         sourceCol: Option[String] = None,
-                        lineMinChars: Int = 10): (DataFrame, CurationArtifacts) = {
-    val gated = gate(newBatch, idCol, textCol)
+                        lineMinChars: Int = 10,
+                        classifier: Option[QualityModel.LocalClassifier] = None): (DataFrame, CurationArtifacts) = {
+    val gated = gate(newBatch, idCol, textCol, classifier)
     val hashed = graft.CacheBarriers.barrier(
       gated.withColumn("th", md5(col(textCol))))
     // merged representative per hash: least() ignores the absent side
@@ -384,6 +434,12 @@ object Curation {
       lineCensus = Dedup.mergeLineCensus(artifacts.lineCensus, newBatch,
         idCol, textCol, lineMinChars),
       sourceCounts = countsU,
-      model = LangModel.updateModel(artifacts.model, gated, textCol)))
+      model = LangModel.updateModel(artifacts.model, gated, textCol),
+      // the classifier-training census rolls forward additively whenever
+      // the bootstrap maintained it (self-labeling needs no extra config,
+      // so unlike sourceCounts there is no half-configured failure mode)
+      qualityCounts = artifacts.qualityCounts.map(qc =>
+        QualityModel.updateCounts(qc, fluentLabeled(newBatch, textCol),
+          textCol = textCol))))
   }
 }

@@ -206,6 +206,40 @@ object QualityModel {
       .toDF(idCol, "n_tokens", "n_oov", "q_micro", "keep")
   }
 
+  /** [[scoreQualityBroadcast]]'s scoring appended IN PLACE: every input
+    * column survives and `q_micro` (integer micro-nat log-odds) +
+    * `model_keep` (`q_micro > 0`) ride along — the form a composite
+    * filter stage needs ([[graft.llm.Curation]]'s model gate), where the
+    * score-only frame would force a re-join on the id. Same zero-shuffle
+    * narrow pass, same streaming-safe per-row contract. */
+  def withQualityScore(docs: DataFrame, model: LocalClassifier,
+                       textCol: String = "text"): DataFrame = {
+    require(model.vocabV > 0,
+      "QualityModel: empty count table (vocab_v = 0)")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val ti = docs.schema.fieldIndex(textCol)
+    val outSchema = StructType(docs.schema.fields ++ Seq(
+      StructField("q_micro", LongType, nullable = false),
+      StructField("model_keep", BooleanType, nullable = false)))
+    docs.mapPartitions { it =>
+      val m = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(ti)) null else row.getString(ti)
+        val ws = TextHash.wordsScala(text)
+        var q = 0L
+        var i = 0
+        while (i < ws.length) {
+          q += m.weights.getOrElse(ws(i), m.oovWeight)
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ q :+ (q > 0))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   // ── DuckDB twins (same tokenization, same micro-floor math) ───────────
 
   /** SQL: token class counts CTE body over a `(label, text)` source —

@@ -203,8 +203,13 @@ object LlmQueries extends QueryFamily {
     * the survivors); the caller must prefix `WITH RECURSIVE`. */
   /** The full curation-replay CTE chain over a caller-supplied corpus
     * CTE body (doc_id, text) — shared by q62/q75/q83 (derived-dup corpus)
-    * and q84 (two-batch incremental corpus). */
-  private def curationCtesOver(corpusSql: String): String = {
+    * and q84 (two-batch incremental corpus). `extraGateCtes` splices
+    * additional CTEs after `gated`, and `gateSrc` names the CTE the dedup
+    * stages read — how q90 inserts the classifier gate between the
+    * heuristic gate and exact dedup without a second copy of the chain. */
+  private def curationCtesOver(corpusSql: String,
+                               extraGateCtes: String = "",
+                               gateSrc: String = "gated"): String = {
     val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
       .map(s => s"'$s'").mkString(",")
     val (scores, pred) = TextAnalysis.sqlLangId("w")
@@ -219,10 +224,10 @@ object LlmQueries extends QueryFamily {
        |                 CASE WHEN stop_hits * 5 >= n_words THEN 'fluent'
        |                      ELSE 'listy' END AS quality_bucket,
        |                 $pred AS pred_lang
-       |          FROM csig WHERE n_words >= 20),
+       |          FROM csig WHERE n_words >= 20),$extraGateCtes
        |er AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
-       |       FROM gated GROUP BY md5(text)),
-       |kept AS (SELECT g.* FROM gated g
+       |       FROM $gateSrc GROUP BY md5(text)),
+       |kept AS (SELECT g.* FROM $gateSrc g
        |         JOIN er ON md5(g.text) IS NOT DISTINCT FROM er.th
        |                AND g.doc_id = er.keep_id),
        |${lshPairsCtes("kept")},
@@ -1583,6 +1588,65 @@ object LlmQueries extends QueryFamily {
            |       coalesce(q_micro, 0) AS q_micro,
            |       coalesce(q_micro, 0) > 0 AS keep
            |FROM documents d LEFT JOIN agg USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin))
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // ── The curation composite with the MODEL gate engaged (RefinedWeb
+    //    shape: heuristic gate → frozen classifier gate → exact dedup →
+    //    near-dup drop). The classifier is trained on the lang='en'
+    //    slice (q89's model) and applied frozen inside Curation.curate;
+    //    the oracle replays training, the per-doc micro-nat sums, AND
+    //    the downstream dedup over the model-gated slice — one
+    //    cross-engine answer for the whole composed pipeline. ───────────
+    QueryDef.sorted(
+      "q90_model_gated_curation",
+      (s, dir) => {
+        val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang"))
+        val clf = QualityModel.collectClassifier(
+          QualityModel.tokenClassCounts(
+            raw.select((col("lang") === "en").as("label"), col("text"))))
+        val docs = raw.select("doc_id", "text")
+        val ws = words(col("text"))
+        val corpus = docs
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
+        Curation.curate(corpus, classifier = Some(clf))
+          .select(col("doc_id").cast("long"), col("pred_lang"),
+            col("quality_bucket"), col("n_words").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val modelGateCtes = ("\n" +
+          s"""clabeled AS (SELECT (lang = 'en') AS label, text
+             |             FROM documents),
+             |ccnt AS (${QualityModel.sqlTokenClassCounts("clabeled")}),
+             |ctot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+             |                CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+             |                count(*) AS vocab_v FROM ccnt),
+             |gtok AS (SELECT doc_id, unnest(${W("text")}) AS tok
+             |         FROM gated),
+             |gcontrib AS (SELECT doc_id, ${QualityModel.sqlWeightMicro} AS w
+             |             FROM gtok
+             |             LEFT JOIN ccnt ON gtok.tok = ccnt.token, ctot),
+             |magg AS (SELECT doc_id,
+             |                CAST(coalesce(sum(w), 0) AS BIGINT) AS q_micro
+             |         FROM gcontrib GROUP BY doc_id),
+             |mgated AS (SELECT g.* FROM gated g JOIN magg USING (doc_id)
+             |           WHERE q_micro > 0),""".stripMargin)
+        s"""WITH RECURSIVE ${curationCtesOver(
+             s"""SELECT doc_id, text FROM documents
+                |  UNION ALL
+                |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+                |  UNION ALL
+                |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+                |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+             modelGateCtes, "mgated")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
+           |       CAST(n_words AS BIGINT) AS n_words
+           |FROM surv ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -49,10 +49,12 @@ object StreamingCuration {
   def bootstrap(docs: DataFrame, stateDir: String,
                 idCol: String = "doc_id", textCol: String = "text",
                 sourceCol: Option[String] = None,
-                lineMinChars: Int = 10): Unit = {
+                lineMinChars: Int = 10,
+                classifier: Option[graft.llm.QualityModel.LocalClassifier] = None,
+                trainQuality: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val (kept, art) = Curation.artifactsOf(docs, idCol, textCol, sourceCol,
-      lineMinChars)
+      lineMinChars, classifier, trainQuality)
     Curation.writeArtifacts(art, s"$stateDir/v-1")
     kept.write.mode("overwrite").parquet(s"$stateDir/kept/b-1")
     marker(spark, s"$stateDir/v-1")
@@ -63,7 +65,8 @@ object StreamingCuration {
   def mergeBatch(batch: DataFrame, batchId: Long, stateDir: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  sourceCol: Option[String] = None,
-                 lineMinChars: Int = 10): Unit = graft.CacheBarriers.withScope {
+                 lineMinChars: Int = 10,
+                 classifier: Option[graft.llm.QualityModel.LocalClassifier] = None): Unit = graft.CacheBarriers.withScope {
     // withScope: this batch's operator-internal barriers are registered
     // to a scope owned by this call and released when the block exits
     // (everything is on storage by then), so a long-lived ingest stream
@@ -78,7 +81,7 @@ object StreamingCuration {
         s"$stateDir — run bootstrap() (or seed v-1) before streaming"))
     val art = Curation.readArtifacts(spark, s"$stateDir/v$prev")
     val (kept, art2) = Curation.curateIncremental(batch, art, idCol,
-      textCol, sourceCol, lineMinChars)
+      textCol, sourceCol, lineMinChars, classifier)
     Curation.writeArtifacts(art2, s"$stateDir/v$batchId")
     kept.write.mode("overwrite").parquet(s"$stateDir/kept/b$batchId")
     // marker LAST: the version is invisible until everything above is
@@ -94,14 +97,15 @@ object StreamingCuration {
             idCol: String = "doc_id", textCol: String = "text",
             sourceCol: Option[String] = None,
             lineMinChars: Int = 10,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            classifier: Option[graft.llm.QualityModel.LocalClassifier] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, stateDir, idCol, textCol, sourceCol,
-          lineMinChars)
+          lineMinChars, classifier)
       }
       .start()
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Curation, LangModel, TextAnalysis}
+import graft.llm.{Curation, LangModel, QualityModel, TextAnalysis}
 
 /** The incremental-curation identity: curating a new batch against the
   * persisted artifacts of everything before must equal a full re-run over
@@ -159,6 +159,30 @@ class CurationIncrementalSpec extends AnyFunSuite {
     assert(rows(art3.hashReps) == rows(fullArt.hashReps))
     assert(rows(art3.clusters) == rows(fullArt.clusters))
     assert(rows(art3.clusters).contains(Seq(603L, 300L)))
+  }
+
+  test("the model gate composes: incremental identity, additive counts") {
+    // frozen classifier that rejects doc 5's family: its unique token
+    // t5x0 carries a large negative weight; every other token is OOV
+    // (+1), so all other docs score positive
+    val clf = QualityModel.LocalClassifier(
+      Map("t5x0" -> -100000000L), oovWeight = 1L, vocabV = 1L)
+    val (kept1, art1) = Curation.artifactsOf(b1, sourceCol = Some("source"),
+      classifier = Some(clf), trainQuality = true)
+    val (kept2, art2) = Curation.curateIncremental(b2, art1,
+      sourceCol = Some("source"), classifier = Some(clf))
+    val full = Curation.curate(b1.unionByName(b2), classifier = Some(clf))
+    assert(keptSet(kept2) == keptSet(full.filter(col("doc_id") >= 100L)))
+    // the gate actually bites: doc 5 survives ungated curation but not
+    // the model-gated one (and neither does its b2 exact dup 105)
+    assert(keptSet(Curation.curate(b1)).map(_._1).contains(5L))
+    assert(!keptSet(kept1).map(_._1).contains(5L))
+    assert(!keptSet(kept2).map(_._1).contains(105L))
+    // classifier-training counts roll forward to the full-rebuild counts
+    val (_, fullArt) = Curation.artifactsOf(b1.unionByName(b2),
+      sourceCol = Some("source"), trainQuality = true)
+    assert(rows(art2.qualityCounts.get) == rows(fullArt.qualityCounts.get))
+    assert(rows(art2.qualityCounts.get).nonEmpty)
   }
 
   test("a half-configured sourceCol roll-forward fails loudly") {
