@@ -330,28 +330,59 @@ object Curation {
     * join touches old bands only where a new doc shares the bucket; CC
     * runs on the contracted PAIR set, never the corpus; census/counts/
     * model merges are artifact-sized aggregations. */
-  def curateIncremental(newBatch: DataFrame, artifacts: CurationArtifacts,
-                        idCol: String = "doc_id",
-                        textCol: String = "text",
-                        sourceCol: Option[String] = None,
-                        lineMinChars: Int = 10,
-                        classifier: Option[QualityModel.LocalClassifier] = None): (DataFrame, CurationArtifacts) = {
+  /** One increment's DELTAS against the persisted artifacts — everything
+    * [[curateIncremental]] derives from (new batch) × (artifact), before
+    * any whole-table roll-forward. This is the unit a bucketed state
+    * store writes directly ([[graft.streaming.BucketedCuration]]): each
+    * frame is batch-sized (or pair-graph-sized), keyed, and mergeable
+    * per key.
+    *
+    *  - `gated` — the heuristically(+model)-gated batch slice.
+    *  - `newMin` (th, new_min) — per batch content hash, the smallest
+    *    new id; merges into `hashReps` by per-key min.
+    *  - `demoted` (doc_id) — old representatives displaced by a
+    *    smaller-id new duplicate; delete keys for `signed`/`clusters`.
+    *  - `newSigned` (doc_id, sh, bkeys) — signature rows to append.
+    *  - `freshRows` (doc_id, cluster_id) — cluster rows for nodes newly
+    *    entering the table.
+    *  - `relabels` (from_lbl, to_lbl) — OLD labels merged into a bigger
+    *    component this batch (pair-graph-sized): the label-forwarding
+    *    map that replaces the whole-table relabel rewrite. */
+  private[graft] case class IncrementDeltas(gated: DataFrame,
+                                            newMin: DataFrame,
+                                            demoted: DataFrame,
+                                            newSigned: DataFrame,
+                                            freshRows: DataFrame,
+                                            relabels: DataFrame)
+
+  /** The incremental core: gate → merged-rep exact dedup → incremental
+    * near-dup pairs → contracted CC, returning (kept slice, deltas).
+    * All the correctness arguments live on [[curateIncremental]], which
+    * is this plus the whole-table artifact assembly. */
+  private[graft] def incrementDeltas(newBatch: DataFrame,
+                                     artifacts: CurationArtifacts,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text",
+                                     classifier: Option[QualityModel.LocalClassifier] = None): (DataFrame, IncrementDeltas) = {
     val gated = gate(newBatch, idCol, textCol, classifier)
     val hashed = graft.CacheBarriers.barrier(
       gated.withColumn("th", md5(col(textCol))))
-    // merged representative per hash: least() ignores the absent side
     val newMin = hashed.groupBy("th").agg(min(col(idCol)).as("new_min"))
-    val mergedReps = graft.CacheBarriers.barrier(
-      artifacts.hashReps.select(col("th").as("th_a"), col("rep_id"))
-        .join(newMin.select(col("th").as("th_b"), col("new_min")),
-          col("th_a") <=> col("th_b"), "full_outer")
-        .select(coalesce(col("th_a"), col("th_b")).as("th"),
+    // the merged representative of each BATCH hash: least(old rep, new
+    // min), with least() ignoring the absent side — only batch hashes
+    // matter for the survival test, so this joins the batch-sized newMin
+    // against the artifact instead of full-outer-merging the whole table
+    val batchReps = graft.CacheBarriers.barrier(
+      newMin.join(
+          artifacts.hashReps.select(col("th").as("th_o"), col("rep_id")),
+          col("th") <=> col("th_o"), "left")
+        .select(col("th"),
           least(col("rep_id"), col("new_min")).as("rep_id")))
     // a new doc survives the exact stage iff it IS the merged
     // representative of its hash (null-safe: null-text group included)
     val newKept = graft.CacheBarriers.barrier(
-      hashed.join(mergedReps,
-          hashed("th") <=> mergedReps("th") && hashed(idCol) === mergedReps("rep_id"),
+      hashed.join(batchReps,
+          hashed("th") <=> batchReps("th") && hashed(idCol) === batchReps("rep_id"),
           "left_semi")
         .drop("th"))
     val newSigned = graft.CacheBarriers.barrier(
@@ -364,7 +395,7 @@ object Curation {
     // generation (where it would only add a redundant content-identical
     // proxy pair) and from the rolled-forward artifacts. Null-safe on th:
     // the null-text group's rep can be demoted too. Barrier: consumed by
-    // the pair-generation anti-join and both artifact anti-joins.
+    // the pair-generation anti-join and the artifact anti-joins.
     val demoted = graft.CacheBarriers.barrier(
       artifacts.hashReps.select(col("th").as("th_o"), col("rep_id"))
         .join(newMin.select(col("th").as("th_n"), col("new_min")),
@@ -386,29 +417,78 @@ object Curation {
     val kept = newKept.join(
       cc.filter(!col("is_rep")).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
-    // artifact roll-forward
-    val ccNodes = cc.select(col("doc_id").as("node"),
-      col("cluster_id").as("new_lbl"))
-    // old rows whose component label was merged into a bigger component
-    // get relabeled; untouched rows pass through
-    val oldRelabeled = artifacts.clusters
-      .join(ccNodes, artifacts.clusters("cluster_id") === ccNodes("node"),
-        "left")
-      .select(artifacts.clusters("doc_id"),
-        coalesce(col("new_lbl"), artifacts.clusters("cluster_id"))
-          .as("cluster_id"))
+    val ccNodes = graft.CacheBarriers.barrier(
+      cc.select(col("doc_id").as("node"), col("cluster_id").as("new_lbl")))
     // nodes newly entering the cluster table: kept-batch docs in pairs,
     // and previously-pairless old docs a new doc just connected to
     val freshRows = ccNodes
       .join(artifacts.clusters.select(col("doc_id").as("d0")),
         ccNodes("node") === col("d0"), "left_anti")
       .select(col("node").as("doc_id"), col("new_lbl").as("cluster_id"))
+    // OLD labels merged away this batch (a node that IS a stored label
+    // and received a different one) — the only relabeling a batch can
+    // cause, as a map instead of a rewritten table
+    val relabels = ccNodes
+      .join(artifacts.clusters.select(col("cluster_id").as("node"))
+        .distinct(), Seq("node"), "left_semi")
+      .filter(col("node") =!= col("new_lbl"))
+      .select(col("node").as("from_lbl"), col("new_lbl").as("to_lbl"))
+    (kept, IncrementDeltas(gated, newMin, demoted, newSigned, freshRows,
+      relabels))
+  }
+
+  def curateIncremental(newBatch: DataFrame, artifacts: CurationArtifacts,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sourceCol: Option[String] = None,
+                        lineMinChars: Int = 10,
+                        classifier: Option[QualityModel.LocalClassifier] = None): (DataFrame, CurationArtifacts) = {
+    val (kept, art, _) = curateIncrementalFull(newBatch, artifacts, idCol,
+      textCol, sourceCol, lineMinChars, classifier)
+    (kept, art)
+  }
+
+  /** [[curateIncremental]] that also surfaces the [[IncrementDeltas]] —
+    * what a bucketed state store writes instead of the whole-table
+    * frames ([[graft.streaming.BucketedCuration]]); the whole-table
+    * frames in the returned artifacts are lazy, so a caller that only
+    * consumes the deltas and the census-sized artifacts never pays for
+    * them. */
+  private[graft] def curateIncrementalFull(newBatch: DataFrame,
+                        artifacts: CurationArtifacts,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sourceCol: Option[String] = None,
+                        lineMinChars: Int = 10,
+                        classifier: Option[QualityModel.LocalClassifier] = None): (DataFrame, CurationArtifacts, IncrementDeltas) = {
+    val (kept, d) = incrementDeltas(newBatch, artifacts, idCol, textCol,
+      classifier)
+    // merged representative per hash: least() ignores the absent side
+    val mergedReps = graft.CacheBarriers.barrier(
+      artifacts.hashReps.select(col("th").as("th_a"), col("rep_id"))
+        .join(d.newMin.select(col("th").as("th_b"), col("new_min")),
+          col("th_a") <=> col("th_b"), "full_outer")
+        .select(coalesce(col("th_a"), col("th_b")).as("th"),
+          least(col("rep_id"), col("new_min")).as("rep_id")))
+    val oldSigned = artifacts.signed
+      .join(d.demoted, Seq("doc_id"), "left_anti")
+    // old rows whose component label was merged into a bigger component
+    // get relabeled; untouched rows pass through. Every stored
+    // cluster_id IS an old label, so joining the (small) relabel map is
+    // the same relabeling the full cc-node join produced.
+    val oldRelabeled = artifacts.clusters
+      .join(d.relabels,
+        artifacts.clusters("cluster_id") === d.relabels("from_lbl"), "left")
+      .select(artifacts.clusters("doc_id"),
+        coalesce(col("to_lbl"), artifacts.clusters("cluster_id"))
+          .as("cluster_id"))
     // demoted reps leave the cluster table with their signatures — their
     // rows (whether carried over, relabeled, or freshly added as an old
     // pairless endpoint of a proxy pair) would not exist in a full
     // rebuild, where the new rep holds the hash group
-    val clustersU = oldRelabeled.unionByName(freshRows)
-      .join(demoted, Seq("doc_id"), "left_anti")
+    val clustersU = oldRelabeled.unionByName(d.freshRows)
+      .join(d.demoted, Seq("doc_id"), "left_anti")
+    val gated = d.gated
     val countsU = (artifacts.sourceCounts, sourceCol) match {
       case (Some(existing), Some(sc)) =>
         Some(mergeSourceCounts(existing, newBatch, sc, textCol))
@@ -429,7 +509,7 @@ object Curation {
     }
     (kept, CurationArtifacts(
       hashReps = mergedReps,
-      signed = oldSigned.unionByName(newSigned),
+      signed = oldSigned.unionByName(d.newSigned),
       clusters = clustersU,
       lineCensus = Dedup.mergeLineCensus(artifacts.lineCensus, newBatch,
         idCol, textCol, lineMinChars),
@@ -440,6 +520,6 @@ object Curation {
       // so unlike sourceCounts there is no half-configured failure mode)
       qualityCounts = artifacts.qualityCounts.map(qc =>
         QualityModel.updateCounts(qc, fluentLabeled(newBatch, textCol),
-          textCol = textCol))))
+          textCol = textCol))), d)
   }
 }

@@ -31,9 +31,9 @@ import graft.llm.Curation.CurationArtifacts
   * old corpus is never re-read; every version write is a lineage cut,
   * so plans do not compound across batches. Like [[StreamingUpsert]],
   * the artifact rewrite per version is the fits-in-storage-budget
-  * trade; at 100 TB the same contract holds with the artifact tables
-  * bucketed by hash(id) so only touched buckets rewrite
-  * ([[BucketedState]]'s layout, same protocol). */
+  * trade; [[BucketedCuration]] is the 100 TB form — same contract with
+  * the corpus-sized artifact tables in [[BucketedState]]'s hash-bucketed
+  * layout, so a micro-batch rewrites only the buckets it touches. */
 object StreamingCuration {
 
   private def marker(spark: SparkSession, dir: String): Unit = {
