@@ -285,6 +285,81 @@ object ConfiguredPipeline {
     graft.sink.SinkWriter.start(events, checkpointDir, cfg, backend,
       transform = hotPath(cfg, registry), trigger = trigger)
 
+  /** The reference's FULL routeData topology (monstache.go:3464-3477),
+    * assembled from config: ops of namespaces with `[[relate]]` entries
+    * fan out breadth-first over `collections` — join-only unless some
+    * relation keeps the source (routeDataRelate, monstache.go:3419-3462)
+    * — each related doc re-emitted as a synthetic direct-query op
+    * stamped from its trigger (1289-1298); file-namespace ops pick up
+    * base64 content folded INTO the document (addFileContent,
+    * 1405-1433); and everything lands on the [[hotPath]] toward the
+    * sink. Deletes on a no-keep-src relate source are dropped entirely,
+    * exactly `skipDelete` (3358-3369): a delete's document is null, so
+    * its src key extracts null and joins nothing, and its own doc was
+    * never indexed — identity-relation cascades are the separate J2
+    * surface ([[graft.operators.DeleteStrategies.recoverAndPropagate]]).
+    *
+    * `collections`: namespace → doc-shaped frame carrying at least
+    * (id, document) plus each inbound relation's match field (and the
+    * file content column for file namespaces). Collection column names
+    * must not collide with the carried trigger stamps
+    * (event_id/operation/ts_us/version).
+    *
+    * Scale: one equi-join per relation hop (per-relation broadcast
+    * opt-in, AQE otherwise), a union, then the codegen'd hot path — the
+    * driver-side loop is bounded by the relation graph, never the data.
+    * Works unchanged over a streaming `events` frame (stream-static
+    * joins), which is what [[startRoutedSink]] runs. */
+  def routeData(cfg: GraftConfig,
+                registry: TransformRegistry = TransformRegistry(),
+                collections: Map[String, DataFrame] = Map.empty,
+                fileContentCol: String = "file_content")(
+                events: DataFrame): DataFrame = {
+    val relNs = cfg.relates.map(_.namespace).distinct
+    val routed =
+      if (cfg.relates.isEmpty) events
+      else {
+        val seeds = relNs.map(ns =>
+          ns -> events.filter(col("namespace") === ns)).toMap
+        val fanned = Relate.fanOut(events.sparkSession, seeds, collections,
+          cfg.relates, carry = Seq("event_id", "operation", "ts_us", "version"))
+        // depth 0 = keep-src seeds: already envelope-shaped ops
+        val keptSrc = fanned.filter(col("rel_depth") === 0)
+          .drop("rel_namespace", "rel_depth")
+        // depth ≥ 1 = synthetic ops: related docs stamped from their
+        // trigger's carried columns, sourced direct_query (1289-1298)
+        val synthetic = fanned.filter(col("rel_depth") > 0)
+          .withColumn("namespace", col("rel_namespace"))
+          .withColumn("db", substring_index(col("rel_namespace"), ".", 1))
+          .withColumn("coll", expr("substring(namespace, length(db) + 2)"))
+          .withColumn("source", lit("direct_query"))
+          .drop("rel_namespace", "rel_depth")
+        events.filter(!col("namespace").isin(relNs: _*))
+          .unionByName(keptSrc, allowMissingColumns = true)
+          .unionByName(synthetic, allowMissingColumns = true)
+      }
+    val withFiles = FileContent.foldIntoDocument(
+      attachFiles(cfg)(routed, fileContentCol))
+    hotPath(cfg, registry)(withFiles)
+  }
+
+  /** [[routeData]] run continuously into a pluggable sink — the
+    * reference's complete daemon shape: change stream → relate fan-out →
+    * file content → filters/transforms/routing → the K-layer writer
+    * (routeOp → routeData → doIndexing, monstache.go:3481-3495). */
+  def startRoutedSink(cfg: GraftConfig,
+                      registry: TransformRegistry = TransformRegistry(),
+                      collections: Map[String, DataFrame] = Map.empty,
+                      fileContentCol: String = "file_content")(
+                      events: DataFrame, checkpointDir: String,
+                      backend: graft.sink.SinkBackend,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sink.SinkWriter.start(events, checkpointDir, cfg, backend,
+      transform = routeData(cfg, registry, collections, fileContentCol),
+      trigger = trigger)
+
   /** J1-J3 from `[[relate]]` config: the BFS fan-out over the configured
     * relation graph (seeds/collections keyed by namespace). */
   def relateFanOut(cfg: GraftConfig,

@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
 /** GridFS file-content enrichment (S7, `addFileContent`
   * monstache.go:1405-1433): ops in file-namespaces get the file's bytes
   * base64-encoded onto the doc as `file`; files over `max-file-size`
@@ -31,4 +34,32 @@ object FileContent {
       when(inNs && underCap,
         graft.codec.Codecs.binaryToBase64(col(contentCol).cast("binary"))))
   }
+
+  /** Fold an attached `file` column INTO the document body — the
+    * reference sets `op.Data["file"] = base64` (addFileContent,
+    * monstache.go:1416-1432), so content travels inside the indexed doc,
+    * not beside it, and survives a sink boundary that ships only the
+    * document. The rewrite is the same canonical sorted-key scalar form
+    * as [[Routing.extractDocMeta]]'s meta strip; only rows that actually
+    * carry content (non-null `file` AND a document to fold into) leave
+    * column algebra — over-cap, out-of-namespace and delete rows pass
+    * through codegen untouched. A frame without a `file` column (e.g.
+    * `index-files = false` upstream) is returned as-is. */
+  private val foldUdf = udf { (doc: String, file: String) =>
+    JsonMethods.parse(doc) match {
+      case JObject(fields) =>
+        JsonMethods.compact(JsonMethods.render(JObject(
+          (("file" -> JString(file): JField) ::
+            fields.filterNot(_._1 == "file")).sortBy(_._1))))
+      case other => JsonMethods.compact(JsonMethods.render(other))
+    }
+  }
+
+  def foldIntoDocument(df: DataFrame): DataFrame =
+    if (!df.columns.contains("file")) df
+    else df.withColumn("document",
+        when(col("file").isNotNull && col("document").isNotNull,
+          foldUdf(col("document"), col("file")))
+          .otherwise(col("document")))
+      .drop("file")
 }

@@ -73,12 +73,19 @@ object Relate {
 
   /** One hop: changed docs of `rel.namespace` joined to the related
     * collection. Emits the related docs as synthetic direct-query ops
-    * (source=direct_query, fresh version, monstache.go:1289-1298). */
-  def hop(changes: DataFrame, related: DataFrame, rel: Relation): DataFrame = {
+    * (source=direct_query, fresh version, monstache.go:1289-1298).
+    * `carry` names CHANGE-side columns propagated onto each emitted row
+    * verbatim — what synthetic-op stamping needs (the reference stamps
+    * emitted ops from the triggering op's context); across recursive
+    * hops the ORIGINAL seed's values ride through, since each emitted
+    * frame re-enters as the next hop's change side. Carried names must
+    * not collide with related columns. */
+  def hop(changes: DataFrame, related: DataFrame, rel: Relation,
+          carry: Seq[String] = Nil): DataFrame = {
     val r = if (rel.broadcastRelated) broadcast(related) else related
     changes.alias("c")
       .join(r.alias("r"), srcKey(rel) === col("r." + rel.matchField))
-      .select(col("r.*"))
+      .select(col("r.*") +: carry.map(n => col("c." + n).as(n)): _*)
   }
 
   /** One hop keeping both sides — used when the emitted doc must carry its
@@ -115,7 +122,8 @@ object Relate {
              seeds: Map[String, DataFrame],
              collections: Map[String, DataFrame],
              relations: Seq[Relation],
-             safetyCap: Int = 32): DataFrame = {
+             safetyCap: Int = 32,
+             carry: Seq[String] = Nil): DataFrame = {
     var out: Option[DataFrame] = None
     def emit(df: DataFrame): Unit =
       out = out.map(_.unionByName(df, allowMissingColumns = true)).orElse(Some(df))
@@ -139,7 +147,7 @@ object Relate {
         coll <- collections.get(rel.withNamespace)
         if rel.maxDepth == 0 || depth <= rel.maxDepth
       } {
-        val emitted = hop(changed, coll, rel)
+        val emitted = hop(changed, coll, rel, carry)
         produced(rel.withNamespace) = produced.get(rel.withNamespace)
           .map(_.unionByName(emitted)).getOrElse(emitted)
       }

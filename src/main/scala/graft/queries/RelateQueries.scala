@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.config.{ConfiguredPipeline, GraftConfig}
 import graft.operators._
+import graft.sink.{InMemorySinkBackend, SinkWriter}
 import graft.source.EventLog
 
 /** Relate fan-out / lookup queries (SURVEY §2.4 J1-J6, §2.5 A2). The TPC-H
@@ -289,6 +291,89 @@ object RelateQueries extends QueryFamily {
           |       max(o_orderkey) AS max_orderkey
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |GROUP BY c_custkey
-          |ORDER BY c_custkey""".stripMargin))
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // ── The reference's FULL routeData topology driven end-to-end
+    //    through the pluggable sink (routeOp → routeData → relate
+    //    fan-out → file content → doIndexing, monstache.go:3464-3495):
+    //    app.t2 changes are a join-only relate source fanning out to
+    //    supplier docs; each synthetic supplier op is stamped from its
+    //    trigger and picks up base64 file content under the 60-byte cap
+    //    (folded into the doc, addFileContent 1416-1432); the direct
+    //    namespaces index as-is; deletes resolve statelessly against the
+    //    post-upsert sink state with protection on, and t2 deletes are
+    //    skipped entirely (skipDelete 3358-3369). The oracle replays the
+    //    whole pipeline relationally: per-key LWW, mapping-resolved
+    //    index names, the file cap, and the one delete effect an
+    //    empty-bootstrap batch can have — a tombstone id whose ONLY live
+    //    doc is a same-id supplier doc removes it when the tombstone
+    //    outranks it (exactly-one-hit protection + the backend's
+    //    versioned-delete fence). The backend dump is mock-sized by
+    //    design (sinkState is the mock's own driver map); a fresh
+    //    backend per invocation keeps the query body idempotent. ────────
+    QueryDef.sorted(
+      "q91_route_data_sink",
+      (s, dir) => {
+        import s.implicits._
+        val cfg = GraftConfig(
+          relates = Seq(Relation("app.t2", "app.supplier", "document.k",
+            "s_suppkey", matchFieldType = Some("long"),
+            broadcastRelated = true)),
+          mappings = Map("app.supplier" -> "suppliers"),
+          indexFiles = true,
+          fileNamespaces = Seq("app.supplier"),
+          maxFileSize = 60)
+        // variable-length synthetic blob standing in for the GridFS
+        // bytes (the small-SF supplier table carries no long text
+        // column): 1-5 repeats of the name straddle the 60-byte cap
+        val suppDocs = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey").cast("string").as("id"),
+            to_json(struct(col("s_name"), col("s_nationkey"))).as("document"),
+            col("s_suppkey"),
+            repeat(concat(col("s_name"), lit("#")),
+              (col("s_suppkey") % 5 + 1).cast("int")).as("blob"))
+        val routed = ConfiguredPipeline.routeData(cfg,
+          collections = Map("app.supplier" -> suppDocs),
+          fileContentCol = "blob")(EventLog.envelope(s, dir))
+        val backend = new InMemorySinkBackend
+        SinkWriter.writeBatch(routed, cfg, backend)
+        backend.state.toSeq.map { case ((ix, id), d) =>
+          (ix, id, d.version, d.document.contains("\"file\":"))
+        }.toDF("meta_index", "id", "version", "has_file")
+      },
+      _.orderBy(col("meta_index"), col("id").cast("long")),
+      Some(
+        s"""WITH ${EventLog.oracleCte},
+           |dw AS (
+           |  SELECT namespace, id, operation, version FROM (
+           |    SELECT namespace, id, operation, version,
+           |           row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
+           |    FROM envelope WHERE namespace <> 'app.t2') WHERE rn = 1),
+           |synth AS (
+           |  SELECT CAST(s.s_suppkey AS VARCHAR) AS id, e.version, e.event_id,
+           |         repeat(s.s_name || '#', CAST(s.s_suppkey % 5 + 1 AS INT)) AS blob
+           |  FROM envelope e JOIN supplier s
+           |    ON CAST(json_extract_string(e.document, '$$.k') AS BIGINT) = s.s_suppkey
+           |  WHERE e.namespace = 'app.t2' AND e.document IS NOT NULL),
+           |sw AS (
+           |  SELECT id, version, blob FROM (
+           |    SELECT id, version, blob,
+           |           row_number() OVER (PARTITION BY id ORDER BY version DESC, event_id DESC) AS rn
+           |    FROM synth) WHERE rn = 1),
+           |upserted AS (
+           |  SELECT lower(namespace) AS meta_index, id, version, FALSE AS has_file
+           |  FROM dw WHERE operation IN ('i', 'u')
+           |  UNION ALL
+           |  SELECT 'suppliers' AS meta_index, id, version,
+           |         octet_length(encode(blob)) <= 60 AS has_file
+           |  FROM sw),
+           |tomb AS (SELECT id, version AS del_version FROM dw WHERE operation = 'd'),
+           |hits AS (SELECT u.id, count(*) AS n_hits FROM upserted u JOIN tomb t ON u.id = t.id GROUP BY u.id)
+           |SELECT u.meta_index, u.id, u.version, u.has_file
+           |FROM upserted u
+           |LEFT JOIN tomb t ON u.id = t.id
+           |LEFT JOIN hits h ON u.id = h.id
+           |WHERE t.id IS NULL OR h.n_hits <> 1 OR u.version >= t.del_version
+           |ORDER BY u.meta_index, CAST(u.id AS BIGINT)""".stripMargin))
   )
 }
