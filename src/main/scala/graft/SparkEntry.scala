@@ -22,8 +22,12 @@ object SparkEntry {
     * come from the file; the one payload transform is a registry entry,
     * as the reference's scripts are. EntrySpec pins this against the
     * hand-wired DAG. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entryDag(spark, "/root/testdata/sf0.001")
+
+  /** The same flagship DAG over any SF dir — what q92 runs under the
+    * oracle gate (T8 as a verified row, not just the driver smoke). */
+  def entryDag(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.config.GraftConfig.loadResource("/graft.toml")
     val reg = TransformRegistry(
       mappers = Map(

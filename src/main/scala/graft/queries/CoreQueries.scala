@@ -733,6 +733,30 @@ object CoreQueries extends QueryFamily {
           |       'monstache.stats.' || strftime(make_timestamp(
           |         (SELECT max(ts_us) FROM envelope)), '%Y-%m-%d') AS stats_index
           |FROM envelope GROUP BY namespace, operation
-          |ORDER BY namespace, operation""".stripMargin)))
+          |ORDER BY namespace, operation""".stripMargin))),
+
+    // ── T8: the flagship entry DAG itself as an oracle row — the full
+    //    TOML-configured topology (SparkEntry.entryDag: envelope →
+    //    namespace-regex chain → registry mapper → oplog-time injection →
+    //    [[mapping]] routing → LWW live set) replayed relationally. The
+    //    driver's t1 smoke pins rows>0; this pins every cell of the same
+    //    DAG cross-engine, closing the one spec-only coverage row. ───────
+    QueryDef.sorted(
+      "q92_entry_dag",
+      (s, dir) => graft.SparkEntry.entryDag(s, dir),
+      _.orderBy(col("namespace"), col("meta_id").cast("long")),
+      Some(withEnvelope(
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY namespace, id ORDER BY version DESC, event_id DESC) AS rn
+          |  FROM envelope)
+          |SELECT CASE WHEN namespace = 'app.t0' THEN 'users_primary'
+          |            ELSE lower(namespace) END AS meta_index,
+          |       id AS meta_id, id AS meta_routing, version AS meta_version,
+          |       namespace, operation,
+          |       CAST(json_extract_string(document, '$.k') AS INTEGER) AS k,
+          |       value,
+          |       strftime(make_timestamp(ts_us), '%Y/%m/%d %H:%M:%S') AS oplog_date
+          |FROM ranked WHERE rn = 1 AND operation <> 'd'
+          |ORDER BY namespace, CAST(id AS BIGINT)""".stripMargin)))
   )
 }
