@@ -64,12 +64,17 @@ object PruneInvalidJson {
     case other => other
   }
 
+  /** Lenient document parse (admits NaN/Infinity literals) — shared with
+    * [[graft.operators.FileContent.foldIntoDocument]], which must not be
+    * stricter about a document than the prune that may run after it. */
+  private[graft] def parseLenient(json: String): JValue =
+    JsonMethods.fromJsonNode(lenientMapper.readTree(json))
+
   /** Prune a JSON document string; null passes through (deletes carry no
     * document). */
   def prune(json: String): String =
     if (json == null) null
-    else JsonMethods.compact(JsonMethods.render(
-      pruneAst(JsonMethods.fromJsonNode(lenientMapper.readTree(json)))))
+    else JsonMethods.compact(JsonMethods.render(pruneAst(parseLenient(json))))
 
   /** Column form of [[prune]] — the one definition both q49 and the
     * config front door (`prune-invalid-json`) apply. A justified UDF:

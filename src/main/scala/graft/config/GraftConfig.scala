@@ -316,6 +316,16 @@ object ConfiguredPipeline {
                 fileContentCol: String = "file_content")(
                 events: DataFrame): DataFrame = {
     val relNs = cfg.relates.map(_.namespace).distinct
+    // a relation whose with-namespace has no collection frame would make
+    // fanOut silently skip the hop — its join-only source ops vanish
+    // without a trace; the reference can always query the collection, so
+    // a missing frame here is a wiring error, not a data condition
+    val missing = cfg.relates.map(_.withNamespace).distinct
+      .filterNot(collections.contains)
+    require(cfg.relates.isEmpty || missing.isEmpty,
+      s"routeData: [[relate]] with-namespace ${missing.mkString(", ")} " +
+        "missing from `collections` — relate-source ops would be " +
+        "silently dropped")
     val routed =
       if (cfg.relates.isEmpty) events
       else {
@@ -323,20 +333,26 @@ object ConfiguredPipeline {
           ns -> events.filter(col("namespace") === ns)).toMap
         val fanned = Relate.fanOut(events.sparkSession, seeds, collections,
           cfg.relates, carry = Seq("event_id", "operation", "ts_us", "version"))
-        // depth 0 = keep-src seeds: already envelope-shaped ops
-        val keptSrc = fanned.filter(col("rel_depth") === 0)
-          .drop("rel_namespace", "rel_depth")
-        // depth ≥ 1 = synthetic ops: related docs stamped from their
-        // trigger's carried columns, sourced direct_query (1289-1298)
-        val synthetic = fanned.filter(col("rel_depth") > 0)
-          .withColumn("namespace", col("rel_namespace"))
-          .withColumn("db", substring_index(col("rel_namespace"), ".", 1))
-          .withColumn("coll", expr("substring(namespace, length(db) + 2)"))
-          .withColumn("source", lit("direct_query"))
-          .drop("rel_namespace", "rel_depth")
-        events.filter(!col("namespace").isin(relNs: _*))
-          .unionByName(keptSrc, allowMissingColumns = true)
-          .unionByName(synthetic, allowMissingColumns = true)
+        val direct = events.filter(!col("namespace").isin(relNs: _*))
+        // a fully-cyclic join-only graph emits nothing: fanOut returns
+        // the zero-column empty frame, and only the direct ops index
+        if (!fanned.columns.contains("rel_depth")) direct
+        else {
+          // depth 0 = keep-src seeds: already envelope-shaped ops
+          val keptSrc = fanned.filter(col("rel_depth") === 0)
+            .drop("rel_namespace", "rel_depth")
+          // depth ≥ 1 = synthetic ops: related docs stamped from their
+          // trigger's carried columns, sourced direct_query (1289-1298)
+          val synthetic = fanned.filter(col("rel_depth") > 0)
+            .withColumn("namespace", col("rel_namespace"))
+            .withColumn("db", substring_index(col("rel_namespace"), ".", 1))
+            .withColumn("coll", expr("substring(namespace, length(db) + 2)"))
+            .withColumn("source", lit("direct_query"))
+            .drop("rel_namespace", "rel_depth")
+          direct
+            .unionByName(keptSrc, allowMissingColumns = true)
+            .unionByName(synthetic, allowMissingColumns = true)
+        }
       }
     val withFiles = FileContent.foldIntoDocument(
       attachFiles(cfg)(routed, fileContentCol))

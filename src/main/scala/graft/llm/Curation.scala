@@ -257,6 +257,14 @@ object Curation {
     art.signed.write.mode("overwrite").parquet(s"$dir/signed")
     art.clusters.write.mode("overwrite").parquet(s"$dir/clusters")
     art.lineCensus.write.mode("overwrite").parquet(s"$dir/census")
+    writeSmallArtifacts(art, dir)
+  }
+
+  /** The census-sized half of [[writeArtifacts]] (counts/model/quality
+    * census) — the ONE layout definition both the whole-table store and
+    * [[graft.streaming.BucketedCuration]]'s `small/` versions write, so
+    * the two cannot silently diverge. */
+  def writeSmallArtifacts(art: CurationArtifacts, dir: String): Unit = {
     art.sourceCounts.foreach(
       _.write.mode("overwrite").parquet(s"$dir/counts"))
     art.model._1.write.mode("overwrite").parquet(s"$dir/bigrams")
@@ -347,13 +355,19 @@ object Curation {
     *    entering the table.
     *  - `relabels` (from_lbl, to_lbl) — OLD labels merged into a bigger
     *    component this batch (pair-graph-sized): the label-forwarding
-    *    map that replaces the whole-table relabel rewrite. */
+    *    map that replaces the whole-table relabel rewrite.
+    *  - `oldSigned` — the artifact's signed table minus demoted reps:
+    *    NOT a delta, but the corpus-sized frame the delta computation
+    *    already built (pair generation reads it); carried so the
+    *    whole-table roll-forward reuses the plan instead of
+    *    reconstructing the anti-join. */
   private[graft] case class IncrementDeltas(gated: DataFrame,
                                             newMin: DataFrame,
                                             demoted: DataFrame,
                                             newSigned: DataFrame,
                                             freshRows: DataFrame,
-                                            relabels: DataFrame)
+                                            relabels: DataFrame,
+                                            oldSigned: DataFrame)
 
   /** The incremental core: gate → merged-rep exact dedup → incremental
     * near-dup pairs → contracted CC, returning (kept slice, deltas).
@@ -368,16 +382,18 @@ object Curation {
     val hashed = graft.CacheBarriers.barrier(
       gated.withColumn("th", md5(col(textCol))))
     val newMin = hashed.groupBy("th").agg(min(col(idCol)).as("new_min"))
-    // the merged representative of each BATCH hash: least(old rep, new
-    // min), with least() ignoring the absent side — only batch hashes
-    // matter for the survival test, so this joins the batch-sized newMin
-    // against the artifact instead of full-outer-merging the whole table
-    val batchReps = graft.CacheBarriers.barrier(
+    // ONE batch-keyed join against the rep artifact serves both derived
+    // views below (only batch hashes matter for either, so this joins
+    // the batch-sized newMin against the artifact instead of
+    // full-outer-merging the whole table)
+    val joinedReps = graft.CacheBarriers.barrier(
       newMin.join(
-          artifacts.hashReps.select(col("th").as("th_o"), col("rep_id")),
-          col("th") <=> col("th_o"), "left")
-        .select(col("th"),
-          least(col("rep_id"), col("new_min")).as("rep_id")))
+        artifacts.hashReps.select(col("th").as("th_o"), col("rep_id")),
+        col("th") <=> col("th_o"), "left"))
+    // the merged representative of each BATCH hash: least(old rep, new
+    // min), with least() ignoring the absent side
+    val batchReps = joinedReps
+      .select(col("th"), least(col("rep_id"), col("new_min")).as("rep_id"))
     // a new doc survives the exact stage iff it IS the merged
     // representative of its hash (null-safe: null-text group included)
     val newKept = graft.CacheBarriers.barrier(
@@ -393,15 +409,12 @@ object Curation {
     // or cluster it, and its band neighbors stay reachable through the
     // new rep's IDENTICAL signature — so its rows are excluded from pair
     // generation (where it would only add a redundant content-identical
-    // proxy pair) and from the rolled-forward artifacts. Null-safe on th:
-    // the null-text group's rep can be demoted too. Barrier: consumed by
-    // the pair-generation anti-join and the artifact anti-joins.
-    val demoted = graft.CacheBarriers.barrier(
-      artifacts.hashReps.select(col("th").as("th_o"), col("rep_id"))
-        .join(newMin.select(col("th").as("th_n"), col("new_min")),
-          col("th_o") <=> col("th_n"))
-        .filter(col("new_min") < col("rep_id"))
-        .select(col("rep_id").as("doc_id")))
+    // proxy pair) and from the rolled-forward artifacts. Null-safe th
+    // matching rode joinedReps' <=> above (the null-text group's rep can
+    // be demoted too); hashes absent from the artifact carry a null
+    // rep_id, and `new_min < null` is never true.
+    val demoted = joinedReps.filter(col("new_min") < col("rep_id"))
+      .select(col("rep_id").as("doc_id"))
     val oldSigned = artifacts.signed.join(demoted, Seq("doc_id"), "left_anti")
     val pairs = Dedup.incrementalPairsFromSigned(newSigned, oldSigned)
     // contract old endpoints to their persisted cluster labels (new ids
@@ -434,7 +447,7 @@ object Curation {
       .filter(col("node") =!= col("new_lbl"))
       .select(col("node").as("from_lbl"), col("new_lbl").as("to_lbl"))
     (kept, IncrementDeltas(gated, newMin, demoted, newSigned, freshRows,
-      relabels))
+      relabels, oldSigned))
   }
 
   def curateIncremental(newBatch: DataFrame, artifacts: CurationArtifacts,
@@ -470,8 +483,6 @@ object Curation {
           col("th_a") <=> col("th_b"), "full_outer")
         .select(coalesce(col("th_a"), col("th_b")).as("th"),
           least(col("rep_id"), col("new_min")).as("rep_id")))
-    val oldSigned = artifacts.signed
-      .join(d.demoted, Seq("doc_id"), "left_anti")
     // old rows whose component label was merged into a bigger component
     // get relabeled; untouched rows pass through. Every stored
     // cluster_id IS an old label, so joining the (small) relabel map is
@@ -509,7 +520,7 @@ object Curation {
     }
     (kept, CurationArtifacts(
       hashReps = mergedReps,
-      signed = oldSigned.unionByName(d.newSigned),
+      signed = d.oldSigned.unionByName(d.newSigned),
       clusters = clustersU,
       lineCensus = Dedup.mergeLineCensus(artifacts.lineCensus, newBatch,
         idCol, textCol, lineMinChars),

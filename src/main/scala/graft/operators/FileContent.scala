@@ -46,11 +46,21 @@ object FileContent {
     * through codegen untouched. A frame without a `file` column (e.g.
     * `index-files = false` upstream) is returned as-is. */
   private val foldUdf = udf { (doc: String, file: String) =>
-    JsonMethods.parse(doc) match {
+    // lenient parse (NaN/Infinity literals admitted — the same tolerance
+    // as prune-invalid-json, which in the reference's order runs AFTER
+    // file attach); a document beyond even that indexes WITHOUT content
+    // rather than killing the stream — the reference's content-error
+    // path logs and forwards the op (startDownload, monstache.go:
+    // 4470-4482)
+    val parsed =
+      try graft.codec.PruneInvalidJson.parseLenient(doc)
+      catch { case scala.util.control.NonFatal(_) => JNothing }
+    parsed match {
       case JObject(fields) =>
         JsonMethods.compact(JsonMethods.render(JObject(
           (("file" -> JString(file): JField) ::
             fields.filterNot(_._1 == "file")).sortBy(_._1))))
+      case JNothing => doc
       case other => JsonMethods.compact(JsonMethods.render(other))
     }
   }

@@ -60,12 +60,6 @@ import graft.llm.Dedup
   * store's merge for that batch completed. */
 object BucketedCuration {
 
-  private def marker(spark: SparkSession, dir: String): Unit = {
-    val p = new Path(dir, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
-  }
-
   // ── per-store combines (the pluggable BucketedState merges) ───────────
 
   /** hashreps: the merged representative of a hash is the min id ever
@@ -211,14 +205,13 @@ object BucketedCuration {
                          batchId: Long, art: CurationArtifacts,
                          smallVs: Seq[Long]): Unit = {
     val sd = s"$stateDir/small/v$batchId"
-    art.sourceCounts.foreach(
-      _.write.mode("overwrite").parquet(s"$sd/counts"))
-    art.model._1.write.mode("overwrite").parquet(s"$sd/bigrams")
-    art.model._2.write.mode("overwrite").parquet(s"$sd/unigrams")
-    art.qualityCounts.foreach(
-      _.write.mode("overwrite").parquet(s"$sd/qcounts"))
-    // marker LAST: the small version is the batch's commit signal
-    marker(spark, sd)
+    // the one shared layout definition (Curation.writeArtifacts' small
+    // half) — the whole-table and bucketed stores cannot diverge
+    Curation.writeSmallArtifacts(art, sd)
+    // marker LAST: the small version is the batch's commit signal, so
+    // every other write of the batch (buckets, labelmap, kept slice)
+    // must already be on storage when it lands
+    VersionedState.commitMarker(spark, sd)
     VersionedState.gcBefore(spark, s"$stateDir/small", batchId, smallVs)
   }
 
@@ -246,9 +239,10 @@ object BucketedCuration {
         .select(col("doc_id").as("from_lbl"), col("cluster_id").as("to_lbl"))
         .limit(0)
         .write.mode("overwrite").parquet(s"$stateDir/labelmap/v-1")
+      // kept BEFORE the small marker: the marker is the commit signal
+      kept.write.mode("overwrite").parquet(s"$stateDir/kept/b-1")
       writeSmall(spark, stateDir, -1L, art,
         VersionedState.versions(spark, s"$stateDir/small"))
-      kept.write.mode("overwrite").parquet(s"$stateDir/kept/b-1")
     }
 
   /** Idempotent curation of one micro-batch: deltas are computed against
@@ -291,10 +285,15 @@ object BucketedCuration {
       }
       lm.write.mode("overwrite").parquet(s"$lmDir/v$batchId")
       VersionedState.gcBefore(spark, lmDir, batchId, lmVs)
+      // kept BEFORE the small marker (same ordering as
+      // [[StreamingCuration.mergeBatch]]): a crash between the two
+      // leaves the batch uncommitted and the replay rewrites the kept
+      // slice deterministically — never a committed batch with a
+      // missing output slice
+      kept.write.mode("overwrite").parquet(s"$stateDir/kept/b$batchId")
       // small artifacts roll forward whole (census-sized); their marker
       // commits the batch
       writeSmall(spark, stateDir, batchId, art2, smallVs)
-      kept.write.mode("overwrite").parquet(s"$stateDir/kept/b$batchId")
     }
 
   /** Continuous form: document stream → per-batch bucketed merges. */

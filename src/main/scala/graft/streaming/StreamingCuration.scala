@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -36,11 +35,9 @@ import graft.llm.Curation.CurationArtifacts
   * layout, so a micro-batch rewrites only the buckets it touches. */
 object StreamingCuration {
 
-  private def marker(spark: SparkSession, dir: String): Unit = {
-    val p = new Path(dir, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
-  }
+  private def marker(spark: SparkSession, dir: String): Unit =
+    VersionedState.commitMarker(spark, dir)
+  // (alias kept for readability at the three call sites below)
 
   /** Seed the state with the bootstrap corpus BEFORE the stream starts
     * (version -1, the [[StreamingUpsert.seedState]] convention: batch 0
@@ -51,14 +48,19 @@ object StreamingCuration {
                 sourceCol: Option[String] = None,
                 lineMinChars: Int = 10,
                 classifier: Option[graft.llm.QualityModel.LocalClassifier] = None,
-                trainQuality: Boolean = false): Unit = {
-    val spark = docs.sparkSession
-    val (kept, art) = Curation.artifactsOf(docs, idCol, textCol, sourceCol,
-      lineMinChars, classifier, trainQuality)
-    Curation.writeArtifacts(art, s"$stateDir/v-1")
-    kept.write.mode("overwrite").parquet(s"$stateDir/kept/b-1")
-    marker(spark, s"$stateDir/v-1")
-  }
+                trainQuality: Boolean = false): Unit =
+    graft.CacheBarriers.withScope {
+      // scoped like mergeBatch: artifactsOf registers operator-internal
+      // barriers, and a bootstrap outside any scope would pin the whole
+      // bootstrap corpus's cached frames in the session-global registry
+      // for the life of the ingest session
+      val spark = docs.sparkSession
+      val (kept, art) = Curation.artifactsOf(docs, idCol, textCol, sourceCol,
+        lineMinChars, classifier, trainQuality)
+      Curation.writeArtifacts(art, s"$stateDir/v-1")
+      kept.write.mode("overwrite").parquet(s"$stateDir/kept/b-1")
+      marker(spark, s"$stateDir/v-1")
+    }
 
   /** Idempotent curation of one micro-batch against the predecessor
     * version's artifacts. */

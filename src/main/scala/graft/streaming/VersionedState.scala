@@ -21,6 +21,16 @@ private[streaming] object VersionedState {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Write the `_SUCCESS` commit marker for a MULTI-TABLE version dir —
+    * one whose member tables each job-committed individually, so the
+    * dir-level marker (what [[versions]] keys off) must be written
+    * explicitly, LAST. Single-table versions get theirs from the parquet
+    * job commit and never need this. */
+  def commitMarker(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, "_SUCCESS")
+    fs(spark, dir).create(p, true).close()
+  }
+
   /** Committed versions under `dir`, newest first. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new Path(dir)
