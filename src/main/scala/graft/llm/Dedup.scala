@@ -323,6 +323,74 @@ object Dedup {
         min(col("eval_id")).as("min_eval_id"))
   }
 
+  /** The Bloom sketch of an eval set's distinct gram hashes — the
+    * broadcast prefilter [[exactNgramContaminationBloom]] ships to
+    * executors. Exposed so specs can probe it directly and so an
+    * incremental run can build it once per eval-set release. The count
+    * that sizes it runs on the eval side only (benchmark-sized by the
+    * decontamination contract, same as the broadcast in
+    * [[exactNgramContamination]]). */
+  private[graft] def evalGramBloom(evalGrams: DataFrame, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val n = math.max(1L, evalGrams.select("g").distinct().count())
+    evalGrams.stat.bloomFilter("g", n, fpp)
+  }
+
+  /** [[exactNgramContamination]] with a Bloom prefilter — the same
+    * results (the exact confirm join removes every Bloom false
+    * positive), a different 100 TB cost model. The plain operator
+    * broadcasts the eval gram TABLE into a hash join, so every corpus
+    * gram pays a probe against an 8-byte-per-entry map, and the join
+    * build must fit executor broadcast memory. Here the eval grams
+    * compress into a Bloom sketch (~10 bits/entry at 1% fpp — ~6×
+    * smaller than the join build, so eval sets an order of magnitude
+    * larger still broadcast), the corpus side drops ~all clean grams in
+    * a narrow codegen-adjacent filter BEFORE any join, and the exact
+    * confirm join then runs over the tiny survivor set — at that size
+    * the broadcast-vs-shuffle choice stops mattering.
+    *
+    * The membership probe is a Scala UDF over the broadcast sketch: a
+    * driver-built Bloom filter is opaque to column algebra, and the UDF
+    * sits on a column already reduced to a long — the boxing cost is one
+    * long per gram, not per byte of text (the justified-UDF bar of
+    * SURVEY §2.10). False positives cost only wasted confirm-join input,
+    * never wrong output; `fpp` tunes that overhead.
+    *
+    * Reference analog: the same filter-before-expensive-work position as
+    * the namespace regex chain before relate fan-out
+    * (monstache.go:4852-4859 before 1221-1358). */
+  def exactNgramContaminationBloom(corpus: DataFrame, evalDocs: DataFrame,
+                                   shingleN: Int = 5,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    // the eval gram table is consumed twice (sketch build + confirm
+    // join) — barrier it so the shingling runs once
+    val evalGrams = graft.CacheBarriers.barrier(
+      gramTable(evalDocs, idCol, "eval_id", textCol, shingleN)
+        .select(col("eval_id"), explode(col("hs")).as("g")))
+    val bloom = spark.sparkContext.broadcast(evalGramBloom(evalGrams, fpp))
+    val mightHit = udf((g: Long) => bloom.value.mightContainLong(g))
+    // same barrier as exactNgramContamination, same measured reason:
+    // size() and explode() below would otherwise each re-run the md5
+    // shingle chain (CollapseProject inlines it into both consumers)
+    val cg = graft.CacheBarriers.barrier(
+      gramTable(corpus, idCol, "doc_id", textCol, shingleN))
+    // n_ngrams (the per-doc total) is taken from the FULL gram array
+    // before the prefilter — the prefilter prunes join input, not the
+    // denominator a contamination ratio divides by
+    val pre = cg.select(col("doc_id"), size(col("hs")).as("n_ngrams"),
+        explode(col("hs")).as("g"))
+      .filter(mightHit(col("g")))
+    pre.join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        min(col("eval_id")).as("min_eval_id"))
+  }
+
   /** Within-corpus verbatim overlap: document pairs sharing at least
     * `minShared` exact n-word windows — the exact-substring duplication
     * signal (boilerplate headers, license blocks, templated spans) that

@@ -392,6 +392,102 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
   }
 
+  /** Per-label centroid outlier scoring: every vector's cosine to the
+    * mean vector of its label group, with vectors below `minCos` flagged
+    * — the embedding-space anomaly signal a curation pipeline uses to
+    * catch mislabeled / off-distribution / encoder-glitched documents
+    * before they pollute a training mix. Returns
+    * `(idCol, labelCol, cos_scaled, is_outlier)` for every scorable
+    * vector; broken vectors (NULL / null-element / zero-norm) follow the
+    * existing quarantine contract ([[cleanVec]]) and are absent.
+    *
+    * Determinism across engines, same recipe as [[IvfTrain]]: per-label
+    * per-dimension sums run on `floor(x·1e6)` integers (order-free), the
+    * mean is one double division, and the flag compares scaled-integer
+    * cosines — never raw doubles.
+    *
+    * Scale shape: one narrow pass + posexplode feeding a
+    * (label, dim)-keyed partial aggregation (labels·dim tiny rows — the
+    * same control-plane-sized shape as [[IvfTrain.step]], but it stays a
+    * DataFrame: nothing is collected), centroid re-assembly is an
+    * aggregation over those rows, and scoring is a broadcast join plus a
+    * per-row fold. The one corpus shuffle is the posexplode aggregation,
+    * partial-aggregated map-side. `maxLabels` is the loud guard (same
+    * contract as `Sampling.temperatureRates`): a data-cardinality label
+    * column would make the "control-plane-sized" premise false, so it
+    * fails fast instead of OOMing the broadcast. */
+  def labelCentroidOutliers(vectors: DataFrame, minCos: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            labelCol: String = "label",
+                            maxLabels: Int = 100000): DataFrame = {
+    // consumed twice (centroid sums + scoring) — barrier so the source
+    // scan and vector cleaning run once
+    val clean = graft.CacheBarriers.barrier(
+      vectors.select(col(idCol), col(labelCol),
+          cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull))
+    val nLabels = clean.select(labelCol).distinct().count()
+    require(nLabels <= maxLabels,
+      s"labelCentroidOutliers: $nLabels distinct '$labelCol' values " +
+        s"exceed maxLabels=$maxLabels — the label column must be " +
+        "group-cardinality, not data-cardinality; raise maxLabels only " +
+        "if the centroid table genuinely fits a broadcast")
+    val sums = clean
+      .select(col(labelCol), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(floor(col("x") * IvfTrain.Scale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val cents = sums.groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (lit(IvfTrain.Scale) * col("n")))
+            .as("c")))),
+        x => x.getField("c")).as("cv"))
+    val thresh = math.floor(minCos * 1e6).toLong
+    clean.join(broadcast(cents), Seq(labelCol))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .select(col(idCol), col(labelCol),
+        floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
+      .withColumn("is_outlier", col("cos_scaled") < lit(thresh))
+  }
+
+  /** Semantic deduplication (the SemDeDup shape: cluster embeddings,
+    * prune within-cluster near-identical members, keep one
+    * representative): [[embeddingNearDupPairs]]' intra-bucket cosine
+    * pairs resolved to keep/drop decisions by
+    * [[Dedup.dupClusters]]' min-label connected components. Returns one
+    * row per corpus vector — `(idCol, cluster_id, keep)`: members of a
+    * near-dup component carry its min id as `cluster_id` and only the
+    * representative keeps; vectors in no near-dup pair are their own
+    * singleton cluster and always keep.
+    *
+    * Scale shape: pair generation is the IVF-bucketed self-join (never
+    * all-pairs), CC runs on the pair set only (duplicate-sized, not
+    * corpus-sized), and the final decoration is one id-keyed left join
+    * of the corpus against the cluster table — the cluster table is
+    * |near-dup members| rows, so at a typical few-percent dup rate AQE
+    * broadcasts it; worst-case it shuffle-joins on the id, the same key
+    * the downstream kept-slice filter needs anyway.
+    *
+    * The reference has no analog (dedup-by-key happens implicitly via ES
+    * external versioning, SURVEY §2.6); this is a curation-tier
+    * extension like [[graft.llm.Dedup.dupClusters]]. */
+  def semanticDedup(vectors: DataFrame, centroidPred: Column,
+                    minCos: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairs(vectors, centroidPred, minCos,
+      idCol, vecCol)
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    vectors.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** Persist an IVF index: the assignment frame written bucket-partitioned
     * — the claimed 100 TB layout made literal. One directory per bucket
     * means a probe is partition-pruned I/O (the scan never lists, let

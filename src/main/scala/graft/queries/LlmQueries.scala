@@ -1647,6 +1647,134 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
            |       CAST(n_words AS BIGINT) AS n_words
            |FROM surv ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Semantic dedup (SemDeDup shape): q45's IVF-bucketed cosine pairs
+    //    resolved to keep/drop decisions via min-label connected
+    //    components; the oracle replays reachability with a recursive CTE
+    //    (q51's pattern over q45's pair SQL). ─────────────────────────────
+    QueryDef.sorted(
+      "q93_semantic_dedup",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        Similarity.semanticDedup(e.unionByName(vars),
+            centroidPred = col("vec_id") % 50 === 0 && col("vec_id") < 100000,
+            minCos = 0.95, idCol = "vec_id", vecCol = "v")
+          .select(col("vec_id").cast("long"), col("cluster_id").cast("long"),
+            col("keep"))
+      },
+      _.orderBy("vec_id"),
+      Some {
+        val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        s"""WITH RECURSIVE base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+           |          WHERE vec_id % 50 = 0 AND vec_id < 100000),
+           |assign AS (
+           |  SELECT vec_id, v, centroid_id AS bucket FROM (
+           |    SELECT e.vec_id, e.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+           |    FROM corpus e, cents c WHERE NOT isnan($acos)) WHERE cr = 1),
+           |vp AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM assign a JOIN assign b
+           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE NOT isnan($pcos) AND $pcos >= 0.95),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+           |cl AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+           |SELECT CAST(corpus.vec_id AS BIGINT) AS vec_id,
+           |       CAST(coalesce(cl.cluster_id, corpus.vec_id) AS BIGINT) AS cluster_id,
+           |       coalesce(cl.cluster_id, corpus.vec_id) = corpus.vec_id AS keep
+           |FROM corpus LEFT JOIN cl USING (vec_id)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ── Bloom-prefiltered exact decontamination: q71's semantics under a
+    //    different 100 TB cost model — eval grams compress into a
+    //    broadcast Bloom sketch that drops ~all clean corpus grams BEFORE
+    //    any join; the exact confirm join removes every false positive,
+    //    so the oracle is the plain exact SQL. Different fixture than q71
+    //    (every 11th doc, 7-gram windows) so the row isn't the same test
+    //    twice. ───────────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q94_bloom_decontaminate",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val evalSet = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + EvalOffset).as("doc_id"),
+            truncText(words(col("text"))).as("text"))
+        Dedup.exactNgramContaminationBloom(docs, evalSet, shingleN = 7)
+          .select(col("doc_id").cast("long"), col("n_ngrams").cast("long"),
+            col("n_hits"), col("n_eval_docs"),
+            col("min_eval_id").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val hs7 = TextHash.sqlHashedShingles(TextHash.sqlShingles("w", 7))
+        s"""WITH ev AS (
+           |  SELECT doc_id + $EvalOffset AS doc_id, ${sqlTruncText("text")} AS text
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |ctok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |cg AS (SELECT doc_id, $hs7 AS hs FROM ctok),
+           |etok AS (SELECT doc_id, ${W("text")} AS w FROM ev),
+           |eg AS (SELECT doc_id AS eval_id, $hs7 AS hs FROM etok),
+           |cx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS g FROM cg),
+           |ex AS (SELECT eval_id, unnest(hs) AS g FROM eg),
+           |hits AS (SELECT cx.doc_id, cx.n_ngrams, cx.g, ex.eval_id
+           |         FROM cx JOIN ex USING (g))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(max(n_ngrams) AS BIGINT) AS n_ngrams,
+           |       count(DISTINCT g) AS n_hits,
+           |       count(DISTINCT eval_id) AS n_eval_docs,
+           |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
+           |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
+    //    vector per label → scaled-integer cosine of each member to its
+    //    label centroid; the oracle replays the identical sums and fold
+    //    (IvfTrain's determinism recipe, per label instead of per
+    //    bucket). ─────────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q95_label_outliers",
+      (s, dir) => Similarity.labelCentroidOutliers(
+          spread(s, s.read.parquet(s"$dir/embeddings.parquet")),
+          minCos = 0.10)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("cos_scaled"), col("is_outlier")),
+      _.orderBy("vec_id"),
+      Some {
+        val ccos = Similarity.sqlCosine("e.v", "c.cv", 64)
+        s"""WITH e AS (SELECT vec_id, label, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |u AS (SELECT label, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s,
+           |             count(v[i]) AS n
+           |      FROM e, unnest(range(1, 65)) AS t(i) GROUP BY label, i),
+           |c AS (SELECT label, list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i) AS cv
+           |      FROM u GROUP BY label)
+           |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           |       CAST(e.label AS BIGINT) AS label,
+           |       CAST(floor($ccos * 1000000) AS BIGINT) AS cos_scaled,
+           |       CAST(floor($ccos * 1000000) AS BIGINT) < ${math.floor(0.10 * 1e6).toLong} AS is_outlier
+           |FROM e JOIN c USING (label)
+           |WHERE NOT isnan($ccos) ORDER BY vec_id""".stripMargin
       })
   )
 }

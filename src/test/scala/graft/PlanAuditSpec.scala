@@ -113,6 +113,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probed.count() == expected && expected > 0)
   }
 
+  test("label-centroid outliers broadcast the centroid table, partial-agg the sums") {
+    val plan = fmt(SparkEntry.benchQueries("q95_label_outliers")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"centroid sums lost their map-side partial agg:\n$plan")
+  }
+
+  test("bloom decontamination carries its gram prefilter in-plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val plan = fmt(graft.llm.Dedup.exactNgramContaminationBloom(docs, eval))
+    // the UDF membership probe must survive into the physical plan as a
+    // Filter (it feeds the join input; Catalyst can push it down but
+    // never lift it above the join) and the confirm join must broadcast
+    // the benchmark-sized eval side
+    assert(plan.contains("UDF"), s"bloom prefilter not in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"confirm join not broadcast:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
