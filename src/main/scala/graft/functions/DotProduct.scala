@@ -104,6 +104,7 @@ object GraftFunctions {
   val WordsName = "graft_words"
   val LangScoresName = "graft_lang_scores"
   val PosFpName = "graft_pos_fp"
+  val BloomHitName = "graft_bloom_hit"
 
   private def arity1(name: String, clazz: Class[_],
                      mk: Expression => Expression)
@@ -147,7 +148,14 @@ object GraftFunctions {
       }),
     arity1(WordsName, classOf[WordsSplit], WordsSplit(_)),
     arity1(LangScoresName, classOf[LangScores], LangScores(_)),
-    arity1(PosFpName, classOf[PosWeightedFp], PosWeightedFp(_)))
+    arity1(PosFpName, classOf[PosWeightedFp], PosWeightedFp(_)),
+    (FunctionIdentifier(BloomHitName),
+      new ExpressionInfo(classOf[BloomHit].getName, BloomHitName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$BloomHitName expects exactly 2 arguments, got ${children.size}")
+        BloomHit(children(0), children(1))
+      }))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

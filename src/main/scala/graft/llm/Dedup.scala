@@ -349,12 +349,13 @@ object Dedup {
     * confirm join then runs over the tiny survivor set — at that size
     * the broadcast-vs-shuffle choice stops mattering.
     *
-    * The membership probe is a Scala UDF over the broadcast sketch: a
-    * driver-built Bloom filter is opaque to column algebra, and the UDF
-    * sits on a column already reduced to a long — the boxing cost is one
-    * long per gram, not per byte of text (the justified-UDF bar of
-    * SURVEY §2.10). False positives cost only wasted confirm-join input,
-    * never wrong output; `fpp` tunes that overhead.
+    * The membership probe is the native codegen expression
+    * [[graft.functions.BloomHit]] — one `mightContainLong` call spliced
+    * into whole-stage codegen per gram (a driver-built Bloom sketch is
+    * opaque to column algebra, and a Scala UDF here would box + invoke
+    * per gram and fence codegen on the hottest path). False positives
+    * cost only wasted confirm-join input, never wrong output; `fpp`
+    * tunes that overhead.
     *
     * Reference analog: the same filter-before-expensive-work position as
     * the namespace regex chain before relate fan-out
@@ -364,14 +365,21 @@ object Dedup {
                                    idCol: String = "doc_id",
                                    textCol: String = "text",
                                    fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
     // the eval gram table is consumed twice (sketch build + confirm
     // join) — barrier it so the shingling runs once
     val evalGrams = graft.CacheBarriers.barrier(
       gramTable(evalDocs, idCol, "eval_id", textCol, shingleN)
         .select(col("eval_id"), explode(col("hs")).as("g")))
-    val bloom = spark.sparkContext.broadcast(evalGramBloom(evalGrams, fpp))
-    val mightHit = udf((g: Long) => bloom.value.mightContainLong(g))
+    val sketch = {
+      val bos = new java.io.ByteArrayOutputStream()
+      evalGramBloom(evalGrams, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    // the sketch rides the plan as a binary literal: the per-stage task
+    // binary is itself broadcast, so executors receive it once
+    def mightHit(g: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.BloomHitName, g,
+        lit(sketch))
     // same barrier as exactNgramContamination, same measured reason:
     // size() and explode() below would otherwise each re-run the md5
     // shingle chain (CollapseProject inlines it into both consumers)

@@ -427,17 +427,65 @@ object Similarity {
       vectors.select(col(idCol), col(labelCol),
           cleanVec(col(vecCol)).as("v"))
         .filter(col("v").isNotNull))
-    val nLabels = clean.select(labelCol).distinct().count()
+    scoreAgainstCentroidSums(clean, centroidSumsOfClean(clean, labelCol),
+      minCos, idCol, labelCol, maxLabels, vecReady = true)
+  }
+
+  /** The additive centroid artifact: per-(label, dimension) integer
+    * sums + member counts — (labelCol, pos, s, n). Long sums of
+    * `floor(x·1e6)` are associative and commutative, so two batches'
+    * artifacts merge by addition ([[mergeCentroidSums]]) into EXACTLY
+    * the union's artifact: the incremental roll-forward
+    * (`scoreAgainstCentroidSums(b2, merge(sums(b1), sums(b2)))` ≡ the
+    * full-union scoring restricted to b2) is an identity, not an
+    * approximation — same contract as the curation composite's additive
+    * census/counts artifacts. */
+  def labelCentroidSums(vectors: DataFrame,
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame =
+    centroidSumsOfClean(
+      vectors.select(col(labelCol), cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull), labelCol)
+
+  private def centroidSumsOfClean(clean: DataFrame,
+                                  labelCol: String): DataFrame =
+    clean
+      .select(col(labelCol), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(floor(col("x") * IvfTrain.Scale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** Fold a new batch's sums into a persisted artifact — pure addition
+    * on the (label, pos) key. */
+  def mergeCentroidSums(a: DataFrame, b: DataFrame,
+                        labelCol: String = "label"): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Score vectors against a (possibly merged) centroid-sums artifact.
+    * The scale/determinism story of [[labelCentroidOutliers]] applies
+    * unchanged — this is its scoring half, split out so incremental
+    * runs score a new batch against rolled-forward sums without
+    * re-reading old corpora. */
+  def scoreAgainstCentroidSums(vectors: DataFrame, sums: DataFrame,
+                               minCos: Double,
+                               idCol: String = "vec_id",
+                               labelCol: String = "label",
+                               maxLabels: Int = 100000,
+                               vecCol: String = "embedding",
+                               vecReady: Boolean = false): DataFrame = {
+    val clean =
+      if (vecReady) vectors
+      else vectors.select(col(idCol), col(labelCol),
+          cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull)
+    val nLabels = sums.select(labelCol).distinct().count()
     require(nLabels <= maxLabels,
       s"labelCentroidOutliers: $nLabels distinct '$labelCol' values " +
         s"exceed maxLabels=$maxLabels — the label column must be " +
         "group-cardinality, not data-cardinality; raise maxLabels only " +
         "if the centroid table genuinely fits a broadcast")
-    val sums = clean
-      .select(col(labelCol), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col(labelCol), col("pos"))
-      .agg(sum(floor(col("x") * IvfTrain.Scale).cast("long")).as("s"),
-        count(lit(1)).as("n"))
     val cents = sums.groupBy(col(labelCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
@@ -486,6 +534,93 @@ object Similarity {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
         (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
+  /** Incremental [[semanticDedup]]: keep/drop ONE new vector batch
+    * against a persisted IVF index ([[buildIndex]]) and the cluster
+    * artifact of everything deduped before — the daily-ingest shape.
+    * Returns `(decisions, updatedClusters)`: decisions carry the
+    * [[semanticDedup]] row contract for the NEW batch only; the updated
+    * cluster artifact is what the next increment resumes from.
+    *
+    * The old corpus is never rescanned: assignment uses the index's own
+    * frozen centroids (probe geometry must match bucket contents — the
+    * [[writeCentroids]] invariant), and old vectors are read ONLY from
+    * the buckets the new batch actually touches — partition-pruned I/O
+    * against the bucket-partitioned index, ≤ k directories, usually far
+    * fewer. Pair generation is (new × new) and (new × old-in-touched-
+    * buckets); old endpoints then CONTRACT to their persisted cluster
+    * labels before connected components, the same proof as the curation
+    * composite's incremental CC (`Curation.curateIncremental`): any old
+    * doc reachable from a new doc pulls in its whole old cluster, whose
+    * min IS its label, so component minima agree with a full-graph
+    * rebuild — including when one new doc bridges two old clusters
+    * (their labels merge through the new node, and the artifact rolls
+    * forward through the same relabel map).
+    *
+    * Append-only contracts, as everywhere in the incremental family:
+    * batch ids are previously unseen, and verdicts already published
+    * for old docs stand (a new smaller-id near-dup wins in ITS batch's
+    * output; the old doc's keep is not revised — the artifact, however,
+    * reflects the merged labels exactly). */
+  def semanticDedupIncremental(newBatch: DataFrame, indexDir: String,
+                               oldClusters: DataFrame, minCos: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val spark = newBatch.sparkSession
+    val newAssigned = graft.CacheBarriers.barrier(
+      ivfAssign(newBatch, readCentroids(spark, indexDir), idCol, vecCol)
+        .filter(col("bucket") =!= UnassignedBucket))
+    // ≤ k bucket ids — control-plane-sized, like the centroid table
+    val touched = newAssigned.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val old = readIndex(spark, indexDir, touched)
+      .select(col(idCol), col("v"), col("vn"), col("bucket"))
+    val nn = newAssigned.alias("a").join(newAssigned.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos",
+        cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
+      .filter(col("cos") >= minCos)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val no = newAssigned.alias("a").join(old.alias("b"),
+        col("a.bucket") === col("b.bucket"))
+      .withColumn("cos",
+        cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
+      .filter(col("cos") >= minCos)
+      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("old_id"))
+    // contract old endpoints to their persisted labels; a pairless old
+    // doc (absent from the artifact) is its own label
+    val contracted = no
+      .join(oldClusters.withColumnRenamed("doc_id", "old_id")
+          .withColumnRenamed("cluster_id", "old_lbl"),
+        Seq("old_id"), "left")
+      .select(col("new_id").as("id_a"),
+        coalesce(col("old_lbl"), col("old_id")).as("id_b"))
+    val labels = graft.CacheBarriers.barrier(
+      Dedup.dupClusters(nn.unionByName(contracted))
+        .select(col("doc_id"), col("cluster_id")))
+    val decisions = newBatch.select(col(idCol))
+      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+    // artifact roll-forward: forward OLD labels merged this batch, then
+    // append rows for nodes newly entering the table
+    val relabels = labels
+      .join(oldClusters.select(col("cluster_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("from_lbl"), col("cluster_id").as("to_lbl"))
+    val updatedOld = oldClusters.alias("c")
+      .join(relabels.alias("r"), col("c.cluster_id") === col("r.from_lbl"),
+        "left")
+      .select(col("c.doc_id"),
+        coalesce(col("r.to_lbl"), col("c.cluster_id")).as("cluster_id"))
+    val fresh = labels.join(
+      updatedOld.select("doc_id"), Seq("doc_id"), "left_anti")
+    (decisions, updatedOld.unionByName(fresh))
   }
 
   /** Persist an IVF index: the assignment frame written bucket-partitioned

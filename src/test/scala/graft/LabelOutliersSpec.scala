@@ -58,6 +58,26 @@ class LabelOutliersSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("merged centroid-sums artifact ≡ full recomputation (additive roll-forward)") {
+    import spark.implicits._
+    val b1 = Seq((1L, 0L, Array(1.0, 0.0)), (2L, 0L, Array(0.9, 0.1)),
+      (10L, 1L, Array(0.0, 1.0))).toDF("vec_id", "label", "embedding")
+    val b2 = Seq((3L, 0L, Array(-1.0, 0.0)), (11L, 1L, Array(0.0, 0.8)),
+      (20L, 2L, Array(0.5, 0.5))).toDF("vec_id", "label", "embedding")
+    val merged = Similarity.mergeCentroidSums(
+      Similarity.labelCentroidSums(b1), Similarity.labelCentroidSums(b2))
+    val incr = Similarity.scoreAgainstCentroidSums(b2, merged, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val full = Similarity.labelCentroidOutliers(
+        b1.unionByName(b2), minCos = 0.5)
+      .filter(col("vec_id").isin(3L, 11L, 20L))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(incr.toSeq == full.toSeq)
+    assert(incr.nonEmpty)
+  }
+
   test("data-cardinality label column fails loudly, never an OOM broadcast") {
     import spark.implicits._
     val rows = (0L until 50L).map(i => (i, i, Array(1.0, 0.0)))

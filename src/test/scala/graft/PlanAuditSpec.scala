@@ -127,11 +127,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val eval = docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val plan = fmt(graft.llm.Dedup.exactNgramContaminationBloom(docs, eval))
-    // the UDF membership probe must survive into the physical plan as a
-    // Filter (it feeds the join input; Catalyst can push it down but
-    // never lift it above the join) and the confirm join must broadcast
-    // the benchmark-sized eval side
-    assert(plan.contains("UDF"), s"bloom prefilter not in plan:\n$plan")
+    // the native membership probe must survive into the physical plan
+    // (it feeds the join input; Catalyst can push it down but never
+    // lift it above the join) WITHOUT a codegen-fencing UDF, and the
+    // confirm join must broadcast the benchmark-sized eval side
+    assert(plan.contains("graft_bloom_hit"),
+      s"bloom prefilter not in plan:\n$plan")
+    assert(!plan.contains("UDF"), s"bloom probe fell back to a UDF:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"confirm join not broadcast:\n$plan")
   }
