@@ -1748,6 +1748,84 @@ object LlmQueries extends QueryFamily {
            |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // ── Incremental semantic dedup (q93's daily-ingest shape): batch 1 =
+    //    originals + first variants, deduped once into a persisted IVF
+    //    index (fresh temp dir per invocation — re-invocable) and a
+    //    cluster artifact; batch 2 = second/third variants, decided
+    //    against the ARTIFACTS ONLY — b1 is re-read only in the buckets
+    //    b2 touches. The oracle replays a FULL union rebuild restricted
+    //    to b2's ids, so the hash match IS the incremental ≡ batch
+    //    identity (q84's proof pattern, in embedding space). ──────────────
+    QueryDef.sorted(
+      "q96_semantic_dedup_incremental",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        def vars(mod: Int, offset: Int) = e.filter(col("vec_id") % mod === 0)
+          .select((col("vec_id") + offset).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val b1 = e.unionByName(vars(25, 100000))
+        val b2 = vars(50, 200000).unionByName(vars(100, 300000))
+        val pred = col("vec_id") % 50 === 0 && col("vec_id") < 100000
+        val oldClusters = Dedup.dupClusters(
+          Similarity.embeddingNearDupPairs(b1, pred, minCos = 0.95,
+            idCol = "vec_id", vecCol = "v"))
+          .select("doc_id", "cluster_id")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-q96-idx").toString
+        Similarity.buildIndex(b1,
+          Similarity.collectCentroids(b1.filter(pred), "vec_id", "v"),
+          idxDir, "vec_id", "v")
+        val (decisions, _) = Similarity.semanticDedupIncremental(
+          b2, idxDir, oldClusters, minCos = 0.95,
+          idCol = "vec_id", vecCol = "v")
+        decisions.select(col("vec_id").cast("long"),
+          col("cluster_id").cast("long"), col("keep"))
+      },
+      _.orderBy("vec_id"),
+      Some {
+        val acos = Similarity.sqlCosine("e.v", "c.cv", 64)
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val perturb =
+          "list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)"
+        s"""WITH RECURSIVE base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000, $perturb FROM base WHERE vec_id % 25 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 200000, $perturb FROM base WHERE vec_id % 50 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 300000, $perturb FROM base WHERE vec_id % 100 = 0),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+           |          WHERE vec_id % 50 = 0),
+           |assign AS (
+           |  SELECT vec_id, v, centroid_id AS bucket FROM (
+           |    SELECT e.vec_id, e.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+           |    FROM corpus e, cents c WHERE NOT isnan($acos)) WHERE cr = 1),
+           |vp AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM assign a JOIN assign b
+           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE NOT isnan($pcos) AND $pcos >= 0.95),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+           |cl AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+           |SELECT CAST(corpus.vec_id AS BIGINT) AS vec_id,
+           |       CAST(coalesce(cl.cluster_id, corpus.vec_id) AS BIGINT) AS cluster_id,
+           |       coalesce(cl.cluster_id, corpus.vec_id) = corpus.vec_id AS keep
+           |FROM corpus LEFT JOIN cl USING (vec_id)
+           |WHERE corpus.vec_id >= 200000
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
