@@ -584,8 +584,15 @@ object Similarity {
         cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
       .filter(col("cos") >= minCos)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // the id inequality matters under at-least-once replay: a batch
+    // already appended to the index meets ITSELF here, and a self-pair
+    // would fabricate a singleton self-row in the artifact (batch-mate
+    // pairs seen through the index merely duplicate the in-batch edge
+    // and are harmless — a replayed batch must converge to the same
+    // state, pinned by StreamingSemanticDedupSpec)
     val no = newAssigned.alias("a").join(old.alias("b"),
-        col("a.bucket") === col("b.bucket"))
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
       .withColumn("cos",
         cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
       .filter(col("cos") >= minCos)
