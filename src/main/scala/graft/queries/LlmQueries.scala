@@ -1826,6 +1826,44 @@ object LlmQueries extends QueryFamily {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // ── Per-source quantile buckets WITHOUT a global sort: integer
+    //    word-count histogram (additive artifact) → cumulative-count
+    //    decile edges over histogram rows only → broadcast edge arrays
+    //    decorate the corpus in one narrow pass. The ntile() window this
+    //    replaces would total-order every source partition — the
+    //    anti-pattern; the oracle replays the histogram math exactly. ─────
+    QueryDef.sorted(
+      "q97_quantile_buckets",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val score = size(words(col("text"))).cast("long")
+        val thr = Quantiles.binThresholds(
+          Quantiles.scoreHistogram(docs, score, 8), 10)
+        Quantiles.withQuantileBucket(docs, thr, score, 8)
+          .select(col("doc_id").cast("long"), col("source"),
+            col("bin"), col("q_bucket"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH d AS (SELECT doc_id, source,
+           |                  CAST(floor(CAST(len(${W("text")}) AS BIGINT) / 8.0) AS BIGINT) AS bin
+           |           FROM documents),
+           |hist AS (SELECT source, bin, count(*) AS n FROM d GROUP BY 1, 2),
+           |cum AS (SELECT source, bin, n,
+           |               sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+           |               sum(n) OVER (PARTITION BY source) AS total
+           |        FROM hist),
+           |qs AS (SELECT source, q, bin
+           |       FROM cum, unnest(range(1, 10)) AS t(q)
+           |       WHERE cum >= CAST(floor((q * total + 9) / 10.0) AS BIGINT)
+           |         AND cum - n < CAST(floor((q * total + 9) / 10.0) AS BIGINT)),
+           |edges AS (SELECT source, list(bin ORDER BY q) AS es FROM qs GROUP BY source)
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.bin,
+           |       CAST(1 + len(list_filter(es, e -> e < d.bin)) AS BIGINT) AS q_bucket
+           |FROM d JOIN edges USING (source)
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
