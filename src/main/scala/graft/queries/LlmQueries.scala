@@ -1864,6 +1864,32 @@ object LlmQueries extends QueryFamily {
            |FROM d JOIN edges USING (source)
            |ORDER BY d.doc_id""".stripMargin)),
 
+    // ── Deterministic chunking: overlapping 32-word windows, stride 24,
+    //    clipped tail — strictly narrow (words + index explode + slice,
+    //    no shuffle); provenance (doc_id, chunk_idx) on every row. ────────
+    QueryDef.sorted(
+      "q98_doc_chunks",
+      (s, dir) => Chunking.withChunks(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")),
+          chunkWords = 32, strideWords = 24)
+        .select(col("doc_id").cast("long"), col("chunk_idx"),
+          col("chunk_text"), col("n_chunk_words")),
+      _.orderBy("doc_id", "chunk_idx"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |nch AS (SELECT doc_id, w,
+           |               CASE WHEN len(w) > 32
+           |                    THEN 1 + CAST(floor((len(w) - 32 + 23) / 24.0) AS INT)
+           |                    WHEN len(w) IS NOT NULL THEN 1 END AS k
+           |        FROM tok),
+           |ch AS (SELECT doc_id, w, unnest(range(0, k)) AS ci FROM nch)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(ci AS BIGINT) AS chunk_idx,
+           |       array_to_string(list_slice(w, ci*24 + 1, ci*24 + 32), ' ') AS chunk_text,
+           |       CAST(len(list_slice(w, ci*24 + 1, ci*24 + 32)) AS BIGINT) AS n_chunk_words
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
