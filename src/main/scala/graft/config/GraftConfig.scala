@@ -354,6 +354,20 @@ object ConfiguredPipeline {
             .unionByName(synthetic, allowMissingColumns = true)
         }
       }
+    // loud wiring check, same contract as the missing-collection require
+    // above: with index-files on, content can only ride in on a column
+    // of the routed frame (the events envelope itself, or carried
+    // through relate collection frames). Without it, attach's
+    // octet_length(col) would die as an unresolved-column
+    // AnalysisException deep inside plan analysis — with empty relates
+    // or a fully-cyclic join-only graph being the configurations that
+    // hit it — instead of naming the actual misconfiguration.
+    if (cfg.indexFiles)
+      require(routed.columns.contains(fileContentCol),
+        s"routeData: index-files = true but the routed frame has no " +
+          s"'$fileContentCol' column — file content must be a column of " +
+          "the events frame or of a relate collection frame (or disable " +
+          "index-files)")
     val withFiles = FileContent.foldIntoDocument(
       attachFiles(cfg)(routed, fileContentCol))
     hotPath(cfg, registry)(withFiles)

@@ -103,13 +103,18 @@ object Quantiles {
     * bucket = 1 + number of edges strictly below the doc's bin. One
     * broadcast join on the source plus a narrow array fold — no corpus
     * shuffle, no sort. Rows with a NULL score are absent (the
-    * [[scoreHistogram]] quarantine contract). */
+    * [[scoreHistogram]] quarantine contract); a doc whose SOURCE has no
+    * thresholds row (a source the histogram artifact has never seen —
+    * the incremental-flow hazard — or one whose scores were all NULL)
+    * keeps its row with a NULL `q_bucket`: visibly unbucketed, never
+    * silently dropped. Callers that treat an unknown source as a wiring
+    * error assert `q_bucket.isNotNull`. */
   def withQuantileBucket(docs: DataFrame, thresholds: DataFrame,
                          scoreCol: Column, binWidth: Long,
                          sourceCol: String = "source"): DataFrame =
     docs.withColumn("bin", floor(scoreCol / lit(binWidth)).cast("long"))
       .filter(col("bin").isNotNull)
-      .join(broadcast(thresholds), Seq(sourceCol))
+      .join(broadcast(thresholds), Seq(sourceCol), "left")
       .withColumn("q_bucket",
         (lit(1) + size(filter(col("edges"), e => e < col("bin"))))
           .cast("long"))

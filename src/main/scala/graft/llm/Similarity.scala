@@ -375,12 +375,16 @@ object Similarity {
   def embeddingNearDupPairs(vectors: DataFrame, centroidPred: Column,
                             minCos: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(vectors, centroidPred, idCol, vecCol)
-      // the unassignable bucket collects ALL broken vectors (zero-norm,
-      // NULL) — self-joining it would pair every broken vector with every
-      // other, a quadratic blowup scoring nothing but NULL cosines
-      .filter(col("bucket") =!= UnassignedBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered barrier (not a bare persist): long-lived sessions —
+    // the streaming twin's bootstrap in particular — release operator
+    // caches through CacheBarriers scopes, and a direct persist here
+    // would outlive them all, pinning the corpus-sized assignment
+    val assigned = graft.CacheBarriers.barrier(
+      ivfAssign(vectors, centroidPred, idCol, vecCol)
+        // the unassignable bucket collects ALL broken vectors (zero-norm,
+        // NULL) — self-joining it would pair every broken vector with
+        // every other, a quadratic blowup scoring nothing but NULL cosines
+        .filter(col("bucket") =!= UnassignedBucket))
     assigned.alias("a").join(assigned.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -480,13 +484,19 @@ object Similarity {
       else vectors.select(col(idCol), col(labelCol),
           cleanVec(col(vecCol)).as("v"))
         .filter(col("v").isNotNull)
-    val nLabels = sums.select(labelCol).distinct().count()
+    // barrier before the guard count: `sums` may be the corpus-wide
+    // posexplode aggregation (the operator's one shuffle), and without
+    // the cut the guard's count and the centroid assembly would each
+    // run it — the heaviest stage twice per call. The cached frame is
+    // histogram-sized (labels × dims), not corpus-sized.
+    val cached = graft.CacheBarriers.barrier(sums)
+    val nLabels = cached.select(labelCol).distinct().count()
     require(nLabels <= maxLabels,
       s"labelCentroidOutliers: $nLabels distinct '$labelCol' values " +
         s"exceed maxLabels=$maxLabels — the label column must be " +
         "group-cardinality, not data-cardinality; raise maxLabels only " +
         "if the centroid table genuinely fits a broadcast")
-    val cents = sums.groupBy(col(labelCol))
+    val cents = cached.groupBy(col(labelCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"),
           (col("s").cast("double") / (lit(IvfTrain.Scale) * col("n")))
@@ -524,17 +534,27 @@ object Similarity {
     * extension like [[graft.llm.Dedup.dupClusters]]. */
   def semanticDedup(vectors: DataFrame, centroidPred: Column,
                     minCos: Double, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val pairs = embeddingNearDupPairs(vectors, centroidPred, minCos,
-      idCol, vecCol)
-    val clusters = Dedup.dupClusters(pairs)
-      .select(col("doc_id").as(idCol), col("cluster_id"))
+                    vecCol: String = "embedding"): DataFrame =
+    decorateClusters(vectors,
+      Dedup.dupClusters(
+        embeddingNearDupPairs(vectors, centroidPred, minCos, idCol, vecCol))
+        .select(col("doc_id"), col("cluster_id")),
+      idCol)
+
+  /** The ONE definition of the keep/drop decoration every semantic-dedup
+    * surface (batch, incremental, streaming bootstrap) shares: left-join
+    * the corpus against a (doc_id, cluster_id) table, singletons are
+    * their own cluster, only the representative (id == cluster min)
+    * keeps. Three call sites — a policy change (tie-break, rep choice)
+    * must happen here or the twins silently diverge. */
+  private[graft] def decorateClusters(vectors: DataFrame,
+                                      clusters: DataFrame,
+                                      idCol: String): DataFrame =
     vectors.select(col(idCol))
-      .join(clusters, Seq(idCol), "left")
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
         (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
-  }
 
   /** Incremental [[semanticDedup]]: keep/drop ONE new vector batch
     * against a persisted IVF index ([[buildIndex]]) and the cluster
@@ -608,11 +628,7 @@ object Similarity {
     val labels = graft.CacheBarriers.barrier(
       Dedup.dupClusters(nn.unionByName(contracted))
         .select(col("doc_id"), col("cluster_id")))
-    val decisions = newBatch.select(col(idCol))
-      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
-        (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+    val decisions = decorateClusters(newBatch, labels, idCol)
     // artifact roll-forward: forward OLD labels merged this batch, then
     // append rows for nodes newly entering the table
     val relabels = labels

@@ -60,8 +60,13 @@ object FileContent {
         JsonMethods.compact(JsonMethods.render(JObject(
           (("file" -> JString(file): JField) ::
             fields.filterNot(_._1 == "file")).sortBy(_._1))))
-      case JNothing => doc
-      case other => JsonMethods.compact(JsonMethods.render(other))
+      // JNothing = unparseable; any other valid JSON (array, scalar)
+      // simply cannot carry a `file` field. Both forward the document
+      // BYTE-IDENTICAL (re-rendering would canonicalize whitespace and
+      // numbers — a silent mutation) and drop the content — the
+      // reference's content-error path: log and forward the op
+      // (monstache.go:4470-4482)
+      case _ => doc
     }
   }
 

@@ -1861,7 +1861,8 @@ object LlmQueries extends QueryFamily {
            |edges AS (SELECT source, list(bin ORDER BY q) AS es FROM qs GROUP BY source)
            |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.bin,
            |       CAST(1 + len(list_filter(es, e -> e < d.bin)) AS BIGINT) AS q_bucket
-           |FROM d JOIN edges USING (source)
+           |FROM d LEFT JOIN edges USING (source)
+           |WHERE d.bin IS NOT NULL
            |ORDER BY d.doc_id""".stripMargin)),
 
     // ── Deterministic chunking: overlapping 32-word windows, stride 24,

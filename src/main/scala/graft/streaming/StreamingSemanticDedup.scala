@@ -35,7 +35,11 @@ import graft.llm.{Dedup, Similarity}
   * edge) — decisions and artifact come out identical. The one
   * deliberate asymmetry vs the batch operator: the decide step runs
   * BEFORE the append, so the common path never reads the batch from
-  * the index at all.
+  * the index at all. A crash INSIDE the append (index data landed, the
+  * `_ids` manifest did not) is detected on replay by the uncommitted
+  * version directory and healed with `rebuildIdManifest` before the
+  * re-append — without it the anti-join would re-admit the batch as
+  * duplicate index rows.
   *
   * Scale shape: per batch, (new batch) × (touched buckets) only — the
   * standing corpus is read through partition pruning, the cluster
@@ -61,13 +65,7 @@ object StreamingSemanticDedup {
         Similarity.embeddingNearDupPairs(vectors, centroidPred, minCos,
           idCol, vecCol))
         .select(col("doc_id"), col("cluster_id"))
-      val decisions = vectors.select(col(idCol))
-        .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol),
-          "left")
-        .select(col(idCol),
-          coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
-          (coalesce(col("cluster_id"), col(idCol)) === col(idCol))
-            .as("keep"))
+      val decisions = Similarity.decorateClusters(vectors, clusters, idCol)
       decisions.write.mode("overwrite")
         .parquet(s"$stateDir/decisions/b-1")
       clusters.write.mode("overwrite").parquet(s"$stateDir/v-1/clusters")
@@ -87,6 +85,20 @@ object StreamingSemanticDedup {
         throw new IllegalStateException(
           s"StreamingSemanticDedup: no committed artifact below batch " +
             s"$batchId in $stateDir — run bootstrap() before streaming"))
+      // torn-append recovery: an UNCOMMITTED v<batchId> directory means a
+      // prior attempt at this batch crashed after its artifact writes
+      // began — possibly inside appendToIndex between the index-data
+      // append and the `_ids` manifest append. A stale manifest would let
+      // the replay's anti-join re-admit the whole batch as duplicate
+      // index rows (each one silently eating a probe's top-k slot
+      // forever), so rebuild the manifest from the data files first —
+      // appendToIndex's own documented recovery, run automatically on
+      // the one path that replays automatically. Clean first attempts
+      // never pay the rebuild scan.
+      val attemptDir = new org.apache.hadoop.fs.Path(s"$stateDir/v$batchId")
+      val fs = attemptDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(attemptDir))
+        Similarity.rebuildIdManifest(spark, s"$stateDir/index", idCol)
       val oldClusters = spark.read.parquet(s"$stateDir/v$prev/clusters")
       val (decisions, updated) = Similarity.semanticDedupIncremental(
         batch, s"$stateDir/index", oldClusters, minCos, idCol, vecCol)

@@ -49,6 +49,21 @@ class QuantilesSpec extends AnyFunSuite {
         Quantiles.scoreHistogram(docs, col("score"), 1), 4)))
   }
 
+  test("a source unknown to the thresholds keeps its rows, bucket NULL") {
+    import spark.implicits._
+    // the incremental-flow hazard: batch 2 brings a source the persisted
+    // histogram has never seen — its docs must stay visible (bucket
+    // NULL), not silently vanish in the join
+    val thr = Quantiles.binThresholds(
+      Quantiles.scoreHistogram(docs, col("score"), 1), 4)
+    val newSource = Seq((500L, "c", 3L)).toDF("doc_id", "source", "score")
+    val out = Quantiles.withQuantileBucket(
+      docs.unionByName(newSource), thr, col("score"), 1)
+    val row = out.filter(col("doc_id") === 500L)
+      .select("q_bucket").collect()
+    assert(row.length == 1 && row.head.isNullAt(0))
+  }
+
   test("NULL scores quarantine into bin NULL and never reach buckets") {
     import spark.implicits._
     val withNull = docs.unionByName(

@@ -118,4 +118,19 @@ class RoutedSinkSpec extends AnyFunSuite {
     val bare = Seq(("1", "{}")).toDF("id", "document")
     assert(FileContent.foldIntoDocument(bare) eq bare)
   }
+
+  test("foldIntoDocument: non-object documents forward byte-identical") {
+    import spark.implicits._
+    // valid JSON that cannot carry a `file` field: the document must
+    // come back byte-for-byte (no whitespace/number canonicalization),
+    // content dropped — same as the unparseable-doc error path
+    val df = Seq(
+      ("1", """[1,  2]""", "QQ=="),   // array, internal spacing preserved
+      ("2", """42.50""", "QQ=="),     // scalar, no number re-rendering
+      ("3", """not json""", "QQ==")   // unparseable
+    ).toDF("id", "document", "file")
+    val out = FileContent.foldIntoDocument(df)
+      .orderBy("id").select("document").as[String].collect()
+    assert(out.toSeq == Seq("""[1,  2]""", """42.50""", """not json"""))
+  }
 }

@@ -82,6 +82,32 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     assert(dec.filter(_._3).map(_._1).toSeq == Seq(1L, 3L, 11L))
   }
 
+  test("a torn index append (data landed, manifest did not) heals on replay") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-ssd-state3").toString
+    StreamingSemanticDedup.bootstrap(b1, stateDir,
+      centroidPred = col("vec_id") === 1L, minCos)
+    // simulate mergeBatch crashing INSIDE appendToIndex: artifact dirs
+    // written, index DATA appended, `_ids` manifest NOT updated
+    val batch = batch2.toDF("vec_id", "embedding")
+    batch.write.mode("overwrite")
+      .parquet(s"$stateDir/decisions/b0") // placeholder attempt evidence
+    batch.write.mode("overwrite").parquet(s"$stateDir/v0/clusters")
+    graft.llm.Similarity.ivfAssign(batch,
+        graft.llm.Similarity.readCentroids(spark, s"$stateDir/index"),
+        "vec_id", "embedding")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$stateDir/index")
+    // the checkpoint replays batch 0; without the manifest rebuild the
+    // anti-join would re-admit the landed rows as duplicates
+    StreamingSemanticDedup.mergeBatch(batch, 0L, stateDir, minCos)
+    val ids = spark.read.parquet(s"$stateDir/index")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      s"duplicate index rows after torn-append replay: ${ids.sorted.toSeq}")
+    assert(ids.toSet == Set(1L, 2L, 3L, 4L, 10L, 11L))
+  }
+
   test("a replayed micro-batch converges to the same state") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft-ssd-state2").toString
