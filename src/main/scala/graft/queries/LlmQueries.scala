@@ -1891,6 +1891,54 @@ object LlmQueries extends QueryFamily {
            |       CAST(len(list_slice(w, ci*24 + 1, ci*24 + 32)) AS BIGINT) AS n_chunk_words
            |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // ── Incremental centroid scoring (q95's roll-forward): batch 1 =
+    //    originals, batch 2 = perturbed variants; batch 2 is scored
+    //    against MERGED sums artifacts only (mergeCentroidSums — long
+    //    sums are associative), never the union corpus. The oracle
+    //    replays full-union centroids restricted to batch 2, so the hash
+    //    match IS the additive-artifact identity (q96's proof pattern
+    //    for the centroid family). ────────────────────────────────────────
+    QueryDef.sorted(
+      "q99_centroid_scoring_incremental",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val b2 = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val merged = Similarity.mergeCentroidSums(
+          Similarity.labelCentroidSums(e, vecCol = "v"),
+          Similarity.labelCentroidSums(b2, vecCol = "v"))
+        Similarity.scoreAgainstCentroidSums(b2, merged, minCos = 0.10,
+            vecCol = "v")
+          .select(col("vec_id").cast("long"), col("label").cast("long"),
+            col("cos_scaled"), col("is_outlier"))
+      },
+      _.orderBy("vec_id"),
+      Some {
+        val ccos = Similarity.sqlCosine("corpus.v", "c.cv", 64)
+        s"""WITH base AS (SELECT vec_id, label, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, label, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000, label,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 10 = 0),
+           |u AS (SELECT label, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s,
+           |             count(v[i]) AS n
+           |      FROM corpus, unnest(range(1, 65)) AS t(i) GROUP BY label, i),
+           |c AS (SELECT label, list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY i) AS cv
+           |      FROM u GROUP BY label)
+           |SELECT CAST(corpus.vec_id AS BIGINT) AS vec_id,
+           |       CAST(corpus.label AS BIGINT) AS label,
+           |       CAST(floor($ccos * 1000000) AS BIGINT) AS cos_scaled,
+           |       CAST(floor($ccos * 1000000) AS BIGINT) < ${math.floor(0.10 * 1e6).toLong} AS is_outlier
+           |FROM corpus JOIN c USING (label)
+           |WHERE NOT isnan($ccos) AND corpus.vec_id >= 100000
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
