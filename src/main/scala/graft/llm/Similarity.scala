@@ -588,6 +588,32 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
+    val (decisions, fresh, relabels) = semanticDedupDeltas(
+      newBatch, indexDir, oldClusters, minCos, idCol, vecCol)
+    val updatedOld = oldClusters.alias("c")
+      .join(relabels.alias("r"), col("c.cluster_id") === col("r.from_lbl"),
+        "left")
+      .select(col("c.doc_id"),
+        coalesce(col("r.to_lbl"), col("c.cluster_id")).as("cluster_id"))
+    (decisions, updatedOld.unionByName(fresh))
+  }
+
+  /** The incremental core as DELTAS — `(decisions, freshRows, relabels)`
+    * where freshRows are cluster rows for nodes newly entering the
+    * table and relabels maps old labels merged this batch to their new
+    * component minimum. [[semanticDedupIncremental]] composes them into
+    * whole tables; a bucketed state store
+    * ([[graft.streaming.BucketedSemanticDedup]]) writes them directly —
+    * freshRows touch only the buckets they hash into, and relabels stay
+    * a small forwarding table instead of a whole-table relabel
+    * rewrite. */
+  private[graft] def semanticDedupDeltas(newBatch: DataFrame,
+                                         indexDir: String,
+                                         oldClusters: DataFrame,
+                                         minCos: Double,
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = newBatch.sparkSession
     val newAssigned = graft.CacheBarriers.barrier(
       ivfAssign(newBatch, readCentroids(spark, indexDir), idCol, vecCol)
@@ -629,21 +655,17 @@ object Similarity {
       Dedup.dupClusters(nn.unionByName(contracted))
         .select(col("doc_id"), col("cluster_id")))
     val decisions = decorateClusters(newBatch, labels, idCol)
-    // artifact roll-forward: forward OLD labels merged this batch, then
-    // append rows for nodes newly entering the table
+    // relabels: OLD labels merged into a bigger component this batch;
+    // fresh: cluster rows for nodes entering the table (new docs, plus
+    // pairless old docs pulled into a component for the first time)
     val relabels = labels
       .join(oldClusters.select(col("cluster_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("from_lbl"), col("cluster_id").as("to_lbl"))
-    val updatedOld = oldClusters.alias("c")
-      .join(relabels.alias("r"), col("c.cluster_id") === col("r.from_lbl"),
-        "left")
-      .select(col("c.doc_id"),
-        coalesce(col("r.to_lbl"), col("c.cluster_id")).as("cluster_id"))
     val fresh = labels.join(
-      updatedOld.select("doc_id"), Seq("doc_id"), "left_anti")
-    (decisions, updatedOld.unionByName(fresh))
+      oldClusters.select("doc_id"), Seq("doc_id"), "left_anti")
+    (decisions, fresh, relabels)
   }
 
   /** Persist an IVF index: the assignment frame written bucket-partitioned

@@ -82,46 +82,18 @@ object BucketedCuration {
 
   // ── state assembly ────────────────────────────────────────────────────
 
-  /** Union of each bucket's latest version STRICTLY BELOW `maxExcl` —
-    * the replay-safe read (a crashed attempt's own partial commits are
-    * invisible to its replay). Falls back to the store's `_schema`
-    * template when no bucket has committed yet: an artifact can be
-    * legitimately EMPTY at bootstrap (a corpus with no near-dup pairs
-    * has no cluster rows), which must read as an empty typed frame, not
-    * as a missing store. */
+  // replay-safe reads + schema templates live on [[BucketedState]] — one
+  // definition shared with every bucketed artifact store
   private def bucketStateBefore(spark: SparkSession, dir: String,
-                                maxExcl: Long): Option[DataFrame] = {
-    val p = new Path(dir)
-    val f = VersionedState.fs(spark, dir)
-    if (!f.exists(p)) return None
-    f.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .flatMap { st =>
-        val d = st.getPath.toString
-        VersionedState.versions(spark, d).find(_ < maxExcl)
-          .map(v => spark.read.parquet(s"$d/v$v"))
-      }
-      .reduceOption(_.unionByName(_))
-      .orElse {
-        if (f.exists(new Path(s"$dir/_schema/_SUCCESS")))
-          Some(spark.read.parquet(s"$dir/_schema"))
-        else None
-      }
-  }
+                                maxExcl: Long): Option[DataFrame] =
+    BucketedState.stateBefore(spark, dir, maxExcl)
 
-  /** Persist the store's row schema once (an empty parquet table) so an
-    * empty store reads as an empty TYPED frame. Overwrite-on-missing
-    * keeps a torn first write self-healing. */
-  private def ensureTemplate(slice: DataFrame, dir: String): Unit = {
-    val f = VersionedState.fs(slice.sparkSession, dir)
-    if (!f.exists(new Path(s"$dir/_schema/_SUCCESS")))
-      slice.limit(0).write.mode("overwrite").parquet(s"$dir/_schema")
-  }
+  private def ensureTemplate(slice: DataFrame, dir: String): Unit =
+    BucketedState.ensureTemplate(slice, dir)
 
   private def tableBefore(spark: SparkSession, dir: String,
                           maxExcl: Long): Option[DataFrame] =
-    VersionedState.versions(spark, dir).find(_ < maxExcl)
-      .map(v => spark.read.parquet(s"$dir/v$v"))
+    BucketedState.tableBefore(spark, dir, maxExcl)
 
   /** Assemble the [[CurationArtifacts]] view of all stores as of the
     * latest committed state strictly below `maxExcl`. */

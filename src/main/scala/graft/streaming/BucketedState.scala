@@ -173,4 +173,49 @@ object BucketedState {
     * first commit, for the same reason. */
   def liveState(spark: SparkSession, stateDir: String): DataFrame =
     StreamingUpsert.liveView(spark, latestState(spark, stateDir))
+
+  /** Union of each bucket's latest version STRICTLY BELOW `maxExcl` —
+    * the replay-safe read (a crashed attempt's own partial commits are
+    * invisible to its replay). Falls back to the store's `_schema`
+    * template when no bucket has committed yet: an artifact can be
+    * legitimately EMPTY at bootstrap (a corpus with no near-dup pairs
+    * has no cluster rows), which must read as an empty typed frame, not
+    * as a missing store. Shared by every bucketed artifact store
+    * ([[BucketedCuration]], [[BucketedSemanticDedup]]). */
+  private[graft] def stateBefore(spark: SparkSession, dir: String,
+                                     maxExcl: Long): Option[DataFrame] = {
+    val p = new Path(dir)
+    val f = VersionedState.fs(spark, dir)
+    if (!f.exists(p)) return None
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
+      .flatMap { st =>
+        val d = st.getPath.toString
+        VersionedState.versions(spark, d).find(_ < maxExcl)
+          .map(v => spark.read.parquet(s"$d/v$v"))
+      }
+      .reduceOption(_.unionByName(_))
+      .orElse {
+        if (f.exists(new Path(s"$dir/_schema/_SUCCESS")))
+          Some(spark.read.parquet(s"$dir/_schema"))
+        else None
+      }
+  }
+
+  /** Persist the store's row schema once (an empty parquet table) so an
+    * empty store reads as an empty TYPED frame. Overwrite-on-missing
+    * keeps a torn first write self-healing. */
+  private[graft] def ensureTemplate(slice: DataFrame,
+                                        dir: String): Unit = {
+    val f = VersionedState.fs(slice.sparkSession, dir)
+    if (!f.exists(new Path(s"$dir/_schema/_SUCCESS")))
+      slice.limit(0).write.mode("overwrite").parquet(s"$dir/_schema")
+  }
+
+  /** Latest committed version of a small whole-table chain strictly
+    * below `maxExcl` — the non-bucketed companion read. */
+  private[graft] def tableBefore(spark: SparkSession, dir: String,
+                                     maxExcl: Long): Option[DataFrame] =
+    VersionedState.versions(spark, dir).find(_ < maxExcl)
+      .map(v => spark.read.parquet(s"$dir/v$v"))
 }
