@@ -1939,6 +1939,57 @@ object LlmQueries extends QueryFamily {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // ── Split-leakage report: the QA composite a split pipeline runs
+    //    before shipping — deterministic hash split (q65's operator), then
+    //    exact n-gram overlap between the train slice and the held-out
+    //    slice (q71's operator, held-out side broadcast). Injected exact
+    //    copies (every 9th doc) land in independent splits by id hash, so
+    //    some pairs deterministically straddle the boundary. Flagged rows
+    //    are TRAIN docs sharing 5-grams with held-out docs, attributed by
+    //    (n_eval_docs, min_eval_id). ─────────────────────────────────────
+    QueryDef.sorted(
+      "q100_split_leakage",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val corpus = docs.unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+        val assigned = Sampling.withSplit(corpus)
+        Dedup.exactNgramContamination(
+            assigned.filter(col("split") === "train")
+              .select("doc_id", "text"),
+            assigned.filter(col("split") =!= "train")
+              .select("doc_id", "text"),
+            shingleN = 5)
+          .select(col("doc_id").cast("long"), col("n_ngrams").cast("long"),
+            col("n_hits"), col("n_eval_docs"),
+            col("min_eval_id").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val hs5 = TextHash.sqlHashedShingles(TextHash.sqlShingles("w", 5))
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 9 = 0),
+           |assigned AS (SELECT doc_id, text, ${Sampling.sqlSplit("doc_id")} AS split
+           |             FROM corpus),
+           |ctok AS (SELECT doc_id, ${W("text")} AS w FROM assigned WHERE split = 'train'),
+           |cg AS (SELECT doc_id, $hs5 AS hs FROM ctok),
+           |etok AS (SELECT doc_id, ${W("text")} AS w FROM assigned WHERE split <> 'train'),
+           |eg AS (SELECT doc_id AS eval_id, $hs5 AS hs FROM etok),
+           |cx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS g FROM cg),
+           |ex AS (SELECT eval_id, unnest(hs) AS g FROM eg),
+           |hits AS (SELECT cx.doc_id, cx.n_ngrams, cx.g, ex.eval_id
+           |         FROM cx JOIN ex USING (g))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(max(n_ngrams) AS BIGINT) AS n_ngrams,
+           |       count(DISTINCT g) AS n_hits,
+           |       count(DISTINCT eval_id) AS n_eval_docs,
+           |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
+           |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
