@@ -399,6 +399,45 @@ object Dedup {
         min(col("eval_id")).as("min_eval_id"))
   }
 
+  /** Multi-eval-set exact decontamination: [[exactNgramContamination]]
+    * against N labeled eval sets in ONE corpus pass, with per-set
+    * attribution — the shape a real release check takes (dozens of
+    * benchmarks, one sweep). `evalSets` carries a `setCol` label; the
+    * output adds per-(doc, set) rows `(doc_id, set, n_ngrams, n_hits,
+    * n_eval_docs, min_eval_id)`, so a doc contaminated by two
+    * benchmarks reports once per benchmark and a per-set drop policy
+    * can differ (drop on MMLU overlap, flag on GSM8K).
+    *
+    * Scale shape unchanged from the single-set operator: the corpus is
+    * shingled once (one barrier, one explode), the union of ALL eval
+    * sets' grams broadcasts (still benchmark-sized — N small sets), and
+    * the one aggregation gains `set` in its key. Running the single-set
+    * operator N times would shingle and scan the 100 TB corpus N
+    * times. */
+  def multiSetContamination(corpus: DataFrame, evalSets: DataFrame,
+                            shingleN: Int = 5,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            setCol: String = "set"): DataFrame = {
+    val evalGrams = gramTable(evalSets, idCol, "eval_id", textCol, shingleN)
+      // gramTable projects (eval_id, hs) — re-attach the set label by
+      // position-free join on the eval id (ids are unique across sets by
+      // the eval-registry contract; a shared id would cross-attribute)
+      .join(evalSets.select(col(idCol).as("eval_id"), col(setCol)),
+        Seq("eval_id"))
+      .select(col("eval_id"), col(setCol), explode(col("hs")).as("g"))
+    val cg = graft.CacheBarriers.barrier(
+      gramTable(corpus, idCol, "doc_id", textCol, shingleN))
+    cg.select(col("doc_id"), size(col("hs")).as("n_ngrams"),
+        explode(col("hs")).as("g"))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"), col(setCol))
+      .agg(max(col("n_ngrams")).as("n_ngrams"),
+        countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        min(col("eval_id")).as("min_eval_id"))
+  }
+
   /** Within-corpus verbatim overlap: document pairs sharing at least
     * `minShared` exact n-word windows — the exact-substring duplication
     * signal (boilerplate headers, license blocks, templated spans) that

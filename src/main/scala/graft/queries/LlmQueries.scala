@@ -1990,6 +1990,52 @@ object LlmQueries extends QueryFamily {
            |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // ── Multi-eval-set decontamination: two labeled eval sets swept in
+    //    ONE corpus pass with per-set attribution (a doc contaminated by
+    //    both reports once per set). The corpus is shingled once; running
+    //    q71 per set would rescan it N times. ─────────────────────────────
+    QueryDef.sorted(
+      "q101_multiset_decontaminate",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val evalSets = docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + EvalOffset).as("doc_id"),
+              truncText(ws).as("text"), lit("alpha").as("set"))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + FreshOffset).as("doc_id"),
+              revText(ws).as("text"), lit("beta").as("set")))
+        Dedup.multiSetContamination(docs, evalSets, shingleN = 5)
+          .select(col("doc_id").cast("long"), col("set"),
+            col("n_ngrams").cast("long"), col("n_hits"),
+            col("n_eval_docs"), col("min_eval_id").cast("long"))
+      },
+      _.orderBy("doc_id", "set"),
+      Some {
+        val hs5 = TextHash.sqlHashedShingles(TextHash.sqlShingles("w", 5))
+        s"""WITH ev AS (
+           |  SELECT doc_id + $EvalOffset AS doc_id, ${sqlTruncText("text")} AS text,
+           |         'alpha' AS s FROM documents WHERE doc_id % 13 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $FreshOffset, ${sqlRevText("text")}, 'beta'
+           |  FROM documents WHERE doc_id % 17 = 0),
+           |ctok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |cg AS (SELECT doc_id, $hs5 AS hs FROM ctok),
+           |etok AS (SELECT doc_id, s, ${W("text")} AS w FROM ev),
+           |eg AS (SELECT doc_id AS eval_id, s, $hs5 AS hs FROM etok),
+           |cx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS g FROM cg),
+           |ex AS (SELECT eval_id, s, unnest(hs) AS g FROM eg),
+           |hits AS (SELECT cx.doc_id, cx.n_ngrams, cx.g, ex.eval_id, ex.s
+           |         FROM cx JOIN ex USING (g))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, s AS "set",
+           |       CAST(max(n_ngrams) AS BIGINT) AS n_ngrams,
+           |       count(DISTINCT g) AS n_hits,
+           |       count(DISTINCT eval_id) AS n_eval_docs,
+           |       CAST(min(eval_id) AS BIGINT) AS min_eval_id
+           |FROM hits GROUP BY doc_id, s ORDER BY doc_id, s""".stripMargin
+      }),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold

@@ -48,6 +48,23 @@ class BloomDecontamSpec extends AnyFunSuite {
     assert(out.collect().isEmpty)
   }
 
+  test("multi-set sweep: a doc contaminated by two sets reports once per set") {
+    import spark.implicits._
+    val evalSets = Seq(
+      (900L, eval.head._2, "alpha"),            // same text in two sets
+      (901L, eval.head._2, "beta"),
+      (902L, eval(1)._2, "beta"))
+      .toDF("doc_id", "text", "set")
+    val out = Dedup.multiSetContamination(docs(corpus), evalSets)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(5)))
+      .toMap
+    // doc 1 overlaps the shared text -> one row per set, each attributed
+    // to that set's own eval ids; doc 2 overlaps only beta's second doc
+    assert(out.keySet == Set((1L, "alpha"), (1L, "beta"), (2L, "beta")))
+    assert(out((1L, "alpha")) == 900L && out((1L, "beta")) == 901L)
+    assert(out((2L, "beta")) == 902L)
+  }
+
   test("the sketch has zero false negatives and bounded false positives") {
     import spark.implicits._
     val present = (0L until 500L).map(_ * 7919L)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -62,6 +63,42 @@ class QuantilesSpec extends AnyFunSuite {
     val row = out.filter(col("doc_id") === 500L)
       .select("q_bucket").collect()
     assert(row.length == 1 && row.head.isNullAt(0))
+  }
+
+  test("streamed histogram folds across a checkpoint resume equal full-corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-sq-state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sq-ckpt").toString
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val (b1, b2) = rows.splitAt(6)
+
+    val s1 = MemoryStream[(Long, String, Long)]
+    s1.addData(b1)
+    graft.streaming.StreamingQuantiles.start(
+      s1.toDF().toDF("doc_id", "source", "score"), histDir, ckpt,
+      scoreCol = col("score"), binWidth = 1).awaitTermination()
+    // "crash": same checkpoint, b1 not replayed
+    val s2 = MemoryStream[(Long, String, Long)]
+    s2.addData(b1)
+    s2.addData(b2)
+    graft.streaming.StreamingQuantiles.start(
+      s2.toDF().toDF("doc_id", "source", "score"), histDir, ckpt,
+      scoreCol = col("score"), binWidth = 1).awaitTermination()
+
+    def rset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingQuantiles
+      .latestHistogram(spark, histDir).getOrElse(fail("no histogram"))
+    assert(rset(streamed) ==
+      rset(Quantiles.scoreHistogram(docs, col("score"), 1)))
+    // thresholds derived from the artifact == full-corpus thresholds
+    assert(rset(Quantiles.binThresholds(streamed, 4)) ==
+      rset(Quantiles.binThresholds(
+        Quantiles.scoreHistogram(docs, col("score"), 1), 4)))
   }
 
   test("NULL scores quarantine into bin NULL and never reach buckets") {
