@@ -22,6 +22,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // ~100 queries share this JVM and many operators register cache
+        // barriers; without a per-query release the dump accretes every
+        // query's cached frames (Bench does the same between repeats)
+        CacheBarriers.releaseAll()
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -724,6 +724,49 @@ object Similarity {
     if (!fs.exists(p)) rebuildIdManifest(spark, dir, idCol)
   }
 
+  /** Compact an IVF index in place: every append
+    * ([[appendToIndex]]) adds small files to the bucket directories it
+    * touches, and after months of daily ingests a probe's
+    * partition-pruned read pays per-file open/footer costs that dwarf
+    * the data — the standard small-files decay of any append-only
+    * store. Compaction rewrites each bucket as one file (repartition on
+    * the bucket column: every bucket's rows land in one task, so one
+    * output file per bucket directory), regenerates the `_ids` manifest
+    * from the rewritten data, and carries `_centroids` over unchanged —
+    * probe geometry and probe RESULTS are untouched (spec-pinned).
+    *
+    * The rewrite lands in a sibling temp dir and swaps in with two
+    * renames (Spark cannot overwrite its own input, and a crash
+    * mid-rewrite must leave the live index intact): old index → `.old`,
+    * temp → live, delete `.old`. A crash between the renames leaves
+    * `.old` present — recovery is renaming it back; a crash before them
+    * leaves only the temp dir to delete. Run this offline like the
+    * builds: the index is rebuilt/appended/compacted offline, probed
+    * online. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String = "vec_id"): Unit = {
+    val tmp = s"$dir.compacting"
+    val old = s"$dir.old"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val idx = spark.read.parquet(dir)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .repartition(col("bucket"))
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    spark.read.parquet(tmp)
+      .select(col(idCol), col("bucket").cast("long").as("bucket"))
+      .write.mode("overwrite").parquet(s"$tmp/_ids")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/_centroids"),
+      fs, new org.apache.hadoop.fs.Path(s"$tmp/_centroids"),
+      false, conf)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(old))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
   /** Open an IVF index restricted to the probed buckets. The `isin`
     * lands in the scan's PartitionFilters, so only `buckets.size`
     * directories are read. The bucket column is re-cast to long AFTER

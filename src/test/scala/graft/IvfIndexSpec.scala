@@ -70,6 +70,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(manifest == full)
   }
 
+  test("compaction: one file per bucket, identical probes, manifest intact") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-ivf-compact").toString
+    val cents = Similarity.collectCentroids(
+      embeddings.filter(col("vec_id") % 64 === 0))
+    // build + two appends: touched buckets accumulate multiple files
+    Similarity.buildIndex(embeddings.filter(col("vec_id") % 3 === 0),
+      cents, dir)
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") % 3 === 2), dir)
+
+    def bucketFiles(): Map[String, Int] = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map { b =>
+          val f = Files.list(b)
+          try b.getFileName.toString ->
+            f.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          finally f.close()
+        }.toMap
+      finally s.close()
+    }
+    assert(bucketFiles().values.exists(_ > 1), "fixture: no small files")
+    val before = Similarity.ivfTopK(embeddings,
+        Similarity.readCentroids(spark, dir),
+        col("vec_id") % 100 === 0, k = 3, nprobe = 2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    Similarity.compactIndex(spark, dir)
+    assert(bucketFiles().values.forall(_ == 1), s"not compacted: ${bucketFiles()}")
+    // probes unchanged; centroids carried over; manifest regenerated so
+    // a re-delivered batch is still rejected
+    val after = Similarity.ivfTopK(embeddings,
+        Similarity.readCentroids(spark, dir),
+        col("vec_id") % 100 === 0, k = 3, nprobe = 2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after == before && after.nonEmpty)
+    val n = spark.read.parquet(dir).count()
+    Similarity.appendToIndex(embeddings.filter(col("vec_id") % 3 === 1), dir)
+    assert(spark.read.parquet(dir).count() == n,
+      "compaction lost the manifest: a replayed batch was re-admitted")
+  }
+
   test("append presence check reads the manifest, never the data files") {
     val dir = Files.createTempDirectory("graft-ivf-manifest").toString
     val cents = Similarity.collectCentroids(
