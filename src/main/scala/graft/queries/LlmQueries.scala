@@ -2036,6 +2036,53 @@ object LlmQueries extends QueryFamily {
            |FROM hits GROUP BY doc_id, s ORDER BY doc_id, s""".stripMargin
       }),
 
+    // ── Quantile-gated curation (the DCLM shape): per-source word-count
+    //    deciles drop each source's bottom slice BEFORE the heuristic
+    //    gate → dedup chain — q97's histogram order statistics feeding
+    //    q62's composite, with the oracle replaying both ends. ────────────
+    QueryDef.sorted(
+      "q102_quantile_gated_curation",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val score = size(words(col("text"))).cast("long")
+        val thr = Quantiles.binThresholds(
+          Quantiles.scoreHistogram(docs, score, 8), 10)
+        val gatedCorpus = Quantiles.withQuantileBucket(docs, thr, score, 8)
+          .filter(col("q_bucket") >= 2)
+          .select("doc_id", "text")
+        Curation.curate(gatedCorpus)
+          .select(col("doc_id").cast("long"), col("pred_lang"),
+            col("quality_bucket"), col("n_words").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val qBin =
+          s"CAST(floor(CAST(len(${W("text")}) AS BIGINT) / 8.0) AS BIGINT)"
+        val qCtes =
+          s"""qd AS (SELECT doc_id, text, source, $qBin AS bin FROM documents),
+             |qhist AS (SELECT source, bin, count(*) AS n FROM qd GROUP BY 1, 2),
+             |qcum AS (SELECT source, bin, n,
+             |                sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             |                sum(n) OVER (PARTITION BY source) AS total
+             |         FROM qhist),
+             |qs AS (SELECT source, q, bin
+             |       FROM qcum, unnest(range(1, 10)) AS t(q)
+             |       WHERE cum >= CAST(floor((q * total + 9) / 10.0) AS BIGINT)
+             |         AND cum - n < CAST(floor((q * total + 9) / 10.0) AS BIGINT)),
+             |qedges AS (SELECT source, list(bin ORDER BY q) AS es
+             |           FROM qs GROUP BY source),
+             |qgated AS (
+             |  SELECT qd.doc_id, qd.text
+             |  FROM qd JOIN qedges USING (source)
+             |  WHERE 1 + len(list_filter(es, e -> e < qd.bin)) >= 2),""".stripMargin
+        s"""WITH RECURSIVE $qCtes
+           |${curationCtesOver("SELECT doc_id, text FROM qgated")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, quality_bucket,
+           |       CAST(n_words AS BIGINT) AS n_words
+           |FROM surv ORDER BY doc_id""".stripMargin
+      }),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
