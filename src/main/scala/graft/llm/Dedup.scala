@@ -562,6 +562,41 @@ object Dedup {
       .withColumn("is_rep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Quality-aware representative selection over resolved duplicate
+    * clusters: instead of [[dupClusters]]' min-id representative (the
+    * CC label, arbitrary with respect to content), keep each cluster's
+    * HIGHEST-SCORING member — the standard refinement when duplicates
+    * differ in quality (a clean canonical page vs its ad-injected
+    * mirrors), where min-id keeps whichever copy was crawled first.
+    * `scores` carries `(idCol, scoreCol)`; ties break to the LOWER id,
+    * so the choice is total and replay-stable. Returns the cluster
+    * table re-decorated: `(doc_id, cluster_id, score, is_rep)` with
+    * exactly one representative per cluster.
+    *
+    * Scale shape: one join of the (duplicate-sized) cluster table
+    * against the scores, then a per-cluster `max_by` on a
+    * (score, -id)-ordered struct — partial-aggregated map-side, no
+    * window, no sort. Cluster identity (the min-id label) is unchanged:
+    * labels stay stable across increments; only the KEEP choice moves,
+    * so incremental artifacts roll forward exactly as before. */
+  def qualityReps(clusters: DataFrame, scores: DataFrame,
+                  idCol: String = "doc_id",
+                  scoreCol: String = "score"): DataFrame = {
+    val scored = clusters.join(
+      scores.select(col(idCol).as("doc_id"), col(scoreCol).as("score")),
+      Seq("doc_id"))
+    // best = max by (score asc, id desc) → max_by over a struct whose
+    // ordering is (score, -id): highest score wins, ties to lower id.
+    // The negation is on a LONG cast so Int.MinValue ids cannot overflow.
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("doc_id").cast("long")).as("neg_id")))
+        .as("rep_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("doc_id") === col("rep_id")).as("is_rep"))
+  }
+
   /** 32-bit SimHash over hashed shingles: bit b of the fingerprint is set
     * when at least half the shingle hashes have bit b set (deterministic
     * ≥ tie-break). Near-dup docs land in the same high-bit bucket.

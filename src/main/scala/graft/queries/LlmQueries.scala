@@ -2083,6 +2083,59 @@ object LlmQueries extends QueryFamily {
            |FROM surv ORDER BY doc_id""".stripMargin
       }),
 
+    // ── Quality-aware cluster representatives: every 10th doc gets an
+    //    EXTENDED near-dup variant (3 appended words, higher id, MORE
+    //    content) — min-id keeps the original, quality-rep keeps the
+    //    richer variant, so the two policies demonstrably diverge and
+    //    the oracle replays the max-by-(score, -id) choice. ───────────────
+    QueryDef.sorted(
+      "q103_quality_reps",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ext = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            concat(col("text"), lit(" zz1 zz2 zz3")).as("text"))
+        val corpus = docs.unionByName(ext)
+        val clusters = Dedup.dupClusters(Dedup.verifiedNearDupPairs(corpus))
+          .select("doc_id", "cluster_id")
+        val scores = corpus.select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("score"))
+        Dedup.qualityReps(clusters, scores)
+          .select(col("doc_id").cast("long"),
+            col("cluster_id").cast("long"), col("score"), col("is_rep"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, text || ' zz1 zz2 zz3'
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${lshPairsCtes("corpus")},
+           |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+           |cl AS (SELECT n AS doc_id, min(m) AS cluster_id
+           |       FROM reach GROUP BY n),
+           |sc AS (SELECT doc_id, CAST(len(${W("text")}) AS BIGINT) AS score
+           |       FROM corpus),
+           |j AS (SELECT cl.doc_id, cl.cluster_id, sc.score
+           |      FROM cl JOIN sc USING (doc_id)),
+           |rep AS (SELECT cluster_id, doc_id AS rep_id,
+           |               row_number() OVER (PARTITION BY cluster_id
+           |                                  ORDER BY score DESC, doc_id ASC) AS rn
+           |        FROM j)
+           |SELECT CAST(j.doc_id AS BIGINT) AS doc_id,
+           |       CAST(j.cluster_id AS BIGINT) AS cluster_id, j.score,
+           |       (j.doc_id = rep.rep_id) AS is_rep
+           |FROM j JOIN rep ON j.cluster_id = rep.cluster_id AND rep.rn = 1
+           |ORDER BY doc_id""".stripMargin)),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold

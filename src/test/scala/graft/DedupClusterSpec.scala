@@ -7,6 +7,21 @@ import graft.llm.Dedup
 /** Connected-component dup clustering: chains (multi-round propagation),
   * separate components, and representative flags. */
 class DedupClusterSpec extends AnyFunSuite {
+
+  test("qualityReps: highest score wins, ties to the lower id, one rep per cluster") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 7L))
+      .toDF("doc_id", "score")
+    val out = graft.llm.Dedup.qualityReps(clusters, scores)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // cluster 1: 2 and 3 tie at 9 -> lower id 2; cluster 10: 11 beats 10
+    // (the case where min-id would keep the WORSE doc)
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> false, 11L -> true))
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
