@@ -2136,6 +2136,57 @@ object LlmQueries extends QueryFamily {
            |FROM j JOIN rep ON j.cluster_id = rep.cluster_id AND rep.rn = 1
            |ORDER BY doc_id""".stripMargin)),
 
+    // ── The final-mile materialization composite: documents → 32-word
+    //    chunks (q98) → next-fit token packs (q67) → shard-assigned pack
+    //    manifest (q72's checksum discipline). Chunk identity is
+    //    doc_id·1000 + chunk_idx (chunk counts are bounded far below
+    //    1000 by doc length), so every stage keys on a deterministic
+    //    numeric id and the oracle replays the whole chain. ───────────────
+    QueryDef.sorted(
+      "q104_chunk_pack_shard",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val units = Chunking.withChunks(docs, chunkWords = 32,
+            strideWords = 24)
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+            col("chunk_text").as("text"))
+        val census = Packing.packCensus(
+          Packing.withPacks(units, budget = 256, nBuckets = 8))
+        Sharding.withShard(census, nShards = 8, idCol = "pack_id")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_packs"),
+            sum(col("n_docs")).as("n_chunks"),
+            sum(col("tok_sum")).as("tok_sum"),
+            sum(col("id_sum")).as("id_sum"))
+          .select(col("shard").cast("long"), col("n_packs"),
+            col("n_chunks"), col("tok_sum").cast("long"),
+            col("id_sum").cast("long"))
+      },
+      _.orderBy("shard"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |nch AS (SELECT doc_id, w,
+           |               CASE WHEN len(w) > 32
+           |                    THEN 1 + CAST(floor((len(w) - 32 + 23) / 24.0) AS INT)
+           |                    WHEN len(w) IS NOT NULL THEN 1 END AS k
+           |        FROM tok),
+           |ch AS (SELECT doc_id, w, unnest(range(0, k)) AS ci FROM nch),
+           |cunits AS (SELECT doc_id * 1000 + ci AS doc_id,
+           |                  array_to_string(list_slice(w, ci*24 + 1, ci*24 + 32), ' ') AS text
+           |           FROM ch),
+           |packed AS (${Packing.sqlPacks("cunits", 256, 8)}),
+           |census AS (SELECT bucket, pack_id, count(*) AS n_docs,
+           |                  sum(tokens) AS tok_sum, sum(doc_id) AS id_sum
+           |           FROM packed GROUP BY bucket, pack_id),
+           |sharded AS (SELECT *, ${Sharding.sqlShardId("pack_id", 8)} AS shard
+           |            FROM census)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_packs,
+           |       CAST(sum(n_docs) AS BIGINT) AS n_chunks,
+           |       CAST(sum(tok_sum) AS BIGINT) AS tok_sum,
+           |       CAST(sum(id_sum) AS BIGINT) AS id_sum
+           |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ── Per-label centroid outliers: integer-scaled per-dim sums → mean
     //    vector per label → scaled-integer cosine of each member to its
     //    label centroid; the oracle replays the identical sums and fold
