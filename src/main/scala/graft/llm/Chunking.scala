@@ -32,7 +32,13 @@ object Chunking {
     require(strideWords > 0 && strideWords <= chunkWords,
       s"strideWords must be in [1, chunkWords], got $strideWords")
     val withWords = docs.withColumn("__ws", TextHash.words(col(textCol)))
-    val n = size(col("__ws"))
+    // The NULL branch is explicit: under spark.sql.legacy.sizeOfNull=true
+    // (vanilla non-ANSI sessions) size(NULL) is -1 — NOT NULL — so the
+    // isNotNull guard below would see -1 and fabricate one phantom chunk
+    // for a NULL text. GraftSession sets the flag to false, but the
+    // quarantine contract must hold on any session.
+    val n = when(col("__ws").isNull, lit(null).cast("int"))
+      .otherwise(size(col("__ws")))
     // integer ceil((n - N)/S) via floor — the double division is exact
     // at word-count magnitudes (see Quantiles.binThresholds)
     // the second branch is when(isNotNull, 1), NOT otherwise(1): a NULL

@@ -578,13 +578,25 @@ object Dedup {
     * (score, -id)-ordered struct — partial-aggregated map-side, no
     * window, no sort. Cluster identity (the min-id label) is unchanged:
     * labels stay stable across increments; only the KEEP choice moves,
-    * so incremental artifacts roll forward exactly as before. */
+    * so incremental artifacts roll forward exactly as before.
+    *
+    * Coverage contract: `scores` must carry a row for EVERY cluster
+    * member. A missing score is a wiring error (the scoring stage ran on
+    * a different corpus slice than the clustering stage) and fails
+    * loudly at execution — a silent inner-join drop would both lose the
+    * member from the output and shift which member wins representative,
+    * with no signal anywhere. */
   def qualityReps(clusters: DataFrame, scores: DataFrame,
                   idCol: String = "doc_id",
                   scoreCol: String = "score"): DataFrame = {
     val scored = clusters.join(
       scores.select(col(idCol).as("doc_id"), col(scoreCol).as("score")),
-      Seq("doc_id"))
+      Seq("doc_id"), "left")
+      .withColumn("score", when(col("score").isNotNull, col("score"))
+        .otherwise(raise_error(concat(
+          lit("qualityReps: no score row for cluster member "),
+          col("doc_id").cast("string"),
+          lit(" — scores must cover every cluster member")))))
     // best = max by (score asc, id desc) → max_by over a struct whose
     // ordering is (score, -id): highest score wins, ties to lower id.
     // The negation is on a LONG cast so Int.MinValue ids cannot overflow.

@@ -116,7 +116,14 @@ object Quantiles {
       .filter(col("bin").isNotNull)
       .join(broadcast(thresholds), Seq(sourceCol), "left")
       .withColumn("q_bucket",
-        (lit(1) + size(filter(col("edges"), e => e < col("bin"))))
-          .cast("long"))
+        // The NULL branch is explicit rather than relying on size(NULL)
+        // propagating NULL: under spark.sql.legacy.sizeOfNull=true (the
+        // non-ANSI default on a vanilla session) size(NULL) is -1, which
+        // would silently turn "unknown source" into bucket 0 and defeat
+        // the callers' isNotNull wiring assertion. GraftSession sets the
+        // flag, but the operator's contract must not depend on it.
+        when(col("edges").isNull, lit(null).cast("long"))
+          .otherwise((lit(1) +
+            size(filter(col("edges"), e => e < col("bin")))).cast("long")))
       .drop("edges")
 }

@@ -740,31 +740,44 @@ object Similarity {
     * mid-rewrite must leave the live index intact): old index → `.old`,
     * temp → live, delete `.old`. A crash between the renames leaves
     * `.old` present — recovery is renaming it back; a crash before them
-    * leaves only the temp dir to delete. Run this offline like the
-    * builds: the index is rebuilt/appended/compacted offline, probed
-    * online. */
+    * leaves only the temp dir to delete. Both leftover states make the
+    * NEXT compaction fail fast at entry (rather than silently renaming
+    * over them), and each rename's result is checked so a failed swap
+    * can never reach the `.old` delete — the recovery copy outlives any
+    * partial swap. Run this offline like the builds: the index is
+    * rebuilt/appended/compacted offline, probed online. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String = "vec_id"): Unit = {
     val tmp = s"$dir.compacting"
     val old = s"$dir.old"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(old)
+    require(!fs.exists(oldPath),
+      s"$old exists: a prior compaction crashed mid-swap. Recover first " +
+        s"(rename it back to $dir if $dir is missing, else delete it).")
+    require(!fs.exists(tmpPath),
+      s"$tmp exists: a prior compaction crashed mid-rewrite (or another " +
+        "compaction is running). Delete it before retrying.")
     val idx = spark.read.parquet(dir)
       .withColumn("bucket", col("bucket").cast("long"))
       .repartition(col("bucket"))
     idx.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    spark.read.parquet(tmp)
-      .select(col(idCol), col("bucket").cast("long").as("bucket"))
-      .write.mode("overwrite").parquet(s"$tmp/_ids")
+    // Same semantics as rebuildIdManifest (incl. its distinct()) so the
+    // two manifest writers can never drift: a torn pre-compaction state
+    // with a duplicated id must not be baked into the compacted manifest.
+    rebuildIdManifest(spark, tmp, idCol)
     org.apache.hadoop.fs.FileUtil.copy(
       fs, new org.apache.hadoop.fs.Path(s"$dir/_centroids"),
       fs, new org.apache.hadoop.fs.Path(s"$tmp/_centroids"),
       false, conf)
-    fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(old))
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir))
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir), oldPath),
+      s"compactIndex: rename $dir -> $old failed; live index untouched")
+    require(fs.rename(tmpPath, new org.apache.hadoop.fs.Path(dir)),
+      s"compactIndex: rename $tmp -> $dir failed; recover by renaming " +
+        s"$old back to $dir")
+    fs.delete(oldPath, true)
   }
 
   /** Open an IVF index restricted to the probed buckets. The `isin`

@@ -22,6 +22,21 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false,
       10L -> false, 11L -> true))
   }
+
+  test("qualityReps: a cluster member without a score row fails loudly") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L)).toDF("doc_id", "score") // 2 missing
+    val ex = intercept[Exception] {
+      graft.llm.Dedup.qualityReps(clusters, scores).collect()
+    }
+    // the wiring error must surface, not silently drop member 2 (which
+    // would also have flipped the representative choice)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("no score row")))
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -112,6 +112,23 @@ class IvfIndexSpec extends AnyFunSuite {
     Similarity.appendToIndex(embeddings.filter(col("vec_id") % 3 === 1), dir)
     assert(spark.read.parquet(dir).count() == n,
       "compaction lost the manifest: a replayed batch was re-admitted")
+
+    // Leftover crash states fail fast at entry rather than being renamed
+    // over: `.old` means a prior swap died (the recovery copy must not
+    // be deleted by a retry), `.compacting` means a rewrite died or a
+    // concurrent compaction is running.
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir.old"))
+    val exOld = intercept[IllegalArgumentException] {
+      Similarity.compactIndex(spark, dir)
+    }
+    assert(exOld.getMessage.contains(".old"))
+    Files.delete(java.nio.file.Paths.get(s"$dir.old"))
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir.compacting"))
+    val exTmp = intercept[IllegalArgumentException] {
+      Similarity.compactIndex(spark, dir)
+    }
+    assert(exTmp.getMessage.contains(".compacting"))
+    Files.delete(java.nio.file.Paths.get(s"$dir.compacting"))
   }
 
   test("append presence check reads the manifest, never the data files") {
