@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   *     superseded by AQE's coalescing + `spark.sql.adaptive.advisoryPartitionSizeInBytes`
   *   - UTC session timezone pinned (oracle parity; reference serializes all
   *     dates in UTC, monstachemap/encoding.go:27-36)
-  *   - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS)
-  *     which Spark does not read natively; as a long it is exact and
-  *     `ts div 1000` equals DuckDB's `epoch_us(ts)`.
+  *   - `nanosAsLong`: early generator revisions shipped `events.ts` as
+  *     parquet TIMESTAMP(NANOS), which Spark does not read natively; as a
+  *     long it is exact, and `ts div 1000` equals DuckDB's `epoch_us(ts)`.
+  *     Current data ships TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), so
+  *     the config is a no-op there — [[graft.source.EventLog.tsUsOf]]
+  *     adapts to whichever schema a file carries.
   */
 object GraftSession {
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =

@@ -810,4 +810,110 @@ object Dedup {
     s"""CAST(list_sum(list_transform(range(0, 32), b ->
        | CASE WHEN 2 * len(list_filter($hs, h -> (h >> b) & 1 = 1)) >= len($hs)
        | THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin.replaceAll("\n", "")
+
+  // ── Exact-substring duplication signal (duplicated-span fraction) ─────
+
+  /** Per-document duplicated-span fraction — the exact-substring-dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") at k-word-window granularity: for every
+    * document, the fraction of its k-word window POSITIONS whose window
+    * text also occurs in at least one OTHER document. Unlike the
+    * line-census operators (line-granular, newline-delimited) or
+    * [[verbatimOverlapPairs]] (pair-attributed), this is a per-doc
+    * scalar a gate can threshold: a doc that is 80% verbatim-covered by
+    * other docs scores 0.8 even when no single line or whole-doc hash
+    * matches.
+    *
+    * Window convention (shared with TextAnalysis's rolling windows):
+    * 0 words → 0 windows; fewer than k words → 1 whole-doc window;
+    * otherwise len−k+1 positions. Positions are NOT distinct'd — a
+    * window repeated inside one doc counts once per position (the span
+    * fraction is positional coverage, not set overlap) — but the census
+    * counts each (doc, gram) once, so intra-doc repetition alone never
+    * marks a gram duplicated.
+    *
+    * Scale shape: one narrow shingling pass explodes ~n_words rows per
+    * doc (the same cost family as the line census / verbatim overlap);
+    * the gram census is a map-side-combined groupBy on the 8-byte md5
+    * hash (never the window text); the per-doc count is a left-semi join
+    * against the duplicated-gram set followed by a doc-keyed count. No
+    * all-pairs anywhere; the widest shuffle key is the gram hash.
+    *
+    * Returns (doc_id, n_windows, n_dup_pos, dup_micro, keep): dup_micro
+    * = floor(n_dup_pos·10⁶ / n_windows) in pure integer math (both
+    * engines divide nonnegative longs), keep = dup_micro < maxFrac·10⁶.
+    * Windowless docs (empty/NULL text) keep with dup_micro = 0. */
+  def dupSpanStats(docs: DataFrame, k: Int = 8, maxFrac: Double = 0.5,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"k=$k: a 1-word span signal is the vocab census")
+    val base = graft.CacheBarriers.barrier(
+      docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+        // NULL text ≡ empty text (0 windows, dup_micro 0, keep) — made
+        // explicit so the contract does not ride on size(NULL) session
+        // config (the withQuantileBucket lesson)
+        .withColumn("nw",
+          when(col("ws").isNull || size(col("ws")) === 0, lit(0))
+            .when(size(col("ws")) < k, lit(1))
+            .otherwise(size(col("ws")) - (k - 1)).cast("long")))
+    // one gram row per window position; h32p of the joined window text
+    // (slice with len < k returns the whole doc — the 1-window branch)
+    val pos = graft.CacheBarriers.barrier(
+      base.select(col("doc_id"), explode(
+        when(col("nw") === 0, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(0L), col("nw") - 1),
+            i => TextHash.h32p(
+              concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(k)))))))
+        .as("g")))
+    val dupGrams = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val dupPos = pos.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+    val thr = math.floor(maxFrac * 1e6).toLong
+    base.select(col("doc_id"), col("nw").as("n_windows"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"))
+      .withColumn("dup_micro",
+        when(col("n_windows") === 0, lit(0L))
+          .otherwise(expr("n_dup_pos * 1000000 DIV n_windows")))
+      .withColumn("keep", col("dup_micro") < thr)
+  }
+
+  /** DuckDB CTE fragment replaying [[dupSpanStats]] over a (doc_id, text)
+    * CTE `src`, ending at `spanstats(doc_id, n_windows, n_dup_pos,
+    * dup_micro, keep)` — same window convention, same md5 gram hash,
+    * same integer division. */
+  def sqlDupSpanCtes(src: String, k: Int, maxFrac: Double): String = {
+    val w = TextHash.sqlWords("text")
+    val thr = math.floor(maxFrac * 1e6).toLong
+    s"""spanw AS (SELECT doc_id, $w AS ws FROM $src),
+       |spannw AS (SELECT doc_id, ws,
+       |                  CASE WHEN ws IS NULL OR len(ws) = 0 THEN 0
+       |                       WHEN len(ws) < $k THEN 1
+       |                       ELSE len(ws) - ${k - 1} END AS nw
+       |           FROM spanw),
+       |spanpos AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, nw), i ->
+       |           ${TextHash.sqlH32p(s"array_to_string(ws[i+1:i+$k], ' ')")})) AS g
+       |  FROM spannw),
+       |spandup AS (
+       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM spanpos)
+       |  GROUP BY g HAVING count(*) >= 2),
+       |spancnt AS (
+       |  SELECT doc_id, count(*) AS n_dup_pos
+       |  FROM spanpos WHERE g IN (SELECT g FROM spandup) GROUP BY doc_id),
+       |spanstats AS (
+       |  SELECT n.doc_id, CAST(n.nw AS BIGINT) AS n_windows,
+       |         CAST(coalesce(c.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       |         CAST(CASE WHEN n.nw = 0 THEN 0
+       |              ELSE (coalesce(c.n_dup_pos, 0) * 1000000) // n.nw
+       |              END AS BIGINT) AS dup_micro,
+       |         CASE WHEN n.nw = 0 THEN 0
+       |              ELSE (coalesce(c.n_dup_pos, 0) * 1000000) // n.nw
+       |              END < $thr AS keep
+       |  FROM spannw n LEFT JOIN spancnt c ON n.doc_id = c.doc_id)""".stripMargin
+  }
 }

@@ -163,6 +163,69 @@ object Sampling {
     temperatureMixWith(docs, temperatureRates(docs, strataCol, alpha),
       strataCol, idCol)
 
+  /** Token-budget mixture planner — the static "how many epochs of each
+    * source" arithmetic of a training-mix recipe (the Pile/LLaMA-shape
+    * table: target weight per source, a total token budget, a repetition
+    * cap): allocate `budget` tokens proportionally to integer weights,
+    * cap each source at `maxEpochsMicro`·avail/10⁶ repeated tokens, and
+    * redistribute the capped surplus across the UNCAPPED sources in one
+    * water-fill round. (A fixed-point iteration would converge in
+    * ≤ #sources rounds; one round is the documented convention — the
+    * oracle replays exactly it, and a second round can be composed by
+    * re-invoking on the residual.)
+    *
+    * All arithmetic is nonnegative-integer — BIGINT truncating division,
+    * identical in Spark's `DIV` and DuckDB's `//` for nonnegative
+    * operands — so the plan is cross-engine exact with zero float
+    * drift. Products are kept inside Long by split-division
+    * (`(a DIV 10⁶)·m + ((a MOD 10⁶)·m) DIV 10⁶`, exact for the floor
+    * since the quotient term is integral), good to ~9·10¹² tokens per
+    * source at maxEpochsMicro ≤ 10⁸ — the 100 TB domain.
+    *
+    * `perSource` carries (srcCol, availCol, weightCol ≥ 0 integer); it
+    * is source-cardinality (config-sized) by contract, so the two
+    * aggregates below are 1-row broadcasts — the plan never shuffles
+    * anything data-sized. Returns (srcCol, avail_tokens, weight,
+    * desired, alloc, epochs_micro, capped). */
+  def mixturePlan(perSource: DataFrame, budget: Long,
+                  maxEpochsMicro: Long = 1000000L,
+                  srcCol: String = "source",
+                  availCol: String = "avail_tokens",
+                  weightCol: String = "weight"): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be nonnegative")
+    require(maxEpochsMicro > 0 && maxEpochsMicro <= 100000000L,
+      s"maxEpochsMicro=$maxEpochsMicro outside (0, 1e8]: the epoch cap " +
+        "is micro-epochs (1e6 = one epoch); beyond 100 epochs the " +
+        "split-division overflow domain shrinks below the 100 TB scale")
+    import org.apache.spark.sql.functions.broadcast
+    val t = perSource.select(col(srcCol).as("source"),
+      col(availCol).cast("long").as("avail_tokens"),
+      col(weightCol).cast("long").as("weight"))
+    val wsum = t.agg(sum(col("weight")).as("wsum"))
+    val d = t.crossJoin(broadcast(wsum))
+      .withColumn("desired", expr(s"($budget * weight) DIV wsum"))
+      .withColumn("cap", expr(
+        s"(avail_tokens DIV 1000000) * $maxEpochsMicro + " +
+          s"((avail_tokens % 1000000) * $maxEpochsMicro) DIV 1000000"))
+      .withColumn("alloc1", least(col("desired"), col("cap")))
+      .withColumn("capped1", col("desired") > col("cap"))
+    val s2 = d.agg(sum(col("desired") - col("alloc1")).as("surplus"),
+      sum(when(!col("capped1"), col("weight")).otherwise(0L)).as("w2"))
+    d.crossJoin(broadcast(s2))
+      .withColumn("alloc",
+        when(col("capped1") || col("w2") === 0, col("alloc1"))
+          .otherwise(least(
+            col("alloc1") + expr("(surplus * weight) DIV w2"), col("cap"))))
+      .withColumn("epochs_micro",
+        when(col("avail_tokens") === 0, lit(0L))
+          .otherwise(expr(
+            "(alloc DIV avail_tokens) * 1000000 + " +
+              "((alloc % avail_tokens) * 1000000) DIV avail_tokens")))
+      .withColumn("capped", col("alloc") === col("cap"))
+      .select(col("source").as(srcCol), col("avail_tokens"), col("weight"),
+        col("desired"), col("alloc"), col("epochs_micro"), col("capped"))
+  }
+
   // ── DuckDB twins (same salt, same md5-prefix hash) ────────────────────
   /** SQL: the percent bucket over an id expression. */
   def sqlSplitBucket(id: String, salt: String = SplitSalt): String =
@@ -192,6 +255,35 @@ object Sampling {
     * `keep_permicro` column. */
   def sqlMixKeep(id: String): String =
     s"(${TextHash.sqlH32p(s"concat('$MixSalt', CAST($id AS VARCHAR))")} % 1000000) < keep_permicro"
+
+  /** SQL: CTE chain replaying [[mixturePlan]] over a CTE `src(source,
+    * avail_tokens, weight)`, ending at `mixplan(source, avail_tokens,
+    * weight, desired, alloc, epochs_micro, capped)` — same truncating
+    * integer division, same split-division overflow guard, same one
+    * water-fill round. */
+  def sqlMixturePlan(src: String, budget: Long,
+                     maxEpochsMicro: Long): String =
+    s"""mixs1 AS (SELECT sum(weight) AS wsum FROM $src),
+       |mixd AS (SELECT t.*, ($budget * weight) // wsum AS desired,
+       |                (avail_tokens // 1000000) * $maxEpochsMicro
+       |                + ((avail_tokens % 1000000) * $maxEpochsMicro) // 1000000 AS cap
+       |         FROM $src t, mixs1),
+       |mixd2 AS (SELECT *, least(desired, cap) AS alloc1,
+       |                 desired > cap AS capped1 FROM mixd),
+       |mixs2 AS (SELECT sum(desired - alloc1) AS surplus,
+       |                 sum(CASE WHEN NOT capped1 THEN weight ELSE 0 END) AS w2
+       |          FROM mixd2),
+       |mixf AS (SELECT d.*, CASE WHEN capped1 OR w2 = 0 THEN alloc1
+       |                          ELSE least(alloc1 + (surplus * weight) // w2, cap)
+       |                     END AS alloc
+       |         FROM mixd2 d, mixs2),
+       |mixplan AS (SELECT source, avail_tokens, weight, desired, alloc,
+       |                   CASE WHEN avail_tokens = 0 THEN 0
+       |                        ELSE (alloc // avail_tokens) * 1000000
+       |                             + ((alloc % avail_tokens) * 1000000) // avail_tokens
+       |                   END AS epochs_micro,
+       |                   alloc = cap AS capped
+       |            FROM mixf)""".stripMargin
 
   /** SQL: the stratified-sample keep predicate. */
   def sqlSampleKeep(id: String, strataCol: String, rates: Seq[(String, Int)],

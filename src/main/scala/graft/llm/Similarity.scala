@@ -396,6 +396,102 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
   }
 
+  // ── Sign-random-projection (hyperplane) LSH ───────────────────────────
+
+  /** Fixed Rademacher hyperplanes for sign-LSH: sign(p)(i) ∈ {+1, −1}
+    * derived from the shared md5 hash ([[TextHash.h32pScala]]) of
+    * "rp:&lt;plane&gt;:&lt;dim&gt;" parity, so both engines regenerate the
+    * identical matrix from constants alone — no RNG, no stored state,
+    * nothing to drift between the Spark plan and the DuckDB twin. */
+  def signMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, i) =>
+      if (TextHash.h32pScala(s"rp:$p:$i") % 2 == 0) 1.0 else -1.0)
+
+  /** Sign-random-projection (hyperplane) LSH near-dedup over an embedding
+    * column — the data-INDEPENDENT scale path for embedding-cosine
+    * near-dup, next to the data-dependent IVF buckets of
+    * [[embeddingNearDupPairs]]. Each of `planes` fixed Rademacher
+    * hyperplanes contributes one bit (dot ≥ 0); the bit string splits
+    * into `bands` integer keys; only same-(band, key) pairs are
+    * cosine-verified. P[bit match] = 1 − θ/π (Goemans–Williamson), so a
+    * cos ≥ 0.95 pair (θ ≈ 0.32 rad) shares one default 8-bit band with
+    * p ≈ 0.43 and at least one of the 8 bands with p ≈ 0.99. False
+    * positives are erased by the exact verify; false negatives are the
+    * standard LSH recall trade — tune planes/bands exactly like
+    * minhash's K/BandRows. Versus IVF: no training pass, no centroid
+    * quality dependence, recall is analytic; the price is more candidate
+    * pairs at equal recall on clusterable data.
+    *
+    * Scale shape (the minhash-LSH plan in embedding space): signing is
+    * one narrow pass — `planes` native-codegen dots against literal
+    * arrays, zero shuffle; pair generation is the banded self-join keyed
+    * on (band_idx, band_key) with the same optional quadratic-bucket cap
+    * as [[Dedup.candidatePairs]]; verification is two id-keyed joins
+    * against the persisted signed frame. Nothing is ever all-pairs, and
+    * the signed frame is a [[graft.CacheBarriers.barrier]] so the sign
+    * pass runs once across its three consumers.
+    *
+    * Returns (id_a, id_b, cos_scaled = floor(cos·1e6)), deterministic
+    * across engines (same left-fold dot, same integer flooring). Broken
+    * vectors (NULL / null-element / wrong-length) are quarantined before
+    * signing ([[cleanVec]] + length guard); zero-norm vectors sign (all
+    * dots 0 → all bits 1) but never pass verification (NULL cosine).
+    * Finite data is assumed for bit parity: a NaN dot would bit 0 here
+    * but 1 in DuckDB, whose comparisons order NaN above all values. */
+  def signLshNearDupPairs(vectors: DataFrame, minCos: Double, dim: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          planes: Int = 64, bands: Int = 8,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    require(planes % bands == 0,
+      s"planes=$planes must divide into bands=$bands")
+    val rows = planes / bands
+    require(rows <= 30, s"rows-per-band=$rows overflows the Int band key")
+    val signs = signMatrix(planes, dim)
+    val bits = array((0 until planes).map { p =>
+      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
+    }: _*)
+    val bkeys = array((0 until bands).map { b =>
+      (0 until rows).map(r => col("__bits")(b * rows + r) * lit(1L << r))
+        .reduce(_ + _)
+    }: _*)
+    val signed = graft.CacheBarriers.barrier(
+      vectors
+        .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull && size(col("v")) === dim)
+        .withColumn("__bits", bits)
+        .select(col("__id"), col("v"),
+          sqrt(dot(col("v"), col("v"))).as("vn"), bkeys.as("bkeys")))
+    val all = signed.select(col("__id"),
+      posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
+    val bandRows = maxBucketSize match {
+      case None => all
+      case Some(cap) =>
+        val ok = all.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select("band_idx", "band_key")
+        all.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(signed.select(col("__id").as("id_a"), col("v").as("va"),
+        col("vn").as("na")), Seq("id_a"))
+      .join(signed.select(col("__id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb")), Seq("id_b"))
+      .withColumn("cos", cosinePre(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"),
+        floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
+  }
+
   /** Per-label centroid outlier scoring: every vector's cosine to the
     * mean vector of its label group, with vectors below `minCos` flagged
     * — the embedding-space anomaly signal a curation pipeline uses to
@@ -880,6 +976,29 @@ object Similarity {
 
   /** SQL: cast a FLOAT[] column to DOUBLE[]. */
   def sqlAsDouble(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** SQL: the sign-bit list over a DOUBLE[] expression — the SAME
+    * [[signMatrix]] spliced as ±1 literals, the same left-fold dot, the
+    * same `>= 0` bit convention as [[signLshNearDupPairs]]. */
+  def sqlSignBits(v: String, dim: Int, planes: Int): String = {
+    val signs = signMatrix(planes, dim)
+    (0 until planes).map { p =>
+      val lits = signs(p).map(s => if (s > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"CASE WHEN CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($v)[i] * ($lits)[i])) AS DOUBLE) >= 0 THEN 1 ELSE 0 END"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** SQL: band-key list over a bit-list expression (1-based indexing) —
+    * same little-endian bit pack as [[signLshNearDupPairs]]'s `bkeys`. */
+  def sqlSignBandKeys(bits: String, planes: Int, bands: Int): String = {
+    val rows = planes / bands
+    (0 until bands).map { b =>
+      (0 until rows).map(r => s"($bits)[${b * rows + r + 1}] * ${1L << r}")
+        .mkString(" + ")
+    }.mkString("[", ", ", "]")
+  }
 
   /** SQL: the assignment argmax as a CTE body — vectors of `eCte(vec_id,
     * v)` to nearest centroid of `centsCte(centroid_id, cv)`, same

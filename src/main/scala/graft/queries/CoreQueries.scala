@@ -204,7 +204,7 @@ object CoreQueries extends QueryFamily {
           .when(col("event_id") % 3 === 1, lit(Double.PositiveInfinity))
           .otherwise((k + 1).cast("double"))
         val ts = timestamp_micros(
-          expr("ts div 1000") + (col("event_id") % 2) * 300000000000000000L)
+          graft.source.EventLog.tsUsOf(ev) + (col("event_id") % 2) * 300000000000000000L)
         val doc = to_json(struct(
           k.as("k"),
           struct(w.as("w")).as("n"),
@@ -250,7 +250,7 @@ object CoreQueries extends QueryFamily {
             Codecs.binaryToBase64(unhex(substring(col("md"), 1, 16))))
           .otherwise(concat(lit("u"), col("user_id")))
         val bigTs = timestamp_micros(
-          expr("ts div 1000") + (col("event_id") % 3) * 300000000000000000L)
+          graft.source.EventLog.tsUsOf(ev) + (col("event_id") % 3) * 300000000000000000L)
         ev.select(col("event_id"), col("kind"), canonical.as("canon_id"),
             Codecs.idAccepted(canonical).as("id_ok"),
             Codecs.bsonDateString(bigTs).as("bson_date"))

@@ -2214,6 +2214,128 @@ object LlmQueries extends QueryFamily {
            |       CAST(floor($ccos * 1000000) AS BIGINT) < ${math.floor(0.10 * 1e6).toLong} AS is_outlier
            |FROM e JOIN c USING (label)
            |WHERE NOT isnan($ccos) ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ── Sign-random-projection (hyperplane) LSH near-dedup: the
+    //    data-INDEPENDENT scale path next to q45's IVF buckets — 64
+    //    Rademacher-hyperplane bits (matrix regenerated from the shared
+    //    md5 hash, no RNG), 8 bands × 8 bits, only same-band-key pairs
+    //    cosine-verified. Same derived variants as q45, so the two
+    //    queries' outputs are directly comparable recall evidence. The
+    //    oracle replays bits → band keys → candidates → verify with the
+    //    identical spliced ±1 matrix. ────────────────────────────────────
+    QueryDef.sorted(
+      "q105_embed_signlsh",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        Similarity.signLshNearDupPairs(e.unionByName(vars), minCos = 0.95,
+            dim = 64, idCol = "vec_id", vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("cos_scaled"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |sb AS (SELECT vec_id, v, $bits AS bits FROM corpus),
+           |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
+           |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
+           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bandrows a JOIN bandrows b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.vec_id < b.vec_id)
+           |SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           |       CAST(cand.id_b AS BIGINT) AS id_b,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM cand JOIN bk a ON cand.id_a = a.vec_id
+           |          JOIN bk b ON cand.id_b = b.vec_id
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ── Duplicated-span fraction (the exact-substring dedup signal of
+    //    Lee et al. 2022, at k=8-word windows): positional window hashes
+    //    → gram census (≥2 distinct docs) → per-doc duplicated-position
+    //    count over the SAME derived corpus as the dedup queries. An
+    //    exact dup scores 10⁶ (every window shared); a truncated
+    //    variant's original scores high but below 10⁶ (its last-5-word
+    //    windows are unshared); untouched docs score 0. ─────────────────
+    QueryDef.sorted(
+      "q106_dup_spans",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        Dedup.dupSpanStats(docs.unionByName(dups).unionByName(vars),
+            k = 8, maxFrac = 0.5)
+          .select(col("doc_id").cast("long"), col("n_windows"),
+            col("n_dup_pos"), col("dup_micro"), col("keep"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_windows, n_dup_pos,
+           |       dup_micro, keep
+           |FROM spanstats ORDER BY doc_id""".stripMargin)),
+
+    // ── Token-budget mixture plan (the Pile/LLaMA recipe table): per-
+    //    source whitespace-token counts + deterministic integer weights
+    //    (src number mod 4, +1) → budget split by weight, epoch-capped,
+    //    surplus water-filled over the uncapped sources — all in
+    //    truncating BIGINT division, so the oracle replays the plan to
+    //    the token. Budget 100k tokens vs ~26k available across 20
+    //    sources with a 2.5-epoch cap: high-weight sources cap out and
+    //    their surplus redistributes. ───────────────────────────────────
+    QueryDef.sorted(
+      "q107_mixture_plan",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("text", "source"))
+        val per = docs.groupBy(col("source"))
+          .agg(sum(size(words(col("text"))).cast("long")).as("avail_tokens"))
+          .withColumn("weight",
+            regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+        Sampling.mixturePlan(per, budget = 100000L,
+          maxEpochsMicro = 2500000L)
+      },
+      _.orderBy("source"),
+      Some(
+        s"""WITH per AS (
+           |  SELECT source,
+           |         CAST(sum(len(${W("text")})) AS BIGINT) AS avail_tokens,
+           |         CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1 AS weight
+           |  FROM documents GROUP BY source),
+           |${Sampling.sqlMixturePlan("per", 100000L, 2500000L)}
+           |SELECT source, avail_tokens, CAST(weight AS BIGINT) AS weight,
+           |       CAST(desired AS BIGINT) AS desired,
+           |       CAST(alloc AS BIGINT) AS alloc,
+           |       CAST(epochs_micro AS BIGINT) AS epochs_micro, capped
+           |FROM mixplan ORDER BY source""".stripMargin))
   )
 }

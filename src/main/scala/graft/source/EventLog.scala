@@ -25,6 +25,26 @@ import graft.GraftSession
   */
 object EventLog {
 
+  /** Epoch-microsecond instant of the raw events `ts` column, adaptive to
+    * the two schemas the driver's generator has shipped: parquet
+    * TIMESTAMP(NANOS) (surfaced as BIGINT nanos under the session's
+    * `nanosAsLong` — divide to micros) and TIMESTAMP(MICROS) (surfaced
+    * as TIMESTAMP_NTZ — the wall clock IS the UTC instant; the
+    * NTZ-to-NTZ `timestampdiff` keeps the conversion
+    * session-timezone-INDEPENDENT, where a cast through TIMESTAMP would
+    * silently shift the instant on a non-UTC session). Every branch
+    * equals DuckDB's `epoch_us(ts)` over the same file, which is what
+    * the oracle CTEs compute. */
+  def tsUsOf(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case dt => throw new IllegalArgumentException(
+        s"events.ts: expected nanos BIGINT or a timestamp type, got $dt")
+    }
+
   /** Envelope columns: event_id, id, db, coll, namespace, operation,
     * ts_us, version, document (JSON, null for deletes), value, source. */
   def envelope(spark: SparkSession, dir: String): DataFrame = {
@@ -42,7 +62,7 @@ object EventLog {
     val offset = when(col("event_type") === "signup", 0L)
       .when(col("event_type") === "error", 2L)
       .otherwise(1L)
-    val tsUs = expr("ts div 1000")
+    val tsUs = tsUsOf(ev)
     val shard = (col("user_id") % 4).cast("string")
     ev.select(
       col("event_id"),
@@ -87,7 +107,7 @@ object EventLog {
     * IsDropDatabase/IsDropCollection at monstache.go:3057/3065. */
   def envelopeWithDrops(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val tsUs = expr("ts div 1000")
+    val tsUs = tsUsOf(ev)
     def dropOps(pred: org.apache.spark.sql.Column, db: String,
                 coll: org.apache.spark.sql.Column, ns: org.apache.spark.sql.Column,
                 op: String) =

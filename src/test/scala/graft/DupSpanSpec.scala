@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Duplicated-span fraction (exact-substring dedup signal): positional
+  * k-gram coverage against a cross-doc gram census. k=4 keeps window
+  * counts hand-computable. */
+class DupSpanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def statsOf(rows: Seq[(Long, String)], k: Int = 4,
+                      maxFrac: Double = 0.5) = {
+    import spark.implicits._
+    Dedup.dupSpanStats(rows.toDF("doc_id", "text"), k = k, maxFrac = maxFrac)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))))
+      .toMap
+  }
+
+  test("exact dup scores 1e6; partial prefix overlap scores its fraction") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // doc 3 shares exactly doc 1's first 4-gram (w1..w4), then diverges
+    val out = statsOf(Seq(
+      1L -> ten, 2L -> ten,
+      3L -> ((1 to 4).map(i => s"w$i") ++ (1 to 6).map(i => s"u$i"))
+        .mkString(" ")))
+    // 10 words, k=4 -> 7 windows
+    assert(out(1L) === ((7L, 7L, 1000000L, false)))
+    assert(out(2L) === ((7L, 7L, 1000000L, false)))
+    // only position 0's window is shared: floor(1e6/7) = 142857
+    assert(out(3L) === ((7L, 1L, 142857L, true)))
+  }
+
+  test("intra-doc repetition alone never marks a gram duplicated") {
+    val out = statsOf(Seq(
+      1L -> "x1 x2 x3 x4 x1 x2 x3 x4", // window 0 == window 4
+      2L -> "y1 y2 y3 y4 y5"))
+    assert(out(1L) === ((5L, 0L, 0L, true)))
+    assert(out(2L) === ((2L, 0L, 0L, true)))
+  }
+
+  test("short docs are one whole-doc window; empty and NULL keep with 0") {
+    val out = statsOf(Seq(
+      1L -> "a b", 2L -> "a b", 3L -> "c", 4L -> "", 5L -> null))
+    assert(out(1L) === ((1L, 1L, 1000000L, false)))
+    assert(out(2L) === ((1L, 1L, 1000000L, false)))
+    assert(out(3L) === ((1L, 0L, 0L, true)))
+    assert(out(4L) === ((0L, 0L, 0L, true)))
+    assert(out(5L) === ((0L, 0L, 0L, true)))
+  }
+
+  test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
+    // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
+    // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
+    val out = statsOf(Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d x"))
+    assert(out(2L) === ((2L, 1L, 500000L, false)))
+    val loose = statsOf(Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d x"), maxFrac = 0.6)
+    assert(loose(2L)._4 === true)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** Sign-random-projection LSH near-dedup: recall on deterministic
+  * fixtures (exact dup, dominated-perturbation near-dup), complement
+  * rejection, broken/zero-vector quarantine, and the quadratic-bucket
+  * cap. dim=4, planes=8, bands=4 keeps the expected band keys
+  * hand-checkable: for vectors whose first component dominates
+  * (|x₀| > Σ|xᵢ|), every plane bit equals the bit of sign(x₀·s_p0),
+  * so such vectors band together iff their first components share sign. */
+class SignLshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pairsOf(rows: Seq[(Long, Seq[java.lang.Double])],
+                      minCos: Double = 0.9,
+                      cap: Option[Int] = None) = {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "v")
+    Similarity.signLshNearDupPairs(df, minCos = minCos, dim = 4,
+        idCol = "vec_id", vecCol = "v", planes = 8, bands = 4,
+        maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  private def d(x: Double): java.lang.Double = Double.box(x)
+
+  test("exact dup and dominated perturbation pair; complement does not") {
+    // b's first component dominates -> identical bits to a -> all 4
+    // bands collide; c = -a has every bit flipped -> zero shared bands
+    val out = pairsOf(Seq(
+      1L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      3L -> Seq(d(0.99), d(0.1), d(0.0), d(0.0)),
+      4L -> Seq(d(-1.0), d(0.0), d(0.0), d(0.0))))
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === 1000000L)
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+    // cos(a, b) = 0.99 / sqrt(0.99^2 + 0.1^2) ~= 0.99493
+    assert(out((1L, 3L)) === math.floor(
+      0.99 / math.sqrt(0.99 * 0.99 + 0.1 * 0.1) * 1e6).toLong)
+    assert(!out.keys.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
+  test("zero-norm vectors band (all bits 1) but never verify (NULL cos)") {
+    val out = pairsOf(Seq(
+      1L -> Seq(d(0.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(0.0), d(0.0), d(0.0), d(0.0))))
+    assert(out.isEmpty)
+  }
+
+  test("broken vectors (null element / wrong length) are quarantined") {
+    val out = pairsOf(Seq(
+      1L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(1.0), null, d(0.0), d(0.0)),
+      3L -> Seq(d(1.0), d(0.0), d(0.0))))
+    assert(out.isEmpty)
+  }
+
+  test("quadratic-bucket cap drops oversized buckets") {
+    val many = (1L to 5L).map(i =>
+      i -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)))
+    assert(pairsOf(many).size === 10) // uncapped: all C(5,2) pairs
+    assert(pairsOf(many, cap = Some(4)).isEmpty) // every bucket holds 5
+  }
+
+  test("signMatrix is deterministic and ±1-valued") {
+    val m1 = Similarity.signMatrix(8, 4)
+    val m2 = Similarity.signMatrix(8, 4)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs occur
+    assert(m1.flatten.distinct.length === 2)
+  }
+}
