@@ -846,6 +846,20 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, k: Int = 8, maxFrac: Double = 0.5,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    val (base, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    val dupGrams = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    assembleSpanStats(base, pos, dupGrams, maxFrac)
+  }
+
+  /** Windowed base + positional gram rows shared by the batch and
+    * incremental span operators: `base` carries (doc_id, ws, nw); `pos`
+    * one md5-hash row per window position. Both are cache barriers —
+    * each is consumed at least twice downstream. */
+  private def spanBaseAndPositions(docs: DataFrame, k: Int, idCol: String,
+                                   textCol: String)
+      : (DataFrame, DataFrame) = {
     require(k >= 2, s"k=$k: a 1-word span signal is the vocab census")
     val base = graft.CacheBarriers.barrier(
       docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
@@ -865,9 +879,14 @@ object Dedup {
             i => TextHash.h32p(
               concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(k)))))))
         .as("g")))
-    val dupGrams = pos.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("g"))
+    (base, pos)
+  }
+
+  /** Per-doc duplicated-position coverage against a duplicated-gram set
+    * — the one assembly both span paths (batch and incremental) share. */
+  private def assembleSpanStats(base: DataFrame, pos: DataFrame,
+                                dupGrams: DataFrame,
+                                maxFrac: Double): DataFrame = {
     val dupPos = pos.join(dupGrams, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
     val thr = math.floor(maxFrac * 1e6).toLong
@@ -879,6 +898,55 @@ object Dedup {
         when(col("n_windows") === 0, lit(0L))
           .otherwise(expr("n_dup_pos * 1000000 DIV n_windows")))
       .withColumn("keep", col("dup_micro") < thr)
+  }
+
+  /** The ADDITIVE span-census artifact: (g, n_docs) — the number of
+    * DISTINCT documents containing each positional k-gram. Disjoint
+    * batches contribute disjoint doc sets, so two batches' censuses
+    * merge by pure addition ([[mergeSpanCensus]]) into EXACTLY the
+    * union's census — the same artifact rule as the line census and the
+    * curation counts. Grams are the 8-byte md5-prefix hash, so artifact
+    * rows are fixed-width regardless of window text size. */
+  def spanCensus(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val (_, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Fold a new batch's census into a persisted artifact — pure addition
+    * on the gram key. Batches must be doc-id-DISJOINT (the ingest
+    * contract every incremental operator here shares); a doc present in
+    * both would double-count its grams. */
+  def mergeSpanCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Incremental duplicated-span stats: score a NEW batch against the
+    * union of a persisted census and itself, reading nothing of the old
+    * corpus but the artifact — the run-over-run ingest shape. Returns
+    * (stats for the new batch, merged census to persist).
+    *
+    * Identity (pinned by DupSpanSpec): the stats equal
+    * `dupSpanStats(old ∪ new)` RESTRICTED to the new batch — a gram is
+    * duplicated iff old-census + new-batch distinct-doc counts total
+    * ≥ 2, and addition over disjoint doc sets makes the merged census
+    * the union census exactly. Old docs are NOT re-scored: a b1 doc
+    * whose spans become duplicated only when b2 arrives keeps its
+    * b1-time verdict — the same convention as incremental near-dup
+    * pairs (old-old pairs were previous runs' output; here old docs
+    * were previous runs' rows). */
+  def dupSpanStatsIncremental(newDocs: DataFrame, oldCensus: DataFrame,
+                              k: Int = 8, maxFrac: Double = 0.5,
+                              idCol: String = "doc_id",
+                              textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val (base, pos) = spanBaseAndPositions(newDocs, k, idCol, textCol)
+    val newCensus = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    val merged = graft.CacheBarriers.barrier(
+      mergeSpanCensus(oldCensus, newCensus))
+    val dupGrams = merged.filter(col("n_docs") >= 2).select(col("g"))
+    (assembleSpanStats(base, pos, dupGrams, maxFrac), merged)
   }
 
   /** DuckDB CTE fragment replaying [[dupSpanStats]] over a (doc_id, text)

@@ -2304,6 +2304,46 @@ object LlmQueries extends QueryFamily {
            |       dup_micro, keep
            |FROM spanstats ORDER BY doc_id""".stripMargin)),
 
+    // ── Incremental duplicated-span stats (q106's daily-ingest shape):
+    //    the originals' span census persists as the additive (g, n_docs)
+    //    artifact; the derived batch (exact dups + truncated variants,
+    //    all ids ≥ VarOffset) is scored against artifact + itself,
+    //    never re-reading the originals. The oracle replays the FULL
+    //    union restricted to the new batch, so the hash match IS the
+    //    incremental ≡ batch identity (q84/q96/q99's proof pattern, at
+    //    span granularity). ───────────────────────────────────────────
+    QueryDef.sorted(
+      "q108_dup_spans_incremental",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val (stats, _) = Dedup.dupSpanStatsIncremental(
+          dups.unionByName(vars), Dedup.spanCensus(docs, k = 8),
+          k = 8, maxFrac = 0.5)
+        stats.select(col("doc_id").cast("long"), col("n_windows"),
+          col("n_dup_pos"), col("dup_micro"), col("keep"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_windows, n_dup_pos,
+           |       dup_micro, keep
+           |FROM spanstats WHERE doc_id >= $VarOffset
+           |ORDER BY doc_id""".stripMargin)),
+
     // ── Token-budget mixture plan (the Pile/LLaMA recipe table): per-
     //    source whitespace-token counts + deterministic integer weights
     //    (src number mod 4, +1) → budget split by weight, epoch-capped,

@@ -52,6 +52,34 @@ class DupSpanSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L, 0L, true)))
   }
 
+  test("incremental ≡ full-union restricted to the new batch; census additive") {
+    import spark.implicits._
+    val b1 = Seq(1L -> "a b c d e f g h i j", 2L -> "p q r s t u v w x y")
+      .toDF("doc_id", "text")
+    // 11 = exact dup of old doc 1 (its grams become duplicated only via
+    // the old census); 12 shares two windows with old doc 2; 13 is fresh
+    val b2 = Seq(11L -> "a b c d e f g h i j",
+      12L -> "m n o p q r s t z z2",
+      13L -> "k1 k2 k3 k4 k5 k6 k7 k8").toDF("doc_id", "text")
+    val full = Dedup.dupSpanStats(b1.unionByName(b2), k = 4)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 11L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val (inc, merged) = Dedup.dupSpanStatsIncremental(b2,
+      Dedup.spanCensus(b1, k = 4), k = 4)
+    val incM = inc.collect().map(r => r.getLong(0) -> ((r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(incM === full)
+    assert(incM(11L) === ((7L, 7L, 1000000L, false)))
+    assert(incM(12L) === ((7L, 2L, 285714L, true)))
+    assert(incM(13L)._2 === 0L)
+    val mergedM = merged.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCensus = Dedup.spanCensus(b1.unionByName(b2), k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedM === fullCensus)
+  }
+
   test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
     // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
     // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
