@@ -847,8 +847,11 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val (base, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
-    val dupGrams = pos.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    // count(DISTINCT doc_id) — ONE exchange (partial distinct maps,
+    // shuffle keyed on g) where a (doc_id, g) distinct followed by a
+    // g-keyed groupBy would shuffle the positional table twice
+    val dupGrams = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
     assembleSpanStats(base, pos, dupGrams, maxFrac)
   }
@@ -910,9 +913,13 @@ object Dedup {
   def spanCensus(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val (_, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
-    pos.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    spanCensusOfPositions(pos)
   }
+
+  /** One-exchange distinct-doc census of a positional gram table (see
+    * dupSpanStats for the count-distinct-vs-two-shuffles note). */
+  private def spanCensusOfPositions(pos: DataFrame): DataFrame =
+    pos.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("n_docs"))
 
   /** Fold a new batch's census into a persisted artifact — pure addition
     * on the gram key. Batches must be doc-id-DISJOINT (the ingest
@@ -941,8 +948,7 @@ object Dedup {
                               textCol: String = "text")
       : (DataFrame, DataFrame) = {
     val (base, pos) = spanBaseAndPositions(newDocs, k, idCol, textCol)
-    val newCensus = pos.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    val newCensus = spanCensusOfPositions(pos)
     val merged = graft.CacheBarriers.barrier(
       mergeSpanCensus(oldCensus, newCensus))
     val dupGrams = merged.filter(col("n_docs") >= 2).select(col("g"))
