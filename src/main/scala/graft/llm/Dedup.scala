@@ -834,8 +834,8 @@ object Dedup {
     *
     * Scale shape: one narrow shingling pass explodes ~n_words rows per
     * doc (the same cost family as the line census / verbatim overlap);
-    * the gram census is a map-side-combined groupBy on the 8-byte md5
-    * hash (never the window text); the per-doc count is a left-semi join
+    * the gram census is a map-side-combined groupBy on the 64-bit
+    * md5-prefix hash (never the window text); the per-doc count is a left-semi join
     * against the duplicated-gram set followed by a doc-keyed count. No
     * all-pairs anywhere; the widest shuffle key is the gram hash.
     *
@@ -873,13 +873,18 @@ object Dedup {
           when(col("ws").isNull || size(col("ws")) === 0, lit(0))
             .when(size(col("ws")) < k, lit(1))
             .otherwise(size(col("ws")) - (k - 1)).cast("long")))
-    // one gram row per window position; h32p of the joined window text
-    // (slice with len < k returns the whole doc — the 1-window branch)
+    // one gram row per window position: the 64-bit md5 prefix of the
+    // joined window text (slice with len < k returns the whole doc — the
+    // 1-window branch). NOT h32p: a census key is compared for EQUALITY
+    // across the whole corpus with no exact-text confirm join, so the
+    // 31-bit minhash keyspace would birthday-collide at corpus scale and
+    // directly mark false duplicated positions (identically in both
+    // engines — the oracle could never catch it).
     val pos = graft.CacheBarriers.barrier(
       base.select(col("doc_id"), explode(
-        when(col("nw") === 0, array().cast("array<long>"))
+        when(col("nw") === 0, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0L), col("nw") - 1),
-            i => TextHash.h32p(
+            i => TextHash.h64x(
               concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(k)))))))
         .as("g")))
     (base, pos)
@@ -908,7 +913,8 @@ object Dedup {
     * batches contribute disjoint doc sets, so two batches' censuses
     * merge by pure addition ([[mergeSpanCensus]]) into EXACTLY the
     * union's census — the same artifact rule as the line census and the
-    * curation counts. Grams are the 8-byte md5-prefix hash, so artifact
+    * curation counts. Grams are the 64-bit md5-prefix hash (16 fixed hex
+    * chars — [[TextHash.h64x]]'s collision-stance note), so artifact
     * rows are fixed-width regardless of window text size. */
   def spanCensus(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
@@ -957,8 +963,8 @@ object Dedup {
 
   /** DuckDB CTE fragment replaying [[dupSpanStats]] over a (doc_id, text)
     * CTE `src`, ending at `spanstats(doc_id, n_windows, n_dup_pos,
-    * dup_micro, keep)` — same window convention, same md5 gram hash,
-    * same integer division. */
+    * dup_micro, keep)` — same window convention, same 64-bit md5-prefix
+    * gram hash, same integer division. */
   def sqlDupSpanCtes(src: String, k: Int, maxFrac: Double): String = {
     val w = TextHash.sqlWords("text")
     val thr = math.floor(maxFrac * 1e6).toLong
@@ -971,7 +977,7 @@ object Dedup {
        |spanpos AS (
        |  SELECT doc_id,
        |         unnest(list_transform(range(0, nw), i ->
-       |           ${TextHash.sqlH32p(s"array_to_string(ws[i+1:i+$k], ' ')")})) AS g
+       |           ${TextHash.sqlH64x(s"array_to_string(ws[i+1:i+$k], ' ')")})) AS g
        |  FROM spannw),
        |spandup AS (
        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM spanpos)

@@ -123,6 +123,19 @@ object TextHash {
     h32pBytes(java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")))
 
+  /** 64-bit md5 prefix as a fixed-width 16-hex-char string — the census
+    * gram key. Unlike [[h32p]] (31-bit keyspace, sized for affine minhash
+    * products), this keyspace is sized for corpus-scale DISTINCT-key
+    * artifacts: at 10¹² distinct grams (the 100 TB regime) the birthday
+    * expectation under 2⁶⁴ is ~3·10⁴ colliding pairs — a ~3·10⁻⁸
+    * false-duplicate fraction — where 2³¹ would collide essentially
+    * every gram. Kept as hex text (not a BIGINT) because a full 64-bit
+    * unsigned value cannot round-trip `conv`/CAST on both engines
+    * without overflow games; 16 fixed bytes is still a fixed-width
+    * shuffle key. NULL propagates through md5/substring on both
+    * engines, matching [[sqlH64x]]. */
+  def h64x(c: Column): Column = substring(md5(c), 1, 16)
+
   // ── DuckDB side (same math, same constants) ───────────────────────────
   /** SQL: h32p over a string expression. The NULL case is explicit:
     * DuckDB's `concat` SKIPS null arguments, so without the guard a NULL
@@ -132,6 +145,9 @@ object TextHash {
   def sqlH32p(e: String): String =
     s"(CASE WHEN $e IS NULL THEN NULL ELSE " +
       s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $P END)"
+
+  /** SQL twin of [[h64x]] — DuckDB's md5 is the same lowercase hex. */
+  def sqlH64x(e: String): String = s"substr(md5($e), 1, 16)"
 
   /** SQL: tokens CTE fragment — `list_filter(string_split(text,' '), ...)`. */
   def sqlWords(e: String): String =

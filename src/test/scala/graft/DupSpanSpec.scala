@@ -74,9 +74,9 @@ class DupSpanSpec extends AnyFunSuite {
     assert(incM(12L) === ((7L, 2L, 285714L, true)))
     assert(incM(13L)._2 === 0L)
     val mergedM = merged.collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val fullCensus = Dedup.spanCensus(b1.unionByName(b2), k = 4).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mergedM === fullCensus)
   }
 
