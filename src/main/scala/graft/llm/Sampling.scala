@@ -198,12 +198,30 @@ object Sampling {
         "is micro-epochs (1e6 = one epoch); beyond 100 epochs the " +
         "split-division overflow domain shrinks below the 100 TB scale")
     import org.apache.spark.sql.functions.broadcast
+    // weight domain enforced loudly (the repo convention): a NULL or
+    // negative weight breaks the stated nonnegative-operand DIV/`//`
+    // parity, and silently coercing would skew every other source's
+    // share. Row-lazy `when` keeps the check off the happy path.
     val t = perSource.select(col(srcCol).as("source"),
       col(availCol).cast("long").as("avail_tokens"),
-      col(weightCol).cast("long").as("weight"))
+      when(col(weightCol).isNull || col(weightCol) < 0, raise_error(
+        // coalesce every interpolated part: concat PROPAGATES null, and
+        // the NULL-weight case is precisely the one being reported
+        concat(lit("mixturePlan: weight must be a nonnegative integer "),
+          lit("(got "), coalesce(col(weightCol).cast("string"), lit("NULL")),
+          lit(" for source "),
+          coalesce(col(srcCol).cast("string"), lit("NULL")), lit(")"))))
+        .otherwise(col(weightCol).cast("long")).as("weight"))
     val wsum = t.agg(sum(col("weight")).as("wsum"))
     val d = t.crossJoin(broadcast(wsum))
-      .withColumn("desired", expr(s"($budget * weight) DIV wsum"))
+      // all-zero weights: ($budget*weight) DIV 0 is NULL in Spark, and
+      // least(NULL, cap) SKIPS the null — alloc1 would silently become
+      // the full epoch cap for every source. Undefined split → loud.
+      .withColumn("desired",
+        when(col("wsum") === 0, raise_error(lit(
+          "mixturePlan: weight sum is 0 — every source has zero weight, " +
+            "the proportional split is undefined")))
+          .otherwise(expr(s"($budget * weight) DIV wsum")))
       .withColumn("cap", expr(
         s"(avail_tokens DIV 1000000) * $maxEpochsMicro + " +
           s"((avail_tokens % 1000000) * $maxEpochsMicro) DIV 1000000"))
@@ -224,6 +242,53 @@ object Sampling {
       .withColumn("capped", col("alloc") === col("cap"))
       .select(col("source").as(srcCol), col("avail_tokens"), col("weight"),
         col("desired"), col("alloc"), col("epochs_micro"), col("capped"))
+  }
+
+  val MixEpochSalt = "graft-mixepoch|"
+
+  /** Materialize a [[mixturePlan]] over its corpus — the plan→data step
+    * the recipe table implies: each doc is repeated once per FULL planned
+    * epoch of its source and joins the final FRACTIONAL epoch when its
+    * salted id hash lands under the remainder threshold (the
+    * [[stratifiedSample]] keep-predicate family, with its own salt so
+    * epoch membership is independent of split/sample/mix membership).
+    * Emits one row per (doc, epoch) with an `epoch` index column:
+    * epochs 0 … full−1 are complete passes over the source; epoch
+    * `full` (present only for selected docs) is the partial pass.
+    * Sources planned at zero epochs drop out entirely.
+    *
+    * Exactness contract: the epoch structure is deterministic and
+    * cross-engine exact ([[sqlMixCopies]] replays the same hash); the
+    * realized token count per source equals `alloc` up to hash-threshold
+    * tolerance on the fractional pass (docs are kept whole — a token-
+    * exact cut would split a document mid-sequence, which is
+    * [[graft.llm.Chunking]]'s job upstream, not the sampler's).
+    *
+    * Scale shape: the plan is source-cardinality — a broadcast join —
+    * and the repetition explodes ≤ ⌈epochs⌉ rows per doc with no
+    * shuffle: a narrow map stage whatever the corpus size. Deliberately
+    * NOT a multi-epoch global shuffle: epoch-order randomization is
+    * [[graft.llm.Sharding]]'s salted-hash ordering, applied per epoch
+    * downstream. */
+  def applyMixturePlan(docs: DataFrame, plan: DataFrame,
+                       srcCol: String = "source",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    docs.join(broadcast(plan.select(col(srcCol), col("epochs_micro"))),
+        Seq(srcCol))
+      .withColumn("__copies",
+        (expr("epochs_micro DIV 1000000") +
+          (TextHash.h32p(concat(lit(MixEpochSalt), col(idCol).cast("string")))
+            % 1000000L < expr("epochs_micro % 1000000")).cast("long"))
+          .cast("int"))
+      // sequence(0, -1) would yield [0, -1] (Spark's descending default
+      // step), so the zero-copy branch is an explicit empty array, which
+      // explode drops
+      .withColumn("epoch",
+        explode(when(col("__copies") > 0,
+          sequence(lit(0), col("__copies") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("epochs_micro", "__copies")
   }
 
   // ── DuckDB twins (same salt, same md5-prefix hash) ────────────────────
@@ -284,6 +349,16 @@ object Sampling {
        |                   END AS epochs_micro,
        |                   alloc = cap AS capped
        |            FROM mixf)""".stripMargin
+
+  /** SQL: the [[applyMixturePlan]] copy count for a row joined against
+    * its plan's `epochs_micro` — full epochs plus the salted-hash
+    * fractional pass (same salt, same threshold comparison). Feed it to
+    * `unnest(range(0, <copies>))` to replay the epoch rows (`range`
+    * yields the empty list at 0, matching the explode-empty drop). */
+  def sqlMixCopies(id: String): String =
+    s"CAST((epochs_micro // 1000000) + (CASE WHEN " +
+      s"(${TextHash.sqlH32p(s"concat('$MixEpochSalt', CAST($id AS VARCHAR))")} % 1000000)" +
+      s" < (epochs_micro % 1000000) THEN 1 ELSE 0 END) AS BIGINT)"
 
   /** SQL: the stratified-sample keep predicate. */
   def sqlSampleKeep(id: String, strataCol: String, rates: Seq[(String, Int)],

@@ -128,6 +128,18 @@ object LlmQueries extends QueryFamily {
   /** DuckDB words list for a text expression. */
   private def W(e: String) = TextHash.sqlWords(e)
 
+  /** q107/q109 deterministic source weight: source-number digits mod 4,
+    * +1 — with a digitless fallback BOTH engines agree on. Spark's
+    * `regexp_extract` returns '' on no match → CAST '' → NULL, while
+    * DuckDB's CAST('' AS BIGINT) raises and would crash the oracle;
+    * `try_cast` makes it NULL there too, and both sides coalesce the
+    * NULL chain to a fixed weight 1. */
+  private def srcWeight: Column =
+    coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1,
+      lit(1L))
+  private val sqlSrcWeight: String =
+    "coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1, 1)"
+
   /** Truncated-variant text (last 5 words dropped), length CLAMPED at 0
     * on both engines: Spark's `slice` throws on a negative length and
     * DuckDB's negative slice bound counts from the END, so a sub-6-word
@@ -2359,8 +2371,7 @@ object LlmQueries extends QueryFamily {
           .select("text", "source"))
         val per = docs.groupBy(col("source"))
           .agg(sum(size(words(col("text"))).cast("long")).as("avail_tokens"))
-          .withColumn("weight",
-            regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+          .withColumn("weight", srcWeight)
         Sampling.mixturePlan(per, budget = 100000L,
           maxEpochsMicro = 2500000L)
       },
@@ -2369,13 +2380,60 @@ object LlmQueries extends QueryFamily {
         s"""WITH per AS (
            |  SELECT source,
            |         CAST(sum(len(${W("text")})) AS BIGINT) AS avail_tokens,
-           |         CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1 AS weight
+           |         $sqlSrcWeight AS weight
            |  FROM documents GROUP BY source),
            |${Sampling.sqlMixturePlan("per", 100000L, 2500000L)}
            |SELECT source, avail_tokens, CAST(weight AS BIGINT) AS weight,
            |       CAST(desired AS BIGINT) AS desired,
            |       CAST(alloc AS BIGINT) AS alloc,
            |       CAST(epochs_micro AS BIGINT) AS epochs_micro, capped
-           |FROM mixplan ORDER BY source""".stripMargin))
+           |FROM mixplan ORDER BY source""".stripMargin)),
+
+    // ── Materialized mixture plan (the plan→data step q107 implies):
+    //    replay q107's recipe, then REALIZE it — each doc repeated per
+    //    full planned epoch plus a salted-hash fractional pass — and
+    //    summarize per (source, epoch): capped sources show their full
+    //    2.5-epoch structure (epochs 0,1 complete + a half-size epoch 2),
+    //    uncapped sources a partial epoch 0. The oracle replays plan,
+    //    join, and unnest(range(copies)) in one statement, so the hash
+    //    match pins the whole plan→data loop to the row. ───────────────
+    QueryDef.sorted(
+      "q109_apply_mixture",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val per = docs.groupBy(col("source"))
+          .agg(sum(size(words(col("text"))).cast("long")).as("avail_tokens"))
+          .withColumn("weight", srcWeight)
+        val plan = Sampling.mixturePlan(per, budget = 100000L,
+          maxEpochsMicro = 2500000L)
+        Sampling.applyMixturePlan(
+            docs.withColumn("ntok", size(words(col("text"))).cast("long")),
+            plan)
+          .groupBy(col("source"), col("epoch"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+      },
+      _.orderBy("source", "epoch"),
+      Some(
+        s"""WITH per AS (
+           |  SELECT source,
+           |         CAST(sum(len(${W("text")})) AS BIGINT) AS avail_tokens,
+           |         $sqlSrcWeight AS weight
+           |  FROM documents GROUP BY source),
+           |${Sampling.sqlMixturePlan("per", 100000L, 2500000L)},
+           |applied AS (
+           |  SELECT d.source, d.doc_id,
+           |         CAST(len(${W("d.text")}) AS BIGINT) AS ntok,
+           |         m.epochs_micro
+           |  FROM documents d JOIN mixplan m USING (source)),
+           |exploded AS (
+           |  SELECT source, doc_id, ntok,
+           |         unnest(range(0, ${Sampling.sqlMixCopies("doc_id")})) AS epoch
+           |  FROM applied)
+           |SELECT source, CAST(epoch AS INT) AS epoch,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(ntok) AS BIGINT) AS tok_sum
+           |FROM exploded GROUP BY source, epoch
+           |ORDER BY source, epoch""".stripMargin))
   )
 }

@@ -72,4 +72,60 @@ class MixturePlanSpec extends AnyFunSuite {
       Sampling.mixturePlan(df, budget = -1L, maxEpochsMicro = 1000000L)
     }
   }
+
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("weight domain fails loudly: all-zero, negative, and NULL weights") {
+    import spark.implicits._
+    // all-zero wsum: without the guard, NULL desired rides least()'s
+    // null-skipping into alloc1 = cap — every source silently maxes out
+    val zero = Seq(("A", 10L, 0L), ("B", 10L, 0L))
+      .toDF("source", "avail_tokens", "weight")
+    val eZero = intercept[Throwable] {
+      Sampling.mixturePlan(zero, budget = 100L).collect()
+    }
+    assert(messageChain(eZero).contains("weight sum is 0"))
+    val neg = Seq(("A", 10L, 1L), ("B", 10L, -2L))
+      .toDF("source", "avail_tokens", "weight")
+    val eNeg = intercept[Throwable] {
+      Sampling.mixturePlan(neg, budget = 100L).collect()
+    }
+    assert(messageChain(eNeg).contains("nonnegative"))
+    val nul = Seq(("A", 10L, Some(1L)), ("B", 10L, Option.empty[Long]))
+      .toDF("source", "avail_tokens", "weight")
+    val eNul = intercept[Throwable] {
+      Sampling.mixturePlan(nul, budget = 100L).collect()
+    }
+    assert(messageChain(eNul).contains("nonnegative"))
+  }
+
+  test("applyMixturePlan: full epochs repeat, fractional pass is a " +
+    "deterministic hash subset, zero-epoch sources drop") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "A")) ++
+      (21 to 25).map(i => (i.toLong, "B")) ++
+      (26 to 28).map(i => (i.toLong, "C")))
+      .toDF("doc_id", "source")
+    // 2.5 epochs of A, exactly 1 of B, none of C
+    val plan = Seq(("A", 2500000L), ("B", 1000000L), ("C", 0L))
+      .toDF("source", "epochs_micro")
+    def run() = Sampling.applyMixturePlan(docs, plan)
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val out = run()
+    assert(out == run()) // pure function of the rows — replayable
+    val byDoc = out.groupBy(_._1)
+    // every A doc: epochs 0,1 always; epoch 2 for the hash subset only
+    (1 to 20).foreach { i =>
+      val epochs = byDoc(i.toLong).map(_._3)
+      assert(epochs == Set(0, 1) || epochs == Set(0, 1, 2))
+    }
+    val extras = (1 to 20).count(i => byDoc(i.toLong).size == 3)
+    assert(extras > 0 && extras < 20,
+      s"fractional pass should select a strict subset, got $extras/20")
+    (21 to 25).foreach(i => assert(byDoc(i.toLong).map(_._3) == Set(0)))
+    assert((26 to 28).forall(i => !byDoc.contains(i.toLong)))
+  }
 }
