@@ -105,13 +105,25 @@ object Similarity {
 
   /** A vector carrying NULL elements (`[0.1, null, 0.2]` — a partially
     * failed upstream encoder) is as broken as a NULL vector, and worse at
-    * runtime: the `Seq[Double]` UDF deserializer throws on the null
-    * element, killing the whole job on one bad row. Null the vector WHOLE
-    * here so such rows flow down the existing quarantine paths
-    * (unassignable bucket / no probes) instead. A NULL array input stays
-    * NULL (`exists` propagates it). */
-  private def cleanVec(c: Column): Column =
-    when(!exists(c, x => x.isNull), asDouble(c))
+    * runtime: the `Seq[Double]` UDF deserializer throws on the whole null
+    * element, killing the whole job on one bad row. Non-finite elements
+    * (NaN / ±Inf — an exploded encoder) are quarantined for the same
+    * reason with a sharper edge: a NaN dot product signs bit 0 in Spark
+    * but bit 1 in DuckDB (whose comparisons order NaN above all values),
+    * so letting one through breaks sign-LSH's cross-engine bit parity —
+    * verify-guarded paths merely waste candidate work on it. Null the
+    * vector WHOLE here so such rows flow down the existing quarantine
+    * paths (unassignable bucket / no probes / unsigned) instead. A NULL
+    * array input stays NULL (`exists` propagates it). The NaN test rides
+    * Spark's NaN-is-greatest comparison semantics: `abs(x) <= MaxValue`
+    * is false for both NaN and ±Inf, true for every finite double. */
+  private def cleanVec(c: Column): Column = {
+    val broken = exists(c, x => {
+      val xd = x.cast("double")
+      xd.isNull || !(abs(xd) <= lit(Double.MaxValue))
+    })
+    when(!broken, asDouble(c))
+  }
 
   /** The same left fold as [[graft.functions.DotProduct]], driver/executor
     * side. Kept in one place so every code path accumulates in identical
@@ -436,8 +448,11 @@ object Similarity {
     * vectors (NULL / null-element / wrong-length) are quarantined before
     * signing ([[cleanVec]] + length guard); zero-norm vectors sign (all
     * dots 0 → all bits 1) but never pass verification (NULL cosine).
-    * Finite data is assumed for bit parity: a NaN dot would bit 0 here
-    * but 1 in DuckDB, whose comparisons order NaN above all values. */
+    * Bit parity needs finite data — a NaN dot would bit 0 here but 1 in
+    * DuckDB, whose comparisons order NaN above all values — and
+    * [[cleanVec]] ENFORCES it: any non-finite element quarantines the
+    * vector before signing, on both engines (the oracle applies the
+    * identical filter to its corpus CTE). */
   def signLshNearDupPairs(vectors: DataFrame, minCos: Double, dim: Int,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
@@ -976,6 +991,17 @@ object Similarity {
 
   /** SQL: cast a FLOAT[] column to DOUBLE[]. */
   def sqlAsDouble(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** SQL: the [[cleanVec]] + length-`dim` quarantine as a WHERE predicate
+    * over a list expression — a vector survives iff it is non-NULL,
+    * exactly `dim` long, and every element is a finite non-NULL number.
+    * Oracles that replay a quarantining operator MUST filter their corpus
+    * CTE with this, or a single broken parquet row hash-diverges the two
+    * engines (Spark drops it; DuckDB's list_sum would skip the NULL and
+    * happily band the vector). */
+  def sqlVecOk(v: String, dim: Int): String =
+    s"(len($v) = $dim AND len(list_filter($v, " +
+      s"x -> x IS NULL OR NOT isfinite(x))) = 0)"
 
   /** SQL: the sign-bit list over a DOUBLE[] expression — the SAME
     * [[signMatrix]] spliced as ±1 literals, the same left-fold dot, the

@@ -2256,12 +2256,14 @@ object LlmQueries extends QueryFamily {
         val bits = Similarity.sqlSignBits("v", 64, 64)
         val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
         s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
-           |corpus AS (
+           |corpus0 AS (
            |  SELECT vec_id, v FROM base
            |  UNION ALL
            |  SELECT vec_id + 100000,
            |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
            |  FROM base WHERE vec_id % 25 = 0),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
            |sb AS (SELECT vec_id, v, $bits AS bits FROM corpus),
            |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
            |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,

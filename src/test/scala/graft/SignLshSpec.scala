@@ -58,6 +58,19 @@ class SignLshSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("non-finite elements (NaN / ±Inf) are quarantined before signing") {
+    // without quarantine, the NaN vector's dots are NaN -> bit 0 here but
+    // bit 1 in DuckDB (NaN orders above all values) — the one cross-engine
+    // bit-parity divergence in the embedding family; cleanVec enforces the
+    // finite-data contract instead of assuming it
+    val out = pairsOf(Seq(
+      1L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(1.0), d(Double.NaN), d(0.0), d(0.0)),
+      3L -> Seq(d(Double.PositiveInfinity), d(0.0), d(0.0), d(0.0)),
+      4L -> Seq(d(1.0), d(Double.NegativeInfinity), d(0.0), d(0.0))))
+    assert(out.isEmpty)
+  }
+
   test("quadratic-bucket cap drops oversized buckets") {
     val many = (1L to 5L).map(i =>
       i -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)))

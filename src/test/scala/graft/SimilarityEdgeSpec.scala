@@ -113,6 +113,27 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     assert(bf.toSeq == Seq((1L, 1, 2L)))
   }
 
+  test("NON-FINITE elements (NaN / Inf) are quarantined whole") {
+    import spark.implicits._
+    // an exploded encoder: NaN and Inf elements poison every downstream
+    // dot — and a NaN dot breaks sign-LSH's cross-engine bit parity (NaN
+    // signs 0 in Spark, 1 in DuckDB) — so cleanVec nulls the vector whole
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)),
+      (3L, Seq(Double.NaN, 1.0)),
+      (4L, Seq(Double.PositiveInfinity, 0.0))
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vs, centroidPred = col("vec_id") === 1L)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(3L) == Similarity.UnassignedBucket)
+    assert(assigned(4L) == Similarity.UnassignedBucket)
+    val bf = Similarity.bruteForceTopK(vs, col("vec_id") === 1L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(bf.toSeq == Seq((1L, 1, 2L)))
+  }
+
   test("ivfTopK: zero-norm rows are inert on both sides") {
     val out = Similarity.ivfTopK(frame(), centroidPred = col("vec_id").isin(1L, 3L),
         queryPred = col("vec_id") === 2L, k = 5, nprobe = 2)
