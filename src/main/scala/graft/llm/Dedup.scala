@@ -858,8 +858,10 @@ object Dedup {
 
   /** Windowed base + positional gram rows shared by the batch and
     * incremental span operators: `base` carries (doc_id, ws, nw); `pos`
-    * one md5-hash row per window position. Both are cache barriers —
-    * each is consumed at least twice downstream. */
+    * one (p, g) md5-hash row per window position (p is the 0-based
+    * window start — the census paths ignore it; the span-coalescing
+    * paths key their islands on it). Both are cache barriers — each is
+    * consumed at least twice downstream. */
   private def spanBaseAndPositions(docs: DataFrame, k: Int, idCol: String,
                                    textCol: String)
       : (DataFrame, DataFrame) = {
@@ -881,12 +883,13 @@ object Dedup {
     // directly mark false duplicated positions (identically in both
     // engines — the oracle could never catch it).
     val pos = graft.CacheBarriers.barrier(
-      base.select(col("doc_id"), explode(
+      base.select(col("doc_id"), posexplode(
         when(col("nw") === 0, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0L), col("nw") - 1),
             i => TextHash.h64x(
               concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(k)))))))
-        .as("g")))
+        .as(Seq("p", "g")))
+        .select(col("doc_id"), col("p").cast("long").as("p"), col("g")))
     (base, pos)
   }
 
@@ -961,6 +964,72 @@ object Dedup {
     (assembleSpanStats(base, pos, dupGrams, maxFrac), merged)
   }
 
+  /** Maximal duplicated spans — the spans THEMSELVES, not just their
+    * fraction: where [[dupSpanStats]] gates a doc on positional coverage,
+    * this emits each doc's runs of duplicated window positions as
+    * (doc_id, span_start, n_pos, span_words), the actionable output of
+    * Lee et al. 2022's exact-substring dedup (cut the span, keep the
+    * doc). Positions whose k-word window occurs in ≥2 distinct docs are
+    * coalesced into maximal runs: a new span starts when the gap to the
+    * previous duplicated position exceeds `coalesceGap` (1 = strictly
+    * adjacent positions; `k` merges every pair of spans whose WORD
+    * coverage overlaps or touches, which makes the output spans disjoint
+    * in word space — what a cutting pass wants).
+    *
+    * `span_start` is the 0-based word index of the first covered word;
+    * `n_pos` the run's duplicated-position count; `span_words` the exact
+    * covered word count `min(span_end + k, n_words) − span_start` (the
+    * short-doc 1-window branch covers the whole doc, never more).
+    *
+    * Scale shape: dup-position marking is the census + left-semi of
+    * [[dupSpanStats]] (widest shuffle key: the 8-byte gram hash); the
+    * coalescing is ONE extra exchange keyed on doc_id — a lag + running
+    * sum + groupBy sharing a single doc-partitioned sort, partitions are
+    * doc-sized, no global sort anywhere. */
+  def maximalDupSpans(docs: DataFrame, k: Int = 8, coalesceGap: Int = 1,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(coalesceGap >= 1, s"coalesceGap=$coalesceGap: a span must at " +
+      "least merge strictly adjacent positions")
+    val (base, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    val dupGrams = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    assembleSpans(base, pos, dupGrams, k, coalesceGap)
+  }
+
+  /** Gaps-and-islands over a doc's duplicated positions — shared by the
+    * batch and (future) incremental span-cut paths. One doc_id-keyed
+    * exchange: lag and the running break-sum ride the same
+    * doc-partitioned sort. */
+  private def assembleSpans(base: DataFrame, pos: DataFrame,
+                            dupGrams: DataFrame, k: Int,
+                            gap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val running = byPos.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val spans = pos.join(dupGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"))
+      // first position of a doc: lag is NULL, the comparison is NULL,
+      // otherwise(0) — island 0 starts implicitly
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byPos) > gap, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(running))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("__span_end"),
+        count(lit(1)).as("n_pos"))
+    spans
+      .join(base.select(col("doc_id"),
+        when(col("ws").isNull, lit(0L))
+          .otherwise(size(col("ws")).cast("long")).as("__n_words")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("n_pos"),
+        (least(col("__span_end") + k, col("__n_words")) -
+          col("span_start")).as("span_words"))
+  }
+
   /** DuckDB CTE fragment replaying [[dupSpanStats]] over a (doc_id, text)
     * CTE `src`, ending at `spanstats(doc_id, n_windows, n_dup_pos,
     * dup_micro, keep)` — same window convention, same 64-bit md5-prefix
@@ -976,6 +1045,7 @@ object Dedup {
        |           FROM spanw),
        |spanpos AS (
        |  SELECT doc_id,
+       |         unnest(range(0, nw)) AS p,
        |         unnest(list_transform(range(0, nw), i ->
        |           ${TextHash.sqlH64x(s"array_to_string(ws[i+1:i+$k], ' ')")})) AS g
        |  FROM spannw),
@@ -996,4 +1066,35 @@ object Dedup {
        |              END < $thr AS keep
        |  FROM spannw n LEFT JOIN spancnt c ON n.doc_id = c.doc_id)""".stripMargin
   }
+
+  /** DuckDB CTE fragment replaying [[maximalDupSpans]]'s gaps-and-islands
+    * — appended after [[sqlDupSpanCtes]] (it references `spanpos`,
+    * `spandup`, `spannw`), ending at `spanout(doc_id, span_start, n_pos,
+    * span_words)`. Same lag + running-sum island construction, same
+    * exact-coverage `least(span_end + k, n_words)` arithmetic. */
+  def sqlDupSpanIslandCtes(k: Int, gap: Int): String =
+    s"""spandpos AS (
+       |  SELECT doc_id, p FROM spanpos WHERE g IN (SELECT g FROM spandup)),
+       |spanbrk AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |                   > $gap
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM spandpos),
+       |spanisl AS (
+       |  SELECT doc_id, p,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |                        ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM spanbrk),
+       |spangrp AS (
+       |  SELECT doc_id, min(p) AS span_start, max(p) AS span_end,
+       |         count(*) AS n_pos
+       |  FROM spanisl GROUP BY doc_id, island),
+       |spanout AS (
+       |  SELECT s.doc_id,
+       |         CAST(s.span_start AS BIGINT) AS span_start,
+       |         CAST(s.n_pos AS BIGINT) AS n_pos,
+       |         CAST(least(s.span_end + $k, coalesce(len(n.ws), 0))
+       |              - s.span_start AS BIGINT) AS span_words
+       |  FROM spangrp s JOIN spannw n USING (doc_id))""".stripMargin
 }

@@ -2436,6 +2436,45 @@ object LlmQueries extends QueryFamily {
            |       CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(ntok) AS BIGINT) AS tok_sum
            |FROM exploded GROUP BY source, epoch
-           |ORDER BY source, epoch""".stripMargin))
+           |ORDER BY source, epoch""".stripMargin)),
+
+    // ── Maximal duplicated spans (q106's signal turned actionable):
+    //    the same derived corpus, but instead of a per-doc fraction,
+    //    the coalesced runs of duplicated positions themselves —
+    //    (doc_id, span_start, n_pos, span_words), what Lee et al.'s
+    //    cut-the-span pass consumes. Exact dups emit one whole-doc span;
+    //    a truncated variant's original emits a long prefix span that
+    //    stops short of its unshared tail. The oracle replays the
+    //    identical lag + running-sum gaps-and-islands as a window CTE. ──
+    QueryDef.sorted(
+      "q110_dup_span_islands",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        Dedup.maximalDupSpans(docs.unionByName(dups).unionByName(vars),
+            k = 8, coalesceGap = 1)
+          .select(col("doc_id").cast("long"), col("span_start"),
+            col("n_pos"), col("span_words"))
+      },
+      _.orderBy("doc_id", "span_start"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)},
+           |${Dedup.sqlDupSpanIslandCtes(8, 1)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, span_start, n_pos,
+           |       span_words
+           |FROM spanout ORDER BY doc_id, span_start""".stripMargin))
   )
 }

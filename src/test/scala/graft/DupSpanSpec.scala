@@ -80,6 +80,57 @@ class DupSpanSpec extends AnyFunSuite {
     assert(mergedM === fullCensus)
   }
 
+  private def spansOf(rows: Seq[(Long, String)], k: Int = 4, gap: Int = 1) = {
+    import spark.implicits._
+    Dedup.maximalDupSpans(rows.toDF("doc_id", "text"), k = k,
+        coalesceGap = gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("maximal spans: adjacent dup positions coalesce; a gap splits") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // doc 2 = exact dup -> both docs emit ONE whole-doc span: positions
+    // 0..6 (7 windows, k=4), covering least(6+4, 10) - 0 = 10 words
+    val out = spansOf(Seq(1L -> ten, 2L -> ten))
+    assert(out === Set((1L, 0L, 7L, 10L), (2L, 0L, 7L, 10L)))
+    // doc 3 shares doc 1's windows at positions 0 (w1..w4) and 6 (w7..w10)
+    // but not in between -> two islands in BOTH docs; span at p=6 covers
+    // least(6+4, 10) - 6 = 4 words
+    val split = spansOf(Seq(
+      1L -> ten,
+      3L -> "w1 w2 w3 w4 z1 z2 w7 w8 w9 w10"))
+    assert(split === Set(
+      (1L, 0L, 1L, 4L), (1L, 6L, 1L, 4L),
+      (3L, 0L, 1L, 4L), (3L, 6L, 1L, 4L)))
+  }
+
+  test("coalesceGap=k merges spans whose word coverage overlaps") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // positions 0 and 6 are 6 apart: separate islands at gap=1 (word
+    // coverage 0..3 and 6..9 is disjoint for k=4... but at gap=6 they
+    // merge into one span covering all 10 words with 2 positions)
+    val merged = spansOf(Seq(
+      1L -> ten,
+      3L -> "w1 w2 w3 w4 z1 z2 w7 w8 w9 w10"), gap = 6)
+    assert(merged === Set((1L, 0L, 2L, 10L), (3L, 0L, 2L, 10L)))
+  }
+
+  test("short-doc whole-doc window spans exactly its word count") {
+    // "a b" (2 words < k) is 1 window at p=0; span_words = least(0+4, 2)
+    // - 0 = 2, never more than the doc holds
+    val out = spansOf(Seq(1L -> "a b", 2L -> "a b"))
+    assert(out === Set((1L, 0L, 1L, 2L), (2L, 0L, 1L, 2L)))
+  }
+
+  test("undup'd docs and intra-doc repetition emit no spans") {
+    val out = spansOf(Seq(
+      1L -> "x1 x2 x3 x4 x1 x2 x3 x4", // self-repeat only
+      2L -> "y1 y2 y3 y4 y5"))
+    assert(out.isEmpty)
+  }
+
   test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
     // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
     // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
