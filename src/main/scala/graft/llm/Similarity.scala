@@ -458,6 +458,33 @@ object Similarity {
                           vecCol: String = "embedding",
                           planes: Int = 64, bands: Int = 8,
                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val signed = graft.CacheBarriers.barrier(
+      signVectors(vectors, dim, idCol, vecCol, planes, bands))
+    val all = signBandRows(signed)
+    val bandRows = capSignBands(all, all, maxBucketSize)
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    signVerifyPairs(cand, signed, minCos)
+  }
+
+  /** The signed frame [[signLshNearDupPairs]] builds internally, as a
+    * persistable ARTIFACT: (`__id`, v, vn, bkeys) — the vector, its
+    * norm (verification never re-sqrts), and the `bands` integer band
+    * keys. Signing is the one narrow pass of `planes` literal-array dots
+    * (codegen, zero shuffle); everything downstream — batch self-join,
+    * incremental scoring, multi-probe — consumes this frame, so a
+    * composite signs ONCE and an incremental run never re-signs the old
+    * corpus (the minhash signature-table convention in embedding
+    * space). Broken vectors are quarantined here ([[cleanVec]] + length
+    * guard), so artifact rows are always finite, dim-length vectors. */
+  def signVectors(vectors: DataFrame, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  planes: Int = 64, bands: Int = 8): DataFrame = {
     require(planes % bands == 0,
       s"planes=$planes must divide into bands=$bands")
     val rows = planes / bands
@@ -470,31 +497,38 @@ object Similarity {
       (0 until rows).map(r => col("__bits")(b * rows + r) * lit(1L << r))
         .reduce(_ + _)
     }: _*)
-    val signed = graft.CacheBarriers.barrier(
-      vectors
-        .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
-        .filter(col("v").isNotNull && size(col("v")) === dim)
-        .withColumn("__bits", bits)
-        .select(col("__id"), col("v"),
-          sqrt(dot(col("v"), col("v"))).as("vn"), bkeys.as("bkeys")))
-    val all = signed.select(col("__id"),
+    vectors
+      .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .withColumn("__bits", bits)
+      .select(col("__id"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("vn"), bkeys.as("bkeys"))
+  }
+
+  /** One (band_idx, band_key) row per band of a signed frame. */
+  private def signBandRows(signed: DataFrame): DataFrame =
+    signed.select(col("__id"),
       posexplode(col("bkeys")).as(Seq("band_idx", "band_key")))
-    val bandRows = maxBucketSize match {
-      case None => all
+
+  /** The quadratic-bucket cap, measured over `measure` (the FULL corpus
+    * in the incremental path) and applied to `rows`. */
+  private def capSignBands(rows: DataFrame, measure: DataFrame,
+                           maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case None => rows
       case Some(cap) =>
-        val ok = all.groupBy("band_idx", "band_key")
+        val ok = measure.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("bucket_n"))
           .filter(col("bucket_n") <= cap)
           .select("band_idx", "band_key")
-        all.join(ok, Seq("band_idx", "band_key"), "left_semi")
+        rows.join(ok, Seq("band_idx", "band_key"), "left_semi")
     }
-    val cand = bandRows.alias("a")
-      .join(bandRows.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
+
+  /** Exact-cosine verification of candidate (id_a, id_b) pairs against a
+    * signed frame: two id-keyed joins, the pre-computed norms, the
+    * shared `>= minCos` + non-NaN guard, `floor(cos·1e6)` output. */
+  private def signVerifyPairs(cand: DataFrame, signed: DataFrame,
+                              minCos: Double): DataFrame =
     cand
       .join(signed.select(col("__id").as("id_a"), col("v").as("va"),
         col("vn").as("na")), Seq("id_a"))
@@ -505,6 +539,55 @@ object Similarity {
         col("cos") >= minCos)
       .select(col("id_a"), col("id_b"),
         floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
+
+  /** Incremental sign-LSH: score a NEW batch of vectors against a
+    * persisted signed artifact ([[signVectors]]) plus itself, never
+    * re-signing or even re-banding the old corpus except where a new
+    * vector shares a bucket — [[graft.llm.Dedup.incrementalNearDupPairs]]'s
+    * contract in embedding space, completing the family symmetry (every
+    * LSH tier here now has a batch and an incremental form).
+    *
+    * Identity (pinned by SignLshSpec): output ≡
+    * `signLshNearDupPairs(old ∪ new)` RESTRICTED to pairs touching the
+    * new batch — both engines band from the same constant matrix, so the
+    * new batch's bits land in exactly the buckets the batch run would
+    * have produced. Old-old pairs were previous runs' output and are
+    * not re-emitted. A re-delivered id (an updated vector) is
+    * represented by its NEW signing only — the old artifact row is
+    * anti-joined away, or the id would carry two signatures and every
+    * pair touching it would contradict itself through the verification
+    * joins. Returns (id_a, id_b, cos_scaled) with the pair ordered
+    * id_a < id_b; the caller persists `newSigned ∪ (old ∖ redelivered)`
+    * as the next artifact (exactly the `allSigned` this builds). */
+  def signLshIncrementalPairs(newVectors: DataFrame,
+                              existingSigned: DataFrame, minCos: Double,
+                              dim: Int, idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              planes: Int = 64, bands: Int = 8,
+                              maxBucketSize: Option[Int] = None)
+      : (DataFrame, DataFrame) = {
+    val newSigned = graft.CacheBarriers.barrier(
+      signVectors(newVectors, dim, idCol, vecCol, planes, bands))
+    val allSigned = graft.CacheBarriers.barrier(
+      existingSigned.select("__id", "v", "vn", "bkeys")
+        .join(newSigned.select("__id"), Seq("__id"), "left_anti")
+        .unionByName(newSigned))
+    val allBands = signBandRows(allSigned)
+    // cap measured over the FULL corpus, applied to both sides (the
+    // bounded-cost trade candidatePairs documents); new side drives the
+    // join so old buckets are touched only where a new vector lands
+    val aBands = capSignBands(signBandRows(newSigned), allBands,
+      maxBucketSize)
+    val bBands = capSignBands(allBands, allBands, maxBucketSize)
+    val cand = aBands.alias("a")
+      .join(bBands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+      .distinct()
+    (signVerifyPairs(cand, allSigned, minCos), allSigned)
   }
 
   /** Per-label centroid outlier scoring: every vector's cosine to the

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.Similarity
@@ -76,6 +77,61 @@ class SignLshSpec extends AnyFunSuite {
       i -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)))
     assert(pairsOf(many).size === 10) // uncapped: all C(5,2) pairs
     assert(pairsOf(many, cap = Some(4)).isEmpty) // every bucket holds 5
+  }
+
+  private def sign(rows: Seq[(Long, Seq[java.lang.Double])]) = {
+    import spark.implicits._
+    Similarity.signVectors(rows.toDF("vec_id", "v"), dim = 4,
+      idCol = "vec_id", vecCol = "v", planes = 8, bands = 4)
+  }
+
+  test("incremental ≡ full-batch restricted to pairs touching the new batch") {
+    import spark.implicits._
+    val old = Seq(
+      1L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(1.0), d(0.01), d(0.0), d(0.0)),
+      3L -> Seq(d(0.0), d(0.0), d(1.0), d(0.0)))
+    // 11 near-dups old 1 and 2 (new-old pairs); 12 near-dups 11
+    // (new-new); 13 is novel
+    val nw = Seq(
+      11L -> Seq(d(0.99), d(0.05), d(0.0), d(0.0)),
+      12L -> Seq(d(0.99), d(0.06), d(0.0), d(0.0)),
+      13L -> Seq(d(0.0), d(0.0), d(0.0), d(1.0)))
+    val full = pairsOf(old ++ nw)
+    val restricted = full.filter { case ((a, b), _) => a >= 11L || b >= 11L }
+    val (inc, allSigned) = Similarity.signLshIncrementalPairs(
+      nw.toDF("vec_id", "v"), sign(old), minCos = 0.9, dim = 4,
+      idCol = "vec_id", vecCol = "v", planes = 8, bands = 4)
+    val incM = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(incM === restricted)
+    assert(incM.keySet.exists { case (a, b) => a < 11L }) // new-old found
+    assert(incM.contains((11L, 12L)))                     // new-new found
+    assert(!incM.keys.exists { case (x, y) => x == 13L || y == 13L })
+    // old-old pairs (1,2) are previous runs' output, never re-emitted
+    assert(!incM.contains((1L, 2L)))
+    // the returned frame is the next artifact: old ∪ new, one row per id
+    val ids = allSigned.select("__id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 11L, 12L, 13L))
+  }
+
+  test("a re-delivered id is represented by its NEW signing only") {
+    import spark.implicits._
+    val old = Seq(
+      1L -> Seq(d(1.0), d(0.0), d(0.0), d(0.0)),
+      2L -> Seq(d(1.0), d(0.01), d(0.0), d(0.0)))
+    // id 2 arrives again, now orthogonal to 1: the (1,2) pair must NOT
+    // appear (its old signature is anti-joined away)
+    val nw = Seq(2L -> Seq(d(0.0), d(1.0), d(0.0), d(0.0)))
+    val (inc, allSigned) = Similarity.signLshIncrementalPairs(
+      nw.toDF("vec_id", "v"), sign(old), minCos = 0.9, dim = 4,
+      idCol = "vec_id", vecCol = "v", planes = 8, bands = 4)
+    assert(inc.collect().isEmpty)
+    assert(allSigned.count() === 2)
+    // and the artifact carries the NEW vector for id 2
+    val v2 = allSigned.filter(col("__id") === 2L)
+      .select("v").collect().head.getSeq[Double](0)
+    assert(v2 === Seq(0.0, 1.0, 0.0, 0.0))
   }
 
   test("signMatrix is deterministic and ±1-valued") {
