@@ -590,6 +590,78 @@ object Similarity {
     (signVerifyPairs(cand, allSigned, minCos), allSigned)
   }
 
+  /** Multi-probe sign-LSH: the recall-repair tier for the hyperplane
+    * family, mirroring [[graft.llm.Dedup.multiProbeSimhashPairs]]'s
+    * rotation trick. Banding splits the `planes` bits at fixed
+    * boundaries, so a near-pair whose few differing bits happen to land
+    * one per band shares NO band and is never a candidate — the
+    * prefix-split miss. Each probe `k` re-bands the SAME bits rotated
+    * left by `k·rows/probes` positions (pure modular indexing — bit `i`
+    * of probe `k`'s view is bit `(i + k·step) mod planes`), shifting the
+    * band boundaries by a sub-band amount so a differently-aligned band
+    * can come up clean. Rotating by a FULL band would merely permute the
+    * bands (the identical candidate set), hence `probes` must divide
+    * `rows`: rotations step inside one band width, and every probe
+    * partitions the bits differently.
+    *
+    * Probe 0 is the identity rotation, so the candidate set — and
+    * therefore the verified output — is a strict superset of
+    * [[signLshNearDupPairs]] at equal parameters (pinned by
+    * SignLshSpec); at `probes = 1` the two are identical. False
+    * positives still cost only a wasted exact-cosine verify; the cap
+    * discipline is per (probe, band, key) bucket over the widened
+    * bucket space, same as the base tier. Scale shape is unchanged —
+    * signing is one narrow pass, candidates shuffle on the (probe·band,
+    * key) pair, `probes×` the band rows of the base tier. */
+  def multiProbeSignLshPairs(vectors: DataFrame, minCos: Double, dim: Int,
+                             probes: Int = 4,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             planes: Int = 64, bands: Int = 8,
+                             maxBucketSize: Option[Int] = None): DataFrame = {
+    require(planes % bands == 0,
+      s"planes=$planes must divide into bands=$bands")
+    val rows = planes / bands
+    require(rows <= 30, s"rows-per-band=$rows overflows the Int band key")
+    require(probes >= 1 && rows % probes == 0,
+      s"probes=$probes must divide rows-per-band=$rows (rotations step " +
+        "by rows/probes bits; a full-band rotation is the identity " +
+        "partition)")
+    val step = rows / probes
+    val signs = signMatrix(planes, dim)
+    val bits = array((0 until planes).map { p =>
+      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
+    }: _*)
+    val probeKeys = flatten(array((0 until probes).map { kp =>
+      val s = kp * step
+      array((0 until bands).map { b =>
+        (0 until rows).map(r =>
+          col("__bits")((b * rows + r + s) % planes) * lit(1L << r))
+          .reduce(_ + _)
+      }: _*)
+    }: _*))
+    val signed = graft.CacheBarriers.barrier(
+      vectors
+        .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull && size(col("v")) === dim)
+        .withColumn("__bits", bits)
+        .select(col("__id"), col("v"),
+          sqrt(dot(col("v"), col("v"))).as("vn"), probeKeys.as("pkeys")))
+    // the flattened index probe·bands + band IS the band_idx of the
+    // widened bucket space — cap and join machinery apply unchanged
+    val all = signed.select(col("__id"),
+      posexplode(col("pkeys")).as(Seq("band_idx", "band_key")))
+    val bandRows = capSignBands(all, all, maxBucketSize)
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    signVerifyPairs(cand, signed, minCos)
+  }
+
   /** Per-label centroid outlier scoring: every vector's cosine to the
     * mean vector of its label group, with vectors below `minCos` flagged
     * — the embedding-space anomaly signal a curation pipeline uses to
@@ -1096,6 +1168,23 @@ object Similarity {
         .mkString("[", ",", "]")
       s"CASE WHEN CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> ($v)[i] * ($lits)[i])) AS DOUBLE) >= 0 THEN 1 ELSE 0 END"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** SQL: the flattened probes×bands key list of
+    * [[multiProbeSignLshPairs]] — same modular rotated indexing, same
+    * little-endian pack, 1-based list access. */
+  def sqlSignProbeKeys(bits: String, planes: Int, bands: Int,
+                       probes: Int): String = {
+    val rows = planes / bands
+    val step = rows / probes
+    (0 until probes).flatMap { kp =>
+      val s = kp * step
+      (0 until bands).map { b =>
+        (0 until rows).map(r =>
+          s"($bits)[${(b * rows + r + s) % planes + 1}] * ${1L << r}")
+          .mkString(" + ")
+      }
     }.mkString("[", ", ", "]")
   }
 

@@ -2530,6 +2530,60 @@ object LlmQueries extends QueryFamily {
            |WHERE NOT isnan($pcos) AND $pcos >= 0.95
            |  AND (cand.id_a >= 100000 OR cand.id_b >= 100000)
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ── Multi-probe sign-LSH (q85's rotation trick for the hyperplane
+    //    family): 4 sub-band rotations of the same 64 sign bits re-band
+    //    at shifted boundaries, recovering near-pairs whose differing
+    //    bits split across every identity band. Probe 0 is the identity,
+    //    so the output is a strict superset of q105's (same corpus, same
+    //    threshold — the two rows are directly comparable recall
+    //    evidence). The oracle replays the identical modular rotated
+    //    indexing over the 32-key flattened bucket space. ───────────────
+    QueryDef.sorted(
+      "q112_signlsh_multiprobe",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        Similarity.multiProbeSignLshPairs(e.unionByName(vars),
+            minCos = 0.95, dim = 64, probes = 4, idCol = "vec_id",
+            vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("cos_scaled"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val pkeys = Similarity.sqlSignProbeKeys("bits", 64, 8, 4)
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus0 AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |sb AS (SELECT vec_id, v, $bits AS bits FROM corpus),
+           |bk AS (SELECT vec_id, v, $pkeys AS pkeys FROM sb),
+           |bandrows AS (SELECT vec_id, unnest(pkeys) AS band_key,
+           |                    unnest(range(0, 32)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bandrows a JOIN bandrows b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.vec_id < b.vec_id)
+           |SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           |       CAST(cand.id_b AS BIGINT) AS id_b,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM cand JOIN bk a ON cand.id_a = a.vec_id
+           |          JOIN bk b ON cand.id_b = b.vec_id
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin
       })
   )
 }

@@ -134,6 +134,66 @@ class SignLshSpec extends AnyFunSuite {
     assert(v2 === Seq(0.0, 1.0, 0.0, 0.0))
   }
 
+  /** Seeded near-dup-rich embedding fixture: base vectors plus small
+    * perturbations (+1000). dim=16, planes=16, bands=2 (rows=8) makes
+    * single-probe collisions genuinely hard — a pair must agree on 8
+    * consecutive bits — so the prefix-split miss actually occurs. */
+  private def embFixture: Seq[(Long, Seq[java.lang.Double])] = {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map { i =>
+      i.toLong -> Seq.fill(16)(d(rnd.nextGaussian()))
+    }
+    val near = base.map { case (id, v) =>
+      (id + 1000L) -> v.map(x => d(x + 0.12 * rnd.nextGaussian()))
+    }
+    base ++ near
+  }
+
+  private def multiPairs(rows: Seq[(Long, Seq[java.lang.Double])],
+                         probes: Int) = {
+    import spark.implicits._
+    Similarity.multiProbeSignLshPairs(rows.toDF("vec_id", "v"),
+        minCos = 0.9, dim = 16, probes = probes, idCol = "vec_id",
+        vecCol = "v", planes = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("multi-probe is a superset of single-probe and equals it at probes=1") {
+    import spark.implicits._
+    val docs = embFixture
+    val single = Similarity.signLshNearDupPairs(docs.toDF("vec_id", "v"),
+        minCos = 0.9, dim = 16, idCol = "vec_id", vecCol = "v",
+        planes = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multiPairs(docs, 1) === single)
+    assert(single.subsetOf(multiPairs(docs, 4)))
+  }
+
+  test("rotated probes recover prefix-split pairs single-probe misses") {
+    import spark.implicits._
+    val docs = embFixture
+    // ground truth: ALL pairs at cos >= 0.9 (tiny fixture — the
+    // all-pairs join is affordable here and ONLY here)
+    val df = docs.toDF("vec_id", "v")
+    val truth = df.alias("a").join(df.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        org.apache.spark.sql.functions.expr(
+          "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)" +
+            " / (sqrt(aggregate(transform(a.v, x -> x * x), 0D, (s, x) -> s + x))" +
+            " * sqrt(aggregate(transform(b.v, x -> x * x), 0D, (s, x) -> s + x)))")
+          .as("cos"))
+      .filter(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = multiPairs(docs, 1)
+    val multi = multiPairs(docs, 4)
+    assert((truth -- single).nonEmpty,
+      "fixture has no prefix-split pair — weaken nothing, fix the fixture")
+    assert(multi.subsetOf(truth))
+    assert((multi -- single).nonEmpty)
+    assert(multi.size > single.size)
+  }
+
   test("signMatrix is deterministic and ±1-valued") {
     val m1 = Similarity.signMatrix(8, 4)
     val m2 = Similarity.signMatrix(8, 4)
