@@ -998,6 +998,64 @@ object Dedup {
     assembleSpans(base, pos, dupGrams, k, coalesceGap)
   }
 
+  /** Cut the duplicated spans OUT — Lee et al. 2022's actual dedup move
+    * (remove the duplicated substring, keep the document). Spans come
+    * from [[maximalDupSpans]] at `coalesceGap = k`, where islands whose
+    * word coverage overlaps or touches have merged, so each island's
+    * coverage is one contiguous, mutually disjoint word interval
+    * `[span_start, span_start + span_words)`; the doc's surviving words
+    * reassemble in original order. Returns (doc_id, text_cut, n_words,
+    * cut_words, n_spans, max_span_words) for EVERY input doc — untouched
+    * docs carry zero span stats.
+    *
+    * Reassembly is word-level: `text_cut` is the surviving words joined
+    * by single spaces (the [[lineDedup]] convention one granularity
+    * down) — original inter-word whitespace is not preserved, a fully
+    * covered or empty/NULL doc yields `""`. Cutting beats dropping when
+    * duplication is concentrated: a 95%-unique doc with one boilerplate
+    * paragraph keeps its 95% where a [[dupSpanStats]] gate at the same
+    * k would have to choose all-or-nothing.
+    *
+    * Scale shape: the census + islands of [[maximalDupSpans]], plus one
+    * doc-keyed join of the per-doc span list (collect_list over spans of
+    * ONE doc — bounded by doc length, never corpus-sized) back onto the
+    * word arrays; the word filter is a per-row higher-order function,
+    * zero extra shuffle beyond the span groupBy. */
+  def cutDupSpans(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val (base, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    val dupGrams = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val spans = assembleSpans(base, pos, dupGrams, k, gap = k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_words")))
+          .as("__spans"),
+        count(lit(1)).as("n_spans"), max(col("span_words")).as("max_span_words"),
+        sum(col("span_words")).as("cut_words"))
+    val kept = transform(
+      filter(
+        transform(col("ws"), (w, i) =>
+          struct(w.as("w"), i.cast("long").as("i"))),
+        s => !exists(col("__spans"), sp =>
+          s.getField("i") >= sp.getField("span_start") &&
+            s.getField("i") < sp.getField("span_start") +
+              sp.getField("span_words"))),
+      s => s.getField("w"))
+    base.select(col("doc_id"), col("ws"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:bigint,span_words:bigint>>")))
+      .select(col("doc_id"),
+        when(col("ws").isNull, lit("")).otherwise(concat_ws(" ", kept))
+          .as("text_cut"),
+        when(col("ws").isNull, lit(0L)).otherwise(size(col("ws")).cast("long"))
+          .as("n_words"),
+        coalesce(col("cut_words"), lit(0L)).as("cut_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_words"), lit(0L)).as("max_span_words"))
+  }
+
   /** Gaps-and-islands over a doc's duplicated positions — shared by the
     * batch and (future) incremental span-cut paths. One doc_id-keyed
     * exchange: lag and the running break-sum ride the same
@@ -1097,4 +1155,39 @@ object Dedup {
        |         CAST(least(s.span_end + $k, coalesce(len(n.ws), 0))
        |              - s.span_start AS BIGINT) AS span_words
        |  FROM spangrp s JOIN spannw n USING (doc_id))""".stripMargin
+
+  /** DuckDB CTE fragment replaying [[cutDupSpans]]'s reassembly —
+    * appended after [[sqlDupSpanIslandCtes]] (built at gap = k; it
+    * references `spannw` and `spanout`), ending at `spancut(doc_id,
+    * text_cut, n_words, cut_words, n_spans, max_span_words)`. The word
+    * positions unnest once, covered positions anti-join against the
+    * span intervals, survivors string_agg back in position order. */
+  def sqlDupSpanCutCtes: String =
+    s"""spanwp AS (
+       |  SELECT doc_id, unnest(ws) AS w,
+       |         unnest(range(0, len(ws))) AS p
+       |  FROM spannw),
+       |spankeep AS (
+       |  SELECT wp.doc_id, wp.p, wp.w FROM spanwp wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spanout c
+       |                    WHERE c.doc_id = wp.doc_id
+       |                      AND wp.p >= c.span_start
+       |                      AND wp.p < c.span_start + c.span_words)),
+       |spancutdoc AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_cut
+       |  FROM spankeep GROUP BY doc_id),
+       |spanagg AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         max(span_words) AS max_span_words,
+       |         sum(span_words) AS cut_words
+       |  FROM spanout GROUP BY doc_id),
+       |spancut AS (
+       |  SELECT n.doc_id, coalesce(c.text_cut, '') AS text_cut,
+       |         CAST(coalesce(len(n.ws), 0) AS BIGINT) AS n_words,
+       |         CAST(coalesce(a.cut_words, 0) AS BIGINT) AS cut_words,
+       |         CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |         CAST(coalesce(a.max_span_words, 0) AS BIGINT)
+       |           AS max_span_words
+       |  FROM spannw n LEFT JOIN spancutdoc c USING (doc_id)
+       |                LEFT JOIN spanagg a USING (doc_id))""".stripMargin
 }

@@ -2584,6 +2584,47 @@ object LlmQueries extends QueryFamily {
            |          JOIN bk b ON cand.id_b = b.vec_id
            |WHERE NOT isnan($pcos) AND $pcos >= 0.95
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // ── Span-cut materialization (q110's spans turned into data): cut
+    //    the duplicated spans out of every doc and reassemble the
+    //    survivors — an exact dup pair cuts to empty, a truncated
+    //    variant's original keeps only its unshared tail, untouched docs
+    //    pass through (word-joined) with zero span stats. Spans build at
+    //    coalesceGap = k, so coverage intervals are contiguous and
+    //    disjoint and cut_words is the exact removed count. The oracle
+    //    replays cut + reassembly via unnest / anti-join / ordered
+    //    string_agg. ────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q113_dup_span_cut",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        Dedup.cutDupSpans(docs.unionByName(dups).unionByName(vars), k = 8)
+          .select(col("doc_id").cast("long"), col("text_cut"),
+            col("n_words"), col("cut_words"), col("n_spans"),
+            col("max_span_words"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)},
+           |${Dedup.sqlDupSpanIslandCtes(8, 8)},
+           |${Dedup.sqlDupSpanCutCtes}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
+           |       cut_words, n_spans, max_span_words
+           |FROM spancut ORDER BY doc_id""".stripMargin))
   )
 }

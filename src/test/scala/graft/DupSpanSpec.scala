@@ -131,6 +131,52 @@ class DupSpanSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  private def cutOf(rows: Seq[(Long, String)], k: Int = 4) = {
+    import spark.implicits._
+    Dedup.cutDupSpans(rows.toDF("doc_id", "text"), k = k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("cut: exact dups cut to empty; a shared prefix cuts off both docs") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = cutOf(Seq(
+      1L -> ten, 2L -> ten,
+      // shares w1..w4 with doc 1 (one dup position), then diverges
+      3L -> ((1 to 4).map(i => s"w$i") ++ (1 to 6).map(i => s"u$i"))
+        .mkString(" ")))
+    // whole-doc coverage cuts to ""
+    assert(out(1L) === (("", 10L, 10L, 1L, 10L)))
+    assert(out(2L) === (("", 10L, 10L, 1L, 10L)))
+    // doc 3: position 0 duplicated -> cut words 0..3, keep u1..u6
+    assert(out(3L) === (("u1 u2 u3 u4 u5 u6", 10L, 4L, 1L, 4L)))
+  }
+
+  test("cut: overlapping coverage merges into one disjoint cut interval") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // doc 3 shares positions 0 and 3 with doc 1 (w1..w4, w4..w7): their
+    // coverage overlaps at w4 -> ONE merged span of words 0..6, keep the
+    // tail z8 z9 z10... doc 3 = w1 w2 w3 w4 w5 w6 w7 z8 z9 z10
+    val out = cutOf(Seq(
+      1L -> ten,
+      3L -> ("w1 w2 w3 w4 w5 w6 w7 z8 z9 z10")))
+    assert(out(3L)._1 === "z8 z9 z10")
+    assert(out(3L)._4 === 1L) // one merged span, not two
+    assert(out(3L)._3 === 7L) // cut_words exact: positions 0..6
+    // doc 1 loses its first 7 words symmetrically
+    assert(out(1L)._1 === "w8 w9 w10")
+  }
+
+  test("cut: untouched, empty, and NULL docs pass through with zero stats") {
+    val out = cutOf(Seq(
+      1L -> "a b c d e", 2L -> "", 3L -> null))
+    assert(out(1L) === (("a b c d e", 5L, 0L, 0L, 0L)))
+    assert(out(2L) === (("", 0L, 0L, 0L, 0L)))
+    assert(out(3L) === (("", 0L, 0L, 0L, 0L)))
+  }
+
   test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
     // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
     // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
