@@ -1027,6 +1027,35 @@ object Dedup {
     val dupGrams = pos.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
+    assembleCut(base, pos, dupGrams, k)
+  }
+
+  /** Incremental span cut: cut a NEW batch against a persisted span
+    * census plus itself — [[dupSpanStatsIncremental]]'s contract with
+    * [[cutDupSpans]]'s output. The cut of a doc depends only on its own
+    * positions and the duplicated-gram set, and addition over
+    * doc-disjoint batches makes the merged census the union census
+    * exactly, so the identity holds verbatim: output ≡
+    * `cutDupSpans(old ∪ new)` RESTRICTED to the new batch (pinned by
+    * DupSpanSpec). Old docs keep their cut-time text — a b1 doc whose
+    * spans become duplicated only when b2 arrives is not re-cut, the
+    * same convention as every incremental operator here. Returns
+    * (cut new batch, merged census to persist). */
+  def cutDupSpansIncremental(newDocs: DataFrame, oldCensus: DataFrame,
+                             k: Int = 8, idCol: String = "doc_id",
+                             textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val (base, pos) = spanBaseAndPositions(newDocs, k, idCol, textCol)
+    val merged = graft.CacheBarriers.barrier(
+      mergeSpanCensus(oldCensus, spanCensusOfPositions(pos)))
+    val dupGrams = merged.filter(col("n_docs") >= 2).select(col("g"))
+    (assembleCut(base, pos, dupGrams, k), merged)
+  }
+
+  /** The cut + reassembly shared by the batch and incremental span-cut
+    * paths (spans at gap = k → per-doc span list → word filter). */
+  private def assembleCut(base: DataFrame, pos: DataFrame,
+                          dupGrams: DataFrame, k: Int): DataFrame = {
     val spans = assembleSpans(base, pos, dupGrams, k, gap = k)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_words")))

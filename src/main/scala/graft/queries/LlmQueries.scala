@@ -2625,6 +2625,45 @@ object LlmQueries extends QueryFamily {
            |${Dedup.sqlDupSpanCutCtes}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
            |       cut_words, n_spans, max_span_words
-           |FROM spancut ORDER BY doc_id""".stripMargin))
+           |FROM spancut ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental span cut (q113's daily-ingest shape): the originals
+    //    persist as the additive span census; the derived batch is cut
+    //    against census + itself, never re-reading the originals. The
+    //    oracle replays the FULL-union cut restricted to the batch —
+    //    the q108 identity, now producing DATA rather than stats. ───────
+    QueryDef.sorted(
+      "q114_span_cut_incremental",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val (cut, _) = Dedup.cutDupSpansIncremental(
+          dups.unionByName(vars), Dedup.spanCensus(docs, k = 8), k = 8)
+        cut.select(col("doc_id").cast("long"), col("text_cut"),
+          col("n_words"), col("cut_words"), col("n_spans"),
+          col("max_span_words"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)},
+           |${Dedup.sqlDupSpanIslandCtes(8, 8)},
+           |${Dedup.sqlDupSpanCutCtes}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
+           |       cut_words, n_spans, max_span_words
+           |FROM spancut WHERE doc_id >= $VarOffset
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -177,6 +177,34 @@ class DupSpanSpec extends AnyFunSuite {
     assert(out(3L) === (("", 0L, 0L, 0L, 0L)))
   }
 
+  test("incremental cut ≡ full-union cut restricted to the new batch") {
+    import spark.implicits._
+    val b1 = Seq(1L -> "a b c d e f g h i j", 2L -> "p q r s t u v w x y")
+      .toDF("doc_id", "text")
+    // 11 = exact dup of old 1 (cut to empty only via the old census);
+    // 12 shares old 2's first window; 13 is fresh
+    val b2 = Seq(11L -> "a b c d e f g h i j",
+      12L -> "p q r s z1 z2 z3 z4",
+      13L -> "k1 k2 k3 k4 k5 k6").toDF("doc_id", "text")
+    val full = Dedup.cutDupSpans(b1.unionByName(b2), k = 4)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 11L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (inc, merged) = Dedup.cutDupSpansIncremental(b2,
+      Dedup.spanCensus(b1, k = 4), k = 4)
+    val incM = inc.collect().map(r => r.getLong(0) -> ((r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(incM === full)
+    assert(incM(11L)._1 === "")                    // cut whole vs old dup
+    assert(incM(12L)._1 === "z1 z2 z3 z4")         // prefix span cut
+    assert(incM(13L) === (("k1 k2 k3 k4 k5 k6", 6L, 0L, 0L, 0L)))
+    val mergedM = merged.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullCensus = Dedup.spanCensus(b1.unionByName(b2), k = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedM === fullCensus)
+  }
+
   test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
     // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
     // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
