@@ -1052,11 +1052,51 @@ object Dedup {
     (assembleCut(base, pos, dupGrams, k), merged)
   }
 
+  /** Intra-document span dedup — the SELF-repeat complement of
+    * [[cutDupSpans]]: cut spans a document repeats WITHIN itself
+    * (stuttered boilerplate, looped scrape artifacts, copy-paste
+    * sections), keeping each repeated region's FIRST occurrence. The
+    * cross-doc operators deliberately never mark intra-doc repetition
+    * (the census counts each (doc, gram) once); this is the operator
+    * that does — Lee et al. 2022 dedup within documents as well as
+    * across them.
+    *
+    * A position is marked iff its k-word window already occurred at an
+    * earlier position of the SAME doc (`p > min(p) over (doc, gram)`),
+    * so the first occurrence always survives and a doc of N identical
+    * halves keeps exactly one. Marked positions coalesce at gap = k and
+    * cut exactly like [[cutDupSpans]] — same output schema, same
+    * reassembly convention.
+    *
+    * Scale shape: ONE shuffle keyed on (doc_id, gram-hash) for the
+    * first-occurrence window, then the shared doc-keyed islands + cut;
+    * nothing is corpus-global — each doc's marking depends on that doc
+    * alone, so the operator is embarrassingly parallel across docs. */
+  def intraDocDedup(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    val firstOcc = Window.partitionBy("doc_id", "g")
+    val marked = pos
+      .withColumn("__minp", min(col("p")).over(firstOcc))
+      .filter(col("p") > col("__minp"))
+      .select(col("doc_id"), col("p"))
+    cutFromMarked(base, marked, k)
+  }
+
   /** The cut + reassembly shared by the batch and incremental span-cut
     * paths (spans at gap = k → per-doc span list → word filter). */
   private def assembleCut(base: DataFrame, pos: DataFrame,
-                          dupGrams: DataFrame, k: Int): DataFrame = {
-    val spans = assembleSpans(base, pos, dupGrams, k, gap = k)
+                          dupGrams: DataFrame, k: Int): DataFrame =
+    cutFromMarked(base,
+      pos.join(dupGrams, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      k)
+
+  /** Cut + reassembly over an already-marked (doc_id, p) frame. */
+  private def cutFromMarked(base: DataFrame, marked: DataFrame,
+                            k: Int): DataFrame = {
+    val spans = spansFromMarked(base, marked, k, gap = k)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_words")))
           .as("__spans"),
@@ -1091,13 +1131,22 @@ object Dedup {
     * doc-partitioned sort. */
   private def assembleSpans(base: DataFrame, pos: DataFrame,
                             dupGrams: DataFrame, k: Int,
-                            gap: Int): DataFrame = {
+                            gap: Int): DataFrame =
+    spansFromMarked(base,
+      pos.join(dupGrams, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("p")),
+      k, gap)
+
+  /** Islands over an already-marked (doc_id, p) position frame — the
+    * cross-doc paths mark by census semi-join, the intra-doc path by
+    * first-occurrence window; everything downstream is shared. */
+  private def spansFromMarked(base: DataFrame, marked: DataFrame, k: Int,
+                              gap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val running = byPos.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val spans = pos.join(dupGrams, Seq("g"), "left_semi")
-      .select(col("doc_id"), col("p"))
+    val spans = marked
       // first position of a doc: lag is NULL, the comparison is NULL,
       // otherwise(0) — island 0 starts implicitly
       .withColumn("brk",
@@ -1162,7 +1211,24 @@ object Dedup {
   def sqlDupSpanIslandCtes(k: Int, gap: Int): String =
     s"""spandpos AS (
        |  SELECT doc_id, p FROM spanpos WHERE g IN (SELECT g FROM spandup)),
-       |spanbrk AS (
+       |${sqlSpanIslandBody(k, gap)}""".stripMargin
+
+  /** DuckDB CTE fragment replaying [[intraDocDedup]]'s marking — the
+    * first-occurrence window over (doc, gram) — feeding the same island
+    * body. Appended after [[sqlDupSpanCtes]]; ends at `spanout`. */
+  def sqlIntraSpanIslandCtes(k: Int, gap: Int): String =
+    s"""spandpos AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |           min(p) OVER (PARTITION BY doc_id, g) AS minp
+       |    FROM spanpos)
+       |  WHERE p > minp),
+       |${sqlSpanIslandBody(k, gap)}""".stripMargin
+
+  /** The shared lag + running-sum island CTEs over a marked `spandpos`
+    * (doc_id, p) frame, ending at `spanout`. */
+  private def sqlSpanIslandBody(k: Int, gap: Int): String =
+    s"""spanbrk AS (
        |  SELECT doc_id, p,
        |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
        |                   > $gap

@@ -2664,6 +2664,44 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
            |       cut_words, n_spans, max_span_words
            |FROM spancut WHERE doc_id >= $VarOffset
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ── Intra-document span dedup (the SELF-repeat complement of q113):
+    //    every fifth doc gets its own first 16 words stuttered onto its
+    //    tail; the operator cuts the repeat and keeps the first
+    //    occurrence, while untouched docs (and cross-doc duplication,
+    //    which this operator deliberately ignores) pass through. The
+    //    oracle replays the first-occurrence window marking and the
+    //    shared island + cut machinery. ─────────────────────────────────
+    QueryDef.sorted(
+      "q115_intradoc_dedup",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val stuttered = docs.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat_ws(" ", concat(ws, slice(ws, 1, 16))))
+            .otherwise(col("text")).as("text"))
+        Dedup.intraDocDedup(stuttered, k = 8)
+          .select(col("doc_id").cast("long"), col("text_cut"),
+            col("n_words"), col("cut_words"), col("n_spans"),
+            col("max_span_words"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 5 = 0
+           |              THEN array_to_string(
+           |                     list_concat(${W("text")}, (${W("text")})[1:16]), ' ')
+           |              ELSE text END AS text
+           |  FROM documents),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)},
+           |${Dedup.sqlIntraSpanIslandCtes(8, 8)},
+           |${Dedup.sqlDupSpanCutCtes}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
+           |       cut_words, n_spans, max_span_words
+           |FROM spancut ORDER BY doc_id""".stripMargin))
   )
 }

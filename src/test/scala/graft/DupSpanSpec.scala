@@ -205,6 +205,35 @@ class DupSpanSpec extends AnyFunSuite {
     assert(mergedM === fullCensus)
   }
 
+  private def intraOf(rows: Seq[(Long, String)], k: Int = 4) = {
+    import spark.implicits._
+    Dedup.intraDocDedup(rows.toDF("doc_id", "text"), k = k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("intra-doc dedup keeps the first occurrence of a repeated span") {
+    val out = intraOf(Seq(
+      // two identical halves: window p4 repeats window p0 -> cut words
+      // 4..7, keep the first half
+      1L -> "x1 x2 x3 x4 x1 x2 x3 x4",
+      // an all-identical doc keeps exactly one word: windows p1, p2
+      // repeat p0 -> island [1,2] covers words 1..5
+      2L -> "a a a a a a"))
+    assert(out(1L) === (("x1 x2 x3 x4", 8L, 4L, 1L, 4L)))
+    assert(out(2L) === (("a", 6L, 5L, 1L, 5L)))
+  }
+
+  test("intra-doc dedup never marks cross-doc duplication") {
+    // exact dups of each other, but no self-repeat: both pass untouched
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = intraOf(Seq(1L -> ten, 2L -> ten))
+    assert(out(1L) === ((ten, 10L, 0L, 0L, 0L)))
+    assert(out(2L) === ((ten, 10L, 0L, 0L, 0L)))
+  }
+
   test("maxFrac gates: a half-covered doc keeps strictly under the bar") {
     // 5 words, k=4 -> 2 windows; doc 2 shares window 0 only -> 500000,
     // NOT < 500000 -> dropped; with maxFrac=0.6 it keeps
