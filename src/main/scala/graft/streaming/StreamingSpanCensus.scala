@@ -42,18 +42,73 @@ object StreamingSpanCensus {
     * the GC — the same single-listing shape as the other merge paths. */
   def mergeBatch(batch: DataFrame, batchId: Long, censusDir: String,
                  k: Int = 8, idCol: String = "doc_id",
-                 textCol: String = "text"): Unit = {
-    val spark = batch.sparkSession
-    val vs = VersionedState.versions(spark, censusDir)
-    VersionedState.requireNoNewerThan(vs, censusDir, batchId)
-    val batchCensus = Dedup.spanCensus(batch, k, idCol, textCol)
-    val merged = vs.find(_ < batchId)
-      .map(v => spark.read.parquet(s"$censusDir/v$v"))
-      .map(prev => Dedup.mergeSpanCensus(prev, batchCensus))
-      .getOrElse(batchCensus)
-    merged.write.mode("overwrite").parquet(s"$censusDir/v$batchId")
-    VersionedState.gcBefore(spark, censusDir, batchId, vs)
-  }
+                 textCol: String = "text"): Unit =
+    // withScope: spanCensus registers the batch's windowed/positional
+    // barriers — scoped so a long-lived stream doesn't accrete one
+    // cached pair per micro-batch (everything is on storage on exit)
+    graft.CacheBarriers.withScope {
+      val spark = batch.sparkSession
+      val vs = VersionedState.versions(spark, censusDir)
+      VersionedState.requireNoNewerThan(vs, censusDir, batchId)
+      val batchCensus = Dedup.spanCensus(batch, k, idCol, textCol)
+      val merged = vs.find(_ < batchId)
+        .map(v => spark.read.parquet(s"$censusDir/v$v"))
+        .map(prev => Dedup.mergeSpanCensus(prev, batchCensus))
+        .getOrElse(batchCensus)
+      merged.write.mode("overwrite").parquet(s"$censusDir/v$batchId")
+      VersionedState.gcBefore(spark, censusDir, batchId, vs)
+    }
+
+  /** Idempotent cut-and-fold of one micro-batch: the batch is span-CUT
+    * ([[Dedup.cutDupSpansIncremental]]) against the predecessor census
+    * plus itself, the cut rows go to `onCut`, and the merged census
+    * commits as this batch's version — so the stream continuously emits
+    * deduplicated text while maintaining the artifact that scores the
+    * next batch. A replayed batch recomputes BOTH from the same
+    * predecessor state, so the cut output and the census version are
+    * bit-identical on re-delivery (the same idempotence argument as
+    * [[mergeBatch]]; StreamingSpanCensusSpec pins it kill+resume).
+    * `onCut` must materialize its frame before returning — it reads
+    * census versions the GC deletes two batches later, and it runs
+    * BEFORE the census commit so a failed sink replays the whole batch
+    * rather than committing state for rows that were never written. */
+  def cutBatch(batch: DataFrame, batchId: Long, censusDir: String,
+               onCut: (DataFrame, Long) => Unit,
+               k: Int = 8, idCol: String = "doc_id",
+               textCol: String = "text"): Unit =
+    graft.CacheBarriers.withScope {
+      val spark = batch.sparkSession
+      val vs = VersionedState.versions(spark, censusDir)
+      VersionedState.requireNoNewerThan(vs, censusDir, batchId)
+      val (cut, merged) = vs.find(_ < batchId)
+        .map(v => spark.read.parquet(s"$censusDir/v$v")) match {
+          case Some(prev) =>
+            Dedup.cutDupSpansIncremental(batch, prev, k, idCol, textCol)
+          case None =>
+            // first batch: no old corpus — the batch cut against itself
+            // IS the batch operator, and its census seeds the chain
+            (Dedup.cutDupSpans(batch, k, idCol, textCol),
+              Dedup.spanCensus(batch, k, idCol, textCol))
+        }
+      onCut(cut, batchId)
+      merged.write.mode("overwrite").parquet(s"$censusDir/v$batchId")
+      VersionedState.gcBefore(spark, censusDir, batchId, vs)
+    }
+
+  /** [[start]]'s cut-emitting sibling: continuous span dedup. */
+  def startCut(docs: DataFrame, censusDir: String, checkpointDir: String,
+               onCut: (DataFrame, Long) => Unit,
+               k: Int = 8, idCol: String = "doc_id",
+               textCol: String = "text",
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cutBatch(batch, batchId, censusDir, onCut, k, idCol, textCol)
+      }
+      .start()
 
   /** The 100 TB census shape: the census bucketed by `hash(g)`
     * ([[BucketedState]]'s layout with an ADDITIVE combine), so a batch
@@ -65,13 +120,14 @@ object StreamingSpanCensus {
   def mergeBatchBucketed(batch: DataFrame, batchId: Long, censusDir: String,
                          numBuckets: Int = 64, k: Int = 8,
                          idCol: String = "doc_id",
-                         textCol: String = "text"): Unit = {
-    import org.apache.spark.sql.functions.{col, sum}
-    BucketedState.mergeBatchWith(
-      Dedup.spanCensus(batch, k, idCol, textCol),
-      batchId, censusDir, numBuckets, keyCol = "g")(
-      _.groupBy(col("g")).agg(sum(col("n_docs")).as("n_docs")))
-  }
+                         textCol: String = "text"): Unit =
+    graft.CacheBarriers.withScope {
+      import org.apache.spark.sql.functions.{col, sum}
+      BucketedState.mergeBatchWith(
+        Dedup.spanCensus(batch, k, idCol, textCol),
+        batchId, censusDir, numBuckets, keyCol = "g")(
+        _.groupBy(col("g")).agg(sum(col("n_docs")).as("n_docs")))
+    }
 
   /** The committed bucketed census (union of bucket latests). */
   def latestCensusBucketed(spark: SparkSession,

@@ -141,4 +141,68 @@ class StreamingSpanCensusSpec extends AnyFunSuite {
     assert(incM(11L) === ((3L, 3L, 1000000L, false)))
     assert(incM(12L)._2 === 0L)
   }
+
+  test("startCut: each batch's cut matches its prefix-union verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val censusDir = java.nio.file.Files
+      .createTempDirectory("graft-spancut-state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-spancut-ckpt").toString
+    val cuts = scala.collection.mutable.Map[Long, (String, Long)]()
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingSpanCensus.startCut(
+      src.toDF().toDF("doc_id", "text"), censusDir, ckpt,
+      onCut = (df, _) => df.collect().foreach(r =>
+        cuts(r.getLong(0)) = (r.getString(1), r.getLong(3))),
+      k = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    src.addData(docRows.take(2))
+    q.processAllAvailable()
+    src.addData(docRows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 0 (docs 1, 2 share only the w1..w4 window): both cut their
+    // first 4 words
+    assert(cuts(1L) === (("w5 w6", 4L)))
+    assert(cuts(2L) === (("x5 x6", 4L)))
+    // batch 1: doc 4 repeats streamed doc 1 -> cut whole; doc 3 fresh
+    assert(cuts(4L) === (("", 6L)))
+    assert(cuts(3L) === (("f1 f2 f3 f4 f5", 0L)))
+    // and the census chain kept folding: it now equals the one-shot
+    assert(censusSet(
+      StreamingSpanCensus.latestCensus(spark, censusDir).get)
+      == censusSet(oneShot))
+  }
+
+  test("startCut kill + resume: cuts and census survive without drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val censusDir = java.nio.file.Files
+      .createTempDirectory("graft-spancut-state2").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-spancut-ckpt2").toString
+    val cuts = scala.collection.mutable.Map[Long, String]()
+    def run(src: MemoryStream[(Long, String)]) = StreamingSpanCensus.startCut(
+      src.toDF().toDF("doc_id", "text"), censusDir, ckpt,
+      onCut = (df, _) => df.collect().foreach(r =>
+        cuts(r.getLong(0)) = r.getString(1)),
+      k = 4)
+    val src1 = MemoryStream[(Long, String)]
+    src1.addData(docRows.take(2))
+    val q1 = run(src1)
+    q1.processAllAvailable()
+    q1.stop()
+    val src2 = MemoryStream[(Long, String)]
+    src2.addData(docRows.take(2))
+    src2.addData(docRows.drop(2))
+    val q2 = run(src2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(cuts === Map(1L -> "w5 w6", 2L -> "x5 x6",
+      3L -> "f1 f2 f3 f4 f5", 4L -> ""))
+    assert(censusSet(
+      StreamingSpanCensus.latestCensus(spark, censusDir).get)
+      == censusSet(oneShot))
+  }
 }
