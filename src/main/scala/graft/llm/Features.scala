@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextHash.words
+
+/** Deterministic text featurization — the bridge from the text corpus
+  * into the embedding-space family ([[Similarity]]) without a learned
+  * encoder. The hashing trick (Weinberger et al. 2009): each word hashes
+  * to one of `dim` buckets with a ±1 sign from an independent hash, and
+  * a document's vector is the per-bucket signed count. Sign hashing
+  * makes collisions cancel in expectation instead of piling up, so
+  * cosine between hashed vectors estimates cosine between the true
+  * bag-of-words vectors.
+  *
+  * Everything is constant-derived (the shared md5 hash — no RNG, no
+  * fitted vocabulary, no stored state), so both engines featurize
+  * identically and an incremental batch needs no artifact at all: the
+  * featurizer of one doc depends on that doc alone.
+  */
+object Features {
+
+  /** (idCol, v) — the `dim`-length signed-count vector of each document.
+    * Counts are exact integers carried as DOUBLE (±1 sums are exact in
+    * floating point far beyond any real doc length), so downstream
+    * cosines are bit-deterministic across engines. Empty and NULL texts
+    * yield the all-zero vector — zero-norm, hence inert in every cosine
+    * consumer (NULL cosine, never a pair, never a neighbor).
+    *
+    * Scale shape: explode is narrow; the signed count is ONE map-side
+    * combined shuffle on (doc, bucket); vector assembly is a doc-keyed
+    * groupBy into a map + a narrow dense transform. No broadcast, no
+    * global state, embarrassingly parallel across docs — the featurizer
+    * composes with [[Similarity.signLshNearDupPairs]] /
+    * [[Similarity.signLshIncrementalPairs]] into a full text → vector →
+    * LSH near-dup pipeline with no model anywhere. */
+  def hashedTfVectors(docs: DataFrame, dim: Int = 64,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(dim >= 2 && dim <= 4096,
+      s"dim=$dim: hashed-TF buckets must be in [2, 4096]")
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val wp = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val bs = wp.select(col("doc_id"),
+      (TextHash.h32p(col("w")) % dim).cast("int").as("b"),
+      when(TextHash.h32p(concat(lit("sgn:"), col("w"))) % 2 === 0, 1L)
+        .otherwise(-1L).as("s"))
+    val m = bs.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("s")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("__m"))
+    ids.join(m, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("v"))
+  }
+
+  /** DuckDB CTE fragment replaying [[hashedTfVectors]] over a
+    * (doc_id, text) CTE `src`, ending at `tfvec(doc_id, v)` — same word
+    * split, same bucket and sign hashes, same integer counts cast to
+    * DOUBLE in bucket order. */
+  def sqlHashedTfCtes(src: String, dim: Int): String =
+    s"""tfw AS (SELECT doc_id, unnest(${TextHash.sqlWords("text")}) AS w
+       |        FROM $src),
+       |tfb AS (SELECT doc_id,
+       |               ${TextHash.sqlH32p("w")} % $dim AS b,
+       |               CASE WHEN ${TextHash.sqlH32p("concat('sgn:', w)")} % 2 = 0
+       |                    THEN 1 ELSE -1 END AS s
+       |        FROM tfw),
+       |tfagg AS (SELECT doc_id, b, sum(s) AS c FROM tfb GROUP BY doc_id, b),
+       |tfdims AS (SELECT unnest(range(0, $dim)) AS b),
+       |tfdense AS (SELECT d.doc_id, dm.b, coalesce(a.c, 0) AS c
+       |            FROM (SELECT DISTINCT doc_id FROM $src) d
+       |            CROSS JOIN tfdims dm
+       |            LEFT JOIN tfagg a ON a.doc_id = d.doc_id AND a.b = dm.b),
+       |tfvec AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+       |          FROM tfdense GROUP BY doc_id)""".stripMargin
+}

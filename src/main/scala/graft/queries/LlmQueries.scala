@@ -2702,6 +2702,62 @@ object LlmQueries extends QueryFamily {
            |${Dedup.sqlDupSpanCutCtes}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_cut, n_words,
            |       cut_words, n_spans, max_span_words
-           |FROM spancut ORDER BY doc_id""".stripMargin))
+           |FROM spancut ORDER BY doc_id""".stripMargin)),
+
+    // ── Model-free text→vector→LSH near-dup (the full bridge): hashed
+    //    signed-count TF vectors (Weinberger et al. hashing trick, both
+    //    engines featurize from the shared md5 constants) fed straight
+    //    into the q105 sign-LSH machinery — a complete embedding-space
+    //    dedup pipeline over the TEXT corpus with no encoder anywhere.
+    //    Exact dups pair at cos 10⁶; truncated variants pair with their
+    //    originals just below; integer-valued vectors make every cosine
+    //    bit-deterministic across engines. ──────────────────────────────
+    QueryDef.sorted(
+      "q116_hashed_tf_signlsh",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val vecs = Features.hashedTfVectors(
+          docs.unionByName(dups).unionByName(vars), dim = 64)
+        Similarity.signLshNearDupPairs(vecs, minCos = 0.90, dim = 64,
+            idCol = "doc_id", vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("cos_scaled"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Features.sqlHashedTfCtes("corpus", 64)},
+           |sb AS (SELECT doc_id AS vec_id, v, $bits AS bits FROM tfvec),
+           |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
+           |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
+           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bandrows a JOIN bandrows b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.vec_id < b.vec_id)
+           |SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           |       CAST(cand.id_b AS BIGINT) AS id_b,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM cand JOIN bk a ON cand.id_a = a.vec_id
+           |          JOIN bk b ON cand.id_b = b.vec_id
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.90
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }

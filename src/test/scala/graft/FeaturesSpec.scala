@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Features, Similarity}
+
+/** Hashing-trick featurization: deterministic, dimension-exact, signed
+  * counts; zero vectors for empty/NULL text; and the full text → vector
+  * → sign-LSH composition finds exact dups at cosine 1. */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def vecsOf(rows: Seq[(Long, String)], dim: Int = 16) = {
+    import spark.implicits._
+    Features.hashedTfVectors(rows.toDF("doc_id", "text"), dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+  }
+
+  test("vectors are dim-length, deterministic, and integer-valued") {
+    val rows = Seq(1L -> "a b c a", 2L -> "x y z")
+    val v1 = vecsOf(rows)
+    val v2 = vecsOf(rows)
+    assert(v1 === v2)
+    assert(v1.values.forall(_.length == 16))
+    assert(v1.values.flatten.forall(x => x == math.rint(x)))
+    // doc 1 has 4 tokens: total absolute mass is at most 4 (collisions
+    // with opposite signs can cancel, never inflate)
+    assert(v1(1L).map(math.abs).sum <= 4.0)
+    assert(v1(1L).map(math.abs).sum > 0.0)
+  }
+
+  test("identical texts featurize identically; empty and NULL are zero") {
+    val v = vecsOf(Seq(1L -> "w1 w2 w3 w4", 2L -> "w1 w2 w3 w4",
+      3L -> "", 4L -> null))
+    assert(v(1L) === v(2L))
+    assert(v(3L) === Seq.fill(16)(0.0))
+    assert(v(4L) === Seq.fill(16)(0.0))
+  }
+
+  test("word multiplicity accumulates in the same bucket") {
+    // "a" vs "a a a": same single bucket, 3x the magnitude
+    val v = vecsOf(Seq(1L -> "a", 2L -> "a a a"))
+    assert(v(2L) === v(1L).map(_ * 3.0))
+  }
+
+  test("text -> hashed vector -> sign-LSH finds dups, zero docs stay inert") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different words about an unrelated subject matter",
+      4L -> "").toDF("doc_id", "text")
+    val vecs = Features.hashedTfVectors(docs, dim = 16)
+    val pairs = Similarity.signLshNearDupPairs(vecs, minCos = 0.99,
+        dim = 16, idCol = "doc_id", vecCol = "v", planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1000000L)
+  }
+}
