@@ -59,6 +59,100 @@ object Features {
           .as("v"))
   }
 
+  /** The ADDITIVE document-frequency census: (wh = 64-bit md5 prefix of
+    * the word, df = DISTINCT documents containing it) — the IDF side of
+    * [[hashedTfIdfVectors]], persisted exactly like the span census:
+    * doc-disjoint batches merge by pure addition ([[mergeDfCensus]])
+    * into the union's census. One explode + one map-side-combined
+    * distinct count; word text never leaves the map side. */
+  def dfCensus(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy(TextHash.h64x(col("w")).as("wh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Fold a new doc-disjoint batch's census into a persisted artifact —
+    * pure addition on the word hash (the [[Dedup.mergeSpanCensus]]
+    * contract at word granularity). */
+  def mergeDfCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("wh")).agg(sum(col("df")).as("df"))
+
+  /** TF-IDF-weighted hashed vectors: [[hashedTfVectors]] with each word
+    * occurrence contributing `sign · idf` instead of `sign · 1`, where
+    * `idf = (nDocs·1000) DIV df` — a RATIONAL idf (a monotone transform
+    * of N/df in truncating nonnegative integer division, the
+    * [[Sampling.mixturePlan]] arithmetic) rather than the usual
+    * `ln(N/df)`, because both engines divide integers identically while
+    * `ln` has no cross-engine bit contract. A word in every doc weighs
+    * 1000; a word in one doc weighs 1000·N — stopword mass stops
+    * drowning the rare words that actually identify a document, which
+    * is what separates near-dup detection on real text from plain TF.
+    * Words absent from the census (a NEW batch scored against an OLD
+    * artifact) take df = 1, the maximally-rare reading.
+    *
+    * `nDocs` is the census's corpus size — callers track it alongside
+    * the artifact (it is one `count`, additive across batches like the
+    * census itself). Scale shape adds ONE join to the TF path: exploded
+    * words against the vocab-sized census, keyed on the word hash —
+    * shuffle-joined at census scale, broadcast when small; everything
+    * else is the TF pipeline unchanged. */
+  def hashedTfIdfVectors(docs: DataFrame, census: DataFrame, nDocs: Long,
+                         dim: Int = 64, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(dim >= 2 && dim <= 4096,
+      s"dim=$dim: hashed-TF buckets must be in [2, 4096]")
+    require(nDocs >= 1, s"nDocs=$nDocs: the census corpus cannot be empty")
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val wp = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val bs = wp
+      .withColumn("wh", TextHash.h64x(col("w")))
+      .join(census.select(col("wh"), col("df")), Seq("wh"), "left")
+      .select(col("doc_id"),
+        (TextHash.h32p(col("w")) % dim).cast("int").as("b"),
+        (when(TextHash.h32p(concat(lit("sgn:"), col("w"))) % 2 === 0, 1L)
+          .otherwise(-1L) *
+          expr(s"${nDocs}L * 1000L DIV coalesce(df, 1L)")).as("s"))
+    val m = bs.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("s")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("__m"))
+    ids.join(m, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("v"))
+  }
+
+  /** DuckDB CTE fragment replaying [[dfCensus]] + [[hashedTfIdfVectors]]
+    * over a (doc_id, text) CTE `src` with the census built from `src`
+    * itself (the batch-static case), ending at `tivec(doc_id, v)`.
+    * `nDocs` is the scalar subquery `(SELECT count(*) FROM src)`. */
+  def sqlHashedTfIdfCtes(src: String, dim: Int): String =
+    s"""tiw AS (SELECT doc_id, unnest(${TextHash.sqlWords("text")}) AS w
+       |        FROM $src),
+       |tidf AS (SELECT ${TextHash.sqlH64x("w")} AS wh,
+       |                count(DISTINCT doc_id) AS df
+       |         FROM tiw GROUP BY 1),
+       |tin AS (SELECT count(*) AS n FROM $src),
+       |tib AS (SELECT t.doc_id,
+       |               ${TextHash.sqlH32p("t.w")} % $dim AS b,
+       |               (CASE WHEN ${TextHash.sqlH32p("concat('sgn:', t.w)")} % 2 = 0
+       |                     THEN 1 ELSE -1 END)
+       |               * ((SELECT n FROM tin) * 1000 // coalesce(c.df, 1)) AS s
+       |        FROM tiw t LEFT JOIN tidf c
+       |          ON ${TextHash.sqlH64x("t.w")} = c.wh),
+       |tiagg AS (SELECT doc_id, b, sum(s) AS c FROM tib GROUP BY doc_id, b),
+       |tidims AS (SELECT unnest(range(0, $dim)) AS b),
+       |tidense AS (SELECT d.doc_id, dm.b, coalesce(a.c, 0) AS c
+       |            FROM (SELECT DISTINCT doc_id FROM $src) d
+       |            CROSS JOIN tidims dm
+       |            LEFT JOIN tiagg a ON a.doc_id = d.doc_id AND a.b = dm.b),
+       |tivec AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+       |          FROM tidense GROUP BY doc_id)""".stripMargin
+
   /** DuckDB CTE fragment replaying [[hashedTfVectors]] over a
     * (doc_id, text) CTE `src`, ending at `tfvec(doc_id, v)` — same word
     * split, same bucket and sign hashes, same integer counts cast to

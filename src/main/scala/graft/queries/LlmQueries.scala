@@ -2758,6 +2758,63 @@ object LlmQueries extends QueryFamily {
            |          JOIN bk b ON cand.id_b = b.vec_id
            |WHERE NOT isnan($pcos) AND $pcos >= 0.90
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ── TF-IDF-weighted hashed near-dup (q116 with the rare words in
+    //    charge): the additive document-frequency census turns each word
+    //    occurrence into sign · (N·1000 DIV df) — a RATIONAL idf both
+    //    engines compute identically in integer division, no ln anywhere
+    //    — so stopword mass stops dominating the cosine and the pair
+    //    list shifts toward documents sharing RARE content. Same LSH
+    //    machinery, the census joined in at featurize time. ─────────────
+    QueryDef.sorted(
+      "q117_hashed_tfidf_signlsh",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val corpus = spread(s,
+          docs.unionByName(dups).unionByName(vars))
+        val vecs = Features.hashedTfIdfVectors(corpus,
+          Features.dfCensus(corpus), nDocs = corpus.count(), dim = 64)
+        Similarity.signLshNearDupPairs(vecs, minCos = 0.90, dim = 64,
+            idCol = "doc_id", vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("cos_scaled"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Features.sqlHashedTfIdfCtes("corpus", 64)},
+           |sb AS (SELECT doc_id AS vec_id, v, $bits AS bits FROM tivec),
+           |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
+           |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
+           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bandrows a JOIN bandrows b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.vec_id < b.vec_id)
+           |SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           |       CAST(cand.id_b AS BIGINT) AS id_b,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM cand JOIN bk a ON cand.id_a = a.vec_id
+           |          JOIN bk b ON cand.id_b = b.vec_id
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.90
+           |ORDER BY id_a, id_b""".stripMargin
       })
   )
 }

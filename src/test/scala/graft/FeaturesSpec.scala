@@ -46,6 +46,42 @@ class FeaturesSpec extends AnyFunSuite {
     assert(v(2L) === v(1L).map(_ * 3.0))
   }
 
+  test("tf-idf: rational idf weighs rare words N/df times the universal word") {
+    import spark.implicits._
+    // N=3: "c" in 2 docs (idf = 3000 DIV 2 = 1500), "r" in 1 (idf = 3000)
+    val docs = Seq(1L -> "c", 2L -> "c", 3L -> "r").toDF("doc_id", "text")
+    val census = Features.dfCensus(docs)
+    val v = Features.hashedTfIdfVectors(docs, census, nDocs = 3L, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(v(1L).map(math.abs).sum === 1500.0)
+    assert(v(1L) === v(2L))
+    assert(v(3L).map(math.abs).sum === 3000.0)
+  }
+
+  test("df census merges additively over doc-disjoint batches") {
+    import spark.implicits._
+    val b1 = Seq(1L -> "a b", 2L -> "a c").toDF("doc_id", "text")
+    val b2 = Seq(3L -> "a b d").toDF("doc_id", "text")
+    val merged = Features.mergeDfCensus(
+        Features.dfCensus(b1), Features.dfCensus(b2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Features.dfCensus(b1.unionByName(b2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(merged.values.max === 3L) // "a" in all three docs
+  }
+
+  test("tf-idf: a word unseen by the census reads maximally rare (df=1)") {
+    import spark.implicits._
+    val old = Seq(1L -> "a b", 2L -> "a c").toDF("doc_id", "text")
+    val census = Features.dfCensus(old)
+    val v = Features.hashedTfIdfVectors(
+        Seq(9L -> "zz").toDF("doc_id", "text"), census, nDocs = 2L,
+        dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(v(9L).map(math.abs).sum === 2000.0) // 2 * 1000 DIV 1
+  }
+
   test("text -> hashed vector -> sign-LSH finds dups, zero docs stay inert") {
     import spark.implicits._
     val docs = Seq(
