@@ -144,6 +144,65 @@ object Curation {
         .filter(col("kept")).select(sourceCol),
       Seq(sourceCol), "left_semi")
 
+  /** The corpus datasheet — the per-source composition card a dataset
+    * ships with (Gebru et al., "Datasheets for Datasets"): document and
+    * token counts, each source's token share, its dominant language, its
+    * fluent-quality share, and its exact-duplicate rate (duplicates
+    * counted CORPUS-wide, so two sources mirroring each other both show
+    * it). One row per source:
+    *
+    *   (source, n_docs, n_tokens, token_share_micro, top_lang,
+    *    top_lang_docs, fluent_docs, fluent_micro, dup_docs, dup_micro)
+    *
+    * All shares are exact integer micro-fractions (`x·10⁶ DIV total` in
+    * nonnegative truncating division), so the card hashes identically
+    * cross-engine. The dominant language ties break to the
+    * lexicographically greatest name (a fixed total order, not an
+    * engine's grouping order). NULL text hashes as empty text, so the
+    * dup census is total.
+    *
+    * Scale shape: one narrow quality pass; the dup census is ONE shuffle
+    * on `md5(text)` joined back id-free; everything after is
+    * source-keyed aggregation (source cardinality by contract — the
+    * [[sourceStats]] frame), and the corpus token total is a 1-row
+    * broadcast. No window over the corpus, no global sort. */
+  def datasheet(docs: DataFrame, sourceCol: String = "source",
+                textCol: String = "text",
+                langCol: String = "lang"): DataFrame = {
+    val dupCensus = docs
+      .groupBy(md5(coalesce(col(textCol), lit(""))).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val enriched = TextAnalysis.withQuality(docs, textCol)
+      .withColumn("__h", md5(coalesce(col(textCol), lit(""))))
+      .join(dupCensus, Seq("__h"))
+    val per = enriched.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_words")), lit(0L)).cast("long").as("n_tokens"),
+      sum(when(col("quality_bucket") === "fluent", 1L).otherwise(0L))
+        .as("fluent_docs"),
+      sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    val langTop = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(max_by(
+        struct(col(langCol).as("top_lang"), col("__c").as("top_lang_docs")),
+        struct(col("__c"), col(langCol))).as("__t"))
+      .select(col(sourceCol), col("__t.top_lang").as("top_lang"),
+        col("__t.top_lang_docs").as("top_lang_docs"))
+    val total = per.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
+    per.join(langTop, Seq(sourceCol))
+      .crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L DIV greatest(__tot, 1L)")
+          .as("token_share_micro"),
+        col("top_lang"), col("top_lang_docs"),
+        col("fluent_docs"),
+        expr("fluent_docs * 1000000L DIV n_docs").as("fluent_micro"),
+        col("dup_docs"),
+        expr("dup_docs * 1000000L DIV n_docs").as("dup_micro"))
+  }
+
   // ── Incremental curation ──────────────────────────────────────────────
 
   /** The persisted run-over-run artifacts of a curation pipeline — what a

@@ -74,9 +74,36 @@ object Features {
 
   /** Fold a new doc-disjoint batch's census into a persisted artifact —
     * pure addition on the word hash (the [[Dedup.mergeSpanCensus]]
-    * contract at word granularity). */
+    * contract at word granularity). NULL word hashes group as one key,
+    * which is what lets [[dfCensusWithCount]]'s sentinel row ride the
+    * same merge. */
   def mergeDfCensus(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("wh")).agg(sum(col("df")).as("df"))
+
+  /** [[dfCensus]] plus the corpus size riding the SAME frame as one
+    * sentinel row (wh = NULL — no word hashes to NULL, and both engines
+    * group NULL keys as one): `nDocs` is exactly as additive as the dfs,
+    * so [[mergeDfCensus]] carries both without special-casing and a
+    * persisted artifact is SELF-DESCRIBING — no side-channel doc count
+    * to keep in sync with the census (the drift the two-writer manifest
+    * bug classically produces). [[censusParts]] splits it back. */
+  def dfCensusWithCount(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    dfCensus(docs, idCol, textCol).unionByName(
+      docs.agg(countDistinct(col(idCol)).as("df"))
+        .select(lit(null).cast("string").as("wh"), col("df")))
+
+  /** Split a self-describing census into (word census, nDocs). Fails
+    * loudly on an artifact without the sentinel — that is a plain
+    * [[dfCensus]] frame, whose corpus size the caller must track. */
+  def censusParts(census: DataFrame): (DataFrame, Long) = {
+    val n = census.filter(col("wh").isNull).select(col("df"))
+      .collect()
+    require(n.nonEmpty,
+      "censusParts: no nDocs sentinel (wh IS NULL) row — this census was " +
+        "not written by dfCensusWithCount")
+    (census.filter(col("wh").isNotNull), n.map(_.getLong(0)).sum)
+  }
 
   /** TF-IDF-weighted hashed vectors: [[hashedTfVectors]] with each word
     * occurrence contributing `sign · idf` instead of `sign · 1`, where

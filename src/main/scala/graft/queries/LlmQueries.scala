@@ -2815,6 +2815,106 @@ object LlmQueries extends QueryFamily {
            |          JOIN bk b ON cand.id_b = b.vec_id
            |WHERE NOT isnan($pcos) AND $pcos >= 0.90
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ── Incremental TF-IDF (q117's daily-ingest shape): the old corpus
+    //    persists as the additive (wh, df) census plus its doc count; a
+    //    new batch's own census folds in by pure addition and the batch
+    //    featurizes against the MERGED artifact — the old corpus is
+    //    never re-read. The oracle replays the full-union census and
+    //    featurization restricted to batch rows, so the hash match IS
+    //    the incremental ≡ batch identity (the q108 proof pattern for
+    //    the document-frequency artifact). Vectors compare as integer
+    //    CSV — every entry is a signed sum of rational idf weights,
+    //    bit-identical across engines. ──────────────────────────────────
+    QueryDef.sorted(
+      "q118_hashed_tfidf_incremental",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val merged = Features.mergeDfCensus(
+          Features.dfCensus(docs), Features.dfCensus(batch))
+        val n = docs.count() + batch.count()
+        Features.hashedTfIdfVectors(batch, merged, nDocs = n, dim = 64)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            array_join(
+              transform(col("v"), x => x.cast("long").cast("string")), ",")
+              .as("vec_csv"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${Features.sqlHashedTfIdfCtes("corpus", 64)}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       array_to_string(
+           |         list_transform(v, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)),
+           |         ',') AS vec_csv
+           |FROM tivec WHERE doc_id >= $VarOffset
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ── Corpus datasheet (the release card a dataset ships with): one
+    //    row per source — docs, tokens, token share, dominant language,
+    //    fluent share, exact-duplicate rate — every share an exact
+    //    integer micro-fraction, duplicates counted corpus-wide so
+    //    cross-source mirrors surface in both rows. The oracle replays
+    //    the quality signals, the corpus-wide md5 dup census, the
+    //    window-free source aggregation, and the deterministic
+    //    tie-broken language mode. ──────────────────────────────────────
+    QueryDef.sorted(
+      "q119_corpus_datasheet",
+      (s, dir) => Curation.datasheet(
+        spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "source"))),
+      _.orderBy("source"),
+      Some {
+        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+          .map(s => s"'$s'").mkString(",")
+        s"""WITH tok AS (SELECT doc_id, source, lang, text,
+           |                    ${W("text")} AS w
+           |             FROM documents),
+           |sig AS (SELECT doc_id, source,
+           |               len(w) AS n_words,
+           |               len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
+           |               md5(coalesce(text, '')) AS h
+           |        FROM tok),
+           |census AS (SELECT h, count(*) AS n FROM sig GROUP BY h),
+           |per AS (SELECT source,
+           |               count(*) AS n_docs,
+           |               coalesce(sum(n_words), 0) AS n_tokens,
+           |               sum(CASE WHEN n_words >= 20 AND stop_hits * 5 >= n_words
+           |                        THEN 1 ELSE 0 END) AS fluent_docs,
+           |               sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS dup_docs
+           |        FROM sig s JOIN census c ON s.h = c.h
+           |        GROUP BY source),
+           |lc AS (SELECT source, lang, count(*) AS c
+           |       FROM documents GROUP BY 1, 2),
+           |langtop AS (SELECT source, lang AS top_lang, c AS top_lang_docs
+           |            FROM (SELECT *, row_number() OVER
+           |                    (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+           |                  FROM lc)
+           |            WHERE rn = 1),
+           |tot AS (SELECT coalesce(sum(n_tokens), 0) AS t FROM per)
+           |SELECT p.source,
+           |       CAST(p.n_docs AS BIGINT) AS n_docs,
+           |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           |       CAST(p.n_tokens * 1000000 // greatest((SELECT t FROM tot), 1)
+           |            AS BIGINT) AS token_share_micro,
+           |       l.top_lang,
+           |       CAST(l.top_lang_docs AS BIGINT) AS top_lang_docs,
+           |       CAST(p.fluent_docs AS BIGINT) AS fluent_docs,
+           |       CAST(p.fluent_docs * 1000000 // p.n_docs AS BIGINT) AS fluent_micro,
+           |       CAST(p.dup_docs AS BIGINT) AS dup_docs,
+           |       CAST(p.dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_micro
+           |FROM per p JOIN langtop l ON p.source = l.source
+           |ORDER BY p.source""".stripMargin
       })
   )
 }

@@ -82,6 +82,24 @@ class FeaturesSpec extends AnyFunSuite {
     assert(v(9L).map(math.abs).sum === 2000.0) // 2 * 1000 DIV 1
   }
 
+  test("incremental tf-idf against the merged census equals the full-union run") {
+    import spark.implicits._
+    val old = Seq(1L -> "a b c", 2L -> "a d").toDF("doc_id", "text")
+    val batch = Seq(10L -> "a b zz", 11L -> "d e").toDF("doc_id", "text")
+    val union = old.unionByName(batch)
+    val merged = Features.mergeDfCensus(
+      Features.dfCensus(old), Features.dfCensus(batch))
+    val inc = Features.hashedTfIdfVectors(batch, merged, nDocs = 4L, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val full = Features.hashedTfIdfVectors(union,
+        Features.dfCensus(union), nDocs = 4L, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(inc === full.view.filterKeys(_ >= 10L).toMap)
+    // and the rare word really did weigh in: zz (df=1) contributes
+    // 4000 = nDocs * 1000 DIV 1 absolute mass somewhere in doc 10
+    assert(inc(10L).map(math.abs).max >= 4000.0)
+  }
+
   test("text -> hashed vector -> sign-LSH finds dups, zero docs stay inert") {
     import spark.implicits._
     val docs = Seq(
