@@ -2915,6 +2915,123 @@ object LlmQueries extends QueryFamily {
            |       CAST(p.dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_micro
            |FROM per p JOIN langtop l ON p.source = l.source
            |ORDER BY p.source""".stripMargin
+      }),
+
+    // ── Product-quantization ANN (Jégou et al. 2011): per-subspace
+    //    codebooks trained by the deterministic integer-scaled k-means
+    //    schedule (the q59 discipline, jointly over all 8 subspaces),
+    //    vectors encoded to 8 codes, queries scored by ASYMMETRIC
+    //    distance — an integer sum of per-subspace lookups, so no float
+    //    accumulation order exists to diverge the engines. The oracle
+    //    replays the whole chain: subvector split, two Lloyd's rounds,
+    //    encoding, ADC ranking. ─────────────────────────────────────────
+    QueryDef.sorted(
+      "q120_ann_pq",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val cb = Pq.train(e, col("vec_id") % 64 === 0, dim = 64, m = 8,
+          iters = 2)
+        Pq.adcTopK(e, cb, col("vec_id") % 100 === 0, k = 3)
+          .select(col("query_id").cast("long"),
+            col("rnk").cast("long").as("rnk"),
+            col("neighbor_id").cast("long"), col("adc_scaled"))
+      },
+      _.orderBy("query_id", "rnk"),
+      Some(
+        s"""WITH e0 AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |e AS (SELECT vec_id, v FROM e0 WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |${Pq.sqlTrainCtes("vec_id % 64 = 0", 64, 8)},
+           |pcodes AS (${Pq.sqlPqAssign("psubs", "pc2", 8)}),
+           |parts AS (
+           |  SELECT qs.vec_id AS query_id, pc.vec_id AS neighbor_id,
+           |         CAST(floor(1000000 * ${Pq.sqlL2("qs.sv", "c.cv", 8)}) AS BIGINT) AS dpart
+           |  FROM psubs qs
+           |  JOIN pcodes pc ON qs.s = pc.s
+           |  JOIN pc2 c ON c.s = pc.s AND c.cid = pc.bucket
+           |  WHERE qs.vec_id % 100 = 0 AND pc.vec_id <> qs.vec_id),
+           |adist AS (SELECT query_id, neighbor_id, SUM(dpart) AS adc
+           |          FROM parts GROUP BY 1, 2),
+           |ranked AS (SELECT query_id, neighbor_id, adc,
+           |                  row_number() OVER (PARTITION BY query_id
+           |                                     ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |           FROM adist)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |       CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           |       CAST(adc AS BIGINT) AS adc_scaled
+           |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ── IVF-PQ (the full Jégou et al. index): coarse buckets restrict
+    //    the scan, PQ codes trained on RESIDUALS (vector − its coarse
+    //    centroid) carry the within-bucket displacement, and a query
+    //    scores each probed bucket by integer ADC of its per-bucket
+    //    residual. The oracle replays coarse assignment, residual
+    //    subtraction, the two-round residual-codebook schedule, probe
+    //    selection, and the bucket-restricted ADC ranking — the whole
+    //    index, end to end. ─────────────────────────────────────────────
+    QueryDef.sorted(
+      "q121_ann_ivfpq",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val coarse = Similarity.collectCentroids(
+          e.filter(col("vec_id") % 64 === 0), "vec_id", "embedding")
+        val cb = Pq.trainResidual(e, coarse, col("vec_id") % 40 === 0,
+          dim = 64, m = 8, iters = 2)
+        Pq.ivfAdcTopK(e, coarse, cb, col("vec_id") % 100 === 0,
+            k = 3, nprobe = 2)
+          .select(col("query_id").cast("long"),
+            col("rnk").cast("long").as("rnk"),
+            col("neighbor_id").cast("long"), col("bucket").cast("long"),
+            col("adc_scaled"))
+      },
+      _.orderBy("query_id", "rnk"),
+      Some {
+        val pcos = Similarity.sqlCosine("q.qv", "c.cv", 64)
+        s"""WITH e0 AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |e AS (SELECT vec_id, v FROM e0 WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |coarse AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+           |assign AS (${Similarity.sqlIvfAssign("e", "coarse", 64)}),
+           |resid AS (SELECT a.vec_id, a.bucket AS cbucket,
+           |                 list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+           |          FROM assign a JOIN coarse c ON a.bucket = c.centroid_id),
+           |${Pq.sqlTrainCtes("vec_id % 40 = 0", 64, 8, eCte = "resid")},
+           |pcodes AS (${Pq.sqlPqAssign("psubs", "pc2", 8)}),
+           |cand AS (SELECT pc.vec_id, pc.s, pc.bucket AS code, r.cbucket
+           |         FROM pcodes pc JOIN resid r ON pc.vec_id = r.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, qv, bucket FROM (
+           |    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY $pcos DESC, c.centroid_id ASC) AS pr
+           |    FROM q, coarse c WHERE NOT isnan($pcos)) WHERE pr <= 2),
+           |qres AS (SELECT p.query_id, p.bucket,
+           |                list_transform(range(1, 65), i -> p.qv[i] - c.cv[i]) AS rv
+           |         FROM probes p JOIN coarse c ON p.bucket = c.centroid_id),
+           |qsubs AS (SELECT query_id, bucket, s,
+           |                 list_slice(rv, s*8 + 1, (s+1)*8) AS sv
+           |          FROM qres, unnest(range(0, 8)) AS t(s)),
+           |parts AS (
+           |  SELECT qs.query_id, cd.vec_id AS neighbor_id, qs.bucket,
+           |         CAST(floor(1000000 * ${Pq.sqlL2("qs.sv", "bc.cv", 8)}) AS BIGINT) AS dpart
+           |  FROM qsubs qs
+           |  JOIN cand cd ON cd.cbucket = qs.bucket AND cd.s = qs.s
+           |  JOIN pc2 bc ON bc.s = cd.s AND bc.cid = cd.code
+           |  WHERE cd.vec_id <> qs.query_id),
+           |adist AS (SELECT query_id, neighbor_id, bucket, SUM(dpart) AS adc
+           |          FROM parts GROUP BY 1, 2, 3),
+           |ranked AS (SELECT query_id, neighbor_id, bucket, adc,
+           |                  row_number() OVER (PARTITION BY query_id
+           |                                     ORDER BY adc ASC, neighbor_id ASC) AS rnk
+           |           FROM adist)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |       CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           |       CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(adc AS BIGINT) AS adc_scaled
+           |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       })
   )
 }
