@@ -3032,6 +3032,61 @@ object LlmQueries extends QueryFamily {
            |       CAST(bucket AS BIGINT) AS bucket,
            |       CAST(adc AS BIGINT) AS adc_scaled
            |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-      })
+      }),
+
+    // ── BPE tokenizer training (Sennrich et al. 2016) as a corpus job:
+    //    the word census is the only corpus-sized pass; eight
+    //    pick-and-merge rounds then run on the vocabulary — pair counts
+    //    are exact integers, picks order (count DESC, a ASC, b ASC),
+    //    and the greedy non-overlapping merge is replayed in SQL as
+    //    gaps-and-islands over match runs. The output is the merge
+    //    table — the tokenizer artifact itself. ─────────────────────────
+    QueryDef.sorted(
+      "q122_bpe_train",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val (merges, _) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        s.createDataFrame(merges)
+          .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+            col("n").as("cnt"))
+      },
+      _.orderBy("rank"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)}
+           |SELECT CAST(rank AS BIGINT) AS rank, a, b,
+           |       CAST(cnt AS BIGINT) AS cnt
+           |FROM bpmerges ORDER BY rank""".stripMargin)),
+
+    // ── BPE tokenization via the learned vocabulary table: the trained
+    //    segmentation becomes a (word → subword count) lookup joined
+    //    against the corpus — the REAL token counter (q38's regex is
+    //    the model-free stand-in), with character-count fallback for
+    //    out-of-table words. The oracle replays training AND the
+    //    join-based count in one statement. ─────────────────────────────
+    QueryDef.sorted(
+      "q123_bpe_tokens",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val (_, syms) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        Bpe.withBpeTokens(docs, Bpe.segmentCounts(syms))
+          .select(col("doc_id").cast("long"), col("bpe_tokens"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |seg AS MATERIALIZED (SELECT w, len(syms) AS n_sub FROM bps8),
+           |dw AS (SELECT doc_id, unnest(${TextHash.sqlWords("text")}) AS w
+           |       FROM documents),
+           |tok AS (SELECT d.doc_id,
+           |               coalesce(s.n_sub, length(d.w)) AS t
+           |        FROM dw d LEFT JOIN seg s ON d.w = s.w),
+           |agg AS (SELECT doc_id, sum(t) AS bpe_tokens
+           |        FROM tok GROUP BY doc_id)
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |       CAST(coalesce(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY doc_id""".stripMargin))
   )
 }
