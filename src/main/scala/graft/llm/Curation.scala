@@ -168,32 +168,89 @@ object Curation {
     * broadcast. No window over the corpus, no global sort. */
   def datasheet(docs: DataFrame, sourceCol: String = "source",
                 textCol: String = "text",
-                langCol: String = "lang"): DataFrame = {
-    val dupCensus = docs
-      .groupBy(md5(coalesce(col(textCol), lit(""))).as("__h"))
-      .agg(count(lit(1)).as("__n"))
-    val enriched = TextAnalysis.withQuality(docs, textCol)
+                langCol: String = "lang"): DataFrame =
+    datasheetFromArtifacts(
+      datasheetArtifacts(docs, sourceCol, textCol, langCol))
+
+  /** The three ADDITIVE frames behind the card — what a daily ingest
+    * persists so the datasheet stays current without re-reading the
+    * corpus. Per-source dup counts are NOT batch-additive (a batch copy
+    * retroactively turns an old original into a duplicate), which is
+    * exactly why the artifact keys the hash census by (h, source): that
+    * frame IS additive, and the dup decision (global count ≥ 2) becomes
+    * a view over the merged census.
+    *
+    *  - `hashCensus` (h, source, n): docs per (content md5, source)
+    *  - `langCounts` (source, lang, n)
+    *  - `sourceAgg` (source, n_docs, n_tokens, fluent_docs)
+    */
+  final case class DatasheetArtifacts(hashCensus: DataFrame,
+                                      langCounts: DataFrame,
+                                      sourceAgg: DataFrame)
+
+  def datasheetArtifacts(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text",
+                         langCol: String = "lang"): DatasheetArtifacts = {
+    val q = TextAnalysis.withQuality(docs, textCol)
       .withColumn("__h", md5(coalesce(col(textCol), lit(""))))
-      .join(dupCensus, Seq("__h"))
-    val per = enriched.groupBy(col(sourceCol)).agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("n_words")), lit(0L)).cast("long").as("n_tokens"),
-      sum(when(col("quality_bucket") === "fluent", 1L).otherwise(0L))
-        .as("fluent_docs"),
-      sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_docs"))
-    val langTop = docs.groupBy(col(sourceCol), col(langCol))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(sourceCol))
+    DatasheetArtifacts(
+      hashCensus = q
+        .select(col("__h").as("h"), col(sourceCol).as("source"))
+        .groupBy("h", "source").agg(count(lit(1)).as("n")),
+      langCounts = docs
+        .select(col(sourceCol).as("source"), col(langCol).as("lang"))
+        .groupBy("source", "lang").agg(count(lit(1)).as("n")),
+      sourceAgg = q
+        .select(col(sourceCol).as("source"), col("n_words"),
+          col("quality_bucket"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_words")), lit(0L)).cast("long")
+            .as("n_tokens"),
+          sum(when(col("quality_bucket") === "fluent", 1L).otherwise(0L))
+            .as("fluent_docs")))
+  }
+
+  /** Fold a doc-disjoint batch's artifacts into persisted ones — every
+    * frame merges by pure addition on its key. */
+  def mergeDatasheetArtifacts(a: DatasheetArtifacts,
+                              b: DatasheetArtifacts): DatasheetArtifacts =
+    DatasheetArtifacts(
+      a.hashCensus.unionByName(b.hashCensus)
+        .groupBy("h", "source").agg(sum(col("n")).as("n")),
+      a.langCounts.unionByName(b.langCounts)
+        .groupBy("source", "lang").agg(sum(col("n")).as("n")),
+      a.sourceAgg.unionByName(b.sourceAgg)
+        .groupBy("source").agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("fluent_docs")).as("fluent_docs")))
+
+  /** The card as a VIEW over (possibly merged) artifacts — the same
+    * output as [[datasheet]], so
+    * `datasheetFromArtifacts(merge(art(b1), art(b2))) ≡ datasheet(b1 ∪
+    * b2)` exactly (q124's oracle is that identity). The dup side is a
+    * census-sized self-aggregation; everything else is source-keyed. */
+  def datasheetFromArtifacts(art: DatasheetArtifacts): DataFrame = {
+    val globalN = art.hashCensus.groupBy(col("h"))
+      .agg(sum(col("n")).as("__g"))
+    val dupPerSource = art.hashCensus.join(globalN, Seq("h"))
+      .filter(col("__g") >= 2)
+      .groupBy(col("source")).agg(sum(col("n")).as("dup_docs"))
+    val langTop = art.langCounts
+      .groupBy(col("source"))
       .agg(max_by(
-        struct(col(langCol).as("top_lang"), col("__c").as("top_lang_docs")),
-        struct(col("__c"), col(langCol))).as("__t"))
-      .select(col(sourceCol), col("__t.top_lang").as("top_lang"),
+        struct(col("lang").as("top_lang"), col("n").as("top_lang_docs")),
+        struct(col("n"), col("lang"))).as("__t"))
+      .select(col("source"), col("__t.top_lang").as("top_lang"),
         col("__t.top_lang_docs").as("top_lang_docs"))
-    val total = per.agg(
+    val total = art.sourceAgg.agg(
       coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
-    per.join(langTop, Seq(sourceCol))
+    art.sourceAgg
+      .join(langTop, Seq("source"))
+      .join(dupPerSource, Seq("source"), "left")
+      .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
       .crossJoin(broadcast(total))
-      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+      .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("n_tokens * 1000000L DIV greatest(__tot, 1L)")
           .as("token_share_micro"),
         col("top_lang"), col("top_lang_docs"),

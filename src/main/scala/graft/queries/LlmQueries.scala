@@ -140,6 +140,52 @@ object LlmQueries extends QueryFamily {
   private val sqlSrcWeight: String =
     "coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1, 1)"
 
+  /** Datasheet replay over a `dscorpus(doc_id, source, lang, text)` CTE
+    * — shared by q119 (corpus = documents) and q124 (corpus = union with
+    * a derived batch, proving the artifact roll-forward identity). */
+  private lazy val sqlDatasheetCtes: String = {
+    val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
+      .map(s => s"'$s'").mkString(",")
+    s"""dstok AS (SELECT doc_id, source, lang, text, ${W("text")} AS w
+       |          FROM dscorpus),
+       |dssig AS (SELECT doc_id, source,
+       |                 len(w) AS n_words,
+       |                 len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
+       |                 md5(coalesce(text, '')) AS h
+       |          FROM dstok),
+       |dscensus AS (SELECT h, count(*) AS n FROM dssig GROUP BY h),
+       |dsper AS (SELECT source,
+       |                 count(*) AS n_docs,
+       |                 coalesce(sum(n_words), 0) AS n_tokens,
+       |                 sum(CASE WHEN n_words >= 20 AND stop_hits * 5 >= n_words
+       |                          THEN 1 ELSE 0 END) AS fluent_docs,
+       |                 sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS dup_docs
+       |          FROM dssig s JOIN dscensus c ON s.h = c.h
+       |          GROUP BY source),
+       |dslc AS (SELECT source, lang, count(*) AS c
+       |         FROM dscorpus GROUP BY 1, 2),
+       |dslangtop AS (SELECT source, lang AS top_lang, c AS top_lang_docs
+       |              FROM (SELECT *, row_number() OVER
+       |                      (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+       |                    FROM dslc)
+       |              WHERE rn = 1),
+       |dstot AS (SELECT coalesce(sum(n_tokens), 0) AS t FROM dsper)""".stripMargin
+  }
+  private lazy val sqlDatasheetSelect: String =
+    s"""SELECT p.source,
+       |       CAST(p.n_docs AS BIGINT) AS n_docs,
+       |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(p.n_tokens * 1000000 // greatest((SELECT t FROM dstot), 1)
+       |            AS BIGINT) AS token_share_micro,
+       |       l.top_lang,
+       |       CAST(l.top_lang_docs AS BIGINT) AS top_lang_docs,
+       |       CAST(p.fluent_docs AS BIGINT) AS fluent_docs,
+       |       CAST(p.fluent_docs * 1000000 // p.n_docs AS BIGINT) AS fluent_micro,
+       |       CAST(p.dup_docs AS BIGINT) AS dup_docs,
+       |       CAST(p.dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_micro
+       |FROM dsper p JOIN dslangtop l ON p.source = l.source
+       |ORDER BY p.source""".stripMargin
+
   /** Truncated-variant text (last 5 words dropped), length CLAMPED at 0
     * on both engines: Spark's `slice` throws on a negative length and
     * DuckDB's negative slice bound counts from the END, so a sub-6-word
@@ -2725,8 +2771,13 @@ object LlmQueries extends QueryFamily {
             truncText(ws).as("text"))
         val vecs = Features.hashedTfVectors(
           docs.unionByName(dups).unionByName(vars), dim = 64)
+        // 4×16-bit bands, not the embedding default 8×8: plain-TF
+        // vectors of same-language docs all share the stopword-mass
+        // direction, so 8-bit band keys collide en masse and the verify
+        // stage drowns in candidates (measured 5.8 s at sf0.1; 16-bit
+        // keys cut it ~4×). Exact dups still collide in every band.
         Similarity.signLshNearDupPairs(vecs, minCos = 0.90, dim = 64,
-            idCol = "doc_id", vecCol = "v")
+            idCol = "doc_id", vecCol = "v", bands = 4)
           .select(col("id_a").cast("long"), col("id_b").cast("long"),
             col("cos_scaled"))
       },
@@ -2734,7 +2785,7 @@ object LlmQueries extends QueryFamily {
       Some {
         val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
         val bits = Similarity.sqlSignBits("v", 64, 64)
-        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 4)
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
@@ -2746,7 +2797,7 @@ object LlmQueries extends QueryFamily {
            |sb AS (SELECT doc_id AS vec_id, v, $bits AS bits FROM tfvec),
            |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
            |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
-           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |                    unnest(range(0, 4)) AS band_idx FROM bk),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |         FROM bandrows a JOIN bandrows b
            |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -2782,8 +2833,10 @@ object LlmQueries extends QueryFamily {
           docs.unionByName(dups).unionByName(vars))
         val vecs = Features.hashedTfIdfVectors(corpus,
           Features.dfCensus(corpus), nDocs = corpus.count(), dim = 64)
+        // 4×16-bit bands — see q116's note; idf softens but does not
+        // remove the shared-direction mass that floods 8-bit buckets
         Similarity.signLshNearDupPairs(vecs, minCos = 0.90, dim = 64,
-            idCol = "doc_id", vecCol = "v")
+            idCol = "doc_id", vecCol = "v", bands = 4)
           .select(col("id_a").cast("long"), col("id_b").cast("long"),
             col("cos_scaled"))
       },
@@ -2791,7 +2844,7 @@ object LlmQueries extends QueryFamily {
       Some {
         val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
         val bits = Similarity.sqlSignBits("v", 64, 64)
-        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 4)
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
@@ -2803,7 +2856,7 @@ object LlmQueries extends QueryFamily {
            |sb AS (SELECT doc_id AS vec_id, v, $bits AS bits FROM tivec),
            |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
            |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
-           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |                    unnest(range(0, 4)) AS band_idx FROM bk),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |         FROM bandrows a JOIN bandrows b
            |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -2874,48 +2927,11 @@ object LlmQueries extends QueryFamily {
         spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "lang", "source"))),
       _.orderBy("source"),
-      Some {
-        val allStops = TextAnalysis.StopWords.flatMap(_._2).distinct
-          .map(s => s"'$s'").mkString(",")
-        s"""WITH tok AS (SELECT doc_id, source, lang, text,
-           |                    ${W("text")} AS w
-           |             FROM documents),
-           |sig AS (SELECT doc_id, source,
-           |               len(w) AS n_words,
-           |               len(list_filter(w, x -> x IN ($allStops))) AS stop_hits,
-           |               md5(coalesce(text, '')) AS h
-           |        FROM tok),
-           |census AS (SELECT h, count(*) AS n FROM sig GROUP BY h),
-           |per AS (SELECT source,
-           |               count(*) AS n_docs,
-           |               coalesce(sum(n_words), 0) AS n_tokens,
-           |               sum(CASE WHEN n_words >= 20 AND stop_hits * 5 >= n_words
-           |                        THEN 1 ELSE 0 END) AS fluent_docs,
-           |               sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS dup_docs
-           |        FROM sig s JOIN census c ON s.h = c.h
-           |        GROUP BY source),
-           |lc AS (SELECT source, lang, count(*) AS c
-           |       FROM documents GROUP BY 1, 2),
-           |langtop AS (SELECT source, lang AS top_lang, c AS top_lang_docs
-           |            FROM (SELECT *, row_number() OVER
-           |                    (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
-           |                  FROM lc)
-           |            WHERE rn = 1),
-           |tot AS (SELECT coalesce(sum(n_tokens), 0) AS t FROM per)
-           |SELECT p.source,
-           |       CAST(p.n_docs AS BIGINT) AS n_docs,
-           |       CAST(p.n_tokens AS BIGINT) AS n_tokens,
-           |       CAST(p.n_tokens * 1000000 // greatest((SELECT t FROM tot), 1)
-           |            AS BIGINT) AS token_share_micro,
-           |       l.top_lang,
-           |       CAST(l.top_lang_docs AS BIGINT) AS top_lang_docs,
-           |       CAST(p.fluent_docs AS BIGINT) AS fluent_docs,
-           |       CAST(p.fluent_docs * 1000000 // p.n_docs AS BIGINT) AS fluent_micro,
-           |       CAST(p.dup_docs AS BIGINT) AS dup_docs,
-           |       CAST(p.dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_micro
-           |FROM per p JOIN langtop l ON p.source = l.source
-           |ORDER BY p.source""".stripMargin
-      }),
+      Some(
+        s"""WITH dscorpus AS (SELECT doc_id, source, lang, text
+           |                  FROM documents),
+           |$sqlDatasheetCtes
+           |$sqlDatasheetSelect""".stripMargin)),
 
     // ── Product-quantization ANN (Jégou et al. 2011): per-subspace
     //    codebooks trained by the deterministic integer-scaled k-means
@@ -3087,6 +3103,38 @@ object LlmQueries extends QueryFamily {
            |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            |       CAST(coalesce(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental datasheet (the card rolls forward by addition):
+    //    per-source dup counts are NOT batch-additive — a batch copy
+    //    retroactively turns an old original into a duplicate — so the
+    //    artifact keys the hash census by (h, source) and the card is a
+    //    VIEW over merged artifacts. The batch here copies every 7th
+    //    doc into a NEW "_b2" source: the merged card must show those
+    //    docs as duplicates in BOTH the old source's row and the new
+    //    one's. The oracle replays the full-union card, so the hash
+    //    match IS the roll-forward identity. ────────────────────────────
+    QueryDef.sorted(
+      "q124_datasheet_incremental",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "source"))
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + DupOffset).as("doc_id"), col("text"),
+            col("lang"), concat(col("source"), lit("_b2")).as("source"))
+        val merged = Curation.mergeDatasheetArtifacts(
+          Curation.datasheetArtifacts(docs),
+          Curation.datasheetArtifacts(batch))
+        Curation.datasheetFromArtifacts(merged)
+      },
+      _.orderBy("source"),
+      Some(
+        s"""WITH dscorpus AS (
+           |  SELECT doc_id, source, lang, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $DupOffset, source || '_b2', lang, text
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |$sqlDatasheetCtes
+           |$sqlDatasheetSelect""".stripMargin))
   )
 }

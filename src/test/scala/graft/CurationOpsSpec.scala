@@ -62,4 +62,32 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("source").distinct().as[String].collect().toSet
     assert(kept == Set("good"))
   }
+
+  test("datasheet artifacts roll forward: merged card == full-union card") {
+    // batch 2 copies doc 1's text into a NEW source: the merged card
+    // must flip doc 1 to duplicate in src_a AND show the copy in src_b
+    // — the non-additive dup count derived from the additive census
+    val b1 = Seq(
+      (1L, "alpha beta gamma", "en", "src_a"),
+      (2L, "delta epsilon zeta", "en", "src_a"),
+      (3L, "eta theta iota", "de", "src_a"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b2 = Seq(
+      (10L, "alpha beta gamma", "en", "src_b"),
+      (11L, "totally fresh words", "en", "src_b"))
+      .toDF("doc_id", "text", "lang", "source")
+    def card(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4), r.getLong(8))).toMap
+    val merged = card(Curation.datasheetFromArtifacts(
+      Curation.mergeDatasheetArtifacts(
+        Curation.datasheetArtifacts(b1), Curation.datasheetArtifacts(b2))))
+    val full = card(Curation.datasheet(b1.unionByName(b2)))
+    assert(merged === full)
+    // (n_docs, n_tokens, top_lang, dup_docs)
+    assert(merged("src_a") === ((3L, 9L, "en", 1L)))
+    assert(merged("src_b") === ((2L, 6L, "en", 1L)))
+    // per-batch cards alone would have shown zero duplicates anywhere
+    assert(card(Curation.datasheet(b1)).values.forall(_._4 == 0L))
+  }
 }
