@@ -153,6 +153,36 @@ object Bpe {
       .drop("__bt")
   }
 
+  // ── Tokenizer persistence ─────────────────────────────────────────────
+
+  /** Persist the tokenizer artifact: the merge table under `_merges`
+    * (rank-ordered — THE tokenizer definition, config-sized) and the
+    * trained segmentation under `segments` (vocabulary-sized, the
+    * lookup table [[withBpeTokens]] joins). A deployment retrains
+    * BETWEEN runs from the rolled-forward word census
+    * ([[mergeWordCensus]] — exact, so census(b1)+census(b2) trains the
+    * same table as the full union) and ships the refreshed artifact,
+    * the [[QualityModel]] convention. */
+  def writeTokenizer(dir: String, merges: Seq[BpeMerge],
+                     syms: DataFrame): Unit = {
+    val spark = syms.sparkSession
+    spark.createDataFrame(merges).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_merges")
+    syms.write.mode("overwrite").parquet(s"$dir/segments")
+  }
+
+  /** The stored merge table, rank-ordered. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[BpeMerge] =
+    spark.read.parquet(s"$dir/_merges").orderBy(col("rank")).collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  /** The stored segmentation frame (w, n, syms). */
+  def readSegments(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    spark.read.parquet(s"$dir/segments")
+
   // ── DuckDB twin ───────────────────────────────────────────────────────
 
   /** The merge-application CTE block for round `r`: segmentation

@@ -40,15 +40,26 @@ object Packing {
     * `bucket`, and `pack_id` (unique across buckets). */
   def withPacks(docs: DataFrame, budget: Int, nBuckets: Int,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    withPacksCounted(
+      docs
+        // coalesce: a NULL text must count 0 tokens, not NULL — a NULL
+        // here would null the cumsum difference and give the doc a NULL
+        // pack_id (and the streaming twin, which counts 0, would
+        // disagree)
+        .withColumn("tokens",
+          coalesce(size(TextHash.words(col(textCol))), lit(0))),
+      budget, nBuckets, idCol)
+
+  /** [[withPacks]] over a PRECOMPUTED `tokens` column — the path a real
+    * tokenizer feeds (q125 packs by [[Bpe.withBpeTokens]] counts; the
+    * whitespace count above is the model-free default). Same bucket
+    * salt, same next-fit cumulative sum, same pack-id arithmetic. */
+  def withPacksCounted(docs: DataFrame, budget: Int, nBuckets: Int,
+                       idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      // coalesce: a NULL text must count 0 tokens, not NULL — a NULL here
-      // would null the cumsum difference and give the doc a NULL pack_id
-      // (and the streaming twin, which counts 0, would disagree)
-      .withColumn("tokens",
-        coalesce(size(TextHash.words(col(textCol))), lit(0)))
       .withColumn("bucket",
         TextHash.h32p(concat(lit(PackSalt), col(idCol).cast("string")))
           % nBuckets)
@@ -88,6 +99,18 @@ object Packing {
        |                            ROWS UNBOUNDED PRECEDING) - tokens)
        |         / $budget) AS BIGINT) AS pack_id
        |FROM (SELECT doc_id, coalesce(len(${TextHash.sqlWords("text")}), 0) AS tokens,
+       |             ${sqlBucket("doc_id", nBuckets)} AS bucket
+       |      FROM $src)""".stripMargin
+
+  /** SQL twin of [[withPacksCounted]]: same body over a `(doc_id,
+    * tokens)` source CTE — the tokenizer-fed path. */
+  def sqlPacksCounted(src: String, budget: Int, nBuckets: Int): String =
+    s"""SELECT doc_id, tokens, bucket,
+       |       bucket * $PackStride + CAST(floor(
+       |         (sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - tokens)
+       |         / $budget) AS BIGINT) AS pack_id
+       |FROM (SELECT doc_id, tokens,
        |             ${sqlBucket("doc_id", nBuckets)} AS bucket
        |      FROM $src)""".stripMargin
 }

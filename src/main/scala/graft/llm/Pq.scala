@@ -233,34 +233,60 @@ object Pq {
                  cb: PqCodebook, queryPred: Column, k: Int, nprobe: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    val spark = vectors.sparkSession
-    val sd = cb.subDim
-    val byId = coarse.map(c => c.id -> c).toMap
-    val qRows = vectors.filter(queryPred)
-      .select(col(idCol).cast("long"), okVec(col(vecCol), cb.dim).as("__v"))
+    val qRows = collectQueries(vectors.filter(queryPred), cb.dim,
+      idCol, vecCol)
+    val codes = encode(residualFrame(vectors, coarse, idCol, vecCol), cb,
+      idCol, "rv", carry = Seq("bucket"))
+      .withColumnRenamed(idCol, "neighbor_id")
+    scoreProbedCodes(vectors.sparkSession, codes,
+      probeLuts(qRows, coarse, cb, nprobe), k)
+  }
+
+  /** (id, cleaned vector) rows of the query frame — control-plane-sized
+    * by contract (the [[Similarity.bruteForceTopK]] broadcast-side
+    * argument). */
+  private def collectQueries(queries: DataFrame, dim: Int, idCol: String,
+                             vecCol: String): Array[(Long, Array[Double])] =
+    queries
+      .select(col(idCol).cast("long"), okVec(col(vecCol), dim).as("__v"))
       .filter(col("__v").isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // per (query, probed bucket): the residual's LUT — the same
-    // cos-DESC/id-ASC probe order as Similarity.probeFrame
-    val probePairs: Seq[(Long, Long, Array[Map[Long, Long]])] =
-      qRows.toSeq.flatMap { case (qid, qv) =>
-        val qn = math.sqrt(Similarity.dotArr(qv, qv))
-        coarse.map(c => (Similarity.dotArr(qv, c.vec) / (qn * c.norm), c.id))
-          .filterNot(_._1.isNaN)
-          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
-          .take(nprobe)
-          .map { case (_, bid) =>
-            val cv = byId(bid).vec
-            val qres = Array.tabulate(cb.dim)(i => qv(i) - cv(i))
-            val lut = Array.tabulate(cb.m) { s =>
-              val qs = java.util.Arrays.copyOfRange(qres, s * sd, (s + 1) * sd)
-              cb.books(s).map(c =>
-                c.id -> math.floor(Scale * l2sq(qs, c.vec)).toLong).toMap
-            }
-            (qid, bid, lut)
+
+  /** Per (query, probed bucket): the query's per-bucket residual LUT —
+    * the same cos-DESC/id-ASC probe order as Similarity.probeFrame. */
+  private def probeLuts(qRows: Array[(Long, Array[Double])],
+                        coarse: Array[Centroid], cb: PqCodebook,
+                        nprobe: Int): Seq[(Long, Long, Array[Map[Long, Long]])] = {
+    val sd = cb.subDim
+    val byId = coarse.map(c => c.id -> c).toMap
+    qRows.toSeq.flatMap { case (qid, qv) =>
+      val qn = math.sqrt(Similarity.dotArr(qv, qv))
+      coarse.map(c => (Similarity.dotArr(qv, c.vec) / (qn * c.norm), c.id))
+        .filterNot(_._1.isNaN)
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(nprobe)
+        .map { case (_, bid) =>
+          val cv = byId(bid).vec
+          val qres = Array.tabulate(cb.dim)(i => qv(i) - cv(i))
+          val lut = Array.tabulate(cb.m) { s =>
+            val qs = java.util.Arrays.copyOfRange(qres, s * sd, (s + 1) * sd)
+            cb.books(s).map(c =>
+              c.id -> math.floor(Scale * l2sq(qs, c.vec)).toLong).toMap
           }
-      }
+          (qid, bid, lut)
+        }
+    }
+  }
+
+  /** The shared scoring tail of the in-memory and on-disk probe paths:
+    * broadcast-join the probe table against a coded candidate frame
+    * (neighbor_id, bucket, codes), sum the integer LUT entries, merge
+    * the per-query heap across probes. */
+  private def scoreProbedCodes(spark: org.apache.spark.sql.SparkSession,
+                               codes: DataFrame,
+                               probePairs: Seq[(Long, Long, Array[Map[Long, Long]])],
+                               k: Int): DataFrame = {
     if (probePairs.isEmpty) {
       // no (clean) queries: an empty result with the output schema, not
       // a crash in empty-Seq schema inference
@@ -284,9 +310,6 @@ object Pq {
     }
     val probeDf = spark.createDataFrame(
       probePairs.map(p => (p._1, p._2))).toDF("query_id", "bucket")
-    val codes = encode(residualFrame(vectors, coarse, idCol, vecCol), cb,
-      idCol, "rv", carry = Seq("bucket"))
-      .withColumnRenamed(idCol, "neighbor_id")
     val topk = udaf(new TopKNeighbors(k), Encoders.product[Scored])
     val agged = codes.join(broadcast(probeDf), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -299,6 +322,107 @@ object Pq {
         col("col.neighbor_id").as("neighbor_id"),
         col("col.bucket").as("bucket"),
         (-col("col.cos")).cast("long").as("adc_scaled"))
+  }
+
+  // ── Index persistence ─────────────────────────────────────────────────
+
+  /** Persist the IVF-PQ index: residual codes PARTITIONED BY coarse
+    * bucket (a probe is partition-pruned I/O over rows carrying m longs
+    * instead of dim floats — the [[Similarity.writeIndex]] layout with
+    * codes in place of vectors), the coarse centroids under `_coarse`,
+    * the residual codebooks under `_codebook` (both config-sized; the
+    * `_` prefix keeps the bucket scan from reading them as data). The
+    * stored coarse table is the probe-geometry pin: a later probe MUST
+    * use exactly these centroids or probes drift from bucket contents. */
+  def writeIndex(vectors: DataFrame, coarse: Array[Centroid],
+                 cb: PqCodebook, dir: String, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    encode(residualFrame(vectors, coarse, idCol, vecCol), cb,
+        idCol, "rv", carry = Seq("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    coarse.toSeq.map(c => (c.id, c.vec.toSeq))
+      .toDF("centroid_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_coarse")
+    cb.books.zipWithIndex.toSeq
+      .flatMap { case (book, s) => book.map(c => (s, c.id, c.vec.toSeq)) }
+      .toDF("s", "cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebook")
+  }
+
+  /** The stored coarse centroids, sorted by id (the probe order pin). */
+  def readCoarse(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Array[Centroid] =
+    spark.read.parquet(s"$dir/_coarse").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        Centroid(r.getLong(0), v, math.sqrt(Similarity.dotArr(v, v)))
+      }.sortBy(_.id)
+
+  /** The stored residual codebooks, each subspace sorted by id. */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): PqCodebook = {
+    val rows = spark.read.parquet(s"$dir/_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m)(s =>
+      rows.filter(_._1 == s).map { case (_, cid, v) =>
+        Centroid(cid, v, math.sqrt(Similarity.dotArr(v, v)))
+      }.sortBy(_.id))
+    PqCodebook(m * books(0)(0).vec.length, m, books)
+  }
+
+  /** Append a new vector batch to a persisted IVF-PQ index: residuals
+    * against the index's FROZEN coarse centroids, codes from its FROZEN
+    * codebooks (geometry pins — re-deriving either would silently
+    * invalidate every stored code), appended only to the bucket
+    * directories the batch lands in. Already-present ids are anti-joined
+    * away against the `_ids` manifest, so an at-least-once re-delivery
+    * appends nothing (the [[Similarity.appendToIndex]] contract; the
+    * manifest is id-keyed and append-only). */
+  def appendToIndex(newVectors: DataFrame, dir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val ids = s"$dir/_ids"
+    val idsPath = new org.apache.hadoop.fs.Path(ids)
+    val fs = idsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idsPath))
+      spark.read.parquet(dir).select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(ids)
+    val known = spark.read.parquet(ids).select(col(idCol))
+    val coarse = readCoarse(spark, dir)
+    val cb = readCodebook(spark, dir)
+    val fresh = newVectors.join(known, Seq(idCol), "left_anti")
+    val codes = encode(residualFrame(fresh, coarse, idCol, vecCol), cb,
+        idCol, "rv", carry = Seq("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      codes.write.mode("append").partitionBy("bucket").parquet(dir)
+      codes.select(col(idCol)).write.mode("append").parquet(ids)
+    } finally codes.unpersist(false)
+  }
+
+  /** Probe the persisted index for a query frame (idCol, vecCol): only
+    * the ≤ queries·nprobe probed buckets are READ (partition filters on
+    * the bucket directory key — PqSpec proves it by corrupting an
+    * unprobed bucket's files), scored by the same integer ADC as
+    * [[ivfAdcTopK]]. */
+  def ivfAdcTopKFromIndex(queries: DataFrame, dir: String, k: Int,
+                          nprobe: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse = readCoarse(spark, dir)
+    val cb = readCodebook(spark, dir)
+    val probePairs = probeLuts(
+      collectQueries(queries, cb.dim, idCol, vecCol), coarse, cb, nprobe)
+    val buckets = probePairs.map(_._2).distinct
+    val codes = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol).as("neighbor_id"),
+        col("bucket").cast("long").as("bucket"), col("codes"))
+    scoreProbedCodes(spark, codes, probePairs, k)
   }
 
   /** Asymmetric-distance top-k: exact queries against coded candidates.

@@ -3105,6 +3105,70 @@ object LlmQueries extends QueryFamily {
            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
            |ORDER BY doc_id""".stripMargin)),
 
+    // ── The final mile with a REAL tokenizer (q104 upgraded): train
+    //    BPE on the corpus, chunk documents into context windows, count
+    //    each chunk's tokens via the learned vocabulary table, pack
+    //    next-fit against the BPE budget, shard with checksum
+    //    manifests. The oracle replays tokenizer training, chunking,
+    //    the lookup-table count, and the counted packing chain in one
+    //    statement — the whole materialization path a training run
+    //    consumes. ──────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q125_bpe_budget_packing",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val (_, syms) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        val units = Chunking.withChunks(docs, chunkWords = 32,
+            strideWords = 24)
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+            col("chunk_text").as("text"))
+        val counted = Bpe.withBpeTokens(units, Bpe.segmentCounts(syms))
+          .select(col("doc_id"), col("bpe_tokens").as("tokens"))
+        val census = Packing.packCensus(
+          Packing.withPacksCounted(counted, budget = 256, nBuckets = 8))
+        Sharding.withShard(census, nShards = 8, idCol = "pack_id")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_packs"),
+            sum(col("n_docs")).as("n_chunks"),
+            sum(col("tok_sum")).as("tok_sum"),
+            sum(col("id_sum")).as("id_sum"))
+          .select(col("shard").cast("long"), col("n_packs"),
+            col("n_chunks"), col("tok_sum").cast("long"),
+            col("id_sum").cast("long"))
+      },
+      _.orderBy("shard"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |seg AS MATERIALIZED (SELECT w, len(syms) AS n_sub FROM bps8),
+           |tok AS (SELECT doc_id, ${W("text")} AS w FROM documents),
+           |nch AS (SELECT doc_id, w,
+           |               CASE WHEN len(w) > 32
+           |                    THEN 1 + CAST(floor((len(w) - 32 + 23) / 24.0) AS INT)
+           |                    WHEN len(w) IS NOT NULL THEN 1 END AS k
+           |        FROM tok),
+           |ch AS (SELECT doc_id, w, unnest(range(0, k)) AS ci FROM nch),
+           |cunits AS (SELECT doc_id * 1000 + ci AS doc_id,
+           |                  array_to_string(list_slice(w, ci*24 + 1, ci*24 + 32), ' ') AS text
+           |           FROM ch),
+           |cw AS (SELECT doc_id, unnest(${W("text")}) AS w FROM cunits),
+           |ctok AS (SELECT c.doc_id, coalesce(s.n_sub, length(c.w)) AS t
+           |         FROM cw c LEFT JOIN seg s ON c.w = s.w),
+           |cagg AS (SELECT doc_id, sum(t) AS tokens FROM ctok GROUP BY doc_id),
+           |counted AS (SELECT u.doc_id, coalesce(a.tokens, 0) AS tokens
+           |            FROM cunits u LEFT JOIN cagg a ON u.doc_id = a.doc_id),
+           |packed AS (${Packing.sqlPacksCounted("counted", 256, 8)}),
+           |census AS (SELECT bucket, pack_id, count(*) AS n_docs,
+           |                  sum(tokens) AS tok_sum, sum(doc_id) AS id_sum
+           |           FROM packed GROUP BY bucket, pack_id),
+           |sharded AS (SELECT *, ${Sharding.sqlShardId("pack_id", 8)} AS shard
+           |            FROM census)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_packs,
+           |       CAST(sum(n_docs) AS BIGINT) AS n_chunks,
+           |       CAST(sum(tok_sum) AS BIGINT) AS tok_sum,
+           |       CAST(sum(id_sum) AS BIGINT) AS id_sum
+           |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ── Incremental datasheet (the card rolls forward by addition):
     //    per-source dup counts are NOT batch-additive — a batch copy
     //    retroactively turns an old original into a duplicate — so the

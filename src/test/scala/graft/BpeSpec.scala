@@ -72,6 +72,28 @@ class BpeSpec extends AnyFunSuite {
     assert(toks === Map(1L -> 4L, 2L -> 8L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("tokenizer persists and reloads; census roll-forward retrains same") {
+    import spark.implicits._
+    val b1 = Seq((1L, "low lower low"), (2L, "newest widest")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "newest newest lowest")).toDF("doc_id", "text")
+    val rolled = Bpe.mergeWordCensus(Bpe.wordCensus(b1), Bpe.wordCensus(b2))
+    val (mInc, symsInc) = Bpe.train(rolled, nMerges = 3)
+    val (mFull, _) = Bpe.train(Bpe.wordCensus(b1.unionByName(b2)), nMerges = 3)
+    assert(mInc === mFull)
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-tok").toString
+    Bpe.writeTokenizer(dir, mInc, symsInc)
+    assert(Bpe.readMerges(spark, dir) === mInc)
+    val docs = Seq((9L, "lowest unknown")).toDF("doc_id", "text")
+    val viaDisk = Bpe.withBpeTokens(docs,
+        Bpe.segmentCounts(Bpe.readSegments(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaMem = Bpe.withBpeTokens(docs, Bpe.segmentCounts(symsInc))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaDisk === viaMem)
+  }
+
   test("symbol census reports the weighted subword vocabulary") {
     import spark.implicits._
     val census = Seq(("ab", 2L), ("b", 3L)).toDF("w", "n")

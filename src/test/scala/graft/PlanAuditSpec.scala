@@ -138,6 +138,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"confirm join not broadcast:\n$plan")
   }
 
+  test("PQ encode is narrow: no shuffle between scan and codes") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.llm.Pq.train(e, col("vec_id") % 64 === 0,
+      dim = 64, m = 8, iters = 1)
+    val plan = graft.llm.Pq.encode(e, cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ encode shuffles:\n$plan")
+  }
+
+  test("persisted IVF-PQ index prunes unprobed buckets at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = graft.llm.Similarity.collectCentroids(
+      e.filter(col("vec_id") % 64 === 0))
+    val cb = graft.llm.Pq.trainResidual(e, coarse,
+      col("vec_id") % 40 === 0, dim = 64, m = 8, iters = 1)
+    graft.llm.Pq.writeIndex(e, coarse, cb, tmp)
+    val probed = graft.llm.Pq.ivfAdcTopKFromIndex(
+      e.filter(col("vec_id") % 100 === 0), tmp, k = 3, nprobe = 2)
+    val plan = fmt(probed)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"PQ probe did not reach PartitionFilters:\n$plan")
+    assert(probed.count() > 0)
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both

@@ -146,6 +146,79 @@ class PqSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("persisted index probes equal in-memory; unprobed buckets unread") {
+    import graft.llm.Similarity
+    val coarse = Similarity.collectCentroids(
+      corpus.filter(col("vec_id").isin(1L, 3L)), "vec_id", "embedding")
+    val cb = Pq.trainResidual(corpus, coarse, col("vec_id").isin(2L, 5L),
+      dim = 4, m = 2, iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    Pq.writeIndex(corpus, coarse, cb, dir)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val fromIndex = canon(Pq.ivfAdcTopKFromIndex(queries, dir,
+      k = 5, nprobe = 1))
+    val inMemory = canon(Pq.ivfAdcTopK(corpus, coarse, cb,
+      col("vec_id") === 1L, k = 5, nprobe = 1))
+    assert(fromIndex === inMemory && fromIndex.nonEmpty)
+
+    // partition-pruning proof: corrupt every data file of the UNPROBED
+    // bucket (query 1 probes bucket 1 only) — the probe must not notice
+    val b3 = new java.io.File(dir, "bucket=3")
+    assert(b3.exists)
+    b3.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](0, 1, 2, 3))
+    }
+    assert(canon(Pq.ivfAdcTopKFromIndex(queries, dir,
+      k = 5, nprobe = 1)) === inMemory)
+    // and the coarse + codebook round-trip is exact
+    val rc = Pq.readCoarse(spark, dir)
+    assert(rc.map(_.id).toSeq === coarse.map(_.id).toSeq)
+    assert(rc.map(_.vec.toSeq).toSeq === coarse.map(_.vec.toSeq).toSeq)
+    val rcb = Pq.readCodebook(spark, dir)
+    assert(rcb.dim === cb.dim && rcb.m === cb.m)
+    assert(rcb.books.map(_.map(c => c.id -> c.vec.toSeq).toSeq).toSeq ===
+      cb.books.map(_.map(c => c.id -> c.vec.toSeq).toSeq).toSeq)
+  }
+
+  test("index append: frozen-geometry codes equal a rebuild; replay no-ops") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val b1 = corpus.filter(col("vec_id") <= 3L)
+    val b2 = corpus.filter(col("vec_id") > 3L).unionByName(
+      Seq((6L, Seq(0.0, 0.0, 0.0, 10.0))).toDF("vec_id", "embedding"))
+    val coarse = Similarity.collectCentroids(
+      b1.filter(col("vec_id").isin(1L, 3L)), "vec_id", "embedding")
+    val cb = Pq.trainResidual(b1, coarse, col("vec_id").isin(2L, 3L),
+      dim = 4, m = 2, iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-append").toString
+    Pq.writeIndex(b1, coarse, cb, dir)
+    Pq.appendToIndex(b2, dir)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val appended = canon(Pq.ivfAdcTopKFromIndex(queries, dir,
+      k = 10, nprobe = 2))
+    // same frozen coarse + codebooks over the full corpus, in memory
+    val rebuild = canon(Pq.ivfAdcTopK(b1.unionByName(b2), coarse, cb,
+      col("vec_id") === 1L, k = 10, nprobe = 2))
+    assert(appended === rebuild)
+    assert(appended.map(_._3).contains(6L)) // the appended twin is found
+    // at-least-once re-delivery: the manifest anti-join appends nothing
+    Pq.appendToIndex(b2, dir)
+    assert(canon(Pq.ivfAdcTopKFromIndex(queries, dir,
+      k = 10, nprobe = 2)) === rebuild)
+    assert(spark.read.parquet(dir).count() ===
+      b1.count() + b2.count())
+  }
+
   test("broken vectors are quarantined from seeds, codes, and queries") {
     import spark.implicits._
     val dirty = corpus.unionByName(Seq(
