@@ -260,6 +260,42 @@ object Curation {
         expr("dup_docs * 1000000L DIV n_docs").as("dup_micro"))
   }
 
+  /** Snapshot diff — the dataset-versioning report between two corpus
+    * snapshots: per source, how many documents were added, removed,
+    * changed (same id, different content hash), or unchanged. The
+    * release-note companion of [[datasheet]] (what changed since v1,
+    * before shipping v2).
+    *
+    * Attribution: removed docs report their OLD source; everything else
+    * the NEW one (a doc whose source itself moved counts as changed
+    * under the new source — documented, deterministic). NULL text hashes
+    * as empty text, the [[datasheet]] convention.
+    *
+    * Scale shape: one id-keyed full-outer join of two hash projections
+    * (the only wide op — both sides shuffle once on the id they would
+    * bucket by in a versioned lake), then a source-keyed aggregation. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    def proj(df: DataFrame, h: String, s: String) =
+      df.select(col(idCol).as("__id"),
+        md5(coalesce(col(textCol), lit(""))).as(h),
+        col(sourceCol).as(s))
+    proj(oldDocs, "__oh", "__os")
+      .join(proj(newDocs, "__nh", "__ns"), Seq("__id"), "full_outer")
+      .select(coalesce(col("__ns"), col("__os")).as("source"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("__st"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("__st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__st") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
   // ── Incremental curation ──────────────────────────────────────────────
 
   /** The persisted run-over-run artifacts of a curation pipeline — what a

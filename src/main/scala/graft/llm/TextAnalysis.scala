@@ -373,4 +373,67 @@ object TextAnalysis {
     s"""CASE WHEN len($w) = 0 THEN 0
        | ELSE CAST(list_sum(list_transform($w, (x, i) ->
        | (${TextHash.sqlH32p("x")}) * (((i - 1) % 64) + 1))) AS BIGINT) % $P END""".stripMargin.replaceAll("\n", "")
+
+  // ── C4 line rules ─────────────────────────────────────────────────────
+
+  /** Page-level kill terms (case-insensitive substring): a page carrying
+    * one is dropped whole. The published C4 set's portable core. */
+  val C4PageBlock: Seq[String] = Seq("lorem ipsum", "{")
+
+  /** Line-level kill terms (case-insensitive substring). */
+  val C4LineBlock: Seq[String] = Seq("javascript")
+
+  /** The C4 cleaning heuristics (Raffel et al. 2020, §2.2): keep only
+    * lines that end in terminal punctuation (`.` `!` `?` `"`), have at
+    * least `minLineWords` words, and carry no line-block term; drop the
+    * whole page if it contains a page-block term or retains fewer than
+    * `minKeptLines` lines. One row per input doc —
+    * (…, text_clean, n_lines, n_kept, page_kept) — so rejected pages
+    * stay visible to QA instead of vanishing (`filter(col("page_kept"))`
+    * is the pipeline move).
+    *
+    * Purely narrow: line split, per-line predicates, and reassembly are
+    * all per-row column algebra over the line list — no shuffle, no
+    * state, batch ≡ streaming by construction. NULL text reads as one
+    * empty line (kept 0 → page dropped), the total-function convention. */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+              minLineWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keepLine = (l: Column) => {
+      val blocked = C4LineBlock
+        .map(t => lower(l).contains(t))
+        .reduce(_ || _)
+      l.rlike("[.!?\"]$") &&
+        size(TextHash.words(l)) >= minLineWords && !blocked
+    }
+    val pageBlocked = C4PageBlock
+      .map(t => lower(coalesce(col(textCol), lit(""))).contains(t))
+      .reduce(_ || _)
+    docs
+      .withColumn("__lines", lines)
+      .withColumn("__kept", filter(col("__lines"), keepLine))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept"), "\n"))
+      .withColumn("page_kept",
+        !pageBlocked && col("n_kept") >= minKeptLines)
+      .drop("__lines", "__kept")
+  }
+
+  /** DuckDB twin of [[c4Clean]]'s kept-line list over a text
+    * expression. */
+  def sqlC4Kept(text: String, minLineWords: Int): String = {
+    val lineOk = C4LineBlock
+      .map(t => s"NOT contains(lower(l), '$t')").mkString(" AND ")
+    s"""list_filter(string_split(coalesce($text, ''), chr(10)),
+       | l -> regexp_matches(l, '[.!?"]${"$"}')
+       |  AND len(${TextHash.sqlWords("l")}) >= $minLineWords
+       |  AND $lineOk)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** DuckDB twin of the page-block predicate. */
+  def sqlC4PageBlocked(text: String): String =
+    C4PageBlock
+      .map(t => s"contains(lower(coalesce($text, '')), '${t.replace("'", "''")}')")
+      .mkString("(", " OR ", ")")
 }

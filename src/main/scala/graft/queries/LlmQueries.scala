@@ -3169,6 +3169,114 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(id_sum) AS BIGINT) AS id_sum
            |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // ── C4 line rules (Raffel et al. 2020 §2.2): keep lines ending in
+    //    terminal punctuation with ≥3 words and no javascript; kill
+    //    pages containing lorem ipsum or retaining <3 lines. The
+    //    corpus (newline-free word soup) derives a 5-line page per doc:
+    //    two keepable word lines, a short no-punct line, a
+    //    javascript line on every 9th doc, a lorem-ipsum page killer on
+    //    every 13th. The oracle replays the line split, every per-line
+    //    predicate, the page verdict, and the reassembled clean text. ───
+    QueryDef.sorted(
+      "q126_c4_line_rules",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val ws = words(col("text"))
+        val derived = docs.select(col("doc_id"), concat_ws("\n",
+          concat(concat_ws(" ", slice(ws, lit(1), lit(8))), lit(".")),
+          lit("click here"),
+          concat(concat_ws(" ", slice(ws, lit(9), lit(8))), lit("!")),
+          when(col("doc_id") % 9 === 0,
+            lit("please enable javascript to continue."))
+            .otherwise(
+              concat(concat_ws(" ", slice(ws, lit(17), lit(6))), lit("?"))),
+          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("the final line stays right here."))
+        ).as("text"))
+        TextAnalysis.c4Clean(derived)
+          .select(col("doc_id").cast("long"), col("n_lines"),
+            col("n_kept"), col("page_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  -- coalesce each slice join: a DuckDB slice whose begin is
+           |  -- past the list end is NULL (not empty), and concat_ws
+           |  -- would silently drop the whole line where Spark keeps it
+           |  SELECT doc_id, concat_ws(chr(10),
+           |    coalesce(array_to_string((${W("text")})[1:8], ' '), '') || '.',
+           |    'click here',
+           |    coalesce(array_to_string((${W("text")})[9:16], ' '), '') || '!',
+           |    CASE WHEN doc_id % 9 = 0
+           |         THEN 'please enable javascript to continue.'
+           |         ELSE coalesce(array_to_string((${W("text")})[17:22], ' '), '') || '?' END,
+           |    CASE WHEN doc_id % 13 = 0
+           |         THEN 'lorem ipsum dolor sit amet.'
+           |         ELSE 'the final line stays right here.' END) AS text
+           |  FROM documents),
+           |kept AS (SELECT doc_id, text,
+           |                ${TextAnalysis.sqlC4Kept("text", 3)} AS kl,
+           |                len(string_split(text, chr(10))) AS n_lines
+           |         FROM corpus)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(n_lines AS BIGINT) AS n_lines,
+           |       CAST(len(kl) AS BIGINT) AS n_kept,
+           |       (NOT ${TextAnalysis.sqlC4PageBlocked("text")}
+           |        AND len(kl) >= 3) AS page_kept,
+           |       md5(array_to_string(kl, chr(10))) AS clean_hash
+           |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // ── Snapshot diff (dataset versioning): v2 drops every 11th doc,
+    //    appends a word to every 7th, and adds fresh ids for every
+    //    10th — the per-source added/removed/changed/unchanged report a
+    //    release pipeline publishes between versions. The oracle
+    //    replays the id-keyed full-outer hash compare. ──────────────────
+    QueryDef.sorted(
+      "q127_snapshot_diff",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" revised"))).otherwise(col("text"))
+              .as("text"),
+            col("source"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"), col("text"),
+              col("source")))
+        Curation.snapshotDiff(docs, v2)
+      },
+      _.orderBy("source"),
+      Some(
+        s"""WITH v2 AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 = 0 THEN text || ' revised'
+           |              ELSE text END AS text,
+           |         source
+           |  FROM documents WHERE doc_id % 11 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, text, source
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |o AS (SELECT doc_id, md5(coalesce(text, '')) AS oh, source AS os
+           |      FROM documents),
+           |n AS (SELECT doc_id, md5(coalesce(text, '')) AS nh, source AS ns
+           |      FROM v2),
+           |st AS (SELECT coalesce(n.ns, o.os) AS source,
+           |              CASE WHEN o.oh IS NULL THEN 'added'
+           |                   WHEN n.nh IS NULL THEN 'removed'
+           |                   WHEN o.oh = n.nh THEN 'unchanged'
+           |                   ELSE 'changed' END AS stt
+           |       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+           |SELECT source,
+           |       CAST(sum(CASE WHEN stt = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           |       CAST(sum(CASE WHEN stt = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |       CAST(sum(CASE WHEN stt = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |       CAST(sum(CASE WHEN stt = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+           |FROM st GROUP BY source ORDER BY source""".stripMargin)),
+
     // ── Incremental datasheet (the card rolls forward by addition):
     //    per-source dup counts are NOT batch-additive — a batch copy
     //    retroactively turns an old original into a duplicate — so the

@@ -90,4 +90,25 @@ class CurationOpsSpec extends AnyFunSuite {
     // per-batch cards alone would have shown zero duplicates anywhere
     assert(card(Curation.datasheet(b1)).values.forall(_._4 == 0L))
   }
+
+  test("snapshot diff classifies per source; removed keeps the old source") {
+    val v1 = Seq(
+      (1L, "same text", "a"),
+      (2L, "will change", "a"),
+      (3L, "will vanish", "b"),
+      (4L, "moves source", "a"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "same text", "a"),
+      (2L, "changed text", "a"),
+      (4L, "moves source", "b"),   // same content, new source -> unchanged@b
+      (5L, "brand new", "b"))
+      .toDF("doc_id", "text", "source")
+    val d = Curation.snapshotDiff(v1, v2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // (added, removed, changed, unchanged)
+    assert(d("a") === ((0L, 0L, 1L, 1L)))
+    assert(d("b") === ((1L, 1L, 0L, 1L)))
+  }
 }
