@@ -436,4 +436,109 @@ object TextAnalysis {
     C4PageBlock
       .map(t => s"contains(lower(coalesce($text, '')), '${t.replace("'", "''")}')")
       .mkString("(", " OR ", ")")
+
+  // ── Gopher quality rules ──────────────────────────────────────────────
+
+  /** Gopher's required stop words (Rae et al. 2021, table A1): a page
+    * must contain at least two DISTINCT members. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality gates (Rae et al. 2021, §A.1.1) in
+    * exact integer form — every fraction a micro-integer
+    * (`x·10⁶ DIV total`, totals floored at 1 so empty docs read 0, not
+    * NULL), so the verdict is a pure integer comparison both engines
+    * hash identically:
+    *
+    *  - `n_words` ∈ [50, 100000]
+    *  - mean word length ∈ [3, 10] characters
+    *  - symbol-to-word ratio (`#` and `...`) ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet (`-` or `•`)
+    *  - ≤ 30% of lines end with an ellipsis (`...`)
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct [[GopherStops]] present
+    *
+    * All per-row narrow column algebra (the [[withQuality]] /
+    * [[withRepetition]] class — at 100 TB this is a compute-dense narrow
+    * stage, zero shuffle). The repetition gates of the same paper are
+    * [[withRepetition]]; this is the length/symbol/stop-word half. */
+  def gopherQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val ws = TextHash.words(col(textCol))
+    val nw = coalesce(size(ws), lit(0)).cast("long")
+    val nwFloor = greatest(nw, lit(1L))
+    val wordChars =
+      coalesce(length(concat_ws("", ws)), lit(0)).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipsisChars =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("long")
+    val lines = split(t, "\n", -1)
+    val nl = greatest(size(lines), lit(1)).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val alphaWords = coalesce(
+      size(filter(ws, w => w.rlike("[a-zA-Z]"))), lit(0)).cast("long")
+    val reqStops = GopherStops
+      .map(sw => array_contains(ws, sw).cast("long"))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_words", nw)
+      .withColumn("__nwf", nwFloor)
+      .withColumn("__wc", wordChars)
+      .withColumn("__sym", hashes)
+      .withColumn("__ed", ellipsisChars)
+      .withColumn("__nl", nl)
+      .withColumn("__bl", bulletLines)
+      .withColumn("__el", ellipsisLines)
+      .withColumn("__aw", alphaWords)
+      // all shares in nonnegative truncating integer division (DIV — the
+      // cross-engine contract; `/` would be double division)
+      .withColumn("mwl_micro", expr("__wc * 1000000L DIV __nwf"))
+      .withColumn("sym_micro",
+        expr("(__sym + (__ed DIV 3L)) * 1000000L DIV __nwf"))
+      .withColumn("bullet_micro", expr("__bl * 1000000L DIV __nl"))
+      .withColumn("ellipsis_micro", expr("__el * 1000000L DIV __nl"))
+      .withColumn("alpha_micro", expr("__aw * 1000000L DIV __nwf"))
+      .withColumn("req_stops", coalesce(reqStops, lit(0L)))
+      .withColumn("gopher_kept",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl_micro") >= 3000000L && col("mwl_micro") <= 10000000L &&
+          col("sym_micro") <= 100000L &&
+          col("bullet_micro") <= 900000L &&
+          col("ellipsis_micro") <= 300000L &&
+          col("alpha_micro") >= 800000L &&
+          col("req_stops") >= 2L)
+      .drop("__nwf", "__wc", "__sym", "__ed", "__nl", "__bl", "__el", "__aw")
+  }
+
+  /** DuckDB twin of [[gopherQuality]]'s signal columns over `(text)` —
+    * the SELECT-list fragments, given a words-list expression `w`. */
+  def sqlGopherSignals(text: String, w: String): Seq[String] = {
+    val t = s"coalesce($text, '')"
+    val nw = s"coalesce(len($w), 0)"
+    val nwF = s"greatest($nw, 1)"
+    val nl = s"greatest(len(string_split($t, chr(10))), 1)"
+    val stops = GopherStops
+      .map(sw => s"CASE WHEN list_contains($w, '$sw') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Seq(
+      s"CAST($nw AS BIGINT) AS n_words",
+      s"CAST(coalesce(CASE WHEN len($w) = 0 THEN 0 ELSE CAST(list_sum(list_transform($w, x -> length(x))) AS BIGINT) END, 0) * 1000000 // $nwF AS BIGINT) AS mwl_micro",
+      s"CAST(((length($t) - length(replace($t, '#', ''))) + (length($t) - length(replace($t, '...', ''))) // 3) * 1000000 // $nwF AS BIGINT) AS sym_micro",
+      s"CAST(len(list_filter(string_split($t, chr(10)), l -> starts_with(l, '-') OR starts_with(l, '•'))) * 1000000 // $nl AS BIGINT) AS bullet_micro",
+      s"CAST(len(list_filter(string_split($t, chr(10)), l -> ends_with(l, '...'))) * 1000000 // $nl AS BIGINT) AS ellipsis_micro",
+      s"CAST(coalesce(len(list_filter($w, x -> regexp_matches(x, '[a-zA-Z]'))), 0) * 1000000 // $nwF AS BIGINT) AS alpha_micro",
+      s"CAST($stops AS BIGINT) AS req_stops")
+  }
+
+  /** DuckDB twin of the verdict over the signal column names. */
+  val sqlGopherKept: String =
+    """(n_words >= 50 AND n_words <= 100000
+      | AND mwl_micro >= 3000000 AND mwl_micro <= 10000000
+      | AND sym_micro <= 100000
+      | AND bullet_micro <= 900000
+      | AND ellipsis_micro <= 300000
+      | AND alpha_micro >= 800000
+      | AND req_stops >= 2)""".stripMargin.replaceAll("\n", "")
 }

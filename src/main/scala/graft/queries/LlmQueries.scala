@@ -3228,6 +3228,65 @@ object LlmQueries extends QueryFamily {
            |       md5(array_to_string(kl, chr(10))) AS clean_hash
            |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // ── DSIR importance scoring (Xie et al. 2023): score every raw doc
+    //    by the hashed-unigram log-likelihood ratio between a TARGET
+    //    slice (the German documents — resampling toward a language) and
+    //    the raw corpus. Censuses are B-row additive artifacts; the
+    //    log-ratio table broadcasts; each bucket's two log-probs floor
+    //    to micro-nats separately (the q77 ln contract) so the per-doc
+    //    reduce is an order-free integer sum. The oracle replays both
+    //    censuses, the ratio table, the OOV arm, and the scoring. ───────
+    QueryDef.sorted(
+      "q129_dsir_importance",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang"))
+        val raw = docs.select("doc_id", "text")
+        val target = docs.filter(col("lang") === "de")
+          .select("doc_id", "text")
+        Dsir.withImportance(raw, Dsir.featureCensus(target),
+            Dsir.featureCensus(raw))
+          .select(col("doc_id").cast("long"), col("n_feats"),
+            col("imp_micro"), (col("imp_micro") > 0).as("target_like"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH dsraw AS (SELECT doc_id, text FROM documents),
+           |dstarget AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+           |${Dsir.sqlImportanceCtes}
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+           |       CAST(coalesce(s.imp_micro, 0) AS BIGINT) AS imp_micro,
+           |       coalesce(s.imp_micro, 0) > 0 AS target_like
+           |FROM documents d LEFT JOIN dsscore s ON d.doc_id = s.doc_id
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ── Gopher quality gates (Rae et al. 2021 §A.1.1): the
+    //    length/symbol/stop-word half of the canonical heuristic set
+    //    (the repetition half is q63), every fraction an exact
+    //    micro-integer so the verdict is a pure integer comparison.
+    //    The oracle replays all seven signals and the verdict. ──────────
+    QueryDef.sorted(
+      "q128_gopher_quality",
+      (s, dir) => TextAnalysis.gopherQuality(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
+        .select(col("doc_id").cast("long"), col("n_words"),
+          col("mwl_micro"), col("sym_micro"), col("bullet_micro"),
+          col("ellipsis_micro"), col("alpha_micro"), col("req_stops"),
+          col("gopher_kept")),
+      _.orderBy("doc_id"),
+      Some {
+        val sig = TextAnalysis.sqlGopherSignals("text", W("text"))
+          .mkString(",\n       ")
+        s"""WITH sig AS (SELECT doc_id, $sig FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, mwl_micro,
+           |       sym_micro, bullet_micro, ellipsis_micro, alpha_micro,
+           |       req_stops,
+           |       ${TextAnalysis.sqlGopherKept} AS gopher_kept
+           |FROM sig ORDER BY doc_id""".stripMargin
+      }),
+
     // ── Snapshot diff (dataset versioning): v2 drops every 11th doc,
     //    appends a word to every 7th, and adds fresh ids for every
     //    10th — the per-source added/removed/changed/unchanged report a
