@@ -3228,6 +3228,76 @@ object LlmQueries extends QueryFamily {
            |       md5(array_to_string(kl, chr(10))) AS clean_hash
            |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // ── Curation funnel (the run dashboard): per source, survivors of
+    //    each successive gate — language agreement (detected == declared),
+    //    + Gopher quality, + non-repetitive, + exact-dedup representative
+    //    (elected among stage-3 survivors, the pipeline order). One
+    //    report row per source; the oracle replays language ID, all
+    //    seven Gopher signals, the repetition verdict, and the
+    //    survivor-scoped dedup election. ────────────────────────────────
+    QueryDef.sorted(
+      "q130_curation_funnel",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "source"))
+        val sig = TextAnalysis.withRepetition(
+          TextAnalysis.gopherQuality(TextAnalysis.withLangId(docs)))
+        val staged = sig.select(col("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit(""))).as("__h"),
+          when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("i1"),
+          when(col("pred_lang") === col("lang") && col("gopher_kept"), 1L)
+            .otherwise(0L).as("i2"),
+          when(col("pred_lang") === col("lang") && col("gopher_kept") &&
+            !col("repetitive"), 1L).otherwise(0L).as("i3"))
+        val reps = staged.filter(col("i3") === 1L)
+          .groupBy(col("__h")).agg(min(col("doc_id")).as("__mid"))
+        staged.join(reps, Seq("__h"), "left")
+          .withColumn("i4",
+            when(col("i3") === 1L && col("doc_id") === col("__mid"), 1L)
+              .otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"), sum(col("i1")).as("n_lang"),
+            sum(col("i2")).as("n_quality"), sum(col("i3")).as("n_clean"),
+            sum(col("i4")).as("n_final"))
+      },
+      _.orderBy("source"),
+      Some {
+        val (scores, pred) = TextAnalysis.sqlLangId("w")
+        val gsig = TextAnalysis.sqlGopherSignals("text", "w")
+          .mkString(",\n              ")
+        val repV = TextAnalysis.sqlRepetition("w").last._2
+        s"""WITH tok AS (SELECT doc_id, source, lang, text, ${W("text")} AS w
+           |             FROM documents),
+           |sc AS (SELECT tok.*, ${scores.mkString(", ")} FROM tok),
+           |pr AS (SELECT doc_id, source, lang, text, w,
+           |              $pred AS pred_lang FROM sc),
+           |gq AS (SELECT pr.*,
+           |              $gsig
+           |       FROM pr),
+           |stg AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+           |               CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS i1,
+           |               CASE WHEN pred_lang = lang
+           |                     AND ${TextAnalysis.sqlGopherKept}
+           |                    THEN 1 ELSE 0 END AS i2,
+           |               CASE WHEN pred_lang = lang
+           |                     AND ${TextAnalysis.sqlGopherKept}
+           |                     AND NOT ($repV)
+           |                    THEN 1 ELSE 0 END AS i3
+           |        FROM gq),
+           |reps AS (SELECT h, min(doc_id) AS mid FROM stg
+           |         WHERE i3 = 1 GROUP BY h),
+           |stg4 AS (SELECT s.*, CASE WHEN s.i3 = 1 AND s.doc_id = r.mid
+           |                          THEN 1 ELSE 0 END AS i4
+           |         FROM stg s LEFT JOIN reps r ON s.h = r.h)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_total,
+           |       CAST(sum(i1) AS BIGINT) AS n_lang,
+           |       CAST(sum(i2) AS BIGINT) AS n_quality,
+           |       CAST(sum(i3) AS BIGINT) AS n_clean,
+           |       CAST(sum(i4) AS BIGINT) AS n_final
+           |FROM stg4 GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ── DSIR importance scoring (Xie et al. 2023): score every raw doc
     //    by the hashed-unigram log-likelihood ratio between a TARGET
     //    slice (the German documents — resampling toward a language) and
