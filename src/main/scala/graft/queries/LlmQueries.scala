@@ -3228,6 +3228,48 @@ object LlmQueries extends QueryFamily {
            |       md5(array_to_string(kl, chr(10))) AS clean_hash
            |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
+    //    bucket census persists; a new batch's census folds in by pure
+    //    addition and the batch scores against the MERGED raw census and
+    //    the frozen target census — the old corpus is never re-read. The
+    //    oracle replays the full-union scoring restricted to batch rows,
+    //    so the hash match IS the roll-forward identity (the q118 proof
+    //    pattern for the feature census). ───────────────────────────────
+    QueryDef.sorted(
+      "q131_dsir_incremental",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang"))
+        val raw = docs.select("doc_id", "text")
+        val target = docs.filter(col("lang") === "de")
+          .select("doc_id", "text")
+        val ws = words(col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + VarOffset).as("doc_id"),
+            truncText(ws).as("text"))
+        val mergedRaw = Dsir.mergeFeatureCensus(
+          Dsir.featureCensus(raw), Dsir.featureCensus(batch))
+        Dsir.withImportance(batch, Dsir.featureCensus(target), mergedRaw)
+          .select(col("doc_id").cast("long"), col("n_feats"),
+            col("imp_micro"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH dsraw AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $VarOffset, ${sqlTruncText("text")}
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |dstarget AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+           |${Dsir.sqlImportanceCtes}
+           |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           |       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+           |       CAST(coalesce(s.imp_micro, 0) AS BIGINT) AS imp_micro
+           |FROM (SELECT doc_id + $VarOffset AS doc_id FROM documents
+           |      WHERE doc_id % 10 = 0) b
+           |LEFT JOIN dsscore s ON b.doc_id = s.doc_id
+           |ORDER BY doc_id""".stripMargin)),
+
     // ── Curation funnel (the run dashboard): per source, survivors of
     //    each successive gate — language agreement (detected == declared),
     //    + Gopher quality, + non-repetitive, + exact-dedup representative

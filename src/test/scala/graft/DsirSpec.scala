@@ -56,6 +56,23 @@ class DsirSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("incremental scoring against merged censuses equals full-union") {
+    val batch = Seq((10L, "poem code"), (11L, "")).toDF("doc_id", "text")
+    val merged = Dsir.mergeFeatureCensus(
+      Dsir.featureCensus(raw), Dsir.featureCensus(batch))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("imp_micro")))).toMap
+    val inc = canon(Dsir.withImportance(batch,
+      Dsir.featureCensus(target), merged))
+    val union = raw.unionByName(batch)
+    val full = canon(Dsir.withImportance(union,
+        Dsir.featureCensus(target), Dsir.featureCensus(union)))
+      .view.filterKeys(_ >= 10L).toMap
+    assert(inc === full)
+    assert(inc(11L) === ((0L, 0L)))
+  }
+
   test("a never-seen word takes the OOV (total-ratio) arm") {
     import org.apache.spark.sql.functions.lit
     val oovDoc = Seq((9L, "zzzzunseen")).toDF("doc_id", "text")
