@@ -3284,13 +3284,19 @@ object LlmQueries extends QueryFamily {
           .select("doc_id", "text", "lang", "source"))
         val sig = TextAnalysis.withRepetition(
           TextAnalysis.gopherQuality(TextAnalysis.withLangId(docs)))
-        val staged = sig.select(col("doc_id"), col("source"),
-          md5(coalesce(col("text"), lit(""))).as("__h"),
-          when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("i1"),
-          when(col("pred_lang") === col("lang") && col("gopher_kept"), 1L)
-            .otherwise(0L).as("i2"),
-          when(col("pred_lang") === col("lang") && col("gopher_kept") &&
-            !col("repetitive"), 1L).otherwise(0L).as("i3"))
+        // barrier: the staged frame is consumed TWICE (rep election +
+        // the decorating join), and without it CollapseProject inlines
+        // the whole langId+Gopher+repetition signal tree into every
+        // predicate of both consumers — measured 68 s at sf0.1 on
+        // local[32]; 1.3 s with the barrier
+        val staged = graft.CacheBarriers.barrier(
+          sig.select(col("doc_id"), col("source"),
+            md5(coalesce(col("text"), lit(""))).as("__h"),
+            when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("i1"),
+            when(col("pred_lang") === col("lang") && col("gopher_kept"), 1L)
+              .otherwise(0L).as("i2"),
+            when(col("pred_lang") === col("lang") && col("gopher_kept") &&
+              !col("repetitive"), 1L).otherwise(0L).as("i3")))
         val reps = staged.filter(col("i3") === 1L)
           .groupBy(col("__h")).agg(min(col("doc_id")).as("__mid"))
         staged.join(reps, Seq("__h"), "left")
