@@ -111,4 +111,72 @@ object Multimodal {
           .otherwise("mkv").as("format")
       ).as("meta"))
   }
+
+  // ── REAL header parsing (no codec required) ───────────────────────────
+
+  /** Format sniffing + image dimensions from the container HEADER —
+    * genuinely real, unlike [[decodeStub]]: magic numbers and dimension
+    * fields are fixed-offset byte arithmetic, no codec anywhere. Adds
+    * `fmt` ('png' | 'gif' | 'unknown'), `img_w`, `img_h` (NULL unless a
+    * known header matched). Purely relational — `substring` on the
+    * binary column, `hex`, `conv` — so the parse runs inside whole-stage
+    * codegen on the first 32 bytes only (a 100 TB blob scan never
+    * materializes content beyond the header slice it needs).
+    *
+    * PNG: 8-byte signature, then the IHDR chunk pins width/height as
+    * big-endian u32 at byte offsets 16/20. GIF (87a/89a): 6-byte
+    * signature, width/height as little-endian u16 at offsets 6/8. JPEG
+    * needs a variable-length marker walk — [[jpegDims]] below. */
+  def withImageDims(assets: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val h = upper(hex(substring(col(contentCol), 1, 32)))
+    val isPng = h.startsWith("89504E470D0A1A0A0000000D49484452")
+    val isGif = h.startsWith("47494638") &&
+      substring(h, 9, 4).isin("3761", "3961")
+    def be32(hexPos: Int) =
+      conv(substring(h, hexPos, 8), 16, 10).cast("long")
+    def le16(hexPos: Int) =
+      conv(concat(substring(h, hexPos + 2, 2), substring(h, hexPos, 2)),
+        16, 10).cast("long")
+    assets
+      .withColumn("__h", h)
+      .withColumn("fmt",
+        when(isPng, "png").when(isGif, "gif").otherwise("unknown"))
+      .withColumn("img_w",
+        when(isPng, be32(33)).when(isGif, le16(13)))
+      .withColumn("img_h",
+        when(isPng, be32(41)).when(isGif, le16(17)))
+      .drop("__h")
+  }
+
+  /** JPEG dimensions: walk the marker stream to the first SOF0–SOF15
+    * frame header (skipping the non-frame markers in that range — DHT
+    * 0xC4, DAC 0xCC) and read height/width as big-endian u16 at offsets
+    * 3/5 inside it. A real parser for real JPEGs; per-row imperative by
+    * necessity (segments are variable-length — the justified-UDF class),
+    * driver/executor-side like [[decodeStub]]'s slot. Returns None on
+    * anything that is not a parseable JPEG. */
+  def jpegDims(content: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = content(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (content.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < content.length) {
+      if (u8(i) != 0xff) return None
+      val marker = u8(i + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > content.length) return None
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (len < 7) return None
+          return Some((u16(i + 7), u16(i + 5))) // (width, height)
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm._
 import graft.llm.TextHash._
+import graft.multimodal.Multimodal
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`
   * (the driver's synthetic corpus): dedup (exact, minhash-LSH, simhash,
@@ -3227,6 +3228,50 @@ object LlmQueries extends QueryFamily {
            |        AND len(kl) >= 3) AS page_kept,
            |       md5(array_to_string(kl, chr(10))) AS clean_hash
            |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // ── Image-header parsing (REAL, no codec): the corpus derives
+    //    actual PNG and GIF containers — correct signatures, IHDR
+    //    big-endian u32 dims, GIF little-endian u16 dims — around md5
+    //    payloads, plus raw non-image rows. The operator sniffs the
+    //    format and reads the dimensions back by fixed-offset byte
+    //    algebra inside codegen; the oracle emits the ground-truth
+    //    arithmetic the headers were built from, so any parser defect
+    //    hash-mismatches. ───────────────────────────────────────────────
+    QueryDef.sorted(
+      "q132_image_headers",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val base = docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 640 + 1).as("wp"),
+          (col("doc_id") % 480 + 1).as("hp"),
+          (col("doc_id") % 1000 + 1).as("wg"),
+          (col("doc_id") % 200 + 1).as("hg"))
+        val hexStr = when(col("doc_id") % 3 === 0,
+            concat(lit("89504E470D0A1A0A0000000D49484452"),
+              lpad(hex(col("wp")), 8, "0"), lpad(hex(col("hp")), 8, "0"),
+              md5(col("text"))))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("474946383961"),
+              lpad(hex(expr("(wg % 256) * 256 + (wg DIV 256)")), 4, "0"),
+              lpad(hex(expr("(hg % 256) * 256 + (hg DIV 256)")), 4, "0"),
+              md5(col("text"))))
+          .otherwise(md5(col("text")))
+        Multimodal.withImageDims(
+            base.select(col("doc_id"), unhex(hexStr).as("content")))
+          .select(col("doc_id").cast("long"), col("fmt"), col("img_w"),
+            col("img_h"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+           |            ELSE 'unknown' END AS fmt,
+           |       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 640 + 1
+           |                 WHEN 1 THEN doc_id % 1000 + 1 END AS BIGINT) AS img_w,
+           |       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 1
+           |                 WHEN 1 THEN doc_id % 200 + 1 END AS BIGINT) AS img_h
+           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure

@@ -70,4 +70,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_._1) == Seq(0, 3, 6, 9))
     assert(frames.head._2.length == 10)
   }
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("withImageDims parses real PNG and GIF headers; junk is unknown") {
+    import spark.implicits._
+    val rows = Seq(
+      // PNG, 800x600: sig + IHDR len/type + dims
+      (1L, bytes("89504E470D0A1A0A0000000D49484452" +
+        "00000320" + "00000258" + "08060000")),
+      // GIF89a, 320x200 little-endian
+      (2L, bytes("474946383961" + "4001" + "C800" + "F7000000")),
+      // GIF87a accepted too (16x16)
+      (3L, bytes("474946383761" + "1000" + "1000" + "00")),
+      // JPEG bytes are unknown to the fixed-offset path
+      (4L, bytes("FFD8FFE000104A46494600")),
+      (5L, bytes("DEADBEEF")))
+      .toDF("asset_id", "content")
+    val out = Multimodal.withImageDims(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === (("png", Some(800L), Some(600L))))
+    assert(out(2L) === (("gif", Some(320L), Some(200L))))
+    assert(out(3L) === (("gif", Some(16L), Some(16L))))
+    assert(out(4L) === (("unknown", None, None)))
+    assert(out(5L) === (("unknown", None, None)))
+  }
+
+  test("jpegDims walks the marker stream to SOF0") {
+    // SOI + APP0 (16 bytes) + DHT (to prove non-frame C4 is skipped) +
+    // SOF0 with height 480, width 640, then EOI
+    val jpeg = bytes(
+      "FFD8" +
+        "FFE0" + "0010" + "4A46494600010100000100010000" +
+        "FFC4" + "0004" + "0000" +
+        "FFC0" + "0011" + "08" + "01E0" + "0280" +
+        "03012200021101031101" +
+        "FFD9")
+    assert(Multimodal.jpegDims(jpeg) === Some((640, 480)))
+    assert(Multimodal.jpegDims(bytes("FFD8FF")) === None)
+    assert(Multimodal.jpegDims(bytes("89504E47")) === None)
+    assert(Multimodal.jpegDims(Array.empty[Byte]) === None)
+  }
 }
