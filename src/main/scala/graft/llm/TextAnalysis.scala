@@ -541,4 +541,77 @@ object TextAnalysis {
       | AND ellipsis_micro <= 300000
       | AND alpha_micro >= 800000
       | AND req_stops >= 2)""".stripMargin.replaceAll("\n", "")
+
+  // ── Lexical diversity ─────────────────────────────────────────────────
+
+  /** Lexical-diversity quality signals — the vocabulary-concentration
+    * complement of [[withRepetition]] (which detects STRUCTURED repeats:
+    * stutters, repeated n-grams). A spam page cycling a small vocabulary
+    * in varying order defeats n-gram gates but cannot hide its
+    * distribution; these three distribution signals catch it:
+    *
+    *  - `ttr_micro` — type-token ratio: distinct words · 10⁶ DIV words.
+    *  - `hapax_micro` — hapax-legomenon share: words occurring exactly
+    *    once · 10⁶ DIV words (natural prose ≳ 40%; template spam ≈ 0).
+    *  - `went_micro` — word-distribution Shannon entropy in micro-nats:
+    *    Σ_w n_w·⌊10⁶·ln(N/n_w)⌋ DIV N. `ln` is the one engine-approximate
+    *    op (the q77 contract): each term floors to an integer BEFORE the
+    *    order-free sum, so a cross-engine flip needs the two libms to
+    *    disagree across a floor boundary — ~10⁻¹⁰ per term.
+    *
+    * Verdict `lex_kept` = non-empty ∧ ttr ≥ minTtrMicro ∧ entropy ≥
+    * minEntMicro. The default entropy floor of 1.5 nats is an effective
+    * vocabulary of e^1.5 ≈ 4.5 words — which also kills 1–3-word stubs by
+    * design (their entropy cannot reach 1.5 nats); the word-COUNT floor
+    * itself is [[gopherQuality]]'s gate, not this one's.
+    *
+    * All per-row narrow column algebra: the per-distinct-word count scan
+    * is O(distinct·words) inside one row — bounded by doc length, zero
+    * shuffle, the [[withQuality]] scale class. NULL text ≡ empty text
+    * (all-zero signals, kept = false), stated rather than ridden on
+    * size(NULL) session config. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+                       minTtrMicro: Long = 100000L,
+                       minEntMicro: Long = 1500000L): DataFrame = {
+    val ws = coalesce(TextHash.words(col(textCol)),
+      array().cast("array<string>"))
+    docs
+      .withColumn("__ws", ws)
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("__nwf", greatest(col("n_words"), lit(1L)))
+      .withColumn("__cnts", transform(array_distinct(col("__ws")),
+        w => size(filter(col("__ws"), x => x === w)).cast("long")))
+      .withColumn("ttr_micro", expr("size(__cnts) * 1000000L DIV __nwf"))
+      .withColumn("hapax_micro",
+        expr("size(filter(__cnts, c -> c = 1L)) * 1000000L DIV __nwf"))
+      .withColumn("went_micro",
+        expr("aggregate(__cnts, 0L, (acc, c) -> acc + c * " +
+          "CAST(floor(1000000D * ln(CAST(n_words AS DOUBLE) / c)) AS BIGINT))" +
+          " DIV __nwf"))
+      .withColumn("lex_kept",
+        col("n_words") > 0L && col("ttr_micro") >= minTtrMicro &&
+          col("went_micro") >= minEntMicro)
+      .drop("__ws", "__nwf", "__cnts")
+  }
+
+  /** DuckDB twin of [[lexicalDiversity]]'s signal columns, given a words
+    * list expression `w` (assumed non-NULL — coalesce at the call site
+    * mirrors the operator's NULL≡empty branch). */
+  def sqlLexicalDiversity(w: String): Seq[String] = {
+    val nwF = s"greatest(coalesce(len($w), 0), 1)"
+    val cnts =
+      s"list_transform(list_distinct($w), x -> len(list_filter($w, y -> y = x)))"
+    Seq(
+      s"CAST(coalesce(len($w), 0) AS BIGINT) AS n_words",
+      s"CAST(len(list_distinct($w)) * 1000000 // $nwF AS BIGINT) AS ttr_micro",
+      s"CAST(len(list_filter($cnts, c -> c = 1)) * 1000000 // $nwF AS BIGINT) AS hapax_micro",
+      s"CAST(coalesce(list_sum(list_transform($cnts, c -> c * " +
+        s"CAST(floor(1000000 * ln(CAST(coalesce(len($w), 0) AS DOUBLE) / c)) AS BIGINT))), 0) " +
+        s"// $nwF AS BIGINT) AS went_micro")
+  }
+
+  /** DuckDB twin of the verdict over the signal column names (default
+    * thresholds). */
+  val sqlLexKept: String =
+    "(n_words > 0 AND ttr_micro >= 100000 AND went_micro >= 1500000)"
 }

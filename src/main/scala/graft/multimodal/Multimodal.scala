@@ -149,6 +149,87 @@ object Multimodal {
       .drop("__h")
   }
 
+  /** Audio (RIFF/WAVE) metadata from the CANONICAL PCM header — the
+    * audio sibling of [[withImageDims]], and just as real: every field is
+    * fixed-offset byte arithmetic on the first 44 bytes, no codec. The
+    * canonical layout (the overwhelming majority of PCM WAV files —
+    * `RIFF` + size + `WAVE`, a 16-byte `fmt ` chunk, then `data`) pins
+    * channels / sample-rate / bits-per-sample / data size at constant
+    * offsets, so the parse is pure relational column algebra inside
+    * whole-stage codegen; a file with extra chunks between `fmt ` and
+    * `data` (LIST/INFO metadata) falls to 'unknown' here and to the
+    * per-row chunk walker [[wavMeta]].
+    *
+    * Adds `afmt` ('wav' | 'unknown'), `channels`, `sample_rate_hz`,
+    * `bits`, `data_bytes` (the DECLARED data-chunk size — a truncation
+    * auditor compares it against `octet_length(content) - 44`), and
+    * `dur_us` = data_bytes·10⁶ DIV byte_rate in pure nonnegative integer
+    * math (byte_rate is the header's own bytes-per-second field; 0 →
+    * NULL duration rather than a divide error). All metadata columns are
+    * NULL unless the canonical header matched. */
+  def withAudioMeta(assets: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val h = upper(hex(substring(col(contentCol), 1, 44)))
+    // hex positions are 1-based: byte offset b → substring(h, 2b+1, …)
+    def le16(bytePos: Int) = {
+      val p = 2 * bytePos + 1
+      conv(concat(substring(h, p + 2, 2), substring(h, p, 2)), 16, 10)
+        .cast("long")
+    }
+    def le32(bytePos: Int) = {
+      val p = 2 * bytePos + 1
+      conv(concat(substring(h, p + 6, 2), substring(h, p + 4, 2),
+        substring(h, p + 2, 2), substring(h, p, 2)), 16, 10).cast("long")
+    }
+    val isWav = h.startsWith("52494646") && // 'RIFF'
+      substring(h, 17, 16) === "57415645666D7420" && // 'WAVE' + 'fmt '
+      substring(h, 33, 8) === "10000000" && // fmt chunk size 16 (PCM)
+      substring(h, 73, 8) === "64617461" // 'data' directly after fmt
+    val byteRate = le32(28)
+    assets
+      .withColumn("afmt", when(isWav, "wav").otherwise("unknown"))
+      .withColumn("channels", when(isWav, le16(22)))
+      .withColumn("sample_rate_hz", when(isWav, le32(24)))
+      .withColumn("bits", when(isWav, le16(34)))
+      .withColumn("data_bytes", when(isWav, le32(40)))
+      .withColumn("__br", when(isWav && byteRate > 0, byteRate))
+      .withColumn("dur_us", expr("data_bytes * 1000000 DIV __br"))
+      .drop("__br")
+  }
+
+  /** RIFF chunk walker for NON-canonical WAV files — the variable-layout
+    * fallback [[withAudioMeta]] sends to 'unknown': walks the chunk list
+    * (each 8-byte header = 4-char id + LE u32 size, sizes pad to even)
+    * to find `fmt ` and `data` wherever they sit, e.g. behind LIST/INFO
+    * metadata chunks. Per-row imperative by necessity (chunk offsets are
+    * data-dependent — the [[jpegDims]] class). Returns
+    * (channels, sample_rate, bits, data_bytes) or None. */
+  def wavMeta(content: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(i: Int) = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (content(i) & 0xffL) | ((content(i + 1) & 0xffL) << 8) |
+        ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(content.slice(i, i + 4), "US-ASCII")
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= content.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= content.length)
+        fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+      if (id == "data") data = Some(size)
+      // chunk bodies pad to even length; a declared size past the buffer
+      // ends the walk (truncated file) rather than overflowing
+      val step = 8 + size + (size % 2)
+      if (step <= 0 || i + step > content.length) i = content.length
+      else i += step.toInt
+    }
+    for ((ch, sr, bits) <- fmt; d <- data) yield (ch, sr, bits, d)
+  }
+
   /** JPEG dimensions: walk the marker stream to the first SOF0–SOF15
     * frame header (skipping the non-frame markers in that range — DHT
     * 0xC4, DAC 0xCC) and read height/width as big-endian u16 at offsets

@@ -3273,6 +3273,114 @@ object LlmQueries extends QueryFamily {
            |                 WHEN 1 THEN doc_id % 200 + 1 END AS BIGINT) AS img_h
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── Audio-header parsing (q132's audio sibling): the corpus derives
+    //    actual canonical PCM WAV containers — RIFF/WAVE magic, 16-byte
+    //    fmt chunk with little-endian channel/rate/bits fields, a data
+    //    chunk with a declared size — around md5 payloads, plus raw
+    //    non-audio rows. The operator reads every field back by
+    //    fixed-offset byte algebra inside codegen and derives the
+    //    duration in pure integer micro-seconds; the oracle emits the
+    //    ground-truth arithmetic the headers were built from. ───────────
+    QueryDef.sorted(
+      "q133_audio_headers",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        // little-endian hex builders over named integer columns (Spark
+        // hex() emits no leading zeros, so each byte lpads to 2)
+        def le16(e: String) =
+          expr(s"lpad(hex(($e) % 256), 2, '0') || " +
+            s"lpad(hex(($e) DIV 256), 2, '0')")
+        def le32(e: String) =
+          expr(s"lpad(hex(($e) % 256), 2, '0') || " +
+            s"lpad(hex(($e) DIV 256 % 256), 2, '0') || " +
+            s"lpad(hex(($e) DIV 65536 % 256), 2, '0') || " +
+            s"lpad(hex(($e) DIV 16777216 % 256), 2, '0')")
+        val base = docs.select(col("doc_id"), col("text"),
+            (col("doc_id") % 2 + 1).as("ch"),
+            (lit(8000) + (col("doc_id") % 5) * 4000).as("sr"),
+            when(col("doc_id") % 4 < 2, 16).otherwise(8).as("bp"))
+          .withColumn("blk", expr("ch * bp DIV 8"))
+          .withColumn("brate", expr("sr * blk"))
+          .withColumn("dsize", expr("(doc_id % 1000 + 1) * blk"))
+        val hexStr = when(col("doc_id") % 3 === 0, md5(col("text")))
+          .otherwise(concat(
+            lit("52494646"), le32("36 + dsize"),
+            lit("57415645666D7420100000000100"),
+            le16("ch"), le32("sr"), le32("brate"),
+            le16("blk"), le16("bp"),
+            lit("64617461"), le32("dsize"), md5(col("text"))))
+        Multimodal.withAudioMeta(
+            base.select(col("doc_id"), unhex(hexStr).as("content")))
+          .select(col("doc_id").cast("long"), col("afmt"), col("channels"),
+            col("sample_rate_hz"), col("bits"), col("data_bytes"),
+            col("dur_us"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id, doc_id % 2 + 1 AS ch,
+           |         8000 + (doc_id % 5) * 4000 AS sr,
+           |         CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS bp
+           |  FROM documents),
+           |q AS (SELECT *, ch * bp // 8 AS blk FROM p)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN doc_id % 3 = 0 THEN 'unknown' ELSE 'wav' END AS afmt,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE ch END
+           |            AS BIGINT) AS channels,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE sr END
+           |            AS BIGINT) AS sample_rate_hz,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE bp END
+           |            AS BIGINT) AS bits,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE (doc_id % 1000 + 1) * blk END AS BIGINT) AS data_bytes,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE ((doc_id % 1000 + 1) * blk * 1000000) // (sr * blk) END
+           |            AS BIGINT) AS dur_us
+           |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ── Lexical diversity (the distribution complement of q63's
+    //    structured-repetition gates): every 6th doc becomes a
+    //    small-vocabulary cycle (its first 3 words × 8 — high word
+    //    count, entropy ln 3 ≈ 1.1 nats, killed), every 11th a 2-word
+    //    stub (TTR 10⁶ but entropy ln 2 — killed by the effective-
+    //    vocabulary floor), the rest stay natural word soup (kept). ─────
+    QueryDef.sorted(
+      "q134_lexical_diversity",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").filter(col("text").isNotNull))
+        val ws = words(col("text"))
+        val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 6 === 0,
+            concat_ws(" ", flatten(array_repeat(slice(ws, 1, 3), 8))))
+            .when(col("doc_id") % 11 === 0, lit("ok thanks"))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.lexicalDiversity(corpus)
+          .select(col("doc_id").cast("long"), col("n_words"),
+            col("ttr_micro"), col("hapax_micro"), col("went_micro"),
+            col("lex_kept"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id, ${W("text")} AS ws0, text FROM documents
+           |  WHERE text IS NOT NULL),
+           |corpus AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 6 = 0 THEN array_to_string(
+           |           flatten(list_transform(range(0, 8), i -> ws0[1:3])), ' ')
+           |         WHEN doc_id % 11 = 0 THEN 'ok thanks'
+           |         ELSE text END AS text
+           |  FROM base),
+           |w AS (SELECT doc_id, ${W("text")} AS ws FROM corpus),
+           |sel AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |         ${TextAnalysis.sqlLexicalDiversity("ws").mkString(",\n         ")}
+           |  FROM w)
+           |SELECT *, ${TextAnalysis.sqlLexKept} AS lex_kept
+           |FROM sel ORDER BY doc_id""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and

@@ -99,6 +99,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) === (("unknown", None, None)))
   }
 
+  test("withAudioMeta parses canonical PCM WAV headers; junk is unknown") {
+    import spark.implicits._
+    // 44.1 kHz stereo 16-bit, 1000 declared data bytes: RIFF size 1036,
+    // byte rate 176400, block align 4 — all little-endian
+    val canonical = "52494646" + "0C040000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" + "64617461" + "E8030000" + "00"
+    // same header with byte rate 0: duration must be NULL, not an error
+    val zeroRate = "52494646" + "0C040000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "00000000" + "0400" + "1000" + "64617461" + "E8030000" + "00"
+    // a LIST chunk between WAVE and fmt breaks the canonical layout —
+    // the relational path must NOT misparse it (wavMeta's job below)
+    val nonCanonical = "52494646" + "28000000" + "57415645" +
+      "4C495354" + "04000000" + "494E464F" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "00000000"
+    val rows = Seq(
+      (1L, bytes(canonical)), (2L, bytes(zeroRate)),
+      (3L, bytes(nonCanonical)), (4L, bytes("DEADBEEF")))
+      .toDF("asset_id", "content")
+    val out = Multimodal.withAudioMeta(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7))))).toMap
+    assert(out(1L) === (("wav", Some(2L), Some(44100L), Some(16L),
+      Some(1000L), Some(1000L * 1000000L / 176400L))))
+    assert(out(2L) === (("wav", Some(2L), Some(44100L), Some(16L),
+      Some(1000L), None)))
+    assert(out(3L) === (("unknown", None, None, None, None, None)))
+    assert(out(4L) === (("unknown", None, None, None, None, None)))
+  }
+
+  test("wavMeta walks non-canonical chunk lists") {
+    // LIST/INFO chunk ahead of fmt — the layout withAudioMeta declines
+    val listed = bytes("52494646" + "30000000" + "57415645" +
+      "4C495354" + "04000000" + "494E464F" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "08000000" +
+      "0000000000000000")
+    assert(Multimodal.wavMeta(listed) === Some((1, 8000, 16, 8L)))
+    // odd-sized chunk bodies pad to even: a 5-byte LIST still lands fmt
+    val odd = bytes("52494646" + "2D000000" + "57415645" +
+      "4C495354" + "05000000" + "494E464F" + "41" + "00" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" + "64617461" + "04000000" +
+      "00000000")
+    assert(Multimodal.wavMeta(odd) === Some((2, 44100, 16, 4L)))
+    // declared data size is reported even when the body is truncated —
+    // the auditor's comparison point, not a parse failure
+    val truncated = bytes("52494646" + "FF000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "E8030000")
+    assert(Multimodal.wavMeta(truncated) === Some((1, 8000, 16, 1000L)))
+    assert(Multimodal.wavMeta(bytes("52494646")) === None)
+    assert(Multimodal.wavMeta(bytes("DEADBEEF00000000DEADBEEF")) === None)
+    assert(Multimodal.wavMeta(Array.empty[Byte]) === None)
+  }
+
   test("jpegDims walks the marker stream to SOF0") {
     // SOI + APP0 (16 bytes) + DHT (to prove non-frame C4 is skipped) +
     // SOF0 with height 480, width 640, then EOI
