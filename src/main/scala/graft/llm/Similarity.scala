@@ -662,6 +662,72 @@ object Similarity {
     signVerifyPairs(cand, signed, minCos)
   }
 
+  // ── LSH quality audit ─────────────────────────────────────────────────
+
+  /** Recall/precision audit of an LSH pair set against brute-force
+    * ground truth — the QA report every approximate-dedup deployment
+    * needs before trusting its banding parameters: did the chosen
+    * planes/bands/probes actually recover the cos ≥ minCos pairs, and at
+    * what candidate cost? Ground truth is ALL-PAIRS exact cosine over an
+    * audit sample BY DESIGN — quadratic is the point (there is no other
+    * way to know what LSH missed) — so the operator is control-plane
+    * work by contract: `samplePred` must bound the sample to audit size,
+    * and the `maxSample` guard fails fast (one cheap count job before
+    * the quadratic plan is built) instead of letting a corpus-sized
+    * predicate OOM the join. At 100 TB the audit runs on a deterministic
+    * id-slice (e.g. `id % 10000 === 0`); the production pair set itself
+    * stays banded.
+    *
+    * `pairs` is any (id_a, id_b) frame with id_a < id_b — the output
+    * convention of every LSH tier here (minhash, simhash, sign, IVF) —
+    * and is restricted to pairs whose BOTH endpoints sit in the sample,
+    * so tiers can be audited from their full-corpus runs. Returns one
+    * row: (n_sample, n_true, n_cand, n_hit, recall_micro,
+    * precision_micro), shares in exact truncating integer division.
+    * Verified tiers (exact-cosine confirm, like all tiers here) audit at
+    * precision 10⁶ structurally; an unverified candidate generator shows
+    * its false-positive cost in the same column. */
+  def lshRecallReport(vectors: DataFrame, pairs: DataFrame, minCos: Double,
+                      dim: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      samplePred: Column = lit(true),
+                      maxSample: Int = 20000): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sample = graft.CacheBarriers.barrier(
+      vectors.filter(samplePred)
+        .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull && size(col("v")) === dim)
+        .withColumn("vn", sqrt(dot(col("v"), col("v")))))
+    val n = sample.count()
+    require(n <= maxSample,
+      s"lshRecallReport: audit sample has $n vectors (max $maxSample) — " +
+        "ground truth is all-pairs by design; tighten samplePred")
+    val gt = graft.CacheBarriers.barrier(
+      sample.alias("a").join(sample.alias("b"), col("a.__id") < col("b.__id"))
+        .withColumn("cos",
+          cosinePre(col("a.v"), col("a.vn"), col("b.v"), col("b.vn")))
+        .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+          col("cos") >= minCos)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")))
+    val ids = sample.select(col("__id"))
+    val cand = graft.CacheBarriers.barrier(
+      pairs.select(col("id_a"), col("id_b"))
+        .join(ids.withColumnRenamed("__id", "id_a"), Seq("id_a"), "left_semi")
+        .join(ids.withColumnRenamed("__id", "id_b"), Seq("id_b"), "left_semi"))
+    val nTrue = gt.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = gt.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .withColumn("n_sample", lit(n))
+      .withColumn("recall_micro",
+        expr("n_hit * 1000000L DIV greatest(n_true, 1L)"))
+      .withColumn("precision_micro",
+        expr("n_hit * 1000000L DIV greatest(n_cand, 1L)"))
+      .select(col("n_sample"), col("n_true"), col("n_cand"), col("n_hit"),
+        col("recall_micro"), col("precision_micro"))
+  }
+
   /** Per-label centroid outlier scoring: every vector's cosine to the
     * mean vector of its label group, with vectors below `minCos` flagged
     * — the embedding-space anomaly signal a curation pipeline uses to

@@ -3381,6 +3381,106 @@ object LlmQueries extends QueryFamily {
            |SELECT *, ${TextAnalysis.sqlLexKept} AS lex_kept
            |FROM sel ORDER BY doc_id""".stripMargin)),
 
+    // ── LSH quality audit (the report that justifies the banding
+    //    parameters): three sign-LSH parameterizations over q105's
+    //    corpus plus a BORDERLINE variant family (10 dims +0.1 → cos ≈
+    //    0.95, right at the threshold where banding actually loses
+    //    pairs), each audited against brute-force all-pairs ground
+    //    truth. 4 coarse bands measurably miss; 2 rotated probes
+    //    recover some; 8 bands recover all — the recall ladder a
+    //    deployment reads before trusting its parameters. Every tier
+    //    exact-verifies, so precision audits at 10⁶ structurally. ───────
+    QueryDef.sorted(
+      "q135_lsh_recall_report",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val near = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val edge = e.filter(col("vec_id") % 25 === 5)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
+        val corpus = e.unionByName(near).unionByName(edge)
+        def audit(pairs: org.apache.spark.sql.DataFrame, tier: String) =
+          Similarity.lshRecallReport(corpus, pairs, minCos = 0.95,
+              dim = 64, idCol = "vec_id", vecCol = "v")
+            .withColumn("tier", lit(tier))
+        audit(Similarity.signLshNearDupPairs(corpus, minCos = 0.95,
+            dim = 64, idCol = "vec_id", vecCol = "v", bands = 4),
+            "a_bands4")
+          .unionByName(audit(Similarity.multiProbeSignLshPairs(corpus,
+            minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
+            vecCol = "v", bands = 4), "b_bands4_probe2"))
+          .unionByName(audit(Similarity.signLshNearDupPairs(corpus,
+            minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+            bands = 8), "c_bands8"))
+          .select(col("tier"), col("n_sample"), col("n_true"),
+            col("n_cand"), col("n_hit"), col("recall_micro"),
+            col("precision_micro"))
+      },
+      _.orderBy("tier"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val k4 = Similarity.sqlSignBandKeys("bits", 64, 4)
+        val k4p2 = Similarity.sqlSignProbeKeys("bits", 64, 4, 2)
+        val k8 = Similarity.sqlSignBandKeys("bits", 64, 8)
+        def tier(name: String, keys: String, nKeys: Int): String =
+          s"""rows_$name AS (SELECT vec_id, unnest($keys) AS band_key,
+             |               unnest(range(0, $nKeys)) AS band_idx FROM bk),
+             |cand_$name AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM rows_$name a JOIN rows_$name b
+             |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |           AND a.vec_id < b.vec_id),
+             |ver_$name AS (SELECT id_a, id_b FROM cand_$name c
+             |         JOIN bk a ON c.id_a = a.vec_id
+             |         JOIN bk b ON c.id_b = b.vec_id
+             |         WHERE NOT isnan($pcos) AND $pcos >= 0.95)""".stripMargin
+        def repRow(label: String, name: String): String =
+          s"""SELECT '$label' AS tier,
+             |       (SELECT count(*) FROM corpus) AS n_sample,
+             |       (SELECT count(*) FROM gt) AS n_true,
+             |       (SELECT count(*) FROM ver_$name) AS n_cand,
+             |       (SELECT count(*) FROM ver_$name JOIN gt USING (id_a, id_b)) AS n_hit""".stripMargin
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus0 AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 200000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 10 THEN x + 0.1 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 5),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |sb AS (SELECT vec_id, v, $bits AS bits FROM corpus),
+           |bk AS (SELECT vec_id, v, $k4 AS keys4, $k4p2 AS keys4p2,
+           |              $k8 AS keys8 FROM sb),
+           |gt AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           |       WHERE NOT isnan($pcos) AND $pcos >= 0.95),
+           |${tier("b4", "keys4", 4)},
+           |${tier("b4p2", "keys4p2", 8)},
+           |${tier("b8", "keys8", 8)},
+           |rep AS (
+           |  ${repRow("a_bands4", "b4")}
+           |  UNION ALL
+           |  ${repRow("b_bands4_probe2", "b4p2")}
+           |  UNION ALL
+           |  ${repRow("c_bands8", "b8")})
+           |SELECT tier, CAST(n_sample AS BIGINT) AS n_sample,
+           |       CAST(n_true AS BIGINT) AS n_true,
+           |       CAST(n_cand AS BIGINT) AS n_cand,
+           |       CAST(n_hit AS BIGINT) AS n_hit,
+           |       CAST(n_hit * 1000000 // greatest(n_true, 1) AS BIGINT) AS recall_micro,
+           |       CAST(n_hit * 1000000 // greatest(n_cand, 1) AS BIGINT) AS precision_micro
+           |FROM rep ORDER BY tier""".stripMargin
+      }),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
