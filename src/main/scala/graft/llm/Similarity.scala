@@ -419,6 +419,61 @@ object Similarity {
     Array.tabulate(planes, dim)((p, i) =>
       if (TextHash.h32pScala(s"rp:$p:$i") % 2 == 0) 1.0 else -1.0)
 
+  /** Fixed Rademacher projection matrix for [[randomProject]] —
+    * [[signMatrix]]'s recipe in a distinct hash namespace ("jl:"), so
+    * projecting and sign-hashing the same corpus never share planes. */
+  def jlMatrix(dimOut: Int, dimIn: Int): Array[Array[Double]] =
+    Array.tabulate(dimOut, dimIn)((j, i) =>
+      if (TextHash.h32pScala(s"jl:$j:$i") % 2 == 0) 1.0 else -1.0)
+
+  /** Johnson–Lindenstrauss random projection: reduce an embedding column
+    * from `dimIn` to `dimOut` dimensions with a fixed Rademacher matrix
+    * (Achlioptas 2003's database-friendly ±1 construction) — the
+    * dimensionality lever for every downstream ANN/dedup pass: a
+    * dim-64→16 projection cuts every pair-verify and centroid dot to a
+    * quarter of its cost, at an angle distortion that concentrates as
+    * 1/√dimOut. The matrix derives from the shared md5 hash — no RNG, no
+    * stored artifact, both engines regenerate it from constants
+    * ([[signMatrix]]'s determinism argument), and the same left-fold dot
+    * makes projected values BIT-identical cross-engine.
+    *
+    * The JL scaling constant 1/√dimOut is deliberately omitted: cosines
+    * and angles are scale-invariant, and every consumer here is
+    * cosine-based; an L2 consumer multiplies distances by √(1/dimOut)
+    * itself (documented rather than hidden in the data).
+    *
+    * Scale shape: one narrow pass of `dimOut` native-codegen dots
+    * against literal rows, zero shuffle, batch ≡ streaming by
+    * construction. Broken vectors quarantine first ([[cleanVec]] + dim
+    * guard), so projected rows are always finite. Returns
+    * (idCol, vecCol as double[], outCol). */
+  def randomProject(vectors: DataFrame, dimIn: Int, dimOut: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    outCol: String = "proj"): DataFrame = {
+    require(dimOut >= 1 && dimOut <= dimIn,
+      s"dimOut=$dimOut must be in [1, dimIn=$dimIn] — projecting UP has " +
+        "no JL contract")
+    val r = jlMatrix(dimOut, dimIn)
+    vectors
+      .select(col(idCol), cleanVec(col(vecCol)).as(vecCol))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dimIn)
+      .withColumn(outCol, array((0 until dimOut).map { j =>
+        dot(col(vecCol), typedLit(r(j).toSeq))
+      }: _*))
+  }
+
+  /** SQL twin of [[randomProject]]'s projected list over a double-list
+    * expression `v` (same literal matrix, same ordered fold). */
+  def sqlJlProject(v: String, dimIn: Int, dimOut: Int): String = {
+    val r = jlMatrix(dimOut, dimIn)
+    (0 until dimOut).map { j =>
+      val lits = r(j).map(s => if (s > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(range(1, ${dimIn + 1}), " +
+        s"i -> ($v)[i] * ($lits)[i])) AS DOUBLE)"
+    }.mkString("[", ", ", "]")
+  }
+
   /** Sign-random-projection (hyperplane) LSH near-dedup over an embedding
     * column — the data-INDEPENDENT scale path for embedding-cosine
     * near-dup, next to the data-dependent IVF buckets of

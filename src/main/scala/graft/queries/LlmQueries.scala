@@ -3481,6 +3481,64 @@ object LlmQueries extends QueryFamily {
            |FROM rep ORDER BY tier""".stripMargin
       }),
 
+    // ── Johnson–Lindenstrauss projection distortion report: each q105
+    //    near-dup pair's cosine measured in the original 64-dim space
+    //    and after Rademacher projection to 16 and 32 dims — the
+    //    distortion-vs-cost table a deployment reads before moving its
+    //    ANN/dedup passes into a projected space. Projection and cosine
+    //    are the same ordered fold on both engines, so every micro value
+    //    hash-matches bit for bit. ──────────────────────────────────────
+    QueryDef.sorted(
+      "q136_jl_distortion",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val corpus = e.unionByName(vars)
+        val aug = Similarity.randomProject(corpus, 64, 16,
+            idCol = "vec_id", vecCol = "v", outCol = "p16")
+          .join(Similarity.randomProject(corpus, 64, 32,
+            idCol = "vec_id", vecCol = "v", outCol = "p32")
+            .select(col("vec_id"), col("p32")), Seq("vec_id"))
+        aug.alias("o")
+          .join(aug.alias("n"), col("n.vec_id") === col("o.vec_id") + 100000)
+          .select(col("o.vec_id").cast("long").as("vec_id"),
+            floor(Similarity.cosine(col("o.v"), col("n.v")) * 1e6)
+              .cast("long").as("cos64"),
+            floor(Similarity.cosine(col("o.p16"), col("n.p16")) * 1e6)
+              .cast("long").as("cos16"),
+            floor(Similarity.cosine(col("o.p32"), col("n.p32")) * 1e6)
+              .cast("long").as("cos32"))
+          .withColumn("err16", abs(col("cos16") - col("cos64")))
+          .withColumn("err32", abs(col("cos32") - col("cos64")))
+      },
+      _.orderBy("vec_id"),
+      Some(
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus0 AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |aug AS (SELECT vec_id, v,
+           |               ${Similarity.sqlJlProject("v", 64, 16)} AS p16,
+           |               ${Similarity.sqlJlProject("v", 64, 32)} AS p32
+           |        FROM corpus),
+           |sel AS (
+           |  SELECT CAST(o.vec_id AS BIGINT) AS vec_id,
+           |         CAST(floor(${Similarity.sqlCosine("o.v", "n.v", 64)} * 1000000) AS BIGINT) AS cos64,
+           |         CAST(floor(${Similarity.sqlCosine("o.p16", "n.p16", 16)} * 1000000) AS BIGINT) AS cos16,
+           |         CAST(floor(${Similarity.sqlCosine("o.p32", "n.p32", 32)} * 1000000) AS BIGINT) AS cos32
+           |  FROM aug o JOIN aug n ON n.vec_id = o.vec_id + 100000)
+           |SELECT *, abs(cos16 - cos64) AS err16, abs(cos32 - cos64) AS err32
+           |FROM sel ORDER BY vec_id""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
