@@ -153,6 +153,50 @@ object Bpe {
       .drop("__bt")
   }
 
+  /** Tokenizer coverage card — per source: how much of the corpus the
+    * trained vocabulary table actually covers, and what the
+    * character-count fallback costs. An old tokenizer scoring a new
+    * crawl silently degrades through [[withBpeTokens]]'s conservative
+    * fallback; this card makes the degradation a NUMBER per source
+    * (coverage_micro, fallback token share) so a retrain decision is
+    * read off a report instead of discovered in a budget overrun.
+    * Returns (source, n_docs, n_words, n_covered, coverage_micro,
+    * bpe_tokens, fallback_tokens), shares in exact truncating integer
+    * division.
+    *
+    * Scale shape: [[withBpeTokens]]'s exact plan re-keyed by source —
+    * one narrow word explode, one vocabulary-sized join (broadcast-able),
+    * one source-keyed map-side-combined aggregation; the doc count is a
+    * second source-keyed aggregation on the raw table. Nothing
+    * corpus-sized persists or collects. */
+  def coverageCard(docs: DataFrame, segCounts: DataFrame,
+                   srcCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val wp = docs.select(col(srcCol).as("source"),
+      explode(TextHash.words(col(textCol))).as("w"))
+    val agg = wp.join(segCounts, Seq("w"), "left")
+      .select(col("source"), col("n_sub"),
+        coalesce(col("n_sub"), length(col("w")).cast("long")).as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("__nw"), count(col("n_sub")).as("__nc"),
+        sum(col("__t")).as("__bt"),
+        coalesce(sum(when(col("n_sub").isNull, col("__t"))), lit(0L))
+          .as("__ft"))
+    docs.select(col(srcCol).as("source")).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nc"), lit(0L)).as("n_covered"),
+        coalesce(col("__bt"), lit(0L)).as("bpe_tokens"),
+        coalesce(col("__ft"), lit(0L)).as("fallback_tokens"))
+      .withColumn("coverage_micro",
+        expr("n_covered * 1000000L DIV greatest(n_words, 1L)"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_covered"), col("coverage_micro"), col("bpe_tokens"),
+        col("fallback_tokens"))
+  }
+
   // ── Tokenizer persistence ─────────────────────────────────────────────
 
   /** Persist the tokenizer artifact: the merge table under `_merges`

@@ -3539,6 +3539,58 @@ object LlmQueries extends QueryFamily {
            |SELECT *, abs(cos16 - cos64) AS err16, abs(cos32 - cos64) AS err32
            |FROM sel ORDER BY vec_id""".stripMargin)),
 
+    // ── Tokenizer coverage card: yesterday's tokenizer (trained on the
+    //    raw corpus) cards TODAY's crawl, in which every 4th doc carries
+    //    novel vocabulary ("nw<id>" twice) — off-table words fall back
+    //    to character counts and each source's degradation becomes a
+    //    number. The retrain-decision report beside q119's datasheet. ───
+    QueryDef.sorted(
+      "q137_tokenizer_coverage",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val today = docs.select(col("doc_id"), col("source"),
+          when(col("doc_id") % 4 === 0,
+            concat(coalesce(col("text"), lit("")),
+              lit(" nw"), col("doc_id").cast("string"),
+              lit(" nw"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        val (_, syms) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        Bpe.coverageCard(today, Bpe.segmentCounts(syms))
+      },
+      _.orderBy("source"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |seg AS MATERIALIZED (SELECT w, len(syms) AS n_sub FROM bps8),
+           |today AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN doc_id % 4 = 0
+           |              THEN coalesce(text, '') || ' nw' ||
+           |                   CAST(doc_id AS VARCHAR) || ' nw' ||
+           |                   CAST(doc_id AS VARCHAR)
+           |              ELSE text END AS text
+           |  FROM documents),
+           |dw AS (SELECT source, unnest(${W("text")}) AS w FROM today),
+           |j AS (SELECT d.source, s.n_sub,
+           |             coalesce(s.n_sub, length(d.w)) AS t
+           |      FROM dw d LEFT JOIN seg s ON d.w = s.w),
+           |agg AS (SELECT source, count(*) AS n_words,
+           |               count(n_sub) AS n_covered, sum(t) AS bpe_tokens,
+           |               coalesce(sum(t) FILTER (WHERE n_sub IS NULL), 0)
+           |                 AS fallback_tokens
+           |        FROM j GROUP BY source),
+           |nd AS (SELECT source, count(*) AS n_docs FROM today
+           |       GROUP BY source)
+           |SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+           |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+           |       CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+           |       CAST(coalesce(n_covered, 0) * 1000000 //
+           |            greatest(coalesce(n_words, 0), 1) AS BIGINT) AS coverage_micro,
+           |       CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           |       CAST(coalesce(fallback_tokens, 0) AS BIGINT) AS fallback_tokens
+           |FROM nd LEFT JOIN agg ON nd.source = agg.source
+           |ORDER BY nd.source""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
