@@ -1,7 +1,41 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** One candidate flowing into the per-stratum bounded keep-k. */
+final case class KeepCand(stratum: String, h: Long, id: Long)
+
+/** Keep-k buffer: ascending (h, then id), length ≤ k. */
+final case class KeepBuf(items: Seq[KeepCand])
+
+/** Bounded-heap SMALLEST-k per group — [[TopKNeighbors]]'s shape with the
+  * order flipped to ascending (hash, id): map-side partials collapse each
+  * partition to ≤ k candidates per stratum before the shuffle. */
+final class KeepKSmallest(k: Int)
+    extends Aggregator[KeepCand, KeepBuf, KeepBuf] {
+  private def beats(a: KeepCand, b: KeepCand): Boolean =
+    a.h < b.h || (a.h == b.h && a.id < b.id)
+
+  override def zero: KeepBuf = KeepBuf(Nil)
+
+  override def reduce(buf: KeepBuf, in: KeepCand): KeepBuf = {
+    val items = buf.items
+    if (items.length >= k && !beats(in, items.last)) buf
+    else {
+      val (better, worse) = items.span(beats(_, in))
+      KeepBuf(((better :+ in) ++ worse).take(k))
+    }
+  }
+
+  override def merge(x: KeepBuf, y: KeepBuf): KeepBuf =
+    y.items.foldLeft(x)(reduce)
+
+  override def finish(r: KeepBuf): KeepBuf = r
+  override def bufferEncoder: Encoder[KeepBuf] = Encoders.product[KeepBuf]
+  override def outputEncoder: Encoder[KeepBuf] = Encoders.product[KeepBuf]
+}
 
 /** Deterministic splitting and sampling for training-data pipelines.
   * Everything keys off a salted content hash of the document id — never an
@@ -291,7 +325,59 @@ object Sampling {
       .drop("epochs_micro", "__copies")
   }
 
+  val TopKSalt = "graft-topk|"
+
+  /** Exactly min(k, n_s) documents per stratum, chosen by the salted-hash
+    * order (ties to the lower id) — the eval-set construction move:
+    * rate-based sampling ([[stratifiedSample]]) cannot promise an exact
+    * count, and `orderBy(rand()).limit(k)` is neither replayable nor
+    * scalable. Membership is a pure function of the id set: stable
+    * across runs, engines, partitionings — and across corpus GROWTH only
+    * in hash order (a new doc with a smaller hash displaces the current
+    * k-th; that is the price of exactness — pin the eval set by
+    * persisting its ids, the standard artifact move).
+    *
+    * Scale shape: the [[TopKNeighbors]] argument at stratum granularity
+    * — a bounded-heap typed aggregation whose map-side partials collapse
+    * each partition to ≤ k (hash, id) structs per stratum BEFORE the
+    * shuffle, so the exchange carries strata·partitions·k tiny rows
+    * where a `row_number` window would sort-shuffle the whole corpus
+    * into stratum-hot partitions. The kept-id set (strata·k rows)
+    * semi-joins the original frame, preserving its schema. NULL-stratum
+    * rows are excluded (the [[temperatureRates]] contract: route
+    * unlabeled rows through a default label upstream). */
+  def exactKPerStratum(docs: DataFrame, k: Int, strataCol: String,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k: an empty sample is a filter(false)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = docs
+      .filter(col(strataCol).isNotNull)
+      .select(col(strataCol).cast("string").as("stratum"),
+        TextHash.h32p(concat(lit(TopKSalt), col(idCol).cast("string")))
+          .as("h"),
+        col(idCol).cast("long").as("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(k).toColumn)
+      .flatMap { case (_, buf) => buf.items.map(_.id) }
+      .toDF("__keep_id")
+    docs.join(kept, col(idCol).cast("long") === col("__keep_id"),
+      "left_semi")
+  }
+
   // ── DuckDB twins (same salt, same md5-prefix hash) ────────────────────
+  /** SQL: the [[exactKPerStratum]] keep predicate as a window CTE body
+    * over `table` — same salt, same (hash, id) order. The oracle's
+    * `row_number` window IS the semantics; the operator's bounded heap
+    * is the scale realization of the same total order. */
+  def sqlExactKPerStratum(table: String, k: Int, strataCol: String,
+                          idCol: String): String =
+    s"""SELECT * FROM (
+       |  SELECT t.*, row_number() OVER (PARTITION BY $strataCol
+       |    ORDER BY ${TextHash.sqlH32p(s"concat('$TopKSalt', CAST($idCol AS VARCHAR))")}, $idCol) AS __rk
+       |  FROM $table t WHERE $strataCol IS NOT NULL)
+       |WHERE __rk <= $k""".stripMargin
   /** SQL: the percent bucket over an id expression. */
   def sqlSplitBucket(id: String, salt: String = SplitSalt): String =
     s"(${TextHash.sqlH32p(s"concat('$salt', CAST($id AS VARCHAR))")} % 100)"

@@ -3591,6 +3591,25 @@ object LlmQueries extends QueryFamily {
            |FROM nd LEFT JOIN agg ON nd.source = agg.source
            |ORDER BY nd.source""".stripMargin)),
 
+    // ── Exact-k deterministic sample (eval-set construction): exactly 7
+    //    docs per source, elected by salted-hash order — the count
+    //    rate-based sampling cannot promise and orderBy(rand()) cannot
+    //    replay. The operator's bounded per-stratum heap and the
+    //    oracle's row_number window realize the SAME total order. ───────
+    QueryDef.sorted(
+      "q138_exact_k_sample",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source"))
+        Sampling.exactKPerStratum(docs, k = 7, strataCol = "source")
+          .select(col("doc_id").cast("long"), col("source"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+           |${Sampling.sqlExactKPerStratum("documents", 7, "source", "doc_id")})
+           |ORDER BY doc_id""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
