@@ -33,6 +33,39 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
       .filter(col("n") > 1)
 
+  /** Cross-source duplication matrix — WHO copies from WHOM: for every
+    * source pair (src_a ≤ src_b), the number of exact-duplicate content
+    * groups shared and the number of cross-copy document pairs. The
+    * provenance/licensing report behind [[exactDupGroups]]'s flat count:
+    * a mirror site, a laundered scrape, or a source that re-posts
+    * another's content shows up as an off-diagonal cell; intra-source
+    * re-posting is the diagonal (pairs = C(cnt, 2) per group). NULL
+    * texts are excluded — "NULL equals NULL" is not provenance.
+    *
+    * Scale shape: one md5-keyed census shuffle to (h, source, cnt) —
+    * sources are config-cardinality, so census rows ≈ distinct hashes;
+    * the per-hash self-join fans each hash to at most sources² cells
+    * (bounded by config, not data); the final (src_a, src_b) aggregation
+    * is map-side-combined over ≤ sources² groups. Nothing quadratic in
+    * documents anywhere — cnt·cnt is arithmetic, not a join. */
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String = "text",
+                           srcCol: String = "source"): DataFrame = {
+    val census = docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("h"), col(srcCol).as("source"))
+      .agg(count(lit(1)).as("cnt"))
+    census.alias("a")
+      .join(census.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        when(col("a.source") === col("b.source"),
+          expr("a.cnt * (a.cnt - 1) DIV 2"))
+          .otherwise(col("a.cnt") * col("b.cnt")).as("pairs"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("pairs") > 0, 1L).otherwise(0L)).as("n_groups"),
+        sum(col("pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** Per-doc shingle + minhash-signature + band-key columns. */
   def withSignature(docs: DataFrame, textCol: String = "text",
                     shingleN: Int = 3): DataFrame =

@@ -3610,6 +3610,49 @@ object LlmQueries extends QueryFamily {
            |${Sampling.sqlExactKPerStratum("documents", 7, "source", "doc_id")})
            |ORDER BY doc_id""".stripMargin)),
 
+    // ── Cross-source duplication matrix (who copies from whom): a
+    //    'mirror' source re-hosting every 7th doc and intra-source
+    //    re-posts of every 9th make the off-diagonal and diagonal cells
+    //    the provenance report reads — shared content groups and
+    //    cross-copy pair counts per source pair. ────────────────────────
+    QueryDef.sorted(
+      "q139_cross_source_dups",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source"))
+        val mirror = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+            lit("mirror").as("source"))
+        val intra = docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("text"),
+            col("source"))
+        Dedup.crossSourceDupMatrix(
+          docs.unionByName(mirror).unionByName(intra))
+      },
+      _.orderBy("src_a", "src_b"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT text, source FROM documents
+           |  UNION ALL
+           |  SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT text, source FROM documents WHERE doc_id % 9 = 0),
+           |census AS (
+           |  SELECT md5(text) AS h, source, count(*) AS cnt FROM corpus
+           |  WHERE text IS NOT NULL GROUP BY 1, 2),
+           |cells AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |         CASE WHEN a.source = b.source
+           |              THEN a.cnt * (a.cnt - 1) // 2
+           |              ELSE a.cnt * b.cnt END AS pairs
+           |  FROM census a JOIN census b
+           |    ON a.h = b.h AND a.source <= b.source)
+           |SELECT src_a, src_b,
+           |       CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+           |       CAST(sum(pairs) AS BIGINT) AS n_pairs
+           |FROM cells GROUP BY src_a, src_b HAVING sum(pairs) > 0
+           |ORDER BY src_a, src_b""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Cross-source duplication matrix: hand-computed cells, the diagonal
+  * C(n,2) arithmetic, and the NULL-text exclusion. */
+class DupMatrixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("diagonal and off-diagonal cells count groups and copy pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), // intra-a re-post
+      (3L, "x", "b"), // b mirrors a's content
+      (4L, "y", "c"), (5L, "y", "a"), // a and c share one group
+      (6L, "z", "c"), // unshared — contributes nothing
+      (7L, null.asInstanceOf[String], "a"),
+      (8L, null.asInstanceOf[String], "b")) // NULLs never match
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_pairs")))).toMap
+    assert(out === Map(
+      ("a", "a") -> ((1L, 1L)), // C(2,2 copies of "x") = 1 pair
+      ("a", "b") -> ((1L, 2L)), // 2 a-copies × 1 b-copy
+      ("a", "c") -> ((1L, 1L))))
+  }
+
+  test("a duplicate-free corpus yields an empty matrix") {
+    import spark.implicits._
+    val docs = Seq((1L, "p", "a"), (2L, "q", "a"), (3L, "r", "b"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.crossSourceDupMatrix(docs).count() === 0L)
+  }
+}
