@@ -757,6 +757,31 @@ object CoreQueries extends QueryFamily {
           |       value,
           |       strftime(make_timestamp(ts_us), '%Y/%m/%d %H:%M:%S') AS oplog_date
           |FROM ranked WHERE rn = 1 AND operation <> 'd'
-          |ORDER BY namespace, CAST(id AS BIGINT)""".stripMargin)))
+          |ORDER BY namespace, CAST(id AS BIGINT)""".stripMargin))),
+
+    // ── Gap-based sessionization (the classic event-stream islands):
+    //    30-minute silence opens a new session; per-session rollup with
+    //    all-integer micros. One per-user sort shared by both window
+    //    functions; the oracle replays the identical total order. ───────
+    QueryDef.sorted(
+      "q140_sessionize",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        Sessionize.sessionStats(ev, gapUs = 1800L * 1000000L,
+            tsUs = graft.source.EventLog.tsUsOf(ev))
+          .select(col("user_id").cast("long"), col("session_seq"),
+            col("n_events"), col("start_us"), col("end_us"), col("dur_us"))
+      },
+      _.orderBy("user_id", "session_seq"),
+      Some(
+        s"""WITH ${Sessionize.sqlSessionCtes("events", 1800L * 1000000L)}
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |       CAST(session_seq AS BIGINT) AS session_seq,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(min(ts_us) AS BIGINT) AS start_us,
+           |       CAST(max(ts_us) AS BIGINT) AS end_us,
+           |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+           |FROM sess_s GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin))
   )
 }
