@@ -746,8 +746,24 @@ object Similarity {
                       dim: Int, idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       samplePred: Column = lit(true),
-                      maxSample: Int = 20000): DataFrame = {
+                      maxSample: Int = 20000): DataFrame =
+    lshRecallReportTiers(vectors, Seq("all" -> pairs), minCos, dim, idCol,
+      vecCol, samplePred, maxSample).drop("tier")
+
+  /** [[lshRecallReport]] for SEVERAL pair sets at once — the
+    * parameterization-ladder form (bands × probes candidates over the
+    * same corpus): the sample and the quadratic ground truth build ONCE
+    * and every tier audits against them, so an n-tier ladder pays one
+    * all-pairs pass, not n. Returns one row per tier, `tier` column
+    * first. */
+  def lshRecallReportTiers(vectors: DataFrame,
+                           tiers: Seq[(String, DataFrame)], minCos: Double,
+                           dim: Int, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           samplePred: Column = lit(true),
+                           maxSample: Int = 20000): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    require(tiers.nonEmpty, "lshRecallReportTiers: no tiers to audit")
     val sample = graft.CacheBarriers.barrier(
       vectors.filter(samplePred)
         .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
@@ -765,22 +781,27 @@ object Similarity {
           col("cos") >= minCos)
         .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")))
     val ids = sample.select(col("__id"))
-    val cand = graft.CacheBarriers.barrier(
-      pairs.select(col("id_a"), col("id_b"))
-        .join(ids.withColumnRenamed("__id", "id_a"), Seq("id_a"), "left_semi")
-        .join(ids.withColumnRenamed("__id", "id_b"), Seq("id_b"), "left_semi"))
     val nTrue = gt.agg(count(lit(1)).as("n_true"))
-    val nCand = cand.agg(count(lit(1)).as("n_cand"))
-    val nHit = gt.join(cand, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
-      .withColumn("n_sample", lit(n))
-      .withColumn("recall_micro",
-        expr("n_hit * 1000000L DIV greatest(n_true, 1L)"))
-      .withColumn("precision_micro",
-        expr("n_hit * 1000000L DIV greatest(n_cand, 1L)"))
-      .select(col("n_sample"), col("n_true"), col("n_cand"), col("n_hit"),
-        col("recall_micro"), col("precision_micro"))
+    tiers.map { case (tier, pairs) =>
+      val cand = graft.CacheBarriers.barrier(
+        pairs.select(col("id_a"), col("id_b"))
+          .join(ids.withColumnRenamed("__id", "id_a"), Seq("id_a"),
+            "left_semi")
+          .join(ids.withColumnRenamed("__id", "id_b"), Seq("id_b"),
+            "left_semi"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = gt.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+        .withColumn("tier", lit(tier))
+        .withColumn("n_sample", lit(n))
+        .withColumn("recall_micro",
+          expr("n_hit * 1000000L DIV greatest(n_true, 1L)"))
+        .withColumn("precision_micro",
+          expr("n_hit * 1000000L DIV greatest(n_cand, 1L)"))
+        .select(col("tier"), col("n_sample"), col("n_true"), col("n_cand"),
+          col("n_hit"), col("recall_micro"), col("precision_micro"))
+    }.reduce(_ unionByName _)
   }
 
   /** Per-label centroid outlier scoring: every vector's cosine to the

@@ -3403,22 +3403,17 @@ object LlmQueries extends QueryFamily {
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
         val corpus = e.unionByName(near).unionByName(edge)
-        def audit(pairs: org.apache.spark.sql.DataFrame, tier: String) =
-          Similarity.lshRecallReport(corpus, pairs, minCos = 0.95,
-              dim = 64, idCol = "vec_id", vecCol = "v")
-            .withColumn("tier", lit(tier))
-        audit(Similarity.signLshNearDupPairs(corpus, minCos = 0.95,
-            dim = 64, idCol = "vec_id", vecCol = "v", bands = 4),
-            "a_bands4")
-          .unionByName(audit(Similarity.multiProbeSignLshPairs(corpus,
-            minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
-            vecCol = "v", bands = 4), "b_bands4_probe2"))
-          .unionByName(audit(Similarity.signLshNearDupPairs(corpus,
-            minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
-            bands = 8), "c_bands8"))
-          .select(col("tier"), col("n_sample"), col("n_true"),
-            col("n_cand"), col("n_hit"), col("recall_micro"),
-            col("precision_micro"))
+        Similarity.lshRecallReportTiers(corpus, Seq(
+            "a_bands4" -> Similarity.signLshNearDupPairs(corpus,
+              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+              bands = 4),
+            "b_bands4_probe2" -> Similarity.multiProbeSignLshPairs(corpus,
+              minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
+              vecCol = "v", bands = 4),
+            "c_bands8" -> Similarity.signLshNearDupPairs(corpus,
+              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+              bands = 8)),
+          minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v")
       },
       _.orderBy("tier"),
       Some {
