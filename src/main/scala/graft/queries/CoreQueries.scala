@@ -782,6 +782,43 @@ object CoreQueries extends QueryFamily {
            |       CAST(max(ts_us) AS BIGINT) AS end_us,
            |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
            |FROM sess_s GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ── Incremental sessionization (the log-ingest shape): the month of
+    //    events folds through the state chain in three time-partitioned
+    //    batches; closed sessions ∪ the final open state must equal the
+    //    full-corpus session table EXACTLY, so q140's oracle is reused
+    //    verbatim — the hash match IS the fold identity. ────────────────
+    QueryDef.sorted(
+      "q141_sessionize_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val gap = 1800L * 1000000L
+        val cut1 = 1704931200000000L // 2024-01-11T00:00:00Z
+        val cut2 = 1705795200000000L // 2024-01-21T00:00:00Z
+        val (c1, st1) = Sessionize.sessionStatsIncremental(
+          withTs.filter(col("__t") < cut1),
+          Sessionize.emptySessionState(s), gap, col("__t"))
+        val (c2, st2) = Sessionize.sessionStatsIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2), st1,
+          gap, col("__t"))
+        val (c3, st3) = Sessionize.sessionStatsIncremental(
+          withTs.filter(col("__t") >= cut2), st2, gap, col("__t"))
+        c1.unionByName(c2).unionByName(c3).unionByName(st3)
+          .select(col("user_id").cast("long"), col("session_seq"),
+            col("n_events"), col("start_us"), col("end_us"), col("dur_us"))
+      },
+      _.orderBy("user_id", "session_seq"),
+      Some(
+        s"""WITH ${Sessionize.sqlSessionCtes("events", 1800L * 1000000L)}
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |       CAST(session_seq AS BIGINT) AS session_seq,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(min(ts_us) AS BIGINT) AS start_us,
+           |       CAST(max(ts_us) AS BIGINT) AS end_us,
+           |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+           |FROM sess_s GROUP BY user_id, session_seq
            |ORDER BY user_id, session_seq""".stripMargin))
   )
 }
