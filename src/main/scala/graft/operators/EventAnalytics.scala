@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and retention-cohort analytics over an event stream —
+  * the two standard engagement reports beside [[Sessionize]], built the
+  * Spark-first way: per-step user sets are chained user-keyed
+  * aggregations (each co-partitioned with the last), cohorts are two
+  * integer-day aggregations, and nothing driver-side ever sees a row.
+  * All outputs are exact BIGINT micros/counts — no floats anywhere. */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: a user reaches step i when an event of
+    * `steps(i)` occurs AT OR AFTER their earliest completion time of
+    * step i−1 (the classic min-time chain; re-orderings within a
+    * timestamp tie count — `>=` — matching the standard funnel
+    * convention). Returns one row per step: (step_idx, step, n_users,
+    * conv_total_micro — share of step-0 users, conv_step_micro — share
+    * of the previous step's users).
+    *
+    * Scale shape: step i is a type-pruned scan (the filter pushes to the
+    * source) feeding a user-keyed min aggregation joined against step
+    * i−1's user table — every join and agg keys on the user column, so
+    * the chain re-uses one co-partitioning; per-step frames are
+    * one-row-per-user. The report assembly windows over a
+    * steps-count-sized frame (config, not data — the one global window
+    * here is over ≤ |steps| rows). */
+  def funnel(events: DataFrame, steps: Seq[String], tsUs: Column,
+             userCol: String = "user_id",
+             typeCol: String = "event_type",
+             withinUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: no steps")
+    require(steps.distinct.length == steps.length,
+      s"funnel: duplicate steps in ${steps.mkString(",")} — a repeated " +
+        "step name makes the chain ambiguous")
+    require(withinUs.forall(_ > 0),
+      s"funnel: withinUs=$withinUs must be positive — a zero window " +
+        "admits only timestamp ties")
+    val base = graft.CacheBarriers.barrier(events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col("ts_us")))
+    val stepFrames = steps.zipWithIndex.scanLeft(
+      Option.empty[DataFrame]) { case (prev, (step, _)) =>
+      val evs = base.filter(col("__ty") === step)
+      val reached = prev match {
+        case None => evs.groupBy(col("__u")).agg(min(col("ts_us")).as("t"))
+        case Some(p) =>
+          // optional conversion window: step i must land within
+          // `withinUs` of the previous step's completion, the
+          // bounded-window funnel variant every product dashboard offers
+          val inWindow = withinUs match {
+            case None => col("ts_us") >= col("__pt")
+            case Some(wUs) => col("ts_us") >= col("__pt") &&
+              col("ts_us") <= col("__pt") + wUs
+          }
+          evs.join(p.select(col("__u"), col("t").as("__pt")), Seq("__u"))
+            .filter(inWindow)
+            .groupBy(col("__u")).agg(min(col("ts_us")).as("t"))
+      }
+      Some(graft.CacheBarriers.barrier(reached))
+    }.flatten
+    val rows = steps.zip(stepFrames).zipWithIndex.map {
+      case ((step, frame), i) =>
+        frame.agg(count(lit(1)).as("n_users"))
+          .withColumn("step_idx", lit(i.toLong))
+          .withColumn("step", lit(step))
+    }.reduce(_ unionByName _)
+    // |steps| rows total: the unpartitioned window is config-sized by
+    // construction, not a data-sized global sort
+    val w = Window.orderBy(col("step_idx"))
+    rows
+      .withColumn("__n0", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__np",
+        coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      .withColumn("conv_total_micro",
+        expr("n_users * 1000000L DIV greatest(__n0, 1L)"))
+      .withColumn("conv_step_micro",
+        expr("n_users * 1000000L DIV greatest(__np, 1L)"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        col("conv_total_micro"), col("conv_step_micro"))
+  }
+
+  /** Retention cohort table: users cohort by their FIRST active UTC day
+    * (`ts_us DIV 86400000000`), and each later active day counts them at
+    * `offset_days = day − cohort_day`. Returns (cohort_day, offset_days,
+    * n_users) — the standard triangle a retention dashboard pivots;
+    * offset 0 row carries the cohort's size.
+    *
+    * Scale shape: distinct (user, day) first — one user-keyed exchange
+    * whose map-side distinct collapses each user's events per day — then
+    * the per-user min rides a window on the SAME partitioning (no second
+    * exchange), and the (cohort, offset) count is a map-side-combined
+    * aggregation over day-pair-cardinality groups. */
+  def retentionCohorts(events: DataFrame, tsUs: Column,
+                       userCol: String = "user_id"): DataFrame = {
+    val days = events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .select(col(userCol).as("__u"),
+        expr("ts_us DIV 86400000000L").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("__u"))
+    days
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
+    * fstep_{n-1}`, each (user, t). Chain them into the report with
+    * scalar `count(*)` subqueries. */
+  def sqlFunnelCtes(src: String, steps: Seq[String],
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    withinUs: Option[Long] = None): String = {
+    val base = s"""fbase AS (
+       |  SELECT $userCol AS u, $typeCol AS ty, epoch_us(ts) AS ts_us
+       |  FROM $src WHERE $userCol IS NOT NULL AND ts IS NOT NULL)"""
+      .stripMargin
+    val windowSql = withinUs.map(w => s" AND e.ts_us <= p.t + $w")
+      .getOrElse("")
+    val chain = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""fstep_0 AS (
+           |  SELECT u, min(ts_us) AS t FROM fbase WHERE ty = '$step'
+           |  GROUP BY u)""".stripMargin
+      else
+        s"""fstep_$i AS (
+           |  SELECT e.u, min(e.ts_us) AS t
+           |  FROM fbase e JOIN fstep_${i - 1} p ON e.u = p.u
+           |  WHERE e.ty = '$step' AND e.ts_us >= p.t$windowSql
+           |  GROUP BY e.u)""".stripMargin
+    }
+    (base +: chain).mkString(",\n")
+  }
+}

@@ -819,6 +819,69 @@ object CoreQueries extends QueryFamily {
            |       CAST(max(ts_us) AS BIGINT) AS end_us,
            |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
            |FROM sess_s GROUP BY user_id, session_seq
-           |ORDER BY user_id, session_seq""".stripMargin))
+           |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ── Ordered conversion funnel: signup → view → click → purchase,
+    //    each step gated on the user's earliest completion of the
+    //    previous one WITHIN a 3-day conversion window (150 → 105 → 79
+    //    → 55 users — a discriminating funnel, not a saturated one);
+    //    the chain is user-keyed min-aggregations sharing one
+    //    co-partitioning, the report a steps-sized frame. ───────────────
+    QueryDef.sorted(
+      "q142_event_funnel",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.funnel(ev,
+          Seq("signup", "view", "click", "purchase"),
+          tsUs = graft.source.EventLog.tsUsOf(ev),
+          withinUs = Some(3L * 86400000000L))
+      },
+      _.orderBy("step_idx"),
+      Some {
+        val steps = Seq("signup", "view", "click", "purchase")
+        val rep = steps.zipWithIndex.map { case (st, i) =>
+          val prev = if (i == 0) "fstep_0" else s"fstep_${i - 1}"
+          s"SELECT $i AS step_idx, '$st' AS step, " +
+            s"(SELECT count(*) FROM fstep_$i) AS n_users, " +
+            s"(SELECT count(*) FROM $prev) AS np"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH ${EventAnalytics.sqlFunnelCtes("events", steps,
+            withinUs = Some(3L * 86400000000L))},
+           |rep AS (
+           |  $rep)
+           |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           |       CAST(n_users AS BIGINT) AS n_users,
+           |       CAST(n_users * 1000000 //
+           |            greatest((SELECT count(*) FROM fstep_0), 1) AS BIGINT)
+           |         AS conv_total_micro,
+           |       CAST(n_users * 1000000 // greatest(np, 1) AS BIGINT)
+           |         AS conv_step_micro
+           |FROM rep ORDER BY step_idx""".stripMargin
+      }),
+
+    // ── Retention cohort triangle: users cohorted by first active UTC
+    //    day, counted at each later active-day offset — two integer-day
+    //    aggregations, the per-user min riding the distinct's own
+    //    partitioning. ─────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q143_retention_cohorts",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.retentionCohorts(ev,
+          tsUs = graft.source.EventLog.tsUsOf(ev))
+      },
+      _.orderBy("cohort_day", "offset_days"),
+      Some(
+        """WITH d AS (
+          |  SELECT DISTINCT user_id AS u,
+          |         epoch_us(ts) // 86400000000 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |c AS (SELECT u, day,
+          |             min(day) OVER (PARTITION BY u) AS cohort_day
+          |      FROM d)
+          |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+          |       CAST(day - cohort_day AS BIGINT) AS offset_days,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+/** Funnel ordering semantics and the retention triangle on hand-built
+  * event streams. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(rows: (Long, Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "t")
+  }
+
+  test("a step only counts when it follows the previous step in time") {
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L), // full path
+      (3L, 2L, "click", 0L), (4L, 2L, "view", 10L), // click BEFORE view
+      (5L, 3L, "view", 5L), // view only
+      (6L, 2L, "click", 20L)) // user 2 recovers: click after view
+    val out = EventAnalytics.funnel(events, Seq("view", "click"),
+        tsUs = col("t")).collect()
+      .map(r => r.getAs[Long]("step_idx") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("conv_total_micro"),
+          r.getAs[Long]("conv_step_micro")))).toMap
+    assert(out(0L) === ((3L, 1000000L, 1000000L)))
+    assert(out(1L) === ((2L, 666666L, 666666L)))
+  }
+
+  test("an equal-timestamp step counts (at-or-after convention)") {
+    val events = ev((1L, 1L, "view", 7L), (2L, 1L, "click", 7L))
+    val out = EventAnalytics.funnel(events, Seq("view", "click"),
+      tsUs = col("t")).collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 1L))
+  }
+
+  test("the conversion window bounds each step, inclusively") {
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 100L), // inside window
+      (3L, 2L, "view", 0L), (4L, 2L, "click", 101L), // one past it
+      (5L, 3L, "view", 0L), (6L, 3L, "click", 150L), // first try late...
+      (7L, 3L, "click", 50L)) // ...but an earlier click rescues
+    val out = EventAnalytics.funnel(events, Seq("view", "click"),
+        tsUs = col("t"), withinUs = Some(100L)).collect()
+      .map(r => r.getAs[Long]("step_idx") -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(0L -> 3L, 1L -> 2L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, Seq("view"), tsUs = col("t"),
+        withinUs = Some(0L))
+    }
+  }
+
+  test("duplicate step names fail fast") {
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev(), Seq("view", "view"), tsUs = col("t"))
+    }
+  }
+
+  test("retention triangle: cohort by first day, offsets count distinct days") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 10L), // day 0 twice → once
+      (3L, 1L, "click", 2 * d), // day 2
+      (4L, 2L, "view", d), // cohort day 1
+      (5L, 2L, "view", 2 * d + 5L)) // day 2 → offset 1
+    val out = EventAnalytics.retentionCohorts(events, tsUs = col("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("offset_days")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out === Map(
+      (0L, 0L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}
