@@ -462,6 +462,40 @@ object Similarity {
       }: _*))
   }
 
+  /** Sign-LSH in a JL-PROJECTED space with exact verification in the
+    * ORIGINAL space — the end-to-end scale path [[randomProject]]
+    * exists for: banding runs over `dimOut`-dim vectors (every signing
+    * dot costs dimOut/dimIn of the full-space pass; at 64→16 a quarter)
+    * while the verify joins read the original vectors, so precision is
+    * untouched — only recall pays the projection's angle distortion
+    * (q136's report prices exactly that trade, and [[lshRecallReport]]
+    * audits it). Same banded-join shape, same quadratic-bucket cap,
+    * same (id_a, id_b, cos_scaled) output contract as
+    * [[signLshNearDupPairs]]; cos_scaled is the ORIGINAL-space cosine. */
+  def projectedSignLshPairs(vectors: DataFrame, minCos: Double,
+                            dimIn: Int, dimOut: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            planes: Int = 64, bands: Int = 8,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
+    val proj = graft.CacheBarriers.barrier(
+      randomProject(vectors, dimIn, dimOut, idCol, vecCol, "proj"))
+    val orig = graft.CacheBarriers.barrier(
+      proj.select(col(idCol).as("__id"), col(vecCol).as("v"))
+        .withColumn("vn", sqrt(dot(col("v"), col("v")))))
+    val signedProj = signVectors(proj, dimOut, idCol, "proj", planes, bands)
+    val all = signBandRows(signedProj)
+    val bandRows = capSignBands(all, all, maxBucketSize)
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    signVerifyPairs(cand, orig, minCos)
+  }
+
   /** SQL twin of [[randomProject]]'s projected list over a double-list
     * expression `v` (same literal matrix, same ordered fold). */
   def sqlJlProject(v: String, dimIn: Int, dimOut: Int): String = {

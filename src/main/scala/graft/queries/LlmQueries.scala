@@ -3648,6 +3648,59 @@ object LlmQueries extends QueryFamily {
            |FROM cells GROUP BY src_a, src_b HAVING sum(pairs) > 0
            |ORDER BY src_a, src_b""".stripMargin)),
 
+    // ── Sign-LSH in the JL-projected space (the q136 trade, executed):
+    //    banding over 16-dim projections at a quarter of the signing
+    //    cost, exact verification against the ORIGINAL 64-dim cosine —
+    //    recall pays the distortion, precision pays nothing. ────────────
+    QueryDef.sorted(
+      "q144_projected_signlsh",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val vars = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        Similarity.projectedSignLshPairs(e.unionByName(vars),
+            minCos = 0.95, dimIn = 64, dimOut = 16, idCol = "vec_id",
+            vecCol = "v")
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("cos_scaled"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("p16", 16, 64)
+        val bkeys = Similarity.sqlSignBandKeys("bits", 64, 8)
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |corpus0 AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |pr AS (SELECT vec_id, v,
+           |              ${Similarity.sqlJlProject("v", 64, 16)} AS p16
+           |       FROM corpus),
+           |sb AS (SELECT vec_id, v, $bits AS bits FROM pr),
+           |bk AS (SELECT vec_id, v, $bkeys AS bkeys FROM sb),
+           |bandrows AS (SELECT vec_id, unnest(bkeys) AS band_key,
+           |                    unnest(range(0, 8)) AS band_idx FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bandrows a JOIN bandrows b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.vec_id < b.vec_id)
+           |SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           |       CAST(cand.id_b AS BIGINT) AS id_b,
+           |       CAST(floor($pcos * 1000000) AS BIGINT) AS cos_scaled
+           |FROM cand JOIN bk a ON cand.id_a = a.vec_id
+           |          JOIN bk b ON cand.id_b = b.vec_id
+           |WHERE NOT isnan($pcos) AND $pcos >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and

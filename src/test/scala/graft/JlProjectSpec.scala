@@ -44,6 +44,19 @@ class JlProjectSpec extends AnyFunSuite {
     assert(kept === Seq(1L))
   }
 
+  test("projected sign-LSH recovers near pairs, verified in the ORIGINAL space") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 0.0, 1.0, 0.5, 0.0, 0.0, 1.0)),
+      (2L, Seq(1.0, 2.0, 0.0, 1.0, 0.5, 0.0, 0.0, 1.0)), // exact dup
+      (3L, Seq(0.0, 0.0, 3.0, 0.0, 0.0, 1.0, 2.0, 0.0))) // far
+      .toDF("vec_id", "embedding")
+    val out = Similarity.projectedSignLshPairs(df, minCos = 0.95,
+      dimIn = 8, dimOut = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("cos_scaled"))).toSeq === Seq((1L, 2L, 1000000L)))
+  }
+
   test("projecting up fails fast") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
