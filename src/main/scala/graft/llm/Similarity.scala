@@ -751,6 +751,69 @@ object Similarity {
     signVerifyPairs(cand, signed, minCos)
   }
 
+  /** Semantic decontamination — the embedding-space member of the
+    * decontamination family (exact hash → q69, n-gram → q71, Bloom →
+    * q94, multi-set → q101 live in [[Dedup]]): flag corpus documents
+    * whose embedding sits within `minCos` of ANY eval-set vector, the
+    * paraphrase leak the text-overlap family cannot see. Every corpus
+    * row reports its NEAREST eval vector (cos DESC, id ASC tie-break)
+    * and the flag is `cos_scaled ≥ ⌊minCos·10⁶⌋`; rows with no valid
+    * cosine (broken/zero-norm, quarantined by [[collectCentroids]] /
+    * the scan's cleanVec) report NULLs and `contaminated = false`.
+    *
+    * Scale shape: the eval set is control-plane-sized BY CONTRACT (an
+    * eval benchmark, not a corpus — loud `maxEval` guard), broadcast
+    * once; the corpus pass is purely map-side — argmax in a compiled
+    * loop per row, no expansion join, no shuffle, output partitioning =
+    * input partitioning (the [[ivfAssign]] argument, and the same
+    * justified-UDF class). At 100 TB this is ONE narrow scan. */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+                            minCos: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            evalIdCol: String = "vec_id",
+                            evalVecCol: String = "embedding",
+                            maxEval: Int = 100000): DataFrame = {
+    val evals = collectCentroids(evalVecs, evalIdCol, evalVecCol)
+    require(evals.nonEmpty, "semanticDecontaminate: empty eval set — " +
+      "an empty benchmark flags nothing; pass the eval vectors")
+    require(evals.length <= maxEval,
+      s"semanticDecontaminate: ${evals.length} eval vectors exceed " +
+        s"maxEval=$maxEval — the eval side must be benchmark-sized")
+    val bc = corpus.sparkSession.sparkContext.broadcast(evals)
+    val minScaled = math.floor(minCos * 1e6).toLong
+    val nearestU = udf { (arr: Array[Double]) =>
+      if (arr == null) (Long.MinValue, Long.MinValue)
+      else {
+        val vn = math.sqrt(dotArr(arr, arr))
+        val evs = bc.value
+        var bestId = Long.MinValue
+        var best = Double.NegativeInfinity
+        var i = 0
+        while (i < evs.length) {
+          val e = evs(i)
+          val cos = dotArr(arr, e.vec) / (vn * e.norm)
+          // strict > over ascending ids == (cos DESC, eval_id ASC); NaN
+          // (zero-norm corpus row) never beats, leaving the no-match
+          // marker
+          if (cos > best) { best = cos; bestId = e.id }
+          i += 1
+        }
+        if (bestId == Long.MinValue) (Long.MinValue, Long.MinValue)
+        else (bestId, math.floor(best * 1e6).toLong)
+      }
+    }
+    corpus
+      .select(col(idCol), cleanVec(col(vecCol)).as("__v"))
+      .withColumn("__m", nearestU(col("__v")))
+      .select(col(idCol),
+        when(col("__m._1") =!= Long.MinValue, col("__m._1")).as("eval_id"),
+        when(col("__m._1") =!= Long.MinValue, col("__m._2"))
+          .as("cos_scaled"))
+      .withColumn("contaminated",
+        coalesce(col("cos_scaled") >= minScaled, lit(false)))
+  }
+
   // ── LSH quality audit ─────────────────────────────────────────────────
 
   /** Recall/precision audit of an LSH pair set against brute-force

@@ -3701,6 +3701,55 @@ object LlmQueries extends QueryFamily {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // ── Semantic decontamination (the embedding member of the q69/q71/
+    //    q94/q101 family): paraphrase-leaked variants of eval vectors
+    //    hide in the corpus at cos ≈ 0.995 — no text overlap to catch —
+    //    and the broadcast nearest-eval scan flags exactly them, with
+    //    every corpus row reporting its nearest eval and micro-cosine. ──
+    QueryDef.sorted(
+      "q145_semantic_decontam",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val evalSet = e.filter(col("vec_id") % 50 === 3)
+        val leaked = evalSet
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val corpus = e.filter(col("vec_id") % 50 =!= 3).unionByName(leaked)
+        Similarity.semanticDecontaminate(corpus, evalSet, minCos = 0.95,
+            idCol = "vec_id", vecCol = "v", evalIdCol = "vec_id",
+            evalVecCol = "v")
+          .select(col("vec_id").cast("long"), col("eval_id"),
+            col("cos_scaled"), col("contaminated"))
+      },
+      _.orderBy("vec_id"),
+      Some {
+        val cos = Similarity.sqlCosine("c.v", "e.v", 64)
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |ev AS (SELECT vec_id, v FROM base
+           |       WHERE vec_id % 50 = 3 AND ${Similarity.sqlVecOk("v", 64)}),
+           |corpus AS (
+           |  SELECT vec_id, v FROM base WHERE vec_id % 50 <> 3
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 50 = 3),
+           |scored AS (
+           |  SELECT c.vec_id, e.vec_id AS eid,
+           |         floor($cos * 1000000) AS cs,
+           |         row_number() OVER (PARTITION BY c.vec_id
+           |           ORDER BY $cos DESC, e.vec_id ASC) AS rn
+           |  FROM corpus c JOIN ev e ON NOT isnan($cos))
+           |SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+           |       CAST(b.eid AS BIGINT) AS eval_id,
+           |       CAST(b.cs AS BIGINT) AS cos_scaled,
+           |       coalesce(b.cs >= 950000, FALSE) AS contaminated
+           |FROM corpus c LEFT JOIN (SELECT * FROM scored WHERE rn = 1) b
+           |  ON c.vec_id = b.vec_id
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
