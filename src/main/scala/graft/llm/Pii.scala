@@ -68,4 +68,77 @@ object Pii {
        | '$EmailRe', '$EmailToken', 'g'),
        | '$Ipv4Re', '$Ipv4Token', 'g'),
        | '$PhoneRe', '$PhoneToken', 'g')""".stripMargin.replaceAll("\n", "")
+
+  // ── Credit cards (checksum-validated) ─────────────────────────────────
+
+  /** Candidate card numbers: 4×4 dash/space groups, or 13–16 contiguous
+    * digits. `\b` on both ends keeps the pattern out of longer digit
+    * runs (a 17+-digit serial matches nothing — neither end can anchor
+    * inside the run). Alternation order puts the grouped form first;
+    * both branches stay in the Java/RE2 common subset. */
+  val CcRe = "\\b(?:[0-9]{4}[- ]){3}[0-9]{4}\\b|\\b[0-9]{13,16}\\b"
+  val CcToken = "<CC>"
+
+  /** Luhn mod-10 validity of a digit-string column — pure column
+    * algebra: i-th digit FROM THE RIGHT (1-based) doubles on even i,
+    * folding 2x > 9 to 2x − 9, and the sum must divide by 10. The
+    * checksum is what separates a card number from 16 arbitrary digits
+    * — regex alone redacts order ids and ISBNs (false positives a
+    * curation audit then has to explain), so candidates that fail the
+    * checksum are left untouched BY DESIGN. */
+  def luhnValid(d: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(d)), i => {
+        val x = ascii(substring(d, (length(d) - i + 1).cast("int"),
+          lit(1))) - lit(48)
+        when(i % 2 === 0, when(x * 2 > 9, x * 2 - 9).otherwise(x * 2))
+          .otherwise(x)
+      }),
+      lit(0), (acc, x) => acc + x) % 10 === 0
+
+  /** Per-doc Luhn-validated card counts and redaction. Candidates come
+    * from [[CcRe]]; only checksum-valid ones count and redact (each via
+    * a literal `replace` fold, so an invalid candidate survives
+    * verbatim). Composes with [[withPiiRedaction]] by running on its
+    * `redacted` output (the email pass cannot eat digit runs — disjoint
+    * alphabets — so order against the other passes is free). Narrow
+    * codegen column algebra, no shuffle, no UDF. */
+  def withCreditCardRedaction(docs: DataFrame,
+                              textCol: String = "text"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CcRe), lit(0))
+    val valid = filter(cands,
+      c => luhnValid(translate(c, "- ", "")))
+    docs
+      .withColumn("__cc", valid)
+      .withColumn("n_ccs", size(col("__cc")))
+      .withColumn("redacted_cc",
+        // literal (non-regex) replace in both engines; candidates are
+        // digits/dashes/spaces, and a number appearing twice redacts at
+        // both sites in the one fold step
+        aggregate(col("__cc"), col(textCol),
+          (acc, c) => replace(acc, c, lit(CcToken))))
+      .drop("__cc")
+  }
+
+  /** SQL twins: the Luhn predicate over a digit-string expression, and
+    * the (n_ccs, redacted_cc) selects over a text expression. */
+  def sqlLuhnValid(d: String): String =
+    s"""(list_sum(list_transform(range(1, length($d) + 1), i ->
+       | CASE WHEN i % 2 = 0
+       |      THEN CASE WHEN (ascii(substring($d, CAST(length($d) - i + 1 AS INT), 1)) - 48) * 2 > 9
+       |                THEN (ascii(substring($d, CAST(length($d) - i + 1 AS INT), 1)) - 48) * 2 - 9
+       |                ELSE (ascii(substring($d, CAST(length($d) - i + 1 AS INT), 1)) - 48) * 2 END
+       |      ELSE ascii(substring($d, CAST(length($d) - i + 1 AS INT), 1)) - 48
+       | END)) % 10 = 0)""".stripMargin.replaceAll("\n", "")
+
+  def sqlCcValidList(e: String): String = {
+    val strip = "replace(replace(c, '-', ''), ' ', '')"
+    s"list_filter(regexp_extract_all($e, '$CcRe'), " +
+      s"c -> ${sqlLuhnValid(strip)})"
+  }
+
+  def sqlCcCounts(e: String): Seq[String] = Seq(
+    s"CAST(len(${sqlCcValidList(e)}) AS INT) AS n_ccs",
+    s"list_reduce(list_prepend($e, ${sqlCcValidList(e)}), " +
+      s"(acc, c) -> replace(acc, c, '$CcToken')) AS redacted_cc")
 }

@@ -3750,6 +3750,41 @@ object LlmQueries extends QueryFamily {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // ── Checksum-validated credit-card redaction (q64's fourth PII
+    //    type, with the Luhn gate regex alone cannot express): valid
+    //    cards — contiguous, dashed, and 13-digit — redact; a
+    //    same-shaped number failing the mod-10 checksum survives
+    //    verbatim, which is what keeps order ids and ISBNs out of the
+    //    audit report. ─────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q146_credit_card_pii",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").filter(col("text").isNotNull))
+        val corpus = docs.select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0, " 4111111111111111").otherwise(""),
+          when(col("doc_id") % 7 === 0, " 4111-1111-1111-1112")
+            .otherwise(""),
+          when(col("doc_id") % 11 === 0, " 4222222222222").otherwise(""))
+          .as("text"))
+        Pii.withCreditCardRedaction(corpus)
+          .select(col("doc_id").cast("long"), col("n_ccs"),
+            md5(col("redacted_cc")).as("red_hash"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' 4111111111111111' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' 4111-1111-1111-1112' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' 4222222222222' ELSE '' END AS text
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       ${Pii.sqlCcCounts("text").head},
+           |       md5(${Pii.sqlCcCounts("text").last
+                  .stripSuffix(" AS redacted_cc")}) AS red_hash
+           |FROM corpus ORDER BY doc_id""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
