@@ -614,4 +614,52 @@ object TextAnalysis {
     * thresholds). */
   val sqlLexKept: String =
     "(n_words > 0 AND ttr_micro >= 100000 AND went_micro >= 1500000)"
+
+  // ── Language purity (code-switching detection) ────────────────────────
+
+  /** Mixed-language detection: chunk the document into non-overlapping
+    * `chunkWords`-word windows, language-ID each chunk with the SAME
+    * stopword argmax as [[withLangId]], and report how much of the doc
+    * agrees with its own document-level prediction. A page that
+    * interleaves two languages fools the doc-level argmax (one language
+    * simply outvotes the other) but not the chunk distribution — the
+    * standard curation gate for code-switched or template-injected
+    * pages. Returns (idCol, doc_lang, n_chunks, n_agree, purity_micro,
+    * n_langs, mixed) where `mixed` = more than one chunk language AND
+    * purity below `minPurityMicro`. Docs with no words carry NULL
+    * doc_lang, zero chunks, and `mixed = false` (no evidence is not
+    * evidence of mixing).
+    *
+    * Scale shape: one narrow chunk explode (positions are column
+    * algebra, [[Chunking.withChunks]]), the chunk langid is the same
+    * one-pass native score vector, and the rollup is one doc-keyed
+    * map-side-combined aggregation; the doc-level langid is a second
+    * narrow pass. No corpus-global state anywhere. */
+  def langPurity(docs: DataFrame, chunkWords: Int = 16,
+                 minPurityMicro: Long = 800000L,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val doc = withLangId(docs, textCol)
+      .select(col(idCol), col("pred_lang").as("doc_lang"))
+    val chunks = Chunking.withChunks(
+      docs.select(col(idCol), col(textCol)), chunkWords, chunkWords,
+      idCol, textCol)
+    val perChunk = withLangId(chunks, "chunk_text")
+      .select(col(idCol), col("pred_lang").as("__cl"))
+    val agg = perChunk.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("__cl")).as("n_langs"))
+    val agree = perChunk.join(doc, Seq(idCol))
+      .filter(col("__cl") === col("doc_lang"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_agree"))
+    doc.join(agg, Seq(idCol), "left").join(agree, Seq(idCol), "left")
+      .select(col(idCol), col("doc_lang"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"))
+      .withColumn("purity_micro",
+        expr("n_agree * 1000000L DIV greatest(n_chunks, 1L)"))
+      .withColumn("mixed",
+        col("n_langs") > 1L && col("purity_micro") < minPurityMicro)
+  }
 }

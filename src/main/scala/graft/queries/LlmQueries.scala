@@ -3785,6 +3785,70 @@ object LlmQueries extends QueryFamily {
                   .stripSuffix(" AS redacted_cc")}) AS red_hash
            |FROM corpus ORDER BY doc_id""".stripMargin)),
 
+    // ── Language purity (code-switching detection): every 6th doc gets
+    //    a German-stopword tail — the doc-level argmax may flip or hold,
+    //    but the chunk distribution cannot hide the mix; the purity
+    //    rollup flags exactly the interleaved docs. ─────────────────────
+    QueryDef.sorted(
+      "q147_lang_purity",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").filter(col("text").isNotNull))
+        val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 6 === 0,
+            concat(col("text"),
+              expr("repeat(' der und die das ist mit ein', 4)")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.langPurity(corpus, chunkWords = 16)
+          .select(col("doc_id").cast("long"), col("doc_lang"),
+            col("n_chunks"), col("n_agree"), col("n_langs"),
+            col("purity_micro"), col("mixed"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val (docScores, docPred) = TextAnalysis.sqlLangId("w")
+        val (cScores, cPred) = TextAnalysis.sqlLangId("cwl")
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 6 = 0
+           |              THEN text || repeat(' der und die das ist mit ein', 4)
+           |              ELSE text END AS text
+           |  FROM documents WHERE text IS NOT NULL),
+           |doc0 AS (SELECT doc_id, ${W("text")} AS w FROM corpus),
+           |docscore AS (SELECT doc_id, ${docScores.mkString(", ")} FROM doc0),
+           |docpred AS (SELECT doc_id, $docPred AS doc_lang FROM docscore),
+           |nch AS (SELECT doc_id, w,
+           |               CASE WHEN len(w) > 16
+           |                    THEN 1 + CAST(floor((len(w) - 16 + 15) / 16.0) AS INT)
+           |                    WHEN len(w) IS NOT NULL THEN 1 END AS k
+           |        FROM doc0),
+           |ch AS (SELECT doc_id, w, unnest(range(0, k)) AS ci FROM nch),
+           |cw AS (SELECT doc_id, list_slice(w, ci*16 + 1, ci*16 + 16) AS cwl
+           |       FROM ch),
+           |cscore AS (SELECT doc_id, ${cScores.mkString(", ")} FROM cw),
+           |cpred AS (SELECT doc_id, $cPred AS cl FROM cscore),
+           |agg AS (SELECT doc_id, count(*) AS n_chunks,
+           |               count(DISTINCT cl) AS n_langs
+           |        FROM cpred GROUP BY doc_id),
+           |agree AS (SELECT c.doc_id, count(*) AS n_agree
+           |          FROM cpred c JOIN docpred d
+           |            ON c.doc_id = d.doc_id AND c.cl = d.doc_lang
+           |          GROUP BY c.doc_id)
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.doc_lang,
+           |       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |       CAST(coalesce(g.n_agree, 0) AS BIGINT) AS n_agree,
+           |       CAST(coalesce(a.n_langs, 0) AS BIGINT) AS n_langs,
+           |       CAST(coalesce(g.n_agree, 0) * 1000000 //
+           |            greatest(coalesce(a.n_chunks, 0), 1) AS BIGINT) AS purity_micro,
+           |       (coalesce(a.n_langs, 0) > 1 AND
+           |        coalesce(g.n_agree, 0) * 1000000 //
+           |          greatest(coalesce(a.n_chunks, 0), 1) < 800000) AS mixed
+           |FROM docpred d
+           |LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |LEFT JOIN agree g ON d.doc_id = g.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and
