@@ -882,6 +882,55 @@ object CoreQueries extends QueryFamily {
           |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
           |       CAST(day - cohort_day AS BIGINT) AS offset_days,
           |       CAST(count(*) AS BIGINT) AS n_users
-          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Table profile (the pre-pipeline data-quality card): per-column
+    //    null/distinct/blank counts for the events table — exact, one
+    //    Expand-planned pass, never a per-column rescan. ────────────────
+    QueryDef.sorted(
+      "q148_table_profile",
+      (s, dir) => Profile.tableProfile(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_id", "user_id", "event_type", "value", "props")),
+      _.orderBy("column"),
+      Some {
+        def row(c: String, dt: String, blank: Boolean) = {
+          val nb = if (blank)
+            s"(SELECT count(*) FROM events WHERE trim($c) = '')"
+          else "CAST(NULL AS BIGINT)"
+          s"""SELECT '$c' AS "column", '$dt' AS dtype,
+             |  (SELECT count(*) FROM events) AS n_rows,
+             |  (SELECT count(*) FROM events WHERE $c IS NULL) AS n_nulls,
+             |  (SELECT count(DISTINCT $c) FROM events) AS n_distinct,
+             |  $nb AS n_blank""".stripMargin
+        }
+        Seq(row("event_id", "bigint", blank = false),
+          row("user_id", "bigint", blank = false),
+          row("event_type", "string", blank = true),
+          row("value", "double", blank = false),
+          row("props", "string", blank = true))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // ── Join-key skew report (the salting decision's input): the 10
+    //    heaviest user_id keys with corpus shares — a key census plus a
+    //    bounded TakeOrdered, never a full sort. ────────────────────────
+    QueryDef.sorted(
+      "q149_key_skew",
+      (s, dir) => Profile.keySkew(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", k = 10),
+      _.orderBy("rank"),
+      Some(
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+          |           FROM events GROUP BY 1),
+          |r AS (SELECT key, n,
+          |             row_number() OVER (ORDER BY n DESC, key ASC NULLS FIRST)
+          |               AS rank
+          |      FROM c)
+          |SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n,
+          |       CAST(n * 1000000 //
+          |            greatest((SELECT count(*) FROM events), 1) AS BIGINT)
+          |         AS share_micro
+          |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }
