@@ -141,6 +141,48 @@ object Dedup {
                               maxBucketSize: Option[Int] = None): DataFrame =
     verifyPairs(candidatePairs(signed, maxBucketSize = maxBucketSize), signed)
 
+  /** Asymmetric shingle CONTAINMENT for LSH candidate pairs — Broder's
+    * second coefficient, for the relationship Jaccard hides: a short
+    * quote-page fully contained in a long original scores
+    * |A∩B|/|A| = 1 while Jaccard |A∩B|/|A∪B| can sit far below any
+    * near-dup gate, so symmetric dedup keeps both and the quote page
+    * rides to training verbatim. Emits every candidate pair where
+    * either direction reaches `minContainMicro`: (id_a, id_b, inter,
+    * n_a, n_b, a_in_b_micro, b_in_a_micro), shares in exact truncating
+    * integer division over the DISTINCT shingle sets.
+    *
+    * Candidates come from the same banded minhash join as
+    * [[verifiedNearDupPairs]] — with the standard recall caveat sharpened:
+    * banding recall follows JACCARD, so a low-Jaccard containment pair
+    * surfaces only when a band survives (tune bands/rows toward
+    * containment recall, or feed candidates from the span census for
+    * exact-substring containment). Scale shape identical to the Jaccard
+    * path: banded self-join, bucket cap, two id-keyed verify joins. */
+  def containmentPairs(docs: DataFrame, minContainMicro: Long = 900000L,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    val signed = graft.CacheBarriers.barrier(
+      withSignature(docs, textCol, shingleN)
+        .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
+    candidatePairs(signed, maxBucketSize = maxBucketSize)
+      .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("a_in_b_micro",
+        expr("inter * 1000000L DIV greatest(n_a, 1)"))
+      .withColumn("b_in_a_micro",
+        expr("inter * 1000000L DIV greatest(n_b, 1)"))
+      .filter(col("a_in_b_micro") >= minContainMicro ||
+        col("b_in_a_micro") >= minContainMicro)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+        col("n_b"), col("a_in_b_micro"), col("b_in_a_micro"))
+  }
+
   /** The integer-Jaccard acceptance (2·|∩| ≥ |∪|) over two shingle-set
     * columns — the ONE definition every verification path shares (batch,
     * incremental, and two-corpus decontamination); a drifted copy would

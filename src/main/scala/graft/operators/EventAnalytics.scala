@@ -112,6 +112,41 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order transition matrix of the event stream: for every
+    * consecutive event pair within a user's (ts, tie)-ordered history,
+    * count (from_type → to_type) and each cell's share of its from-row —
+    * the empirical Markov kernel behind "what do users do after X".
+    * Returns (from_type, to_type, n, share_micro); NULL user/ts/type
+    * events are excluded by statement.
+    *
+    * Scale shape: the [[Sessionize]] argument — one per-user window
+    * (lag rides a single user-keyed sort), then a map-side-combined
+    * count over type-pair-cardinality groups and a config-sized row
+    * total join. */
+  def transitionMatrix(events: DataFrame, tsUs: Column,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+    val pairs = events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+    val counts = pairs
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .withColumn("share_micro", expr("n * 1000000L DIV greatest(__t, 1L)"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("share_micro"))
+  }
+
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
     * fstep_{n-1}`, each (user, t). Chain them into the report with
     * scalar `count(*)` subqueries. */

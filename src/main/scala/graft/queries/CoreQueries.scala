@@ -931,6 +931,36 @@ object CoreQueries extends QueryFamily {
           |       CAST(n * 1000000 //
           |            greatest((SELECT count(*) FROM events), 1) AS BIGINT)
           |         AS share_micro
-          |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin))
+          |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // ── Event transition matrix (the empirical Markov kernel): per-user
+    //    consecutive pairs via one windowed lag, cells with exact
+    //    from-row shares. ──────────────────────────────────────────────
+    QueryDef.sorted(
+      "q151_transition_matrix",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.transitionMatrix(ev,
+          tsUs = graft.source.EventLog.tsUsOf(ev))
+      },
+      _.orderBy("from_type", "to_type"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_type IS NOT NULL),
+          |p AS (SELECT event_type AS to_type,
+          |             lag(event_type) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS from_type
+          |      FROM e),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+          |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+          |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+          |       CAST(c.n * 1000000 // greatest(t.tot, 1) AS BIGINT)
+          |         AS share_micro
+          |FROM c JOIN t ON c.from_type = t.from_type
+          |ORDER BY c.from_type, c.to_type""".stripMargin))
   )
 }

@@ -334,6 +334,15 @@ object LlmQueries extends QueryFamily {
 
   private val pairsCtes: String = s"$varCorpusSql,\n${lshPairsCtes("corpus")}"
 
+  /** The banded candidate chain alone (signing CTEs + `cand`), for
+    * verifications other than the Jaccard one (q150's containment). */
+  private val lshCandCtes: String =
+    s"""${signedCtes("corpus")},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: one shuffle on md5(text) ────────────────────────────
@@ -3848,6 +3857,53 @@ object LlmQueries extends QueryFamily {
            |LEFT JOIN agree g ON d.doc_id = g.doc_id
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // ── Asymmetric containment (Broder's second coefficient): every 8th
+    //    doc spawns a 60%-prefix "quote page" whose shingles sit wholly
+    //    inside the original — containment 10⁶ while Jaccard (~0.6)
+    //    clears no near-dup gate; the q31 banding surfaces the pair, the
+    //    containment verify catches what the symmetric verify ignores. ──
+    QueryDef.sorted(
+      "q150_containment_pairs",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").filter(col("text").isNotNull))
+        val pref = docs.filter(col("doc_id") % 8 === 0)
+          .withColumn("ws0", words(col("text")))
+          .select((col("doc_id") + 800000).as("doc_id"),
+            expr("array_join(slice(ws0, 1, greatest(size(ws0) * 3 DIV 5, 1)), ' ')")
+              .as("text"))
+        Dedup.containmentPairs(docs.unionByName(pref))
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("inter").cast("long"), col("n_a").cast("long"),
+            col("n_b").cast("long"), col("a_in_b_micro"),
+            col("b_in_a_micro"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id + 800000,
+           |         array_to_string(list_slice(${W("text")}, 1,
+           |           greatest(len(${W("text")}) * 3 // 5, 1)), ' ')
+           |  FROM documents WHERE doc_id % 8 = 0 AND text IS NOT NULL),
+           |$lshCandCtes,
+           |cont AS (
+           |  SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+           |         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+           |  FROM cand
+           |  JOIN bk sa ON sa.doc_id = cand.id_a
+           |  JOIN bk sb ON sb.doc_id = cand.id_b)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |       CAST(inter AS BIGINT) AS inter, CAST(n_a AS BIGINT) AS n_a,
+           |       CAST(n_b AS BIGINT) AS n_b,
+           |       CAST(inter * 1000000 // greatest(n_a, 1) AS BIGINT) AS a_in_b_micro,
+           |       CAST(inter * 1000000 // greatest(n_b, 1) AS BIGINT) AS b_in_a_micro
+           |FROM cont
+           |WHERE inter * 1000000 // greatest(n_a, 1) >= 900000
+           |   OR inter * 1000000 // greatest(n_b, 1) >= 900000
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure

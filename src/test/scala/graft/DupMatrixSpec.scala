@@ -28,6 +28,22 @@ class DupMatrixSpec extends AnyFunSuite {
       ("a", "c") -> ((1L, 1L))))
   }
 
+  test("containment: a contained quote page scores 10^6 one-way") {
+    import spark.implicits._
+    // doc 2 is a strict word-prefix of doc 1: every shingle of 2 occurs
+    // in 1, so containment(2 in 1) = 10^6 while Jaccard is well short
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val short = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) === ((1L, 2L)))
+    // 4 of doc 1's 8 shingles are doc 2's entire 4-shingle set
+    assert(r.getAs[Long]("b_in_a_micro") === 1000000L)
+    assert(r.getAs[Long]("a_in_b_micro") === 500000L)
+  }
+
   test("a duplicate-free corpus yields an empty matrix") {
     import spark.implicits._
     val docs = Seq((1L, "p", "a"), (2L, "q", "a"), (3L, "r", "b"))

@@ -59,6 +59,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("transition matrix: per-user consecutive pairs with exact shares") {
+    import org.apache.spark.sql.functions.col
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L), (3L, 1L, "view", 20L),
+      (4L, 2L, "view", 0L), (5L, 2L, "buy", 10L))
+    // pairs: view→click, click→view, view→buy; no cross-user pair
+    val out = graft.operators.EventAnalytics.transitionMatrix(events,
+        tsUs = col("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("share_micro")))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((1L, 500000L)),
+      ("view", "buy") -> ((1L, 500000L)),
+      ("click", "view") -> ((1L, 1000000L))))
+  }
+
   test("retention triangle: cohort by first day, offsets count distinct days") {
     val d = 86400000000L
     val events = ev(
