@@ -50,8 +50,8 @@ object BucketedState {
     pmod(xxhash64(id), lit(numBuckets.toLong))
 
   /** Pin (first write) or validate (every later write) the bucket count. */
-  private def ensureMeta(spark: SparkSession, stateDir: String,
-                         numBuckets: Int): Unit = {
+  private[streaming] def ensureMeta(spark: SparkSession, stateDir: String,
+                                    numBuckets: Int): Unit = {
     val f = VersionedState.fs(spark, stateDir)
     val meta = new Path(stateDir, "_meta")
     if (f.exists(meta)) {

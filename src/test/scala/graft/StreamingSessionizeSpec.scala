@@ -53,6 +53,32 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       === oneShot)
   }
 
+  test("bucketed state: equal to one-shot, only touched buckets rewrite") {
+    val stateDir = tmp("graft-sess-bkt")
+    val closed = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def fold(rows: Seq[(Long, Long, Long)], batchId: Long): Unit =
+      StreamingSessionize.foldBatchBucketed(
+        rows.toDF("event_id", "user_id", "t"), batchId, stateDir,
+        gapUs = 1000L, tsUs = _ => col("t"), numBuckets = 8,
+        onClosed = (c, _) => closed ++= c.collect().map(_.toSeq))
+    fold(batch1, 0L)
+    // user 3 only: exactly one bucket may rewrite in batch 1
+    fold(Seq((8L, 3L, 0L)), 1L)
+    val bucketDirs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    val withV1 = bucketDirs.filter(d =>
+      new java.io.File(d, "v1").exists())
+    assert(withV1.length === 1) // only user 3's bucket committed v1
+    fold(batch2, 2L)
+    // replay of batch 2 (crash recovery) must not change the outcome
+    fold(batch2, 2L)
+    val state = StreamingSessionize.latestStateBucketed(spark, stateDir).get
+    val expect = Sessionize.sessionStats(
+      allEvents.unionByName(Seq((8L, 3L, 0L)).toDF("event_id", "user_id", "t")),
+      gapUs = 1000L, tsUs = col("t")).collect().map(_.toSeq).toSet
+    assert((closed.toSet ++ state.collect().map(_.toSeq).toSet) === expect)
+  }
+
   test("kill + resume: the replayed batch neither drops nor double-counts") {
     implicit val sqlCtx = spark.sqlContext
     val stateDir = tmp("graft-sess-state2")
