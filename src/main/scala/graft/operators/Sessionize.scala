@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * BIGINT micros.
   *
   * Scale shape: ONE exchange keyed on the user column; `lag` and the
-  * running `sum` share that single sort (Catalyst collapses same-spec
-  * windows into one Window operator); partitions are user-sized (a
+  * running `sum` share that single sort (Spark stacks the two frames as
+  * adjacent Window nodes over one exchange + one sort — PlanAuditSpec
+  * pins it); partitions are user-sized (a
   * user's event history, not the corpus). The stats aggregation is a
   * second, map-side-combined shuffle on (user, session) — strictly
   * smaller rows. A 100× corpus scales the number of users, not the

@@ -163,6 +163,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probed.count() > 0)
   }
 
+  test("sessionization: lag + running sum ride ONE exchange and ONE sort") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = fmt(graft.operators.Sessionize.withSessions(ev,
+      gapUs = 1800000000L, tsUs = EventLog.tsUsOf(ev)))
+    // Spark stacks the two frames as two Window NODES, but both consume
+    // the same user-keyed exchange + (user, ts, tie) sort — the scale
+    // claim is the single shuffle/sort, which this pins
+    def nodes(name: String) =
+      plan.linesIterator.count(_.matches(s"""^\\(\\d+\\) $name.*"""))
+    assert(nodes("Exchange") === 1,
+      s"expected one exchange, got ${nodes("Exchange")}:\n$plan")
+    assert(nodes("Sort") === 1,
+      s"expected one sort, got ${nodes("Sort")}:\n$plan")
+  }
+
+  test("exact-k sampling is a bounded heap, never a window sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = fmt(graft.llm.Sampling.exactKPerStratum(docs, 7, "source"))
+    assert(!plan.contains("Window"),
+      s"exact-k must not rank through a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_keepksmallest"),
+      s"bounded heap lost its map-side partial:\n$plan")
+  }
+
+  test("table profile reads the table once, through one Expand") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = fmt(graft.operators.Profile.tableProfile(ev,
+      Seq("event_id", "user_id", "event_type")))
+    val scans = plan.linesIterator.count(
+      _.matches("""^\(\d+\) Scan parquet.*"""))
+    assert(scans === 1, s"profile must not rescan per column ($scans scans)")
+    assert(plan.contains("Expand"),
+      s"multi-distinct lost its Expand plan:\n$plan")
+  }
+
+  test("key skew tops out in a bounded TakeOrdered, no full census sort") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = fmt(graft.operators.Profile.keySkew(ev, "user_id", 10))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its bounded form:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
