@@ -961,6 +961,59 @@ object CoreQueries extends QueryFamily {
           |       CAST(c.n * 1000000 // greatest(t.tot, 1) AS BIGINT)
           |         AS share_micro
           |FROM c JOIN t ON c.from_type = t.from_type
-          |ORDER BY c.from_type, c.to_type""".stripMargin))
+          |ORDER BY c.from_type, c.to_type""".stripMargin)),
+
+    // ── In-session funnel (operator composition): sessionize at a 24 h
+    //    gap, then run the conversion funnel with the (user, session)
+    //    composite as the funnel key — steps must complete INSIDE one
+    //    session. Two operators, zero new code paths. ──────────────────
+    QueryDef.sorted(
+      "q152_session_funnel",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val sess = Sessionize.withSessions(ev, gapUs = 86400000000L,
+            tsUs = graft.source.EventLog.tsUsOf(ev))
+          .withColumn("usess",
+            concat_ws("#", col("user_id"), col("session_seq")))
+        EventAnalytics.funnel(sess, Seq("view", "click", "purchase"),
+            tsUs = col("ts_us"), userCol = "usess")
+          .withColumnRenamed("n_users", "n_sessions")
+      },
+      _.orderBy("step_idx"),
+      Some {
+        val steps = Seq("view", "click", "purchase")
+        val rep = steps.zipWithIndex.map { case (st, i) =>
+          val prev = if (i == 0) "fstep_0" else s"fstep_${i - 1}"
+          s"SELECT $i AS step_idx, '$st' AS step, " +
+            s"(SELECT count(*) FROM fstep_$i) AS n_sessions, " +
+            s"(SELECT count(*) FROM $prev) AS np"
+        }.mkString("\n  UNION ALL\n  ")
+        val chain = steps.zipWithIndex.tail.map { case (st, i) =>
+          s"""fstep_$i AS (
+             |  SELECT e.u, min(e.ts_us) AS t
+             |  FROM sev e JOIN fstep_${i - 1} p ON e.u = p.u
+             |  WHERE e.ty = '$st' AND e.ts_us >= p.t GROUP BY e.u)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Sessionize.sqlSessionCtes("events", 86400000000L)},
+           |sev AS (
+           |  SELECT CAST(user_id AS VARCHAR) || '#' ||
+           |           CAST(session_seq AS VARCHAR) AS u,
+           |         event_type AS ty, ts_us
+           |  FROM sess_s),
+           |fstep_0 AS (SELECT u, min(ts_us) AS t FROM sev
+           |            WHERE ty = 'view' GROUP BY u),
+           |$chain,
+           |rep AS (
+           |  $rep)
+           |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           |       CAST(n_sessions AS BIGINT) AS n_sessions,
+           |       CAST(n_sessions * 1000000 //
+           |            greatest((SELECT count(*) FROM fstep_0), 1) AS BIGINT)
+           |         AS conv_total_micro,
+           |       CAST(n_sessions * 1000000 // greatest(np, 1) AS BIGINT)
+           |         AS conv_step_micro
+           |FROM rep ORDER BY step_idx""".stripMargin
+      })
   )
 }
