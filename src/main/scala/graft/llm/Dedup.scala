@@ -183,6 +183,45 @@ object Dedup {
         col("n_b"), col("a_in_b_micro"), col("b_in_a_micro"))
   }
 
+  /** MinHash estimator audit — the q135 discipline applied to the
+    * SIGNATURE itself: for every banded candidate pair, the Jaccard
+    * ESTIMATE the K-position signature implies (agreement share — what
+    * LSH banding actually acts on) next to the exact shingle Jaccard
+    * (what the verify join computes). The audit prices the estimator's
+    * resolution (1/K steps — K=24 reads in ≈41667-micro quanta) and its
+    * per-pair error, which is the number that justifies K before anyone
+    * trusts signature-only shortcuts (e.g. skipping exact verification
+    * on high-agreement pairs at 100 TB). Returns (id_a, id_b, agree,
+    * inter, uni, est_micro, jaccard_micro, err_micro) — all exact
+    * integers. Scale shape identical to [[verifiedNearDupPairs]]: the
+    * signature comparison is one fixed-K fold per candidate pair. */
+  def minhashEstimateAudit(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", shingleN: Int = 3,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val signed = graft.CacheBarriers.barrier(
+      withSignature(docs, textCol, shingleN)
+        .select(col(idCol).as("doc_id"), col("sh"), col("sig"),
+          col("bkeys")))
+    candidatePairs(signed, maxBucketSize = maxBucketSize)
+      .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("est_micro",
+        expr(s"agree * 1000000L DIV ${TextHash.K}"))
+      .withColumn("jaccard_micro",
+        expr("inter * 1000000L DIV greatest(uni, 1)"))
+      .withColumn("err_micro", abs(col("est_micro") - col("jaccard_micro")))
+      .select(col("id_a"), col("id_b"), col("agree").cast("long"),
+        col("inter"), col("uni"), col("est_micro"), col("jaccard_micro"),
+        col("err_micro"))
+  }
+
   /** The integer-Jaccard acceptance (2·|∩| ≥ |∪|) over two shingle-set
     * columns — the ONE definition every verification path shares (batch,
     * incremental, and two-corpus decontamination); a drifted copy would

@@ -3905,6 +3905,38 @@ object LlmQueries extends QueryFamily {
            |   OR inter * 1000000 // greatest(n_b, 1) >= 900000
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── MinHash estimator audit (the q135 discipline applied to the
+    //    signature itself): per candidate pair, the agreement-share
+    //    Jaccard estimate banding acts on next to the exact shingle
+    //    Jaccard the verify computes — the per-pair error that justifies
+    //    K before trusting signature-only shortcuts. ────────────────────
+    QueryDef.sorted(
+      "q153_minhash_estimate_audit",
+      (s, dir) => Dedup.minhashEstimateAudit(varCorpus(s, dir))
+        .select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("agree"), col("inter").cast("long"), col("uni").cast("long"),
+          col("est_micro"), col("jaccard_micro"), col("err_micro")),
+      _.orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH $varCorpusSql,
+           |$lshCandCtes,
+           |aud AS (
+           |  SELECT id_a, id_b,
+           |         list_sum(list_transform(range(1, ${TextHash.K + 1}),
+           |           j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS agree,
+           |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+           |         len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+           |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+           |            JOIN sig sb ON sb.doc_id = cand.id_b)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |       CAST(agree AS BIGINT) AS agree,
+           |       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+           |       CAST(agree * 1000000 // ${TextHash.K} AS BIGINT) AS est_micro,
+           |       CAST(inter * 1000000 // greatest(uni, 1) AS BIGINT) AS jaccard_micro,
+           |       CAST(abs(agree * 1000000 // ${TextHash.K} -
+           |                inter * 1000000 // greatest(uni, 1)) AS BIGINT) AS err_micro
+           |FROM aud ORDER BY id_a, id_b""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and

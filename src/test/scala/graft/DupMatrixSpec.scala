@@ -44,6 +44,19 @@ class DupMatrixSpec extends AnyFunSuite {
     assert(r.getAs[Long]("a_in_b_micro") === 500000L)
   }
 
+  test("minhash estimate audit: an exact dup agrees on every position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashEstimateAudit(docs).collect().head
+    assert(r.getAs[Long]("agree") === graft.llm.TextHash.K.toLong)
+    assert(r.getAs[Long]("est_micro") === 1000000L)
+    assert(r.getAs[Long]("jaccard_micro") === 1000000L)
+    assert(r.getAs[Long]("err_micro") === 0L)
+  }
+
   test("a duplicate-free corpus yields an empty matrix") {
     import spark.implicits._
     val docs = Seq((1L, "p", "a"), (2L, "q", "a"), (3L, "r", "b"))
