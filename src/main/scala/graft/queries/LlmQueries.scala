@@ -334,6 +334,78 @@ object LlmQueries extends QueryFamily {
 
   private val pairsCtes: String = s"$varCorpusSql,\n${lshPairsCtes("corpus")}"
 
+  /** q154's constructed-corpus building blocks (no apostrophes — spliced
+    * into the oracle as single-quoted literals). The good base is 22
+    * words of plain prose ×3 (passes every Gopher gate); the repetition
+    * base is a 4-word cycle whose top trigram holds ≈25% of positions
+    * (past the ×5 gate) while still carrying two required stop words and
+    * a 3.25 mean word length (so ONLY the repetition gate kills it). */
+  private val FunnelGoodBase =
+    "the quick brown fox jumps over the lazy dog and then it runs " +
+      "to a tree in the park with its friends "
+  private val FunnelRepBase = "the spam and ham "
+  private val FunnelStubText = "short text only"
+
+  /** The curation funnel's per-doc staged frame — (doc_id, source, i1
+    * language-agreed, i2 +quality, i3 +non-repetitive, i4 +dedup
+    * representative) — shared by q130's survivor counts and q154's
+    * kill-reason rollup. The barrier matters: the staged frame is
+    * consumed twice (rep election + the decorating join), and without
+    * it CollapseProject inlines the whole langId+Gopher+repetition
+    * signal tree into every predicate of both consumers — measured 68 s
+    * at sf0.1 on local[32]; 1.3 s with the barrier. */
+  private def funnelStaged(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = TextAnalysis.withRepetition(
+      TextAnalysis.gopherQuality(TextAnalysis.withLangId(docs)))
+    val staged = graft.CacheBarriers.barrier(
+      sig.select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("__h"),
+        when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("i1"),
+        when(col("pred_lang") === col("lang") && col("gopher_kept"), 1L)
+          .otherwise(0L).as("i2"),
+        when(col("pred_lang") === col("lang") && col("gopher_kept") &&
+          !col("repetitive"), 1L).otherwise(0L).as("i3")))
+    val reps = staged.filter(col("i3") === 1L)
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("__mid"))
+    staged.join(reps, Seq("__h"), "left")
+      .withColumn("i4",
+        when(col("i3") === 1L && col("doc_id") === col("__mid"), 1L)
+          .otherwise(0L))
+  }
+
+  /** DuckDB CTE chain `tok … stg4` replaying [[funnelStaged]] over a
+    * (doc_id, text, lang, source) table/CTE `src`. */
+  private def sqlFunnelStagedCtes(src: String = "documents"): String = {
+    val (scores, pred) = TextAnalysis.sqlLangId("w")
+    val gsig = TextAnalysis.sqlGopherSignals("text", "w")
+      .mkString(",\n              ")
+    val repV = TextAnalysis.sqlRepetition("w").last._2
+    s"""tok AS (SELECT doc_id, source, lang, text, ${W("text")} AS w
+       |             FROM $src),
+       |sc AS (SELECT tok.*, ${scores.mkString(", ")} FROM tok),
+       |pr AS (SELECT doc_id, source, lang, text, w,
+       |              $pred AS pred_lang FROM sc),
+       |gq AS (SELECT pr.*,
+       |              $gsig
+       |       FROM pr),
+       |stg AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+       |               CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS i1,
+       |               CASE WHEN pred_lang = lang
+       |                     AND ${TextAnalysis.sqlGopherKept}
+       |                    THEN 1 ELSE 0 END AS i2,
+       |               CASE WHEN pred_lang = lang
+       |                     AND ${TextAnalysis.sqlGopherKept}
+       |                     AND NOT ($repV)
+       |                    THEN 1 ELSE 0 END AS i3
+       |        FROM gq),
+       |reps AS (SELECT h, min(doc_id) AS mid FROM stg
+       |         WHERE i3 = 1 GROUP BY h),
+       |stg4 AS (SELECT s.*, CASE WHEN s.i3 = 1 AND s.doc_id = r.mid
+       |                          THEN 1 ELSE 0 END AS i4
+       |         FROM stg s LEFT JOIN reps r ON s.h = r.h)""".stripMargin
+  }
+
   /** The banded candidate chain alone (signing CTEs + `cand`), for
     * verifications other than the Jaccard one (q150's containment). */
   private val lshCandCtes: String =
@@ -3988,72 +4060,97 @@ object LlmQueries extends QueryFamily {
     //    survivor-scoped dedup election. ────────────────────────────────
     QueryDef.sorted(
       "q130_curation_funnel",
-      (s, dir) => {
-        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text", "lang", "source"))
-        val sig = TextAnalysis.withRepetition(
-          TextAnalysis.gopherQuality(TextAnalysis.withLangId(docs)))
-        // barrier: the staged frame is consumed TWICE (rep election +
-        // the decorating join), and without it CollapseProject inlines
-        // the whole langId+Gopher+repetition signal tree into every
-        // predicate of both consumers — measured 68 s at sf0.1 on
-        // local[32]; 1.3 s with the barrier
-        val staged = graft.CacheBarriers.barrier(
-          sig.select(col("doc_id"), col("source"),
-            md5(coalesce(col("text"), lit(""))).as("__h"),
-            when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("i1"),
-            when(col("pred_lang") === col("lang") && col("gopher_kept"), 1L)
-              .otherwise(0L).as("i2"),
-            when(col("pred_lang") === col("lang") && col("gopher_kept") &&
-              !col("repetitive"), 1L).otherwise(0L).as("i3")))
-        val reps = staged.filter(col("i3") === 1L)
-          .groupBy(col("__h")).agg(min(col("doc_id")).as("__mid"))
-        staged.join(reps, Seq("__h"), "left")
-          .withColumn("i4",
-            when(col("i3") === 1L && col("doc_id") === col("__mid"), 1L)
-              .otherwise(0L))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_total"), sum(col("i1")).as("n_lang"),
-            sum(col("i2")).as("n_quality"), sum(col("i3")).as("n_clean"),
-            sum(col("i4")).as("n_final"))
-      },
+      (s, dir) => funnelStaged(
+        spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "source")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("i1")).as("n_lang"),
+          sum(col("i2")).as("n_quality"), sum(col("i3")).as("n_clean"),
+          sum(col("i4")).as("n_final")),
       _.orderBy("source"),
-      Some {
-        val (scores, pred) = TextAnalysis.sqlLangId("w")
-        val gsig = TextAnalysis.sqlGopherSignals("text", "w")
-          .mkString(",\n              ")
-        val repV = TextAnalysis.sqlRepetition("w").last._2
-        s"""WITH tok AS (SELECT doc_id, source, lang, text, ${W("text")} AS w
-           |             FROM documents),
-           |sc AS (SELECT tok.*, ${scores.mkString(", ")} FROM tok),
-           |pr AS (SELECT doc_id, source, lang, text, w,
-           |              $pred AS pred_lang FROM sc),
-           |gq AS (SELECT pr.*,
-           |              $gsig
-           |       FROM pr),
-           |stg AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
-           |               CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS i1,
-           |               CASE WHEN pred_lang = lang
-           |                     AND ${TextAnalysis.sqlGopherKept}
-           |                    THEN 1 ELSE 0 END AS i2,
-           |               CASE WHEN pred_lang = lang
-           |                     AND ${TextAnalysis.sqlGopherKept}
-           |                     AND NOT ($repV)
-           |                    THEN 1 ELSE 0 END AS i3
-           |        FROM gq),
-           |reps AS (SELECT h, min(doc_id) AS mid FROM stg
-           |         WHERE i3 = 1 GROUP BY h),
-           |stg4 AS (SELECT s.*, CASE WHEN s.i3 = 1 AND s.doc_id = r.mid
-           |                          THEN 1 ELSE 0 END AS i4
-           |         FROM stg s LEFT JOIN reps r ON s.h = r.h)
+      Some(
+        s"""WITH ${sqlFunnelStagedCtes()}
            |SELECT source,
            |       CAST(count(*) AS BIGINT) AS n_total,
            |       CAST(sum(i1) AS BIGINT) AS n_lang,
            |       CAST(sum(i2) AS BIGINT) AS n_quality,
            |       CAST(sum(i3) AS BIGINT) AS n_clean,
            |       CAST(sum(i4) AS BIGINT) AS n_final
-           |FROM stg4 GROUP BY source ORDER BY source""".stripMargin
-      }),
+           |FROM stg4 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Kill-reason report (the funnel, per-doc attributed): every doc
+    //    gets the FIRST gate that killed it (lang → quality →
+    //    repetition → duplicate → kept), rolled up per source with
+    //    exact shares — the debugging dashboard behind q130's survivor
+    //    counts ("why did src7 lose 40%?" answered by a number). The
+    //    corpus is CONSTRUCTED so every reason occurs: by doc_id mod 4 —
+    //    language-mislabeled good text, sub-floor stubs, 4-word-cycle
+    //    repetition (passes Gopher, fails the top-trigram gate), and
+    //    good docs of which every 8th-mod-7 exactly copies its mod-3
+    //    neighbor (the duplicate arm; the original stays kept). ─────────
+    QueryDef.sorted(
+      "q154_kill_reasons",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source"))
+        val gid = when(col("doc_id") % 8 === 7, col("doc_id") - 4)
+          .otherwise(col("doc_id"))
+        val good = concat(lit(FunnelGoodBase * 3), lit("topic"),
+          gid.cast("string"))
+        val corpus = docs.select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, good)
+            .when(col("doc_id") % 4 === 1, FunnelStubText)
+            .otherwise(when(col("doc_id") % 4 === 2,
+              lit(FunnelRepBase * 22)).otherwise(good)).as("text"),
+          when(col("doc_id") % 4 === 0, "de").otherwise("en").as("lang"),
+          col("source"))
+        val staged = funnelStaged(corpus)
+        val reasons = staged.withColumn("reason",
+          when(col("i1") === 0L, "lang")
+            .when(col("i2") === 0L, "quality")
+            .when(col("i3") === 0L, "repetition")
+            .when(col("i4") === 0L, "duplicate")
+            .otherwise("kept"))
+          .groupBy(col("source"), col("reason"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = reasons.groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("__t"))
+        reasons
+          .join(org.apache.spark.sql.functions.broadcast(totals),
+            Seq("source"))
+          .withColumn("share_micro",
+            expr("n_docs * 1000000L DIV greatest(__t, 1L)"))
+          .select(col("source"), col("reason"), col("n_docs"),
+            col("share_micro"))
+      },
+      _.orderBy("source", "reason"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 4 = 1 THEN '$FunnelStubText'
+           |              WHEN doc_id % 4 = 2 THEN repeat('$FunnelRepBase', 22)
+           |              ELSE repeat('$FunnelGoodBase', 3) || 'topic' ||
+           |                   CAST(CASE WHEN doc_id % 8 = 7 THEN doc_id - 4
+           |                             ELSE doc_id END AS VARCHAR) END AS text,
+           |         CASE WHEN doc_id % 4 = 0 THEN 'de' ELSE 'en' END AS lang,
+           |         source
+           |  FROM documents),
+           |${sqlFunnelStagedCtes("corpus")},
+           |rsn AS (SELECT source,
+           |               CASE WHEN i1 = 0 THEN 'lang'
+           |                    WHEN i2 = 0 THEN 'quality'
+           |                    WHEN i3 = 0 THEN 'repetition'
+           |                    WHEN i4 = 0 THEN 'duplicate'
+           |                    ELSE 'kept' END AS reason
+           |        FROM stg4),
+           |c AS (SELECT source, reason, count(*) AS n_docs FROM rsn
+           |      GROUP BY 1, 2),
+           |t AS (SELECT source, sum(n_docs) AS tot FROM c GROUP BY 1)
+           |SELECT c.source, c.reason, CAST(c.n_docs AS BIGINT) AS n_docs,
+           |       CAST(c.n_docs * 1000000 // greatest(t.tot, 1) AS BIGINT)
+           |         AS share_micro
+           |FROM c JOIN t ON c.source = t.source
+           |ORDER BY c.source, c.reason""".stripMargin)),
 
     // ── DSIR importance scoring (Xie et al. 2023): score every raw doc
     //    by the hashed-unigram log-likelihood ratio between a TARGET
