@@ -147,6 +147,81 @@ object EventAnalytics {
         col("share_micro"))
   }
 
+  /** Incremental transition matrix — the run-over-run ingest shape for
+    * [[transitionMatrix]]: per-batch transition COUNTS are additive once
+    * the boundary-crossing pair (a user's last event of the previous
+    * batch → first event of this one) is stitched through a per-user
+    * last-event state, exactly [[Sessionize.sessionStatsIncremental]]'s
+    * contract one notch simpler (state is 3 columns, the stitch is one
+    * join). Batches must be time-partitioned per user (enforced by the
+    * same row-lazy raise_error). Returns (this batch's transition-count
+    * DELTA — fold into the running census by addition; new last-event
+    * state). Identity: deltas summed over b1…bn equal the full-union
+    * counts exactly, so q155's oracle is q151's restricted to nothing. */
+  def transitionMatrixIncremental(newEvents: DataFrame, lastState: DataFrame,
+                                  tsUs: Column,
+                                  userCol: String = "user_id",
+                                  typeCol: String = "event_type",
+                                  tieCol: String = "event_id")
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").asc, col("__tie").asc)
+    val base = graft.CacheBarriers.barrier(newEvents
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("__ty"), col("ts_us"),
+        col(tieCol).as("__tie"))
+      .withColumn("__from", lag(col("__ty"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__last",
+        max(col("__rn")).over(Window.partitionBy(col(userCol)))))
+    val open = lastState.select(col(userCol),
+      col("last_type").as("__lt"), col("last_ts").as("__lts"))
+    // boundary stitch: the user's FIRST batch event pairs with the
+    // persisted last event — with the time-partitioning contract checked
+    val firsts = base.filter(col("__rn") === 1)
+      .join(open, Seq(userCol), "left")
+      .withColumn("__from2",
+        when(col("__lts").isNotNull && col("ts_us") < col("__lts"),
+          raise_error(concat(
+            lit("transitionMatrixIncremental: batch event at "),
+            col("ts_us").cast("string"), lit(" precedes persisted last "),
+            col("__lts").cast("string"), lit(" for user "),
+            col(userCol).cast("string"),
+            lit(" — batches must be time-partitioned per user"))))
+          .otherwise(col("__lt")))
+      .select(col(userCol), col("__ty"), col("__from2").as("__from"))
+    val inner = base.filter(col("__rn") > 1)
+      .select(col(userCol), col("__ty"), col("__from"))
+    val delta = inner.unionByName(firsts)
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col("__ty").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val newOpen = base.filter(col("__rn") === col("__last"))
+      .select(col(userCol), col("__ty").as("last_type"),
+        col("ts_us").as("last_ts"))
+    val carried = lastState.join(
+      base.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
+    (delta, carried.unionByName(newOpen))
+  }
+
+  /** Fold a transition delta into the running census — pure addition. */
+  def mergeTransitionCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Empty last-event state for [[transitionMatrixIncremental]]. */
+  def emptyTransitionState(spark: org.apache.spark.sql.SparkSession,
+                           userCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(userCol, LongType),
+        StructField("last_type", StringType),
+        StructField("last_ts", LongType))))
+  }
+
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
     * fstep_{n-1}`, each (user, t). Chain them into the report with
     * scalar `count(*)` subqueries. */

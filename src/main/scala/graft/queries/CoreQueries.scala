@@ -963,6 +963,56 @@ object CoreQueries extends QueryFamily {
           |FROM c JOIN t ON c.from_type = t.from_type
           |ORDER BY c.from_type, c.to_type""".stripMargin)),
 
+    // ── Incremental transition matrix (q151's log-ingest shape): three
+    //    time-partitioned batches fold through the per-user last-event
+    //    state; boundary-crossing pairs stitch through it, deltas merge
+    //    by pure addition, and the result must equal the full-corpus
+    //    matrix EXACTLY — q151's oracle reused verbatim. ────────────────
+    QueryDef.sorted(
+      "q155_transition_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val (d1, st1) = EventAnalytics.transitionMatrixIncremental(
+          withTs.filter(col("__t") < cut1),
+          EventAnalytics.emptyTransitionState(s), col("__t"))
+        val (d2, st2) = EventAnalytics.transitionMatrixIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2), st1,
+          col("__t"))
+        val (d3, _) = EventAnalytics.transitionMatrixIncremental(
+          withTs.filter(col("__t") >= cut2), st2, col("__t"))
+        val merged = EventAnalytics.mergeTransitionCounts(
+          EventAnalytics.mergeTransitionCounts(d1, d2), d3)
+        val totals = merged.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("__t"))
+        merged.join(broadcast(totals), Seq("from_type"))
+          .withColumn("share_micro",
+            expr("n * 1000000L DIV greatest(__t, 1L)"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("share_micro"))
+      },
+      _.orderBy("from_type", "to_type"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_type IS NOT NULL),
+          |p AS (SELECT event_type AS to_type,
+          |             lag(event_type) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS from_type
+          |      FROM e),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+          |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+          |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+          |       CAST(c.n * 1000000 // greatest(t.tot, 1) AS BIGINT)
+          |         AS share_micro
+          |FROM c JOIN t ON c.from_type = t.from_type
+          |ORDER BY c.from_type, c.to_type""".stripMargin)),
+
     // ── In-session funnel (operator composition): sessionize at a 24 h
     //    gap, then run the conversion funnel with the (user, session)
     //    composite as the funnel key — steps must complete INSIDE one

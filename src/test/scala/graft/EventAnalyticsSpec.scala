@@ -75,6 +75,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("click", "view") -> ((1L, 1000000L))))
   }
 
+  test("incremental transitions: boundary pairs stitch, deltas sum to the batch answer") {
+    import org.apache.spark.sql.functions.col
+    val E = graft.operators.EventAnalytics
+    val all = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L),
+      (3L, 1L, "view", 30L), // crosses the cut: click→view is a boundary pair
+      (4L, 2L, "view", 5L), (5L, 2L, "buy", 40L))
+    val full = E.transitionMatrix(all, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    val (d1, s1) = E.transitionMatrixIncremental(
+      all.filter(col("t") < 20L), E.emptyTransitionState(spark),
+      tsUs = col("t"))
+    val (d2, _) = E.transitionMatrixIncremental(
+      all.filter(col("t") >= 20L), s1, tsUs = col("t"))
+    val merged = E.mergeTransitionCounts(d1, d2)
+    val totals = merged.groupBy(col("from_type"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("__t"))
+    val inc = merged.join(totals, Seq("from_type"))
+      .withColumn("share_micro",
+        org.apache.spark.sql.functions.expr(
+          "n * 1000000L DIV greatest(__t, 1L)"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("share_micro"))
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // out-of-order batch fails loudly
+    val (_, s2) = E.transitionMatrixIncremental(
+      ev((9L, 9L, "view", 100L)), E.emptyTransitionState(spark),
+      tsUs = col("t"))
+    val (d3, _) = E.transitionMatrixIncremental(
+      ev((10L, 9L, "view", 50L)), s2, tsUs = col("t"))
+    val err = intercept[Exception] { d3.collect() }
+    assert(err.getMessage.contains("time-partitioned"))
+  }
+
   test("retention triangle: cohort by first day, offsets count distinct days") {
     val d = 86400000000L
     val events = ev(
