@@ -222,6 +222,41 @@ object EventAnalytics {
         StructField("last_ts", LongType))))
   }
 
+  /** Daily/rolling active users: for every UTC day with activity, the
+    * distinct-user count that day (DAU) and over the trailing
+    * `windowDays` window (WAU), plus the stickiness ratio DAU/WAU — the
+    * engagement headline next to [[retentionCohorts]]. Exact distinct
+    * counts, not sketches.
+    *
+    * Scale shape: a sliding COUNT DISTINCT has no single-pass window
+    * form, so each (user, day) activity row fans out to the `windowDays`
+    * window-END days it supports — a bounded ×windowDays explode of the
+    * already-day-deduped table (far smaller than events) — and each end
+    * day counts its distinct supporters map-side. Two user-keyed
+    * distincts + one day-keyed count; nothing corpus-sized. */
+  def activeUsers(events: DataFrame, tsUs: Column, windowDays: Int = 7,
+                  userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1, s"activeUsers: windowDays=$windowDays")
+    import org.apache.spark.sql.functions.broadcast
+    val days = graft.CacheBarriers.barrier(events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .select(col(userCol).as("__u"),
+        expr("ts_us DIV 86400000000L").as("day"))
+      .distinct())
+    val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("__u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(broadcast(wau), Seq("day"))
+      .withColumn("stickiness_micro",
+        expr("dau * 1000000L DIV greatest(wau, 1L)"))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
+  }
+
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
     * fstep_{n-1}`, each (user, t). Chain them into the report with
     * scalar `count(*)` subqueries. */

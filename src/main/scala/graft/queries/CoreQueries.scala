@@ -1013,6 +1013,34 @@ object CoreQueries extends QueryFamily {
           |FROM c JOIN t ON c.from_type = t.from_type
           |ORDER BY c.from_type, c.to_type""".stripMargin)),
 
+    // ── DAU / trailing-7-day WAU with stickiness: the sliding distinct
+    //    has no window form, so each (user, day) activity supports its
+    //    7 window-end days via a bounded explode — exact counts. ────────
+    QueryDef.sorted(
+      "q156_active_users",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.activeUsers(ev,
+          tsUs = graft.source.EventLog.tsUsOf(ev))
+      },
+      _.orderBy("day"),
+      Some(
+        """WITH d AS (
+          |  SELECT DISTINCT user_id AS u,
+          |         epoch_us(ts) // 86400000000 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+          |w AS (SELECT DISTINCT u, day + ux AS day
+          |      FROM d, (SELECT unnest(range(0, 7)) AS ux) t),
+          |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+          |SELECT CAST(dau.day AS BIGINT) AS day,
+          |       CAST(dau.dau AS BIGINT) AS dau,
+          |       CAST(wau.wau AS BIGINT) AS wau,
+          |       CAST(dau.dau * 1000000 // greatest(wau.wau, 1) AS BIGINT)
+          |         AS stickiness_micro
+          |FROM dau JOIN wau ON dau.day = wau.day
+          |ORDER BY day""".stripMargin)),
+
     // ── In-session funnel (operator composition): sessionize at a 24 h
     //    gap, then run the conversion funnel with the (user, session)
     //    composite as the funnel key — steps must complete INSIDE one

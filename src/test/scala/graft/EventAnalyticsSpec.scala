@@ -110,6 +110,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("time-partitioned"))
   }
 
+  test("active users: the trailing window counts distinct supporters once") {
+    import org.apache.spark.sql.functions.col
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 10L), // u1 day 0 (once)
+      (3L, 2L, "view", 0L), // u2 day 0
+      (4L, 1L, "view", d), // u1 day 1
+      (5L, 3L, "view", 9 * d)) // u3 day 9 — outside day 1's window
+    val out = graft.operators.EventAnalytics.activeUsers(events,
+        tsUs = col("t"), windowDays = 7).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Long]("stickiness_micro")))).toMap
+    assert(out(0L) === ((2L, 2L, 1000000L)))
+    assert(out(1L) === ((1L, 2L, 500000L))) // u1 active, u2 still in window
+    assert(out(9L) === ((1L, 1L, 1000000L)))
+  }
+
   test("retention triangle: cohort by first day, offsets count distinct days") {
     val d = 86400000000L
     val events = ev(
