@@ -165,7 +165,17 @@ object Dedup {
     val signed = graft.CacheBarriers.barrier(
       withSignature(docs, textCol, shingleN)
         .select(col(idCol).as("doc_id"), col("sh"), col("bkeys")))
-    candidatePairs(signed, maxBucketSize = maxBucketSize)
+    containmentVerify(
+      candidatePairs(signed, maxBucketSize = maxBucketSize), signed,
+      minContainMicro)
+  }
+
+  /** Exact-containment verification over candidate (id_a, id_b) pairs
+    * and a (doc_id, sh) shingle frame — the one assembly both
+    * containment candidate generators share. */
+  private def containmentVerify(cand: DataFrame, signed: DataFrame,
+                                minContainMicro: Long): DataFrame =
+    cand
       .join(signed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(signed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
@@ -181,6 +191,47 @@ object Dedup {
         col("b_in_a_micro") >= minContainMicro)
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
         col("n_b"), col("a_in_b_micro"), col("b_in_a_micro"))
+
+  /** [[containmentPairs]] with EXACT-SUBSTRING candidates from the span
+    * family — closing the Jaccard-recall caveat: a low-Jaccard quote
+    * page shares its k-word windows with the original VERBATIM, so the
+    * positional-gram table surfaces the pair deterministically where
+    * minhash banding only does so when a band survives. Candidates are
+    * doc pairs sharing a duplicated k-gram; `maxGramDocs` is the
+    * quadratic-gram cap (a boilerplate gram in thousands of docs would
+    * fan to millions of pairs — the bucket-cap discipline at gram
+    * granularity: capped grams are shed deterministically, and genuine
+    * containment pairs almost always share RARER grams too).
+    * Verification is the same exact shingle containment.
+    *
+    * Scale shape: the span family's one gram-keyed exchange (the
+    * widest key is the 8-byte hash), the capped per-gram self-join,
+    * then two id-keyed verify joins — no all-pairs anywhere. */
+  def containmentPairsFromSpans(docs: DataFrame, k: Int = 8,
+                                minContainMicro: Long = 900000L,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                shingleN: Int = 3,
+                                maxGramDocs: Int = 32): DataFrame = {
+    require(maxGramDocs >= 2,
+      s"maxGramDocs=$maxGramDocs: below 2 no gram can pair at all")
+    val (_, pos) = spanBaseAndPositions(docs, k, idCol, textCol)
+    val docGrams = graft.CacheBarriers.barrier(
+      pos.select(col("doc_id"), col("g")).distinct())
+    val okGrams = docGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxGramDocs)
+      .select(col("g"))
+    val dg = docGrams.join(okGrams, Seq("g"), "left_semi")
+    val cand = dg.alias("a")
+      .join(dg.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val signed = graft.CacheBarriers.barrier(
+      withSignature(docs, textCol, shingleN)
+        .select(col(idCol).as("doc_id"), col("sh")))
+    containmentVerify(cand, signed, minContainMicro)
   }
 
   /** MinHash estimator audit — the q135 discipline applied to the

@@ -4009,6 +4009,62 @@ object LlmQueries extends QueryFamily {
            |                inter * 1000000 // greatest(uni, 1)) AS BIGINT) AS err_micro
            |FROM aud ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── Containment via the span census (q150's recall caveat closed):
+    //    same prefix-quote corpus, but candidates come from shared
+    //    duplicated 8-grams — exact-substring evidence that surfaces
+    //    every prefix pair deterministically, where q150's minhash
+    //    banding needs a band to survive at Jaccard ≈ 0.6. ──────────────
+    QueryDef.sorted(
+      "q157_containment_spans",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").filter(col("text").isNotNull))
+        val pref = docs.filter(col("doc_id") % 8 === 0)
+          .withColumn("ws0", words(col("text")))
+          .select((col("doc_id") + 800000).as("doc_id"),
+            expr("array_join(slice(ws0, 1, greatest(size(ws0) * 3 DIV 5, 1)), ' ')")
+              .as("text"))
+        Dedup.containmentPairsFromSpans(docs.unionByName(pref))
+          .select(col("id_a").cast("long"), col("id_b").cast("long"),
+            col("inter").cast("long"), col("n_a").cast("long"),
+            col("n_b").cast("long"), col("a_in_b_micro"),
+            col("b_in_a_micro"))
+      },
+      _.orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id + 800000,
+           |         array_to_string(list_slice(${W("text")}, 1,
+           |           greatest(len(${W("text")}) * 3 // 5, 1)), ' ')
+           |  FROM documents WHERE doc_id % 8 = 0 AND text IS NOT NULL),
+           |${Dedup.sqlDupSpanCtes("corpus", 8, 0.5)},
+           |dg AS (SELECT DISTINCT doc_id, g FROM spanpos),
+           |okg AS (SELECT g FROM dg GROUP BY g
+           |        HAVING count(*) BETWEEN 2 AND 32),
+           |spancand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  WHERE a.g IN (SELECT g FROM okg)),
+           |csh AS (SELECT doc_id, ${TextHash.sqlShingles("w", 3)} AS sh
+           |        FROM (SELECT doc_id, ${W("text")} AS w FROM corpus)),
+           |cont AS (
+           |  SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+           |         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+           |  FROM spancand
+           |  JOIN csh sa ON sa.doc_id = spancand.id_a
+           |  JOIN csh sb ON sb.doc_id = spancand.id_b)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |       CAST(inter AS BIGINT) AS inter, CAST(n_a AS BIGINT) AS n_a,
+           |       CAST(n_b AS BIGINT) AS n_b,
+           |       CAST(inter * 1000000 // greatest(n_a, 1) AS BIGINT) AS a_in_b_micro,
+           |       CAST(inter * 1000000 // greatest(n_b, 1) AS BIGINT) AS b_in_a_micro
+           |FROM cont
+           |WHERE inter * 1000000 // greatest(n_a, 1) >= 900000
+           |   OR inter * 1000000 // greatest(n_b, 1) >= 900000
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── Incremental DSIR (q129's daily-ingest shape): the raw-corpus
     //    bucket census persists; a new batch's census folds in by pure
     //    addition and the batch scores against the MERGED raw census and

@@ -57,6 +57,26 @@ class DupMatrixSpec extends AnyFunSuite {
     assert(r.getAs[Long]("err_micro") === 0L)
   }
 
+  test("span-census candidates surface a low-Jaccard quote page surely") {
+    import spark.implicits._
+    // 30-word original, 12-word prefix quote (Jaccard ≈ 0.36 — the
+    // banded path may or may not surface it; the span path MUST)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, quote)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsFromSpans(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("b_in_a_micro") === 1000000L)
+    // a gram shared by MORE than maxGramDocs docs is shed wholesale
+    val many = (1L to 5L).map(i => (i, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairsFromSpans(many, maxGramDocs = 4)
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsFromSpans(docs, maxGramDocs = 1)
+    }
+  }
+
   test("a duplicate-free corpus yields an empty matrix") {
     import spark.implicits._
     val docs = Seq((1L, "p", "a"), (2L, "q", "a"), (3L, "r", "b"))
