@@ -42,6 +42,31 @@ object Bench {
     // recorded number must be a median to be a usable artifact. Override
     // to 1 for quick local loops, 5 for A/B attribution.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+
+    // Contention sentinel: host load before/after plus the ratio of
+    // executor-CPU-seconds to wall-seconds over the timed pass. The
+    // round-9 artifact was recorded on a contended host (judge-isolated
+    // re-runs reproduced round-8 times exactly, 2-17× below the
+    // artifact), and nothing in the artifact made that diagnosable. Now
+    // it is: a healthy local[32] run keeps loadavg near/below the core
+    // count and cpu/wall well above 1; a contaminated run shows loadavg
+    // >> cores while cpu/wall collapses (threads exist but aren't
+    // scheduled). Best-effort — /proc/loadavg is Linux-only.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Exception => "n/a" }
+    val loadBefore = loadavg()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+
+    val timedWallNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val results = names.map { name =>
       val times = (1 to repeat).map { _ =>
         // Isolate queries from each other: drop persisted frames left by
@@ -54,7 +79,9 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         runToNoop(name)
-        (System.nanoTime() - t0) / 1e9
+        val dt = System.nanoTime() - t0
+        timedWallNs.addAndGet(dt)
+        dt / 1e9
       }.sorted
       val med = times(times.length / 2)
       // One short JSONL line per query, flushed as it completes: the
@@ -66,23 +93,45 @@ object Bench {
       Console.flush()
       name -> med
     }
-    // The aggregate map line must fit the driver's artifact-capture
-    // window (~3 KB: round 7's full-name 9-decimal map exceeded it and
-    // the artifact recorded parsed:null). Two length levers: keys are
-    // the short qNN prefix (the contract's own example uses "q1":sec;
-    // full names remain in the per-query JSONL lines above) and values
-    // round to milliseconds — ~1.4 KB at 104 queries, safely inside the
-    // window with headroom for suite growth.
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (math.round(v * 1000) / 1000.0)
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The per-query map is emitted as FIXED <=1KB "part" lines, each an
+    // independently parseable JSON object carrying its slice of queries —
+    // the round-9 artifact proved a single aggregate line cannot survive
+    // the driver's capture window at 150+ queries (front-truncated, 11
+    // queries' values lost; round 7 lost the whole map the same way).
+    // Keys are the short qNN prefix (full names remain in the per-query
+    // JSONL lines above); values round to milliseconds.
+    val entries = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (math.round(v * 1000) / 1000.0)
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    var len = 0
+    for (e <- entries) {
+      if (len + e.length + 1 > 800 && cur.nonEmpty) {
+        parts += cur.mkString(","); cur = scala.collection.mutable.ArrayBuffer[String](); len = 0
+      }
+      cur += e; len += e.length + 1
+    }
+    if (cur.nonEmpty) parts += cur.mkString(",")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"qmap","part":${i + 1},"parts":${parts.length},"queries":{$p}}""")
+    }
+
     // Emit a compact headline line on BOTH sides of the map so any
     // one-sided truncation still preserves {total, n} (round 5 lost the
-    // leading total when the head was cut).
-    val headline = s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","sf":"$sfDir"}"""
+    // leading total when the head was cut). The headline carries the
+    // contention sentinel: loadavg at start/end and executor-CPU vs wall.
+    val wall = timedWallNs.get() / 1e9 // true wall across ALL timed runs
+    val cpuSec = cpuNs.get() / 1e9     // executor CPU over the same span
+    val sentinel =
+      s""""load_before":"$loadBefore","load_after":"${loadavg()}",""" +
+        s""""cpu_sec":${math.round(cpuSec * 10) / 10.0},"cpu_per_wall":${math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0}"""
+    val headline = s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","sf":"$sfDir",$sentinel}"""
     println(headline)
-    println(s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full single-line map stays for human eyes / local runs (it is
+    // NOT the artifact of record — the part lines above are).
+    println(s"""{"metric":"total","value":$total,"n":${results.length},"unit":"sec","queries":{${entries.mkString(",")}},"sf":"$sfDir"}""")
     println(headline)
     spark.stop()
   }

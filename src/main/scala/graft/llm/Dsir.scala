@@ -58,7 +58,8 @@ object Dsir {
                       rawCensus: DataFrame): DataFrame = {
     val tot = targetCensus
       .agg(coalesce(sum(col("n")), lit(0L)).as("__T"))
-      .crossJoin(rawCensus.agg(coalesce(sum(col("n")), lit(0L)).as("__R")))
+      .crossJoin(broadcast(
+        rawCensus.agg(coalesce(sum(col("n")), lit(0L)).as("__R"))))
     targetCensus.select(col("b"), col("n").as("__tn"))
       .join(rawCensus.select(col("b"), col("n").as("__rn")),
         Seq("b"), "full_outer")
@@ -76,7 +77,8 @@ object Dsir {
   private def oovRatio(targetCensus: DataFrame,
                        rawCensus: DataFrame): DataFrame =
     targetCensus.agg(coalesce(sum(col("n")), lit(0L)).as("__T"))
-      .crossJoin(rawCensus.agg(coalesce(sum(col("n")), lit(0L)).as("__R")))
+      .crossJoin(broadcast(
+        rawCensus.agg(coalesce(sum(col("n")), lit(0L)).as("__R"))))
       .select(
         (floor(lit(1e6) * log(lit(1.0) / (col("__T") + B))) -
           floor(lit(1e6) * log(lit(1.0) / (col("__R") + B))))

@@ -112,11 +112,17 @@ object Pii {
       .withColumn("__cc", valid)
       .withColumn("n_ccs", size(col("__cc")))
       .withColumn("redacted_cc",
-        // literal (non-regex) replace in both engines; candidates are
-        // digits/dashes/spaces, and a number appearing twice redacts at
-        // both sites in the one fold step
+        // redact at MATCHED SITES only: each candidate re-anchors in \b
+        // so a valid 13-digit prefix inside a 17-digit serial (a run the
+        // \b-guarded CcRe deliberately skipped) is never rewritten — a
+        // literal replace(acc, c, …) here corrupted exactly that case.
+        // Candidates are digits/dash/space, so the pattern needs no
+        // escaping; a number appearing twice redacts at both sites via
+        // the regex's global replace, and sites can never be adjacent
+        // (adjacent digit runs would have merged past CcRe's \b).
         aggregate(col("__cc"), col(textCol),
-          (acc, c) => replace(acc, c, lit(CcToken))))
+          (acc, c) => regexp_replace(acc,
+            concat(lit("\\b"), c, lit("\\b")), lit(CcToken))))
       .drop("__cc")
   }
 
@@ -140,5 +146,6 @@ object Pii {
   def sqlCcCounts(e: String): Seq[String] = Seq(
     s"CAST(len(${sqlCcValidList(e)}) AS INT) AS n_ccs",
     s"list_reduce(list_prepend($e, ${sqlCcValidList(e)}), " +
-      s"(acc, c) -> replace(acc, c, '$CcToken')) AS redacted_cc")
+      s"(acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', " +
+      s"'$CcToken', 'g')) AS redacted_cc")
 }

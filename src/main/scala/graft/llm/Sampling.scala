@@ -4,8 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** One candidate flowing into the per-stratum bounded keep-k. */
-final case class KeepCand(stratum: String, h: Long, id: Long)
+/** One candidate flowing into the per-stratum bounded keep-k. The id is
+  * the STRING form — the file's id convention (the hash is already of the
+  * string form): a `cast("long")` here NULLed non-numeric string ids
+  * (encoder failure or an empty sample) and truncated decimal ids into
+  * semi-join collisions. Hash ties break by string order, and the SQL
+  * twin orders by the same CAST(id AS VARCHAR). */
+final case class KeepCand(stratum: String, h: Long, id: String)
 
 /** Keep-k buffer: ascending (h, then id), length ≤ k. */
 final case class KeepBuf(items: Seq[KeepCand])
@@ -16,7 +21,7 @@ final case class KeepBuf(items: Seq[KeepCand])
 final class KeepKSmallest(k: Int)
     extends Aggregator[KeepCand, KeepBuf, KeepBuf] {
   private def beats(a: KeepCand, b: KeepCand): Boolean =
-    a.h < b.h || (a.h == b.h && a.id < b.id)
+    a.h < b.h || (a.h == b.h && a.id.compareTo(b.id) < 0)
 
   override def zero: KeepBuf = KeepBuf(Nil)
 
@@ -328,7 +333,8 @@ object Sampling {
   val TopKSalt = "graft-topk|"
 
   /** Exactly min(k, n_s) documents per stratum, chosen by the salted-hash
-    * order (ties to the lower id) — the eval-set construction move:
+    * order (ties to the lower STRING form of the id — the file's id
+    * convention, exact for any id type) — the eval-set construction move:
     * rate-based sampling ([[stratifiedSample]]) cannot promise an exact
     * count, and `orderBy(rand()).limit(k)` is neither replayable nor
     * scalable. Membership is a pure function of the id set: stable
@@ -353,16 +359,19 @@ object Sampling {
     import spark.implicits._
     val kept = docs
       .filter(col(strataCol).isNotNull)
+      // the id rides as its STRING form throughout — hash, tie-break,
+      // and semi-join key — so non-numeric and decimal ids sample
+      // correctly (a long cast NULLed the former and collided the latter)
       .select(col(strataCol).cast("string").as("stratum"),
         TextHash.h32p(concat(lit(TopKSalt), col(idCol).cast("string")))
           .as("h"),
-        col(idCol).cast("long").as("id"))
+        col(idCol).cast("string").as("id"))
       .as[KeepCand]
       .groupByKey(_.stratum)
       .agg(new KeepKSmallest(k).toColumn)
       .flatMap { case (_, buf) => buf.items.map(_.id) }
       .toDF("__keep_id")
-    docs.join(kept, col(idCol).cast("long") === col("__keep_id"),
+    docs.join(kept, col(idCol).cast("string") === col("__keep_id"),
       "left_semi")
   }
 
@@ -375,7 +384,7 @@ object Sampling {
                           idCol: String): String =
     s"""SELECT * FROM (
        |  SELECT t.*, row_number() OVER (PARTITION BY $strataCol
-       |    ORDER BY ${TextHash.sqlH32p(s"concat('$TopKSalt', CAST($idCol AS VARCHAR))")}, $idCol) AS __rk
+       |    ORDER BY ${TextHash.sqlH32p(s"concat('$TopKSalt', CAST($idCol AS VARCHAR))")}, CAST($idCol AS VARCHAR)) AS __rk
        |  FROM $table t WHERE $strataCol IS NOT NULL)
        |WHERE __rk <= $k""".stripMargin
   /** SQL: the percent bucket over an id expression. */

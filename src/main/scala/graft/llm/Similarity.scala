@@ -758,8 +758,12 @@ object Similarity {
     * paraphrase leak the text-overlap family cannot see. Every corpus
     * row reports its NEAREST eval vector (cos DESC, id ASC tie-break)
     * and the flag is `cos_scaled ≥ ⌊minCos·10⁶⌋`; rows with no valid
-    * cosine (broken/zero-norm, quarantined by [[collectCentroids]] /
-    * the scan's cleanVec) report NULLs and `contaminated = false`.
+    * cosine (broken/zero-norm/wrong-dimension, quarantined by
+    * [[collectCentroids]] / the scan's cleanVec + length guard) report
+    * NULLs and `contaminated = false`. The space's dimension is the eval
+    * set's own (all eval vectors must agree — loud require), so a corpus
+    * vector of any other length quarantines instead of computing a
+    * truncated, meaningless cosine.
     *
     * Scale shape: the eval set is control-plane-sized BY CONTRACT (an
     * eval benchmark, not a corpus — loud `maxEval` guard), broadcast
@@ -780,6 +784,11 @@ object Similarity {
     require(evals.length <= maxEval,
       s"semanticDecontaminate: ${evals.length} eval vectors exceed " +
         s"maxEval=$maxEval — the eval side must be benchmark-sized")
+    val dims = evals.map(_.vec.length).distinct
+    require(dims.length == 1,
+      s"semanticDecontaminate: eval vectors disagree on dimension " +
+        s"(${dims.sorted.mkString(", ")}) — one embedding space only")
+    val dim = dims.head
     val bc = corpus.sparkSession.sparkContext.broadcast(evals)
     val minScaled = math.floor(minCos * 1e6).toLong
     val nearestU = udf { (arr: Array[Double]) =>
@@ -804,7 +813,12 @@ object Similarity {
       }
     }
     corpus
-      .select(col(idCol), cleanVec(col(vecCol)).as("__v"))
+      .select(col(idCol), cleanVec(col(vecCol)).as("__v0"))
+      // wrong-dimension vectors quarantine exactly like broken ones —
+      // a truncated dot against a different-length eval vector is not a
+      // cosine (every sibling operator carries the same size === dim gate)
+      .select(col(idCol),
+        when(size(col("__v0")) === dim, col("__v0")).as("__v"))
       .withColumn("__m", nearestU(col("__v")))
       .select(col(idCol),
         when(col("__m._1") =!= Long.MinValue, col("__m._1")).as("eval_id"),

@@ -152,12 +152,17 @@ object EventAnalytics {
     * the boundary-crossing pair (a user's last event of the previous
     * batch → first event of this one) is stitched through a per-user
     * last-event state, exactly [[Sessionize.sessionStatsIncremental]]'s
-    * contract one notch simpler (state is 3 columns, the stitch is one
-    * join). Batches must be time-partitioned per user (enforced by the
-    * same row-lazy raise_error). Returns (this batch's transition-count
-    * DELTA — fold into the running census by addition; new last-event
-    * state). Identity: deltas summed over b1…bn equal the full-union
-    * counts exactly, so q155's oracle is q151's restricted to nothing. */
+    * contract one notch simpler (state is 4 columns, the stitch is one
+    * join). Batches must be time-partitioned per user in the SAME
+    * (ts, tie) lexicographic order the full window sorts by — a batch
+    * event at the persisted ts whose tie orders it BEFORE the persisted
+    * event would reorder the full-corpus window, so it raises exactly
+    * like an earlier ts does (the state persists last_tie for this; a
+    * later tie at the same ts is a legal tie-split and pairs normally).
+    * Returns (this batch's transition-count DELTA — fold into the
+    * running census by addition; new last-event state). Identity: deltas
+    * summed over b1…bn equal the full-union counts exactly, so q155's
+    * oracle is q151's restricted to nothing. */
   def transitionMatrixIncremental(newEvents: DataFrame, lastState: DataFrame,
                                   tsUs: Column,
                                   userCol: String = "user_id",
@@ -177,17 +182,27 @@ object EventAnalytics {
       .withColumn("__last",
         max(col("__rn")).over(Window.partitionBy(col(userCol)))))
     val open = lastState.select(col(userCol),
-      col("last_type").as("__lt"), col("last_ts").as("__lts"))
+      col("last_type").as("__lt"), col("last_ts").as("__lts"),
+      col("last_tie").as("__ltie"))
     // boundary stitch: the user's FIRST batch event pairs with the
     // persisted last event — with the time-partitioning contract checked
+    // in the full window's own (ts, tie) lexicographic order, so a
+    // boundary ts-tie whose tie would order the batch event FIRST raises
+    // instead of silently producing pairs the full-corpus window wouldn't
     val firsts = base.filter(col("__rn") === 1)
       .join(open, Seq(userCol), "left")
       .withColumn("__from2",
-        when(col("__lts").isNotNull && col("ts_us") < col("__lts"),
+        when(col("__lts").isNotNull &&
+            (col("ts_us") < col("__lts") ||
+              (col("ts_us") === col("__lts") &&
+                col("__tie") < col("__ltie"))),
           raise_error(concat(
-            lit("transitionMatrixIncremental: batch event at "),
-            col("ts_us").cast("string"), lit(" precedes persisted last "),
-            col("__lts").cast("string"), lit(" for user "),
+            lit("transitionMatrixIncremental: batch event at ("),
+            col("ts_us").cast("string"), lit(","),
+            col("__tie").cast("string"),
+            lit(") precedes persisted last ("),
+            col("__lts").cast("string"), lit(","),
+            col("__ltie").cast("string"), lit(") for user "),
             col(userCol).cast("string"),
             lit(" — batches must be time-partitioned per user"))))
           .otherwise(col("__lt")))
@@ -200,7 +215,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
     val newOpen = base.filter(col("__rn") === col("__last"))
       .select(col(userCol), col("__ty").as("last_type"),
-        col("ts_us").as("last_ts"))
+        col("ts_us").as("last_ts"), col("__tie").as("last_tie"))
     val carried = lastState.join(
       base.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
     (delta, carried.unionByName(newOpen))
@@ -211,15 +226,21 @@ object EventAnalytics {
     a.unionByName(b).groupBy(col("from_type"), col("to_type"))
       .agg(sum(col("n")).as("n"))
 
-  /** Empty last-event state for [[transitionMatrixIncremental]]. */
+  /** Empty last-event state for [[transitionMatrixIncremental]].
+    * `tieType` must match the tie column's runtime type (event_id here
+    * defaults long) — the boundary-order check compares them directly. */
   def emptyTransitionState(spark: org.apache.spark.sql.SparkSession,
-                           userCol: String = "user_id"): DataFrame = {
+                           userCol: String = "user_id",
+                           tieType: org.apache.spark.sql.types.DataType =
+                             org.apache.spark.sql.types.LongType)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField(userCol, LongType),
         StructField("last_type", StringType),
-        StructField("last_ts", LongType))))
+        StructField("last_ts", LongType),
+        StructField("last_tie", tieType))))
   }
 
   /** Daily/rolling active users: for every UTC day with activity, the

@@ -108,6 +108,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ev((10L, 9L, "view", 50L)), s2, tsUs = col("t"))
     val err = intercept[Exception] { d3.collect() }
     assert(err.getMessage.contains("time-partitioned"))
+    // a boundary ts TIE whose event_id orders the batch event AFTER the
+    // persisted one is a legal split and pairs through the state …
+    val (d4, _) = E.transitionMatrixIncremental(
+      ev((11L, 9L, "click", 100L)), s2, tsUs = col("t"))
+    val ok = d4.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2))).toSet
+    assert(ok === Set(("view", "click", 1L)))
+    // … but one whose event_id orders it BEFORE would reorder the full
+    // window's (ts, tie) sort and must raise, not silently mis-pair
+    val (d5, _) = E.transitionMatrixIncremental(
+      ev((3L, 9L, "click", 100L)), s2, tsUs = col("t"))
+    val err2 = intercept[Exception] { d5.collect() }
+    assert(err2.getMessage.contains("time-partitioned"))
   }
 
   test("active users: the trailing window counts distinct supporters once") {

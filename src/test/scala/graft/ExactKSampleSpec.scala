@@ -45,6 +45,23 @@ class ExactKSampleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("string ids sample exactly — no long cast to NULL or collide them") {
+    import spark.implicits._
+    // non-numeric ids, plus decimal ids that a cast("long") would have
+    // truncated onto each other ("7.1" and "7.9" → 7) — membership must
+    // key on the string form end to end
+    val sdocs = (Seq("alpha", "beta", "gamma", "delta") ++
+      Seq("7.1", "7.9", "8.5"))
+      .zipWithIndex.map { case (id, i) => (id, s"s${i % 2}") }
+      .toDF("doc_id", "source")
+    val kept = Sampling.exactKPerStratum(sdocs, 2, "doc_id",
+      idCol = "doc_id")
+    assert(kept.count() === 7L) // each id is its own stratum → all kept
+    val by2 = Sampling.exactKPerStratum(sdocs, 2, "source")
+    assert(by2.count() === 4L)  // exactly 2 per stratum, none NULLed away
+    assert(by2.select("doc_id").distinct().count() === 4L)
+  }
+
   test("NULL strata are excluded; k < 1 fails fast") {
     import spark.implicits._
     val withNull = docs.unionByName(

@@ -31,6 +31,16 @@ class PiiCcSpec extends AnyFunSuite {
     assert(out(5L) === ((0, "serial 41111111111111112 stays")))
   }
 
+  test("a matched card inside a longer digit run is NOT rewritten") {
+    // the serial embeds the valid 13-digit card as a prefix; CcRe never
+    // matched inside the run, so redaction must not touch it either —
+    // a literal substring replace corrupted exactly this text
+    val out = run(
+      1L -> "card 4222222222222 ok serial 42222222222225678 stays")
+    assert(out(1L)._1 === 1)
+    assert(out(1L)._2 === "card <CC> ok serial 42222222222225678 stays")
+  }
+
   test("a repeated valid card redacts at every site") {
     val out = run(1L -> "4111111111111111 and 4111111111111111")
     // the extract finds two candidates; the literal fold replaces both

@@ -19,7 +19,9 @@ class SemanticDecontamScanSpec extends AnyFunSuite {
       (1L, Seq(2.0, 0.0, 0.0)), // cos 1 with eval 10 → flagged
       (2L, Seq(1.0, 1.0, 0.0)), // cos ~0.707 to both → nearest 10, clean
       (3L, Seq(0.0, 0.0, 0.0)), // zero-norm: NaN everywhere → NULLs
-      (4L, null.asInstanceOf[Seq[Double]]))
+      (4L, null.asInstanceOf[Seq[Double]]),
+      (5L, Seq(2.0, 0.0)),      // wrong dim: would fake cos 1 truncated
+      (6L, Seq(2.0, 0.0, 0.0, 0.0))) // wrong dim the other way
       .toDF("vec_id", "embedding")
     val out = Similarity.semanticDecontaminate(corpus, evalSet,
         minCos = 0.95).collect()
@@ -30,6 +32,19 @@ class SemanticDecontamScanSpec extends AnyFunSuite {
     assert(out(2L)._3 === false)
     assert(out(3L) === ((None, None, false)))
     assert(out(4L) === ((None, None, false)))
+    // wrong-dimension vectors quarantine — no truncated-dot false flag
+    assert(out(5L) === ((None, None, false)))
+    assert(out(6L) === ((None, None, false)))
+  }
+
+  test("mixed-dimension eval set fails fast") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val mixed = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.5)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, mixed, 0.9)
+    }
   }
 
   test("empty eval set and oversized eval set fail fast") {
