@@ -153,6 +153,82 @@ object Bpe {
       .drop("__bt")
   }
 
+  /** Re-derive segmentation for ARBITRARY words by replaying the trained
+    * rank-ordered merge list — the tokenizer APPLY step every deployment
+    * ships next to the merge table: char-split on the same `[a-z0-9]`
+    * core as training ([[initSyms]]'s split, so characters outside the
+    * core are dropped identically), then each merge applies greedily
+    * left-to-right in rank order — exactly what training did round by
+    * round, so on census words the replay reproduces the trained
+    * segmentation IDENTICALLY (BpeSpec pins the identity), and on words
+    * the census never saw it produces the segmentation the trained
+    * tokenizer would emit — the exact count [[withBpeTokens]]'s
+    * character-count fallback only bounds.
+    *
+    * The per-word merge loop is a compiled per-row scan (the justified
+    * per-row-walk class of [[applyMergeU]]): O(|merges|·|word|) per
+    * word, vocabulary work applied to a words frame — at 100 TB the
+    * frame is the distinct unseen-word set (census-class cardinality),
+    * never the corpus. Returns `words` with a `syms` column. */
+  def segmentWithMerges(words: DataFrame, merges: Seq[BpeMerge],
+                        wordCol: String = "w"): DataFrame = {
+    val ms = merges.sortBy(_.rank).map(m => (m.a, m.b)).toArray
+    val core = "[a-z0-9]".r
+    val replayU = udf { (w: String) =>
+      if (w == null) null
+      else {
+        var syms: Array[String] = core.findAllIn(w).toArray
+        var mi = 0
+        while (mi < ms.length) {
+          val (a, b) = ms(mi)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b
+              i += 2
+            } else {
+              out += syms(i)
+              i += 1
+            }
+          }
+          syms = out.toArray
+          mi += 1
+        }
+        syms.toSeq
+      }
+    }
+    words.withColumn("syms", replayU(col(wordCol)))
+  }
+
+  /** [[withBpeTokens]] with the fallback made EXACT: words outside the
+    * shipped lookup table re-derive their subword count by replaying the
+    * merge list ([[segmentWithMerges]]) instead of bounding it by
+    * character count. The replay runs over the DISTINCT missing words
+    * only — census-class cardinality, never the corpus — and characters
+    * outside the `[a-z0-9]` core contribute 0 (training's own split),
+    * where the old fallback counted them; that is the conservative
+    * bound this variant exists to remove. Wordless docs count 0. */
+  def withBpeTokensReplay(docs: DataFrame, segCounts: DataFrame,
+                          merges: Seq[BpeMerge],
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val wp = graft.CacheBarriers.barrier(docs.select(col(idCol),
+      explode(TextHash.words(col(textCol))).as("w")))
+    val missing = wp.select(col("w")).distinct()
+      .join(segCounts.select(col("w")), Seq("w"), "left_anti")
+    val replayed = segmentWithMerges(missing, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    val full = segCounts.select(col("w"), col("n_sub"))
+      .unionByName(replayed)
+    val counted = wp.join(full, Seq("w"), "left")
+      .select(col(idCol), coalesce(col("n_sub"), lit(0L)).as("__t"))
+      .groupBy(col(idCol)).agg(sum(col("__t")).as("__bt"))
+    docs.join(counted, Seq(idCol), "left")
+      .withColumn("bpe_tokens", coalesce(col("__bt"), lit(0L)))
+      .drop("__bt")
+  }
+
   /** Tokenizer coverage card — per source: how much of the corpus the
     * trained vocabulary table actually covers, and what the
     * character-count fallback costs. An old tokenizer scoring a new
@@ -229,38 +305,42 @@ object Bpe {
 
   // ── DuckDB twin ───────────────────────────────────────────────────────
 
-  /** The merge-application CTE block for round `r`: segmentation
-    * `bps${r-1}(w, n, syms)` + pick `bpt$r(a, b, cnt)` →
-    * `bps$r(w, n, syms)`. Greedy non-overlap as gaps-and-islands:
+  /** The merge-application CTE block for round `r` over segmentation
+    * prefix `p`: `$p${r-1}(w, n, syms)` + pick `bpt$r(a, b, cnt)` →
+    * `$p$r(w, n, syms)`. Greedy non-overlap as gaps-and-islands:
     * positions matching (a, b) group into runs of consecutive j; a merge
     * STARTS at the odd row_numbers of each run (run offsets 0, 2, …);
     * position j+1 of a start is consumed. The LEFT JOIN ON true keeps
-    * the frame alive when the pick is empty (training exhausted). */
-  private def sqlStep(r: Int): String = {
-    val prev = s"bps${r - 1}"
-    s"""bpx$r AS MATERIALIZED (SELECT s.w, s.n, s.syms, t.a, t.b
+    * the frame alive when the pick is empty (training exhausted).
+    * Parameterizing the prefix lets [[sqlApplyCtes]] replay the SAME
+    * application against a different word set (the apply chain) without
+    * colliding with the training chain's names. */
+  private def sqlStepOn(p: String, r: Int): String = {
+    val prev = s"$p${r - 1}"
+    s"""${p}x$r AS MATERIALIZED (SELECT s.w, s.n, s.syms, t.a, t.b
        |          FROM $prev s LEFT JOIN bpt$r t ON true),
-       |bpp$r AS MATERIALIZED (SELECT w, n, a, b, j, syms[j] AS s,
+       |${p}p$r AS MATERIALIZED (SELECT w, n, a, b, j, syms[j] AS s,
        |                 (a IS NOT NULL AND syms[j] = a
        |                  AND j < len(syms) AND syms[j+1] = b) AS m
-       |          FROM bpx$r, unnest(range(1, len(syms) + 1)) AS u(j)),
-       |bpg$r AS MATERIALIZED (SELECT w, j,
+       |          FROM ${p}x$r, unnest(range(1, len(syms) + 1)) AS u(j)),
+       |${p}g$r AS MATERIALIZED (SELECT w, j,
        |                 j - row_number() OVER (PARTITION BY w ORDER BY j) AS grp
-       |          FROM bpp$r WHERE m),
-       |bpst$r AS MATERIALIZED (SELECT w, j FROM (
+       |          FROM ${p}p$r WHERE m),
+       |${p}st$r AS MATERIALIZED (SELECT w, j FROM (
        |             SELECT w, j, row_number() OVER (PARTITION BY w, grp
        |                                             ORDER BY j) AS rn
-       |             FROM bpg$r) WHERE rn % 2 = 1),
-       |bpn$r AS MATERIALIZED (SELECT p.w, p.n, p.j,
+       |             FROM ${p}g$r) WHERE rn % 2 = 1),
+       |${p}n$r AS MATERIALIZED (SELECT p.w, p.n, p.j,
        |                 CASE WHEN st.j IS NOT NULL THEN p.a || p.b
        |                      ELSE p.s END AS s
-       |          FROM bpp$r p
-       |          LEFT JOIN bpst$r st ON p.w = st.w AND p.j = st.j
-       |          LEFT JOIN bpst$r cons ON p.w = cons.w AND p.j = cons.j + 1
+       |          FROM ${p}p$r p
+       |          LEFT JOIN ${p}st$r st ON p.w = st.w AND p.j = st.j
+       |          LEFT JOIN ${p}st$r cons ON p.w = cons.w AND p.j = cons.j + 1
        |          WHERE cons.j IS NULL),
-       |bps$r AS MATERIALIZED (SELECT w, n, list(s ORDER BY j) AS syms
-       |          FROM bpn$r GROUP BY w, n)""".stripMargin
+       |$p$r AS MATERIALIZED (SELECT w, n, list(s ORDER BY j) AS syms
+       |          FROM ${p}n$r GROUP BY w, n)""".stripMargin
   }
+  private def sqlStep(r: Int): String = sqlStepOn("bps", r)
 
   /** The pair census + pick for round `r` over `bps${r-1}`. */
   private def sqlPick(r: Int): String = {
@@ -270,6 +350,19 @@ object Bpe {
        |          GROUP BY 1, 2),
        |bpt$r AS MATERIALIZED (SELECT a, b, cnt FROM bpc$r
        |          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+  }
+
+  /** Application replay over an arbitrary word CTE `wordsSrc(w)`: the
+    * SQL twin of [[segmentWithMerges]] — char-split each word on the
+    * training core, then run the SAME per-round gaps-and-islands apply
+    * against the training chain's picks `bpt1 … bpt$k` (so this block
+    * must be spliced AFTER [[sqlTrainCtes]]). Ends with the applied
+    * segmentation `aps$k(w, n, syms)`. */
+  def sqlApplyCtes(wordsSrc: String, k: Int): String = {
+    val rounds = (1 to k).map(r => sqlStepOn("aps", r)).mkString(",\n")
+    s"""aps0 AS MATERIALIZED (SELECT w, 1 AS n,
+       |          regexp_extract_all(w, '[a-z0-9]') AS syms FROM $wordsSrc),
+       |$rounds""".stripMargin
   }
 
   /** Full training replay over a `(doc_id, text)` CTE `src`: word

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * the STRING form — the file's id convention (the hash is already of the
   * string form): a `cast("long")` here NULLed non-numeric string ids
   * (encoder failure or an empty sample) and truncated decimal ids into
-  * semi-join collisions. Hash ties break by string order, and the SQL
+  * semi-join collisions. Hash ties break by UTF-8 BYTE order — DuckDB's
+  * binary VARCHAR collation — not Java's UTF-16 `compareTo`, whose
+  * code-unit order diverges for ids mixing supplementary-plane
+  * characters (surrogates 0xD800+) with BMP chars ≥ U+E000; the SQL
   * twin orders by the same CAST(id AS VARCHAR). */
 final case class KeepCand(stratum: String, h: Long, id: String)
 
@@ -20,8 +23,21 @@ final case class KeepBuf(items: Seq[KeepCand])
   * partition to ≤ k candidates per stratum before the shuffle. */
 final class KeepKSmallest(k: Int)
     extends Aggregator[KeepCand, KeepBuf, KeepBuf] {
+  // UTF-8 byte order == code-point order; only computed on a 32-bit hash
+  // tie, so the per-compare encode never rides the hot path
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+      i += 1
+    }
+    x.length < y.length
+  }
   private def beats(a: KeepCand, b: KeepCand): Boolean =
-    a.h < b.h || (a.h == b.h && a.id.compareTo(b.id) < 0)
+    a.h < b.h || (a.h == b.h && utf8Less(a.id, b.id))
 
   override def zero: KeepBuf = KeepBuf(Nil)
 

@@ -915,6 +915,42 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Parameterization selector over an [[lshRecallReportTiers]] ladder —
+    * the decision step the recall audit exists to feed: given the
+    * measured (tier, recall, candidate-cost) rows and a target recall,
+    * pick the CHEAPEST parameterization that meets the target
+    * (`n_cand` is the price column — candidate pairs are what the
+    * verify stage pays for). Returns exactly one row: the winning
+    * tier's ladder columns plus `met_target`; when NO tier meets the
+    * target the highest-recall tier returns with `met_target = false`
+    * (the deployment still needs an answer — the flag says "retrain
+    * your banding", the row says which knob got closest).
+    *
+    * Selection order, fully deterministic and mirrored by the SQL twin:
+    * met-target first; among qualifiers ascending `n_cand` (cheapest),
+    * then descending `recall_micro`, then ascending `tier`; among
+    * non-qualifiers the same keys minus the n_cand priority (recall
+    * first). The ladder is tiers-cardinality (config-sized), so the
+    * one global sort here orders a handful of rows. */
+  def selectLshConfig(ladder: DataFrame,
+                      targetRecallMicro: Long): DataFrame = {
+    require(targetRecallMicro >= 0 && targetRecallMicro <= 1000000L,
+      s"selectLshConfig: targetRecallMicro=$targetRecallMicro out of " +
+        "[0, 1000000]")
+    ladder
+      .withColumn("met_target",
+        col("recall_micro") >= targetRecallMicro)
+      .orderBy(col("met_target").desc,
+        when(col("met_target"), col("n_cand"))
+          .otherwise(lit(Long.MaxValue)).asc,
+        col("recall_micro").desc, col("n_cand").asc, col("tier").asc)
+      .limit(1)
+      .withColumn("target_recall_micro", lit(targetRecallMicro))
+      .select(col("tier"), col("n_cand"), col("recall_micro"),
+        col("precision_micro"), col("met_target"),
+        col("target_recall_micro"))
+  }
+
   /** Per-label centroid outlier scoring: every vector's cosine to the
     * mean vector of its label group, with vectors below `minCos` flagged
     * — the embedding-space anomaly signal a curation pipeline uses to

@@ -155,10 +155,14 @@ object EventAnalytics {
     * contract one notch simpler (state is 4 columns, the stitch is one
     * join). Batches must be time-partitioned per user in the SAME
     * (ts, tie) lexicographic order the full window sorts by — a batch
-    * event at the persisted ts whose tie orders it BEFORE the persisted
-    * event would reorder the full-corpus window, so it raises exactly
-    * like an earlier ts does (the state persists last_tie for this; a
-    * later tie at the same ts is a legal tie-split and pairs normally).
+    * event at the persisted ts whose tie orders it AT OR BEFORE the
+    * persisted event raises exactly like an earlier ts does (the state
+    * persists last_tie for this; a later tie at the same ts is a legal
+    * tie-split and pairs normally). Equality raises too: an exactly
+    * duplicated (ts, tie) across batches would make the full window's
+    * order of the duplicates nondeterministic, so the incremental/full
+    * identity could not be guaranteed for it — (ts, tie) must be unique
+    * per user, which `event_id` ties give by construction.
     * Returns (this batch's transition-count DELTA — fold into the
     * running census by addition; new last-event state). Identity: deltas
     * summed over b1…bn equal the full-union counts exactly, so q155's
@@ -195,12 +199,12 @@ object EventAnalytics {
         when(col("__lts").isNotNull &&
             (col("ts_us") < col("__lts") ||
               (col("ts_us") === col("__lts") &&
-                col("__tie") < col("__ltie"))),
+                col("__tie") <= col("__ltie"))),
           raise_error(concat(
             lit("transitionMatrixIncremental: batch event at ("),
             col("ts_us").cast("string"), lit(","),
             col("__tie").cast("string"),
-            lit(") precedes persisted last ("),
+            lit(") does not strictly follow persisted last ("),
             col("__lts").cast("string"), lit(","),
             col("__ltie").cast("string"), lit(") for user "),
             col(userCol).cast("string"),
@@ -276,6 +280,111 @@ object EventAnalytics {
       .withColumn("stickiness_micro",
         expr("dau * 1000000L DIV greatest(wau, 1L)"))
       .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
+  }
+
+  /** Incremental [[activeUsers]] — the run-over-run ingest shape for the
+    * DAU/WAU report, completing the event family's incremental set
+    * (sessions, transitions, and now active users). The state is the
+    * distinct (user, day) activity table — the minimal sufficient
+    * statistic for a sliding COUNT DISTINCT (per-day counts cannot merge
+    * across batches without losing distinctness) — and it folds by SET
+    * UNION, so unlike the transition state it is ORDER-FREE: batches
+    * need no time-partitioning contract, late events just add pairs.
+    *
+    * Returns (report delta, new state): the delta re-derives the
+    * (day, dau, wau, stickiness) rows for every day the batch's NOVEL
+    * pairs can influence — the pair's own day for DAU, the `windowDays`
+    * window-end days it supports for WAU — restricted to days that have
+    * activity in the folded state (the report's own row condition).
+    * Fold: day-keyed upsert ([[mergeActiveReport]], delta wins).
+    * Identity: folding batches b1…bn gives [[activeUsers]] of the full
+    * union exactly, in any batch order — q158's oracle is q156's.
+    *
+    * Scale shape: the batch distinct is batch-sized; the novelty check
+    * is one user-keyed anti-join against the state; affected days are a
+    * bounded ×windowDays explode of the NOVEL pairs (tiny), and the
+    * recompute is [[activeUsers]]'s own two aggregations over the state
+    * semi-join-pruned to affected days BEFORE the distinct. The state is
+    * user×day cardinality — the bucketed layout
+    * ([[graft.streaming.StreamingActiveUsers]]) keeps its rewrite
+    * touched-buckets-only, like the session state's. */
+  def activeUsersIncremental(newEvents: DataFrame, state: DataFrame,
+                             tsUs: Column, windowDays: Int = 7,
+                             userCol: String = "user_id")
+      : (DataFrame, DataFrame) = {
+    require(windowDays >= 1, s"activeUsersIncremental: $windowDays")
+    val (delta, fresh) = activeUsersDeltaFrom(
+      activityPairs(newEvents, tsUs, userCol), state, windowDays)
+    (delta, graft.CacheBarriers.barrier(state.unionByName(fresh)))
+  }
+
+  /** The batch's distinct (user, day) activity pairs — [[activeUsers]]'s
+    * own first step, shared by the incremental and bucketed folds. */
+  private[graft] def activityPairs(events: DataFrame, tsUs: Column,
+                                   userCol: String = "user_id")
+      : DataFrame =
+    events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .select(col(userCol).as("__u"),
+        expr("ts_us DIV 86400000000L").as("day"))
+      .distinct()
+
+  /** The delta core over a state SLICE: `stateSlice` must contain every
+    * persisted pair whose day lies within `windowDays − 1` of any batch
+    * day (the full state trivially qualifies; the bucketed fold passes
+    * the day-range-pruned union — WAU at day d reads only (d−w, d], so
+    * the slice premise bounds exactly what the recompute can touch).
+    * Returns (report delta for every affected day, the batch's NOVEL
+    * pairs). */
+  private[graft] def activeUsersDeltaFrom(batchPairs: DataFrame,
+                                          stateSlice: DataFrame,
+                                          windowDays: Int)
+      : (DataFrame, DataFrame) = {
+    val fresh = graft.CacheBarriers.barrier(
+      batchPairs.join(stateSlice, Seq("__u", "day"), "left_anti"))
+    val folded = graft.CacheBarriers.barrier(
+      stateSlice.unionByName(fresh))
+    // a novel pair at day D changes DAU(D) and WAU(D … D+w−1); report
+    // rows exist only for days with activity, so intersect with the
+    // folded day set
+    val affected = fresh
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"))
+      .distinct()
+      .join(folded.select(col("day")).distinct(), Seq("day"),
+        "left_semi")
+    val dau = folded.join(affected, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = folded
+      .select(col("__u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .join(affected, Seq("day"), "left_semi")
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val delta = dau.join(broadcast(wau), Seq("day"))
+      .withColumn("stickiness_micro",
+        expr("dau * 1000000L DIV greatest(wau, 1L)"))
+      .select(col("day"), col("dau"), col("wau"),
+        col("stickiness_micro"))
+    (delta, fresh)
+  }
+
+  /** Fold an [[activeUsersIncremental]] report delta into the running
+    * report — day-keyed upsert, the delta's recomputed rows win. */
+  def mergeActiveReport(report: DataFrame, delta: DataFrame): DataFrame =
+    report.join(delta.select(col("day")), Seq("day"), "left_anti")
+      .unionByName(delta)
+
+  /** Empty (user, day) activity state for [[activeUsersIncremental]]. */
+  def emptyActiveState(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__u", LongType),
+        StructField("day", LongType))))
   }
 
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …

@@ -1041,6 +1041,88 @@ object CoreQueries extends QueryFamily {
           |FROM dau JOIN wau ON dau.day = wau.day
           |ORDER BY day""".stripMargin)),
 
+    // ── Incremental DAU/WAU (q156's log-ingest shape): three batches
+    //    fold their distinct (user, day) pairs through the order-free
+    //    set-union state; each delta re-derives the affected days'
+    //    report rows, day-keyed upserts compose them, and the result
+    //    must equal the full-log report EXACTLY — q156's oracle reused
+    //    verbatim. The batches deliberately fold out of time order:
+    //    unlike the session/transition states, set union carries no
+    //    time-partitioning contract, and the query exercises that. ──────
+    QueryDef.sorted(
+      "q158_active_users_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val E = EventAnalytics
+        // middle slice FIRST — order-freedom is part of the contract
+        val (d1, st1) = E.activeUsersIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2),
+          E.emptyActiveState(s), col("__t"))
+        val (d2, st2) = E.activeUsersIncremental(
+          withTs.filter(col("__t") < cut1), st1, col("__t"))
+        val (d3, _) = E.activeUsersIncremental(
+          withTs.filter(col("__t") >= cut2), st2, col("__t"))
+        E.mergeActiveReport(E.mergeActiveReport(d1, d2), d3)
+      },
+      _.orderBy("day"),
+      Some(
+        """WITH d AS (
+          |  SELECT DISTINCT user_id AS u,
+          |         epoch_us(ts) // 86400000000 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+          |w AS (SELECT DISTINCT u, day + ux AS day
+          |      FROM d, (SELECT unnest(range(0, 7)) AS ux) t),
+          |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+          |SELECT CAST(dau.day AS BIGINT) AS day,
+          |       CAST(dau.dau AS BIGINT) AS dau,
+          |       CAST(wau.wau AS BIGINT) AS wau,
+          |       CAST(dau.dau * 1000000 // greatest(wau.wau, 1) AS BIGINT)
+          |         AS stickiness_micro
+          |FROM dau JOIN wau ON dau.day = wau.day
+          |ORDER BY day""".stripMargin)),
+
+    // ── Tight-window funnel (q142's withinUs arm driven into deep
+    //    attrition): a 6-hour conversion window collapses the chain —
+    //    at sf0.01 the purchase step reaches ZERO users — so the
+    //    zero-previous-step division guards (greatest(n, 1)) and the
+    //    empty-step-frame joins get a cross-engine row, which q142's
+    //    3-day window (105/79/55 survivors) never exercises. ────────────
+    QueryDef.sorted(
+      "q160_funnel_tight_window",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.funnel(ev,
+          Seq("signup", "view", "click", "purchase"),
+          tsUs = graft.source.EventLog.tsUsOf(ev),
+          withinUs = Some(21600000000L))
+      },
+      _.orderBy("step_idx"),
+      Some {
+        val steps = Seq("signup", "view", "click", "purchase")
+        val rep = steps.zipWithIndex.map { case (st, i) =>
+          val prev = if (i == 0) "fstep_0" else s"fstep_${i - 1}"
+          s"SELECT $i AS step_idx, '$st' AS step, " +
+            s"(SELECT count(*) FROM fstep_$i) AS n_users, " +
+            s"(SELECT count(*) FROM $prev) AS np"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH ${EventAnalytics.sqlFunnelCtes("events", steps,
+            withinUs = Some(21600000000L))},
+           |rep AS (
+           |  $rep)
+           |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           |       CAST(n_users AS BIGINT) AS n_users,
+           |       CAST(n_users * 1000000 //
+           |            greatest((SELECT count(*) FROM fstep_0), 1) AS BIGINT)
+           |         AS conv_total_micro,
+           |       CAST(n_users * 1000000 // greatest(np, 1) AS BIGINT)
+           |         AS conv_step_micro
+           |FROM rep ORDER BY step_idx""".stripMargin
+      }),
+
     // ── In-session funnel (operator composition): sessionize at a 24 h
     //    gap, then run the conversion funnel with the (user, session)
     //    composite as the funnel key — steps must complete INSIDE one

@@ -4371,6 +4371,151 @@ object LlmQueries extends QueryFamily {
            |  SELECT doc_id + $DupOffset, source || '_b2', lang, text
            |  FROM documents WHERE doc_id % 7 = 0),
            |$sqlDatasheetCtes
-           |$sqlDatasheetSelect""".stripMargin))
+           |$sqlDatasheetSelect""".stripMargin)),
+
+    // ── LSH parameterization selector (the decision step q135's ladder
+    //    feeds): sweep the same (bands × probes) tier family over a
+    //    halved corpus, then pick the CHEAPEST tier meeting a 95 %
+    //    recall target — n_cand is the price the verify stage pays.
+    //    Both engines replay ladder AND argmin, so the hash match pins
+    //    the selection rule itself, not just the ladder. ────────────────
+    QueryDef.sorted(
+      "q159_lsh_config_select",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val near = e.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 4, x + 0.05d).otherwise(x)).as("v"))
+        val edge = e.filter(col("vec_id") % 25 === 5)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
+        val corpus = e.unionByName(near).unionByName(edge)
+        val ladder = Similarity.lshRecallReportTiers(corpus, Seq(
+            "a_bands4" -> Similarity.signLshNearDupPairs(corpus,
+              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+              bands = 4),
+            "b_bands4_probe2" -> Similarity.multiProbeSignLshPairs(corpus,
+              minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
+              vecCol = "v", bands = 4),
+            "c_bands8" -> Similarity.signLshNearDupPairs(corpus,
+              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+              bands = 8)),
+          minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+          samplePred = col("vec_id") % 4 === 0)
+        Similarity.selectLshConfig(ladder, targetRecallMicro = 950000L)
+      },
+      _.orderBy("tier"),
+      Some {
+        val pcos = Similarity.sqlCosine("a.v", "b.v", 64)
+        val bits = Similarity.sqlSignBits("v", 64, 64)
+        val k4 = Similarity.sqlSignBandKeys("bits", 64, 4)
+        val k4p2 = Similarity.sqlSignProbeKeys("bits", 64, 4, 2)
+        val k8 = Similarity.sqlSignBandKeys("bits", 64, 8)
+        def tier(name: String, keys: String, nKeys: Int): String =
+          s"""rows_$name AS (SELECT vec_id, unnest($keys) AS band_key,
+             |               unnest(range(0, $nKeys)) AS band_idx FROM bk),
+             |cand_$name AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM rows_$name a JOIN rows_$name b
+             |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |           AND a.vec_id < b.vec_id),
+             |ver_$name AS (SELECT id_a, id_b FROM cand_$name c
+             |         JOIN bk a ON c.id_a = a.vec_id
+             |         JOIN bk b ON c.id_b = b.vec_id
+             |         WHERE NOT isnan($pcos) AND $pcos >= 0.95),
+             |vs_$name AS (SELECT id_a, id_b FROM ver_$name
+             |         WHERE id_a IN (SELECT vec_id FROM samp)
+             |           AND id_b IN (SELECT vec_id FROM samp))""".stripMargin
+        def repRow(label: String, name: String): String =
+          s"""SELECT '$label' AS tier,
+             |       (SELECT count(*) FROM gt) AS n_true,
+             |       (SELECT count(*) FROM vs_$name) AS n_cand,
+             |       (SELECT count(*) FROM vs_$name JOIN gt USING (id_a, id_b)) AS n_hit""".stripMargin
+        s"""WITH base AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v
+           |              FROM embeddings WHERE vec_id % 2 = 0),
+           |corpus0 AS (
+           |  SELECT vec_id, v FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 4 THEN x + 0.05 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 200000,
+           |         list_transform(v, (x, i) -> CASE WHEN i - 1 < 10 THEN x + 0.1 ELSE x END)
+           |  FROM base WHERE vec_id % 25 = 5),
+           |corpus AS (SELECT vec_id, v FROM corpus0
+           |           WHERE ${Similarity.sqlVecOk("v", 64)}),
+           |sb AS (SELECT vec_id, v, $bits AS bits FROM corpus),
+           |bk AS (SELECT vec_id, v, $k4 AS keys4, $k4p2 AS keys4p2,
+           |              $k8 AS keys8 FROM sb),
+           |samp AS (SELECT vec_id, v FROM corpus WHERE vec_id % 4 = 0),
+           |gt AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |       FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+           |       WHERE NOT isnan($pcos) AND $pcos >= 0.95),
+           |${tier("b4", "keys4", 4)},
+           |${tier("b4p2", "keys4p2", 8)},
+           |${tier("b8", "keys8", 8)},
+           |rep AS (
+           |  ${repRow("a_bands4", "b4")}
+           |  UNION ALL
+           |  ${repRow("b_bands4_probe2", "b4p2")}
+           |  UNION ALL
+           |  ${repRow("c_bands8", "b8")}),
+           |repm AS (SELECT tier, n_cand,
+           |                n_hit * 1000000 // greatest(n_true, 1) AS recall_micro,
+           |                n_hit * 1000000 // greatest(n_cand, 1) AS precision_micro
+           |         FROM rep),
+           |sel AS (SELECT tier, n_cand, recall_micro, precision_micro,
+           |               recall_micro >= 950000 AS met_target
+           |        FROM repm
+           |        ORDER BY met_target DESC,
+           |                 CASE WHEN met_target THEN n_cand
+           |                      ELSE 9223372036854775807 END ASC,
+           |                 recall_micro DESC, n_cand ASC, tier ASC
+           |        LIMIT 1)
+           |SELECT tier, CAST(n_cand AS BIGINT) AS n_cand,
+           |       CAST(recall_micro AS BIGINT) AS recall_micro,
+           |       CAST(precision_micro AS BIGINT) AS precision_micro,
+           |       met_target,
+           |       CAST(950000 AS BIGINT) AS target_recall_micro
+           |FROM sel""".stripMargin
+      }),
+
+    // ── BPE merge-table REPLAY (the apply step a tokenizer ships):
+    //    re-derive segmentation for a word set by replaying the trained
+    //    rank-ordered merges — census words AND 'zq'-suffixed variants
+    //    the census never saw, where the shipped lookup table has no
+    //    row and q123's character-count fallback only bounds. Both
+    //    engines replay training and application, so the hash match
+    //    pins the greedy rank-ordered apply itself. ─────────────────────
+    QueryDef.sorted(
+      "q161_bpe_merge_replay",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val census = Bpe.wordCensus(docs)
+        val (merges, _) = Bpe.train(census, nMerges = 8)
+        val base = census.select(col("w"))
+          .filter(length(col("w")) % 5 === 3)
+        val applySet = base
+          .unionByName(base.select(concat(col("w"), lit("zq")).as("w")))
+          .distinct()
+        Bpe.segmentWithMerges(applySet, merges)
+          .select(col("w"), array_join(col("syms"), " ").as("seg"),
+            size(col("syms")).cast("long").as("n_sub"))
+      },
+      _.orderBy("w"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |wsel AS MATERIALIZED (SELECT w FROM bpw WHERE length(w) % 5 = 3),
+           |wapp AS MATERIALIZED (SELECT DISTINCT w FROM (
+           |          SELECT w FROM wsel
+           |          UNION ALL SELECT w || 'zq' FROM wsel)),
+           |${Bpe.sqlApplyCtes("wapp", 8)}
+           |SELECT w, array_to_string(syms, ' ') AS seg,
+           |       CAST(len(syms) AS BIGINT) AS n_sub
+           |FROM aps8 ORDER BY w""".stripMargin))
   )
 }

@@ -94,6 +94,48 @@ class BpeSpec extends AnyFunSuite {
     assert(viaDisk === viaMem)
   }
 
+  test("merge replay reproduces the trained segmentation on census words") {
+    import spark.implicits._
+    val census = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("aaaa", 1L)).toDF("w", "n")
+    val (merges, syms) = Bpe.train(census, nMerges = 6)
+    val trained = syms.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val replayed = Bpe.segmentWithMerges(census.select("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(replayed === trained) // incl. the same-symbol 'aaaa' runs
+  }
+
+  test("merge replay segments words the census never saw") {
+    import spark.implicits._
+    val census = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "n")
+    val (merges, _) = Bpe.train(census, nMerges = 4)
+    // merges: (e,s) (es,t) (l,o) (lo,w) — 'slowest' never trained, but
+    // the rank-ordered replay fuses es→est and l-o-w all the same
+    val out = Bpe.segmentWithMerges(
+        Seq("slowest", "can't", "---").toDF("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("slowest") === Seq("s", "low", "est"))
+    assert(out("can't") === Seq("c", "a", "n", "t")) // training's core split
+    assert(out("---") === Seq.empty) // no core chars at all
+  }
+
+  test("replay-exact tokenization counts unseen words by their true segmentation") {
+    import spark.implicits._
+    val census = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "n")
+    val (merges, syms) = Bpe.train(census, nMerges = 4)
+    val docs = Seq(
+      (1L, "low lower"),   // on-table: 1 + 3, same as withBpeTokens
+      (2L, "slowest cat!") // replay: 3 ('s low est') + 3 — NOT length 7+4
+    ).toDF("doc_id", "text")
+    val toks = Bpe.withBpeTokensReplay(docs, Bpe.segmentCounts(syms),
+        merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(toks === Map(1L -> 4L, 2L -> 6L))
+  }
+
   test("symbol census reports the weighted subword vocabulary") {
     import spark.implicits._
     val census = Seq(("ab", 2L), ("b", 3L)).toDF("w", "n")

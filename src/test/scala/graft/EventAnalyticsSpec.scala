@@ -121,6 +121,13 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ev((3L, 9L, "click", 100L)), s2, tsUs = col("t"))
     val err2 = intercept[Exception] { d5.collect() }
     assert(err2.getMessage.contains("time-partitioned"))
+    // an EXACTLY duplicated (ts, tie) raises too: the full window's
+    // order of exact duplicates is nondeterministic, so the
+    // incremental/full identity cannot be guaranteed for that input
+    val (d6, _) = E.transitionMatrixIncremental(
+      ev((9L, 9L, "click", 100L)), s2, tsUs = col("t"))
+    val err3 = intercept[Exception] { d6.collect() }
+    assert(err3.getMessage.contains("time-partitioned"))
   }
 
   test("active users: the trailing window counts distinct supporters once") {
@@ -139,6 +146,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(0L) === ((2L, 2L, 1000000L)))
     assert(out(1L) === ((1L, 2L, 500000L))) // u1 active, u2 still in window
     assert(out(9L) === ((1L, 1L, 1000000L)))
+  }
+
+  test("incremental active users: out-of-order folds upsert to the full report") {
+    import org.apache.spark.sql.functions.col
+    val E = graft.operators.EventAnalytics
+    val d = 86400000000L
+    val all = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 10L), // u1 day 0 (dup pair)
+      (3L, 2L, "view", 0L), // u2 day 0
+      (4L, 1L, "view", d), // u1 day 1
+      (5L, 3L, "view", 2 * d), // u3 day 2
+      (6L, 3L, "view", 9 * d)) // u3 day 9
+    val full = E.activeUsers(all, tsUs = col("t"), windowDays = 3)
+      .collect().map(_.toSeq).toSet
+    // fold middle, then earliest, then latest — set union is order-free
+    val slices = Seq(
+      all.filter(col("t") >= d && col("t") < 3 * d),
+      all.filter(col("t") < d),
+      all.filter(col("t") >= 3 * d))
+    val (report, state) = slices.foldLeft(
+      (E.activeUsers(all.limit(0), tsUs = col("t"), windowDays = 3),
+        E.emptyActiveState(spark))) { case ((rep, st), batch) =>
+      val (delta, st2) = E.activeUsersIncremental(batch, st, col("t"),
+        windowDays = 3)
+      (E.mergeActiveReport(rep, delta), st2)
+    }
+    assert(report.collect().map(_.toSeq).toSet === full)
+    // the folded state is exactly the distinct (user, day) table
+    assert(state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 0L), (2L, 0L), (1L, 1L), (3L, 2L), (3L, 9L)))
+    // a replayed (duplicate) batch is absorbed: no novel pairs, empty delta
+    val (dDup, stDup) = E.activeUsersIncremental(slices.head, state,
+      col("t"), windowDays = 3)
+    assert(dDup.count() === 0L)
+    assert(stDup.count() === state.count())
   }
 
   test("retention triangle: cohort by first day, offsets count distinct days") {

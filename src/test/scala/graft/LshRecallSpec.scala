@@ -62,6 +62,50 @@ class LshRecallSpec extends AnyFunSuite {
     assert(e.getMessage.contains("samplePred"))
   }
 
+  private def ladder(rows: (String, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("tier", "n_cand", "recall_micro", "precision_micro")
+      .withColumn("n_sample", lit(10L)).withColumn("n_true", lit(10L))
+      .withColumn("n_hit", lit(10L))
+  }
+
+  test("config selector: the cheapest tier meeting the target wins") {
+    val lad = ladder(
+      ("t_wide", 500L, 990000L, 100000L),
+      ("t_cheap", 100L, 960000L, 400000L),
+      ("t_coarse", 50L, 800000L, 900000L))
+    val out = Similarity.selectLshConfig(lad, 950000L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("tier") === "t_cheap") // not t_wide
+    assert(out.head.getAs[Boolean]("met_target"))
+    assert(out.head.getAs[Long]("target_recall_micro") === 950000L)
+  }
+
+  test("config selector: no qualifier → highest recall, flagged unmet") {
+    val lad = ladder(
+      ("t_a", 500L, 900000L, 100000L),
+      ("t_b", 100L, 940000L, 400000L))
+    val out = Similarity.selectLshConfig(lad, 950000L).collect().head
+    assert(out.getAs[String]("tier") === "t_b")
+    assert(!out.getAs[Boolean]("met_target"))
+  }
+
+  test("config selector: n_cand ties break by recall then tier name") {
+    val lad = ladder(
+      ("t_b", 100L, 970000L, 400000L),
+      ("t_a", 100L, 970000L, 400000L),
+      ("t_hi", 100L, 990000L, 400000L))
+    val out = Similarity.selectLshConfig(lad, 950000L).collect().head
+    assert(out.getAs[String]("tier") === "t_hi") // recall beats name
+    val out2 = Similarity.selectLshConfig(
+      ladder(("t_b", 100L, 970000L, 1L), ("t_a", 100L, 970000L, 2L)),
+      950000L).collect().head
+    assert(out2.getAs[String]("tier") === "t_a")
+    intercept[IllegalArgumentException] {
+      Similarity.selectLshConfig(lad, 1000001L)
+    }
+  }
+
   test("a real tier audits its own analytic recall trade") {
     // sign-LSH over the 4 vectors: the exact-dup pair must be recovered
     // (identical bits land in every band) — recall 10⁶ on this corpus

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+import graft.streaming.{StreamingActiveUsers, StreamingTransition}
+
+/** Durable twins of the incremental event artifacts: the transition
+  * census/state chains and the DAU/WAU report/state chains must fold
+  * batches to the full-log answers, absorb replays, and (in bucketed
+  * form) rewrite only touched buckets. */
+class StreamingTransitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(rows: (Long, Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "t")
+  }
+
+  // 40 events, 5 users, 4 types; ts strictly increasing per user so any
+  // ts-cut batching is time-partitioned per user
+  private def allEvents = ev((0 until 40).map { i =>
+    val u = (i % 5).toLong
+    val ty = Seq("view", "click", "buy", "view")(i % 4)
+    (i.toLong, u, ty, i.toLong * 10L)
+  }: _*)
+
+  private def fullCounts = EventAnalytics.transitionMatrix(allEvents,
+      tsUs = col("t")).select("from_type", "to_type", "n")
+    .collect().map(_.toSeq).toSet
+
+  test("global chains: folded census equals the full matrix; replays absorb") {
+    val stateDir = Files.createTempDirectory("graft-st-state").toString
+    val censusDir = Files.createTempDirectory("graft-st-census").toString
+    val cuts = Seq(0L -> 130L, 130L -> 250L, 250L -> 9999L)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingTransition.foldBatch(
+        allEvents.filter(col("t") >= lo && col("t") < hi), i.toLong,
+        stateDir, censusDir, df => col("t"))
+    }
+    val census = StreamingTransition.latestCensus(spark, censusDir).get
+    assert(census.collect().map(_.toSeq).toSet === fullCounts)
+    // crash replay of the last batch: recomputed from predecessors
+    StreamingTransition.foldBatch(
+      allEvents.filter(col("t") >= 250L), 2L, stateDir, censusDir,
+      df => col("t"))
+    val census2 = StreamingTransition.latestCensus(spark, censusDir).get
+    assert(census2.collect().map(_.toSeq).toSet === fullCounts)
+    // the state holds each user's true last event
+    val st = StreamingTransition.latestState(spark, stateDir).get
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(st === Map(0L -> 350L, 1L -> 360L, 2L -> 370L, 3L -> 380L,
+      4L -> 390L))
+  }
+
+  test("bucketed state: same census, only touched buckets rewritten") {
+    val stateDir = Files.createTempDirectory("graft-stb-state").toString
+    val censusDir = Files.createTempDirectory("graft-stb-census").toString
+    StreamingTransition.foldBatchBucketed(
+      allEvents.filter(col("t") < 200L), 0L, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    // batch 1 touches ONE user → at most one bucket gains a v1
+    StreamingTransition.foldBatchBucketed(
+      ev((100L, 2L, "buy", 1000L)), 1L, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    val root = new java.io.File(stateDir)
+    val withV1 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v1").exists())
+    assert(withV1 === 1)
+    // fold the rest; census must equal the full matrix
+    StreamingTransition.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(
+        !(col("user_id") === 2L)), 2L, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    // user 2's remaining events continue past the 1000-ts interleave
+    StreamingTransition.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(col("user_id") === 2L)
+        .withColumn("t", col("t") + 2000L), 3L, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    val fullShift = EventAnalytics.transitionMatrix(
+        allEvents.filter(!(col("user_id") === 2L && col("t") >= 200L))
+          .unionByName(ev((100L, 2L, "buy", 1000L)))
+          .unionByName(allEvents
+            .filter(col("user_id") === 2L && col("t") >= 200L)
+            .withColumn("t", col("t") + 2000L)),
+        tsUs = col("t")).select("from_type", "to_type", "n")
+      .collect().map(_.toSeq).toSet
+    val census = StreamingTransition.latestCensus(spark, censusDir).get
+    assert(census.collect().map(_.toSeq).toSet === fullShift)
+    // replay of batch 3 is idempotent
+    StreamingTransition.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(col("user_id") === 2L)
+        .withColumn("t", col("t") + 2000L), 3L, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    assert(StreamingTransition.latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === fullShift)
+  }
+
+  test("active-users chains: out-of-order folds upsert to the full report") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 2L, "view", 5L), // day 0
+      (3L, 1L, "view", d), // day 1
+      (4L, 3L, "view", 2 * d), // day 2
+      (5L, 3L, "view", 9 * d)) // day 9
+    val want = EventAnalytics.activeUsers(events, tsUs = col("t"),
+      windowDays = 3).collect().map(_.toSeq).toSet
+    val stateDir = Files.createTempDirectory("graft-au-state").toString
+    val reportDir = Files.createTempDirectory("graft-au-rep").toString
+    // middle slice first — the set-union state carries no ordering contract
+    Seq(
+      events.filter(col("t") >= d && col("t") < 3 * d),
+      events.filter(col("t") < d),
+      events.filter(col("t") >= 3 * d)).zipWithIndex.foreach {
+      case (b, i) =>
+        StreamingActiveUsers.foldBatch(b, i.toLong, stateDir, reportDir,
+          df => col("t"), windowDays = 3)
+    }
+    val rep = StreamingActiveUsers.latestReport(spark, reportDir).get
+    assert(rep.collect().map(_.toSeq).toSet === want)
+    // crash replay of the last batch: recomputed from predecessors
+    StreamingActiveUsers.foldBatch(events.filter(col("t") >= 3 * d), 2L,
+      stateDir, reportDir, df => col("t"), windowDays = 3)
+    assert(StreamingActiveUsers.latestReport(spark, reportDir).get
+      .collect().map(_.toSeq).toSet === want)
+  }
+
+  test("bucketed active-users state: day buckets prune, replays absorb") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 2L, "view", 5L), // day 0
+      (3L, 1L, "view", d), // day 1
+      (4L, 3L, "view", 2 * d), // day 2
+      (5L, 3L, "view", 40 * d)) // day 40 — far from the rest
+    val want = EventAnalytics.activeUsers(events, tsUs = col("t"),
+      windowDays = 3).collect().map(_.toSeq).toSet
+    val stateDir = Files.createTempDirectory("graft-aub-state").toString
+    val reportDir = Files.createTempDirectory("graft-aub-rep").toString
+    StreamingActiveUsers.foldBatchBucketed(
+      events.filter(col("t") < 3 * d), 0L, stateDir, reportDir,
+      df => col("t"), windowDays = 3, numBuckets = 8)
+    // batch 1: one novel pair on ONE day → at most one bucket gains v1
+    StreamingActiveUsers.foldBatchBucketed(
+      events.filter(col("t") >= 3 * d), 1L, stateDir, reportDir,
+      df => col("t"), windowDays = 3, numBuckets = 8)
+    val root = new java.io.File(stateDir)
+    val withV1 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v1").exists())
+    assert(withV1 === 1)
+    val rep = StreamingActiveUsers.latestReport(spark, reportDir).get
+    assert(rep.collect().map(_.toSeq).toSet === want)
+    // replay of batch 1: no novel pairs → no bucket v2, report unchanged
+    StreamingActiveUsers.foldBatchBucketed(
+      events.filter(col("t") >= 3 * d), 2L, stateDir, reportDir,
+      df => col("t"), windowDays = 3, numBuckets = 8)
+    val withV2 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v2").exists())
+    assert(withV2 === 0)
+    assert(StreamingActiveUsers.latestReport(spark, reportDir).get
+      .collect().map(_.toSeq).toSet === want)
+    // the folded bucketed state is the full distinct (user, day) table
+    val st = StreamingActiveUsers.latestStateBucketed(spark, stateDir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st === Set((1L, 0L), (2L, 0L), (1L, 1L), (3L, 2L), (3L, 40L)))
+  }
+}
