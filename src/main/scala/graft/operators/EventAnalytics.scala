@@ -112,6 +112,233 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Incremental [[funnel]] — per-user step-completion state folded one
+    * batch at a time. The state row is (user, m_0 … m_{k−1}, last_ts):
+    * m_i is the user's earliest completion time of step i under the
+    * chain-and-window rules, and the fold is exact because each m_i can
+    * only transition null → set, never move: batches must be
+    * time-partitioned per user with STRICTLY increasing ts (stricter
+    * than the transition fold's (ts, tie) order — the funnel's
+    * at-or-after `>=` convention makes an equal-ts event from an
+    * EARLIER batch retroactively eligible the moment a later batch sets
+    * m_{i−1} to that ts, which no per-user state can repair; the
+    * row-lazy raise_error enforces strictness). Within a batch the
+    * k-step chain advances in ONE per-user walk over the user's
+    * collected (step, ts) events — the justified per-row-walk class
+    * (sessionize/BPE argument): the chain is sequential by definition,
+    * and expressing it as k dependent joins nests each step's frame
+    * twice into the next, a 2^k analyzed-plan blowup per fold. Returns
+    * the new state; [[funnelReportFromState]] derives the q142-shape
+    * report, and folding b1…bn then reporting equals the full-log
+    * funnel exactly — q163's oracle is q142's verbatim.
+    *
+    * Scale shape: one user-keyed aggregation (map-side-combined
+    * collect of the user's STEP-TYPED batch events only) + one join
+    * with the batch users' state rows; carried rows pass through an
+    * anti-join. Nothing windows over data; per-user memory is the
+    * user's batch events, the sessionize bound. */
+  def funnelIncremental(newEvents: DataFrame, state: DataFrame,
+                        steps: Seq[String], tsUs: Column,
+                        withinUs: Option[Long] = None,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.length == steps.length,
+      s"funnelIncremental: bad steps ${steps.mkString(",")}")
+    require(withinUs.forall(_ > 0), s"funnelIncremental: withinUs")
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.toMap
+    val win = withinUs
+    // the per-user chain walk: given the batch's (step, ts) events and
+    // the persisted m-vector (UNSET sentinel for null — ts are epoch
+    // micros, never MinValue), advance each unset m_i to the earliest
+    // qualifying batch event. min-over-array per step, so collect_list
+    // order never matters. A per-row walk, not k chained joins: the
+    // step chain is sequential by definition, and expressing it as k
+    // dependent joins nests the plan 2^k per fold (each step reads the
+    // previous step's frame twice) — the analyzed plan exploded the
+    // driver at 3 folds × 4 steps before this shape.
+    val UNSET = Long.MinValue
+    val chainU = udf { (tys: Seq[String], tss: Seq[Long], ms0: Seq[Long]) =>
+      val ms = ms0.toArray
+      var i = 0
+      while (i < ms.length) {
+        if (ms(i) == UNSET) {
+          val lo = if (i == 0) Long.MinValue + 1 else ms(i - 1)
+          if (i == 0 || lo != UNSET) {
+            val hi = if (i == 0) Long.MaxValue
+              else win.map(w => lo + w).getOrElse(Long.MaxValue)
+            var best = UNSET
+            var j = 0
+            while (j < tys.length) {
+              if (stepIdx(tys(j)) == i && tss(j) >= (if (i == 0) Long.MinValue else lo) &&
+                  tss(j) <= hi && (best == UNSET || tss(j) < best))
+                best = tss(j)
+              j += 1
+            }
+            ms(i) = best
+          }
+        }
+        i += 1
+      }
+      ms.toSeq
+    }
+    val evs = graft.CacheBarriers.barrier(newEvents
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col("ts_us")))
+    val perUser = evs.groupBy(col("__u")).agg(
+      min(col("ts_us")).as("__minTs"), max(col("ts_us")).as("__maxTs"),
+      collect_list(col("__ty")).as("__tys"),
+      collect_list(col("ts_us")).as("__tss"))
+    // strictly-later contract checked row-lazily against the persisted
+    // last_ts; __ck is 0 on every legal row (and raises otherwise), so
+    // adding it keeps the check in the live plan and leaves last_ts at
+    // the batch max
+    val updated = perUser
+      .join(state, Seq("__u"), "left")
+      .withColumn("__ck",
+        when(col("last_ts").isNotNull && col("__minTs") <= col("last_ts"),
+          raise_error(concat(
+            lit("funnelIncremental: batch event at ts "),
+            col("__minTs").cast("string"),
+            lit(" does not strictly follow persisted last_ts "),
+            col("last_ts").cast("string"), lit(" for user "),
+            col("__u").cast("string"),
+            lit(" — batches must be time-partitioned per user with " +
+              "strictly increasing ts"))))
+          .otherwise(lit(0L)))
+      .withColumn("__ms", chainU(col("__tys"), col("__tss"),
+        array((0 until k).map(i =>
+          coalesce(col(s"m_$i"), lit(UNSET))): _*)))
+      .withColumn("last_ts", col("__maxTs") + col("__ck"))
+      .select(Seq(col("__u"), col("last_ts")) ++
+        (0 until k).map(i =>
+          when(col("__ms")(i) =!= UNSET, col("__ms")(i)).as(s"m_$i")): _*)
+    val carried = state.join(evs.select(col("__u")).distinct(),
+      Seq("__u"), "left_anti")
+    carried.unionByName(updated)
+  }
+
+  /** The q142-shape report off a [[funnelIncremental]] state: per step,
+    * the count of users whose m_i is set, with the same total/step
+    * conversion shares (the one window is over the ≤|steps|-row report
+    * frame). */
+  def funnelReportFromState(state: DataFrame,
+                            steps: Seq[String]): DataFrame = {
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      state.agg(count(col(s"m_$i")).as("n_users"))
+        .withColumn("step_idx", lit(i.toLong))
+        .withColumn("step", lit(step))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("step_idx"))
+    rows
+      .withColumn("__n0", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__np",
+        coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      .withColumn("conv_total_micro",
+        expr("n_users * 1000000L DIV greatest(__n0, 1L)"))
+      .withColumn("conv_step_micro",
+        expr("n_users * 1000000L DIV greatest(__np, 1L)"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        col("conv_total_micro"), col("conv_step_micro"))
+  }
+
+  /** Empty per-user funnel state for [[funnelIncremental]]. */
+  def emptyFunnelState(spark: org.apache.spark.sql.SparkSession,
+                       nSteps: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(StructField("__u", LongType) +:
+        StructField("last_ts", LongType) +:
+        (0 until nSteps).map(i => StructField(s"m_$i", LongType))))
+  }
+
+  /** Incremental [[retentionCohorts]] — the last event report to gain
+    * its run-over-run form (sessions q141, transitions q155, DAU/WAU
+    * q158). The state is the same distinct (user, day) table as the
+    * DAU/WAU fold (order-free set union, no time-partitioning
+    * contract); the report is an ADDITIVE (cohort_day, offset_days)
+    * cell census, and the delta is SIGNED: a batch pair at a day
+    * EARLIER than a user's current first day moves their cohort
+    * retroactively, so the delta retracts every cell the user's old
+    * cohort contributed (−1 each) and emits their full new-cohort row
+    * set (+1 each); an unmoved user just adds cells for their novel
+    * days. Fold: [[mergeRetentionCells]] — pure addition, zero cells
+    * dropped. Identity: folded cells over b1…bn equal the full-union
+    * triangle in any batch order — q162's oracle is q143's verbatim.
+    *
+    * Scale shape: novelty is one user-day anti-join; everything else
+    * keys on the BATCH's affected users (semi-join-pruned state slice,
+    * per-user mins as map-side-combined aggs, cells as
+    * day-pair-cardinality counts). Nothing touches users outside the
+    * batch — which is why the streaming form buckets this state by
+    * USER where the DAU/WAU form buckets by day: retention reads are
+    * per-user history, not day windows. */
+  def retentionCohortsIncremental(newEvents: DataFrame, state: DataFrame,
+                                  tsUs: Column,
+                                  userCol: String = "user_id")
+      : (DataFrame, DataFrame) = {
+    val batchPairs = activityPairs(newEvents, tsUs, userCol)
+    val (delta, fresh) = retentionDeltaFrom(batchPairs, state)
+    (delta, graft.CacheBarriers.barrier(state.unionByName(fresh)))
+  }
+
+  /** The signed-delta core over a state SLICE: `stateSlice` must hold
+    * the FULL (user, day) history of every user in `batchPairs` (the
+    * full state qualifies; the bucketed fold passes the union of the
+    * batch users' buckets). Returns (signed cell delta, novel pairs). */
+  private[graft] def retentionDeltaFrom(batchPairs: DataFrame,
+                                        stateSlice: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val fresh = graft.CacheBarriers.barrier(
+      batchPairs.join(stateSlice, Seq("__u", "day"), "left_anti"))
+    val users = fresh.select(col("__u")).distinct()
+    // the affected users' persisted history and old/new cohort days
+    val oldSlice = graft.CacheBarriers.barrier(
+      stateSlice.join(users, Seq("__u"), "left_semi"))
+    val oldMin = oldSlice.groupBy(col("__u"))
+      .agg(min(col("day")).as("m_old"))
+    val newMin = graft.CacheBarriers.barrier(
+      oldSlice.unionByName(fresh).groupBy(col("__u"))
+        .agg(min(col("day")).as("m_new"))
+        .join(oldMin, Seq("__u"), "left"))
+    val moved = newMin.filter(col("m_old").isNotNull &&
+      col("m_new") < col("m_old"))
+    // moved users: retract every old-cohort cell, re-emit the full
+    // new-cohort row set; unmoved users: just their novel days
+    val retract = oldSlice
+      .join(moved.select(col("__u"), col("m_old")), Seq("__u"))
+      .select(col("m_old").as("cohort_day"),
+        (col("day") - col("m_old")).as("offset_days"), lit(-1L).as("__d"))
+    val reemit = oldSlice.unionByName(fresh)
+      .join(moved.select(col("__u"), col("m_new")), Seq("__u"))
+      .select(col("m_new").as("cohort_day"),
+        (col("day") - col("m_new")).as("offset_days"), lit(1L).as("__d"))
+    val unmovedAdd = fresh
+      .join(newMin.filter(col("m_old").isNull ||
+          col("m_new") === col("m_old"))
+        .select(col("__u"), col("m_new")), Seq("__u"))
+      .select(col("m_new").as("cohort_day"),
+        (col("day") - col("m_new")).as("offset_days"), lit(1L).as("__d"))
+    val delta = retract.unionByName(reemit).unionByName(unmovedAdd)
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(sum(col("__d")).as("n_users"))
+      .filter(col("n_users") =!= 0L)
+    (delta, fresh)
+  }
+
+  /** Fold a signed retention delta into the running triangle — pure
+    * addition on the cell, zero cells dropped (a fully retracted cell
+    * must vanish, as it does in the one-shot triangle). */
+  def mergeRetentionCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("cohort_day"), col("offset_days"))
+      .agg(sum(col("n_users")).as("n_users"))
+      .filter(col("n_users") =!= 0L)
+
   /** First-order transition matrix of the event stream: for every
     * consecutive event pair within a user's (ts, tie)-ordered history,
     * count (from_type → to_type) and each cell's share of its from-row —
@@ -245,6 +472,44 @@ object EventAnalytics {
         StructField("last_type", StringType),
         StructField("last_ts", LongType),
         StructField("last_tie", tieType))))
+  }
+
+  /** Event path census — [[transitionMatrix]] generalized from pairs to
+    * k-grams: every run of `k` consecutive events in a user's
+    * (ts, tie)-ordered history counts its type sequence, the "what do
+    * users DO" report product analytics reads beyond first-order
+    * transitions. Returns (path — types joined by '>', n, share_micro —
+    * share of all k-runs); NULL user/ts/type events are excluded by
+    * statement.
+    *
+    * Scale shape: the [[Sessionize]] argument again — k−1 lags ride ONE
+    * per-user window sort (lags over the same frame share the sort),
+    * then a map-side-combined count over ≤|types|^k groups (config^k,
+    * not data) and a broadcast 1-row total. */
+  def pathCensus(events: DataFrame, k: Int, tsUs: Column,
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 tieCol: String = "event_id"): DataFrame = {
+    require(k >= 2 && k <= 8, s"pathCensus: k=$k out of [2, 8]")
+    import org.apache.spark.sql.functions.broadcast
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+    val base = events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
+        col(typeCol).isNotNull)
+    val lagged = (k - 1 to 1 by -1).foldLeft(base) { (df, i) =>
+      df.withColumn(s"__p$i", lag(col(typeCol), i).over(w))
+    }
+    val runs = lagged.filter(col(s"__p${k - 1}").isNotNull)
+      .select(concat_ws(">",
+        ((k - 1 to 1 by -1).map(i => col(s"__p$i")) :+ col(typeCol)): _*)
+        .as("path"))
+    val counts = runs.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("n * 1000000L DIV greatest(__t, 1L)"))
+      .select(col("path"), col("n"), col("share_micro"))
   }
 
   /** Daily/rolling active users: for every UTC day with activity, the

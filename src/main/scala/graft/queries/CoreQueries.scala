@@ -1085,6 +1085,76 @@ object CoreQueries extends QueryFamily {
           |FROM dau JOIN wau ON dau.day = wau.day
           |ORDER BY day""".stripMargin)),
 
+    // ── Event path census (the transition matrix generalized to
+    //    3-grams): every run of 3 consecutive events in a user's
+    //    (ts, tie)-ordered history counts its type sequence — two lags
+    //    riding ONE per-user window sort into a ≤|types|³-group count
+    //    with exact run shares. ─────────────────────────────────────────
+    QueryDef.sorted(
+      "q164_path_census",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.pathCensus(ev, k = 3,
+          tsUs = graft.source.EventLog.tsUsOf(ev))
+      },
+      _.orderBy("path"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_type IS NOT NULL),
+          |p AS (SELECT event_type AS t0,
+          |             lag(event_type, 1) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS p1,
+          |             lag(event_type, 2) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS p2
+          |      FROM e),
+          |c AS (SELECT p2 || '>' || p1 || '>' || t0 AS path, count(*) AS n
+          |      FROM p WHERE p2 IS NOT NULL GROUP BY 1),
+          |t AS (SELECT sum(n) AS tot FROM c)
+          |SELECT path, CAST(n AS BIGINT) AS n,
+          |       CAST(n * 1000000 // greatest(t.tot, 1) AS BIGINT)
+          |         AS share_micro
+          |FROM c, t ORDER BY path""".stripMargin)),
+
+    // ── Incremental retention triangle (q143's log-ingest shape): the
+    //    middle slice folds FIRST, so when the earliest slice arrives
+    //    every early user's cohort MOVES retroactively — the signed
+    //    delta retracts their old-cohort cells and re-emits the new row
+    //    set; cells fold by pure addition and the result must equal the
+    //    full-log triangle EXACTLY — q143's oracle reused verbatim. ─────
+    QueryDef.sorted(
+      "q162_retention_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val E = EventAnalytics
+        val (d1, st1) = E.retentionCohortsIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2),
+          E.emptyActiveState(s), col("__t"))
+        val (d2, st2) = E.retentionCohortsIncremental(
+          withTs.filter(col("__t") < cut1), st1, col("__t"))
+        val (d3, _) = E.retentionCohortsIncremental(
+          withTs.filter(col("__t") >= cut2), st2, col("__t"))
+        E.mergeRetentionCells(E.mergeRetentionCells(d1, d2), d3)
+      },
+      _.orderBy("cohort_day", "offset_days"),
+      Some(
+        """WITH d AS (
+          |  SELECT DISTINCT user_id AS u,
+          |         epoch_us(ts) // 86400000000 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |c AS (SELECT u, day,
+          |             min(day) OVER (PARTITION BY u) AS cohort_day
+          |      FROM d)
+          |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+          |       CAST(day - cohort_day AS BIGINT) AS offset_days,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Tight-window funnel (q142's withinUs arm driven into deep
     //    attrition): a 6-hour conversion window collapses the chain —
     //    at sf0.01 the purchase step reaches ZERO users — so the
@@ -1111,6 +1181,54 @@ object CoreQueries extends QueryFamily {
         }.mkString("\n  UNION ALL\n  ")
         s"""WITH ${EventAnalytics.sqlFunnelCtes("events", steps,
             withinUs = Some(21600000000L))},
+           |rep AS (
+           |  $rep)
+           |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           |       CAST(n_users AS BIGINT) AS n_users,
+           |       CAST(n_users * 1000000 //
+           |            greatest((SELECT count(*) FROM fstep_0), 1) AS BIGINT)
+           |         AS conv_total_micro,
+           |       CAST(n_users * 1000000 // greatest(np, 1) AS BIGINT)
+           |         AS conv_step_micro
+           |FROM rep ORDER BY step_idx""".stripMargin
+      }),
+
+    // ── Incremental funnel (q142's log-ingest shape): three
+    //    time-partitioned batches fold through per-user step-completion
+    //    state (m_i only ever transitions null → set under strictly
+    //    increasing ts, so the fold is exact); the report off the final
+    //    state must equal the full-log windowed funnel EXACTLY — q142's
+    //    oracle reused verbatim. ────────────────────────────────────────
+    QueryDef.sorted(
+      "q163_funnel_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val steps = Seq("signup", "view", "click", "purchase")
+        val win = Some(3L * 86400000000L)
+        val E = EventAnalytics
+        val st1 = E.funnelIncremental(withTs.filter(col("__t") < cut1),
+          E.emptyFunnelState(s, steps.length), steps, col("__t"), win)
+        val st2 = E.funnelIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2), st1,
+          steps, col("__t"), win)
+        val st3 = E.funnelIncremental(withTs.filter(col("__t") >= cut2),
+          st2, steps, col("__t"), win)
+        E.funnelReportFromState(st3, steps)
+      },
+      _.orderBy("step_idx"),
+      Some {
+        val steps = Seq("signup", "view", "click", "purchase")
+        val rep = steps.zipWithIndex.map { case (st, i) =>
+          val prev = if (i == 0) "fstep_0" else s"fstep_${i - 1}"
+          s"SELECT $i AS step_idx, '$st' AS step, " +
+            s"(SELECT count(*) FROM fstep_$i) AS n_users, " +
+            s"(SELECT count(*) FROM $prev) AS np"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH ${EventAnalytics.sqlFunnelCtes("events", steps,
+            withinUs = Some(3L * 86400000000L))},
            |rep AS (
            |  $rep)
            |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,

@@ -130,6 +130,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("time-partitioned"))
   }
 
+  test("path census: k-runs stay within a user and count exactly") {
+    import org.apache.spark.sql.functions.col
+    val events = ev(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L), (3L, 1L, "c", 20L),
+      (4L, 1L, "b", 30L), // u1 runs: a>b>c, b>c>b
+      (5L, 2L, "a", 0L), (6L, 2L, "b", 10L)) // too short for k=3
+    val out = graft.operators.EventAnalytics.pathCensus(events, k = 3,
+        tsUs = col("t")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "a>b>c" -> ((1L, 500000L)),
+      "b>c>b" -> ((1L, 500000L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics.pathCensus(events, k = 1,
+        tsUs = col("t"))
+    }
+  }
+
   test("active users: the trailing window counts distinct supporters once") {
     import org.apache.spark.sql.functions.col
     val d = 86400000000L
@@ -181,6 +199,72 @@ class EventAnalyticsSpec extends AnyFunSuite {
       col("t"), windowDays = 3)
     assert(dDup.count() === 0L)
     assert(stDup.count() === state.count())
+  }
+
+  test("incremental funnel: state folds to the full chain, strictness raises") {
+    import org.apache.spark.sql.functions.col
+    val E = graft.operators.EventAnalytics
+    val steps = Seq("view", "click", "buy")
+    val all = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L), // u1 completes 2
+      (3L, 2L, "click", 5L), // u2: click BEFORE view — never step 1
+      (4L, 2L, "view", 20L), (5L, 2L, "click", 30L), // u2 recovers
+      (6L, 1L, "buy", 40L), // u1 completes 3 — in batch 2
+      (7L, 3L, "view", 50L)) // u3 step 0 only
+    val full = E.funnel(all, steps, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    val st1 = E.funnelIncremental(all.filter(col("t") < 25L),
+      E.emptyFunnelState(spark, 3), steps, col("t"))
+    val st2 = E.funnelIncremental(all.filter(col("t") >= 25L), st1,
+      steps, col("t"))
+    val inc = E.funnelReportFromState(st2, steps)
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // the window arm folds identically
+    val fullW = E.funnel(all, steps, tsUs = col("t"),
+      withinUs = Some(15L)).collect().map(_.toSeq).toSet
+    val w1 = E.funnelIncremental(all.filter(col("t") < 25L),
+      E.emptyFunnelState(spark, 3), steps, col("t"), Some(15L))
+    val w2 = E.funnelIncremental(all.filter(col("t") >= 25L), w1,
+      steps, col("t"), Some(15L))
+    assert(E.funnelReportFromState(w2, steps)
+      .collect().map(_.toSeq).toSet === fullW)
+    // an equal-ts batch event violates the STRICT contract (the >= tie
+    // convention would make it retroactively eligible) and raises
+    val dup = E.funnelIncremental(ev((8L, 1L, "buy", 40L)), st2, steps,
+      col("t"))
+    val err = intercept[Exception] { dup.collect() }
+    assert(err.getMessage.contains("strictly"))
+  }
+
+  test("incremental retention: retroactive cohort moves retract and re-emit") {
+    import org.apache.spark.sql.functions.col
+    val E = graft.operators.EventAnalytics
+    val d = 86400000000L
+    val all = ev(
+      (1L, 1L, "view", 0L), // u1 day 0 (true cohort)
+      (2L, 1L, "view", 2 * d), // u1 day 2
+      (3L, 2L, "view", d), // u2 cohort day 1
+      (4L, 2L, "view", 2 * d), // u2 day 2
+      (5L, 3L, "view", 2 * d)) // u3 cohort day 2
+    val full = E.retentionCohorts(all, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    // fold days ≥ 1 FIRST: u1's provisional cohort is day 2; the day-0
+    // batch then moves it retroactively (retract + re-emit)
+    val (d1, s1) = E.retentionCohortsIncremental(
+      all.filter(col("t") >= d), E.emptyActiveState(spark), col("t"))
+    val (d2, s2) = E.retentionCohortsIncremental(
+      all.filter(col("t") < d), s1, col("t"))
+    val merged = E.mergeRetentionCells(d1, d2)
+    assert(merged.collect().map(_.toSeq).toSet === full)
+    // the second delta carries a retraction: u1's old (2, 0) cell dies
+    val d2cells = d2.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d2cells((2L, 0L)) === -1L)
+    // a replayed batch is absorbed: no novel pairs, empty delta
+    val (dDup, _) = E.retentionCohortsIncremental(
+      all.filter(col("t") < d), s2, col("t"))
+    assert(dDup.count() === 0L)
   }
 
   test("retention triangle: cohort by first day, offsets count distinct days") {

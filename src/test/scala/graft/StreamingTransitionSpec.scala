@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.EventAnalytics
-import graft.streaming.{StreamingActiveUsers, StreamingTransition}
+import graft.streaming.{StreamingActiveUsers, StreamingRetention, StreamingTransition}
 
 /** Durable twins of the incremental event artifacts: the transition
   * census/state chains and the DAU/WAU report/state chains must fold
@@ -126,6 +126,65 @@ class StreamingTransitionSpec extends AnyFunSuite {
       stateDir, reportDir, df => col("t"), windowDays = 3)
     assert(StreamingActiveUsers.latestReport(spark, reportDir).get
       .collect().map(_.toSeq).toSet === want)
+  }
+
+  test("retention chains: a late batch moves cohorts retroactively") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), // u1 true cohort day 0 — arrives LAST
+      (2L, 1L, "view", 2 * d),
+      (3L, 2L, "view", d), (4L, 2L, "view", 2 * d),
+      (5L, 3L, "view", 2 * d))
+    val want = EventAnalytics.retentionCohorts(events, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    val stateDir = Files.createTempDirectory("graft-rt-state").toString
+    val censusDir = Files.createTempDirectory("graft-rt-census").toString
+    StreamingRetention.foldBatch(events.filter(col("t") >= d), 0L,
+      stateDir, censusDir, _ => col("t"))
+    StreamingRetention.foldBatch(events.filter(col("t") < d), 1L,
+      stateDir, censusDir, _ => col("t"))
+    val census = StreamingRetention.latestCensus(spark, censusDir).get
+    assert(census.collect().map(_.toSeq).toSet === want)
+    // crash replay of the late batch: recomputed from predecessors
+    StreamingRetention.foldBatch(events.filter(col("t") < d), 1L,
+      stateDir, censusDir, _ => col("t"))
+    assert(StreamingRetention.latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === want)
+  }
+
+  test("bucketed retention state: user buckets prune, census stays exact") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 2 * d),
+      (3L, 2L, "view", d), (4L, 2L, "view", 2 * d),
+      (5L, 3L, "view", 2 * d))
+    val want = EventAnalytics.retentionCohorts(events, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    val stateDir = Files.createTempDirectory("graft-rtb-state").toString
+    val censusDir = Files.createTempDirectory("graft-rtb-census").toString
+    StreamingRetention.foldBatchBucketed(events.filter(col("t") >= d), 0L,
+      stateDir, censusDir, _ => col("t"), numBuckets = 8)
+    // batch 1: ONE user's late day-0 event → one bucket gains v1, and
+    // the census retracts/re-emits that user's cells
+    StreamingRetention.foldBatchBucketed(events.filter(col("t") < d), 1L,
+      stateDir, censusDir, _ => col("t"), numBuckets = 8)
+    val root = new java.io.File(stateDir)
+    val withV1 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v1").exists())
+    assert(withV1 === 1)
+    val census = StreamingRetention.latestCensus(spark, censusDir).get
+    assert(census.collect().map(_.toSeq).toSet === want)
+    // replay absorbed: no novel pairs → no bucket v2, census unchanged
+    StreamingRetention.foldBatchBucketed(events.filter(col("t") < d), 2L,
+      stateDir, censusDir, _ => col("t"), numBuckets = 8)
+    val withV2 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v2").exists())
+    assert(withV2 === 0)
+    assert(StreamingRetention.latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === want)
+    val st = StreamingRetention.latestStateBucketed(spark, stateDir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st === Set((1L, 0L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L)))
   }
 
   test("bucketed active-users state: day buckets prune, replays absorb") {
