@@ -206,6 +206,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-k lost its bounded form:\n$plan")
   }
 
+  test("path census rides one user-partitioned window, never a global one") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val plan = fmt(graft.operators.EventAnalytics.pathCensus(ev, 3,
+      tsUs = EventLog.tsUsOf(ev)))
+    // Both lags must fuse into a single per-user Window node (one sort,
+    // not one per lag). The counts subtree prints twice in the formatted
+    // plan — once feeding the output, once feeding the broadcast total,
+    // deduped by exchange reuse at runtime — so pin the SHAPE of every
+    // Window node rather than a global node count.
+    val windowArgs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowArgs.nonEmpty, s"window lags vanished from the plan:\n$plan")
+    windowArgs.foreach { args =>
+      assert(args.contains("__p1#") && args.contains("__p2#"),
+        s"lags did not share one window:\n$plan")
+      assert(args.contains("windowspecdefinition(user_id#"),
+        s"window lost its per-user partitioning (global sort!):\n$plan")
+    }
+  }
+
+  test("the incremental funnel fold plans no window and no data-sized sort") {
+    // the fold is one user-keyed aggregation + one state join — a Window
+    // here would mean the per-user chain walk regressed to the k-join
+    // shape whose nested plan OOMed the driver
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val st = graft.operators.EventAnalytics.emptyFunnelState(spark, 3)
+    val plan = fmt(graft.operators.EventAnalytics.funnelIncremental(
+      ev, st, Seq("view", "click", "purchase"),
+      tsUs = EventLog.tsUsOf(ev)))
+    assert(!plan.contains("Window"), s"fold regressed to windows:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate")
+      || plan.contains("HashAggregate"),
+      s"collect-based fold lost its aggregate:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
