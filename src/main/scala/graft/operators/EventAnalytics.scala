@@ -512,6 +512,138 @@ object EventAnalytics {
       .select(col("path"), col("n"), col("share_micro"))
   }
 
+  /** Incremental path census — [[pathCensus]]'s run-over-run ingest
+    * shape, the [[transitionMatrixIncremental]] contract generalized
+    * from a last-event state to a last-(k−1)-events TAIL per user: a
+    * k-gram ending at a batch event reaches back at most k−1 events, so
+    * the persisted tail is exactly the state that stitches every
+    * boundary-crossing run. The tail is ONE row per user with
+    * (ts, tie, type) arrays ordered oldest→newest — single-row-per-user
+    * so the bucketed store's per-user max-by combine (on the tail's last
+    * (ts, tie)) stays the mergeable partial the replay protocol needs,
+    * exactly as the 4-column transition state.
+    *
+    * Contract, inherited verbatim: batches time-partitioned per user in
+    * the full window's (ts, tie) lexicographic order; a batch event at
+    * or before the persisted tail's last (ts, tie) raises (equality too
+    * — the full window's order of exact duplicates is nondeterministic,
+    * so the incremental/full identity could not be guaranteed).
+    *
+    * Returns (this batch's path-count DELTA — fold by addition via
+    * [[mergePathCounts]], derive shares via [[pathReportFromCounts]];
+    * the new tail state). Identity: deltas summed over b1…bn equal the
+    * full-corpus [[pathCensus]] counts exactly — only windows ENDING at
+    * a batch event count, and windows ending at a carried tail event
+    * were counted by the fold that ingested that event.
+    *
+    * Scale shape: state is user-cardinality (one row, ≤ k−1 array
+    * elements); the fold touches only batch users' tails (anti-join
+    * carries the rest untouched), both window passes share one per-user
+    * exchange, and the delta aggregates into ≤|types|^k groups. */
+  def pathCensusIncremental(newEvents: DataFrame, lastState: DataFrame,
+                            k: Int, tsUs: Column,
+                            userCol: String = "user_id",
+                            typeCol: String = "event_type",
+                            tieCol: String = "event_id")
+      : (DataFrame, DataFrame) = {
+    require(k >= 2 && k <= 8, s"pathCensusIncremental: k=$k out of [2, 8]")
+    val base = graft.CacheBarriers.barrier(newEvents
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("__ty"), col("ts_us"),
+        col(tieCol).as("__tie")))
+    val batchUsers = base.select(col(userCol)).distinct()
+    // every batch event must strictly follow the tail's last (ts, tie) —
+    // checking all rows checks the min, and the raise rides the type
+    // column so it cannot be pruned out of the delta's dataflow
+    val bound = lastState
+      .select(col(userCol), element_at(col("tail_ts"), -1).as("__bts"),
+        element_at(col("tail_tie"), -1).as("__btie"))
+    val checked = base.join(bound, Seq(userCol), "left")
+      .withColumn("__ty",
+        when(col("__bts").isNotNull &&
+            (col("ts_us") < col("__bts") ||
+              (col("ts_us") === col("__bts") &&
+                col("__tie") <= col("__btie"))),
+          raise_error(concat(
+            lit("pathCensusIncremental: batch event at ("),
+            col("ts_us").cast("string"), lit(","),
+            col("__tie").cast("string"),
+            lit(") does not strictly follow the persisted tail end ("),
+            col("__bts").cast("string"), lit(","),
+            col("__btie").cast("string"), lit(") for user "),
+            col(userCol).cast("string"),
+            lit(" — batches must be time-partitioned per user"))))
+          .otherwise(col("__ty")))
+      .select(col(userCol), col("__ty"), col("ts_us"), col("__tie"),
+        lit(false).as("__carried"))
+    val tailRows = lastState
+      .join(batchUsers, Seq(userCol), "left_semi")
+      .select(col(userCol),
+        explode(arrays_zip(col("tail_ts"), col("tail_tie"),
+          col("tail_type"))).as("__z"))
+      .select(col(userCol), col("__z.tail_type").as("__ty"),
+        col("__z.tail_ts").as("ts_us"), col("__z.tail_tie").as("__tie"),
+        lit(true).as("__carried"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").asc, col("__tie").asc)
+    val lagged = graft.CacheBarriers.barrier(
+      (k - 1 to 1 by -1).foldLeft(tailRows.unionByName(checked)) {
+        (df, i) => df.withColumn(s"__p$i", lag(col("__ty"), i).over(w))
+      })
+    val delta = lagged
+      .filter(!col("__carried") && col(s"__p${k - 1}").isNotNull)
+      .select(concat_ws(">",
+        ((k - 1 to 1 by -1).map(i => col(s"__p$i")) :+ col("__ty")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    // new tail = last k−1 of (old tail ∪ batch); the desc window reuses
+    // the asc pass's per-user exchange, and sort_array on the
+    // (ts, tie, type) struct restores oldest→newest array order
+    val wd = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").desc, col("__tie").desc)
+    val newTail = lagged
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") <= k - 1)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("__tie"), col("__ty")))).as("__s"))
+      .select(col(userCol), col("__s.ts_us").as("tail_ts"),
+        col("__s.__tie").as("tail_tie"), col("__s.__ty").as("tail_type"))
+    val carried = lastState.join(batchUsers, Seq(userCol), "left_anti")
+    (delta, carried.unionByName(newTail))
+  }
+
+  /** Fold a path-count delta into the running census — pure addition. */
+  def mergePathCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("path")).agg(sum(col("n")).as("n"))
+
+  /** Derive [[pathCensus]]'s report (path, n, share_micro) from a folded
+    * path-count census. */
+  def pathReportFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("n * 1000000L DIV greatest(__t, 1L)"))
+      .select(col("path"), col("n"), col("share_micro"))
+  }
+
+  /** Empty tail state for [[pathCensusIncremental]]. */
+  def emptyPathState(spark: org.apache.spark.sql.SparkSession,
+                     userCol: String = "user_id",
+                     tieType: org.apache.spark.sql.types.DataType =
+                       org.apache.spark.sql.types.LongType)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(userCol, LongType),
+        StructField("tail_ts", ArrayType(LongType)),
+        StructField("tail_tie", ArrayType(tieType)),
+        StructField("tail_type", ArrayType(StringType)))))
+  }
+
   /** Daily/rolling active users: for every UTC day with activity, the
     * distinct-user count that day (DAU) and over the trailing
     * `windowDays` window (WAU), plus the stickiness ratio DAU/WAU — the

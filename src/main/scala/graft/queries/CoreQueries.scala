@@ -1118,6 +1118,52 @@ object CoreQueries extends QueryFamily {
           |         AS share_micro
           |FROM c, t ORDER BY path""".stripMargin)),
 
+    // ── Incremental path census (q164's log-ingest shape): three
+    //    time-partitioned batches fold through the per-user
+    //    last-(k−1)-events tail state; boundary-crossing 3-grams stitch
+    //    through it, deltas merge by pure addition, and the result must
+    //    equal the full-corpus census EXACTLY — q164's oracle reused
+    //    verbatim. ───────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q165_path_census_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val E = EventAnalytics
+        val (d1, st1) = E.pathCensusIncremental(
+          withTs.filter(col("__t") < cut1),
+          E.emptyPathState(s), k = 3, col("__t"))
+        val (d2, st2) = E.pathCensusIncremental(
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2), st1,
+          k = 3, col("__t"))
+        val (d3, _) = E.pathCensusIncremental(
+          withTs.filter(col("__t") >= cut2), st2, k = 3, col("__t"))
+        E.pathReportFromCounts(E.mergePathCounts(
+          E.mergePathCounts(d1, d2), d3))
+      },
+      _.orderBy("path"),
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_type IS NOT NULL),
+          |p AS (SELECT event_type AS t0,
+          |             lag(event_type, 1) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS p1,
+          |             lag(event_type, 2) OVER (PARTITION BY user_id
+          |               ORDER BY ts_us, event_id) AS p2
+          |      FROM e),
+          |c AS (SELECT p2 || '>' || p1 || '>' || t0 AS path, count(*) AS n
+          |      FROM p WHERE p2 IS NOT NULL GROUP BY 1),
+          |t AS (SELECT sum(n) AS tot FROM c)
+          |SELECT path, CAST(n AS BIGINT) AS n,
+          |       CAST(n * 1000000 // greatest(t.tot, 1) AS BIGINT)
+          |         AS share_micro
+          |FROM c, t ORDER BY path""".stripMargin)),
+
     // ── Incremental retention triangle (q143's log-ingest shape): the
     //    middle slice folds FIRST, so when the earliest slice arrives
     //    every early user's cohort MOVES retroactively — the signed

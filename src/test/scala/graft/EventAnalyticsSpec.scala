@@ -148,6 +148,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental path census: tails stitch boundary runs, deltas sum to the full census") {
+    val E = graft.operators.EventAnalytics
+    val all = ev(
+      // u1: a b | c d  — runs a>b>c (2 carried) and b>c>d (1 carried)
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L),
+      (3L, 1L, "c", 30L), (4L, 1L, "d", 40L),
+      // u2: a | b | c — one event per batch, the tail re-folds twice
+      (5L, 2L, "a", 0L), (6L, 2L, "b", 25L), (7L, 2L, "c", 45L),
+      // u3: too short for k=3, contributes nothing but carries a tail
+      (8L, 3L, "a", 5L))
+    val full = E.pathCensus(all, k = 3, tsUs = col("t"))
+      .collect().map(_.toSeq).toSet
+    val (d1, s1) = E.pathCensusIncremental(all.filter(col("t") < 20L),
+      E.emptyPathState(spark), k = 3, tsUs = col("t"))
+    val (d2, s2) = E.pathCensusIncremental(
+      all.filter(col("t") >= 20L && col("t") < 40L), s1, k = 3,
+      tsUs = col("t"))
+    val (d3, s3) = E.pathCensusIncremental(all.filter(col("t") >= 40L),
+      s2, k = 3, tsUs = col("t"))
+    val inc = E.pathReportFromCounts(E.mergePathCounts(
+      E.mergePathCounts(d1, d2), d3)).collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // the tail holds the last k−1 events oldest→newest, short for u3
+    val tails = s3.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[scala.collection.Seq[String]]("tail_type").toSeq).toMap
+    assert(tails === Map(1L -> Seq("c", "d"), 2L -> Seq("b", "c"),
+      3L -> Seq("a")))
+    // out-of-order and exactly duplicated boundary (ts, tie) both raise
+    val (_, sx) = E.pathCensusIncremental(ev((9L, 9L, "a", 100L)),
+      E.emptyPathState(spark), k = 3, tsUs = col("t"))
+    val (dBad, _) = E.pathCensusIncremental(ev((10L, 9L, "b", 50L)), sx,
+      k = 3, tsUs = col("t"))
+    assert(intercept[Exception] { dBad.collect() }
+      .getMessage.contains("time-partitioned"))
+    val (dDup, _) = E.pathCensusIncremental(ev((9L, 9L, "b", 100L)), sx,
+      k = 3, tsUs = col("t"))
+    assert(intercept[Exception] { dDup.collect() }
+      .getMessage.contains("time-partitioned"))
+    // a later tie at the same ts is a legal split and stitches normally
+    val (dTie, _) = E.pathCensusIncremental(
+      ev((10L, 9L, "b", 100L), (11L, 9L, "c", 110L)), sx, k = 3,
+      tsUs = col("t"))
+    assert(dTie.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a>b>c", 1L)))
+  }
+
   test("active users: the trailing window counts distinct supporters once") {
     import org.apache.spark.sql.functions.col
     val d = 86400000000L

@@ -99,6 +99,89 @@ class StreamingTransitionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet === fullShift)
   }
 
+  test("path-census chains: folded census equals the full census; replays absorb") {
+    val stateDir = Files.createTempDirectory("graft-pc-state").toString
+    val censusDir = Files.createTempDirectory("graft-pc-census").toString
+    val want = EventAnalytics.pathCensus(allEvents, k = 3,
+        tsUs = col("t")).select("path", "n")
+      .collect().map(_.toSeq).toSet
+    val cuts = Seq(0L -> 130L, 130L -> 250L, 250L -> 9999L)
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      graft.streaming.StreamingPathCensus.foldBatch(
+        allEvents.filter(col("t") >= lo && col("t") < hi), i.toLong,
+        3, stateDir, censusDir, df => col("t"))
+    }
+    val census = graft.streaming.StreamingPathCensus
+      .latestCensus(spark, censusDir).get
+    assert(census.collect().map(_.toSeq).toSet === want)
+    // crash replay of the last batch: recomputed from predecessors
+    graft.streaming.StreamingPathCensus.foldBatch(
+      allEvents.filter(col("t") >= 250L), 2L, 3, stateDir, censusDir,
+      df => col("t"))
+    assert(graft.streaming.StreamingPathCensus
+      .latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === want)
+    // each user's tail holds its true last k−1 types, oldest→newest
+    val st = graft.streaming.StreamingPathCensus
+      .latestState(spark, stateDir).get.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[scala.collection.Seq[String]]("tail_type").toSeq).toMap
+    // user 0's last two events are i=30 (30%4=2 → buy), i=35 (35%4=3 → view)
+    assert(st(0L) === Seq("buy", "view"))
+    assert(st.keySet === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("bucketed path-census state: same census, only touched buckets rewritten") {
+    val stateDir = Files.createTempDirectory("graft-pcb-state").toString
+    val censusDir = Files.createTempDirectory("graft-pcb-census").toString
+    graft.streaming.StreamingPathCensus.foldBatchBucketed(
+      allEvents.filter(col("t") < 200L), 0L, 3, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    // batch 1 touches ONE user → at most one bucket gains a v1
+    graft.streaming.StreamingPathCensus.foldBatchBucketed(
+      ev((100L, 2L, "buy", 1000L)), 1L, 3, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    val root = new java.io.File(stateDir)
+    val withV1 = root.listFiles().filter(_.getName.startsWith("b"))
+      .count(b => new java.io.File(b, "v1").exists())
+    assert(withV1 === 1)
+    // fold the rest (user 2 continues past the interleave)
+    graft.streaming.StreamingPathCensus.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(
+        !(col("user_id") === 2L)), 2L, 3, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    graft.streaming.StreamingPathCensus.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(col("user_id") === 2L)
+        .withColumn("t", col("t") + 2000L), 3L, 3, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    val wantShift = EventAnalytics.pathCensus(
+        allEvents.filter(!(col("user_id") === 2L && col("t") >= 200L))
+          .unionByName(ev((100L, 2L, "buy", 1000L)))
+          .unionByName(allEvents
+            .filter(col("user_id") === 2L && col("t") >= 200L)
+            .withColumn("t", col("t") + 2000L)),
+        k = 3, tsUs = col("t")).select("path", "n")
+      .collect().map(_.toSeq).toSet
+    assert(graft.streaming.StreamingPathCensus
+      .latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === wantShift)
+    // replay of batch 3 is idempotent — census and bucketed state stable
+    graft.streaming.StreamingPathCensus.foldBatchBucketed(
+      allEvents.filter(col("t") >= 200L).filter(col("user_id") === 2L)
+        .withColumn("t", col("t") + 2000L), 3L, 3, stateDir, censusDir,
+      df => col("t"), numBuckets = 8)
+    assert(graft.streaming.StreamingPathCensus
+      .latestCensus(spark, censusDir).get
+      .collect().map(_.toSeq).toSet === wantShift)
+    val st = graft.streaming.StreamingPathCensus
+      .latestStateBucketed(spark, stateDir).get.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[scala.collection.Seq[Long]]("tail_ts").toSeq).toMap
+    assert(st.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // user 2's tail ends at its shifted final event
+    assert(st(2L).last === 2370L)
+  }
+
   test("active-users chains: out-of-order folds upsert to the full report") {
     val d = 86400000000L
     val events = ev(
