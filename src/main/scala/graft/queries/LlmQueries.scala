@@ -4516,6 +4516,47 @@ object LlmQueries extends QueryFamily {
            |${Bpe.sqlApplyCtes("wapp", 8)}
            |SELECT w, array_to_string(syms, ' ') AS seg,
            |       CAST(len(syms) AS BIGINT) AS n_sub
-           |FROM aps8 ORDER BY w""".stripMargin))
+           |FROM aps8 ORDER BY w""".stripMargin)),
+
+    // ── Mergeable cardinality sketch (q166): per-source distinct-word
+    //    estimates from HLL-style register tables — built per doc-id
+    //    shard, merged by componentwise max, estimated with integer-only
+    //    math (the one ln lives in a build-time lookup table) — against
+    //    the exact distinct count and its micro-scaled relative error.
+    //    The oracle computes the registers single-pass; the Spark side
+    //    shards and merges, so the fold identity is exercised inside the
+    //    gate, not just the spec. ─────────────────────────────────────────
+    QueryDef.sorted(
+      "q166_distinct_sketch",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))
+        val shard = Seq(0, 1).map(i =>
+          Cardinality.wordSketch(docs.filter(col("doc_id") % 2 === i)))
+        val est = Cardinality.estimate(
+          Cardinality.mergeSketches(shard(0), shard(1), Seq("source")),
+          Seq("source"))
+        val exact = docs.filter(col("text").isNotNull)
+          .select(col("source"), explode(TextHash.words(col("text"))).as("__w"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("__w")).as("exact"))
+        est.join(exact, Seq("source"))
+          .withColumn("err_micro",
+            expr("abs(est - exact) * 1000000L DIV greatest(exact, 1L)"))
+          .select(col("source"), col("est"), col("exact"), col("err_micro"))
+      },
+      _.orderBy("source"),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT source AS grp, unnest(${W("text")}) AS k
+           |  FROM documents WHERE text IS NOT NULL),
+           |${Cardinality.sqlRegisterCtes("tok")},
+           |${Cardinality.sqlEstimateCte()},
+           |ex AS (SELECT grp, count(DISTINCT k) AS exact FROM tok GROUP BY 1)
+           |SELECT grp AS source, CAST(est AS BIGINT) AS est,
+           |       CAST(exact AS BIGINT) AS exact,
+           |       CAST(abs(est - exact) * 1000000 // greatest(exact, 1)
+           |            AS BIGINT) AS err_micro
+           |FROM est JOIN ex USING (grp) ORDER BY source""".stripMargin))
   )
 }
