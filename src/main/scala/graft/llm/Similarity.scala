@@ -207,6 +207,90 @@ object Similarity {
         col("a._1").as("bucket"))
   }
 
+  /** [[ivfAssign]] keeping the winning cosine, micro-scaled:
+    * (id, bucket, cos_scaled). Same broadcast argmax scan (narrow, no
+    * shuffle), same tie order (strict `>` over ascending centroid ids),
+    * same floor(cos·1e6) emission contract as every other cos_scaled in
+    * the family — the input to centrality-ranked per-cluster selection
+    * ([[diversitySample]]). Null/zero-norm vectors land in the
+    * unassignable bucket with a 0 score; downstream selection drops
+    * them. */
+  def ivfAssignScored(embeddings: DataFrame, centroids: Array[Centroid],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignU = udf { (arr: Array[Double]) =>
+      if (arr == null) (UnassignedBucket, 0L)
+      else {
+        val vn = math.sqrt(dotArr(arr, arr))
+        val cents = bc.value
+        var bestId = UnassignedBucket
+        var best = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          val cos = dotArr(arr, c.vec) / (vn * c.norm)
+          if (cos > best) { best = cos; bestId = c.id }
+          i += 1
+        }
+        if (bestId == UnassignedBucket) (UnassignedBucket, 0L)
+        else (bestId, math.floor(best * 1e6).toLong)
+      }
+    }
+    embeddings.select(col(idCol), cleanVec(col(vecCol)).as("v"))
+      .withColumn("a", assignU(col("v")))
+      .select(col(idCol), col("a._1").as("bucket"),
+        col("a._2").as("cos_scaled"))
+  }
+
+  /** Cluster-balanced selection — the SemDeDup/DataComp pruning step:
+    * assign every vector to its nearest centroid, rank WITHIN each
+    * cluster by centroid-cosine, keep at most `cap` per cluster.
+    * `keepCentral = true` keeps the most-central rows (prototype
+    * selection); `false` keeps the LEAST-central (the SemDeDup finding:
+    * keeping low-centroid-similarity examples preserves diversity while
+    * the near-centroid mass is the redundant bulk). Returns
+    * (id, bucket, cos_scaled, rnk), rnk 1-based in the kept order.
+    *
+    * Ranking is on the micro-scaled INTEGER cosine (ties to the id's
+    * string form in UTF-8 order — [[Sampling.exactKPerStratum]]'s
+    * convention), so selection is exact cross-engine even at the scaled
+    * boundary. Scale shape: the assignment is a narrow broadcast scan;
+    * the per-cluster top-cap is [[KeepKSmallest]]'s bounded heap — map-
+    * side partials collapse every partition to ≤ cap rows per cluster
+    * BEFORE the shuffle (clusters·partitions·cap tiny rows), where a
+    * `row_number` window would sort-shuffle the whole corpus into
+    * cluster-hot partitions; the kept set (clusters·cap rows) broadcasts
+    * back onto the scored frame to recover typed ids. Unassignable
+    * (null/zero-norm) vectors are excluded by contract. */
+  def diversitySample(embeddings: DataFrame, centroids: Array[Centroid],
+                      cap: Int, keepCentral: Boolean,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(cap >= 1, s"cap=$cap: keep at least one row per cluster")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val scored = graft.CacheBarriers.barrier(
+      ivfAssignScored(embeddings, centroids, idCol, vecCol)
+        .filter(col("bucket") =!= UnassignedBucket))
+    val kept = scored
+      .select(col("bucket").cast("string").as("stratum"),
+        (if (keepCentral) -col("cos_scaled") else col("cos_scaled")).as("h"),
+        col(idCol).cast("string").as("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(cap).toColumn)
+      .flatMap { case (b, buf) =>
+        buf.items.zipWithIndex.map { case (c, i) => (b, c.id, (i + 1).toLong) }
+      }
+      .toDF("__b", "__id", "rnk")
+    scored.join(
+        broadcast(kept),
+        scored("bucket").cast("string") === kept("__b") &&
+          scored(idCol).cast("string") === kept("__id"))
+      .select(col(idCol), col("bucket"), col("cos_scaled"), col("rnk"))
+  }
+
   /** Predicate-selected centroids (the untrained/demo path; see
     * [[IvfTrain]] for Lloyd's-trained centroids). */
   def ivfAssign(embeddings: DataFrame, centroidPred: Column,
@@ -1502,5 +1586,31 @@ object Similarity {
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
        |    FROM $eCte e, $centsCte c WHERE NOT isnan($acos)) WHERE cr = 1""".stripMargin
+  }
+
+  /** SQL twin of [[ivfAssignScored]]: (vec_id, bucket, cos_scaled) —
+    * same argmax tie order, same floor(cos·1e6). */
+  def sqlIvfAssignScored(eCte: String, centsCte: String, dim: Int): String = {
+    val acos = sqlCosine("e.v", "c.cv", dim)
+    s"""SELECT vec_id, bucket, cos_scaled FROM (
+       |    SELECT e.vec_id, c.centroid_id AS bucket,
+       |           CAST(floor($acos * 1000000) AS BIGINT) AS cos_scaled,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $acos DESC, c.centroid_id ASC) AS cr
+       |    FROM $eCte e, $centsCte c WHERE NOT isnan($acos)) WHERE cr = 1""".stripMargin
+  }
+
+  /** SQL twin of [[diversitySample]] over a scored-assign CTE
+    * `(vec_id, bucket, cos_scaled)`. The `row_number` window IS the
+    * semantics; the operator's bounded heap is the scale realization of
+    * the same total order ([[Sampling.sqlExactKPerStratum]]'s framing). */
+  def sqlDiversitySample(assignCte: String, cap: Int,
+                         keepCentral: Boolean): String = {
+    val dir = if (keepCentral) "DESC" else "ASC"
+    s"""SELECT vec_id, bucket, cos_scaled, rnk FROM (
+       |    SELECT vec_id, bucket, cos_scaled,
+       |           row_number() OVER (PARTITION BY bucket
+       |             ORDER BY cos_scaled $dir, CAST(vec_id AS VARCHAR) ASC) AS rnk
+       |    FROM $assignCte) WHERE rnk <= $cap""".stripMargin
   }
 }

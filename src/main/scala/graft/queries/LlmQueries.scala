@@ -4557,6 +4557,43 @@ object LlmQueries extends QueryFamily {
            |       CAST(exact AS BIGINT) AS exact,
            |       CAST(abs(est - exact) * 1000000 // greatest(exact, 1)
            |            AS BIGINT) AS err_micro
-           |FROM est JOIN ex USING (grp) ORDER BY source""".stripMargin))
+           |FROM est JOIN ex USING (grp) ORDER BY source""".stripMargin)),
+
+    // ── Semantic diversity sample (q167): the SemDeDup/DataComp pruning
+    //    step — Lloyd's-trained clusters (the q59 discipline), every
+    //    vector scored against its winning centroid, and BOTH selection
+    //    arms kept at cap=2 per cluster: 'central' (prototype keep) and
+    //    'diverse' (SemDeDup's low-centroid-similarity keep). Ranking is
+    //    on the micro-scaled integer cosine with string-id ties, so the
+    //    bounded-heap operator and the oracle's row_number window realize
+    //    the same total order exactly. ───────────────────────────────────
+    QueryDef.sorted(
+      "q167_diversity_sample",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
+          "vec_id", "embedding")
+        def arm(central: Boolean, name: String) =
+          Similarity.diversitySample(e, trained, cap = 2,
+              keepCentral = central)
+            .select(lit(name).as("mode"), col("vec_id").cast("long"),
+              col("bucket").cast("long"), col("cos_scaled"), col("rnk"))
+        arm(central = true, "central").unionByName(arm(central = false, "diverse"))
+      },
+      _.orderBy("mode", "bucket", "rnk"),
+      Some {
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |${IvfTrain.sqlTrainCtes("vec_id % 64 = 0", 64)},
+           |assign AS (${Similarity.sqlIvfAssignScored("e", "c2", 64)}),
+           |ct AS (${Similarity.sqlDiversitySample("assign", 2, keepCentral = true)}),
+           |dv AS (${Similarity.sqlDiversitySample("assign", 2, keepCentral = false)})
+           |SELECT mode, CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(bucket AS BIGINT) AS bucket, cos_scaled,
+           |       CAST(rnk AS BIGINT) AS rnk
+           |FROM (SELECT 'central' AS mode, * FROM ct
+           |      UNION ALL SELECT 'diverse' AS mode, * FROM dv)
+           |ORDER BY mode, bucket, rnk""".stripMargin
+      })
   )
 }
