@@ -291,6 +291,73 @@ object Similarity {
       .select(col(idCol), col("bucket"), col("cos_scaled"), col("rnk"))
   }
 
+  /** [[diversitySample]]'s run-over-run ingest shape: fold a batch of
+    * new vectors into the cap-bounded per-cluster kept-state. The state
+    * IS the sample — (id, bucket, cos_scaled), ≤ cap rows per cluster,
+    * config-sized — and the fold law is the heap property itself:
+    * top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B), so folded batches equal
+    * the full-corpus selection EXACTLY, in any batch order. Redelivered
+    * vectors are absorbed by the id-keyed distinct (a replayed vector
+    * scores identically — selection is a pure function of the id set),
+    * giving the same replay-idempotence class as the register sketches.
+    * Centroids must be the same across folds by contract (they are the
+    * selection's frame of reference — retraining them is a new sample,
+    * not a fold).
+    *
+    * Returns the new state; derive ranked output with
+    * [[diversityReportFromState]]. Scale shape: the batch pays one
+    * narrow scoring scan + a bounded heap over batch∪state; state never
+    * exceeds clusters·cap rows. */
+  def diversitySampleIncremental(newVecs: DataFrame, keptState: DataFrame,
+                                 centroids: Array[Centroid], cap: Int,
+                                 keepCentral: Boolean,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    require(cap >= 1, s"cap=$cap: keep at least one row per cluster")
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val batchScored = ivfAssignScored(newVecs, centroids, idCol, vecCol)
+      .filter(col("bucket") =!= UnassignedBucket)
+      .select(col(idCol).cast("string").as("id"), col("bucket"),
+        col("cos_scaled"))
+    batchScored.unionByName(keptState).distinct()
+      .select(col("bucket").cast("string").as("stratum"),
+        (if (keepCentral) -col("cos_scaled") else col("cos_scaled")).as("h"),
+        col("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(cap).toColumn)
+      .flatMap { case (b, buf) =>
+        buf.items.map(c => (c.id, b.toLong,
+          if (keepCentral) -c.h else c.h))
+      }
+      .toDF("id", "bucket", "cos_scaled")
+  }
+
+  /** Empty kept-state for [[diversitySampleIncremental]]. */
+  def emptyDiversityState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", StringType),
+        StructField("bucket", LongType),
+        StructField("cos_scaled", LongType))))
+  }
+
+  /** Ranked output from a kept-state — [[diversitySample]]'s
+    * (id, bucket, cos_scaled, rnk) contract. The window runs over a
+    * clusters·cap-row frame (config-sized by construction), not the
+    * corpus. */
+  def diversityReportFromState(state: DataFrame,
+                               keepCentral: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = if (keepCentral) -col("cos_scaled") else col("cos_scaled")
+    state.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(key.asc, col("id").asc)))
+      .select(col("id"), col("bucket"), col("cos_scaled"),
+        col("rnk").cast("long"))
+  }
+
   /** Predicate-selected centroids (the untrained/demo path; see
     * [[IvfTrain]] for Lloyd's-trained centroids). */
   def ivfAssign(embeddings: DataFrame, centroidPred: Column,

@@ -4594,6 +4594,50 @@ object LlmQueries extends QueryFamily {
            |FROM (SELECT 'central' AS mode, * FROM ct
            |      UNION ALL SELECT 'diverse' AS mode, * FROM dv)
            |ORDER BY mode, bucket, rnk""".stripMargin
+      }),
+
+    // ── Incremental diversity sample (q168): q167's log-ingest shape —
+    //    three vec_id-sliced batches fold through the cap-bounded
+    //    per-cluster kept-state (the heap property makes the fold exact:
+    //    top-cap(A∪B) = top-cap(top-cap(A)∪B)), the LAST batch is folded
+    //    TWICE (the id-keyed distinct absorbs redelivery inside the
+    //    gate), and the folded report must equal the full-corpus window
+    //    selection — q167's oracle arms verbatim. ────────────────────────
+    QueryDef.sorted(
+      "q168_diversity_incremental",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
+          "vec_id", "embedding")
+        val slices = (0 to 2).map(i => e.filter(col("vec_id") % 3 === i))
+        def arm(central: Boolean, name: String) = {
+          val folded = slices.foldLeft(Similarity.emptyDiversityState(s)) {
+            (st, b) => graft.CacheBarriers.barrier(
+              Similarity.diversitySampleIncremental(b, st, trained,
+                cap = 2, keepCentral = central))
+          }
+          val replayed = Similarity.diversitySampleIncremental(slices(2),
+            folded, trained, cap = 2, keepCentral = central)
+          Similarity.diversityReportFromState(replayed, central)
+            .select(lit(name).as("mode"), col("id").cast("long").as("vec_id"),
+              col("bucket").cast("long"), col("cos_scaled"), col("rnk"))
+        }
+        arm(central = true, "central").unionByName(arm(central = false, "diverse"))
+      },
+      _.orderBy("mode", "bucket", "rnk"),
+      Some {
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |${IvfTrain.sqlTrainCtes("vec_id % 64 = 0", 64)},
+           |assign AS (${Similarity.sqlIvfAssignScored("e", "c2", 64)}),
+           |ct AS (${Similarity.sqlDiversitySample("assign", 2, keepCentral = true)}),
+           |dv AS (${Similarity.sqlDiversitySample("assign", 2, keepCentral = false)})
+           |SELECT mode, CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(bucket AS BIGINT) AS bucket, cos_scaled,
+           |       CAST(rnk AS BIGINT) AS rnk
+           |FROM (SELECT 'central' AS mode, * FROM ct
+           |      UNION ALL SELECT 'diverse' AS mode, * FROM dv)
+           |ORDER BY mode, bucket, rnk""".stripMargin
       })
   )
 }

@@ -54,6 +54,35 @@ class DiversitySampleSpec extends AnyFunSuite {
     assert(m.count { case ((b, _), _) => b == 1L } === 4)
   }
 
+  test("incremental fold: later batches displace kept rows; replay absorbs; fold equals full") {
+    val c = cents()
+    val all = frame()
+    val batches = Seq(
+      all.filter(col("vec_id").isin(1L, 2L, 6L)),
+      all.filter(col("vec_id").isin(3L, 7L)),
+      all.filter(col("vec_id").isin(4L, 5L)))
+    def fold(central: Boolean) = batches.foldLeft(
+      Similarity.emptyDiversityState(spark)) { (st, b) =>
+      Similarity.diversitySampleIncremental(b, st, c, cap = 2, central)
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rnk")) ->
+        r.getAs[String]("id").toLong).toMap
+    // diverse arm: batch 1 keeps (1,2) for cluster 1; 3 then 4 displace both
+    val divSt = fold(central = false)
+    assert(asMap(Similarity.diversityReportFromState(divSt, keepCentral = false))
+      === Map((1L, 1L) -> 4L, (1L, 2L) -> 3L, (5L, 1L) -> 6L, (5L, 2L) -> 5L))
+    // replaying the last batch changes nothing
+    val replayed = Similarity.diversitySampleIncremental(batches(2), divSt,
+      c, cap = 2, keepCentral = false)
+    assert(asMap(Similarity.diversityReportFromState(replayed, keepCentral = false))
+      === asMap(Similarity.diversityReportFromState(divSt, keepCentral = false)))
+    // central arm folds to the full-corpus selection too
+    assert(asMap(Similarity.diversityReportFromState(fold(central = true),
+      keepCentral = true))
+      === Map((1L, 1L) -> 1L, (1L, 2L) -> 2L, (5L, 1L) -> 5L, (5L, 2L) -> 6L))
+  }
+
   test("exact cosine ties break by the id's string form ascending") {
     import spark.implicits._
     // 2 and 10 are identical vectors → identical cos_scaled; '10' < '2'
