@@ -83,6 +83,30 @@ class DiversitySampleSpec extends AnyFunSuite {
       === Map((1L, 1L) -> 1L, (1L, 2L) -> 2L, (5L, 1L) -> 5L, (5L, 2L) -> 6L))
   }
 
+  test("streaming chain: folded state equals single-pass; replay recomputes from predecessor") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-div").toString
+    val c = cents()
+    val all = frame()
+    val batches = Seq(
+      all.filter(col("vec_id") <= 2L),
+      all.filter(col("vec_id").isin(3L, 4L)),
+      all.filter(col("vec_id") >= 5L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingDiversity.foldBatch(b, i.toLong, stateDir,
+        c, cap = 2, keepCentral = false)
+    }
+    def sample() = graft.streaming.StreamingDiversity
+      .latestSample(spark, stateDir, keepCentral = false).get
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rnk")) ->
+        r.getAs[String]("id").toLong).toMap
+    val want = Map((1L, 1L) -> 4L, (1L, 2L) -> 3L,
+      (5L, 1L) -> 6L, (5L, 2L) -> 5L)
+    assert(sample() === want)
+    graft.streaming.StreamingDiversity.foldBatch(batches(2), 2L, stateDir,
+      c, cap = 2, keepCentral = false)
+    assert(sample() === want)
+  }
+
   test("exact cosine ties break by the id's string form ascending") {
     import spark.implicits._
     // 2 and 10 are identical vectors → identical cos_scaled; '10' < '2'
