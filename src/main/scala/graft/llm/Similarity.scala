@@ -358,6 +358,51 @@ object Similarity {
         col("rnk").cast("long"))
   }
 
+  /** Clustering-quality audit — the [[lshRecallReport]] move applied to
+    * the IVF index: per cluster, how COHESIVE is the assigned mass
+    * (count, summed and minimum member-to-centroid micro-cosine) and how
+    * SEPARATED is the centroid from its nearest other centroid
+    * (`nn_sep_micro`). A cluster whose `min_cos_micro` is below its
+    * `nn_sep_micro` is holding members that sit closer to a neighboring
+    * centroid's direction than their own worst member sits to theirs —
+    * the overlap signature that costs IVF probes recall (and the signal
+    * for raising nprobe or retraining).
+    *
+    * Sums, not means: the consumer divides — emitting `sum DIV n` would
+    * marry the report to one engine's negative-integer-division
+    * convention, and the sum is the mergeable partial anyway.
+    *
+    * Scale shape: one narrow broadcast scoring scan + a ≤ clusters-group
+    * aggregate (map-side combine collapses each partition to cluster
+    * rows); the separation matrix is centroids² on the DRIVER —
+    * control-plane-sized, the PQ-LUT class, never a data-sized join. */
+  def ivfQualityReport(embeddings: DataFrame, centroids: Array[Centroid],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.length >= 2,
+      "ivfQualityReport: separation needs at least two centroids")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val coh = ivfAssignScored(embeddings, centroids, idCol, vecCol)
+      .filter(col("bucket") =!= UnassignedBucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_scaled")).as("sum_cos_micro"),
+        min(col("cos_scaled")).as("min_cos_micro"))
+    val sep = centroids.map { a =>
+      val best = centroids.iterator
+        .filter(_.id != a.id)
+        .map(b => dotArr(a.vec, b.vec) / (a.norm * b.norm))
+        .filterNot(_.isNaN)
+        .foldLeft(Double.NegativeInfinity)(math.max)
+      // floor∘max == max∘floor (floor is monotone), so the driver-side
+      // double max matches the oracle's max over floored micros
+      (a.id, math.floor(best * 1e6).toLong)
+    }.toSeq.toDF("bucket", "nn_sep_micro")
+    coh.join(broadcast(sep), Seq("bucket"))
+      .select(col("bucket"), col("n"), col("sum_cos_micro"),
+        col("min_cos_micro"), col("nn_sep_micro"))
+  }
+
   /** Predicate-selected centroids (the untrained/demo path; see
     * [[IvfTrain]] for Lloyd's-trained centroids). */
   def ivfAssign(embeddings: DataFrame, centroidPred: Column,

@@ -4638,6 +4638,124 @@ object LlmQueries extends QueryFamily {
            |FROM (SELECT 'central' AS mode, * FROM ct
            |      UNION ALL SELECT 'diverse' AS mode, * FROM dv)
            |ORDER BY mode, bucket, rnk""".stripMargin
+      }),
+
+    // ── IVF clustering-quality audit (q169): per-cluster cohesion
+    //    (count, summed + minimum member-to-centroid micro-cosine) and
+    //    nearest-other-centroid separation — the q135 audit move applied
+    //    to the q59 index. Sums, not means (negative-integer division is
+    //    engine-convention territory; the sum is the mergeable partial).
+    //    The separation matrix is centroids² on the driver; the oracle
+    //    replays it as a c2 self-join with floor∘max = max∘floor. ────────
+    QueryDef.sorted(
+      "q169_ivf_quality",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .localCheckpoint(true)
+        val trained = IvfTrain.train(e, col("vec_id") % 64 === 0, 2,
+          "vec_id", "embedding")
+        Similarity.ivfQualityReport(e, trained)
+          .select(col("bucket").cast("long"), col("n"),
+            col("sum_cos_micro"), col("min_cos_micro"), col("nn_sep_micro"))
+      },
+      _.orderBy("bucket"),
+      Some {
+        val scos = Similarity.sqlCosine("a.cv", "b.cv", 64)
+        s"""WITH e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v FROM embeddings),
+           |${IvfTrain.sqlTrainCtes("vec_id % 64 = 0", 64)},
+           |assign AS (${Similarity.sqlIvfAssignScored("e", "c2", 64)}),
+           |coh AS (SELECT bucket, count(*) AS n,
+           |               sum(cos_scaled) AS sum_cos_micro,
+           |               min(cos_scaled) AS min_cos_micro
+           |        FROM assign GROUP BY 1),
+           |sep AS (SELECT a.centroid_id AS bucket,
+           |               max(CAST(floor($scos * 1000000) AS BIGINT)) AS nn_sep_micro
+           |        FROM c2 a JOIN c2 b ON a.centroid_id <> b.centroid_id
+           |        WHERE NOT isnan($scos) GROUP BY 1)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+           |       CAST(sum_cos_micro AS BIGINT) AS sum_cos_micro,
+           |       min_cos_micro, nn_sep_micro
+           |FROM coh JOIN sep USING (bucket) ORDER BY bucket""".stripMargin
+      }),
+
+    // ── KMV vocabulary-overlap matrix (q170): per-source bottom-k
+    //    distinct-hash sketches (built per doc-id shard, merged by the
+    //    same fold — exercised in-gate like q166), then pairwise Jaccard
+    //    + union-cardinality estimates from the sketches ALONE, audited
+    //    against the exact vocabulary Jaccard (the q153 estimator-audit
+    //    discipline). Registers (q166) can't do this: they forget WHICH
+    //    keys they saw; KMV keeps a deterministic uniform sample, so
+    //    bottom-k of a union is computable from two sketches. ───────────
+    QueryDef.sorted(
+      "q170_kmv_jaccard",
+      (s, dir) => {
+        val K = 128
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))
+        val shard = Seq(0, 1).map(i =>
+          Cardinality.kmvWordSketch(docs.filter(col("doc_id") % 2 === i),
+            k = K))
+        val matrix = Cardinality.kmvJaccardMatrix(
+          Cardinality.mergeKmv(shard(0), shard(1), "source", K), "source", K)
+        val exv = docs.filter(col("text").isNotNull)
+          .select(col("source").as("g"),
+            explode(TextHash.words(col("text"))).as("w"))
+          .distinct()
+          .localCheckpoint(true) // consumed 3× below (sizes + both join sides)
+        val sizes = exv.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        val interEx = exv.as("a")
+          .join(exv.as("b"),
+            col("a.w") === col("b.w") && col("a.g") < col("b.g"))
+          .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+          .agg(count(lit(1)).as("inter_exact"))
+        matrix
+          .join(broadcast(sizes.select(col("g").as("src_a"),
+            col("n").as("__na"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("g").as("src_b"),
+            col("n").as("__nb"))), Seq("src_b"))
+          .join(interEx, Seq("src_a", "src_b"), "left")
+          .withColumn("__ie", coalesce(col("inter_exact"), lit(0L)))
+          .withColumn("jacc_exact_micro",
+            expr("__ie * 1000000L DIV (__na + __nb - __ie)"))
+          .withColumn("err_micro",
+            abs(col("jacc_micro") - col("jacc_exact_micro")))
+          .select(col("src_a"), col("src_b"), col("k_eff"), col("inter"),
+            col("jacc_micro"), col("union_est"), col("jacc_exact_micro"),
+            col("err_micro"))
+      },
+      _.orderBy("src_a", "src_b"),
+      Some {
+        val K = 128
+        s"""WITH tok AS (
+           |  SELECT source AS grp, unnest(${W("text")}) AS k
+           |  FROM documents WHERE text IS NOT NULL),
+           |${Cardinality.sqlKmvCte("tok", K)},
+           |${Cardinality.sqlKmvMatrixCtes("kmv", K)},
+           |exv AS (SELECT DISTINCT grp, k AS w FROM tok),
+           |sizes AS (SELECT grp, count(*) AS n FROM exv GROUP BY 1),
+           |iex AS (SELECT a.grp AS src_a, b.grp AS src_b,
+           |               count(*) AS inter_exact
+           |        FROM exv a JOIN exv b ON a.w = b.w AND a.grp < b.grp
+           |        GROUP BY 1, 2)
+           |SELECT c.src_a, c.src_b,
+           |       CAST(k_eff AS BIGINT) AS k_eff,
+           |       CAST(inter AS BIGINT) AS inter,
+           |       CAST(inter * 1000000 // k_eff AS BIGINT) AS jacc_micro,
+           |       CAST(CASE WHEN k_eff < $K THEN k_eff
+           |                 ELSE (${K - 1} * ${TextHash.P}) // hk
+           |            END AS BIGINT) AS union_est,
+           |       CAST(COALESCE(inter_exact, 0) * 1000000
+           |            // (sa.n + sb.n - COALESCE(inter_exact, 0))
+           |            AS BIGINT) AS jacc_exact_micro,
+           |       CAST(abs(inter * 1000000 // k_eff
+           |                - COALESCE(inter_exact, 0) * 1000000
+           |                  // (sa.n + sb.n - COALESCE(inter_exact, 0)))
+           |            AS BIGINT) AS err_micro
+           |FROM kcells c
+           |JOIN sizes sa ON sa.grp = c.src_a
+           |JOIN sizes sb ON sb.grp = c.src_b
+           |LEFT JOIN iex ON iex.src_a = c.src_a AND iex.src_b = c.src_b
+           |ORDER BY src_a, src_b""".stripMargin
       })
   )
 }
