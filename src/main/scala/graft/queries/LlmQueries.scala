@@ -4678,14 +4678,18 @@ object LlmQueries extends QueryFamily {
            |FROM coh JOIN sep USING (bucket) ORDER BY bucket""".stripMargin
       }),
 
-    // ── KMV vocabulary-overlap matrix (q170): per-source bottom-k
-    //    distinct-hash sketches (built per doc-id shard, merged by the
-    //    same fold — exercised in-gate like q166), then pairwise Jaccard
-    //    + union-cardinality estimates from the sketches ALONE, audited
-    //    against the exact vocabulary Jaccard (the q153 estimator-audit
-    //    discipline). Registers (q166) can't do this: they forget WHICH
-    //    keys they saw; KMV keeps a deterministic uniform sample, so
-    //    bottom-k of a union is computable from two sketches. ───────────
+    // ── KMV content-overlap matrix (q170): per-source bottom-k
+    //    distinct-3-gram-hash sketches (built per doc-id shard, merged by
+    //    the same fold — exercised in-gate like q166), then pairwise
+    //    Jaccard + union-cardinality estimates from the sketches ALONE,
+    //    audited against the exact shingle Jaccard (the q153
+    //    estimator-audit discipline). Registers (q166) can't do this:
+    //    they forget WHICH keys they saw; KMV keeps a deterministic
+    //    uniform sample, so bottom-k of a union is computable from two
+    //    sketches. Shingles, not words: the synthetic sources share a
+    //    ~31-word vocabulary (word-Jaccard ≈ 1 everywhere) but phrase
+    //    independently — the 3-gram space is ~16k keys, so per-source
+    //    sets exceed k and the true estimator path runs. ────────────────
     QueryDef.sorted(
       "q170_kmv_jaccard",
       (s, dir) => {
@@ -4693,13 +4697,14 @@ object LlmQueries extends QueryFamily {
         val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "text"))
         val shard = Seq(0, 1).map(i =>
-          Cardinality.kmvWordSketch(docs.filter(col("doc_id") % 2 === i),
+          Cardinality.kmvShingleSketch(docs.filter(col("doc_id") % 2 === i),
             k = K))
         val matrix = Cardinality.kmvJaccardMatrix(
           Cardinality.mergeKmv(shard(0), shard(1), "source", K), "source", K)
         val exv = docs.filter(col("text").isNotNull)
           .select(col("source").as("g"),
-            explode(TextHash.words(col("text"))).as("w"))
+            explode(TextHash.shingles(TextHash.words(col("text")), 3))
+              .as("w"))
           .distinct()
           .localCheckpoint(true) // consumed 3× below (sizes + both join sides)
         val sizes = exv.groupBy(col("g")).agg(count(lit(1)).as("n"))
@@ -4727,7 +4732,8 @@ object LlmQueries extends QueryFamily {
       Some {
         val K = 128
         s"""WITH tok AS (
-           |  SELECT source AS grp, unnest(${W("text")}) AS k
+           |  SELECT source AS grp,
+           |         unnest(${TextHash.sqlShingles(W("text"), 3)}) AS k
            |  FROM documents WHERE text IS NOT NULL),
            |${Cardinality.sqlKmvCte("tok", K)},
            |${Cardinality.sqlKmvMatrixCtes("kmv", K)},
@@ -4742,7 +4748,7 @@ object LlmQueries extends QueryFamily {
            |       CAST(inter AS BIGINT) AS inter,
            |       CAST(inter * 1000000 // k_eff AS BIGINT) AS jacc_micro,
            |       CAST(CASE WHEN k_eff < $K THEN k_eff
-           |                 ELSE (${K - 1} * ${TextHash.P}) // hk
+           |                 ELSE (CAST(${K - 1} AS BIGINT) * ${TextHash.P}) // hk
            |            END AS BIGINT) AS union_est,
            |       CAST(COALESCE(inter_exact, 0) * 1000000
            |            // (sa.n + sb.n - COALESCE(inter_exact, 0))
@@ -4755,7 +4761,7 @@ object LlmQueries extends QueryFamily {
            |JOIN sizes sa ON sa.grp = c.src_a
            |JOIN sizes sb ON sb.grp = c.src_b
            |LEFT JOIN iex ON iex.src_a = c.src_a AND iex.src_b = c.src_b
-           |ORDER BY src_a, src_b""".stripMargin
+           |ORDER BY c.src_a, c.src_b""".stripMargin
       })
   )
 }
