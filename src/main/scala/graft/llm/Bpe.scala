@@ -357,12 +357,24 @@ object Bpe {
     * training core, then run the SAME per-round gaps-and-islands apply
     * against the training chain's picks `bpt1 … bpt$k` (so this block
     * must be spliced AFTER [[sqlTrainCtes]]). Ends with the applied
-    * segmentation `aps$k(w, n, syms)`. */
+    * segmentation `aps$k(w, n, syms)`.
+    *
+    * Words whose `[a-z0-9]` char-split is EMPTY (no training-core
+    * characters at all) must survive with `syms = []` — that is what
+    * [[segmentWithMerges]] returns for them, and the per-position
+    * unnest in the round CTEs would silently drop a zero-position word
+    * from every subsequent round. The final CTE LEFT JOINs the last
+    * round back onto the full word source with a COALESCE to the empty
+    * list, so the twin keeps empty-segmentation rows row-for-row with
+    * the Scala API. */
   def sqlApplyCtes(wordsSrc: String, k: Int): String = {
-    val rounds = (1 to k).map(r => sqlStepOn("aps", r)).mkString(",\n")
-    s"""aps0 AS MATERIALIZED (SELECT w, 1 AS n,
+    val rounds = (1 to k).map(r => sqlStepOn("apr", r)).mkString(",\n")
+    s"""apr0 AS MATERIALIZED (SELECT w, 1 AS n,
        |          regexp_extract_all(w, '[a-z0-9]') AS syms FROM $wordsSrc),
-       |$rounds""".stripMargin
+       |$rounds,
+       |aps$k AS MATERIALIZED (SELECT s.w, s.n,
+       |          COALESCE(r.syms, []) AS syms
+       |          FROM apr0 s LEFT JOIN apr$k r ON s.w = r.w)""".stripMargin
   }
 
   /** Full training replay over a `(doc_id, text)` CTE `src`: word

@@ -200,4 +200,140 @@ object Features {
        |            LEFT JOIN tfagg a ON a.doc_id = d.doc_id AND a.b = dm.b),
        |tfvec AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
        |          FROM tfdense GROUP BY doc_id)""".stripMargin
+
+  /** BM25 retrieval (Robertson–Spärck Jones probabilistic ranking, the
+    * Okapi BM25 form — Robertson & Zaragoza 2009): per query, the top-k
+    * documents by Σ_t idf(t) · tf-saturation(t, d). The lexical-search
+    * counterpart of the embedding ANN family — the retrieval baseline a
+    * training-data pipeline needs for eval-set mining, hard-negative
+    * selection, and corpus QA ("which docs answer this probe").
+    *
+    * Cross-engine arithmetic: every quantity below the one `ln` is an
+    * INTEGER in explicit scaled units with a pinned operation order —
+    * `avgdl_milli = (T·1000) DIV N`, per-doc length normalization
+    * `dnorm_micro = (1000−b‰)·1000 + (b‰·10⁶·dl) DIV avgdl_milli`, term
+    * saturation `tfnorm_micro = ((1000+k1‰)·1000·tf·10⁶) DIV
+    * (tf·10⁶ + (k1‰·dnorm_micro) DIV 1000)` — so both engines divide
+    * identically (`DIV`/`//`). The idf rides the house `floor(1e6·ln)`
+    * contract (the [[LangModel]] discipline): `idf_micro =
+    * floor(1e6 · ln(1 + (N − df + 0.5)/(df + 0.5)))` — ≥ 0 by
+    * construction (the +1 inside the ln is exactly the guard against
+    * the classic negative-idf-for-common-terms artifact). Scores are
+    * `bm25_pico` (micro·micro) integer sums.
+    *
+    * Scale shape: ONE corpus explode (the persisted word-pair barrier
+    * feeds doc lengths, the query-pruned df census, and tf counts);
+    * the query side is broadcast everywhere (queries are probe-sized by
+    * contract); df counts only query terms (vocab pruned BEFORE the
+    * distinct count — never a full-vocabulary census); the top-k is
+    * [[KeepKSmallest]]'s bounded heap on the negated score (map-side
+    * partials collapse to ≤ k rows per query per partition — no window
+    * sort over the scored corpus). Wordless docs never score (they
+    * contain no term); N and avgdl are over docs WITH words — stated,
+    * deterministic, and matched by the twin. Ties break by the doc id's
+    * STRING form in UTF-8 order ([[KeepKSmallest]]'s contract).
+    *
+    * `queries`: (query_id, qtext) — tokenized with the same [[words]]
+    * split as documents. Terms absent from the corpus contribute 0.
+    * Returns (query_id, rnk, doc_id, bm25_pico), rnk 1-based. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1Pm: Long = 1200L, bPm: Long = 750L,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "qtext"): DataFrame = {
+    require(k >= 1, s"bm25TopK: k=$k")
+    require(k1Pm >= 0L, s"bm25TopK: k1Pm=$k1Pm")
+    require(bPm >= 0L && bPm <= 1000L,
+      s"bm25TopK: bPm=$bPm out of [0, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wp = graft.CacheBarriers.barrier(docs
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .select(col("doc_id"), TextHash.h64x(col("w")).as("wh")))
+    val stats = wp.agg(countDistinct(col("doc_id")).as("__n"),
+      count(lit(1)).as("__t"))
+    val dl = wp.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qterms = graft.CacheBarriers.barrier(queries
+      .select(col(queryIdCol).cast("string").as("query_id"),
+        explode(words(col(queryTextCol))).as("qw"))
+      .select(col("query_id"), TextHash.h64x(col("qw")).as("wh"))
+      .distinct())
+    val dfq = wp
+      .join(broadcast(qterms.select(col("wh")).distinct()), Seq("wh"))
+      .groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = wp.join(broadcast(qterms), Seq("wh"))
+      .groupBy(col("query_id"), col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf
+      .join(broadcast(dfq), Seq("wh"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl_milli", expr("__t * 1000 DIV __n"))
+      .withColumn("idf_micro", expr(
+        "CAST(floor(1e6 * ln(1.0 + ((CAST(__n AS DOUBLE) " +
+          "- CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5))) " +
+          "AS BIGINT)"))
+      .withColumn("dnorm_micro",
+        lit((1000L - bPm) * 1000L) +
+          expr(s"($bPm * 1000000 * dl) DIV avgdl_milli"))
+      .withColumn("tfnorm_micro", expr(
+        s"((${(1000L + k1Pm) * 1000L} * tf) * 1000000) DIV " +
+          s"(tf * 1000000 + ($k1Pm * dnorm_micro) DIV 1000)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf_micro") * col("tfnorm_micro")).as("bm25_pico"))
+    perDoc
+      .select(col("query_id").as("stratum"),
+        (-col("bm25_pico")).as("h"),
+        col("doc_id").cast("string").as("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(k).toColumn)
+      .flatMap { case (q, buf) =>
+        buf.items.zipWithIndex.map { case (c, i) =>
+          (q, (i + 1).toLong, c.id, -c.h)
+        }
+      }
+      .toDF("query_id", "rnk", "doc_id", "bm25_pico")
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over a `(doc_id, text)` CTE `src` and a
+    * query CTE `qsrc(query_id, qtext)`, ending at
+    * `bmtop(query_id, rnk, doc_id, bm25_pico)`. Same word split, same
+    * 64-bit word-hash join keys (hash collisions merge terms identically
+    * on both engines), same pinned integer-division order, same
+    * `floor(1e6·ln)` idf, same (score DESC, doc_id ASC) tie order. */
+  def sqlBm25Ctes(src: String, qsrc: String, k: Int,
+                  k1Pm: Long = 1200L, bPm: Long = 750L): String =
+    s"""bmw AS (SELECT doc_id, ${TextHash.sqlH64x("w")} AS wh FROM (
+       |          SELECT doc_id, unnest(${TextHash.sqlWords("text")}) AS w
+       |          FROM $src)),
+       |bmq AS (SELECT DISTINCT query_id, ${TextHash.sqlH64x("w")} AS wh
+       |        FROM (SELECT query_id, unnest(${TextHash.sqlWords("qtext")}) AS w
+       |              FROM $qsrc)),
+       |bmst AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t FROM bmw),
+       |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmw GROUP BY 1),
+       |bmdf AS (SELECT wh, count(DISTINCT doc_id) AS df FROM bmw
+       |         WHERE wh IN (SELECT wh FROM bmq) GROUP BY 1),
+       |bmtf AS (SELECT q.query_id, w.doc_id, w.wh, count(*) AS tf
+       |         FROM bmw w JOIN bmq q ON w.wh = q.wh GROUP BY 1, 2, 3),
+       |bmsc AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(CAST(floor(1e6 * ln(1.0 + ((CAST(n AS DOUBLE)
+       |               - CAST(df AS DOUBLE)) + 0.5)
+       |               / (CAST(df AS DOUBLE) + 0.5))) AS BIGINT)
+       |             * (((${(1000L + k1Pm) * 1000L} * tf) * 1000000) //
+       |                (tf * 1000000 +
+       |                 ($k1Pm * (${(1000L - bPm) * 1000L} +
+       |                   ($bPm * 1000000 * dl) // ((t * 1000) // n)))
+       |                 // 1000))) AS BIGINT) AS bm25_pico
+       |  FROM bmtf JOIN bmdf USING (wh) JOIN bmdl USING (doc_id), bmst
+       |  GROUP BY 1, 2),
+       |bmtop AS (
+       |  SELECT query_id, rnk, doc_id, bm25_pico FROM (
+       |    SELECT query_id, CAST(doc_id AS VARCHAR) AS doc_id, bm25_pico,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY bm25_pico DESC,
+       |                      CAST(doc_id AS VARCHAR) ASC) AS BIGINT) AS rnk
+       |    FROM bmsc) WHERE rnk <= $k)""".stripMargin
 }

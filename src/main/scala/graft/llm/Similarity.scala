@@ -297,12 +297,15 @@ object Similarity {
     * config-sized — and the fold law is the heap property itself:
     * top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B), so folded batches equal
     * the full-corpus selection EXACTLY, in any batch order. Redelivered
-    * vectors are absorbed by the id-keyed distinct (a replayed vector
+    * vectors are absorbed by an id-keyed dedupe (a replayed vector
     * scores identically — selection is a pure function of the id set),
-    * giving the same replay-idempotence class as the register sketches.
-    * Centroids must be the same across folds by contract (they are the
-    * selection's frame of reference — retraining them is a new sample,
-    * not a fold).
+    * giving the same replay-idempotence class as the register sketches —
+    * and the dedupe is STRICT: an id that reappears with a DIFFERENT
+    * (bucket, cos_scaled) — a mutated embedding or an id collision —
+    * raises row-lazily rather than silently carrying two rows for one
+    * id past the cap contract. Centroids must be the same across folds
+    * by contract (they are the selection's frame of reference —
+    * retraining them is a new sample, not a fold).
     *
     * Returns the new state; derive ranked output with
     * [[diversityReportFromState]]. Scale shape: the batch pays one
@@ -320,7 +323,25 @@ object Similarity {
       .filter(col("bucket") =!= UnassignedBucket)
       .select(col(idCol).cast("string").as("id"), col("bucket"),
         col("cos_scaled"))
+    // id-keyed strict dedupe: identical replays collapse (distinct rows,
+    // one per id); an id surviving with TWO distinct (bucket, cos) rows
+    // broke the ids-immutable contract — raise instead of letting the
+    // kept state exceed cap-per-cluster with duplicate ids. min() on the
+    // singleton group is the row itself; the when() keeps the check in
+    // the live plan.
     batchScored.unionByName(keptState).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("__n"),
+        min(col("bucket")).as("bucket"),
+        min(col("cos_scaled")).as("cos_scaled"))
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+          lit("diversitySampleIncremental: id "), col("id"),
+          lit(" re-delivered with a conflicting (bucket, cos_scaled) — " +
+            "embeddings are immutable by contract (same id must score " +
+            "identically); a changed vector or id collision cannot " +
+            "fold"))))
+          .otherwise(col("id")).as("id"),
+        col("bucket"), col("cos_scaled"))
       .select(col("bucket").cast("string").as("stratum"),
         (if (keepCentral) -col("cos_scaled") else col("cos_scaled")).as("h"),
         col("id"))
@@ -388,15 +409,20 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("cos_scaled")).as("sum_cos_micro"),
         min(col("cos_scaled")).as("min_cos_micro"))
-    val sep = centroids.map { a =>
+    val sep = centroids.flatMap { a =>
       val best = centroids.iterator
         .filter(_.id != a.id)
         .map(b => dotArr(a.vec, b.vec) / (a.norm * b.norm))
         .filterNot(_.isNaN)
         .foldLeft(Double.NegativeInfinity)(math.max)
       // floor∘max == max∘floor (floor is monotone), so the driver-side
-      // double max matches the oracle's max over floored micros
-      (a.id, math.floor(best * 1e6).toLong)
+      // double max matches the oracle's max over floored micros. A
+      // centroid whose EVERY other-centroid cosine is NaN (degenerate
+      // zero-norm geometry on both sides of each pair) has no defined
+      // separation — emit no row, exactly as the oracle's sep CTE
+      // (NaN-filtered, inner join) drops that bucket.
+      if (best.isNegInfinity) None
+      else Some((a.id, math.floor(best * 1e6).toLong))
     }.toSeq.toDF("bucket", "nn_sep_micro")
     coh.join(broadcast(sep), Seq("bucket"))
       .select(col("bucket"), col("n"), col("sum_cos_micro"),

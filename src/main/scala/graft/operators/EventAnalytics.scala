@@ -458,17 +458,23 @@ object EventAnalytics {
       .agg(sum(col("n")).as("n"))
 
   /** Empty last-event state for [[transitionMatrixIncremental]].
-    * `tieType` must match the tie column's runtime type (event_id here
-    * defaults long) — the boundary-order check compares them directly. */
+    * `tieType`/`userType` must match the tie/user columns' runtime
+    * types (event_id/user_id here default long) — the boundary-order
+    * check compares ties directly and the fold unions state with the
+    * batch's user column, so a mismatch is an AnalysisException on the
+    * first batch. The streaming wrappers derive both from the batch
+    * schema rather than trusting the defaults. */
   def emptyTransitionState(spark: org.apache.spark.sql.SparkSession,
                            userCol: String = "user_id",
                            tieType: org.apache.spark.sql.types.DataType =
+                             org.apache.spark.sql.types.LongType,
+                           userType: org.apache.spark.sql.types.DataType =
                              org.apache.spark.sql.types.LongType)
       : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField(userCol, LongType),
+      StructType(Seq(StructField(userCol, userType),
         StructField("last_type", StringType),
         StructField("last_ts", LongType),
         StructField("last_tie", tieType))))
@@ -629,16 +635,20 @@ object EventAnalytics {
       .select(col("path"), col("n"), col("share_micro"))
   }
 
-  /** Empty tail state for [[pathCensusIncremental]]. */
+  /** Empty tail state for [[pathCensusIncremental]]. Type contract as
+    * [[emptyTransitionState]]: `tieType`/`userType` must match the
+    * batch's runtime column types or the first fold's union raises. */
   def emptyPathState(spark: org.apache.spark.sql.SparkSession,
                      userCol: String = "user_id",
                      tieType: org.apache.spark.sql.types.DataType =
+                       org.apache.spark.sql.types.LongType,
+                     userType: org.apache.spark.sql.types.DataType =
                        org.apache.spark.sql.types.LongType)
       : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField(userCol, LongType),
+      StructType(Seq(StructField(userCol, userType),
         StructField("tail_ts", ArrayType(LongType)),
         StructField("tail_tie", ArrayType(tieType)),
         StructField("tail_type", ArrayType(StringType)))))
@@ -653,31 +663,48 @@ object EventAnalytics {
     * Scale shape: a sliding COUNT DISTINCT has no single-pass window
     * form, so each (user, day) activity row fans out to the `windowDays`
     * window-END days it supports — a bounded ×windowDays explode of the
-    * already-day-deduped table (far smaller than events) — and each end
-    * day counts its distinct supporters map-side. Two user-keyed
-    * distincts + one day-keyed count; nothing corpus-sized. */
+    * already-day-deduped table (far smaller than events) — CARRYING its
+    * window offset, so ONE (user, end-day) aggregation (min offset)
+    * serves both counts: offset 0 present ⟺ the user was active ON the
+    * day (DAU), any row ⟺ active in its trailing window (WAU). The
+    * round-11 shape built DAU and WAU as two independent aggregation
+    * chains over the activity table and joined them — one full pass, one
+    * distinct, and one join more than this. Days with only window
+    * support (no direct activity) drop, preserving the report's
+    * row-existence rule. */
   def activeUsers(events: DataFrame, tsUs: Column, windowDays: Int = 7,
                   userCol: String = "user_id"): DataFrame = {
     require(windowDays >= 1, s"activeUsers: windowDays=$windowDays")
-    import org.apache.spark.sql.functions.broadcast
-    val days = graft.CacheBarriers.barrier(events
+    val days = events
       .withColumn("ts_us", tsUs.cast("long"))
       .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
       .select(col(userCol).as("__u"),
         expr("ts_us DIV 86400000000L").as("day"))
-      .distinct())
-    val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = days
-      .select(col("__u"),
-        explode(sequence(col("day"), col("day") + (windowDays - 1)))
-          .as("day"))
       .distinct()
-      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    dau.join(broadcast(wau), Seq("day"))
+    fusedActiveReport(
+      days.select(col("__u"), col("day").as("__d0"),
+          explode(sequence(lit(0L), lit((windowDays - 1).toLong)))
+            .as("__ux"))
+        .select(col("__u"), (col("__d0") + col("__ux")).as("day"),
+          col("__ux")))
+  }
+
+  /** The shared (user, end-day, offset) → (day, dau, wau, stickiness)
+    * reduction of [[activeUsers]] and [[activeUsersDeltaFrom]]: collapse
+    * to per-(user, day) min offset (distinctness), then count both
+    * measures in one day-keyed pass; `dau > 0` keeps exactly the days
+    * with direct activity (the inner-join row rule of the two-chain
+    * form). */
+  private def fusedActiveReport(support: DataFrame): DataFrame =
+    support
+      .groupBy(col("__u"), col("day")).agg(min(col("__ux")).as("__mx"))
+      .groupBy(col("day")).agg(
+        count(when(col("__mx") === 0L, 1)).as("dau"),
+        count(lit(1)).as("wau"))
+      .filter(col("dau") > 0L)
       .withColumn("stickiness_micro",
         expr("dau * 1000000L DIV greatest(wau, 1L)"))
       .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
-  }
 
   /** Incremental [[activeUsers]] — the run-over-run ingest shape for the
     * DAU/WAU report, completing the event family's incremental set
@@ -710,9 +737,12 @@ object EventAnalytics {
                              userCol: String = "user_id")
       : (DataFrame, DataFrame) = {
     require(windowDays >= 1, s"activeUsersIncremental: $windowDays")
-    val (delta, fresh) = activeUsersDeltaFrom(
+    // the delta core's folded frame IS the new state here (full state in,
+    // full state ∪ fresh out) — returning it directly shares one
+    // persisted union instead of materializing the same frame twice
+    val (delta, _, folded) = activeUsersDeltaFrom(
       activityPairs(newEvents, tsUs, userCol), state, windowDays)
-    (delta, graft.CacheBarriers.barrier(state.unionByName(fresh)))
+    (delta, folded)
   }
 
   /** The batch's distinct (user, day) activity pairs — [[activeUsers]]'s
@@ -733,39 +763,37 @@ object EventAnalytics {
     * the day-range-pruned union — WAU at day d reads only (d−w, d], so
     * the slice premise bounds exactly what the recompute can touch).
     * Returns (report delta for every affected day, the batch's NOVEL
-    * pairs). */
+    * pairs, the folded slice ∪ fresh union — already persisted, so a
+    * caller whose slice is the full state reuses it as the new state
+    * instead of materializing the same union twice). */
   private[graft] def activeUsersDeltaFrom(batchPairs: DataFrame,
                                           stateSlice: DataFrame,
                                           windowDays: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val fresh = graft.CacheBarriers.barrier(
       batchPairs.join(stateSlice, Seq("__u", "day"), "left_anti"))
     val folded = graft.CacheBarriers.barrier(
       stateSlice.unionByName(fresh))
-    // a novel pair at day D changes DAU(D) and WAU(D … D+w−1); report
-    // rows exist only for days with activity, so intersect with the
-    // folded day set
+    // a novel pair at day D changes DAU(D) and WAU(D … D+w−1). No
+    // distinct and no intersection with the folded day set: the semi
+    // join below dedupes its build side by definition, and an affected
+    // day WITHOUT direct activity aggregates to dau = 0 and is dropped
+    // by [[fusedActiveReport]]'s row rule — the two extra shuffles the
+    // round-11 shape paid for the same rows
     val affected = fresh
       .select(explode(sequence(col("day"),
         col("day") + (windowDays - 1))).as("day"))
-      .distinct()
-      .join(folded.select(col("day")).distinct(), Seq("day"),
-        "left_semi")
-    val dau = folded.join(affected, Seq("day"), "left_semi")
-      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = folded
-      .select(col("__u"),
-        explode(sequence(col("day"), col("day") + (windowDays - 1)))
-          .as("day"))
-      .join(affected, Seq("day"), "left_semi")
-      .distinct()
-      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    val delta = dau.join(broadcast(wau), Seq("day"))
-      .withColumn("stickiness_micro",
-        expr("dau * 1000000L DIV greatest(wau, 1L)"))
-      .select(col("day"), col("dau"), col("wau"),
-        col("stickiness_micro"))
-    (delta, fresh)
+    // fused DAU+WAU ([[fusedActiveReport]]): the explode carries its
+    // offset so one (user, day) aggregation feeds both counts
+    val delta = fusedActiveReport(
+      folded
+        .select(col("__u"), col("day").as("__d0"),
+          explode(sequence(lit(0L), lit((windowDays - 1).toLong)))
+            .as("__ux"))
+        .select(col("__u"), (col("__d0") + col("__ux")).as("day"),
+          col("__ux"))
+        .join(affected, Seq("day"), "left_semi"))
+    (delta, fresh, folded)
   }
 
   /** Fold an [[activeUsersIncremental]] report delta into the running

@@ -1053,7 +1053,12 @@ object CoreQueries extends QueryFamily {
       "q158_active_users_incremental",
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")
-        val withTs = ev.withColumn("__t", graft.source.EventLog.tsUsOf(ev))
+        // parse ONCE: all three folds slice the same persisted 2-column
+        // (user, ts) projection instead of re-scanning + re-parsing the
+        // events parquet per fold (the round-11 shape paid the scan ×3)
+        val withTs = graft.CacheBarriers.barrier(
+          ev.select(col("user_id"),
+            graft.source.EventLog.tsUsOf(ev).as("__t")))
         val cut1 = 1704931200000000L
         val cut2 = 1705795200000000L
         val E = EventAnalytics

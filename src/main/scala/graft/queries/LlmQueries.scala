@@ -4489,7 +4489,10 @@ object LlmQueries extends QueryFamily {
     //    the census never saw, where the shipped lookup table has no
     //    row and q123's character-count fallback only bounds. Both
     //    engines replay training and application, so the hash match
-    //    pins the greedy rank-ordered apply itself. ─────────────────────
+    //    pins the greedy rank-ordered apply itself. The '?!?' row has
+    //    NO training-core characters — it pins the empty-segmentation
+    //    contract (syms = [], n_sub = 0) the SQL twin once silently
+    //    dropped. ──────────────────────────────────────────────────────
     QueryDef.sorted(
       "q161_bpe_merge_replay",
       (s, dir) => {
@@ -4501,6 +4504,7 @@ object LlmQueries extends QueryFamily {
           .filter(length(col("w")) % 5 === 3)
         val applySet = base
           .unionByName(base.select(concat(col("w"), lit("zq")).as("w")))
+          .unionByName(s.range(1).select(lit("?!?").as("w")))
           .distinct()
         Bpe.segmentWithMerges(applySet, merges)
           .select(col("w"), array_join(col("syms"), " ").as("seg"),
@@ -4512,9 +4516,10 @@ object LlmQueries extends QueryFamily {
            |wsel AS MATERIALIZED (SELECT w FROM bpw WHERE length(w) % 5 = 3),
            |wapp AS MATERIALIZED (SELECT DISTINCT w FROM (
            |          SELECT w FROM wsel
-           |          UNION ALL SELECT w || 'zq' FROM wsel)),
+           |          UNION ALL SELECT w || 'zq' FROM wsel
+           |          UNION ALL SELECT '?!?')),
            |${Bpe.sqlApplyCtes("wapp", 8)}
-           |SELECT w, array_to_string(syms, ' ') AS seg,
+           |SELECT w, COALESCE(array_to_string(syms, ' '), '') AS seg,
            |       CAST(len(syms) AS BIGINT) AS n_sub
            |FROM aps8 ORDER BY w""".stripMargin)),
 
@@ -4762,6 +4767,37 @@ object LlmQueries extends QueryFamily {
            |JOIN sizes sb ON sb.grp = c.src_b
            |LEFT JOIN iex ON iex.src_a = c.src_a AND iex.src_b = c.src_b
            |ORDER BY c.src_a, c.src_b""".stripMargin
-      })
+      }),
+
+    // ── BM25 retrieval (q172): the lexical-search counterpart of the
+    //    ANN family — three probe queries ranked over the corpus with
+    //    Okapi BM25, everything below the one ln in pinned integer
+    //    arithmetic (micro-scaled idf · tf-saturation, explicit DIV
+    //    order both engines share) and the top-k elected by the
+    //    bounded-heap aggregator, never a corpus-wide window sort. The
+    //    oracle replays word split, 64-bit term hashes, df/dl/avgdl,
+    //    the saturation formula, and the (score DESC, id ASC) tie order
+    //    verbatim. ─────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q172_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val probes = Seq(
+          ("p1", "fast join merge"),
+          ("p2", "window sort spark dup"),
+          ("p3", "stream batch query table")).toDF("query_id", "qtext")
+        Features.bm25TopK(docs, probes, k = 10)
+      },
+      _.orderBy("query_id", "rnk"),
+      Some(
+        s"""WITH qsrc(query_id, qtext) AS (VALUES
+           |  ('p1', 'fast join merge'),
+           |  ('p2', 'window sort spark dup'),
+           |  ('p3', 'stream batch query table')),
+           |${Features.sqlBm25Ctes("documents", "qsrc", 10)}
+           |SELECT query_id, rnk, doc_id, bm25_pico
+           |FROM bmtop ORDER BY query_id, rnk""".stripMargin))
   )
 }

@@ -374,6 +374,161 @@ object RelateQueries extends QueryFamily {
            |LEFT JOIN tomb t ON u.id = t.id
            |LEFT JOIN hits h ON u.id = h.id
            |WHERE t.id IS NULL OR h.n_hits <> 1 OR u.version >= t.del_version
-           |ORDER BY u.meta_index, CAST(u.id AS BIGINT)""".stripMargin))
+           |ORDER BY u.meta_index, CAST(u.id AS BIGINT)""".stripMargin)),
+
+    // ── The composite daemon batch (K1–K4 fencing interplay in ONE
+    //    writeBatch): inserts + updates + deletes + drop_coll/drop_db +
+    //    join-only relate fan-out + a patch namespace + a time-machine
+    //    namespace, all in one batch against a fresh backend. What the
+    //    oracle replays relationally:
+    //      · per-(namespace, id) LWW winners, mapping-resolved indexes;
+    //      · the IN-BATCH DROP FENCE — winners at or below their
+    //        namespace's last covering drop version never land, with
+    //        drop_db 'app' fencing the SYNTHETIC app.supplier docs too
+    //        (the fence reads the routed batch's own namespaces);
+    //      · relate semantics — app.t2 data ops fan out to suppliers,
+    //        t2 deletes AND t2 drops vanish (join-only source: null doc
+    //        joins nothing, and the seed filter owns every t2 op);
+    //      · delete resolution with protection against the post-upsert
+    //        state (exactly-one-hit), the tombstones themselves fenced,
+    //        and the backend's versioned-delete fence on top;
+    //      · K4 history: EVERY app.t0 data/delete op appends (before
+    //        fences and LWW — the audit trail includes fenced ops) into
+    //        dated log indexes;
+    //      · the patch-namespace chains (delete-epoch renumbering) over
+    //        app.t3.
+    //    One kind-discriminated frame ('doc' | 'hist' | 'patch') pins
+    //    the whole interplay cross-engine; q91 covers files + routing
+    //    detail, q29 covers drop patterns — this row is the ordering
+    //    semantics BETWEEN the K-layers. ───────────────────────────────
+    QueryDef.sorted(
+      "q171_daemon_composite",
+      (s, dir) => {
+        import s.implicits._
+        val cfg = GraftConfig(
+          relates = Seq(Relation("app.t2", "app.supplier", "document.k",
+            "s_suppkey", matchFieldType = Some("long"),
+            broadcastRelated = true)),
+          mappings = Map("app.t1" -> "custom_t1",
+            "app.supplier" -> "suppliers"),
+          timeMachineNamespaces = Seq("app.t0"),
+          patchNamespaces = Seq("app.t3"))
+        val suppDocs = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey").cast("string").as("id"),
+            to_json(struct(col("s_name"), col("s_nationkey")))
+              .as("document"),
+            col("s_suppkey"))
+        val env = EventLog.envelopeWithDrops(s, dir)
+        val routed = ConfiguredPipeline.routeData(cfg,
+          collections = Map("app.supplier" -> suppDocs))(env)
+        val backend = new InMemorySinkBackend
+        backend.bootstrap(cfg, SinkWriter.fileIndexes(cfg)) // K8 (no-op: no files)
+        SinkWriter.writeBatch(routed, cfg, backend)
+        val docs = backend.state.toSeq.map { case ((ix, id), d) =>
+          ("doc", ix, id, d.version)
+        }
+        val hist = backend.history.toSeq.map { case (ix, id, v) =>
+          ("hist", ix, id, v)
+        }
+        val local = (docs ++ hist).toDF("kind", "ix", "id", "v")
+        val patches = PatchLog.pairs(env, cfg.patchNamespaces)
+          .select(lit("patch").as("kind"), col("namespace").as("ix"),
+            col("id"), col("v").cast("long").as("v"))
+        local.unionByName(patches)
+      },
+      _.orderBy(col("kind"), col("ix"), expr("CAST(id AS BIGINT)"),
+        col("v")),
+      Some(
+        s"""WITH ${EventLog.oracleCteWithDrops},
+           |dropc AS (
+           |  SELECT lower(namespace) AS d_ns, version AS d_version
+           |  FROM envd WHERE operation = 'drop_coll'
+           |    AND namespace <> 'app.t2'),
+           |nsl AS (
+           |  SELECT DISTINCT lower(namespace) AS ns FROM envd
+           |  WHERE namespace LIKE 'app.t%' AND namespace <> 'app.t2'
+           |  UNION ALL SELECT 'app.supplier'),
+           |fence AS (
+           |  SELECT ns, max(v) AS fence_v FROM (
+           |    SELECT d_ns AS ns, d_version AS v FROM dropc
+           |    UNION ALL
+           |    SELECT nsl.ns, e.version FROM nsl, envd e
+           |    WHERE e.operation = 'drop_db' AND e.db = 'app')
+           |  GROUP BY ns),
+           |dw AS (
+           |  SELECT namespace, id, operation, version FROM (
+           |    SELECT namespace, id, operation, version,
+           |           row_number() OVER (PARTITION BY namespace, id
+           |             ORDER BY version DESC, event_id DESC) AS rn
+           |    FROM envd
+           |    WHERE operation IN ('i', 'u', 'd')
+           |      AND namespace <> 'app.t2') WHERE rn = 1),
+           |synth AS (
+           |  SELECT CAST(s.s_suppkey AS VARCHAR) AS id, e.version,
+           |         e.event_id
+           |  FROM envd e JOIN supplier s
+           |    ON CAST(json_extract_string(e.document, '$$.k') AS BIGINT)
+           |         = s.s_suppkey
+           |  WHERE e.namespace = 'app.t2' AND e.document IS NOT NULL),
+           |sw AS (
+           |  SELECT id, version FROM (
+           |    SELECT id, version,
+           |           row_number() OVER (PARTITION BY id
+           |             ORDER BY version DESC, event_id DESC) AS rn
+           |    FROM synth) WHERE rn = 1),
+           |up AS (
+           |  SELECT CASE namespace WHEN 'app.t1' THEN 'custom_t1'
+           |           ELSE lower(namespace) END AS ix,
+           |         lower(namespace) AS ns, id, version
+           |  FROM dw WHERE operation IN ('i', 'u')
+           |  UNION ALL
+           |  SELECT 'suppliers' AS ix, 'app.supplier' AS ns, id, version
+           |  FROM sw),
+           |upf AS (
+           |  SELECT u.* FROM up u LEFT JOIN fence f ON u.ns = f.ns
+           |  WHERE f.fence_v IS NULL OR u.version > f.fence_v),
+           |tomb AS (
+           |  SELECT t.id, t.version AS del_version FROM dw t
+           |  LEFT JOIN fence f ON lower(t.namespace) = f.ns
+           |  WHERE t.operation = 'd'
+           |    AND (f.fence_v IS NULL OR t.version > f.fence_v)),
+           |hits AS (
+           |  SELECT u.id, count(*) AS n_hits FROM upf u
+           |  JOIN tomb t ON u.id = t.id GROUP BY u.id),
+           |docs AS (
+           |  SELECT 'doc' AS kind, u.ix, u.id, u.version AS v
+           |  FROM upf u
+           |  LEFT JOIN tomb t ON u.id = t.id
+           |  LEFT JOIN hits h ON u.id = h.id
+           |  WHERE t.id IS NULL OR h.n_hits <> 1
+           |     OR u.version >= t.del_version),
+           |hist AS (
+           |  SELECT 'hist' AS kind,
+           |         'log.app.t0.' ||
+           |           strftime(make_timestamp(ts_us), '%Y-%m-%d') AS ix,
+           |         id, version AS v
+           |  FROM envd
+           |  WHERE namespace = 'app.t0' AND operation IN ('i', 'u', 'd')),
+           |pat AS (
+           |  SELECT 'patch' AS kind, namespace AS ix, id,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY namespace, id, epoch
+           |           ORDER BY version, event_id) AS BIGINT) AS v
+           |  FROM (
+           |    SELECT namespace, id, operation, version, event_id,
+           |           sum(CASE WHEN operation = 'd' THEN 1 ELSE 0 END)
+           |             OVER (PARTITION BY namespace, id
+           |                   ORDER BY version, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS epoch
+           |    FROM envd
+           |    WHERE namespace = 'app.t3'
+           |      AND ((operation IN ('i', 'u') AND document IS NOT NULL)
+           |           OR operation = 'd'))
+           |  WHERE operation IN ('i', 'u'))
+           |SELECT kind, ix, id, v FROM (
+           |  SELECT * FROM docs
+           |  UNION ALL SELECT * FROM hist
+           |  UNION ALL SELECT * FROM pat)
+           |ORDER BY kind, ix, CAST(id AS BIGINT), v""".stripMargin))
   )
 }

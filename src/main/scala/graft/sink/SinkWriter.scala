@@ -38,6 +38,22 @@ import graft.operators.{DeleteStrategies, Routing, TimeMachine, Upsert}
   */
 trait SinkBackend {
 
+  /** K8 one-time sink setup, BEFORE the first batch — the analog of the
+    * reference's `ensureFileMapping` (monstache.go:775-793), which with
+    * `index-files` on installs the attachment ingest pipeline / mapping
+    * for every file namespace's resolved index at startup so file
+    * content never lands in an unprepared index. The batch analog:
+    * [[SinkWriter.start]] invokes this once, synchronously, before the
+    * stream's first micro-batch; callers driving [[SinkWriter.writeBatch]]
+    * directly invoke it themselves before the first batch.
+    * `fileIndexes` is the already-resolved (namespace, index) list for
+    * `cfg.fileNamespaces` — empty when `index-files` is off.
+    * Default no-op: most backends need no setup; implementations must be
+    * idempotent (a restarted driver bootstraps again, exactly as the
+    * reference re-runs ensureFileMapping on every boot). */
+  def bootstrap(cfg: GraftConfig,
+                fileIndexes: Seq[(String, String)]): Unit = ()
+
   /** Routed live winners: (namespace, id, document, meta_index, meta_id,
     * meta_routing, meta_version, …). External-version semantics: the
     * backend must ignore a version at or below what it already holds
@@ -80,6 +96,17 @@ trait SinkBackend {
   * deletes resolve against the post-upsert sink state, so a delete
   * following an insert in the same batch sees it. */
 object SinkWriter {
+
+  /** Driver-side resolution of the file namespaces to their sink
+    * indexes — the `[[mapping]]`-then-lowercased-namespace precedence of
+    * [[Routing.resolveIndex]], computed on the config (control-plane
+    * strings, no frame involved) for [[SinkBackend.bootstrap]]. Empty
+    * unless `index-files` is on (the reference only ensures file
+    * mappings when indexing files, monstache.go:775-777). */
+  def fileIndexes(cfg: GraftConfig): Seq[(String, String)] =
+    if (!cfg.indexFiles) Nil
+    else cfg.fileNamespaces.map(ns =>
+      ns -> cfg.mappings.getOrElse(ns, ns.toLowerCase))
 
   /** Apply one micro-batch of hot-path envelope ops to the backend.
     * `batch` is the (filtered, transformed) envelope — what
@@ -192,7 +219,11 @@ object SinkWriter {
   def start(events: DataFrame, checkpointDir: String, cfg: GraftConfig,
             backend: SinkBackend,
             transform: DataFrame => DataFrame = identity,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // K8: sink setup strictly precedes the first batch — bootstrap runs
+    // synchronously before the stream starts, every boot (idempotence is
+    // the backend's contract, as with the reference's ensureFileMapping)
+    backend.bootstrap(cfg, fileIndexes(cfg))
     transform(events).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
@@ -201,6 +232,7 @@ object SinkWriter {
         writeBatch(batch, cfg, backend)
       }
       .start()
+  }
 }
 
 /** In-memory [[SinkBackend]] — the mock the spec drives and the template
@@ -218,8 +250,20 @@ class InMemorySinkBackend extends SinkBackend {
   val state = TrieMap[(String, String), SinkDoc]()
   /** (history_index, source_id, version) appends, in arrival order. */
   val history = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+  /** Each [[bootstrap]] call's resolved file (namespace, index) pairs, in
+    * call order — what a real backend turns into ingest-pipeline PUTs. */
+  val bootstraps = new scala.collection.mutable.ArrayBuffer[Seq[(String, String)]]()
+  /** Ops seen BEFORE any bootstrap — must stay 0 by the K8 contract. */
+  @volatile var opsBeforeBootstrap = 0
 
-  override def bulkUpsert(docs: DataFrame): Unit =
+  override def bootstrap(cfg: GraftConfig,
+                         fileIndexes: Seq[(String, String)]): Unit =
+    bootstraps += fileIndexes
+
+  private def noteOp(): Unit =
+    if (bootstraps.isEmpty) opsBeforeBootstrap += 1
+
+  override def bulkUpsert(docs: DataFrame): Unit = { noteOp();
     docs.select(col("meta_index"), col("meta_id"), col("meta_routing"),
         col("meta_version"), col("namespace"), col("document"))
       .collect().foreach { r =>
@@ -229,8 +273,9 @@ class InMemorySinkBackend extends SinkBackend {
           state(key) = SinkDoc(r.getString(4), r.getString(2), v,
             if (r.isNullAt(5)) null else r.getString(5))
       }
+  }
 
-  override def delete(deletes: DataFrame): Unit =
+  override def delete(deletes: DataFrame): Unit = { noteOp();
     deletes.select("del_index", "id", "del_version").collect()
       .foreach { r =>
         val key = (r.getString(0), r.getString(1))
@@ -241,8 +286,9 @@ class InMemorySinkBackend extends SinkBackend {
         if (state.get(key).forall(_.version < r.getLong(2)))
           state.remove(key)
       }
+  }
 
-  override def dropIndexes(drops: DataFrame): Unit =
+  override def dropIndexes(drops: DataFrame): Unit = { noteOp();
     drops.select("kind", "pattern").collect().foreach { r =>
       val pattern = r.getString(1)
       val doomed =
@@ -250,10 +296,12 @@ class InMemorySinkBackend extends SinkBackend {
         else state.keys.filter(_._1.startsWith(pattern))
       doomed.foreach(state.remove)
     }
+  }
 
-  override def appendHistory(h: DataFrame): Unit =
+  override def appendHistory(h: DataFrame): Unit = { noteOp();
     history ++= h.select("history_index", "source_id", "version").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
 
   override def sinkState(spark: SparkSession): DataFrame = {
     val rows = state.toSeq.map { case ((ix, id), d) =>

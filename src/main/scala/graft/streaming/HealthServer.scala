@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** The daemon's HTTP health/stats surface (SURVEY §2 "what's missing"
+  * item 3; reference `buildServer`/`httpServerShutdown`,
+  * monstache.go:4188-4284): monstache serves `/healthz` (liveness),
+  * `/started` (uptime), `/stats` (bulk-processor counters when `stats`
+  * is on), and `/config` (the effective TOML) so probes and operators
+  * can watch a running daemon. The Spark analog derives the same
+  * answers from [[StreamingQueryListener]] progress events — the
+  * streaming engine's own telemetry — instead of hand-maintained
+  * counters, and serves them on the JDK's built-in `HttpServer` (no
+  * dependency, loopback-friendly, ephemeral-port testable).
+  *
+  * Liveness semantics: `/healthz` is "ok" while every tracked query is
+  * alive AND its last progress is fresher than `staleAfterMs` (a hung
+  * micro-batch — the reference's stalled-bulk case — flips liveness to
+  * 503 without the process dying, exactly what a k8s liveness probe
+  * needs). `/stats` aggregates the per-query counters the reference
+  * exposes from its bulk processor: batches, input rows, the observed
+  * `bulk_stats` metrics when the sink rides
+  * [[RetryingSink.withBulkStats]], and last-progress timestamps.
+  *
+  * Scale shape: listener events are control-plane (one per micro-batch);
+  * state is per-query-sized; the server thread pool is the JDK default
+  * (probe traffic). Nothing here touches executors. */
+object HealthServer {
+
+  /** Per-query rollup maintained from progress events. */
+  final case class QueryStats(
+      name: String,
+      id: String,
+      batches: Long,
+      inputRows: Long,
+      indexed: Long,
+      deleted: Long,
+      lastBatchMs: Long,
+      lastProgressAtMs: Long,
+      terminated: Boolean,
+      error: Option[String])
+
+  /** Listener tracking every streaming query on the session. Attach via
+    * [[start]] (which registers it) or `spark.streams.addListener`. */
+  final class Listener(clock: () => Long = () => System.currentTimeMillis())
+      extends StreamingQueryListener {
+    private[streaming] val stats = TrieMap[String, QueryStats]()
+    private[streaming] val startedAtMs = new AtomicLong(clock())
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = {
+      val key = e.id.toString
+      stats(key) = QueryStats(
+        Option(e.name).getOrElse(""), key, 0L, 0L, 0L, 0L, 0L,
+        clock(), terminated = false, error = None)
+    }
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val key = p.id.toString
+      val prev = stats.getOrElse(key,
+        QueryStats(Option(p.name).getOrElse(""), key, 0L, 0L, 0L, 0L, 0L,
+          0L, terminated = false, error = None))
+      // the observed bulk_stats metrics ride progress.observedMetrics —
+      // the reference's indexed/deleted counters, engine-maintained
+      val om = Option(p.observedMetrics)
+        .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m).asScala)
+        .getOrElse(scala.collection.mutable.Map.empty)
+      val bulk = om.get("bulk_stats")
+      def metric(field: String): Long =
+        bulk.flatMap { r =>
+          try Some(r.getAs[Long](field)) catch { case _: Exception => None }
+        }.getOrElse(0L)
+      stats(key) = prev.copy(
+        name = Option(p.name).getOrElse(prev.name),
+        batches = prev.batches + 1,
+        inputRows = prev.inputRows + p.numInputRows,
+        indexed = prev.indexed + metric("indexed"),
+        deleted = prev.deleted + metric("deleted"),
+        lastBatchMs = p.batchDuration,
+        lastProgressAtMs = clock())
+    }
+
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val key = e.id.toString
+      stats.get(key).foreach { s =>
+        stats(key) = s.copy(terminated = true,
+          error = e.exception)
+      }
+    }
+
+    /** Liveness: no tracked query errored, and every live query
+      * progressed within `staleAfterMs` (0 disables staleness). A query
+      * that terminated CLEANLY (AvailableNow completing) stays healthy —
+      * the reference's daemon exits 0 on clean shutdown. */
+    def healthy(staleAfterMs: Long): Boolean = {
+      val now = clock()
+      stats.values.forall { s =>
+        s.error.isEmpty &&
+          (s.terminated || staleAfterMs <= 0L ||
+            now - s.lastProgressAtMs <= staleAfterMs)
+      }
+    }
+
+    def snapshot: Seq[QueryStats] = stats.values.toSeq.sortBy(_.name)
+  }
+
+  /** A running server; `close()` unregisters the listener and stops the
+    * server. `port` is the BOUND port (pass 0 to [[start]] for an
+    * ephemeral one). */
+  final class Handle(val port: Int,
+                     val listener: Listener,
+                     spark: SparkSession,
+                     server: com.sun.net.httpserver.HttpServer)
+      extends AutoCloseable {
+    override def close(): Unit = {
+      spark.streams.removeListener(listener)
+      server.stop(0)
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Start the health server on `port` (0 = ephemeral) against `spark`'s
+    * streaming engine. `configToml` is echoed verbatim at `/config`
+    * (the reference serves its effective TOML there). */
+  def start(spark: SparkSession, port: Int = 8080,
+            staleAfterMs: Long = 0L,
+            configToml: String = ""): Handle = {
+    val listener = new Listener()
+    spark.streams.addListener(listener)
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", port), 0)
+    val cfgRef = new AtomicReference[String](configToml)
+
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+                body: String, ctype: String = "application/json"): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    // monstache.go:4209-4214 — "ok" while the daemon is live
+    server.createContext("/healthz",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        if (listener.healthy(staleAfterMs)) respond(ex, 200, "ok", "text/plain")
+        else respond(ex, 503, "stalled", "text/plain"))
+    // monstache.go:4216-4229 — started + uptime
+    server.createContext("/started",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val up = (System.currentTimeMillis() -
+          listener.startedAtMs.get()) / 1000.0
+        respond(ex, 200, s"""{"uptime_sec":$up}""")
+      })
+    // monstache.go:4231-4248 — bulk-processor stats
+    server.createContext("/stats",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val qs = listener.snapshot.map { s =>
+          s"""{"name":${jsonStr(s.name)},"id":${jsonStr(s.id)},""" +
+            s""""batches":${s.batches},"input_rows":${s.inputRows},""" +
+            s""""indexed":${s.indexed},"deleted":${s.deleted},""" +
+            s""""last_batch_ms":${s.lastBatchMs},""" +
+            s""""terminated":${s.terminated},""" +
+            s""""errored":${s.error.isDefined}}"""
+        }
+        respond(ex, 200, qs.mkString("[", ",", "]"))
+      })
+    // monstache.go:4250-4266 — the effective config
+    server.createContext("/config",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 200, cfgRef.get(), "text/plain"))
+    server.start()
+    new Handle(server.getAddress.getPort, listener, spark, server)
+  }
+}

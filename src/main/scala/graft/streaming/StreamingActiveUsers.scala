@@ -120,7 +120,7 @@ object StreamingActiveUsers {
         // a bucket holds every day hashing into it — re-restrict to the
         // influence range so the slice premise is what the math sees
         .filter(col("day").between(sliceDays.head, sliceDays.last))
-      val (delta, fresh) = EventAnalytics.activeUsersDeltaFrom(
+      val (delta, fresh, _) = EventAnalytics.activeUsersDeltaFrom(
         pairs, slice, windowDays)
       mergeReport(spark, reportDir, batchId, delta)
       BucketedState.mergeBatchWith(fresh, batchId, stateDir, numBuckets,

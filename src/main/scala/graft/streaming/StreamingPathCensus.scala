@@ -46,7 +46,11 @@ object StreamingPathCensus {
       VersionedState.requireNoNewerThan(svs, stateDir, batchId)
       val prev = svs.find(_ < batchId)
         .map(v => spark.read.parquet(s"$stateDir/v$v"))
-        .getOrElse(EventAnalytics.emptyPathState(spark, userCol))
+        // the empty state's tie/user types come from THIS batch's
+        // schema — a hardcoded default would make the first fold of a
+        // non-long tie (or user) column an AnalysisException
+        .getOrElse(EventAnalytics.emptyPathState(spark, userCol,
+          batch.schema(tieCol).dataType, batch.schema(userCol).dataType))
       val (delta, state) = EventAnalytics.pathCensusIncremental(
         batch, prev, k, tsUs(batch), userCol, typeCol, tieCol)
       val cvs = VersionedState.versions(spark, censusDir)
@@ -94,7 +98,8 @@ object StreamingPathCensus {
         VersionedState.versions(spark, d).find(_ < batchId)
           .map(v => spark.read.parquet(s"$d/v$v"))
       }.reduceOption(_.unionByName(_))
-        .getOrElse(EventAnalytics.emptyPathState(spark, userCol))
+        .getOrElse(EventAnalytics.emptyPathState(spark, userCol,
+          events.schema(tieCol).dataType, events.schema(userCol).dataType))
       val (delta, state) = EventAnalytics.pathCensusIncremental(
         events, prev, k, tsUs(events), userCol, typeCol, tieCol)
       val cvs = VersionedState.versions(spark, censusDir)

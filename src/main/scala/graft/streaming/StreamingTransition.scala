@@ -52,7 +52,11 @@ object StreamingTransition {
       VersionedState.requireNoNewerThan(svs, stateDir, batchId)
       val prev = svs.find(_ < batchId)
         .map(v => spark.read.parquet(s"$stateDir/v$v"))
-        .getOrElse(EventAnalytics.emptyTransitionState(spark, userCol))
+        // tie/user types derived from THIS batch's schema — a hardcoded
+        // default makes the first fold of a non-long tie (or user)
+        // column an AnalysisException at the state union
+        .getOrElse(EventAnalytics.emptyTransitionState(spark, userCol,
+          batch.schema(tieCol).dataType, batch.schema(userCol).dataType))
       val (delta, state) = EventAnalytics.transitionMatrixIncremental(
         batch, prev, tsUs(batch), userCol, typeCol, tieCol)
       val cvs = VersionedState.versions(spark, censusDir)
@@ -102,7 +106,8 @@ object StreamingTransition {
         VersionedState.versions(spark, d).find(_ < batchId)
           .map(v => spark.read.parquet(s"$d/v$v"))
       }.reduceOption(_.unionByName(_))
-        .getOrElse(EventAnalytics.emptyTransitionState(spark, userCol))
+        .getOrElse(EventAnalytics.emptyTransitionState(spark, userCol,
+          events.schema(tieCol).dataType, events.schema(userCol).dataType))
       val (delta, state) = EventAnalytics.transitionMatrixIncremental(
         events, prev, tsUs(events), userCol, typeCol, tieCol)
       val cvs = VersionedState.versions(spark, censusDir)

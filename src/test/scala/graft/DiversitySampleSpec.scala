@@ -107,6 +107,29 @@ class DiversitySampleSpec extends AnyFunSuite {
     assert(sample() === want)
   }
 
+  test("a replayed id with a CONFLICTING embedding raises, not dupes") {
+    import spark.implicits._
+    val s1 = Similarity.diversitySampleIncremental(frame(),
+      Similarity.emptyDiversityState(spark), cents(), cap = 2,
+      keepCentral = true)
+    // id 2 is in the kept state; redeliver it with a different vector —
+    // the pre-fix distinct() kept BOTH rows and the state silently
+    // exceeded the cap/pure-function-of-id-set contract
+    val mutated = Seq((2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.diversitySampleIncremental(mutated, s1, cents(), cap = 2,
+        keepCentral = true).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("conflicting")))
+    // an IDENTICAL replay still absorbs
+    val replay = Similarity.diversitySampleIncremental(
+      frame().filter(col("vec_id") === 2L), s1, cents(), cap = 2,
+      keepCentral = true)
+    assert(replay.collect().length == s1.collect().length)
+  }
+
   test("exact cosine ties break by the id's string form ascending") {
     import spark.implicits._
     // 2 and 10 are identical vectors → identical cos_scaled; '10' < '2'

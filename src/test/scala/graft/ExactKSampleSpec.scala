@@ -72,4 +72,42 @@ class ExactKSampleSpec extends AnyFunSuite {
       Sampling.exactKPerStratum(docs, 0, "source")
     }
   }
+
+  test("hash ties order by UTF-8 bytes, not UTF-16 units (non-BMP ids)") {
+    import graft.llm.{KeepCand, KeepKSmallest}
+    // U+FFFD (�, 3 UTF-8 bytes EF BF BD) vs U+1F600 (😀, surrogate
+    // pair 😀, 4 bytes F0 9F 98 80): Java's UTF-16 compareTo
+    // says � > \uD83D (0xFFFD > 0xD83D), the WRONG order — UTF-8
+    // bytes (DuckDB's binary VARCHAR collation) say U+FFFD < U+1F600.
+    // On an exact hash tie the smaller id wins the k=1 slot, so a
+    // UTF-16 comparator elects the emoji and diverges from the oracle.
+    val repl = "�"
+    val emoji = "😀"
+    assert(repl.compareTo(emoji) > 0)     // the UTF-16 trap is real
+    val agg = new KeepKSmallest(1)
+    val cands = Seq(KeepCand("s", 5L, emoji), KeepCand("s", 5L, repl))
+    // reduce order must not matter, nor must merge vs reduce
+    for (cs <- cands.permutations) {
+      val reduced = cs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(reduced).items.map(_.id) == Seq(repl))
+      val merged = agg.merge(
+        agg.reduce(agg.zero, cs.head),
+        agg.reduce(agg.zero, cs.last))
+      assert(agg.finish(merged).items.map(_.id) == Seq(repl))
+    }
+    // property vs the model on a mixed ASCII / BMP / non-BMP pool with
+    // deliberate hash collisions: the heap's kept set equals sort-by
+    // (h, UTF-8 bytes) take k
+    val ids = Seq("a", "Z", "é", repl, emoji, "😁", "zz")
+    val pool = ids.zipWithIndex.map { case (id, i) =>
+      KeepCand("s", (i % 3).toLong, id)  // 3-way hash collisions
+    }
+    def utf8Key(s: String): Seq[Int] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_ & 0xff)
+    import scala.math.Ordering.Implicits._
+    val model = pool.sortBy(c => (c.h, utf8Key(c.id))).take(4).map(_.id)
+    val k4 = new KeepKSmallest(4)
+    val heap = k4.finish(pool.foldLeft(k4.zero)(k4.reduce))
+    assert(heap.items.map(_.id) == model)
+  }
 }

@@ -115,4 +115,43 @@ class FeaturesSpec extends AnyFunSuite {
     assert(pairs.keySet === Set((1L, 2L)))
     assert(pairs((1L, 2L)) === 1000000L)
   }
+
+  test("BM25: hand-computed scores, length normalization, rank order") {
+    import spark.implicits._
+    // N = 3, T = 6, avgdl_milli = 6000 DIV 3 = 2000
+    val docs = Seq(
+      (1L, "apple banana apple"),   // dl 3, tf(apple) 2
+      (2L, "banana cherry"),        // dl 2, no apple
+      (3L, "apple")                 // dl 1, tf(apple) 1
+    ).toDF("doc_id", "text")
+    val q = Seq(("qa", "apple")).toDF("query_id", "qtext")
+    val out = Features.bm25TopK(docs, q, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._2)
+    // df(apple) = 2 → idf_micro = floor(1e6·ln(1 + 1.5/2.5))
+    //            = floor(1e6·ln(1.6)) = 470003
+    // dnorm_micro = 250000 + 375000·dl → d1: 1375000, d3: 625000
+    // tfnorm_micro d1 = (2200000·2·10⁶) DIV (2·10⁶ + 1650000) = 1205479
+    // tfnorm_micro d3 = (2200000·1·10⁶) DIV (10⁶ +  750000) = 1257142
+    // score d1 = 470003·1205479 = 566578746437
+    // score d3 = 470003·1257142 = 590860511426  → the SHORTER doc wins
+    assert(out === Seq(
+      ("qa", 1L, "3", 590860511426L),
+      ("qa", 2L, "1", 566578746437L)))
+  }
+
+  test("BM25: score ties break by doc-id string order; unseen terms score nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "kiwi mango"), (2L, "kiwi mango"), (3L, "plum")
+    ).toDF("doc_id", "text")
+    val q = Seq(("t", "kiwi"), ("zz", "qqqq")).toDF("query_id", "qtext")
+    val out = Features.bm25TopK(docs, q, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // identical docs → identical scores → '10' < '2' in string order;
+    // query 'zz' has no corpus term → no rows at all
+    assert(out.toSeq.sortBy(_._2) === Seq(("t", 1L, "10"), ("t", 2L, "2")))
+  }
 }

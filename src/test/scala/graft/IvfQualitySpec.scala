@@ -58,4 +58,20 @@ class IvfQualitySpec extends AnyFunSuite {
       Similarity.ivfQualityReport(frame(), one)
     }
   }
+
+  test("zero-norm centroids emit NO report row (matching the oracle)") {
+    import graft.llm.Centroid
+    // Z has no defined cosine against anything; with only Z as A's
+    // neighbor, A's separation is undefined too — both must vanish from
+    // the report exactly as the SQL twin's NaN-filtered inner join drops
+    // them (the pre-fix fold emitted nn_sep_micro = Long.MinValue rows)
+    val a = Centroid(1L, Array(1.0, 0.0), 1.0)
+    val b = Centroid(5L, Array(0.0, 1.0), 1.0)
+    val z = Centroid(9L, Array(0.0, 0.0), 0.0)
+    val mixed = Similarity.ivfQualityReport(frame(), Array(a, b, z))
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(mixed === Set(1L, 5L))          // Z dropped, A/B finite pair
+    val starved = Similarity.ivfQualityReport(frame(), Array(a, z))
+    assert(starved.count() === 0L)          // A's only neighbor is NaN
+  }
 }

@@ -221,4 +221,27 @@ class SinkWriterSpec extends AnyFunSuite {
     assert(backend.state.keySet == Set(("app.t0", "2")))
     assert(backend.history.size == 3)
   }
+
+  test("K8: bootstrap precedes the first batch with resolved file indexes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    val ckpt = Files.createTempDirectory("graft-sink-boot-ckpt").toString
+    // one mapped file namespace, one default-resolved (lowercased)
+    val cfgF = GraftConfig(indexFiles = true,
+      fileNamespaces = Seq("app.Parts", "app.t0"),
+      mappings = Map("app.Parts" -> "parts_idx"))
+    val s = MemoryStream[ChangeEvent]
+    s.addData(Seq(ev(0, "1", "app.t0", "i", 10)))
+    SinkWriter.start(s.toDF(), ckpt, cfgF, backend).awaitTermination()
+    assert(backend.bootstraps.toSeq == Seq(Seq(
+      "app.Parts" -> "parts_idx", "app.t0" -> "app.t0")))
+    // not one op reached the sink before bootstrap ran
+    assert(backend.opsBeforeBootstrap == 0)
+    assert(backend.state.keySet == Set(("app.t0", "1")))
+    // index-files off ⇒ nothing to prepare (the reference only ensures
+    // file mappings when indexing files)
+    assert(SinkWriter.fileIndexes(GraftConfig(
+      fileNamespaces = Seq("app.Parts"))).isEmpty)
+  }
 }

@@ -308,4 +308,37 @@ class StreamingTransitionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(st === Set((1L, 0L), (2L, 0L), (1L, 1L), (3L, 2L), (3L, 40L)))
   }
+
+  test("a STRING tie column folds: empty state derives types from the batch") {
+    import spark.implicits._
+    // the pre-fix wrappers built the empty state with the hardcoded LONG
+    // tie type, so the very first fold of a string-tied stream died in
+    // the state union with an AnalysisException
+    def sev(rows: (String, Long, String, Long)*) =
+      rows.toDF("event_id", "user_id", "event_type", "t")
+    val b1 = sev(("e0", 1L, "view", 10L), ("e1", 1L, "click", 20L))
+    val b2 = sev(("e2", 1L, "buy", 30L))
+    val stateDir = Files.createTempDirectory("graft-sts-state").toString
+    val censusDir = Files.createTempDirectory("graft-sts-census").toString
+    StreamingTransition.foldBatch(b1, 0L, stateDir, censusDir,
+      df => col("t"))
+    StreamingTransition.foldBatch(b2, 1L, stateDir, censusDir,
+      df => col("t"))
+    val census = StreamingTransition.latestCensus(spark, censusDir).get
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(census === Map(("view", "click") -> 1L, ("click", "buy") -> 1L))
+    // the path-census twin has the same contract
+    val pStateDir = Files.createTempDirectory("graft-stsp-state").toString
+    val pCensusDir = Files.createTempDirectory("graft-stsp-census").toString
+    graft.streaming.StreamingPathCensus.foldBatch(b1, 0L, k = 2,
+      stateDir = pStateDir, censusDir = pCensusDir, tsUs = df => col("t"))
+    graft.streaming.StreamingPathCensus.foldBatch(b2, 1L, k = 2,
+      stateDir = pStateDir, censusDir = pCensusDir, tsUs = df => col("t"))
+    val paths = graft.streaming.StreamingPathCensus
+      .latestCensus(spark, pCensusDir).get
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+      .toMap
+    assert(paths === Map("view>click" -> 1L, "click>buy" -> 1L))
+  }
 }
