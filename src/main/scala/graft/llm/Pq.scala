@@ -292,7 +292,7 @@ object Pq {
       // a crash in empty-Seq schema inference
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("query_id", LongType),
           StructField("rnk", IntegerType, nullable = false),
           StructField("neighbor_id", LongType),

@@ -359,7 +359,7 @@ object Similarity {
   def emptyDiversityState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField("id", StringType),
         StructField("bucket", LongType),
         StructField("cos_scaled", LongType))))

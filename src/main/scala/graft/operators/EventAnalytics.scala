@@ -251,7 +251,7 @@ object EventAnalytics {
                        nSteps: Int): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(StructField("__u", LongType) +:
         StructField("last_ts", LongType) +:
         (0 until nSteps).map(i => StructField(s"m_$i", LongType))))
@@ -473,7 +473,7 @@ object EventAnalytics {
       : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField(userCol, userType),
         StructField("last_type", StringType),
         StructField("last_ts", LongType),
@@ -647,7 +647,7 @@ object EventAnalytics {
       : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField(userCol, userType),
         StructField("tail_ts", ArrayType(LongType)),
         StructField("tail_tie", ArrayType(tieType)),
@@ -807,7 +807,7 @@ object EventAnalytics {
       : DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(StructField("__u", LongType),
         StructField("day", LongType))))
   }

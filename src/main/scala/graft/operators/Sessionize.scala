@@ -73,7 +73,7 @@ object Sessionize {
   def emptySessionState(spark: org.apache.spark.sql.SparkSession,
                         userCol: String = "user_id"): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(Seq(
         StructField(userCol, LongType), StructField("session_seq", LongType),
         StructField("n_events", LongType), StructField("start_us", LongType),

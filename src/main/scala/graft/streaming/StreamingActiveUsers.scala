@@ -97,7 +97,7 @@ object StreamingActiveUsers {
         import org.apache.spark.sql.types._
         mergeReport(spark, reportDir, batchId,
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             StructType(Seq(StructField("day", LongType),
               StructField("dau", LongType), StructField("wau", LongType),
               StructField("stickiness_micro", LongType)))))
