@@ -240,31 +240,63 @@ object Features {
                k1Pm: Long = 1200L, bPm: Long = 750L,
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id",
-               queryTextCol: String = "qtext"): DataFrame = {
+               queryTextCol: String = "qtext"): DataFrame =
+    bm25TopKFromCensus(bm25Census(docs, idCol, textCol), queries, k,
+      k1Pm, bPm, queryIdCol, queryTextCol)
+
+  /** The BM25 index artifact: a term-frequency census
+    * `(doc_id, wh, tf)` — ONE row per (document, hashed term). Every
+    * statistic BM25 needs derives from it (`dl = Σ tf` per doc,
+    * `N` = distinct docs, `T = Σ tf`, `df` per term), so the census is
+    * the complete additive index state: batches of NEW documents append
+    * their censuses ([[mergeBm25Census]]) and scoring never re-reads
+    * document text — the incremental form the df-census family already
+    * uses ([[hashedTfIdf]]'s discipline). */
+  def bm25Census(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .select(col("doc_id"), TextHash.h64x(col("w")).as("wh"))
+      .groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Additive merge of BM25 censuses (document batches, shards). Sums
+    * tf per (doc, term) so a document whose text arrives split across
+    * batches folds correctly too — for disjoint doc batches this is a
+    * plain append. */
+  def mergeBm25Census(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("doc_id"), col("wh"))
+      .agg(sum(col("tf")).as("tf"))
+
+  /** [[bm25TopK]] scored from a persisted census instead of raw text —
+    * the batch/incremental path. Identical output to the one-shot form
+    * on the same corpus (q174 pins the identity cross-engine). */
+  def bm25TopKFromCensus(census: DataFrame, queries: DataFrame, k: Int,
+                         k1Pm: Long = 1200L, bPm: Long = 750L,
+                         queryIdCol: String = "query_id",
+                         queryTextCol: String = "qtext"): DataFrame = {
     require(k >= 1, s"bm25TopK: k=$k")
     require(k1Pm >= 0L, s"bm25TopK: k1Pm=$k1Pm")
     require(bPm >= 0L && bPm <= 1000L,
       s"bm25TopK: bPm=$bPm out of [0, 1000]")
-    val spark = docs.sparkSession
+    val spark = census.sparkSession
     import spark.implicits._
-    val wp = graft.CacheBarriers.barrier(docs
-      .select(col(idCol).as("doc_id"),
-        explode(words(col(textCol))).as("w"))
-      .select(col("doc_id"), TextHash.h64x(col("w")).as("wh")))
-    val stats = wp.agg(countDistinct(col("doc_id")).as("__n"),
-      count(lit(1)).as("__t"))
-    val dl = wp.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val cen = graft.CacheBarriers.barrier(census)
+    val stats = cen.agg(countDistinct(col("doc_id")).as("__n"),
+      sum(col("tf")).as("__t"))
+    val dl = cen.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = graft.CacheBarriers.barrier(queries
       .select(col(queryIdCol).cast("string").as("query_id"),
         explode(words(col(queryTextCol))).as("qw"))
       .select(col("query_id"), TextHash.h64x(col("qw")).as("wh"))
       .distinct())
-    val dfq = wp
+    val dfq = cen
       .join(broadcast(qterms.select(col("wh")).distinct()), Seq("wh"))
       .groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("df"))
-    val tf = wp.join(broadcast(qterms), Seq("wh"))
-      .groupBy(col("query_id"), col("doc_id"), col("wh"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = cen.join(broadcast(qterms), Seq("wh"))
+      .select(col("query_id"), col("doc_id"), col("wh"), col("tf"))
     val perDoc = tf
       .join(broadcast(dfq), Seq("wh"))
       .join(dl, Seq("doc_id"))
@@ -336,4 +368,41 @@ object Features {
        |             ORDER BY bm25_pico DESC,
        |                      CAST(doc_id AS VARCHAR) ASC) AS BIGINT) AS rnk
        |    FROM bmsc) WHERE rnk <= $k)""".stripMargin
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009):
+    * combine per-query ranked lists from heterogeneous retrieval
+    * systems (lexical BM25, dense ANN, …) by
+    * `score(d) = Σ_systems 1/(C + rank_s(d))` — rank-only, so the
+    * systems' incomparable score scales never meet. Contributions are
+    * exact integers (`10⁹ DIV (C + rank)`), summed per (query, doc);
+    * self-pairs (a probe retrieving its own document) are dropped AFTER
+    * fusion so both engines shift ranks identically. Input `ranked`:
+    * the UNION of system lists as `(query_id, doc_id, rnk)` strings +
+    * 1-based ranks; each system's list is probe×depth-sized, so the
+    * fusion aggregate is tiny regardless of corpus size. Top-k rides
+    * [[KeepKSmallest]]'s bounded heap with the house
+    * (score DESC, doc_id ASC) tie order.
+    * Returns (query_id, rnk, doc_id, rrf_nano). */
+  def rrfTopK(ranked: DataFrame, k: Int, c: Long = 60L): DataFrame = {
+    require(k >= 1, s"rrfTopK: k=$k")
+    require(c >= 0L, s"rrfTopK: c=$c")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    ranked
+      .withColumn("__contrib", expr(s"1000000000L DIV ($c + rnk)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib")).as("rrf_nano"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id").as("stratum"), (-col("rrf_nano")).as("h"),
+        col("doc_id").as("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(k).toColumn)
+      .flatMap { case (q, buf) =>
+        buf.items.zipWithIndex.map { case (cd, i) =>
+          (q, (i + 1).toLong, cd.id, -cd.h)
+        }
+      }
+      .toDF("query_id", "rnk", "doc_id", "rrf_nano")
+  }
 }

@@ -4798,6 +4798,194 @@ object LlmQueries extends QueryFamily {
            |  ('p3', 'stream batch query table')),
            |${Features.sqlBm25Ctes("documents", "qsrc", 10)}
            |SELECT query_id, rnk, doc_id, bm25_pico
-           |FROM bmtop ORDER BY query_id, rnk""".stripMargin))
+           |FROM bmtop ORDER BY query_id, rnk""".stripMargin)),
+
+    // ── Mergeable quantile sketch (q173): per-source doc-length
+    //    percentiles from an HDR-style exponential bucket census —
+    //    built per doc-id shard, merged by additive sum, rank-selected
+    //    with shared-ceiling integer math — against the exact
+    //    census-selected quantile and its micro-scaled relative error
+    //    (bounded by the 1/32 bucket width by construction). Like q166
+    //    the fold identity is exercised inside the gate: the oracle
+    //    censuses single-pass, the Spark side shards and merges. ───────
+    QueryDef.sorted(
+      "q173_quantile_sketch",
+      (s, dir) => {
+        val pcts = Seq(25, 50, 75, 90, 99)
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"))
+        val shard = Seq(0, 1).map(i =>
+          QuantileSketch.census(docs.filter(col("doc_id") % 2 === i),
+            col("n_chars"), Seq("source")))
+        val est = QuantileSketch.estimates(
+          QuantileSketch.merge(shard(0), shard(1), Seq("source")),
+          Seq("source"), pcts)
+        val exact = QuantileSketch.exactQuantiles(
+          docs, col("n_chars"), Seq("source"), pcts)
+        est.join(exact, Seq("source", "pct"))
+          .withColumn("err_micro",
+            expr("abs(est - exact) * 1000000L DIV greatest(exact, 1L)"))
+          .select(col("source"), col("pct").cast("long"), col("est"),
+            col("exact"), col("err_micro"))
+      },
+      _.orderBy("source", "pct"),
+      Some {
+        val pcts = Seq(25, 50, 75, 90, 99)
+        s"""WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+           |           FROM documents),
+           |${QuantileSketch.sqlEstimateCtes("v", pcts)},
+           |${QuantileSketch.sqlExactCtes("v", pcts)}
+           |SELECT e.grp AS source, CAST(e.pct AS BIGINT) AS pct, e.est,
+           |       x.exact,
+           |       CAST(abs(e.est - x.exact) * 1000000
+           |            // greatest(x.exact, 1) AS BIGINT) AS err_micro
+           |FROM qsest e JOIN qeex x ON e.grp = x.grp AND e.pct = x.pct
+           |ORDER BY source, pct""".stripMargin
+      }),
+
+    // ── Incremental BM25 (q174): the lexical index as an additive
+    //    artifact — two document batches each reduce to a term-frequency
+    //    census, censuses append-merge, and probes score from the merged
+    //    census without re-reading any text. The oracle is the
+    //    FULL-CORPUS BM25 verbatim (the incremental ≡ full identity,
+    //    exercised inside the gate like the q141/q155 event folds). ────
+    QueryDef.sorted(
+      "q174_bm25_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val batches = Seq(0, 1).map(i =>
+          Features.bm25Census(docs.filter(col("doc_id") % 2 === i)))
+        val merged = Features.mergeBm25Census(batches(0), batches(1))
+        val probes = Seq(
+          ("p1", "table scan filter read"),
+          ("p2", "hash group count sum")).toDF("query_id", "qtext")
+        Features.bm25TopKFromCensus(merged, probes, k = 10)
+      },
+      _.orderBy("query_id", "rnk"),
+      Some(
+        s"""WITH qsrc(query_id, qtext) AS (VALUES
+           |  ('p1', 'table scan filter read'),
+           |  ('p2', 'hash group count sum')),
+           |${Features.sqlBm25Ctes("documents", "qsrc", 10)}
+           |SELECT query_id, rnk, doc_id, bm25_pico
+           |FROM bmtop ORDER BY query_id, rnk""".stripMargin)),
+
+    // ── Hybrid retrieval (q175): reciprocal-rank fusion of the lexical
+    //    (BM25, depth 20) and dense (brute-force cosine, depth 20)
+    //    lists for three corpus probes — rank-only integer fusion
+    //    (10⁹ DIV (60+rank)), self-pairs dropped after fusion, final
+    //    top-10 by the bounded heap. The oracle replays both systems'
+    //    lists and the fusion verbatim; the corpus-side work is the two
+    //    systems' own audited shapes (one explode + broadcast probes;
+    //    one broadcast-probe scan). ────────────────────────────────────
+    QueryDef.sorted(
+      "q175_hybrid_rrf",
+      (s, dir) => {
+        val probeIds = Seq(0L, 150L, 300L)
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val emb = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+        val probesTxt = docs.filter(col("doc_id").isin(probeIds: _*))
+          .select(col("doc_id").cast("string").as("query_id"),
+            col("text").as("qtext"))
+        val lex = Features.bm25TopK(docs, probesTxt, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val den = Similarity.bruteForceTopK(emb,
+            col("vec_id").isin(probeIds: _*), k = 20)
+          .select(col("query_id").cast("string").as("query_id"),
+            col("neighbor_id").cast("string").as("doc_id"),
+            col("rank").cast("long").as("rnk"))
+        Features.rrfTopK(lex.unionByName(den), k = 10)
+      },
+      _.orderBy("query_id", "rnk"),
+      Some {
+        val cos = Similarity.sqlCosine("dq.qv", "e.v", 64)
+        s"""WITH qsrc AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS query_id, text AS qtext
+           |  FROM documents WHERE doc_id IN (0, 150, 300)),
+           |${Features.sqlBm25Ctes("documents", "qsrc", 20)},
+           |e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v
+           |      FROM embeddings),
+           |dq AS (SELECT vec_id AS query_id, v AS qv FROM e
+           |       WHERE vec_id IN (0, 150, 300)),
+           |dscore AS (
+           |  SELECT dq.query_id, e.vec_id AS neighbor_id,
+           |         row_number() OVER (PARTITION BY dq.query_id
+           |           ORDER BY $cos DESC, e.vec_id ASC) AS rnk
+           |  FROM dq, e WHERE e.vec_id <> dq.query_id AND NOT isnan($cos)),
+           |cand AS (
+           |  SELECT query_id, doc_id, rnk FROM bmtop
+           |  UNION ALL
+           |  SELECT CAST(query_id AS VARCHAR) AS query_id,
+           |         CAST(neighbor_id AS VARCHAR) AS doc_id, rnk
+           |  FROM dscore WHERE rnk <= 20),
+           |fused AS (
+           |  SELECT query_id, doc_id,
+           |         CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano
+           |  FROM cand WHERE doc_id <> query_id GROUP BY 1, 2)
+           |SELECT query_id, rnk, doc_id, rrf_nano FROM (
+           |  SELECT query_id, doc_id, rrf_nano,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |           ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rnk
+           |  FROM fused) WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin
+      })
   )
 }
+/* PENDING-q176
+    // ── Count-min sketch (q176): per-source term-frequency estimates
+    //    from a D×W additive cell table — built per doc-id shard, merged
+    //    by cell sum, point-queried for a corpus-derived probe set (doc
+    //    0's vocabulary + a guaranteed-absent term) — against the exact
+    //    per-source term counts. CMS estimates OVERESTIMATE by
+    //    construction (cells only add), so over = est − exact ≥ 0 is
+    //    part of the verified output. Like q166/q173 the fold identity
+    //    is exercised inside the gate: the oracle censuses single-pass,
+    //    the Spark side shards and merges. ──────────────────────────────
+    QueryDef.sorted(
+      "q176_countmin_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))
+        val shard = Seq(0, 1).map(i =>
+          CountMin.wordCensus(docs.filter(col("doc_id") % 2 === i)))
+        val cms = CountMin.merge(shard(0), shard(1), Seq("source"))
+        val probes = docs.filter(col("doc_id") === 0)
+          .select(explode(TextHash.words(col("text"))).as("term"))
+          .distinct()
+          .unionByName(Seq("zzz_absent").toDF("term"))
+        val est = CountMin.estimates(cms, probes, Seq("source"))
+        val exact = docs.filter(col("text").isNotNull)
+          .select(col("source"), explode(TextHash.words(col("text"))).as("term"))
+          .join(broadcast(probes), Seq("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("source", "term"), "left")
+          .withColumn("exact", coalesce(col("exact"), lit(0L)))
+          .withColumn("over", col("est") - col("exact"))
+          .select(col("source"), col("term"), col("est"), col("exact"),
+            col("over"))
+      },
+      _.orderBy("source", "term"),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT source AS grp, unnest(${W("text")}) AS k
+           |  FROM documents WHERE text IS NOT NULL),
+           |${CountMin.sqlCensusCtes("tok")},
+           |probes AS (
+           |  SELECT DISTINCT unnest(${W("text")}) AS term
+           |  FROM documents WHERE doc_id = 0
+           |  UNION ALL SELECT 'zzz_absent'),
+           |${CountMin.sqlEstimateCte("probes")},
+           |ex AS (
+           |  SELECT grp, k AS term, count(*) AS exact
+           |  FROM tok JOIN probes ON tok.k = probes.term GROUP BY 1, 2)
+           |SELECT e.grp AS source, e.term, CAST(e.est AS BIGINT) AS est,
+           |       CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
+           |       CAST(e.est - coalesce(ex.exact, 0) AS BIGINT) AS over
+           |FROM est e LEFT JOIN ex ON e.grp = ex.grp AND e.term = ex.term
+           |ORDER BY source, term""".stripMargin))
+PENDING-q176 */

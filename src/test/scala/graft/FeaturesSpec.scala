@@ -154,4 +154,44 @@ class FeaturesSpec extends AnyFunSuite {
     // query 'zz' has no corpus term → no rows at all
     assert(out.toSeq.sortBy(_._2) === Seq(("t", 1L, "10"), ("t", 2L, "2")))
   }
+
+  test("BM25 census: batch-merged scoring equals one-shot; split docs fold by tf sum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana plum"), (4L, "cherry plum date")
+    ).toDF("doc_id", "text")
+    val q = Seq(("qa", "apple banana"), ("qb", "plum")).toDF("query_id", "qtext")
+    val full = Features.bm25TopK(docs, q, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val merged = Features.mergeBm25Census(
+      Features.bm25Census(docs.filter(col("doc_id") % 2 === 0)),
+      Features.bm25Census(docs.filter(col("doc_id") % 2 === 1)))
+    val inc = Features.bm25TopKFromCensus(merged, q, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(inc.sorted === full.sorted)
+    // a document whose text arrives split across batches folds by tf sum
+    val splitDoc = Features.mergeBm25Census(
+      Features.bm25Census(Seq((9L, "apple apple")).toDF("doc_id", "text")),
+      Features.bm25Census(Seq((9L, "apple banana")).toDF("doc_id", "text")))
+      .collect().map(r => r.getAs[String]("wh") -> r.getAs[Long]("tf")).toMap
+    assert(splitDoc.values.toSeq.sorted === Seq(1L, 3L))
+  }
+
+  test("RRF: rank-only fusion, self-pair dropped, integer contributions") {
+    import spark.implicits._
+    // system A ranks (d1, d2); system B ranks (d2, d3); probe doc is q1
+    val ranked = Seq(
+      ("q1", "d1", 1L), ("q1", "d2", 2L),
+      ("q1", "d2", 1L), ("q1", "d3", 2L),
+      ("q1", "q1", 1L) // self retrieval from a third list — must vanish
+    ).toDF("query_id", "doc_id", "rnk")
+    val out = Features.rrfTopK(ranked, k = 3).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+    val c61 = 1000000000L / 61L // 16393442
+    val c62 = 1000000000L / 62L // 16129032
+    // d2: 61⁻¹+62⁻¹ beats d1: 61⁻¹ beats d3: 62⁻¹
+    assert(out === Seq(
+      (1L, "d2", c61 + c62), (2L, "d1", c61), (3L, "d3", c62)))
+  }
 }
