@@ -147,6 +147,41 @@ object QuantileSketch {
     quantilesFromCensus(cen, groupCols, pcts, identity, "exact")
   }
 
+  /** Distribution drift between two censuses of the SAME measure (two
+    * snapshots, two slices): a total-variation-style distance
+    *
+    *   `drift_micro = (Σ_code |⌊n_a·10⁶/N_a⌋ − ⌊n_b·10⁶/N_b⌋|) DIV 2`
+    *
+    * per group — 0 for identical shapes, ≤ 10⁶ for disjoint ones. The
+    * per-side micro-fractions are floored BEFORE the difference, so the
+    * statistic is integer-deterministic on both engines by definition
+    * (the floor error is bounded by the census size · 1e-6 and
+    * identical cross-engine). The full-outer bucket join and the sum
+    * run over census-sized frames only. Headroom: `n·10⁶` must fit
+    * BIGINT — fine below ~9·10¹² rows per group. */
+  def censusDistance(a: DataFrame, b: DataFrame,
+                     groupCols: Seq[String]): DataFrame = {
+    def sided(df: DataFrame, tag: String): DataFrame = {
+      val tot = df.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n")).as(s"__N$tag"))
+      df.join(tot, groupCols)
+        .withColumn(s"__p$tag",
+          expr(s"n * 1000000L DIV __N$tag"))
+        .select(groupCols.map(col) :+ col("code") :+
+          col(s"__p$tag") :+ col(s"__N$tag"): _*)
+    }
+    sided(a, "a")
+      .join(sided(b, "b"), groupCols :+ "code", "full_outer")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("__Na")).as("n_a"), max(col("__Nb")).as("n_b"),
+        sum(abs(coalesce(col("__pa"), lit(0L)) -
+          coalesce(col("__pb"), lit(0L)))).as("__s"))
+      .withColumn("drift_micro", expr("__s DIV 2"))
+      .select(groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("drift_micro"): _*)
+  }
+
   // ── oracle side ──────────────────────────────────────────────────────
   /** CTEs `<p>est(grp, pct, est)` replaying census → merge → rank-select
     * → lower-bound decode over `src(grp, x)`; `pcts` must match the
@@ -171,6 +206,32 @@ object QuantileSketch {
        |${p}est AS (
        |  SELECT grp, pct, CAST(${sqlLo("mcode")} AS BIGINT) AS est
        |  FROM ${p}sel)""".stripMargin
+  }
+
+  /** CTE `<p>drift(grp, n_a, n_b, drift_micro)` — the [[censusDistance]]
+    * twin over two value CTEs `<srcA>(grp, x)` / `<srcB>(grp, x)`:
+    * census each side, floor per-side micro-fractions, half-L1 over the
+    * full-outer bucket join. */
+  def sqlDriftCtes(srcA: String, srcB: String, p: String = "qd"): String = {
+    def side(src: String, t: String): String =
+      s"""${p}c$t AS (
+         |  SELECT grp, ${sqlCode("x")} AS code, count(*) AS n
+         |  FROM $src WHERE x IS NOT NULL AND x >= 0 GROUP BY 1, 2),
+         |${p}s$t AS (
+         |  SELECT grp, code, n * 1000000 // sum(n) OVER (PARTITION BY grp) AS p,
+         |         sum(n) OVER (PARTITION BY grp) AS nn
+         |  FROM ${p}c$t)""".stripMargin
+    s"""${side(srcA, "a")},
+       |${side(srcB, "b")},
+       |${p}drift AS (
+       |  SELECT coalesce(a.grp, b.grp) AS grp,
+       |         CAST(max(a.nn) AS BIGINT) AS n_a,
+       |         CAST(max(b.nn) AS BIGINT) AS n_b,
+       |         CAST(sum(abs(coalesce(a.p, 0) - coalesce(b.p, 0))) // 2
+       |              AS BIGINT) AS drift_micro
+       |  FROM ${p}sa a FULL OUTER JOIN ${p}sb b
+       |    ON a.grp = b.grp AND a.code = b.code
+       |  GROUP BY 1)""".stripMargin
   }
 
   /** CTEs `<p>ex(grp, pct, exact)` — the exact rank-select over a

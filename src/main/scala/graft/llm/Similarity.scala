@@ -1244,6 +1244,34 @@ object Similarity {
       .groupBy(col(labelCol), col("pos"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
 
+  /** Embedding-space drift between two corpora (snapshots, slices):
+    * per-label cosine between the two sides' centroid-sum artifacts
+    * ([[labelCentroidSums]]). Cosine is scale-invariant, so the INTEGER
+    * sum vectors compare directly — no mean division — and the
+    * artifacts are all the operator reads (labels × dims rows each; the
+    * corpora are never touched, the incremental-monitoring shape: roll
+    * each snapshot's sums forward, drift is a join of two control-plane
+    * frames). Determinism: exact integer sums → doubles (< 2^53 for
+    * any realistic slice), the house sequential-fold cosine, and the
+    * floor(cos·1e6) emission contract. Labels present on only one side
+    * have no drift reading and are dropped (inner join — composition
+    * deltas are the datasheet-diff operator's job); a zero-norm side
+    * yields NULL cosine and is likewise absent. */
+  def centroidDrift(sumsA: DataFrame, sumsB: DataFrame,
+                    labelCol: String = "label"): DataFrame = {
+    def side(df: DataFrame, t: String): DataFrame =
+      df.groupBy(col(labelCol))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("s").cast("double").as("c")))),
+          x => x.getField("c")).as(s"__v$t"),
+          max(col("n")).as(s"n_$t"))
+    side(sumsA, "a").join(side(sumsB, "b"), Seq(labelCol))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        floor(col("cos") * 1e6).cast("long").as("cos_scaled"))
+  }
+
   /** Score vectors against a (possibly merged) centroid-sums artifact.
     * The scale/determinism story of [[labelCentroidOutliers]] applies
     * unchanged — this is its scoring half, split out so incremental

@@ -4931,10 +4931,8 @@ object LlmQueries extends QueryFamily {
            |           ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rnk
            |  FROM fused) WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin
-      })
-  )
-}
-/* PENDING-q176
+      }),
+
     // ── Count-min sketch (q176): per-source term-frequency estimates
     //    from a D×W additive cell table — built per doc-id shard, merged
     //    by cell sum, point-queried for a corpus-derived probe set (doc
@@ -4987,5 +4985,392 @@ object LlmQueries extends QueryFamily {
            |       CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
            |       CAST(e.est - coalesce(ex.exact, 0) AS BIGINT) AS over
            |FROM est e LEFT JOIN ex ON e.grp = ex.grp AND e.term = ex.term
-           |ORDER BY source, term""".stripMargin))
-PENDING-q176 */
+           |ORDER BY source, e.term""".stripMargin)),
+
+    // ── Tokenizer fertility audit (q177): per-source percentiles of
+    //    tokens-per-100-chars under the TRAINED tokenizer — the
+    //    compression-rate report every tokenizer deployment publishes
+    //    (fertility spikes flag sources the vocabulary serves badly).
+    //    Composes the real artifacts end to end: BPE training (q122),
+    //    the vocabulary-table token count (q123), an integer fertility
+    //    ratio, and the mergeable quantile census (q173) for the
+    //    distribution — est vs exact with the 1/32 bound audited
+    //    in-gate. ───────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q177_tokenizer_fertility",
+      (s, dir) => {
+        val pcts = Seq(50, 90, 99)
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text", "n_chars"))
+        val (_, syms) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        val fert = Bpe.withBpeTokens(docs, Bpe.segmentCounts(syms))
+          .withColumn("f",
+            expr("bpe_tokens * 100L DIV greatest(n_chars, 1L)"))
+        val est = QuantileSketch.estimates(
+          QuantileSketch.census(fert, col("f"), Seq("source")),
+          Seq("source"), pcts)
+        val exact = QuantileSketch.exactQuantiles(fert, col("f"),
+          Seq("source"), pcts)
+        est.join(exact, Seq("source", "pct"))
+          .select(col("source"), col("pct").cast("long"), col("est"),
+            col("exact"))
+      },
+      _.orderBy("source", "pct"),
+      Some {
+        val pcts = Seq(50, 90, 99)
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |seg AS MATERIALIZED (SELECT w, len(syms) AS n_sub FROM bps8),
+           |dw AS (SELECT doc_id, unnest(${W("text")}) AS w FROM documents),
+           |tok AS (SELECT d.doc_id, coalesce(s.n_sub, length(d.w)) AS t
+           |        FROM dw d LEFT JOIN seg s ON d.w = s.w),
+           |bagg AS (SELECT doc_id, sum(t) AS bpe_tokens
+           |         FROM tok GROUP BY doc_id),
+           |v AS (SELECT d.source AS grp,
+           |             CAST(coalesce(a.bpe_tokens, 0) * 100
+           |                  // greatest(d.n_chars, 1) AS BIGINT) AS x
+           |      FROM documents d LEFT JOIN bagg a ON d.doc_id = a.doc_id),
+           |${QuantileSketch.sqlEstimateCtes("v", pcts)},
+           |${QuantileSketch.sqlExactCtes("v", pcts)}
+           |SELECT e.grp AS source, CAST(e.pct AS BIGINT) AS pct, e.est,
+           |       x.exact
+           |FROM qsest e JOIN qeex x ON e.grp = x.grp AND e.pct = x.pct
+           |ORDER BY source, pct""".stripMargin
+      }),
+
+    // ── Distribution drift (q178): half-L1 (total-variation-style)
+    //    distance between the length-distribution bucket censuses of two
+    //    corpus snapshots, per source — the shape-drift monitor next to
+    //    q127's composition drift (same counts, different lengths is
+    //    invisible there, loud here). Halves split WITHIN source
+    //    ((doc_id DIV 20) % 2 — source is doc_id mod 20 in this corpus);
+    //    the self-distance arm pins the zero of the metric in-gate.
+    //    Per-side micro-fractions are floored before differencing, so
+    //    the statistic is integer-deterministic cross-engine by
+    //    definition; every frame after the census is census-sized. ──────
+    QueryDef.sorted(
+      "q178_distribution_drift",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"))
+        def half(i: Int) = QuantileSketch.census(
+          docs.filter(expr(s"(doc_id DIV 20) % 2 = $i")),
+          col("n_chars"), Seq("source"))
+        val a = half(0); val b = half(1)
+        QuantileSketch.censusDistance(a, b, Seq("source"))
+          .withColumn("mode", lit("half_vs_half"))
+          .unionByName(QuantileSketch.censusDistance(a, a, Seq("source"))
+            .withColumn("mode", lit("self")))
+          .select(col("mode"), col("source"), col("n_a"), col("n_b"),
+            col("drift_micro"))
+      },
+      _.orderBy("mode", "source"),
+      Some(
+        s"""WITH va AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+           |            FROM documents WHERE (doc_id // 20) % 2 = 0),
+           |vb AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+           |       FROM documents WHERE (doc_id // 20) % 2 = 1),
+           |${QuantileSketch.sqlDriftCtes("va", "vb", "h")},
+           |${QuantileSketch.sqlDriftCtes("va", "va", "sf")}
+           |SELECT mode, grp AS source, n_a, n_b, drift_micro FROM (
+           |  SELECT 'half_vs_half' AS mode, * FROM hdrift
+           |  UNION ALL SELECT 'self' AS mode, * FROM sfdrift)
+           |ORDER BY mode, source""".stripMargin)),
+
+    // ── Embedding centroid drift (q179): q178's shape-drift monitor in
+    //    EMBEDDING space — per-label cosine between two snapshots'
+    //    additive centroid-sum artifacts (the labelCentroidSums roll
+    //    the incremental outlier scorer already persists). Cosine is
+    //    scale-invariant so the integer SUM vectors compare directly
+    //    (no mean division); the operator reads two control-plane
+    //    artifacts, never the corpora. The self arm pins the metric's
+    //    fixed point in-gate. ───────────────────────────────────────────
+    QueryDef.sorted(
+      "q179_centroid_drift",
+      (s, dir) => {
+        val e = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+        val sums = Seq(0, 1).map(i =>
+          Similarity.labelCentroidSums(e.filter(col("vec_id") % 2 === i)))
+        Similarity.centroidDrift(sums(0), sums(1))
+          .withColumn("mode", lit("half_vs_half"))
+          .unionByName(Similarity.centroidDrift(sums(0), sums(0))
+            .withColumn("mode", lit("self")))
+          .select(col("mode"), col("label").cast("long"), col("n_a"),
+            col("n_b"), col("cos_scaled"))
+      },
+      _.orderBy("mode", "label"),
+      Some {
+        def cos(a: String, b: String) = Similarity.sqlCosine(a, b, 64)
+        s"""WITH e AS (SELECT vec_id, label, ${Similarity.sqlAsDouble("embedding")} AS v
+           |           FROM embeddings),
+           |ua AS (SELECT label, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s,
+           |              count(v[i]) AS n
+           |       FROM e, unnest(range(1, 65)) AS t(i)
+           |       WHERE vec_id % 2 = 0 GROUP BY label, i),
+           |ub AS (SELECT label, i, SUM(CAST(floor(v[i]*1000000) AS BIGINT)) AS s,
+           |              count(v[i]) AS n
+           |       FROM e, unnest(range(1, 65)) AS t(i)
+           |       WHERE vec_id % 2 = 1 GROUP BY label, i),
+           |ca AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS va,
+           |              max(n) AS n_a
+           |       FROM ua GROUP BY label),
+           |cb AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS vb,
+           |              max(n) AS n_b
+           |       FROM ub GROUP BY label)
+           |SELECT mode, CAST(label AS BIGINT) AS label, n_a, n_b, cos_scaled
+           |FROM (
+           |  SELECT 'half_vs_half' AS mode, ca.label, n_a, n_b,
+           |         CAST(floor(${cos("va", "vb")} * 1000000) AS BIGINT) AS cos_scaled,
+           |         ${cos("va", "vb")} AS c
+           |  FROM ca JOIN cb ON ca.label = cb.label
+           |  UNION ALL
+           |  SELECT 'self' AS mode, label, n_a, n_a,
+           |         CAST(floor(${cos("va", "va")} * 1000000) AS BIGINT) AS cos_scaled,
+           |         ${cos("va", "va")} AS c
+           |  FROM ca)
+           |WHERE c IS NOT NULL AND NOT isnan(c)
+           |ORDER BY mode, label""".stripMargin
+      }),
+
+    // ── Hard-negative mining (q180): the retrieval-training composite
+    //    (Karpukhin et al., EMNLP 2020: DPR trains on lexically-similar
+    //    but semantically-far candidates). Per probe: BM25 top-20
+    //    (q172's audited shape), self dropped after ranking, each
+    //    candidate scored against the probe's embedding with the house
+    //    fold cosine, `hard` = cos_micro below the threshold, and the
+    //    hard set re-ranked by BM25 for the training pairs. Corpus-side
+    //    work is BM25's own shape; everything after bmtop is a
+    //    probe×depth-sized frame (the embedding attach BROADCASTS the
+    //    candidate list against one embeddings scan, and the hn_rnk
+    //    window sorts ≤ 20 rows per probe). Verdicts ride integers
+    //    (cos_micro, bm25_pico) — no float ordering in the output. ──────
+    QueryDef.sorted(
+      "q180_hard_negatives",
+      (s, dir) => {
+        val probeIds = Seq(0L, 150L, 300L)
+        val hardTh = 100000L
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val emb = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+          .select(col("doc_id").cast("string").as("query_id"),
+            col("text").as("qtext"))
+        val cands = Features.bm25TopK(docs, probes, k = 20)
+          .filter(col("doc_id") =!= col("query_id"))
+        val scored = graft.CacheBarriers.barrier(
+          broadcast(cands)
+            .join(emb.select(col("vec_id").cast("string").as("doc_id"),
+              col("v").as("cv")), Seq("doc_id"))
+            .join(broadcast(emb.filter(col("vec_id").isin(probeIds: _*))
+              .select(col("vec_id").cast("string").as("query_id"),
+                col("v").as("qv"))), Seq("query_id"))
+            .withColumn("c", Similarity.cosine(col("qv"), col("cv")))
+            .filter(col("c").isNotNull && !isnan(col("c")))
+            .withColumn("cos_micro", floor(col("c") * 1e6).cast("long"))
+            .select(col("query_id"), col("doc_id"),
+              col("rnk").as("bm25_rnk"), col("bm25_pico"),
+              col("cos_micro")))
+        val hard = scored.filter(col("cos_micro") < hardTh)
+          .withColumn("hn_rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("bm25_pico").desc, col("doc_id").asc))
+            .cast("long"))
+          .select("query_id", "doc_id", "hn_rnk")
+        scored.join(hard, Seq("query_id", "doc_id"), "left")
+          .withColumn("hard", (col("cos_micro") < hardTh).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("bm25_rnk"),
+            col("bm25_pico"), col("cos_micro"), col("hard"), col("hn_rnk"))
+      },
+      _.orderBy("query_id", "bm25_rnk"),
+      Some {
+        val cos = Similarity.sqlCosine("qe.v", "ce.v", 64)
+        s"""WITH qsrc AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS query_id, text AS qtext
+           |  FROM documents WHERE doc_id IN (0, 150, 300)),
+           |${Features.sqlBm25Ctes("documents", "qsrc", 20)},
+           |e AS (SELECT vec_id, ${Similarity.sqlAsDouble("embedding")} AS v
+           |      FROM embeddings),
+           |cand AS (
+           |  SELECT b.query_id, b.rnk AS bm25_rnk, b.doc_id, b.bm25_pico,
+           |         $cos AS c
+           |  FROM bmtop b
+           |  JOIN e qe ON qe.vec_id = CAST(b.query_id AS BIGINT)
+           |  JOIN e ce ON ce.vec_id = CAST(b.doc_id AS BIGINT)
+           |  WHERE CAST(b.doc_id AS VARCHAR) <> b.query_id),
+           |scored AS (
+           |  SELECT query_id, CAST(doc_id AS VARCHAR) AS doc_id,
+           |         CAST(bm25_rnk AS BIGINT) AS bm25_rnk, bm25_pico,
+           |         CAST(floor(c * 1000000) AS BIGINT) AS cos_micro
+           |  FROM cand WHERE c IS NOT NULL AND NOT isnan(c)),
+           |hrd AS (
+           |  SELECT query_id, doc_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |           ORDER BY bm25_pico DESC, doc_id ASC) AS BIGINT) AS hn_rnk
+           |  FROM scored WHERE cos_micro < 100000)
+           |SELECT s.query_id, s.doc_id, s.bm25_rnk, s.bm25_pico,
+           |       s.cos_micro,
+           |       CAST(s.cos_micro < 100000 AS BIGINT) AS hard, h.hn_rnk
+           |FROM scored s LEFT JOIN hrd h
+           |  ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+           |ORDER BY s.query_id, s.bm25_rnk""".stripMargin
+      }),
+
+    // ── Mutual-kNN symmetry audit (q181): on a deterministic id-slice
+    //    of the embeddings, build the within-sample kNN graph (k=5,
+    //    q175's dense arm: cos DESC, id ASC) and report per label how
+    //    many directed edges are RECIPROCATED — low mutuality flags
+    //    hubness (Radovanović et al., JMLR 2010: a few points appear in
+    //    everyone's neighbor list while most appear in nobody's, the
+    //    classic symptom of a degenerate embedding space). Quadratic BY
+    //    DESIGN over the capped audit slice (the q135/q159 contract);
+    //    the mutuality join and the census run over the edge list
+    //    (sample×k rows). Rate is an integer micro-fraction. ─────────────
+    QueryDef.sorted(
+      "q181_mutual_knn",
+      (s, dir) => {
+        val emb = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+        val sample = graft.CacheBarriers.barrier(
+          emb.filter(col("vec_id") % 7 === 0))
+        val edges = graft.CacheBarriers.barrier(
+          Similarity.bruteForceTopK(sample, lit(true), k = 5)
+            .select(col("query_id"), col("neighbor_id")))
+        val mutual = edges.as("e")
+          .join(edges.as("r"),
+            col("e.query_id") === col("r.neighbor_id") &&
+              col("e.neighbor_id") === col("r.query_id"), "left")
+          .select(col("e.query_id").as("query_id"),
+            col("e.neighbor_id").as("neighbor_id"),
+            when(col("r.query_id").isNotNull, 1L).otherwise(0L).as("mut"))
+        mutual
+          .join(broadcast(sample.select(col("vec_id").as("query_id"),
+            col("label"))), Seq("query_id"))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(countDistinct(col("query_id")).as("n_nodes"),
+            count(lit(1)).as("n_edges"),
+            sum(col("mut")).as("n_mutual"))
+          .withColumn("mutual_micro",
+            expr("n_mutual * 1000000L DIV n_edges"))
+      },
+      _.orderBy("label"),
+      Some {
+        val cos = Similarity.sqlCosine("a.v", "b.v", 64)
+        s"""WITH e AS (
+           |  SELECT vec_id, label, ${Similarity.sqlAsDouble("embedding")} AS v
+           |  FROM embeddings WHERE vec_id % 7 = 0),
+           |edg AS (
+           |  SELECT a.vec_id AS qid, a.label, b.vec_id AS nid,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |           ORDER BY $cos DESC, b.vec_id ASC) AS rnk
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+           |  WHERE $cos IS NOT NULL AND NOT isnan($cos)),
+           |k AS (SELECT qid, label, nid FROM edg WHERE rnk <= 5),
+           |m AS (
+           |  SELECT k.qid, k.label,
+           |         CASE WHEN r.qid IS NOT NULL THEN 1 ELSE 0 END AS mut
+           |  FROM k LEFT JOIN k r ON r.qid = k.nid AND r.nid = k.qid)
+           |SELECT CAST(label AS BIGINT) AS label,
+           |       CAST(count(DISTINCT qid) AS BIGINT) AS n_nodes,
+           |       CAST(count(*) AS BIGINT) AS n_edges,
+           |       CAST(sum(mut) AS BIGINT) AS n_mutual,
+           |       CAST(sum(mut) * 1000000 // count(*) AS BIGINT)
+           |         AS mutual_micro
+           |FROM m GROUP BY label ORDER BY label""".stripMargin
+      }),
+
+    // ── Dedup-aware split (q182): train/val/test assignment keyed on
+    //    the near-dup CLUSTER id instead of the document id, so a
+    //    document and its near-duplicates can never straddle the
+    //    train/test boundary (the leakage channel Lee et al. 2022 §6.2
+    //    document: duplicated text inflates eval scores when one copy
+    //    trains and another tests). Both arms ship in one output — the
+    //    naive id-keyed split with its nonzero cross-split pair count,
+    //    the cluster-keyed split with cross_pairs PINNED AT 0 by
+    //    construction (connected components share one key). Assignment
+    //    stays a pure salted-hash function of the key (the q65
+    //    discipline — replayable, incremental); the leakage audit joins
+    //    the dup-pair-sized frame against the assignment twice. ──────────
+    QueryDef.sorted(
+      "q182_dedup_aware_split",
+      (s, dir) => {
+        val corpus = graft.CacheBarriers.barrier(
+          varCorpus(s, dir).select("doc_id"))
+        val pairs = graft.CacheBarriers.barrier(
+          Dedup.verifiedNearDupPairs(varCorpus(s, dir))
+            .select("id_a", "id_b"))
+        val keyed = corpus
+          .join(Dedup.dupClusters(pairs)
+            .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .withColumn("aware_key", coalesce(col("cluster_id"), col("doc_id")))
+        val asg = graft.CacheBarriers.barrier(
+          Sampling.withSplit(
+            Sampling.withSplit(keyed)
+              .withColumnRenamed("split", "naive_split").drop("split_bucket"),
+            idCol = "aware_key")
+            .withColumnRenamed("split", "aware_split").drop("split_bucket"))
+        val census = asg
+          .select(col("doc_id"), expr(
+            "stack(2, 'naive', naive_split, 'aware', aware_split)" +
+              " AS (mode, split)"))
+          .groupBy("mode", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        val cross = broadcast(pairs)
+          .join(asg.select(col("doc_id").as("id_a"),
+            col("naive_split").as("na"), col("aware_split").as("aa")),
+            Seq("id_a"))
+          .join(asg.select(col("doc_id").as("id_b"),
+            col("naive_split").as("nb"), col("aware_split").as("ab")),
+            Seq("id_b"))
+          .select(expr(
+            "stack(2, 'naive', CAST(na <> nb AS BIGINT)," +
+              " 'aware', CAST(aa <> ab AS BIGINT)) AS (mode, x)"))
+          .groupBy("mode").agg(sum(col("x")).as("cross_pairs"))
+        census.join(broadcast(cross), Seq("mode"), "left")
+          .withColumn("cross_pairs", coalesce(col("cross_pairs"), lit(0L)))
+          .select(col("mode"), col("split"), col("n_docs"), col("id_sum"),
+            col("cross_pairs"))
+      },
+      _.orderBy("mode", "split"),
+      Some(
+        s"""WITH RECURSIVE $pairsCtes,
+           |vp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+           |          UNION SELECT id_b, id_a FROM vp),
+           |reach(n, m) AS (
+           |  SELECT DISTINCT a, a FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+           |cl AS (SELECT n AS doc_id, min(m) AS ck FROM reach GROUP BY n),
+           |asg AS (
+           |  SELECT c.doc_id,
+           |         ${Sampling.sqlSplit("c.doc_id")} AS naive_split,
+           |         ${Sampling.sqlSplit("coalesce(cl.ck, c.doc_id)")}
+           |           AS aware_split
+           |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id),
+           |lng AS (SELECT doc_id, 'naive' AS mode, naive_split AS split
+           |        FROM asg
+           |        UNION ALL
+           |        SELECT doc_id, 'aware', aware_split FROM asg),
+           |cen AS (SELECT mode, split, CAST(count(*) AS BIGINT) AS n_docs,
+           |               CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |        FROM lng GROUP BY 1, 2),
+           |pe AS (SELECT a1.naive_split AS na, a1.aware_split AS aa,
+           |              a2.naive_split AS nb, a2.aware_split AS ab
+           |       FROM vp p
+           |       JOIN asg a1 ON a1.doc_id = p.id_a
+           |       JOIN asg a2 ON a2.doc_id = p.id_b),
+           |crs AS (SELECT 'naive' AS mode,
+           |               CAST(count(*) FILTER (na <> nb) AS BIGINT)
+           |                 AS cross_pairs
+           |        FROM pe
+           |        UNION ALL
+           |        SELECT 'aware',
+           |               CAST(count(*) FILTER (aa <> ab) AS BIGINT)
+           |        FROM pe)
+           |SELECT c.mode, c.split, c.n_docs, c.id_sum,
+           |       coalesce(x.cross_pairs, 0) AS cross_pairs
+           |FROM cen c LEFT JOIN crs x ON c.mode = x.mode
+           |ORDER BY c.mode, c.split""".stripMargin))
+  )
+}

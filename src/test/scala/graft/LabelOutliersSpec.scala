@@ -87,4 +87,38 @@ class LabelOutliersSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxLabels"))
   }
+
+  test("centroidDrift: self is the fixed point, rotation drops the cosine, one-sided labels drop") {
+    import spark.implicits._
+    val a = Seq((0L, 0L, Array(1.0, 0.0)), (1L, 0L, Array(0.8, 0.2)),
+        (2L, 1L, Array(0.0, 1.0)), (9L, 2L, Array(0.5, 0.5)))
+      .toDF("vec_id", "label", "embedding")
+    // label 0 shifted toward y; label 1 identical; label 2 absent
+    val b = Seq((3L, 0L, Array(0.0, 1.0)), (4L, 1L, Array(0.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val sa = Similarity.labelCentroidSums(a)
+    val sb = Similarity.labelCentroidSums(b)
+    val drift = Similarity.centroidDrift(sa, sb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(drift.keySet === Set(0L, 1L)) // label 2 one-sided → dropped
+    assert(drift(0L)._1 === 2L && drift(0L)._2 === 1L)
+    // label 1: both centroids point along +y → cos = 1 (exact: the
+    // sequential fold sees [0, n]·[0, m])
+    assert(drift(1L)._3 === 1000000L)
+    // label 0: sum_a = (1800000, 200000), sum_b = (0, 1000000) —
+    // hand-fold the documented arithmetic
+    val (sax, say, sby) = (1800000.0, 200000.0, 1000000.0)
+    val c = say * sby / (math.sqrt(sax * sax + say * say) * sby)
+    assert(drift(0L)._3 === math.floor(c * 1e6).toLong)
+    // self-drift: every label at its fixed point (cos(v, v), which the
+    // fold realizes exactly enough that floor(·1e6) = 1e6 here)
+    val self = Similarity.centroidDrift(sa, sa).collect()
+    assert(self.length === 3)
+    self.foreach(r => assert(r.getLong(3) === 1000000L))
+    // merge-then-drift ≡ drift of the union (the additive artifact law)
+    val merged = Similarity.mergeCentroidSums(sa, sb)
+    val viaMerge = Similarity.centroidDrift(merged, merged).collect()
+    assert(viaMerge.forall(_.getLong(3) === 1000000L))
+  }
 }

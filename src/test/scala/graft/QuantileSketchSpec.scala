@@ -91,6 +91,34 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("censusDistance: self is zero, disjoint saturates, shift registers") {
+    val a = QuantileSketch.census(
+      vals((1L, "s", 5L), (2L, "s", 5L), (3L, "s", 10L), (4L, "s", 200L)),
+      col("x"), Seq("source"))
+    def driftMap(x: org.apache.spark.sql.DataFrame,
+                 y: org.apache.spark.sql.DataFrame) =
+      QuantileSketch.censusDistance(x, y, Seq("source")).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            r.getAs[Long]("drift_micro"))).toMap
+    // identical censuses → exactly zero
+    assert(driftMap(a, a)("s") === ((4L, 4L, 0L)))
+    // fully disjoint value ranges → saturation: each side's floored
+    // fractions sum to ~1e6, half-L1 ≈ 1e6 (floor slack only)
+    val b = QuantileSketch.census(
+      vals((1L, "s", 5000L), (2L, "s", 9000L)), col("x"), Seq("source"))
+    val (na, nb, d) = driftMap(a, b)("s")
+    assert(na === 4L && nb === 2L)
+    assert(d >= 999998L && d <= 1000000L)
+    // a partial shift: one of four values moved out of a shared bucket
+    // → drift = 250000 (2/4 vs 2/2 on code 5; 1/4 each on 10-bucket and
+    // 200-bucket... hand-fold: pa = {5:500000, 10:250000, 200-code:250000},
+    // pb = {5:1000000} → |500000-1000000| + 250000 + 250000 = 1000000, /2
+    val c = QuantileSketch.census(
+      vals((1L, "s", 5L), (2L, "s", 5L)), col("x"), Seq("source"))
+    assert(driftMap(a, c)("s")._3 === 500000L)
+  }
+
   test("null and negative measures are dropped; p100 selects the max") {
     val df = vals((1L, "s", 5L), (2L, "s", -3L), (3L, "s", 40L))
       .union(vals((4L, "s", 0L)))
