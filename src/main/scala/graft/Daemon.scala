@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.{ConfiguredPipeline, GraftConfig}
+import graft.source.EventLog
+import graft.streaming.{HealthServer, SdWatchdog}
+
+/** The deployable daemon shape — what the reference ships as its single
+  * binary (`/root/reference/monstache.go:4899-4916` StartMulti: read
+  * config, tail the source, run the pipeline, serve health, notify
+  * systemd). Here the same lifecycle assembles the library's pieces into
+  * one runnable `main`:
+  *
+  *   - [[GraftConfig]] (the reference's TOML surface) drives the
+  *     pipeline wiring;
+  *   - a Structured Streaming parquet drop-directory stands in for the
+  *     change stream (zero-egress: the real connector swaps in at the
+  *     `readStream` — everything downstream is source-agnostic because
+  *     [[EventLog.envelopeFrom]] normalizes to the envelope);
+  *   - [[ConfiguredPipeline.startStream]] runs the hot path into the
+  *     versioned state sink (the store stand-in; wire
+  *     [[ConfiguredPipeline.startSink]] + an
+  *     [[graft.sink.EsSinkBackend]] for a live cluster);
+  *   - [[HealthServer]] serves `/healthz` `/started` `/stats` `/config`
+  *     (monstache.go:4188-4284);
+  *   - [[SdWatchdog]] feeds systemd's watchdog while the stream is
+  *     actually progressing (monstache.go:4290-4325, liveness-gated).
+  *
+  * Usage:
+  * {{{
+  *   graft.Daemon <config.toml> <eventsDir> <workDir>
+  *       [--port N] [--interval SECONDS] [--once]
+  * }}}
+  *
+  * `eventsDir` must hold at least one parquet file at startup (it pins
+  * the stream schema — the reference likewise refuses to start without a
+  * reachable source); new files dropped into the directory become
+  * micro-batches. `workDir` gets `state/` (the versioned LWW chain) and
+  * `checkpoint/` (offsets — restart-safe, the T3 contract). `--once`
+  * drains what is available and exits 0 (the reference's exit-after
+  * direct-read mode); the default tails forever at `--interval` (10 s).
+  *
+  * Scale note: this main is driver-side wiring only — every data-moving
+  * decision lives in the audited operators it assembles. Run it with
+  * `spark-submit --master yarn|k8s` unchanged; the `local[*]` fallback
+  * below only engages when no master is configured.
+  */
+object Daemon {
+
+  final case class Args(configPath: String, eventsDir: String,
+                        workDir: String, port: Int = 8080,
+                        intervalSec: Long = 10L, once: Boolean = false)
+
+  private[graft] def parseArgs(argv: Array[String]): Args = {
+    val (flags, pos) = {
+      var i = 0
+      val f = scala.collection.mutable.Map[String, String]()
+      val p = scala.collection.mutable.ArrayBuffer[String]()
+      while (i < argv.length) {
+        argv(i) match {
+          case "--once" => f("once") = "true"; i += 1
+          case k @ ("--port" | "--interval") =>
+            require(i + 1 < argv.length, s"$k needs a value")
+            f(k.drop(2)) = argv(i + 1); i += 2
+          case other => p += other; i += 1
+        }
+      }
+      (f.toMap, p.toSeq)
+    }
+    require(pos.length == 3,
+      "usage: graft.Daemon <config.toml> <eventsDir> <workDir> " +
+        "[--port N] [--interval SECONDS] [--once]")
+    Args(pos(0), pos(1), pos(2),
+      port = flags.get("port").map(_.toInt).getOrElse(8080),
+      intervalSec = flags.get("interval").map(_.toLong).getOrElse(10L),
+      once = flags.contains("once"))
+  }
+
+  /** Everything the daemon started — close() tears it down in reverse
+    * order (stream first so the last batch commits, then the health
+    * surface, then the watchdog stops feeding systemd). */
+  final class Running(val query: StreamingQuery,
+                      val health: HealthServer.Handle,
+                      val watchdog: Option[SdWatchdog.Handle])
+      extends AutoCloseable {
+    override def close(): Unit = {
+      try query.stop() finally {
+        watchdog.foreach(_.stop())
+        health.close()
+      }
+    }
+  }
+
+  /** Assemble and start the daemon (separated from [[main]] so the spec
+    * can drive the full lifecycle in-process). */
+  def start(spark: SparkSession, a: Args): Running = {
+    val cfg = GraftConfig.load(a.configPath)
+    val configToml =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(a.configPath))
+
+    // Schema pin: streaming parquet needs one. An empty source dir is a
+    // misconfiguration, not a wait-for-data state — fail at startup like
+    // the reference does on an unreachable source.
+    val schema = spark.read.parquet(a.eventsDir).schema
+    val events = EventLog.envelopeFrom(
+      spark.readStream.schema(schema).parquet(a.eventsDir))
+
+    val staleAfterMs = if (a.once) 0L else a.intervalSec * 3000L
+    val health = HealthServer.start(spark, a.port, staleAfterMs, configToml)
+    val watchdog = SdWatchdog.fromEnv(
+      () => health.listener.healthy(staleAfterMs))
+    val trigger =
+      if (a.once) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(a.intervalSec * 1000L)
+    val query = ConfiguredPipeline.startStream(cfg)(
+      events, s"${a.workDir}/state", s"${a.workDir}/checkpoint",
+      trigger = trigger)
+    new Running(query, health, watchdog)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = GraftSession.ensure(GraftSession.configure(
+      SparkSession.builder().master(
+        sys.props.get("spark.master").getOrElse("local[*]")),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val running = start(spark, a)
+    sys.addShutdownHook(running.close())
+    running.query.awaitTermination()
+    if (a.once) running.close()
+  }
+}

@@ -5371,6 +5371,134 @@ object LlmQueries extends QueryFamily {
            |SELECT c.mode, c.split, c.n_docs, c.id_sum,
            |       coalesce(x.cross_pairs, 0) AS cross_pairs
            |FROM cen c LEFT JOIN crs x ON c.mode = x.mode
-           |ORDER BY c.mode, c.split""".stripMargin))
+           |ORDER BY c.mode, c.split""".stripMargin)),
+
+    // ── Classifier calibration (q183): the reliability table for the
+    //    q89 NB quality classifier (DeGroot & Fienberg 1983's
+    //    forecaster-calibration framing) — per (source, mean per-token
+    //    log-odds bin) the empirical positive rate, so a slice where
+    //    high scores don't mean high positive rate shows up as a
+    //    non-monotone row block before the classifier gates a corpus.
+    //    The bin axis is integer-deterministic BY CONSTRUCTION: the
+    //    per-token mean rides a +40-nat shift so every division has
+    //    non-negative operands (Spark DIV truncates toward zero, DuckDB
+    //    // floors — they only agree above zero), then clamps to
+    //    ±10 nats. Scoring is q89's own audited shape; the report
+    //    aggregate is census-sized. ─────────────────────────────────────
+    QueryDef.sorted(
+      "q183_classifier_calibration",
+      (s, dir) => {
+        val docs = graft.CacheBarriers.barrier(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text", "lang", "source")))
+        val labeled = docs.select((col("lang") === "en").as("label"),
+          col("text"))
+        QualityModel.scoreQuality(docs.select("doc_id", "text"),
+            QualityModel.tokenClassCounts(labeled))
+          .join(docs.select(col("doc_id"), col("source"),
+            (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+          .withColumn("bucket_nat",
+            greatest(lit(-10L), least(lit(10L), expr(
+              "(q_micro + 40000000L * greatest(n_tokens, 1L))" +
+                " DIV greatest(n_tokens, 1L) DIV 1000000L - 40L"))))
+          .groupBy(col("source"), col("bucket_nat"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+          .withColumn("pos_micro", expr("n_pos * 1000000L DIV n"))
+      },
+      _.orderBy("source", "bucket_nat"),
+      Some(
+        s"""WITH labeled AS (SELECT (lang = 'en') AS label, text
+           |                 FROM documents),
+           |cnt AS (${QualityModel.sqlTokenClassCounts("labeled")}),
+           |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+           |               CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+           |               count(*) AS vocab_v FROM cnt),
+           |alltok AS (SELECT doc_id, unnest(${W("text")}) AS tok
+           |           FROM documents),
+           |contrib AS (SELECT doc_id, cnt.token,
+           |                   ${QualityModel.sqlWeightMicro} AS w
+           |            FROM alltok
+           |            LEFT JOIN cnt ON alltok.tok = cnt.token, tot),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |               CAST(coalesce(sum(w), 0) AS BIGINT) AS q_micro
+           |        FROM contrib GROUP BY doc_id),
+           |scored AS (
+           |  SELECT d.doc_id, d.source,
+           |         CAST(d.lang = 'en' AS BIGINT) AS y,
+           |         coalesce(a.n_tokens, 0) AS n_tokens,
+           |         coalesce(a.q_micro, 0) AS q_micro
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |bkt AS (
+           |  SELECT source, y,
+           |         greatest(-10, least(10,
+           |           (q_micro + 40000000 * greatest(n_tokens, 1))
+           |             // greatest(n_tokens, 1) // 1000000 - 40))
+           |           AS bucket_nat
+           |  FROM scored)
+           |SELECT source, CAST(bucket_nat AS BIGINT) AS bucket_nat,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(y) AS BIGINT) AS n_pos,
+           |       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_micro
+           |FROM bkt GROUP BY 1, 2
+           |ORDER BY source, bucket_nat""".stripMargin)),
+
+    // ── Content novelty (q184): what share of a batch's 5-gram MASS is
+    //    absent from the snapshot's gram census — the crawl-staleness /
+    //    content-growth monitor next to q178's shape drift and q127's
+    //    composition diff (a re-crawl can keep counts and lengths while
+    //    contributing zero new text; only a content-level measure sees
+    //    that). Census membership is DISTINCT gram hashes (the artifact
+    //    an incremental deployment persists — the q82/q106 census
+    //    family); the batch side keeps multiplicity so the rate weighs
+    //    repeated boilerplate honestly. The join is keyed on the fixed
+    //    8-byte gram hash (the span-census scale argument; no broadcast
+    //    assumption — both sides shuffle on the hash). The self arm
+    //    (snapshot vs its own census) pins the metric's zero in-gate. ────
+    QueryDef.sorted(
+      "q184_content_novelty",
+      (s, dir) => {
+        val docs = graft.CacheBarriers.barrier(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "text")))
+        def grams(arm: Column) = docs.filter(arm)
+          .select(col("source"),
+            explode(shingles(words(col("text")), 5)).as("g"))
+        val censusA = grams(col("doc_id") % 2 === 0)
+          .select("g").distinct().withColumn("__hit", lit(1L))
+        def score(side: org.apache.spark.sql.DataFrame, mode: String) = side
+          .join(censusA, Seq("g"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_micro",
+            expr("n_novel * 1000000L DIV greatest(n_grams, 1L)"))
+          .withColumn("mode", lit(mode))
+        score(grams(col("doc_id") % 2 === 1), "batch_vs_snapshot")
+          .unionByName(score(grams(col("doc_id") % 2 === 0), "self"))
+          .select(col("mode"), col("source"), col("n_grams"),
+            col("n_novel"), col("novelty_micro"))
+      },
+      _.orderBy("mode", "source"),
+      Some(
+        s"""WITH g AS (
+           |  SELECT doc_id, source,
+           |         unnest(${TextHash.sqlShingles(W("text"), 5)}) AS g
+           |  FROM documents),
+           |ca AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+           |sides AS (
+           |  SELECT 'batch_vs_snapshot' AS mode, b.source,
+           |         CASE WHEN ca.g IS NULL THEN 1 ELSE 0 END AS novel
+           |  FROM g b LEFT JOIN ca ON b.g = ca.g WHERE b.doc_id % 2 = 1
+           |  UNION ALL
+           |  SELECT 'self', b.source,
+           |         CASE WHEN ca.g IS NULL THEN 1 ELSE 0 END
+           |  FROM g b LEFT JOIN ca ON b.g = ca.g WHERE b.doc_id % 2 = 0)
+           |SELECT mode, source,
+           |       CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(novel) AS BIGINT) AS n_novel,
+           |       CAST(sum(novel) * 1000000 // greatest(count(*), 1)
+           |            AS BIGINT) AS novelty_micro
+           |FROM sides GROUP BY 1, 2
+           |ORDER BY mode, source""".stripMargin))
   )
 }
