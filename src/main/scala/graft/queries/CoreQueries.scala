@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.codec.Codecs
+import graft.llm.QuantileSketch
 import graft.operators._
 import graft.source.EventLog
 
@@ -1343,6 +1344,134 @@ object CoreQueries extends QueryFamily {
            |       CAST(n_sessions * 1000000 // greatest(np, 1) AS BIGINT)
            |         AS conv_step_micro
            |FROM rep ORDER BY step_idx""".stripMargin
-      })
+      }),
+
+    // ── Step-latency quantiles (q185): HOW LONG each funnel transition
+    //    takes, not just whether it converts — per adjacent pair, the
+    //    per-user seconds from the FIRST upstream event to the first
+    //    downstream event at-or-after it, distributed through the
+    //    mergeable quantile census (q173) with the exact census-selected
+    //    quantile next to the estimate. The product-analytics companion
+    //    the conversion funnel (q142) can't answer: a step can convert
+    //    at 90% and still be the pipeline's latency problem. Per-pair
+    //    work is one groupBy(user) min + one self-join on user (both
+    //    user-keyed shuffles); the quantile selection runs over the
+    //    config-sized census, never the deltas. All integer: epoch
+    //    micros, DIV to seconds, shared-ceiling ranks. ────────────────────
+    QueryDef.sorted(
+      "q185_funnel_latency",
+      (s, dir) => {
+        val pcts = Seq(50, 90, 99)
+        val pairsDef = Seq(("signup", "view"), ("view", "click"),
+          ("click", "purchase"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val typed = graft.CacheBarriers.barrier(
+          ev.select(col("user_id"), EventLog.tsUsOf(ev).as("ts_us"),
+            col("event_type")))
+        val deltas = graft.CacheBarriers.barrier(pairsDef.map {
+          case (a, b) =>
+            val ta = typed.filter(col("event_type") === a)
+              .groupBy(col("user_id")).agg(min(col("ts_us")).as("ta"))
+            typed.filter(col("event_type") === b)
+              .join(ta, Seq("user_id"))
+              .filter(col("ts_us") >= col("ta"))
+              .groupBy(col("user_id"), col("ta"))
+              .agg(min(col("ts_us")).as("tb"))
+              .select(lit(s"${a}->${b}").as("pair"),
+                expr("(tb - ta) DIV 1000000L").as("delta_s"))
+        }.reduce(_ unionByName _))
+        val est = QuantileSketch.estimates(
+          QuantileSketch.census(deltas, col("delta_s"), Seq("pair")),
+          Seq("pair"), pcts)
+        val exact = QuantileSketch.exactQuantiles(deltas, col("delta_s"),
+          Seq("pair"), pcts)
+        val n = deltas.groupBy(col("pair")).agg(count(lit(1)).as("n_users"))
+        est.join(exact, Seq("pair", "pct"))
+          .join(n, Seq("pair"))
+          .select(col("pair"), col("pct").cast("long"), col("n_users"),
+            col("est"), col("exact"))
+      },
+      _.orderBy("pair", "pct"),
+      Some(funnelLatencySql)),
+
+    // ── Incremental step latency (q188): the same report folded one
+    //    time-partitioned batch at a time — each pair IS a 2-step
+    //    funnel, so its per-user (m_0, m_1) completion state is exactly
+    //    [[EventAnalytics.funnelIncremental]]'s (the chain rule "first
+    //    downstream at-or-after first upstream" is the pair latency
+    //    definition), and the latency deltas read straight off the
+    //    folded state: no new fold code, the strictly-increasing-ts
+    //    contract and its raise come with the operator. Oracle = q185's
+    //    full-log SQL VERBATIM (the incremental ≡ full identity, the
+    //    q141/q155/q163 discipline). ─────────────────────────────────────
+    QueryDef.sorted(
+      "q188_funnel_latency_incremental",
+      (s, dir) => {
+        val pcts = Seq(50, 90, 99)
+        val pairsDef = Seq(("signup", "view"), ("view", "click"),
+          ("click", "purchase"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = graft.CacheBarriers.barrier(
+          ev.withColumn("__t", EventLog.tsUsOf(ev)))
+        val cut1 = 1704931200000000L
+        val cut2 = 1705795200000000L
+        val E = EventAnalytics
+        val deltas = graft.CacheBarriers.barrier(pairsDef.map {
+          case (a, b) =>
+            val steps = Seq(a, b)
+            val st1 = E.funnelIncremental(withTs.filter(col("__t") < cut1),
+              E.emptyFunnelState(s, 2), steps, col("__t"))
+            val st2 = E.funnelIncremental(
+              withTs.filter(col("__t") >= cut1 && col("__t") < cut2),
+              st1, steps, col("__t"))
+            val st3 = E.funnelIncremental(withTs.filter(col("__t") >= cut2),
+              st2, steps, col("__t"))
+            st3.filter(col("m_1").isNotNull)
+              .select(lit(s"${a}->${b}").as("pair"),
+                expr("(m_1 - m_0) DIV 1000000L").as("delta_s"))
+        }.reduce(_ unionByName _))
+        val est = QuantileSketch.estimates(
+          QuantileSketch.census(deltas, col("delta_s"), Seq("pair")),
+          Seq("pair"), pcts)
+        val exact = QuantileSketch.exactQuantiles(deltas, col("delta_s"),
+          Seq("pair"), pcts)
+        val n = deltas.groupBy(col("pair")).agg(count(lit(1)).as("n_users"))
+        est.join(exact, Seq("pair", "pct"))
+          .join(n, Seq("pair"))
+          .select(col("pair"), col("pct").cast("long"), col("n_users"),
+            col("est"), col("exact"))
+      },
+      _.orderBy("pair", "pct"),
+      Some(funnelLatencySql))
   )
+
+  /** Shared oracle for q185/q188: the FULL-LOG step-latency quantiles —
+    * q188's incremental folds must reproduce it exactly. */
+  private def funnelLatencySql: String = {
+    val pcts = Seq(50, 90, 99)
+    val pairsDef = Seq(("signup", "view"), ("view", "click"),
+      ("click", "purchase"))
+    val armSql = pairsDef.map { case (a, b) =>
+      s"""SELECT '${a}->${b}' AS grp,
+         |       (min(e.ts_us) - t.ta) // 1000000 AS x
+         |FROM (SELECT user_id, min(ts_us) AS ta FROM e
+         |      WHERE event_type = '$a' GROUP BY 1) t
+         |JOIN e ON e.user_id = t.user_id AND e.event_type = '$b'
+         |      AND e.ts_us >= t.ta
+         |GROUP BY e.user_id, t.ta""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+       |           FROM events),
+       |v AS (
+       |$armSql),
+       |${QuantileSketch.sqlEstimateCtes("v", pcts)},
+       |${QuantileSketch.sqlExactCtes("v", pcts)},
+       |cnt AS (SELECT grp, count(*) AS n_users FROM v GROUP BY 1)
+       |SELECT e.grp AS pair, CAST(e.pct AS BIGINT) AS pct,
+       |       CAST(c.n_users AS BIGINT) AS n_users, e.est, x.exact
+       |FROM qsest e
+       |JOIN qeex x ON e.grp = x.grp AND e.pct = x.pct
+       |JOIN cnt c ON c.grp = e.grp
+       |ORDER BY pair, pct""".stripMargin
+  }
 }

@@ -5499,6 +5499,129 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(novel) * 1000000 // greatest(count(*), 1)
            |            AS BIGINT) AS novelty_micro
            |FROM sides GROUP BY 1, 2
-           |ORDER BY mode, source""".stripMargin))
+           |ORDER BY mode, source""".stripMargin)),
+
+    // ── Embedding moment census (q186): per (label, dim) the additive
+    //    (n, Σx, Σx²) in milli fixed-point — the embedding-health
+    //    artifact. Variance per dimension falls out exactly
+    //    (`(n·s2 − s1²) DIV n²`, non-negative by Cauchy–Schwarz so the
+    //    integer division agrees cross-engine), and the 3 LOWEST-variance
+    //    dims per label are flagged suspect — dead dimensions are the
+    //    classic symptom of a collapsed/truncated encoder, invisible to
+    //    cosine-level audits (q169/q181) because every pair shares the
+    //    dead coordinates. The census MERGES BY ADDITIVE SUM (the q173
+    //    family — the fold identity runs in-gate through
+    //    StreamingAdditiveCensus.merge, the same module that makes it
+    //    durable); milli fixed-point keeps Σx² inside BIGINT to ~9·10¹²
+    //    rows per (label, dim). The suspect window sorts 64 rows per
+    //    label — config-sized. ─────────────────────────────────────────────
+    QueryDef.sorted(
+      "q186_embedding_moments",
+      (s, dir) => {
+        val emb = spread(s, s.read.parquet(s"$dir/embeddings.parquet"))
+          .filter(size(col("embedding")) === 64)
+        def cells(arm: Column) = emb.filter(arm)
+          .select(col("label").cast("long").as("label"),
+            posexplode(transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long"))))
+          .withColumnRenamed("pos", "dim")
+          .withColumnRenamed("col", "xm")
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("xm")).as("s1"),
+            sum(col("xm") * col("xm")).as("s2"))
+        val census = graft.streaming.StreamingAdditiveCensus.merge(
+          cells(col("vec_id") % 2 === 0), cells(col("vec_id") % 2 === 1),
+          Seq("label", "dim"))
+        val rep = census.withColumn("var_milli2",
+          expr("(n * s2 - s1 * s1) DIV (n * n)"))
+        rep.withColumn("__r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("label")
+              .orderBy(col("var_milli2").asc, col("dim").asc)))
+          .select(col("label"), col("dim").cast("long"), col("n"),
+            col("s1"), col("var_milli2"), (col("__r") <= 3).as("suspect"))
+      },
+      _.orderBy("label", "dim"),
+      Some(
+        s"""WITH e AS (
+           |  SELECT label, ${Similarity.sqlAsDouble("embedding")} AS v
+           |  FROM embeddings WHERE len(embedding) = 64),
+           |cells AS (
+           |  SELECT label, i - 1 AS dim,
+           |         CAST(floor(v[i] * 1000) AS BIGINT) AS xm
+           |  FROM e, unnest(range(1, 65)) AS t(i)),
+           |cen AS (SELECT label, dim, count(*) AS n, sum(xm) AS s1,
+           |               sum(xm * xm) AS s2
+           |        FROM cells GROUP BY 1, 2),
+           |rep AS (SELECT label, dim, n, s1,
+           |               (n * s2 - s1 * s1) // (n * n) AS var_milli2
+           |        FROM cen),
+           |rnk AS (SELECT label, dim,
+           |               row_number() OVER (PARTITION BY label
+           |                 ORDER BY var_milli2 ASC, dim ASC) AS r
+           |        FROM rep)
+           |SELECT CAST(rep.label AS BIGINT) AS label,
+           |       CAST(rep.dim AS BIGINT) AS dim,
+           |       CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+           |       CAST(var_milli2 AS BIGINT) AS var_milli2,
+           |       (rnk.r <= 3) AS suspect
+           |FROM rep JOIN rnk ON rep.label = rnk.label AND rep.dim = rnk.dim
+           |ORDER BY label, dim""".stripMargin)),
+
+    // ── Pack fill-rate quantiles (q187): the efficiency report for the
+    //    greedy sequence packer (q67) — per-mille fill of each pack's
+    //    token budget, distributed through the mergeable quantile census
+    //    (q173) with the exact quantile beside the estimate, plus the
+    //    underfull-pack count (< 50% — each one is half a wasted batch
+    //    slot at training time; Raffel et al. 2020 pack precisely to
+    //    avoid this). Census selection runs over the config-sized
+    //    bucket census; the pack census itself is q67's audited shape.
+    //    fill_pm can exceed 1000 (a single over-budget document
+    //    overflows its pack — visible here, by design). ───────────────────
+    QueryDef.sorted(
+      "q187_pack_fill_quantiles",
+      (s, dir) => {
+        val pcts = Seq(10, 50, 90)
+        val packed = Packing.packCensus(Packing.withPacks(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")),
+          budget = 256, nBuckets = 8))
+        val fills = graft.CacheBarriers.barrier(
+          packed.select(lit("all").as("grp"),
+            expr("tok_sum * 1000L DIV 256").as("fill_pm")))
+        val est = QuantileSketch.estimates(
+          QuantileSketch.census(fills, col("fill_pm"), Seq("grp")),
+          Seq("grp"), pcts)
+        val exact = QuantileSketch.exactQuantiles(fills, col("fill_pm"),
+          Seq("grp"), pcts)
+        val stats = fills.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_packs"),
+            sum(when(col("fill_pm") < 500, 1L).otherwise(0L))
+              .as("underfull"))
+        est.join(exact, Seq("grp", "pct")).join(stats, Seq("grp"))
+          .select(col("pct").cast("long"), col("n_packs"),
+            col("underfull"), col("est"), col("exact"))
+      },
+      _.orderBy("pct"),
+      Some {
+        val pcts = Seq(10, 50, 90)
+        s"""WITH packed AS (${Packing.sqlPacks("documents", 256, 8)}),
+           |pc AS (SELECT bucket, pack_id, sum(tokens) AS tok_sum
+           |       FROM packed GROUP BY 1, 2),
+           |v AS (SELECT 'all' AS grp, tok_sum * 1000 // 256 AS x FROM pc),
+           |${QuantileSketch.sqlEstimateCtes("v", pcts)},
+           |${QuantileSketch.sqlExactCtes("v", pcts)},
+           |st AS (SELECT grp, count(*) AS n_packs,
+           |              sum(CASE WHEN x < 500 THEN 1 ELSE 0 END)
+           |                AS underfull
+           |       FROM v GROUP BY 1)
+           |SELECT CAST(e.pct AS BIGINT) AS pct,
+           |       CAST(st.n_packs AS BIGINT) AS n_packs,
+           |       CAST(st.underfull AS BIGINT) AS underfull,
+           |       e.est, x.exact
+           |FROM qsest e
+           |JOIN qeex x ON e.grp = x.grp AND e.pct = x.pct
+           |JOIN st ON st.grp = e.grp
+           |ORDER BY pct""".stripMargin
+      })
   )
 }
