@@ -260,4 +260,40 @@ object Multimodal {
     }
     None
   }
+
+  /** Decoder batch plan over parsed CANONICAL WAV assets
+    * ([[withAudioMeta]]'s output — data chunk at byte 44 by that
+    * parser's own match rule): fixed-length windows of `winMs`
+    * milliseconds hopped every `hopMs`, one row per window with the
+    * exact byte range a decode UDF reads —
+    * `(…, window_idx, sample_off, n_samples, byte_off, byte_len)`; the
+    * last window truncates to the data end. Non-wav rows drop.
+    *
+    * This is the 100 TB multimodal discipline: the PLANNER moves only
+    * metadata (one row per window, integer arithmetic on header
+    * fields); the bytes themselves are range-read by the decode stage
+    * from the object store (`byte_off`/`byte_len` map directly to a
+    * ranged GET), so a corpus of hour-long recordings plans without a
+    * single audio byte crossing a shuffle. Pure nonnegative integer
+    * math end to end — the oracle replays it exactly. */
+  def audioWindowPlan(meta: DataFrame, winMs: Int, hopMs: Int): DataFrame = {
+    require(winMs > 0 && hopMs > 0,
+      s"audioWindowPlan: winMs=$winMs hopMs=$hopMs")
+    meta.filter(col("afmt") === "wav")
+      .withColumn("__blk", expr("channels * bits DIV 8"))
+      .filter(col("__blk") > 0)
+      .withColumn("__n", expr("data_bytes DIV __blk"))
+      .filter(col("__n") > 0)
+      .withColumn("__win",
+        greatest(expr(s"sample_rate_hz * $winMs DIV 1000"), lit(1L)))
+      .withColumn("__hop",
+        greatest(expr(s"sample_rate_hz * $hopMs DIV 1000"), lit(1L)))
+      .withColumn("window_idx",
+        explode(sequence(lit(0L), expr("(__n + __hop - 1) DIV __hop - 1"))))
+      .withColumn("sample_off", expr("window_idx * __hop"))
+      .withColumn("n_samples", expr("least(__win, __n - sample_off)"))
+      .withColumn("byte_off", expr("44 + sample_off * __blk"))
+      .withColumn("byte_len", expr("n_samples * __blk"))
+      .drop("__blk", "__n", "__win", "__hop")
+  }
 }

@@ -231,6 +231,45 @@ object LlmQueries extends QueryFamily {
 
   /** The Spark twin of [[varCorpusSql]]: originals plus truncated variants
     * (shared by the minhash-LSH and cluster queries). */
+  /** q133/q189's synthetic audio corpus: actual canonical PCM WAV
+    * containers (RIFF/WAVE magic, 16-byte fmt chunk with little-endian
+    * fields, data chunk with a declared size) built in column algebra
+    * from doc_id arithmetic around md5 payloads; every 3rd doc stays a
+    * raw (non-audio) blob. text IS NOT NULL on BOTH sides: a NULL text
+    * would NULL the md5 payload → NULL content → afmt 'unknown' here
+    * while the oracle, which recomputes fields from doc_id arithmetic
+    * alone, would still say 'wav'. */
+  private def syntheticWavs(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+    val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull))
+    // little-endian hex builders over named integer columns (Spark
+    // hex() emits no leading zeros, so each byte lpads to 2)
+    def le16(e: String) =
+      expr(s"lpad(hex(($e) % 256), 2, '0') || " +
+        s"lpad(hex(($e) DIV 256), 2, '0')")
+    def le32(e: String) =
+      expr(s"lpad(hex(($e) % 256), 2, '0') || " +
+        s"lpad(hex(($e) DIV 256 % 256), 2, '0') || " +
+        s"lpad(hex(($e) DIV 65536 % 256), 2, '0') || " +
+        s"lpad(hex(($e) DIV 16777216 % 256), 2, '0')")
+    val base = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % 2 + 1).as("ch"),
+        (lit(8000) + (col("doc_id") % 5) * 4000).as("sr"),
+        when(col("doc_id") % 4 < 2, 16).otherwise(8).as("bp"))
+      .withColumn("blk", expr("ch * bp DIV 8"))
+      .withColumn("brate", expr("sr * blk"))
+      .withColumn("dsize", expr("(doc_id % 1000 + 1) * blk"))
+    val hexStr = when(col("doc_id") % 3 === 0, md5(col("text")))
+      .otherwise(concat(
+        lit("52494646"), le32("36 + dsize"),
+        lit("57415645666D7420100000000100"),
+        le16("ch"), le32("sr"), le32("brate"),
+        le16("blk"), le16("bp"),
+        lit("64617461"), le32("dsize"), md5(col("text"))))
+    base.select(col("doc_id"), unhex(hexStr).as("content"))
+  }
+
   private def varCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text"))
@@ -3364,43 +3403,11 @@ object LlmQueries extends QueryFamily {
     //    ground-truth arithmetic the headers were built from. ───────────
     QueryDef.sorted(
       "q133_audio_headers",
-      (s, dir) => {
-        // text IS NOT NULL on BOTH sides: a NULL text would NULL the md5
-        // payload → NULL content → afmt 'unknown' here while the oracle,
-        // which recomputes fields from doc_id arithmetic alone, would
-        // still say 'wav' — the same filter q134/q146/q147 carry
-        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text").filter(col("text").isNotNull))
-        // little-endian hex builders over named integer columns (Spark
-        // hex() emits no leading zeros, so each byte lpads to 2)
-        def le16(e: String) =
-          expr(s"lpad(hex(($e) % 256), 2, '0') || " +
-            s"lpad(hex(($e) DIV 256), 2, '0')")
-        def le32(e: String) =
-          expr(s"lpad(hex(($e) % 256), 2, '0') || " +
-            s"lpad(hex(($e) DIV 256 % 256), 2, '0') || " +
-            s"lpad(hex(($e) DIV 65536 % 256), 2, '0') || " +
-            s"lpad(hex(($e) DIV 16777216 % 256), 2, '0')")
-        val base = docs.select(col("doc_id"), col("text"),
-            (col("doc_id") % 2 + 1).as("ch"),
-            (lit(8000) + (col("doc_id") % 5) * 4000).as("sr"),
-            when(col("doc_id") % 4 < 2, 16).otherwise(8).as("bp"))
-          .withColumn("blk", expr("ch * bp DIV 8"))
-          .withColumn("brate", expr("sr * blk"))
-          .withColumn("dsize", expr("(doc_id % 1000 + 1) * blk"))
-        val hexStr = when(col("doc_id") % 3 === 0, md5(col("text")))
-          .otherwise(concat(
-            lit("52494646"), le32("36 + dsize"),
-            lit("57415645666D7420100000000100"),
-            le16("ch"), le32("sr"), le32("brate"),
-            le16("blk"), le16("bp"),
-            lit("64617461"), le32("dsize"), md5(col("text"))))
-        Multimodal.withAudioMeta(
-            base.select(col("doc_id"), unhex(hexStr).as("content")))
+      (s, dir) =>
+        Multimodal.withAudioMeta(syntheticWavs(s, dir))
           .select(col("doc_id").cast("long"), col("afmt"), col("channels"),
             col("sample_rate_hz"), col("bits"), col("data_bytes"),
-            col("dur_us"))
-      },
+            col("dur_us")),
       _.orderBy("doc_id"),
       Some(
         s"""WITH p AS (
@@ -5622,6 +5629,51 @@ object LlmQueries extends QueryFamily {
            |JOIN qeex x ON e.grp = x.grp AND e.pct = x.pct
            |JOIN st ON st.grp = e.grp
            |ORDER BY pct""".stripMargin
-      })
+      }),
+
+    // ── Audio window plan (q189): the decoder's batch plan over q133's
+    //    parsed WAV corpus — 10 ms windows hopped every 5 ms, one row
+    //    per window with the exact byte range a decode UDF range-reads
+    //    (sample_off, n_samples, byte_off, byte_len; last window
+    //    truncates to the data end, non-audio rows drop). The 100 TB
+    //    multimodal discipline made concrete: the PLANNER moves one
+    //    metadata row per window and never a media byte — byte ranges
+    //    map directly to object-store ranged GETs for the decode stage
+    //    (stubbed here: no codecs in the container, the documented
+    //    multimodal contract). Oracle replays header arithmetic and
+    //    window algebra from the doc_id ground truth. ────────────────────
+    QueryDef.sorted(
+      "q189_audio_window_plan",
+      (s, dir) =>
+        Multimodal.audioWindowPlan(
+            Multimodal.withAudioMeta(syntheticWavs(s, dir)),
+            winMs = 10, hopMs = 5)
+          .select(col("doc_id").cast("long"), col("window_idx"),
+            col("sample_off"), col("n_samples"), col("byte_off"),
+            col("byte_len")),
+      _.orderBy("doc_id", "window_idx"),
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id, doc_id % 2 + 1 AS ch,
+           |         8000 + (doc_id % 5) * 4000 AS sr,
+           |         CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS bp
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+           |q AS (SELECT doc_id, sr, ch * bp // 8 AS blk,
+           |             doc_id % 1000 + 1 AS n,
+           |             greatest(sr * 10 // 1000, 1) AS win,
+           |             greatest(sr * 5 // 1000, 1) AS hop
+           |      FROM p),
+           |x AS (SELECT doc_id, blk, n, win, hop,
+           |             unnest(range(0, (n + hop - 1) // hop)) AS window_idx
+           |      FROM q)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(window_idx AS BIGINT) AS window_idx,
+           |       CAST(window_idx * hop AS BIGINT) AS sample_off,
+           |       CAST(least(win, n - window_idx * hop) AS BIGINT)
+           |         AS n_samples,
+           |       CAST(44 + window_idx * hop * blk AS BIGINT) AS byte_off,
+           |       CAST(least(win, n - window_idx * hop) * blk AS BIGINT)
+           |         AS byte_len
+           |FROM x ORDER BY doc_id, window_idx""".stripMargin))
   )
 }

@@ -132,6 +132,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L) === (("unknown", None, None, None, None, None)))
   }
 
+  test("audioWindowPlan: hand-computed ranges, truncated tail, non-wav drops") {
+    import spark.implicits._
+    // 1 kHz mono 16-bit (blk 2), 50 declared data bytes = 25 samples.
+    // winMs=10 → win 10 samples; hopMs=5 → hop 5; ceil(25/5) = 5 windows,
+    // the last starting at sample 20 with only 5 samples left.
+    val wav = "52494646" + "4A000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "E8030000" +
+      "D0070000" + "0200" + "1000" + "64617461" + "32000000" + "00"
+    val rows = Seq((1L, bytes(wav)), (2L, bytes("DEADBEEF")))
+      .toDF("asset_id", "content")
+    val plan = Multimodal.audioWindowPlan(
+        Multimodal.withAudioMeta(rows), winMs = 10, hopMs = 5)
+      .select("asset_id", "window_idx", "sample_off", "n_samples",
+        "byte_off", "byte_len")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(plan.forall(_._1 == 1L)) // the junk row planned nothing
+    assert(plan.toSeq == Seq(
+      (1L, 0L, 0L, 10L, 44L, 20L),
+      (1L, 1L, 5L, 10L, 54L, 20L),
+      (1L, 2L, 10L, 10L, 64L, 20L),
+      (1L, 3L, 15L, 10L, 74L, 20L),
+      (1L, 4L, 20L, 5L, 84L, 10L))) // truncated tail window
+  }
+
   test("wavMeta walks non-canonical chunk lists") {
     // LIST/INFO chunk ahead of fmt — the layout withAudioMeta declines
     val listed = bytes("52494646" + "30000000" + "57415645" +
