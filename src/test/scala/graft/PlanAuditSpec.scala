@@ -241,6 +241,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"collect-based fold lost its aggregate:\n$plan")
   }
 
+  test("hard-negative mining broadcasts the candidate list, never the corpus") {
+    // q180's claim: everything after bmtop is probe×depth-sized, and the
+    // embedding attach streams the embeddings scan against a BROADCAST
+    // candidate frame — a sort-merge join here would shuffle the corpus
+    // for a 60-row lookup side.
+    val plan = fmt(SparkEntry.benchQueries("q180_hard_negatives")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate attach not broadcast:\n$plan")
+  }
+
+  test("embedding moment census keeps its aggregate partial (map-side)") {
+    // q186's scale claim: the posexplode fan-out collapses to ≤ 64 rows
+    // per (label, dim) per partition BEFORE the shuffle — a final-only
+    // aggregate would move one row per (vector × dim) across the wire.
+    val plan = fmt(SparkEntry.benchQueries("q186_embedding_moments")(spark, dir))
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("audio window plan is scan → project/explode, no join, one exchange") {
+    // q189's claim: the planner moves metadata only — a single narrow
+    // pass from the scan through the window Generate. The one Exchange
+    // is the fixture's own `spread` repartition (input distribution),
+    // not operator work; anything beyond it means the plan grew a
+    // shuffle or a join it doesn't need.
+    val plan = fmt(SparkEntry.benchQueries("q189_audio_window_plan")(spark, dir))
+    assert(!plan.contains("Join"), s"window planning joined:\n$plan")
+    assert("Exchange \\(".r.findAllIn(plan).size <= 1,
+      s"window planning shuffled beyond the input spread:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
