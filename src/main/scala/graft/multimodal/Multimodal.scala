@@ -261,6 +261,28 @@ object Multimodal {
     None
   }
 
+  /** Patch-grid plan over parsed image dimensions — the vision-model
+    * sibling of [[audioWindowPlan]] (ViT consumes P×P patches,
+    * Dosovitskiy et al., ICLR 2021): one row per grid cell with the
+    * pixel rectangle a decode UDF crops — `(…, patch_row, patch_col,
+    * x, y, pw, ph)`; edge patches truncate to the image bounds,
+    * unknown-format rows drop. Same 100 TB discipline as the audio
+    * plan: the planner moves one metadata row per patch and never a
+    * pixel — pure nonnegative integer math the oracle replays. */
+  def imagePatchPlan(meta: DataFrame, patch: Int): DataFrame = {
+    require(patch > 0, s"imagePatchPlan: patch=$patch")
+    meta.filter(col("fmt") =!= "unknown" &&
+        col("img_w") > 0 && col("img_h") > 0)
+      .withColumn("patch_row",
+        explode(sequence(lit(0L), expr(s"(img_h + ${patch - 1}) DIV $patch - 1"))))
+      .withColumn("patch_col",
+        explode(sequence(lit(0L), expr(s"(img_w + ${patch - 1}) DIV $patch - 1"))))
+      .withColumn("x", expr(s"patch_col * $patch"))
+      .withColumn("y", expr(s"patch_row * $patch"))
+      .withColumn("pw", expr(s"least($patch, img_w - x)"))
+      .withColumn("ph", expr(s"least($patch, img_h - y)"))
+  }
+
   /** Decoder batch plan over parsed CANONICAL WAV assets
     * ([[withAudioMeta]]'s output — data chunk at byte 44 by that
     * parser's own match rule): fixed-length windows of `winMs`

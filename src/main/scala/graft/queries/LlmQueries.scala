@@ -231,6 +231,31 @@ object LlmQueries extends QueryFamily {
 
   /** The Spark twin of [[varCorpusSql]]: originals plus truncated variants
     * (shared by the minhash-LSH and cluster queries). */
+  /** q132/q190's synthetic image corpus: real PNG IHDR / GIF89a headers
+    * built from doc_id arithmetic around md5 payloads; every 3rd doc a
+    * PNG, the next a GIF, the rest raw blobs. */
+  private def syntheticImages(s: org.apache.spark.sql.SparkSession,
+                              dir: String) = {
+    val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+    val base = docs.select(col("doc_id"), col("text"),
+      (col("doc_id") % 640 + 1).as("wp"),
+      (col("doc_id") % 480 + 1).as("hp"),
+      (col("doc_id") % 1000 + 1).as("wg"),
+      (col("doc_id") % 200 + 1).as("hg"))
+    val hexStr = when(col("doc_id") % 3 === 0,
+        concat(lit("89504E470D0A1A0A0000000D49484452"),
+          lpad(hex(col("wp")), 8, "0"), lpad(hex(col("hp")), 8, "0"),
+          md5(col("text"))))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("474946383961"),
+          lpad(hex(expr("(wg % 256) * 256 + (wg DIV 256)")), 4, "0"),
+          lpad(hex(expr("(hg % 256) * 256 + (hg DIV 256)")), 4, "0"),
+          md5(col("text"))))
+      .otherwise(md5(col("text")))
+    base.select(col("doc_id"), unhex(hexStr).as("content"))
+  }
+
   /** q133/q189's synthetic audio corpus: actual canonical PCM WAV
     * containers (RIFF/WAVE magic, 16-byte fmt chunk with little-endian
     * fields, data chunk with a declared size) built in column algebra
@@ -3359,29 +3384,10 @@ object LlmQueries extends QueryFamily {
     //    hash-mismatches. ───────────────────────────────────────────────
     QueryDef.sorted(
       "q132_image_headers",
-      (s, dir) => {
-        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text"))
-        val base = docs.select(col("doc_id"), col("text"),
-          (col("doc_id") % 640 + 1).as("wp"),
-          (col("doc_id") % 480 + 1).as("hp"),
-          (col("doc_id") % 1000 + 1).as("wg"),
-          (col("doc_id") % 200 + 1).as("hg"))
-        val hexStr = when(col("doc_id") % 3 === 0,
-            concat(lit("89504E470D0A1A0A0000000D49484452"),
-              lpad(hex(col("wp")), 8, "0"), lpad(hex(col("hp")), 8, "0"),
-              md5(col("text"))))
-          .when(col("doc_id") % 3 === 1,
-            concat(lit("474946383961"),
-              lpad(hex(expr("(wg % 256) * 256 + (wg DIV 256)")), 4, "0"),
-              lpad(hex(expr("(hg % 256) * 256 + (hg DIV 256)")), 4, "0"),
-              md5(col("text"))))
-          .otherwise(md5(col("text")))
-        Multimodal.withImageDims(
-            base.select(col("doc_id"), unhex(hexStr).as("content")))
+      (s, dir) =>
+        Multimodal.withImageDims(syntheticImages(s, dir))
           .select(col("doc_id").cast("long"), col("fmt"), col("img_w"),
-            col("img_h"))
-      },
+            col("img_h")),
       _.orderBy("doc_id"),
       Some(
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -5674,6 +5680,44 @@ object LlmQueries extends QueryFamily {
            |       CAST(44 + window_idx * hop * blk AS BIGINT) AS byte_off,
            |       CAST(least(win, n - window_idx * hop) * blk AS BIGINT)
            |         AS byte_len
-           |FROM x ORDER BY doc_id, window_idx""".stripMargin))
+           |FROM x ORDER BY doc_id, window_idx""".stripMargin)),
+
+    // ── Image patch plan (q190): the ViT patch grid (Dosovitskiy et
+    //    al. 2021) over q132's parsed PNG/GIF corpus — 64×64 patches,
+    //    one row per grid cell with the pixel rectangle a decode UDF
+    //    crops (edge patches truncate, unknown-format rows drop). The
+    //    q189 discipline on the image side: one metadata row per patch,
+    //    never a pixel, through one narrow pass. Oracle replays the
+    //    dim arithmetic and grid algebra from doc_id ground truth. ───────
+    QueryDef.sorted(
+      "q190_image_patch_plan",
+      (s, dir) =>
+        Multimodal.imagePatchPlan(
+            Multimodal.withImageDims(syntheticImages(s, dir)), patch = 64)
+          .select(col("doc_id").cast("long"), col("patch_row"),
+            col("patch_col"), col("x"), col("y"), col("pw"), col("ph")),
+      _.orderBy("doc_id", "patch_row", "patch_col"),
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN doc_id % 640 + 1
+           |              WHEN 1 THEN doc_id % 1000 + 1 END AS w,
+           |         CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 1
+           |              WHEN 1 THEN doc_id % 200 + 1 END AS h
+           |  FROM documents WHERE doc_id % 3 <> 2),
+           |g AS (SELECT doc_id, w, h,
+           |             unnest(range(0, (h + 63) // 64)) AS pr
+           |      FROM p),
+           |x AS (SELECT doc_id, w, h, pr,
+           |             unnest(range(0, (w + 63) // 64)) AS pc
+           |      FROM g)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(pr AS BIGINT) AS patch_row,
+           |       CAST(pc AS BIGINT) AS patch_col,
+           |       CAST(pc * 64 AS BIGINT) AS x,
+           |       CAST(pr * 64 AS BIGINT) AS y,
+           |       CAST(least(64, w - pc * 64) AS BIGINT) AS pw,
+           |       CAST(least(64, h - pr * 64) AS BIGINT) AS ph
+           |FROM x ORDER BY doc_id, patch_row, patch_col""".stripMargin))
   )
 }

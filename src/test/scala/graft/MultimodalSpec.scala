@@ -156,6 +156,32 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 4L, 20L, 5L, 84L, 10L))) // truncated tail window
   }
 
+  test("imagePatchPlan: grid covers the image exactly, edges truncate") {
+    import spark.implicits._
+    // a 130×65 PNG at patch 64: 3 cols × 2 rows; right col 2 px wide,
+    // bottom row 1 px tall
+    val png = "89504E470D0A1A0A0000000D49484452" +
+      "00000082" + "00000041" + "00"
+    val rows = Seq((1L, bytes(png)), (2L, bytes("DEADBEEF")))
+      .toDF("asset_id", "content")
+    val plan = Multimodal.imagePatchPlan(
+        Multimodal.withImageDims(rows), patch = 64)
+      .select("asset_id", "patch_row", "patch_col", "x", "y", "pw", "ph")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._2, t._3))
+    assert(plan.forall(_._1 == 1L))
+    assert(plan.length == 6)
+    assert(plan.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L, 64L, 64L),
+      (1L, 0L, 1L, 64L, 0L, 64L, 64L),
+      (1L, 0L, 2L, 128L, 0L, 2L, 64L),
+      (1L, 1L, 0L, 0L, 64L, 64L, 1L),
+      (1L, 1L, 1L, 64L, 64L, 64L, 1L),
+      (1L, 1L, 2L, 128L, 64L, 2L, 1L)))
+    // patch areas tile the image exactly once
+    assert(plan.map(t => t._6 * t._7).sum == 130L * 65L)
+  }
+
   test("wavMeta walks non-canonical chunk lists") {
     // LIST/INFO chunk ahead of fmt — the layout withAudioMeta declines
     val listed = bytes("52494646" + "30000000" + "57415645" +
