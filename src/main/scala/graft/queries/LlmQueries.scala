@@ -5718,6 +5718,73 @@ object LlmQueries extends QueryFamily {
            |       CAST(pr * 64 AS BIGINT) AS y,
            |       CAST(least(64, w - pc * 64) AS BIGINT) AS pw,
            |       CAST(least(64, h - pr * 64) AS BIGINT) AS ph
-           |FROM x ORDER BY doc_id, patch_row, patch_col""".stripMargin))
+           |FROM x ORDER BY doc_id, patch_row, patch_col""".stripMargin)),
+
+    // ── Token head share (q191): what fraction of each source's token
+    //    MASS its top-10/100/1000 tokens hold — the head-heaviness
+    //    report (Zipf's law puts the head share in a predictable band
+    //    for natural text, Piantadosi 2014; a source whose top-10 share
+    //    spikes is flooded with boilerplate, a sibling signal to q63's
+    //    repetition and q82's line census but at corpus, not document,
+    //    level). The top-k election is the bounded-heap aggregator on
+    //    the NEGATED count (q138/q172's discipline — map-side ≤ k rows
+    //    per source per partition, never a vocab-wide window sort);
+    //    ties break (tf DESC, token UTF-8 ASC) identically on both
+    //    engines. Shares are integer micro-fractions of the exact
+    //    census totals. ────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q191_head_share",
+      (s, dir) => {
+        import s.implicits._
+        val K = 1000
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("source", "text"))
+        val cen = graft.CacheBarriers.barrier(
+          docs.select(col("source"), explode(words(col("text"))).as("w"))
+            .groupBy(col("source"), col("w"))
+            .agg(count(lit(1)).as("tf")))
+        val tot = cen.groupBy(col("source")).agg(sum(col("tf")).as("total_tf"))
+        val elected = graft.CacheBarriers.barrier(cen
+          .select(col("source").as("stratum"), (-col("tf")).as("h"),
+            col("w").as("id"))
+          .as[KeepCand]
+          .groupByKey(_.stratum)
+          .agg(new KeepKSmallest(K).toColumn)
+          .flatMap { case (src, buf) =>
+            buf.items.zipWithIndex.map { case (c, i) =>
+              (src, (i + 1).toLong, -c.h)
+            }
+          }
+          .toDF("source", "rn", "tf"))
+        Seq(10, 100, 1000).map { n =>
+          elected.filter(col("rn") <= n)
+            .groupBy(col("source")).agg(sum(col("tf")).as("top_tf"))
+            .withColumn("topn", lit(n.toLong))
+        }.reduce(_ unionByName _)
+          .join(tot, Seq("source"))
+          .withColumn("share_micro", expr("top_tf * 1000000L DIV total_tf"))
+          .select(col("source"), col("topn"), col("top_tf"),
+            col("total_tf"), col("share_micro"))
+      },
+      _.orderBy("source", "topn"),
+      Some(
+        s"""WITH wt AS (SELECT source, unnest(${W("text")}) AS w
+           |            FROM documents),
+           |cen AS (SELECT source, w, count(*) AS tf FROM wt GROUP BY 1, 2),
+           |tot AS (SELECT source, sum(tf) AS total_tf FROM cen GROUP BY 1),
+           |rnk AS (SELECT source, tf,
+           |               row_number() OVER (PARTITION BY source
+           |                 ORDER BY tf DESC, w ASC) AS rn
+           |        FROM cen),
+           |tops AS (SELECT r.source, t.n AS topn, sum(r.tf) AS top_tf
+           |         FROM rnk r, (VALUES (10), (100), (1000)) AS t(n)
+           |         WHERE r.rn <= t.n GROUP BY 1, 2)
+           |SELECT p.source, CAST(p.topn AS BIGINT) AS topn,
+           |       CAST(p.top_tf AS BIGINT) AS top_tf,
+           |       CAST(tot.total_tf AS BIGINT) AS total_tf,
+           |       CAST(p.top_tf * 1000000 // tot.total_tf AS BIGINT)
+           |         AS share_micro
+           |FROM tops p JOIN tot ON p.source = tot.source
+           |ORDER BY p.source, p.topn""".stripMargin))
   )
 }
