@@ -188,6 +188,11 @@ object EventAnalytics {
         col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
         col("ts_us")))
+    // the state is consumed TWICE below (the update join and the
+    // carried anti-join); unbarriered, a chain of n folds embeds fold
+    // 1's plan 2^(n-1) times — the q188 nine-fold chain paid ~5× wall
+    // for exactly this before the barrier
+    val st = graft.CacheBarriers.barrier(state)
     val perUser = evs.groupBy(col("__u")).agg(
       min(col("ts_us")).as("__minTs"), max(col("ts_us")).as("__maxTs"),
       collect_list(col("__ty")).as("__tys"),
@@ -197,7 +202,7 @@ object EventAnalytics {
     // adding it keeps the check in the live plan and leaves last_ts at
     // the batch max
     val updated = perUser
-      .join(state, Seq("__u"), "left")
+      .join(st, Seq("__u"), "left")
       .withColumn("__ck",
         when(col("last_ts").isNotNull && col("__minTs") <= col("last_ts"),
           raise_error(concat(
@@ -216,7 +221,7 @@ object EventAnalytics {
       .select(Seq(col("__u"), col("last_ts")) ++
         (0 until k).map(i =>
           when(col("__ms")(i) =!= UNSET, col("__ms")(i)).as(s"m_$i")): _*)
-    val carried = state.join(evs.select(col("__u")).distinct(),
+    val carried = st.join(evs.select(col("__u")).distinct(),
       Seq("__u"), "left_anti")
     carried.unionByName(updated)
   }
