@@ -417,7 +417,11 @@ object EventAnalytics {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__last",
         max(col("__rn")).over(Window.partitionBy(col(userCol)))))
-    val open = lastState.select(col(userCol),
+    // lastState is consumed twice (open join + carried anti-join) —
+    // unbarriered, a chain of n folds embeds fold 1's plan 2^(n-1)
+    // times (the funnelIncremental lesson)
+    val st = graft.CacheBarriers.barrier(lastState)
+    val open = st.select(col(userCol),
       col("last_type").as("__lt"), col("last_ts").as("__lts"),
       col("last_tie").as("__ltie"))
     // boundary stitch: the user's FIRST batch event pairs with the
@@ -452,7 +456,7 @@ object EventAnalytics {
     val newOpen = base.filter(col("__rn") === col("__last"))
       .select(col(userCol), col("__ty").as("last_type"),
         col("ts_us").as("last_ts"), col("__tie").as("last_tie"))
-    val carried = lastState.join(
+    val carried = st.join(
       base.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
     (delta, carried.unionByName(newOpen))
   }
@@ -558,6 +562,10 @@ object EventAnalytics {
                             tieCol: String = "event_id")
       : (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 8, s"pathCensusIncremental: k=$k out of [2, 8]")
+    // the state is consumed three times below (boundary read, tail
+    // semi-join, carried anti-join) — barrier it or a fold chain embeds
+    // earlier folds' plans exponentially (the funnelIncremental lesson)
+    val st = graft.CacheBarriers.barrier(lastState)
     val base = graft.CacheBarriers.barrier(newEvents
       .withColumn("ts_us", tsUs.cast("long"))
       .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
@@ -568,7 +576,7 @@ object EventAnalytics {
     // every batch event must strictly follow the tail's last (ts, tie) —
     // checking all rows checks the min, and the raise rides the type
     // column so it cannot be pruned out of the delta's dataflow
-    val bound = lastState
+    val bound = st
       .select(col(userCol), element_at(col("tail_ts"), -1).as("__bts"),
         element_at(col("tail_tie"), -1).as("__btie"))
     val checked = base.join(bound, Seq(userCol), "left")
@@ -589,7 +597,7 @@ object EventAnalytics {
           .otherwise(col("__ty")))
       .select(col(userCol), col("__ty"), col("ts_us"), col("__tie"),
         lit(false).as("__carried"))
-    val tailRows = lastState
+    val tailRows = st
       .join(batchUsers, Seq(userCol), "left_semi")
       .select(col(userCol),
         explode(arrays_zip(col("tail_ts"), col("tail_tie"),
@@ -622,7 +630,7 @@ object EventAnalytics {
         struct(col("ts_us"), col("__tie"), col("__ty")))).as("__s"))
       .select(col(userCol), col("__s.ts_us").as("tail_ts"),
         col("__s.__tie").as("tail_tie"), col("__s.__ty").as("tail_type"))
-    val carried = lastState.join(batchUsers, Seq(userCol), "left_anti")
+    val carried = st.join(batchUsers, Seq(userCol), "left_anti")
     (delta, carried.unionByName(newTail))
   }
 

@@ -107,7 +107,11 @@ object Sessionize {
       : (DataFrame, DataFrame) = {
     val b = graft.CacheBarriers.barrier(
       sessionStats(newEvents, gapUs, tsUs, userCol, tieCol))
-    val open = openState.select(col(userCol),
+    // openState is consumed three times (open join, closedOld semi-join,
+    // carried anti-join) — barrier it or a fold chain embeds earlier
+    // folds' plans exponentially (the funnelIncremental lesson)
+    val ost = graft.CacheBarriers.barrier(openState)
+    val open = ost.select(col(userCol),
       col("session_seq").as("__oseq"), col("n_events").as("__on"),
       col("start_us").as("__ostart"), col("end_us").as("__oend"))
     // one row per user in the batch: their open-session linkage verdict.
@@ -152,12 +156,12 @@ object Sessionize {
     // the previous open session ships as closed once its user shows new
     // activity that did NOT continue it; a merged open row is absorbed
     // into the batch's first session instead
-    val closedOld = openState.join(
+    val closedOld = ost.join(
       flags.filter(!col("__merge")).select(col(userCol)),
       Seq(userCol), "left_semi")
     val newOpen = renumbered.filter(col("session_seq") === col("__last"))
       .drop("__last")
-    val carried = openState.join(flags.select(col(userCol)),
+    val carried = ost.join(flags.select(col(userCol)),
       Seq(userCol), "left_anti")
     (closedOld.unionByName(closedNew), carried.unionByName(newOpen))
   }
