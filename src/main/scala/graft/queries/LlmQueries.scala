@@ -5735,56 +5735,96 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q191_head_share",
       (s, dir) => {
-        import s.implicits._
-        val K = 1000
         val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("source", "text"))
-        val cen = graft.CacheBarriers.barrier(
+        headShareReport(s,
           docs.select(col("source"), explode(words(col("text"))).as("w"))
             .groupBy(col("source"), col("w"))
             .agg(count(lit(1)).as("tf")))
-        val tot = cen.groupBy(col("source")).agg(sum(col("tf")).as("total_tf"))
-        val elected = graft.CacheBarriers.barrier(cen
-          .select(col("source").as("stratum"), (-col("tf")).as("h"),
-            col("w").as("id"))
-          .as[KeepCand]
-          .groupByKey(_.stratum)
-          .agg(new KeepKSmallest(K).toColumn)
-          .flatMap { case (src, buf) =>
-            buf.items.zipWithIndex.map { case (c, i) =>
-              (src, (i + 1).toLong, -c.h)
-            }
-          }
-          .toDF("source", "rn", "tf"))
-        Seq(10, 100, 1000).map { n =>
-          elected.filter(col("rn") <= n)
-            .groupBy(col("source")).agg(sum(col("tf")).as("top_tf"))
-            .withColumn("topn", lit(n.toLong))
-        }.reduce(_ unionByName _)
-          .join(tot, Seq("source"))
-          .withColumn("share_micro", expr("top_tf * 1000000L DIV total_tf"))
-          .select(col("source"), col("topn"), col("top_tf"),
-            col("total_tf"), col("share_micro"))
       },
       _.orderBy("source", "topn"),
-      Some(
-        s"""WITH wt AS (SELECT source, unnest(${W("text")}) AS w
-           |            FROM documents),
-           |cen AS (SELECT source, w, count(*) AS tf FROM wt GROUP BY 1, 2),
-           |tot AS (SELECT source, sum(tf) AS total_tf FROM cen GROUP BY 1),
-           |rnk AS (SELECT source, tf,
-           |               row_number() OVER (PARTITION BY source
-           |                 ORDER BY tf DESC, w ASC) AS rn
-           |        FROM cen),
-           |tops AS (SELECT r.source, t.n AS topn, sum(r.tf) AS top_tf
-           |         FROM rnk r, (VALUES (10), (100), (1000)) AS t(n)
-           |         WHERE r.rn <= t.n GROUP BY 1, 2)
-           |SELECT p.source, CAST(p.topn AS BIGINT) AS topn,
-           |       CAST(p.top_tf AS BIGINT) AS top_tf,
-           |       CAST(tot.total_tf AS BIGINT) AS total_tf,
-           |       CAST(p.top_tf * 1000000 // tot.total_tf AS BIGINT)
-           |         AS share_micro
-           |FROM tops p JOIN tot ON p.source = tot.source
-           |ORDER BY p.source, p.topn""".stripMargin))
+      Some(headShareSql)),
+
+    // ── Incremental head share (q192): the same report served from a
+    //    FOLDED (source, token, tf) census — two doc-id shards each
+    //    reduce to their own census, the shards merge through
+    //    StreamingAdditiveCensus.merge (the durable module's additive
+    //    law), and the head-share election reads the merged artifact
+    //    without re-reading any text. Oracle = q191's full-corpus SQL
+    //    VERBATIM (the incremental ≡ full identity): the vocabulary
+    //    census joins the sketch family's monitored artifacts, so a
+    //    deployment can watch head-heaviness drift per ingest batch at
+    //    census cost. ─────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q192_head_share_incremental",
+      (s, dir) => {
+        val docs = graft.CacheBarriers.barrier(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "text")))
+        def shard(i: Int) = docs.filter(col("doc_id") % 2 === i)
+          .select(col("source"), explode(words(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        headShareReport(s, graft.streaming.StreamingAdditiveCensus.merge(
+          shard(0), shard(1), Seq("source", "w")))
+      },
+      _.orderBy("source", "topn"),
+      Some(headShareSql))
   )
+
+  /** q191/q192's report body over any `(source, w, tf)` census: top-1000
+    * per source by the bounded heap (map-side ≤ k rows per source per
+    * partition, ties (tf DESC, token UTF-8 ASC)), then top-10/100/1000
+    * mass shares as integer micro-fractions of the census totals. */
+  private def headShareReport(s: org.apache.spark.sql.SparkSession,
+                              census: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val K = 1000
+    val cen = graft.CacheBarriers.barrier(census)
+    val tot = cen.groupBy(col("source")).agg(sum(col("tf")).as("total_tf"))
+    val elected = graft.CacheBarriers.barrier(cen
+      .select(col("source").as("stratum"), (-col("tf")).as("h"),
+        col("w").as("id"))
+      .as[KeepCand]
+      .groupByKey(_.stratum)
+      .agg(new KeepKSmallest(K).toColumn)
+      .flatMap { case (src, buf) =>
+        buf.items.zipWithIndex.map { case (c, i) =>
+          (src, (i + 1).toLong, -c.h)
+        }
+      }
+      .toDF("source", "rn", "tf"))
+    Seq(10, 100, 1000).map { n =>
+      elected.filter(col("rn") <= n)
+        .groupBy(col("source")).agg(sum(col("tf")).as("top_tf"))
+        .withColumn("topn", lit(n.toLong))
+    }.reduce(_ unionByName _)
+      .join(tot, Seq("source"))
+      .withColumn("share_micro", expr("top_tf * 1000000L DIV total_tf"))
+      .select(col("source"), col("topn"), col("top_tf"),
+        col("total_tf"), col("share_micro"))
+  }
+
+  /** Shared oracle for q191/q192: the FULL-CORPUS head shares — q192's
+    * shard-merged census must reproduce them exactly. */
+  private def headShareSql: String =
+    s"""WITH wt AS (SELECT source, unnest(${W("text")}) AS w
+       |            FROM documents),
+       |cen AS (SELECT source, w, count(*) AS tf FROM wt GROUP BY 1, 2),
+       |tot AS (SELECT source, sum(tf) AS total_tf FROM cen GROUP BY 1),
+       |rnk AS (SELECT source, tf,
+       |               row_number() OVER (PARTITION BY source
+       |                 ORDER BY tf DESC, w ASC) AS rn
+       |        FROM cen),
+       |tops AS (SELECT r.source, t.n AS topn, sum(r.tf) AS top_tf
+       |         FROM rnk r, (VALUES (10), (100), (1000)) AS t(n)
+       |         WHERE r.rn <= t.n GROUP BY 1, 2)
+       |SELECT p.source, CAST(p.topn AS BIGINT) AS topn,
+       |       CAST(p.top_tf AS BIGINT) AS top_tf,
+       |       CAST(tot.total_tf AS BIGINT) AS total_tf,
+       |       CAST(p.top_tf * 1000000 // tot.total_tf AS BIGINT)
+       |         AS share_micro
+       |FROM tops p JOIN tot ON p.source = tot.source
+       |ORDER BY p.source, p.topn""".stripMargin
 }
