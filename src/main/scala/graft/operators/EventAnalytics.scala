@@ -132,11 +132,14 @@ object EventAnalytics {
     * report, and folding b1…bn then reporting equals the full-log
     * funnel exactly — q163's oracle is q142's verbatim.
     *
-    * Scale shape: one user-keyed aggregation (map-side-combined
-    * collect of the user's STEP-TYPED batch events only) + one join
-    * with the batch users' state rows; carried rows pass through an
-    * anti-join. Nothing windows over data; per-user memory is the
-    * user's batch events, the sessionize bound. */
+    * Scale shape: ONE user-keyed aggregation over (state ∪ batch
+    * events) — the state's m-vector rides max() (event rows are null
+    * there), the batch's STEP-TYPED events ride a null-skipping
+    * collect_list (state rows are null there) — so each fold is one
+    * shuffle with map-side combine, no join, no sort, and never
+    * depends on the state being broadcast-small. Nothing windows over
+    * data; per-user memory is the user's batch events, the sessionize
+    * bound. */
   def funnelIncremental(newEvents: DataFrame, state: DataFrame,
                         steps: Seq[String], tsUs: Column,
                         withinUs: Option[Long] = None,
@@ -188,42 +191,64 @@ object EventAnalytics {
         col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
         col("ts_us")))
-    // the state is consumed TWICE below (the update join and the
-    // carried anti-join); unbarriered, a chain of n folds embeds fold
-    // 1's plan 2^(n-1) times — the q188 nine-fold chain paid ~5× wall
-    // for exactly this before the barrier
+    // barriered so a chain of n folds persists each state once instead
+    // of re-deriving the whole history per fold (plan-depth hygiene —
+    // the q188 nine-fold chain paid ~5× wall before this)
     val st = graft.CacheBarriers.barrier(state)
-    val perUser = evs.groupBy(col("__u")).agg(
-      min(col("ts_us")).as("__minTs"), max(col("ts_us")).as("__maxTs"),
-      collect_list(col("__ty")).as("__tys"),
-      collect_list(col("ts_us")).as("__tss"))
+    // ONE user-keyed aggregation over (state rows ∪ batch events)
+    // replaces the round-12 update join + carried anti-join + union:
+    // the state contributes at most one row per user (its m-vector and
+    // last_ts surface through max() — event rows are null there), the
+    // batch contributes its (step, ts) events (collected as structs —
+    // state rows are null there and collect_list skips nulls), and one
+    // select either advances the chain (batch-present: __minTs set) or
+    // carries the state columns through untouched. One shuffle per
+    // fold, no join, no sort — and unlike a join it never depends on
+    // the state being broadcast-small, so the shape survives a
+    // 100M-user state unchanged.
+    val nullL = lit(null).cast("long")
+    val stRows = st.select(Seq(col("__u"), col("last_ts")) ++
+      (0 until k).map(i => col(s"m_$i")) ++
+      Seq(lit(null).cast("string").as("__ty"), nullL.as("ts_us")): _*)
+    val evRows = evs.select(Seq(col("__u"), nullL.as("last_ts")) ++
+      (0 until k).map(i => nullL.as(s"m_$i")) ++
+      Seq(col("__ty"), col("ts_us")): _*)
     // strictly-later contract checked row-lazily against the persisted
     // last_ts; __ck is 0 on every legal row (and raises otherwise), so
     // adding it keeps the check in the live plan and leaves last_ts at
     // the batch max
-    val updated = perUser
-      .join(st, Seq("__u"), "left")
+    stRows.unionByName(evRows)
+      .groupBy(col("__u"))
+      .agg(max(col("last_ts")).as("__prevLast"),
+        (0 until k).map(i => max(col(s"m_$i")).as(s"__pm_$i")) ++ Seq(
+          min(col("ts_us")).as("__minTs"), max(col("ts_us")).as("__maxTs"),
+          collect_list(when(col("__ty").isNotNull,
+            struct(col("__ty").as("t"), col("ts_us").as("s"))))
+            .as("__evl")): _*)
       .withColumn("__ck",
-        when(col("last_ts").isNotNull && col("__minTs") <= col("last_ts"),
+        when(col("__prevLast").isNotNull &&
+            col("__minTs") <= col("__prevLast"),
           raise_error(concat(
             lit("funnelIncremental: batch event at ts "),
             col("__minTs").cast("string"),
             lit(" does not strictly follow persisted last_ts "),
-            col("last_ts").cast("string"), lit(" for user "),
+            col("__prevLast").cast("string"), lit(" for user "),
             col("__u").cast("string"),
             lit(" — batches must be time-partitioned per user with " +
               "strictly increasing ts"))))
           .otherwise(lit(0L)))
-      .withColumn("__ms", chainU(col("__tys"), col("__tss"),
-        array((0 until k).map(i =>
-          coalesce(col(s"m_$i"), lit(UNSET))): _*)))
-      .withColumn("last_ts", col("__maxTs") + col("__ck"))
-      .select(Seq(col("__u"), col("last_ts")) ++
+      .withColumn("__ms", when(col("__minTs").isNotNull,
+        chainU(expr("transform(__evl, x -> x.t)"),
+          expr("transform(__evl, x -> x.s)"),
+          array((0 until k).map(i =>
+            coalesce(col(s"__pm_$i"), lit(UNSET))): _*))))
+      .select(Seq(col("__u"),
+        when(col("__minTs").isNull, col("__prevLast"))
+          .otherwise(col("__maxTs") + col("__ck")).as("last_ts")) ++
         (0 until k).map(i =>
-          when(col("__ms")(i) =!= UNSET, col("__ms")(i)).as(s"m_$i")): _*)
-    val carried = st.join(evs.select(col("__u")).distinct(),
-      Seq("__u"), "left_anti")
-    carried.unionByName(updated)
+          when(col("__minTs").isNull, col(s"__pm_$i"))
+            .otherwise(when(col("__ms")(i) =!= UNSET, col("__ms")(i)))
+            .as(s"m_$i")): _*)
   }
 
   /** The q142-shape report off a [[funnelIncremental]] state: per step,
@@ -251,13 +276,19 @@ object EventAnalytics {
         col("conv_total_micro"), col("conv_step_micro"))
   }
 
-  /** Empty per-user funnel state for [[funnelIncremental]]. */
+  /** Empty per-user funnel state for [[funnelIncremental]]. `userType`
+    * admits composite keys — q188 folds every latency pair in one pass
+    * per batch by keying the state on a (user, pair) struct, which is
+    * still "a user" to the fold (the walk, the strictness raise, and
+    * the null→set exactness argument never look inside the key). */
   def emptyFunnelState(spark: org.apache.spark.sql.SparkSession,
-                       nSteps: Int): DataFrame = {
+                       nSteps: Int,
+                       userType: org.apache.spark.sql.types.DataType =
+                         org.apache.spark.sql.types.LongType): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(StructField("__u", LongType) +:
+      StructType(StructField("__u", userType) +:
         StructField("last_ts", LongType) +:
         (0 until nSteps).map(i => StructField(s"m_$i", LongType))))
   }

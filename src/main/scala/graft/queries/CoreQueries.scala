@@ -1399,11 +1399,16 @@ object CoreQueries extends QueryFamily {
     //    funnel, so its per-user (m_0, m_1) completion state is exactly
     //    [[EventAnalytics.funnelIncremental]]'s (the chain rule "first
     //    downstream at-or-after first upstream" is the pair latency
-    //    definition), and the latency deltas read straight off the
-    //    folded state: no new fold code, the strictly-increasing-ts
-    //    contract and its raise come with the operator. Oracle = q185's
-    //    full-log SQL VERBATIM (the incremental ≡ full identity, the
-    //    q141/q155/q163 discipline). ─────────────────────────────────────
+    //    definition). ALL pairs fold in ONE funnelIncremental per batch:
+    //    the state key is the (user, pair) struct and each step-typed
+    //    event explodes to its (pair, role∈{a,b}) memberships, so every
+    //    batch is scanned once instead of once per pair (the round-12
+    //    shape paid 3 pairs × 3 batches = 9 sequential folds) — the fold
+    //    code itself is untouched, the strictly-increasing-ts raise and
+    //    the null→set exactness argument riding on the composite key
+    //    exactly as on a plain user. Oracle = q185's full-log SQL
+    //    VERBATIM (the incremental ≡ full identity, the q141/q155/q163
+    //    discipline). ─────────────────────────────────────────────────
     QueryDef.sorted(
       "q188_funnel_latency_incremental",
       (s, dir) => {
@@ -1411,25 +1416,48 @@ object CoreQueries extends QueryFamily {
         val pairsDef = Seq(("signup", "view"), ("view", "click"),
           ("click", "purchase"))
         val ev = s.read.parquet(s"$dir/events.parquet")
-        val withTs = graft.CacheBarriers.barrier(
-          ev.withColumn("__t", EventLog.tsUsOf(ev)))
+        val withTs = ev.withColumn("__t", EventLog.tsUsOf(ev))
         val cut1 = 1704931200000000L
         val cut2 = 1705795200000000L
         val E = EventAnalytics
-        val deltas = graft.CacheBarriers.barrier(pairsDef.map {
-          case (a, b) =>
-            val steps = Seq(a, b)
-            val st1 = E.funnelIncremental(withTs.filter(col("__t") < cut1),
-              E.emptyFunnelState(s, 2), steps, col("__t"))
-            val st2 = E.funnelIncremental(
-              withTs.filter(col("__t") >= cut1 && col("__t") < cut2),
-              st1, steps, col("__t"))
-            val st3 = E.funnelIncremental(withTs.filter(col("__t") >= cut2),
-              st2, steps, col("__t"))
-            st3.filter(col("m_1").isNotNull)
-              .select(lit(s"${a}->${b}").as("pair"),
-                expr("(m_1 - m_0) DIV 1000000L").as("delta_s"))
-        }.reduce(_ unionByName _))
+        // event type -> the (pair, role) memberships it participates in;
+        // "view" belongs to two pairs, so it explodes to two role rows
+        val membership: Seq[(String, Seq[(String, String)])] = pairsDef
+          .flatMap { case (a, b) =>
+            val lbl = s"$a->$b"; Seq(a -> (lbl, "a"), b -> (lbl, "b"))
+          }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        val types = membership.map(_._1)
+        val roleArr = membership.map { case (t, ms) =>
+          (t, array(ms.map { case (lbl, role) =>
+            struct(lit(lbl).as("pair"), lit(role).as("role"))
+          }: _*))
+        }
+        val arrExpr = roleArr.tail.foldLeft(
+          when(col("event_type") === roleArr.head._1, roleArr.head._2)) {
+          case (acc, (t, a)) => acc.when(col("event_type") === t, a)
+        }
+        val roles = graft.CacheBarriers.barrier(withTs
+          .filter(col("event_type").isin(types: _*))
+          .withColumn("__pr", explode(arrExpr))
+          .select(struct(col("user_id").as("u"),
+            col("__pr.pair").as("pair")).as("user_id"),
+            col("__pr.role").as("event_type"), col("__t")))
+        val st0 = E.emptyFunnelState(s, 2, org.apache.spark.sql.types
+          .StructType(Seq(
+            org.apache.spark.sql.types.StructField("u",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("pair",
+              org.apache.spark.sql.types.StringType))))
+        val st3 = Seq(
+          roles.filter(col("__t") < cut1),
+          roles.filter(col("__t") >= cut1 && col("__t") < cut2),
+          roles.filter(col("__t") >= cut2))
+          .foldLeft(st0)((st, b) =>
+            E.funnelIncremental(b, st, Seq("a", "b"), col("__t")))
+        val deltas = graft.CacheBarriers.barrier(
+          st3.filter(col("m_1").isNotNull)
+            .select(col("__u.pair").as("pair"),
+              expr("(m_1 - m_0) DIV 1000000L").as("delta_s")))
         val est = QuantileSketch.estimates(
           QuantileSketch.census(deltas, col("delta_s"), Seq("pair")),
           Seq("pair"), pcts)
