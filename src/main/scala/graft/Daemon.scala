@@ -16,13 +16,16 @@ import graft.streaming.{HealthServer, SdWatchdog}
   *   - [[GraftConfig]] (the reference's TOML surface) drives the
   *     pipeline wiring;
   *   - a Structured Streaming parquet drop-directory stands in for the
-  *     change stream (zero-egress: the real connector swaps in at the
-  *     `readStream` — everything downstream is source-agnostic because
-  *     [[EventLog.envelopeFrom]] normalizes to the envelope);
+  *     change stream, or `--transport KEY` selects a registered
+  *     [[graft.source.SourceTransport]] (the deployment seam: resume
+  *     token in, envelope micro-batch out — the reference's
+  *     gtm.StartMulti wiring) — everything downstream is
+  *     source-agnostic because both surface the §1.3 envelope;
   *   - [[ConfiguredPipeline.startStream]] runs the hot path into the
-  *     versioned state sink (the store stand-in; wire
-  *     [[ConfiguredPipeline.startSink]] + an
-  *     [[graft.sink.EsSinkBackend]] for a live cluster);
+  *     versioned state sink (the store stand-in), or `--sink KEY` runs
+  *     the full routed topology into a registered
+  *     [[graft.sink.SinkWiring]] (an [[graft.sink.EsSinkBackend]] over
+  *     a real transport for a live cluster);
   *   - [[HealthServer]] serves `/healthz` `/started` `/stats` `/config`
   *     (monstache.go:4188-4284);
   *   - [[SdWatchdog]] feeds systemd's watchdog while the stream is
@@ -32,6 +35,7 @@ import graft.streaming.{HealthServer, SdWatchdog}
   * {{{
   *   graft.Daemon <config.toml> <eventsDir> <workDir>
   *       [--port N] [--interval SECONDS] [--once]
+  *       [--transport KEY] [--maxDocs N] [--sink KEY]
   * }}}
   *
   * `eventsDir` must hold at least one parquet file at startup (it pins
@@ -51,7 +55,10 @@ object Daemon {
 
   final case class Args(configPath: String, eventsDir: String,
                         workDir: String, port: Int = 8080,
-                        intervalSec: Long = 10L, once: Boolean = false)
+                        intervalSec: Long = 10L, once: Boolean = false,
+                        transport: Option[String] = None,
+                        maxDocs: Int = 10000,
+                        sink: Option[String] = None)
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     val (flags, pos) = {
@@ -61,7 +68,8 @@ object Daemon {
       while (i < argv.length) {
         argv(i) match {
           case "--once" => f("once") = "true"; i += 1
-          case k @ ("--port" | "--interval") =>
+          case k @ ("--port" | "--interval" | "--transport" | "--maxDocs"
+              | "--sink") =>
             require(i + 1 < argv.length, s"$k needs a value")
             f(k.drop(2)) = argv(i + 1); i += 2
           case other => p += other; i += 1
@@ -71,11 +79,15 @@ object Daemon {
     }
     require(pos.length == 3,
       "usage: graft.Daemon <config.toml> <eventsDir> <workDir> " +
-        "[--port N] [--interval SECONDS] [--once]")
+        "[--port N] [--interval SECONDS] [--once] " +
+        "[--transport KEY] [--maxDocs N] [--sink KEY]")
     Args(pos(0), pos(1), pos(2),
       port = flags.get("port").map(_.toInt).getOrElse(8080),
       intervalSec = flags.get("interval").map(_.toLong).getOrElse(10L),
-      once = flags.contains("once"))
+      once = flags.contains("once"),
+      transport = flags.get("transport"),
+      maxDocs = flags.get("maxDocs").map(_.toInt).getOrElse(10000),
+      sink = flags.get("sink"))
   }
 
   /** Everything the daemon started — close() tears it down in reverse
@@ -100,12 +112,23 @@ object Daemon {
     val configToml =
       java.nio.file.Files.readString(java.nio.file.Paths.get(a.configPath))
 
-    // Schema pin: streaming parquet needs one. An empty source dir is a
-    // misconfiguration, not a wait-for-data state — fail at startup like
-    // the reference does on an unreachable source.
-    val schema = spark.read.parquet(a.eventsDir).schema
-    val events = EventLog.envelopeFrom(
-      spark.readStream.schema(schema).parquet(a.eventsDir))
+    // Source selection: a registered [[graft.source.SourceTransport]]
+    // (the live change-stream seam — offsets ARE resume tokens) when
+    // --transport names one, else the parquet drop-directory stand-in.
+    // Both surface the identical §1.3 envelope, so everything downstream
+    // is source-agnostic. Schema pin for the parquet path: an empty
+    // source dir is a misconfiguration, not a wait-for-data state —
+    // fail at startup like the reference does on an unreachable source.
+    val events = a.transport match {
+      case Some(key) =>
+        spark.readStream.format(graft.source.TransportSource.Format)
+          .option("transport", key)
+          .option("maxDocs", a.maxDocs.toString).load()
+      case None =>
+        val schema = spark.read.parquet(a.eventsDir).schema
+        EventLog.envelopeFrom(
+          spark.readStream.schema(schema).parquet(a.eventsDir))
+    }
 
     val staleAfterMs = if (a.once) 0L else a.intervalSec * 3000L
     val health = HealthServer.start(spark, a.port, staleAfterMs, configToml)
@@ -114,9 +137,23 @@ object Daemon {
     val trigger =
       if (a.once) Trigger.AvailableNow()
       else Trigger.ProcessingTime(a.intervalSec * 1000L)
-    val query = ConfiguredPipeline.startStream(cfg)(
-      events, s"${a.workDir}/state", s"${a.workDir}/checkpoint",
-      trigger = trigger)
+    // Sink selection: --sink KEY runs the reference's FULL topology
+    // (source → routeData relate fan-out + file content → SinkWriter →
+    // backend bulk with drop fences and external-version semantics,
+    // monstache.go:3464-3495) into a registered [[graft.sink.SinkWiring]];
+    // the default runs the hot path into the versioned-state stand-in.
+    // Both checkpoint under workDir, so kill + restart resumes either.
+    val query = a.sink match {
+      case Some(key) =>
+        val w = graft.sink.SinkWirings.lookup(key)
+        ConfiguredPipeline.startRoutedSink(cfg,
+          collections = w.collections, fileContentCol = w.fileContentCol)(
+          events, s"${a.workDir}/checkpoint", w.backend, trigger = trigger)
+      case None =>
+        ConfiguredPipeline.startStream(cfg)(
+          events, s"${a.workDir}/state", s"${a.workDir}/checkpoint",
+          trigger = trigger)
+    }
     new Running(query, health, watchdog)
   }
 

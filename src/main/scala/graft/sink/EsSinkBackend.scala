@@ -55,7 +55,14 @@ final case class EsSinkConfig(
     maxBytes: Long = 8L * 1024 * 1024,
     maxRetries: Int = 5,
     backoffBaseMs: Long = 60000L,
-    backoffCapMs: Long = 3600000L)
+    backoffCapMs: Long = 3600000L,
+    /** Hard cap on how many coordinate rows [[EsSinkBackend.sinkState]]
+      * will accept from `EsTransport.scanState` before failing loudly —
+      * the driver-side scan is a test/mock seam by contract, and a
+      * deployment that forgets the connector-read override must get an
+      * error naming the fix, not a driver OOM collecting an index-sized
+      * frame (the `maxStrata`/`maxSample` loud-contract class). */
+    maxScanStateRows: Int = 100000)
 
 /** Elasticsearch-shaped [[SinkBackend]] — the deployment skeleton the
   * round-11 verdict asked for: every frame the [[SinkWriter]] hands over
@@ -154,7 +161,13 @@ class EsSinkBackend(transport: EsTransport,
   }
 
   override def sinkState(spark: SparkSession): DataFrame = {
-    val rows = transport.scanState().map { case (ns, id, ix, rt) =>
+    val scanned = transport.scanState()
+    require(scanned.lengthCompare(es.maxScanStateRows) <= 0,
+      s"EsTransport.scanState returned more than ${es.maxScanStateRows} " +
+        "coordinate rows — the driver-side scan is mock/test-sized by " +
+        "contract; back sinkState with a connector READ of the sink " +
+        "indices (or raise EsSinkConfig.maxScanStateRows deliberately)")
+    val rows = scanned.map { case (ns, id, ix, rt) =>
       Row(ns, id, ix, rt)
     }
     spark.createDataFrame(

@@ -67,6 +67,145 @@ class DaemonSpec extends AnyFunSuite {
     } finally running.close()
   }
 
+  test("--transport tails a registered SourceTransport into the same state") {
+    import graft.source.{ChangeEvent, SourceBatch, SourceTransport, SourceTransports}
+    val events = (0 until 60).map { i =>
+      val op = if (i % 11 == 0) "d" else if (i % 3 == 0) "i" else "u"
+      ChangeEvent(i.toLong, (i % 7).toString, "app", "t0", "app.t0", op,
+        1000000L + i, (1000000L + i) * 4,
+        if (op == "d") null else s"""{"k":$i}""", i.toDouble, "oplog")
+    }
+    SourceTransports.register("daemon-spec", new SourceTransport {
+      override def poll(tok: Option[String], maxDocs: Int): SourceBatch = {
+        val from = tok.map(_.toInt).getOrElse(0)
+        val evs = events.slice(from, from + maxDocs)
+        SourceBatch(evs, (from + evs.length).toString)
+      }
+    })
+    try {
+      val workDir = Files.createTempDirectory("graft-daemon-work3").toString
+      val cfgPath = Files.createTempDirectory("graft-daemon-cfg3")
+        .resolve("graft.toml")
+      Files.writeString(cfgPath, toml)
+      val running = Daemon.start(spark, Daemon.Args(
+        cfgPath.toString, "/nonexistent-unused", workDir, port = 0,
+        once = true, transport = Some("daemon-spec"), maxDocs = 25))
+      try {
+        running.query.awaitTermination()
+        val state = StreamingUpsert.latestState(spark, s"$workDir/state")
+        assert(state.isDefined)
+        // LWW over the transport ops: the live ids are those whose last
+        // op was not a delete — same contract as the drop-dir path
+        val lastOp = events.groupBy(_.id).map { case (id, evs) =>
+          id -> evs.maxBy(_.version).operation
+        }
+        val expectLive = lastOp.count(_._2 != "d")
+        assert(state.get.filter("operation != 'd'").count() == expectLive)
+        assert(state.get.columns.contains("ots"),
+          "the configured hot path must run on transport events too")
+      } finally running.close()
+    } finally SourceTransports.unregister("daemon-spec")
+  }
+
+  test("--sink + --transport: full topology with kill + resume ≡ batch twin") {
+    // the reference's one-binary shape end to end: transport tail →
+    // routeData (relate fan-out + file content) → SinkWriter → backend
+    // bulk, killed between chunks and resumed from the checkpoint; the
+    // final sink state must equal the batch routeData twin over the
+    // full op log (the q171-composite contract)
+    import graft.source.{ChangeEvent, SourceBatch, SourceTransport, SourceTransports}
+    import graft.sink.{InMemorySinkBackend, SinkWiring, SinkWirings}
+    import graft.config.ConfiguredPipeline
+    import spark.implicits._
+
+    def ev(eid: Long, id: String, ns: String, op: String, ver: Long,
+           doc: String): ChangeEvent = {
+      val Array(db, coll) = ns.split("\\.", 2)
+      ChangeEvent(eid, id, db, coll, ns, op, ver * 1000L, ver, doc, 0.0,
+        "oplog")
+    }
+    val chunk1 = Seq(
+      ev(0, "100", "app.t2", "i", 10, """{"pk":1}"""),
+      ev(1, "7", "app.t0", "i", 11, """{"a":1}"""),
+      ev(2, "101", "app.t2", "d", 12, null))
+    val chunk2 = Seq(
+      ev(3, "100", "app.t2", "u", 20, """{"pk":1}"""),
+      ev(4, "102", "app.t2", "i", 21, """{"pk":2}"""))
+    val parts = Seq(
+      (1L, "1", """{"name":"bolt"}""", "short blob"),
+      (2L, "2", """{"name":"nut"}""", "x".repeat(40)),
+      (3L, "3", """{"name":"washer"}""", "also short")
+    ).toDF("pk", "id", "document", "blob")
+    // the SAME config reaches both the daemon (via its TOML path) and
+    // the batch twin (parsed from the identical source)
+    val sinkToml =
+      """index-files = true
+        |file-namespaces = ["app.parts"]
+        |max-file-size = 20
+        |
+        |[[mapping]]
+        |namespace = "app.parts"
+        |index = "parts_idx"
+        |
+        |[[relate]]
+        |namespace = "app.t2"
+        |with-namespace = "app.parts"
+        |src-field = "document.pk"
+        |match-field = "pk"
+        |match-field-type = "long"
+        |""".stripMargin
+    val cfg = graft.config.GraftConfig.fromToml(sinkToml)
+
+    // a transport whose retained log GROWS between daemon runs — the
+    // kill window
+    val log = scala.collection.mutable.ArrayBuffer[ChangeEvent](chunk1: _*)
+    SourceTransports.register("daemon-sink-src", new SourceTransport {
+      override def poll(tok: Option[String], maxDocs: Int): SourceBatch =
+        log.synchronized {
+          val from = tok.map(_.toInt).getOrElse(0)
+          val evs = log.slice(from, from + maxDocs).toVector
+          SourceBatch(evs, (from + evs.length).toString)
+        }
+    })
+    val backend = new InMemorySinkBackend
+    SinkWirings.register("daemon-sink",
+      SinkWiring(backend, collections = Map("app.parts" -> parts),
+        fileContentCol = "blob"))
+    try {
+      val workDir = Files.createTempDirectory("graft-daemon-work4").toString
+      val cfgPath = Files.createTempDirectory("graft-daemon-cfg4")
+        .resolve("graft.toml")
+      Files.writeString(cfgPath, sinkToml)
+      def run(): Unit = {
+        val running = Daemon.start(spark, Daemon.Args(
+          cfgPath.toString, "/unused", workDir, port = 0, once = true,
+          transport = Some("daemon-sink-src"), sink = Some("daemon-sink")))
+        try running.query.awaitTermination() finally running.close()
+      }
+      run() // chunk1, then the daemon exits (the kill)
+      val afterKill = backend.state.keySet
+      assert(afterKill == Set(("parts_idx", "1"), ("app.t0", "7")),
+        s"chunk1 state before the resume, got $afterKill")
+      log.synchronized { log ++= chunk2 }
+      run() // resume from checkpoint: only chunk2 replays
+
+      val twin = new InMemorySinkBackend
+      graft.sink.SinkWriter.writeBatch(
+        ConfiguredPipeline.routeData(cfg,
+          collections = Map("app.parts" -> parts), fileContentCol = "blob")(
+          (chunk1 ++ chunk2).toDF()), cfg, twin)
+      def snap(b: InMemorySinkBackend) = b.state.toMap.map {
+        case (k, d) => (k, (d.namespace, d.version, d.document))
+      }
+      assert(snap(backend) == snap(twin),
+        "daemon sink state after kill+resume must equal the batch twin")
+      assert(backend.state(("parts_idx", "1")).version == 20)
+    } finally {
+      SourceTransports.unregister("daemon-sink-src")
+      SinkWirings.unregister("daemon-sink")
+    }
+  }
+
   test("an empty events dir refuses to start (schema pin, loud)") {
     val emptyDir = Files.createTempDirectory("graft-daemon-empty").toString
     val cfgPath = Files.createTempDirectory("graft-daemon-cfg2")

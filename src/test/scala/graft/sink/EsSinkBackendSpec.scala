@@ -211,6 +211,20 @@ class EsSinkBackendSpec extends AnyFunSuite {
       r.getString(3))).toSeq == Seq(("app.t0", "1", "app.t0", "1")))
   }
 
+  test("an over-cap scanState fails loudly, naming the connector-read fix") {
+    val key = "es-state-cap"; EsMock.reset(key)
+    val big = (0 until 6).map(i => ("app.t0", i.toString, "app.t0", null: String))
+    val b = new EsSinkBackend(new MockEsTransport(key, state = big),
+      EsSinkConfig(maxScanStateRows = 5))
+    val e = intercept[IllegalArgumentException](b.sinkState(spark))
+    assert(e.getMessage.contains("connector READ") &&
+      e.getMessage.contains("maxScanStateRows"))
+    // at the cap is fine — the guard is a ceiling, not a headroom check
+    val ok = new EsSinkBackend(new MockEsTransport(key, state = big.take(5)),
+      EsSinkConfig(maxScanStateRows = 5))
+    assert(ok.sinkState(spark).count() == 5)
+  }
+
   test("action metadata JSON-escapes quotes, backslashes, controls") {
     assert(EsSinkBackend.js("a\"b\\c\n") == "\"a\\\"b\\\\c\\u000a\"")
     assert(EsSinkBackend.js(null) == "null")
