@@ -283,6 +283,146 @@ object Multimodal {
       .withColumn("ph", expr(s"least($patch, img_h - y)"))
   }
 
+  /** Video (MP4/ISO-BMFF) metadata from the CANONICAL box layout — the
+    * video sibling of [[withImageDims]]/[[withAudioMeta]], closing the
+    * third modality (video is the dominant byte mass of a multimodal
+    * corpus). The canonical layout — a 24-byte `ftyp` (brand `isom`)
+    * followed by `moov` whose first child is a version-0 `mvhd` and a
+    * first `trak` holding a version-0 `tkhd` — pins every field at a
+    * constant offset in the first 240 bytes, so the parse is pure
+    * relational column algebra inside whole-stage codegen (`substring`
+    * + `hex` + `conv`), and a 100 TB scan materializes nothing beyond
+    * the header slice. Anything else (64-bit largesize boxes, `free`
+    * padding before `moov`, v1 headers, `mdat`-first streaming layout)
+    * falls to 'unknown' here and to the per-row box walker [[mp4Meta]]
+    * — exactly the [[withAudioMeta]]/[[wavMeta]] split.
+    *
+    * Adds `vfmt` ('mp4' | 'unknown'), `v_timescale` (mvhd units/sec),
+    * `v_dur_units` (mvhd duration), `vid_w`/`vid_h` (tkhd 16.16 fixed
+    * point → integer pixels), `vdur_us` = units·10⁶ DIV timescale
+    * (0 timescale → NULL, never a divide error). All NULL unless the
+    * canonical layout matched. */
+  def withVideoMeta(assets: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val h = upper(hex(substring(col(contentCol), 1, 240)))
+    def be32(bytePos: Int) =
+      conv(substring(h, 2 * bytePos + 1, 8), 16, 10).cast("long")
+    def tag(bytePos: Int, hexTag: String) =
+      substring(h, 2 * bytePos + 1, 8) === hexTag
+    val isMp4 =
+      h.startsWith("000000186674797069736F6D") && // 24-byte ftyp, isom
+        tag(28, "6D6F6F76") && // 'moov'
+        tag(36, "6D766864") && // 'mvhd' first child
+        substring(h, 2 * 40 + 1, 2) === "00" && // mvhd version 0
+        be32(148) === 92L && tag(152, "746B6864") && // 92-byte 'tkhd'
+        substring(h, 2 * 156 + 1, 2) === "00" // tkhd version 0
+    val ts = be32(52)
+    assets
+      .withColumn("vfmt", when(isMp4, "mp4").otherwise("unknown"))
+      .withColumn("v_timescale", when(isMp4, ts))
+      .withColumn("v_dur_units", when(isMp4, be32(56)))
+      .withColumn("__w1616", when(isMp4, be32(232)))
+      .withColumn("__h1616", when(isMp4, be32(236)))
+      .withColumn("vid_w", expr("__w1616 DIV 65536"))
+      .withColumn("vid_h", expr("__h1616 DIV 65536"))
+      .drop("__w1616", "__h1616")
+      .withColumn("__ts", when(isMp4 && ts > 0, ts))
+      .withColumn("vdur_us", expr("v_dur_units * 1000000 DIV __ts"))
+      .drop("__ts")
+  }
+
+  /** ISO-BMFF box walker for NON-canonical MP4 files — the fallback
+    * [[withVideoMeta]] sends to 'unknown': walks the top-level box list
+    * (each header = BE u32 size + 4-char type; size 1 = 64-bit
+    * largesize follows, size 0 = to end-of-file) to find `moov`
+    * wherever it sits (behind `free`/`skip` padding, after `mdat` in
+    * streaming layouts), then `moov`'s children for `mvhd` (v0 or v1)
+    * and each `trak`'s `tkhd` (v0 or v1), taking the first track with a
+    * nonzero width — audio tracks carry width 0, so that IS the video
+    * track election. Per-row imperative by necessity (box offsets are
+    * data-dependent — the [[jpegDims]]/[[wavMeta]] class; the
+    * driver-OOM alternative, collecting boxes to the driver, is not an
+    * alternative). Returns (timescale, durationUnits, width, height) or
+    * None; a declared size past the buffer ends the walk (truncated
+    * file) rather than overflowing. */
+  def mp4Meta(content: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    def u16(i: Int) = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int) = new String(content.slice(i, i + 4), "US-ASCII")
+    // walk [from, until) box headers, returning (type, bodyOff, bodyEnd)
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = from
+        def hasNext: Boolean = i + 8 <= until
+        def next(): (String, Int, Int) = {
+          val declared = u32(i)
+          val t = tag(i + 4)
+          val (bodyOff, size) =
+            if (declared == 1L && i + 16 <= until) (i + 16, u64(i + 8))
+            else if (declared == 0L) (i + 8, (until - i).toLong)
+            else (i + 8, declared)
+          val end =
+            if (size < 8 || i + size > until) until // malformed/truncated
+            else (i + size).toInt
+          val r = (t, bodyOff, end)
+          i = end
+          r
+        }
+      }
+    if (content.length < 8) return None
+    boxes(0, content.length).collectFirst {
+      case ("moov", off, end) =>
+        var mvhd: Option[(Long, Long)] = None
+        var dims: Option[(Int, Int)] = None
+        boxes(off, end).foreach {
+          case ("mvhd", b, e) if mvhd.isEmpty && b + 4 <= e =>
+            val v = content(b) & 0xff
+            if (v == 0 && b + 20 <= e) mvhd = Some((u32(b + 12), u32(b + 16)))
+            else if (v == 1 && b + 32 <= e)
+              mvhd = Some((u32(b + 20), u64(b + 24)))
+          case ("trak", b, e) if dims.isEmpty =>
+            boxes(b, e).foreach {
+              case ("tkhd", tb, te) if dims.isEmpty && tb + 4 <= te =>
+                val v = content(tb) & 0xff
+                val wOff = if (v == 1) tb + 88 else tb + 76
+                if (wOff + 8 <= te) {
+                  val w = u16(wOff) // 16.16 fixed: integer part
+                  val hgt = u16(wOff + 4)
+                  if (w > 0) dims = Some((w, hgt))
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        for ((ts, dur) <- mvhd; (w, hgt) <- dims) yield (ts, dur, w, hgt)
+    }.flatten
+  }
+
+  /** Decoder batch plan over parsed CANONICAL MP4 assets
+    * ([[withVideoMeta]]'s output) — the video sibling of
+    * [[audioWindowPlan]]: fixed `sampleEveryMs` sampling instants, one
+    * row per instant with the TIME range a decode UDF seeks
+    * (`sample_idx`, `t_off_us`, `t_len_us`; the last range truncates to
+    * the duration, non-mp4 rows drop). Video frames are not
+    * byte-addressable without the sample tables (`stsz`/`stco`), so the
+    * honest ranged-read unit is a time-indexed seek — which is exactly
+    * the API the decode stage (ffmpeg-class, stubbed here: no codecs in
+    * the container) exposes. Same 100 TB discipline as q189: the
+    * planner moves one metadata row per sample and never a media byte;
+    * pure nonnegative integer math the oracle replays. */
+  def videoSamplePlan(meta: DataFrame, sampleEveryMs: Int): DataFrame = {
+    require(sampleEveryMs > 0, s"videoSamplePlan: sampleEveryMs=$sampleEveryMs")
+    val step = sampleEveryMs * 1000L
+    meta.filter(col("vfmt") === "mp4" && col("vdur_us") > 0)
+      .withColumn("sample_idx",
+        explode(sequence(lit(0L), expr(s"(vdur_us + ${step - 1}) DIV $step - 1"))))
+      .withColumn("t_off_us", expr(s"sample_idx * $step"))
+      .withColumn("t_len_us", expr(s"least($step, vdur_us - t_off_us)"))
+  }
+
   /** Decoder batch plan over parsed CANONICAL WAV assets
     * ([[withAudioMeta]]'s output — data chunk at byte 44 by that
     * parser's own match rule): fixed-length windows of `winMs`

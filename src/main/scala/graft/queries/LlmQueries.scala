@@ -295,6 +295,54 @@ object LlmQueries extends QueryFamily {
     base.select(col("doc_id"), unhex(hexStr).as("content"))
   }
 
+  /** q193/q194's synthetic video corpus: actual canonical ISO-BMFF
+    * containers — a 24-byte `ftyp` (brand isom), `moov` holding a
+    * version-0 `mvhd` (big-endian timescale/duration at fixed offsets,
+    * unity matrix) and one `trak` with a version-0 `tkhd` whose
+    * width/height ride 16.16 fixed point — built in column algebra from
+    * doc_id arithmetic around md5 payloads; every 3rd doc stays a raw
+    * (non-video) blob. Same text-IS-NOT-NULL guard as [[syntheticWavs]]
+    * (a NULL payload would NULL the whole content). */
+  private def syntheticMp4s(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+    val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull))
+    def be32(e: String) = expr(s"lpad(hex($e), 8, '0')")
+    val unityMatrix =
+      "000100000000000000000000" +
+        "000000000001000000000000" +
+        "000000000000000040000000"
+    val base = docs.select(col("doc_id"), col("text"),
+      (lit(600) + (col("doc_id") % 5) * 600).as("ts"),
+      ((col("doc_id") % 2000 + 1) * 3).as("dur"),
+      (col("doc_id") % 1920 + 1).as("w"),
+      (col("doc_id") % 1080 + 1).as("h"))
+    val hexStr = when(col("doc_id") % 3 === 0, md5(col("text")))
+      .otherwise(concat(
+        // ftyp: size 24, 'ftyp', brand isom, minor, compat isom/iso2
+        lit("00000018" + "66747970" + "69736F6D" + "00000200" +
+          "69736F6D69736F32"),
+        // moov: size 216 = 8 + mvhd 108 + trak 100
+        lit("000000D8" + "6D6F6F76"),
+        // mvhd v0: size 108, tag, ver/flags, creation, modification
+        lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+        be32("ts"), be32("dur"),
+        // rate 1.0, volume 1.0 + reserved(2+8), matrix, predefined(24),
+        // next track id
+        lit("00010000" + "0100" + "0000" + "0" * 16 + unityMatrix +
+          "0" * 48 + "00000002"),
+        // trak: size 100; tkhd v0: size 92, tag, ver/flags, creation,
+        // modification, track id 1, reserved, duration
+        lit("00000064" + "7472616B" + "0000005C" + "746B6864" +
+          "00000000" + "00000000" + "00000000" + "00000001" + "00000000"),
+        be32("dur"),
+        // reserved(8), layer, alt group, volume, reserved, matrix
+        lit("0" * 16 + "0000" + "0000" + "0000" + "0000" + unityMatrix),
+        be32("w * 65536"), be32("h * 65536"),
+        md5(col("text"))))
+    base.select(col("doc_id"), unhex(hexStr).as("content"))
+  }
+
   private def varCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text"))
@@ -5769,7 +5817,84 @@ object LlmQueries extends QueryFamily {
           shard(0), shard(1), Seq("source", "w")))
       },
       _.orderBy("source", "topn"),
-      Some(headShareSql))
+      Some(headShareSql)),
+
+    // ── Video-container parsing (q193): the third multimodal sibling —
+    //    video is the dominant byte mass of a 100 TB multimodal corpus.
+    //    The corpus derives actual canonical ISO-BMFF containers (24-byte
+    //    ftyp brand isom, moov with a v0 mvhd carrying big-endian
+    //    timescale/duration and a trak/tkhd carrying 16.16 fixed-point
+    //    dims) around md5 payloads, plus raw non-video rows. The operator
+    //    reads every field back by fixed-offset byte algebra inside
+    //    codegen and derives the duration in pure integer micro-seconds;
+    //    non-canonical layouts fall to the per-row box walker
+    //    [[Multimodal.mp4Meta]] (spec-pinned on hand-built fixtures).
+    //    Oracle replays the ground-truth doc_id arithmetic. ──────────────
+    QueryDef.sorted(
+      "q193_video_headers",
+      (s, dir) =>
+        Multimodal.withVideoMeta(syntheticMp4s(s, dir))
+          .select(col("doc_id").cast("long"), col("vfmt"),
+            col("v_timescale"), col("v_dur_units"), col("vid_w"),
+            col("vid_h"), col("vdur_us")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN doc_id % 3 = 0 THEN 'unknown' ELSE 'mp4' END
+           |         AS vfmt,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE 600 + (doc_id % 5) * 600 END AS BIGINT)
+           |         AS v_timescale,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE (doc_id % 2000 + 1) * 3 END AS BIGINT)
+           |         AS v_dur_units,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE doc_id % 1920 + 1 END AS BIGINT) AS vid_w,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE doc_id % 1080 + 1 END AS BIGINT) AS vid_h,
+           |       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           |            ELSE ((doc_id % 2000 + 1) * 3 * 1000000)
+           |                 // (600 + (doc_id % 5) * 600) END AS BIGINT)
+           |         AS vdur_us
+           |FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+          .stripMargin)),
+
+    // ── Video sample plan (q194): the decoder's batch plan over q193's
+    //    parsed MP4 corpus — one sampling instant every 40 ms (the
+    //    25 fps frame grid), one row per instant with the TIME range a
+    //    decode UDF seeks (video frames are not byte-addressable
+    //    without the stsz/stco sample tables, so the honest ranged-read
+    //    unit is the time-indexed seek an ffmpeg-class decoder exposes;
+    //    the last range truncates to the duration, non-video rows
+    //    drop). The q189/q190 discipline on the video side: the planner
+    //    moves one metadata row per sample and never a media byte.
+    //    Oracle replays header arithmetic and sample algebra from the
+    //    doc_id ground truth. ────────────────────────────────────────────
+    QueryDef.sorted(
+      "q194_video_sample_plan",
+      (s, dir) =>
+        Multimodal.videoSamplePlan(
+            Multimodal.withVideoMeta(syntheticMp4s(s, dir)),
+            sampleEveryMs = 40)
+          .select(col("doc_id").cast("long"), col("sample_idx"),
+            col("t_off_us"), col("t_len_us")),
+      _.orderBy("doc_id", "sample_idx"),
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |         ((doc_id % 2000 + 1) * 3 * 1000000)
+           |           // (600 + (doc_id % 5) * 600) AS dur_us
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+           |x AS (SELECT doc_id, dur_us,
+           |             unnest(range(0, (dur_us + 39999) // 40000))
+           |               AS sample_idx
+           |      FROM p WHERE dur_us > 0)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(sample_idx AS BIGINT) AS sample_idx,
+           |       CAST(sample_idx * 40000 AS BIGINT) AS t_off_us,
+           |       CAST(least(40000, dur_us - sample_idx * 40000) AS BIGINT)
+           |         AS t_len_us
+           |FROM x ORDER BY doc_id, sample_idx""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -208,6 +208,118 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavMeta(Array.empty[Byte]) === None)
   }
 
+  private val unityMatrix =
+    "000100000000000000000000" +
+      "000000000001000000000000" +
+      "000000000000000040000000"
+
+  /** Canonical MP4 header (the exact layout withVideoMeta pins):
+    * 24-byte ftyp/isom, moov(216) = mvhd v0(108) + trak(100)/tkhd(92). */
+  private def canonicalMp4(ts: Int, dur: Int, w: Int, h: Int): String = {
+    def be32(v: Long) = f"$v%08X"
+    "00000018" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D69736F32" +
+      "000000D8" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      be32(ts) + be32(dur) +
+      "00010000" + "0100" + "0000" + "0" * 16 + unityMatrix +
+      "0" * 48 + "00000002" +
+      "00000064" + "7472616B" + "0000005C" + "746B6864" +
+      "00000000" + "00000000" + "00000000" + "00000001" + "00000000" +
+      be32(dur) +
+      "0" * 16 + "0000" + "0000" + "0000" + "0000" + unityMatrix +
+      be32(w.toLong * 65536) + be32(h.toLong * 65536)
+  }
+
+  test("withVideoMeta parses canonical MP4 headers; junk is unknown") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, canonicalMp4(ts = 1200, dur = 3003, w = 321, h = 203) + "AB"),
+      (2L, "DEADBEEF" * 16))
+    val df = rows.toDF("doc_id", "hx")
+      .select($"doc_id", org.apache.spark.sql.functions.unhex($"hx")
+        .as("content"))
+    val got = Multimodal.withVideoMeta(df)
+      .select("doc_id", "vfmt", "v_timescale", "v_dur_units", "vid_w",
+        "vid_h", "vdur_us")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "mp4", Some(1200L), Some(3003L), Some(321L), Some(203L),
+        Some(3003L * 1000000L / 1200L)),
+      (2L, "unknown", None, None, None, None, None)))
+  }
+
+  test("mp4Meta walks non-canonical box layouts") {
+    // free padding before moov, udta before mvhd, an AUDIO track
+    // (width 0) ahead of the video track — the layout withVideoMeta
+    // declines and the walker must handle
+    def tkhdV0(w: Int, h: Int, vol: String) =
+      "0000005C" + "746B6864" + "00000000" + "00000000" + "00000000" +
+        "00000001" + "00000000" + "00000000" + "0" * 16 +
+        "0000" + "0000" + vol + "0000" + unityMatrix +
+        f"${w.toLong * 65536}%08X" + f"${h.toLong * 65536}%08X"
+    val a = bytes(
+      "0000000C" + "66726565" + "00000000" +
+        "00000148" + "6D6F6F76" +
+        "0000000C" + "75647461" + "00000000" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        "000003E8" + "00001388" + "0" * 160 +
+        "00000064" + "7472616B" + tkhdV0(0, 0, "0100") + // audio: w 0
+        "00000064" + "7472616B" + tkhdV0(640, 360, "0000"))
+    assert(Multimodal.mp4Meta(a) === Some((1000L, 5000L, 640, 360)))
+    // withVideoMeta's canonical parse declines this layout — the
+    // wavMeta/withAudioMeta split on the video side
+    import spark.implicits._
+    val df = Seq((1L, a)).toDF("doc_id", "content")
+    assert(Multimodal.withVideoMeta(df).select("vfmt")
+      .as[String].head() == "unknown")
+
+    // v1 mvhd (64-bit times) + v1 tkhd, moov size 0 = to end-of-file
+    val b = bytes(
+      "00000000" + "6D6F6F76" +
+        "00000078" + "6D766864" + "01000000" + "0" * 16 + "0" * 16 +
+        "00015F90" + "000000000006DDD0" + "0" * 160 +
+        "00000070" + "7472616B" +
+        "00000068" + "746B6864" + "01000000" + "0" * 16 + "0" * 16 +
+        "00000001" + "00000000" + "0" * 16 + "0" * 16 +
+        "0000" + "0000" + "0000" + "0000" + unityMatrix +
+        "05000000" + "02D00000")
+    assert(Multimodal.mp4Meta(b) === Some((90000L, 450000L, 1280, 720)))
+
+    // 64-bit largesize moov header
+    val c = bytes(
+      "00000001" + "6D6F6F76" + "00000000000000E0" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        "00000018" + "00000060" + "0" * 160 +
+        "00000064" + "7472616B" + tkhdV0(16, 9, "0000"))
+    assert(Multimodal.mp4Meta(c) === Some((24L, 96L, 16, 9)))
+
+    // junk, truncation, emptiness → None, never a throw
+    assert(Multimodal.mp4Meta(bytes("0000000866726565")) === None)
+    assert(Multimodal.mp4Meta(bytes("DEADBEEF")) === None)
+    assert(Multimodal.mp4Meta(Array.empty[Byte]) === None)
+    assert(Multimodal.mp4Meta(a.take(60)) === None)
+  }
+
+  test("videoSamplePlan: hand-computed ranges, truncated tail, non-mp4 drops") {
+    import spark.implicits._
+    val meta = Seq(
+      (1L, "mp4", Some(100000L)), // 100 ms → 3 windows at 40 ms
+      (2L, "unknown", None: Option[Long]))
+      .toDF("doc_id", "vfmt", "vdur_us")
+    val got = Multimodal.videoSamplePlan(meta, sampleEveryMs = 40)
+      .select("doc_id", "sample_idx", "t_off_us", "t_len_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 40000L),
+      (1L, 1L, 40000L, 40000L),
+      (1L, 2L, 80000L, 20000L)))
+    intercept[IllegalArgumentException](
+      Multimodal.videoSamplePlan(meta, sampleEveryMs = 0))
+  }
+
   test("jpegDims walks the marker stream to SOF0") {
     // SOI + APP0 (16 bytes) + DHT (to prove non-frame C4 is skipped) +
     // SOF0 with height 480, width 640, then EOI
