@@ -312,6 +312,10 @@ object Bench {
     } :+ headline).mkString("", "\n", "\n")
     java.nio.file.Files.write(dir.resolve(target),
       lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a CLEAN full run just refreshed the record — regenerate the
+    // operator map from it so docs/OPERATORS.md can't drift (the spec
+    // pins its query set to the registry)
+    if (only.isEmpty && dirty.isEmpty) OperatorsDoc.write()
 
     // Early headline: a HEAD-truncated capture still sees {total, n}.
     println(headline)

@@ -39,9 +39,15 @@ object SparkEntry {
         "namespace", "operation", "k", "value", "oplog_date")
   }
 
-  private val all: Seq[QueryDef] =
-    CoreQueries.queries ++ RelateQueries.queries ++ LlmQueries.queries ++
-      SourceQueries.queries
+  /** The registry grouped by declaring file — [[OperatorsDoc]] renders
+    * the operator map from this, so the map can't drift from the code. */
+  def queryFamilies: Seq[(String, Seq[QueryDef])] = Seq(
+    "src/main/scala/graft/queries/CoreQueries.scala" -> CoreQueries.queries,
+    "src/main/scala/graft/queries/RelateQueries.scala" -> RelateQueries.queries,
+    "src/main/scala/graft/queries/LlmQueries.scala" -> LlmQueries.queries,
+    "src/main/scala/graft/queries/SourceQueries.scala" -> SourceQueries.queries)
+
+  private val all: Seq[QueryDef] = queryFamilies.flatMap(_._2)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
