@@ -414,9 +414,12 @@ object EventAnalytics {
     * [[transitionMatrix]]: per-batch transition COUNTS are additive once
     * the boundary-crossing pair (a user's last event of the previous
     * batch → first event of this one) is stitched through a per-user
-    * last-event state, exactly [[Sessionize.sessionStatsIncremental]]'s
-    * contract one notch simpler (state is 4 columns, the stitch is one
-    * join). Batches must be time-partitioned per user in the SAME
+    * last-event state — one user-keyed aggregation over (state ∪ batch
+    * events), the [[funnelIncremental]] shape: the per-user order comes
+    * from array_sort on the (ts, tie, type) struct instead of a
+    * whole-batch window, the state shuffles once (no update join, no
+    * carried anti-join), and nothing depends on the state being
+    * broadcast-small. Batches must be time-partitioned per user in the SAME
     * (ts, tie) lexicographic order the full window sorts by — a batch
     * event at the persisted ts whose tie orders it AT OR BEFORE the
     * persisted event raises exactly like an earlier ts does (the state
@@ -436,60 +439,87 @@ object EventAnalytics {
                                   typeCol: String = "event_type",
                                   tieCol: String = "event_id")
       : (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col("ts_us").asc, col("__tie").asc)
-    val base = graft.CacheBarriers.barrier(newEvents
+    val evs = newEvents
       .withColumn("ts_us", tsUs.cast("long"))
       .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
         col(typeCol).isNotNull)
       .select(col(userCol), col(typeCol).as("__ty"), col("ts_us"),
         col(tieCol).as("__tie"))
-      .withColumn("__from", lag(col("__ty"), 1).over(w))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__last",
-        max(col("__rn")).over(Window.partitionBy(col(userCol)))))
-    // lastState is consumed twice (open join + carried anti-join) —
-    // unbarriered, a chain of n folds embeds fold 1's plan 2^(n-1)
-    // times (the funnelIncremental lesson)
-    val st = graft.CacheBarriers.barrier(lastState)
-    val open = st.select(col(userCol),
-      col("last_type").as("__lt"), col("last_ts").as("__lts"),
-      col("last_tie").as("__ltie"))
+    val tieT = evs.schema("__tie").dataType
+    // ONE user-keyed aggregation over (state ∪ batch events) — the
+    // funnelIncremental shape: the state row's columns ride max() (at
+    // most one per user, event rows null there), the batch's events
+    // ride a null-skipping collect_list and sort per user via
+    // array_sort on the (ts, tie, type) struct — the full window's own
+    // lexicographic order, computed without a window (no whole-batch
+    // sort, no update join, no carried anti-join; the state shuffles
+    // once and never needs to be broadcast-small).
+    val stRows = graft.CacheBarriers.barrier(lastState).select(
+      col(userCol), col("last_type"), col("last_ts"), col("last_tie"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__tie", tieT),
+        org.apache.spark.sql.types.StructField("__ty",
+          org.apache.spark.sql.types.StringType)))).as("__ev"))
+    val evRows = evs.select(col(userCol),
+      lit(null).cast("string").as("last_type"),
+      lit(null).cast("long").as("last_ts"),
+      lit(null).cast(tieT).as("last_tie"),
+      struct(col("ts_us"), col("__tie"), col("__ty")).as("__ev"))
     // boundary stitch: the user's FIRST batch event pairs with the
-    // persisted last event — with the time-partitioning contract checked
-    // in the full window's own (ts, tie) lexicographic order, so a
-    // boundary ts-tie whose tie would order the batch event FIRST raises
-    // instead of silently producing pairs the full-corpus window wouldn't
-    val firsts = base.filter(col("__rn") === 1)
-      .join(open, Seq(userCol), "left")
-      .withColumn("__from2",
-        when(col("__lts").isNotNull &&
-            (col("ts_us") < col("__lts") ||
-              (col("ts_us") === col("__lts") &&
-                col("__tie") <= col("__ltie"))),
-          raise_error(concat(
-            lit("transitionMatrixIncremental: batch event at ("),
-            col("ts_us").cast("string"), lit(","),
-            col("__tie").cast("string"),
-            lit(") does not strictly follow persisted last ("),
-            col("__lts").cast("string"), lit(","),
-            col("__ltie").cast("string"), lit(") for user "),
-            col(userCol).cast("string"),
-            lit(" — batches must be time-partitioned per user"))))
-          .otherwise(col("__lt")))
-      .select(col(userCol), col("__ty"), col("__from2").as("__from"))
-    val inner = base.filter(col("__rn") > 1)
-      .select(col(userCol), col("__ty"), col("__from"))
-    val delta = inner.unionByName(firsts)
-      .filter(col("__from").isNotNull)
-      .groupBy(col("__from").as("from_type"), col("__ty").as("to_type"))
+    // persisted last event — with the time-partitioning contract
+    // checked in the full window's (ts, tie) lexicographic order, so a
+    // boundary ts-tie at or before the persisted event raises (row-lazy,
+    // riding the boundary pair's from-type) instead of silently
+    // producing pairs the full-corpus window wouldn't
+    val agg = graft.CacheBarriers.barrier(
+      stRows.unionByName(evRows)
+        .groupBy(col(userCol))
+        .agg(max(col("last_type")).as("__lt"),
+          max(col("last_ts")).as("__lts"),
+          max(col("last_tie")).as("__ltie"),
+          array_sort(collect_list(col("__ev"))).as("__evs"))
+        .withColumn("__first", expr("try_element_at(__evs, 1)"))
+        .withColumn("__from0",
+          when(col("__lts").isNotNull && size(col("__evs")) > 0 &&
+              (col("__first.ts_us") < col("__lts") ||
+                (col("__first.ts_us") === col("__lts") &&
+                  col("__first.__tie") <= col("__ltie"))),
+            raise_error(concat(
+              lit("transitionMatrixIncremental: batch event at ("),
+              col("__first.ts_us").cast("string"), lit(","),
+              col("__first.__tie").cast("string"),
+              lit(") does not strictly follow persisted last ("),
+              col("__lts").cast("string"), lit(","),
+              col("__ltie").cast("string"), lit(") for user "),
+              col(userCol).cast("string"),
+              lit(" — batches must be time-partitioned per user"))))
+            .otherwise(col("__lt"))))
+    val delta = agg
+      .withColumn("__pair", explode(concat(
+        // boundary pair (state present AND batch events present)
+        expr("""CASE WHEN __from0 IS NOT NULL AND size(__evs) > 0
+               |THEN array(struct(__from0 AS from_type,
+               |                  __evs[0].__ty AS to_type))
+               |ELSE array() END""".stripMargin),
+        // within-batch consecutive pairs off the sorted array
+        expr("""CASE WHEN size(__evs) >= 2
+               |THEN transform(sequence(1, size(__evs) - 1),
+               |       i -> struct(__evs[i - 1].__ty AS from_type,
+               |                   __evs[i].__ty AS to_type))
+               |ELSE array() END""".stripMargin))))
+      .groupBy(col("__pair.from_type").as("from_type"),
+        col("__pair.to_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val newOpen = base.filter(col("__rn") === col("__last"))
-      .select(col(userCol), col("__ty").as("last_type"),
-        col("ts_us").as("last_ts"), col("__tie").as("last_tie"))
-    val carried = st.join(
-      base.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
-    (delta, carried.unionByName(newOpen))
+    val newState = agg.select(col(userCol),
+      when(size(col("__evs")) > 0, element_at(col("__evs"), -1)("__ty"))
+        .otherwise(col("__lt")).as("last_type"),
+      when(size(col("__evs")) > 0, element_at(col("__evs"), -1)("ts_us"))
+        .otherwise(col("__lts")).as("last_ts"),
+      when(size(col("__evs")) > 0, element_at(col("__evs"), -1)("__tie"))
+        .otherwise(col("__ltie")).as("last_tie"))
+    (delta, newState)
   }
 
   /** Fold a transition delta into the running census — pure addition. */
@@ -583,9 +613,13 @@ object EventAnalytics {
     * were counted by the fold that ingested that event.
     *
     * Scale shape: state is user-cardinality (one row, ≤ k−1 array
-    * elements); the fold touches only batch users' tails (anti-join
-    * carries the rest untouched), both window passes share one per-user
-    * exchange, and the delta aggregates into ≤|types|^k groups. */
+    * elements); the fold is ONE user-keyed aggregation over (state ∪
+    * batch events) — the [[funnelIncremental]] shape — with the
+    * per-user order from array_sort on the (ts, tie, type) struct
+    * instead of a whole-batch window, and the delta aggregates into
+    * ≤|types|^k groups. The state shuffles once, is never required to
+    * be broadcast-small, and per-user memory is the user's batch
+    * events plus the ≤ k−1 tail (the sessionize bound). */
   def pathCensusIncremental(newEvents: DataFrame, lastState: DataFrame,
                             k: Int, tsUs: Column,
                             userCol: String = "user_id",
@@ -593,76 +627,95 @@ object EventAnalytics {
                             tieCol: String = "event_id")
       : (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 8, s"pathCensusIncremental: k=$k out of [2, 8]")
-    // the state is consumed three times below (boundary read, tail
-    // semi-join, carried anti-join) — barrier it or a fold chain embeds
-    // earlier folds' plans exponentially (the funnelIncremental lesson)
-    val st = graft.CacheBarriers.barrier(lastState)
-    val base = graft.CacheBarriers.barrier(newEvents
+    val evs = newEvents
       .withColumn("ts_us", tsUs.cast("long"))
       .filter(col(userCol).isNotNull && col("ts_us").isNotNull &&
         col(typeCol).isNotNull)
       .select(col(userCol), col(typeCol).as("__ty"), col("ts_us"),
-        col(tieCol).as("__tie")))
-    val batchUsers = base.select(col(userCol)).distinct()
-    // every batch event must strictly follow the tail's last (ts, tie) —
-    // checking all rows checks the min, and the raise rides the type
-    // column so it cannot be pruned out of the delta's dataflow
-    val bound = st
-      .select(col(userCol), element_at(col("tail_ts"), -1).as("__bts"),
-        element_at(col("tail_tie"), -1).as("__btie"))
-    val checked = base.join(bound, Seq(userCol), "left")
-      .withColumn("__ty",
-        when(col("__bts").isNotNull &&
-            (col("ts_us") < col("__bts") ||
-              (col("ts_us") === col("__bts") &&
-                col("__tie") <= col("__btie"))),
-          raise_error(concat(
-            lit("pathCensusIncremental: batch event at ("),
-            col("ts_us").cast("string"), lit(","),
-            col("__tie").cast("string"),
-            lit(") does not strictly follow the persisted tail end ("),
-            col("__bts").cast("string"), lit(","),
-            col("__btie").cast("string"), lit(") for user "),
-            col(userCol).cast("string"),
-            lit(" — batches must be time-partitioned per user"))))
-          .otherwise(col("__ty")))
-      .select(col(userCol), col("__ty"), col("ts_us"), col("__tie"),
-        lit(false).as("__carried"))
-    val tailRows = st
-      .join(batchUsers, Seq(userCol), "left_semi")
-      .select(col(userCol),
-        explode(arrays_zip(col("tail_ts"), col("tail_tie"),
-          col("tail_type"))).as("__z"))
-      .select(col(userCol), col("__z.tail_type").as("__ty"),
-        col("__z.tail_ts").as("ts_us"), col("__z.tail_tie").as("__tie"),
-        lit(true).as("__carried"))
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col("ts_us").asc, col("__tie").asc)
-    val lagged = graft.CacheBarriers.barrier(
-      (k - 1 to 1 by -1).foldLeft(tailRows.unionByName(checked)) {
-        (df, i) => df.withColumn(s"__p$i", lag(col("__ty"), i).over(w))
-      })
-    val delta = lagged
-      .filter(!col("__carried") && col(s"__p${k - 1}").isNotNull)
-      .select(concat_ws(">",
-        ((k - 1 to 1 by -1).map(i => col(s"__p$i")) :+ col("__ty")): _*)
-        .as("path"))
+        col(tieCol).as("__tie"))
+    val tieT = evs.schema("__tie").dataType
+    // ONE user-keyed aggregation over (state ∪ batch events) — the
+    // funnelIncremental shape generalized to the k−1-event tail: the
+    // tail arrays ride max() (one state row per user, event rows null
+    // there), the batch sorts per user via array_sort on the
+    // (ts, tie, type) struct — the full window's lexicographic order
+    // with no whole-batch window sort, no boundary join, no tail
+    // semi-join, no carried anti-join; the state shuffles once and
+    // never needs to be broadcast-small.
+    val evT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__tie", tieT),
+      org.apache.spark.sql.types.StructField("__ty",
+        org.apache.spark.sql.types.StringType)))
+    val stRows = graft.CacheBarriers.barrier(lastState).select(
+      col(userCol), col("tail_ts"), col("tail_tie"), col("tail_type"),
+      lit(null).cast(evT).as("__ev"))
+    val evRows = evs.select(col(userCol),
+      lit(null).cast("array<long>").as("tail_ts"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(tieT))
+        .as("tail_tie"),
+      lit(null).cast("array<string>").as("tail_type"),
+      struct(col("ts_us"), col("__tie"), col("__ty")).as("__ev"))
+    // the batch's min event must strictly follow the tail's last
+    // (ts, tie) — the row-lazy raise rides the sorted batch array, so it
+    // cannot be pruned out of either output's dataflow
+    val agg = graft.CacheBarriers.barrier(
+      stRows.unionByName(evRows)
+        .groupBy(col(userCol))
+        .agg(max(col("tail_ts")).as("__tts"),
+          max(col("tail_tie")).as("__ttie"),
+          max(col("tail_type")).as("__tty"),
+          array_sort(collect_list(col("__ev"))).as("__evs0"))
+        .withColumn("__bts", expr("try_element_at(__tts, -1)"))
+        .withColumn("__btie", expr("try_element_at(__ttie, -1)"))
+        .withColumn("__first", expr("try_element_at(__evs0, 1)"))
+        .withColumn("__evs",
+          when(col("__bts").isNotNull && size(col("__evs0")) > 0 &&
+              (col("__first.ts_us") < col("__bts") ||
+                (col("__first.ts_us") === col("__bts") &&
+                  col("__first.__tie") <= col("__btie"))),
+            raise_error(concat(
+              lit("pathCensusIncremental: batch event at ("),
+              col("__first.ts_us").cast("string"), lit(","),
+              col("__first.__tie").cast("string"),
+              lit(") does not strictly follow the persisted tail end ("),
+              col("__bts").cast("string"), lit(","),
+              col("__btie").cast("string"), lit(") for user "),
+              col(userCol).cast("string"),
+              lit(" — batches must be time-partitioned per user"))))
+            .otherwise(col("__evs0")))
+        // old tail ∪ sorted batch, as one (ts, tie, type) struct array
+        .withColumn("__full", concat(
+          coalesce(expr(
+            """transform(arrays_zip(__tts, __ttie, __tty),
+              |  x -> struct(x.__tts AS ts_us, x.__ttie AS __tie,
+              |              x.__tty AS __ty))""".stripMargin),
+            expr("array()").cast(
+              org.apache.spark.sql.types.ArrayType(evT))),
+          col("__evs")))
+        .withColumn("__ntail", least(lit(k - 1), size(col("__full")))))
+    // only windows ENDING at a batch event count (a window ending in the
+    // carried tail was counted by the fold that ingested that event):
+    // 0-based end indices from max(size(tail), k−1) to size(full)−1
+    val delta = agg
+      .withColumn("__lo",
+        greatest(size(col("__full")) - size(col("__evs")), lit(k - 1)))
+      .withColumn("path", explode(expr(
+        s"""CASE WHEN size(__full) - 1 >= __lo
+           |THEN transform(sequence(__lo, size(__full) - 1),
+           |  i -> concat_ws('>', transform(sequence(i - ${k - 1}, i),
+           |         m -> element_at(__full, m + 1).__ty)))
+           |ELSE array() END""".stripMargin)))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
-    // new tail = last k−1 of (old tail ∪ batch); the desc window reuses
-    // the asc pass's per-user exchange, and sort_array on the
-    // (ts, tie, type) struct restores oldest→newest array order
-    val wd = Window.partitionBy(col(userCol))
-      .orderBy(col("ts_us").desc, col("__tie").desc)
-    val newTail = lagged
-      .withColumn("__rn", row_number().over(wd))
-      .filter(col("__rn") <= k - 1)
-      .groupBy(col(userCol))
-      .agg(sort_array(collect_list(
-        struct(col("ts_us"), col("__tie"), col("__ty")))).as("__s"))
-      .select(col(userCol), col("__s.ts_us").as("tail_ts"),
-        col("__s.__tie").as("tail_tie"), col("__s.__ty").as("tail_type"))
-    val carried = st.join(batchUsers, Seq(userCol), "left_anti")
-    (delta, carried.unionByName(newTail))
+    val newState = agg
+      .withColumn("__t2", expr(
+        "slice(__full, size(__full) - __ntail + 1, __ntail)"))
+      .select(col(userCol),
+        expr("transform(__t2, x -> x.ts_us)").as("tail_ts"),
+        expr("transform(__t2, x -> x.__tie)").as("tail_tie"),
+        expr("transform(__t2, x -> x.__ty)").as("tail_type"))
+    (delta, newState)
   }
 
   /** Fold a path-count delta into the running census — pure addition. */

@@ -96,74 +96,109 @@ object Sessionize {
     * users-touched slice of the per-user state joins the batch.
     *
     * Scale shape: the batch sessionizes at batch cost; the stitch is
-    * one user-keyed join of the batch's per-user FIRST session against
-    * the state (state rows are 6 longs per user), a user-keyed max for
-    * the last-session split, and an anti-join carrying untouched users
-    * forward. Nothing proportional to history length anywhere. */
+    * ONE user-keyed aggregation over (state rows ∪ batch session rows)
+    * — the funnelIncremental shape — with merge/renumber/absorb/split
+    * in array algebra on the grouped row, so the state shuffles once,
+    * is never required to be broadcast-small, and nothing is
+    * proportional to history length anywhere. */
   def sessionStatsIncremental(newEvents: DataFrame, openState: DataFrame,
                               gapUs: Long, tsUs: Column,
                               userCol: String = "user_id",
                               tieCol: String = "event_id")
       : (DataFrame, DataFrame) = {
-    val b = graft.CacheBarriers.barrier(
-      sessionStats(newEvents, gapUs, tsUs, userCol, tieCol))
-    // openState is consumed three times (open join, closedOld semi-join,
-    // carried anti-join) — barrier it or a fold chain embeds earlier
-    // folds' plans exponentially (the funnelIncremental lesson)
-    val ost = graft.CacheBarriers.barrier(openState)
-    val open = ost.select(col(userCol),
-      col("session_seq").as("__oseq"), col("n_events").as("__on"),
-      col("start_us").as("__ostart"), col("end_us").as("__oend"))
-    // one row per user in the batch: their open-session linkage verdict.
-    // Row-lazy raise_error keeps the contract check off the happy path.
-    val flags = graft.CacheBarriers.barrier(
-      b.filter(col("session_seq") === 1)
-        .join(open, Seq(userCol), "left")
-        .select(col(userCol),
-          coalesce(col("__oseq"), lit(0L)).as("__oseq"),
-          coalesce(col("__on"), lit(0L)).as("__on"),
-          col("__ostart"),
-          when(col("__oend").isNull, lit(false))
-            .when(col("start_us") < col("__oend"), raise_error(concat(
+    // the batch sessionizes at batch cost (window over batch events —
+    // unavoidable, the session segmentation itself); the STITCH to the
+    // open-session state is then ONE user-keyed aggregation over
+    // (state rows ∪ batch session rows) — the funnelIncremental shape:
+    // the open session's columns ride max() (one state row per user,
+    // batch rows null there), the batch's sessions collect sorted by
+    // session_seq, and the merge/renumber/absorb/split logic runs in
+    // array algebra on the grouped row. The state shuffles once — no
+    // open join, no closed-old semi-join, no carried anti-join — and
+    // never needs to be broadcast-small.
+    val b = sessionStats(newEvents, gapUs, tsUs, userCol, tieCol)
+    val sT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("session_seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("start_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("end_us",
+        org.apache.spark.sql.types.LongType)))
+    val stRows = graft.CacheBarriers.barrier(openState).select(
+      col(userCol), col("session_seq").as("__oseq0"),
+      col("n_events").as("__on"), col("start_us").as("__ostart"),
+      col("end_us").as("__oend"), lit(null).cast(sT).as("__bs"))
+    val bRows = b.select(col(userCol),
+      lit(null).cast("long").as("__oseq0"),
+      lit(null).cast("long").as("__on"),
+      lit(null).cast("long").as("__ostart"),
+      lit(null).cast("long").as("__oend"),
+      struct(col("session_seq"), col("n_events"), col("start_us"),
+        col("end_us")).as("__bs"))
+    // merge verdict per user: the batch's first session continues the
+    // open session when the silence is within gapUs; a batch that
+    // STARTS BEFORE the open session's end violates the log-ingest
+    // contract (row-lazy raise riding the verdict, which every output
+    // path consumes)
+    val agg = graft.CacheBarriers.barrier(
+      stRows.unionByName(bRows)
+        .groupBy(col(userCol))
+        .agg(max(col("__oseq0")).as("__oseq0"), max(col("__on")).as("__on"),
+          max(col("__ostart")).as("__ostart"),
+          max(col("__oend")).as("__oend"),
+          array_sort(collect_list(col("__bs"))).as("__bss"))
+        .withColumn("__b1", expr("try_element_at(__bss, 1)"))
+        .withColumn("__merge",
+          when(size(col("__bss")) === 0 || col("__oend").isNull,
+            lit(false))
+            .when(col("__b1.start_us") < col("__oend"), raise_error(concat(
               lit("sessionStatsIncremental: batch event at "),
-              col("start_us").cast("string"),
+              col("__b1.start_us").cast("string"),
               lit(" precedes open-session end "),
               col("__oend").cast("string"), lit(" for user "),
               col(userCol).cast("string"),
               lit(" — batches must be time-partitioned per user"))))
-            .otherwise(col("start_us") - col("__oend") <= gapUs)
-            .as("__merge")))
-    // renumber, absorb the merged first session, and mark each user's
-    // LAST (still-open) session in the same pass — the per-user max
-    // rides a frame-less window on the join's own partitioning instead
-    // of a groupBy + two re-joins (one exchange, not three)
-    val renumbered = graft.CacheBarriers.barrier(
-      b.join(flags, Seq(userCol))
-        .withColumn("__newseq", col("session_seq") + col("__oseq") -
-          when(col("__merge"), 1L).otherwise(0L))
-        .withColumn("__absorb", col("session_seq") === 1 && col("__merge"))
-        .select(col(userCol), col("__newseq").as("session_seq"),
-          (col("n_events") +
-            when(col("__absorb"), col("__on")).otherwise(0L)).as("n_events"),
-          when(col("__absorb"), col("__ostart")).otherwise(col("start_us"))
-            .as("start_us"),
-          col("end_us"))
-        .withColumn("dur_us", col("end_us") - col("start_us"))
-        .withColumn("__last",
-          max(col("session_seq")).over(Window.partitionBy(col(userCol)))))
-    val closedNew = renumbered.filter(col("session_seq") < col("__last"))
-      .drop("__last")
-    // the previous open session ships as closed once its user shows new
-    // activity that did NOT continue it; a merged open row is absorbed
-    // into the batch's first session instead
-    val closedOld = ost.join(
-      flags.filter(!col("__merge")).select(col(userCol)),
-      Seq(userCol), "left_semi")
-    val newOpen = renumbered.filter(col("session_seq") === col("__last"))
-      .drop("__last")
-    val carried = ost.join(flags.select(col(userCol)),
-      Seq(userCol), "left_anti")
-    (closedOld.unionByName(closedNew), carried.unionByName(newOpen))
+            .otherwise(col("__b1.start_us") - col("__oend") <= lit(gapUs)))
+        .withColumn("__oseq", coalesce(col("__oseq0"), lit(0L)))
+        // renumber by the standing count and absorb the merged first
+        // batch session into the open one
+        .withColumn("__rs", expr(
+          """transform(__bss, x -> struct(
+            |  x.session_seq + __oseq - IF(__merge, 1L, 0L) AS session_seq,
+            |  x.n_events + IF(__merge AND x.session_seq = 1L, __on, 0L)
+            |    AS n_events,
+            |  IF(__merge AND x.session_seq = 1L, __ostart, x.start_us)
+            |    AS start_us,
+            |  x.end_us AS end_us))""".stripMargin)))
+    // closed = the previous open session when new activity did NOT
+    // continue it, plus every renumbered batch session except the last
+    // (the user's possibly-still-growing one)
+    val closed = agg
+      .withColumn("__c", explode(expr(
+        """concat(
+          |  CASE WHEN __oend IS NOT NULL AND size(__bss) > 0
+          |            AND NOT __merge
+          |    THEN array(struct(__oseq0 AS session_seq, __on AS n_events,
+          |                      __ostart AS start_us, __oend AS end_us))
+          |    ELSE array() END,
+          |  slice(__rs, 1, greatest(size(__rs) - 1, 0)))""".stripMargin)))
+      .select(col(userCol), col("__c.session_seq"), col("__c.n_events"),
+        col("__c.start_us"), col("__c.end_us"),
+        (col("__c.end_us") - col("__c.start_us")).as("dur_us"))
+    // new open = the last renumbered batch session, or the carried open
+    // row for a user the batch never touched
+    val newOpen = agg
+      .withColumn("__o", expr(
+        """CASE WHEN size(__rs) > 0 THEN element_at(__rs, -1)
+          |ELSE struct(__oseq0 AS session_seq, __on AS n_events,
+          |            __ostart AS start_us, __oend AS end_us) END"""
+          .stripMargin))
+      .select(col(userCol), col("__o.session_seq"), col("__o.n_events"),
+        col("__o.start_us"), col("__o.end_us"),
+        (col("__o.end_us") - col("__o.start_us")).as("dur_us"))
+    (closed, newOpen)
   }
 
   /** DuckDB twin: CTE chain `sess_e, sess_l, sess_s` replaying
