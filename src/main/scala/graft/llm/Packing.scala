@@ -86,6 +86,74 @@ object Packing {
         sum(col(idCol)).as("id_sum"))
   }
 
+  val BatchSalt = "graft-batch|"
+
+  /** Per-(length-bucket, sub-stream) batch-index stride: 2^30 batches
+    * per sub-stream before collision, with the combined
+    * `(len_bucket · nSub + sub) · 2^30` id staying inside a positive
+    * long for len_bucket·nSub up to 2^33 — far past any real
+    * (max_len/width) × parallelism product (the [[PackStride]]
+    * overflow-audit discipline). */
+  val BatchStride: Long = 1L << 30
+
+  /** Length-bucketed batch assignment — the DYNAMIC-BATCHING planner
+    * (the padding complement of [[withPacksCounted]]'s next-fit
+    * concatenation: packing fills a fixed budget by concatenation,
+    * batching groups SEPARATE sequences and pays padding to the batch
+    * max, the standard dataloader trade — Ott et al., fairseq 2019's
+    * `--max-tokens` bucketing). Documents land in `len_bucket =
+    * tokens DIV bucketWidth`, order longest-first (tokens DESC, id ASC
+    * — the order that minimizes per-batch padding spread) inside
+    * `nSub` salted sub-streams, and every `batchSize` consecutive docs
+    * form one batch with a collision-free
+    * `(len_bucket · nSub + sub) · 2^30 + idx` id.
+    *
+    * Scale shape: the only window partitions by (len_bucket, sub) — the
+    * [[withPacksCounted]] salt trick, so a 100 TB corpus whose length
+    * histogram piles into a few buckets still spreads each bucket over
+    * `nSub` independent sort streams (pick ~10× cores); no global sort,
+    * no single-reducer window. Determinism: assignment is a pure
+    * function of (id, tokens), so the plan replays identically on any
+    * cluster — the [[withPacks]] contract.
+    *
+    * Adds `len_bucket`, `sub`, `batch_id`. */
+  def lengthBucketBatches(docs: DataFrame, bucketWidth: Int,
+                          batchSize: Int, nSub: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth > 0, s"lengthBucketBatches: bucketWidth=$bucketWidth")
+    require(batchSize > 0, s"lengthBucketBatches: batchSize=$batchSize")
+    require(nSub > 0 && nSub <= (1 << 23),
+      s"lengthBucketBatches: nSub=$nSub out of [1, 2^23]")
+    val w = Window.partitionBy(col("len_bucket"), col("sub"))
+      .orderBy(col("tokens").desc, col(idCol).asc)
+    docs
+      .withColumn("len_bucket", expr(s"tokens DIV $bucketWidth"))
+      .withColumn("sub",
+        TextHash.h32p(concat(lit(BatchSalt), col(idCol).cast("string")))
+          % nSub)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id",
+        (col("len_bucket") * nSub + col("sub")) * BatchStride +
+          expr(s"(__rn - 1) DIV $batchSize"))
+      .drop("__rn")
+  }
+
+  /** Per-batch padding census over a [[lengthBucketBatches]] assignment:
+    * every sequence in a batch pads to the batch max, so
+    * `pad_tokens = n_docs · batch_max − tok_sum` and `fill_micro` is
+    * the batch's useful-token share — the report a dataloader audit
+    * reads to size bucketWidth/batchSize (padding waste is pure
+    * training-throughput loss). Exact integer arithmetic throughout. */
+  def batchPadCensus(batched: DataFrame): DataFrame =
+    batched.groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tokens")).as("batch_max"),
+        sum(col("tokens")).as("tok_sum"))
+      .withColumn("pad_tokens",
+        expr("n_docs * batch_max - tok_sum"))
+      .withColumn("fill_micro",
+        expr("tok_sum * 1000000L DIV greatest(n_docs * batch_max, 1L)"))
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
   def sqlBucket(id: String, nBuckets: Int): String =
     s"(${TextHash.sqlH32p(s"concat('$PackSalt', CAST($id AS VARCHAR))")} % $nBuckets)"
@@ -113,4 +181,27 @@ object Packing {
        |FROM (SELECT doc_id, tokens,
        |             ${sqlBucket("doc_id", nBuckets)} AS bucket
        |      FROM $src)""".stripMargin
+
+  /** SQL twin of [[lengthBucketBatches]] + [[batchPadCensus]] over a
+    * `(doc_id, tokens)` source CTE: same salt, same longest-first
+    * order, same stride arithmetic, same integer padding census. */
+  def sqlBatchPadCensus(src: String, bucketWidth: Int, batchSize: Int,
+                        nSub: Int): String =
+    s"""SELECT len_bucket, batch_id, count(*) AS n_docs,
+       |       max(tokens) AS batch_max, sum(tokens) AS tok_sum,
+       |       count(*) * max(tokens) - sum(tokens) AS pad_tokens,
+       |       sum(tokens) * 1000000 //
+       |         greatest(count(*) * max(tokens), 1) AS fill_micro
+       |FROM (
+       |  SELECT len_bucket, sub,
+       |         (len_bucket * $nSub + sub) * $BatchStride +
+       |           (row_number() OVER (PARTITION BY len_bucket, sub
+       |              ORDER BY tokens DESC, doc_id ASC) - 1) // $batchSize
+       |           AS batch_id,
+       |         tokens
+       |  FROM (SELECT doc_id, tokens, tokens // $bucketWidth AS len_bucket,
+       |               (${TextHash.sqlH32p(
+      s"concat('$BatchSalt', CAST(doc_id AS VARCHAR))")} % $nSub) AS sub
+       |        FROM $src))
+       |GROUP BY len_bucket, batch_id""".stripMargin
 }

@@ -5894,7 +5894,47 @@ object LlmQueries extends QueryFamily {
            |       CAST(sample_idx * 40000 AS BIGINT) AS t_off_us,
            |       CAST(least(40000, dur_us - sample_idx * 40000) AS BIGINT)
            |         AS t_len_us
-           |FROM x ORDER BY doc_id, sample_idx""".stripMargin))
+           |FROM x ORDER BY doc_id, sample_idx""".stripMargin)),
+
+    // ── Length-bucketed batch plan (q195): the DYNAMIC-BATCHING planner
+    //    — q67's padding complement (packing concatenates into a fixed
+    //    budget; batching groups separate sequences and pays padding to
+    //    the batch max, the fairseq --max-tokens bucketing trade). Docs
+    //    bucket by tokens DIV width, order longest-first inside salted
+    //    sub-streams (the q67 scatter trick: parallelism = buckets ×
+    //    nSub, no single-reducer window even when the length histogram
+    //    piles into one bucket), every batchSize consecutive docs form a
+    //    batch, and the census reports each batch's pad_tokens and
+    //    fill_micro — padding waste is pure training-throughput loss,
+    //    and this report is what sizes bucketWidth/batchSize. Exact
+    //    integer arithmetic; oracle replays salt, order, stride, and
+    //    census verbatim. ───────────────────────────────────────────────
+    QueryDef.sorted(
+      "q195_length_bucket_batches",
+      (s, dir) => Packing.batchPadCensus(Packing.lengthBucketBatches(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text"))
+            .withColumn("tokens",
+              coalesce(size(graft.llm.TextHash.words(col("text"))), lit(0))),
+          bucketWidth = 32, batchSize = 16, nSub = 4))
+        .select(col("len_bucket").cast("long"), col("batch_id").cast("long"),
+          col("n_docs").cast("long"), col("batch_max").cast("long"),
+          col("tok_sum").cast("long"), col("pad_tokens").cast("long"),
+          col("fill_micro").cast("long")),
+      _.orderBy("len_bucket", "batch_id"),
+      Some(
+        s"""WITH src AS (SELECT doc_id,
+           |    coalesce(len(${graft.llm.TextHash.sqlWords("text")}), 0)
+           |      AS tokens FROM documents),
+           |census AS (${Packing.sqlBatchPadCensus("src", 32, 16, 4)})
+           |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+           |       CAST(batch_id AS BIGINT) AS batch_id,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(batch_max AS BIGINT) AS batch_max,
+           |       CAST(tok_sum AS BIGINT) AS tok_sum,
+           |       CAST(pad_tokens AS BIGINT) AS pad_tokens,
+           |       CAST(fill_micro AS BIGINT) AS fill_micro
+           |FROM census ORDER BY len_bucket, batch_id""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

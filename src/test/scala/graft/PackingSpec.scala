@@ -46,6 +46,52 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.packCensus(packed).filter(col("n_docs") > 1).count() > 0)
   }
 
+  test("length-bucket batches: hand-computed census, longest-first order") {
+    // bucketWidth 10, batchSize 2, ONE sub-stream (deterministic):
+    // bucket 0 holds tokens {9(id3), 9(id7), 8(id2), 7(id6), 5(id1),
+    // 0(id8)} longest-first → batches [3,7] [2,6] [1,8];
+    // bucket 1 = {15(id4)}, bucket 2 = {23(id5)}
+    val df = Seq((1L, 5L), (2L, 8L), (3L, 9L), (4L, 15L), (5L, 23L),
+      (6L, 7L), (7L, 9L), (8L, 0L)).toDF("doc_id", "tokens")
+    val got = Packing.batchPadCensus(Packing.lengthBucketBatches(
+        df, bucketWidth = 10, batchSize = 2, nSub = 1))
+      .select("len_bucket", "batch_id", "n_docs", "batch_max", "tok_sum",
+        "pad_tokens", "fill_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val S = Packing.BatchStride
+    assert(got == Seq(
+      (0L, 0L, 2L, 9L, 18L, 0L, 1000000L),       // [id3, id7]
+      (0L, 1L, 2L, 8L, 15L, 1L, 937500L),        // [id2, id6]
+      (0L, 2L, 2L, 5L, 5L, 5L, 500000L),         // [id1, id8(0 tokens)]
+      (1L, S, 1L, 15L, 15L, 0L, 1000000L),       // [id4]
+      (2L, 2 * S, 1L, 23L, 23L, 0L, 1000000L)))  // [id5]
+  }
+
+  test("length-bucket batches: salted sub-streams keep ids collision-free") {
+    val df = spark.range(0, 500).select(col("id").as("doc_id"))
+      .withColumn("tokens", col("doc_id") % 50)
+    val batched = Packing.lengthBucketBatches(df, bucketWidth = 10,
+      batchSize = 4, nSub = 8)
+    // every batch lives in exactly one (len_bucket, sub) stream and
+    // holds at most batchSize docs
+    val census = batched.groupBy("batch_id")
+      .agg(countDistinct(col("len_bucket"), col("sub")).as("streams"),
+        count(lit(1)).as("n"))
+    assert(census.filter(col("streams") =!= 1 || col("n") > 4).count() == 0)
+    // deterministic: same assignment under a different partitioning
+    val a = batched.select("doc_id", "batch_id").as[(Long, Long)]
+      .collect().toMap
+    val b = Packing.lengthBucketBatches(df.repartition(13),
+        bucketWidth = 10, batchSize = 4, nSub = 8)
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(df, 0, 4, 8))
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(df, 10, 0, 8))
+  }
+
   test("quantized codes are in [0,255] and reconstruction is within one step") {
     val vecs = Seq(
       (1L, Seq(0.0f, 0.5f, 1.0f, -1.0f)),
