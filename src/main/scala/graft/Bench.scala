@@ -70,14 +70,20 @@ object Bench {
   /** Bounded extra runs per flagged query. */
   private val HealMaxExtra = 3
 
-  /** Full-run record gate (BASELINE.md "Dirty-run thresholds"): the
-    * clean band for this suite at local[32] is cpu/wall ≥ ~5; the
-    * round-12 driver pass that overwrote the record ran at 4.58 with 35
-    * heals and inflated the total 245.8 → 281.8 s. A full run failing
-    * any threshold must not become the committed artifact — it would
-    * anchor the `prior` heal trigger on inflated values and blind the
-    * heal for a round. */
-  private[graft] val CleanCpuPerWallFloor = 5.0
+  /** Full-run record gate (BASELINE.md "Dirty-run thresholds"). The
+    * clean cpu/wall band TRACKS THE SUITE'S COMPOSITION — the round-13
+    * fold reworks cut suite executor-CPU ~24% and moved the idle-host
+    * band from ~5.9 to ~4.3 — so the floor anchors on the COMMITTED
+    * record's own headline cpu_per_wall scaled by [[CleanCpwRatio]]
+    * (the round-12 contended pass sat at 77.6% of its clean band, so
+    * 80% catches that class while leaving real headroom over the ±1%
+    * idle-host run-to-run variance observed in round 13). The static
+    * [[CleanCpuPerWallFloor]] only bootstraps a repo with no committed
+    * record. A full run failing any threshold must not become the
+    * committed artifact — it would anchor the `prior` heal trigger on
+    * inflated values and blind the heal for a round. */
+  private[graft] val CleanCpuPerWallFloor = 3.0
+  private[graft] val CleanCpwRatio = 0.8
   /** More heals than this across the suite = a contention storm, not a
     * few unlucky windows (clean rounds sit ≤ ~12 of 192). */
   private[graft] val CleanHealedCap = 24
@@ -88,17 +94,21 @@ object Bench {
   /** Why a full run may not overwrite `bench/qmap.json` — `None` means
     * clean. Pure so the spec can pin every threshold. `loadBefore` /
     * `loadAfter` are the 1-min loadavg samples (None when /proc/loadavg
-    * is unavailable — not a dirty signal by itself). */
+    * is unavailable — not a dirty signal by itself); `priorCpw` is the
+    * committed record's headline cpu_per_wall (None bootstraps on the
+    * static floor). */
   private[graft] def dirtyReason(
       cpuPerWall: Double, healed: Int,
       loadBefore: Option[Double], loadAfter: Option[Double],
-      cores: Int): Option[String] = {
+      cores: Int, priorCpw: Option[Double] = None): Option[String] = {
     val overload = (l: Option[Double]) =>
       l.exists(_ > CleanLoadFactor * math.max(cores, 1))
-    // the ≥~5 band is calibrated at local[32]; cpu/wall scales with the
-    // achievable parallelism, so a deliberate small-core run is judged
-    // against a proportionally lower floor rather than auto-failed
-    val cpwFloor = CleanCpuPerWallFloor * math.max(cores, 1) / 32.0
+    // the band is calibrated at local[32] (the committed record's
+    // shape); cpu/wall scales with the achievable parallelism, so a
+    // deliberate small-core run is judged against a proportionally
+    // lower floor rather than auto-failed
+    val cpwFloor = priorCpw.map(_ * CleanCpwRatio)
+      .getOrElse(CleanCpuPerWallFloor) * math.max(cores, 1) / 32.0
     if (cpuPerWall < cpwFloor)
       Some(s"cpu_per_wall $cpuPerWall below clean band $cpwFloor")
     else if (healed > CleanHealedCap)
@@ -293,10 +303,24 @@ object Bench {
     java.nio.file.Files.createDirectories(dir)
     def load1(s: String): Option[Double] =
       s.split(",").headOption.flatMap(_.toDoubleOption)
+    // the committed record's own headline cpu_per_wall anchors the
+    // clean band (suite composition shifts move the band — round 13's
+    // fold reworks cut suite CPU ~24%)
+    val priorCpw: Option[Double] = try {
+      val f = java.nio.file.Paths.get("bench/qmap.json")
+      if (!java.nio.file.Files.exists(f)) None
+      else {
+        val re = """"cpu_per_wall":([0-9.eE+-]+)""".r
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f)).asScala
+          .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+          .lastOption
+      }
+    } catch { case _: Exception => None }
     val dirty: Option[String] =
       if (only.nonEmpty) None // partial runs are routed by name already
       else dirtyReason(math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0,
-        nHealed, load1(loadBefore), load1(loadAfter), cpus.toInt)
+        nHealed, load1(loadBefore), load1(loadAfter), cpus.toInt, priorCpw)
     val target =
       if (only.nonEmpty) "qmap.partial.json"
       else if (dirty.isDefined) "qmap.dirty.json"

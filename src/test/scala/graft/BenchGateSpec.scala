@@ -12,28 +12,42 @@ class BenchGateSpec extends AnyFunSuite {
 
   private def gate(cpw: Double, healed: Int,
                    before: Option[Double], after: Option[Double],
-                   cores: Int = 32) =
-    Bench.dirtyReason(cpw, healed, before, after, cores)
+                   cores: Int = 32, priorCpw: Option[Double] = None) =
+    Bench.dirtyReason(cpw, healed, before, after, cores, priorCpw)
 
-  test("clean round-12 committed sentinel passes") {
+  test("clean round-12 committed sentinel passes against its own band") {
     // committed record: cpu_per_wall 5.9, healed 12, loadavg 10.57/12.99
-    assert(gate(5.9, 12, Some(10.57), Some(12.99)).isEmpty)
+    assert(gate(5.9, 12, Some(10.57), Some(12.99),
+      priorCpw = Some(5.9)).isEmpty)
   }
 
   test("the round-12 dirty driver pass is diverted on cpu_per_wall") {
-    val why = gate(4.58, 35, Some(15.77), Some(20.0))
+    // 4.58 against the then-committed 5.9 band: floor 5.9*0.8 = 4.72
+    val why = gate(4.58, 35, Some(15.77), Some(20.0), priorCpw = Some(5.9))
     assert(why.isDefined && why.get.contains("cpu_per_wall"))
   }
 
-  test("cpu_per_wall at the floor is clean, just below is dirty") {
-    assert(gate(5.0, 0, None, None).isEmpty)
-    assert(gate(4.99, 0, None, None).isDefined)
+  test("the band tracks suite composition through the committed record") {
+    // round-13 fold reworks moved the idle-host band to ~4.3: a 4.31
+    // run against a 4.31 record is clean (floor 3.45)...
+    assert(gate(4.31, 21, Some(8.39), Some(17.16),
+      priorCpw = Some(4.31)).isEmpty)
+    // ...and a contended pass of the same suite still diverts
+    assert(gate(3.1, 30, Some(40.0), Some(45.0), priorCpw = Some(4.31))
+      .exists(_.contains("cpu_per_wall")))
+  }
+
+  test("no committed record bootstraps on the static floor") {
+    assert(gate(3.0, 0, None, None).isEmpty)
+    assert(gate(2.99, 0, None, None).isDefined)
   }
 
   test("the floor scales with the core count") {
-    // 5.0 * 8/32 = 1.25: a deliberate 8-core run at cpw 1.3 is clean
-    assert(gate(1.3, 0, None, None, cores = 8).isEmpty)
-    assert(gate(1.2, 0, None, None, cores = 8).isDefined)
+    // prior 4.31: floor 4.31*0.8*8/32 = 0.862 at 8 cores
+    assert(gate(0.9, 0, None, None, cores = 8,
+      priorCpw = Some(4.31)).isEmpty)
+    assert(gate(0.8, 0, None, None, cores = 8,
+      priorCpw = Some(4.31)).isDefined)
   }
 
   test("a contention storm of heals is dirty even at clean cpu_per_wall") {
