@@ -91,6 +91,21 @@ object Bench {
     * of the timed pass marks foreign tenants competing for the host. */
   private[graft] val CleanLoadFactor = 1.5
 
+  /** The scale factor whose full-run results ARE the committed record —
+    * BASELINE.md's numbers, the `prior` heal anchors, and the gate's
+    * cpu_per_wall band are all sf0.1 quantities, so a full run at any
+    * other SF routes to `qmap.<sf>.json` (diagnostic, never the record)
+    * and skips the cross-SF-meaningless prior machinery. */
+  private[graft] val CanonicalSf = "sf0.1"
+
+  /** Which file a run's results land in — pure for the spec. */
+  private[graft] def recordTarget(filtered: Boolean, sfName: String,
+                                  dirty: Boolean): String =
+    if (filtered) "qmap.partial.json"
+    else if (sfName != CanonicalSf) s"qmap.$sfName.json"
+    else if (dirty) "qmap.dirty.json"
+    else "qmap.json"
+
   /** Why a full run may not overwrite `bench/qmap.json` — `None` means
     * clean. Pure so the spec can pin every threshold. `loadBefore` /
     * `loadAfter` are the 1-min loadavg samples (None when /proc/loadavg
@@ -207,9 +222,12 @@ object Bench {
     // bench that landed in the repo — the `prior` heal trigger's
     // reference. Best-effort parse; a missing or malformed file just
     // disables that trigger.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val priorSec: Map[String, Double] = {
       val f = java.nio.file.Paths.get("bench/qmap.json")
-      if (!java.nio.file.Files.exists(f)) Map.empty
+      // the committed record is sf0.1; comparing another SF's medians
+      // against it would misfire the `prior` trigger in both directions
+      if (sfName != CanonicalSf || !java.nio.file.Files.exists(f)) Map.empty
       else try {
         val re = """"q":"([^"]+)","sec":([0-9.eE+-]+)""".r
         scala.jdk.CollectionConverters.ListHasAsScala(
@@ -308,7 +326,7 @@ object Bench {
     // fold reworks cut suite CPU ~24%)
     val priorCpw: Option[Double] = try {
       val f = java.nio.file.Paths.get("bench/qmap.json")
-      if (!java.nio.file.Files.exists(f)) None
+      if (sfName != CanonicalSf || !java.nio.file.Files.exists(f)) None
       else {
         val re = """"cpu_per_wall":([0-9.eE+-]+)""".r
         scala.jdk.CollectionConverters.ListHasAsScala(
@@ -321,10 +339,7 @@ object Bench {
       if (only.nonEmpty) None // partial runs are routed by name already
       else dirtyReason(math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0,
         nHealed, load1(loadBefore), load1(loadAfter), cpus.toInt, priorCpw)
-    val target =
-      if (only.nonEmpty) "qmap.partial.json"
-      else if (dirty.isDefined) "qmap.dirty.json"
-      else "qmap.json"
+    val target = recordTarget(only.nonEmpty, sfName, dirty.isDefined)
     dirty.foreach { why =>
       println(s"""{"metric":"dirty_run","reason":"$why","written":"$target"}""")
     }
@@ -336,10 +351,10 @@ object Bench {
     } :+ headline).mkString("", "\n", "\n")
     java.nio.file.Files.write(dir.resolve(target),
       lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // a CLEAN full run just refreshed the record — regenerate the
-    // operator map from it so docs/OPERATORS.md can't drift (the spec
-    // pins its query set to the registry)
-    if (only.isEmpty && dirty.isEmpty) OperatorsDoc.write()
+    // a CLEAN CANONICAL full run just refreshed the record — regenerate
+    // the operator map from it so docs/OPERATORS.md can't drift (the
+    // spec pins its query set to the registry)
+    if (target == "qmap.json") OperatorsDoc.write()
 
     // Early headline: a HEAD-truncated capture still sees {total, n}.
     println(headline)

@@ -66,4 +66,21 @@ class BenchGateSpec extends AnyFunSuite {
   test("missing loadavg samples are not a dirty signal by themselves") {
     assert(gate(5.9, 0, None, None).isEmpty)
   }
+
+  test("only a clean canonical-SF full run may write the record") {
+    // BASELINE.md's numbers, prior anchors, and the cpu_per_wall band
+    // are sf0.1 quantities — a full run at another SF must never
+    // overwrite them, clean or not
+    assert(Bench.recordTarget(filtered = false, "sf0.1", dirty = false)
+      == "qmap.json")
+    assert(Bench.recordTarget(filtered = false, "sf0.1", dirty = true)
+      == "qmap.dirty.json")
+    assert(Bench.recordTarget(filtered = false, "sf0.001", dirty = false)
+      == "qmap.sf0.001.json")
+    assert(Bench.recordTarget(filtered = true, "sf0.1", dirty = false)
+      == "qmap.partial.json")
+    // filtered wins over SF routing: a partial run is a partial run
+    assert(Bench.recordTarget(filtered = true, "sf0.001", dirty = false)
+      == "qmap.partial.json")
+  }
 }
