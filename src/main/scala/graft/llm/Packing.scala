@@ -154,6 +154,43 @@ object Packing {
       .withColumn("fill_micro",
         expr("tok_sum * 1000000L DIV greatest(n_docs * batch_max, 1L)"))
 
+  /** Per-document TOKEN SPANS inside each pack — the sample-boundary
+    * map a trainer consumes alongside [[withPacks]]' assignment:
+    * documents concatenate within a pack in id order, so doc i occupies
+    * `[start_tok, end_tok)` of its pack's sequence, and that map is
+    * what drives document-boundary attention masking (no cross-document
+    * attention inside packed sequences — the T5/LLaMA packing
+    * discipline) and per-document loss masks. `doc_idx` is the doc's
+    * 0-based position in its pack.
+    *
+    * Scale shape: one window partitioned by pack_id — pack-sized
+    * partitions (a pack holds at most budget-worth of documents), so
+    * the parallelism is the pack count; deterministic by the same
+    * (pack, id-order) law as the assignment itself. */
+  def packSpans(packed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("pack_id")).orderBy(col(idCol))
+    packed
+      .withColumn("doc_idx",
+        row_number().over(w).cast("long") - 1L)
+      .withColumn("end_tok", sum(col("tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_tok", col("end_tok") - col("tokens"))
+      .select(col(idCol), col("bucket"), col("pack_id"), col("doc_idx"),
+        col("start_tok"), col("end_tok"))
+  }
+
+  /** SQL twin of [[packSpans]] over a CTE holding [[sqlPacks]]' output. */
+  def sqlPackSpans(packedSrc: String): String =
+    s"""SELECT doc_id, bucket, pack_id,
+       |       row_number() OVER (PARTITION BY pack_id ORDER BY doc_id)
+       |         - 1 AS doc_idx,
+       |       sum(tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+       |                         ROWS UNBOUNDED PRECEDING)
+       |         - tokens AS start_tok,
+       |       sum(tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS end_tok
+       |FROM $packedSrc""".stripMargin
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
   def sqlBucket(id: String, nBuckets: Int): String =
     s"(${TextHash.sqlH32p(s"concat('$PackSalt', CAST($id AS VARCHAR))")} % $nBuckets)"

@@ -5934,7 +5934,37 @@ object LlmQueries extends QueryFamily {
            |       CAST(tok_sum AS BIGINT) AS tok_sum,
            |       CAST(pad_tokens AS BIGINT) AS pad_tokens,
            |       CAST(fill_micro AS BIGINT) AS fill_micro
-           |FROM census ORDER BY len_bucket, batch_id""".stripMargin))
+           |FROM census ORDER BY len_bucket, batch_id""".stripMargin)),
+
+    // ── Pack span plan (q196): the sample-boundary map over q67's pack
+    //    assignment — documents concatenate within a pack in id order,
+    //    so each doc's [start_tok, end_tok) span is what drives
+    //    document-boundary attention masking (no cross-doc attention in
+    //    packed sequences, the T5/LLaMA packing discipline) and
+    //    per-document loss masks. One window partitioned by pack_id
+    //    (pack-sized partitions — parallelism is the pack count);
+    //    oracle replays the pack assignment and the span window
+    //    verbatim. ────────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q196_pack_spans",
+      (s, dir) => Packing.packSpans(Packing.withPacks(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")),
+          budget = 256, nBuckets = 8))
+        .select(col("doc_id").cast("long"), col("bucket").cast("long"),
+          col("pack_id").cast("long"), col("doc_idx").cast("long"),
+          col("start_tok").cast("long"), col("end_tok").cast("long")),
+      _.orderBy("pack_id", "doc_idx"),
+      Some(
+        s"""WITH packed AS (${Packing.sqlPacks("documents", 256, 8)}),
+           |spans AS (${Packing.sqlPackSpans("packed")})
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(pack_id AS BIGINT) AS pack_id,
+           |       CAST(doc_idx AS BIGINT) AS doc_idx,
+           |       CAST(start_tok AS BIGINT) AS start_tok,
+           |       CAST(end_tok AS BIGINT) AS end_tok
+           |FROM spans ORDER BY pack_id, doc_idx""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -46,6 +46,26 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.packCensus(packed).filter(col("n_docs") > 1).count() > 0)
   }
 
+  test("pack spans tile each pack exactly: contiguous, gap-free, id-ordered") {
+    val spans = Packing.packSpans(Packing.withPacks(docs, budget = 256,
+      nBuckets = 8))
+      .select("pack_id", "doc_id", "doc_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    spans.foreach { pack =>
+      val ordered = pack.sortBy(_._3)
+      // doc_idx is dense from 0 and follows id order
+      assert(ordered.map(_._3).toSeq == ordered.indices.map(_.toLong))
+      assert(ordered.map(_._2).toSeq == ordered.map(_._2).sorted.toSeq)
+      // spans tile the pack: each start is the previous end, from 0
+      ordered.foldLeft(0L) { (expectStart, s) =>
+        assert(s._4 == expectStart,
+          s"pack ${s._1}: doc ${s._2} starts at ${s._4}, expected $expectStart")
+        s._5
+      }
+    }
+  }
+
   test("length-bucket batches: hand-computed census, longest-first order") {
     // bucketWidth 10, batchSize 2, ONE sub-stream (deterministic):
     // bucket 0 holds tokens {9(id3), 9(id7), 8(id2), 7(id6), 5(id1),
