@@ -98,11 +98,22 @@ object Bench {
     * and skips the cross-SF-meaningless prior machinery. */
   private[graft] val CanonicalSf = "sf0.1"
 
+  /** The core count whose full-run results ARE the committed record.
+    * The committed walls are local[32] quantities: a full sf0.1 run at
+    * the default SPARK_GRAFT_CPUS=4 would pass the (core-scaled)
+    * cpu_per_wall band as "clean" while carrying ~8× walls, silently
+    * re-anchoring every `prior` heal trigger — so non-canonical core
+    * counts route to `qmap.cores<n>.json` the same way non-canonical
+    * scale factors route to `qmap.<sf>.json`. */
+  private[graft] val CanonicalCores = 32
+
   /** Which file a run's results land in — pure for the spec. */
   private[graft] def recordTarget(filtered: Boolean, sfName: String,
-                                  dirty: Boolean): String =
+                                  dirty: Boolean,
+                                  cores: Int = CanonicalCores): String =
     if (filtered) "qmap.partial.json"
     else if (sfName != CanonicalSf) s"qmap.$sfName.json"
+    else if (cores != CanonicalCores) s"qmap.cores$cores.json"
     else if (dirty) "qmap.dirty.json"
     else "qmap.json"
 
@@ -223,11 +234,13 @@ object Bench {
     // reference. Best-effort parse; a missing or malformed file just
     // disables that trigger.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val canonicalRun = sfName == CanonicalSf && cpus.toInt == CanonicalCores
     val priorSec: Map[String, Double] = {
       val f = java.nio.file.Paths.get("bench/qmap.json")
-      // the committed record is sf0.1; comparing another SF's medians
-      // against it would misfire the `prior` trigger in both directions
-      if (sfName != CanonicalSf || !java.nio.file.Files.exists(f)) Map.empty
+      // the committed record is sf0.1 at local[32]; comparing another
+      // SF's or core count's medians against it would misfire the
+      // `prior` trigger in both directions
+      if (!canonicalRun || !java.nio.file.Files.exists(f)) Map.empty
       else try {
         val re = """"q":"([^"]+)","sec":([0-9.eE+-]+)""".r
         scala.jdk.CollectionConverters.ListHasAsScala(
@@ -301,7 +314,7 @@ object Bench {
         s""""cpu_sec":${math.round(cpuSec * 10) / 10.0},""" +
         s""""cpu_per_wall":${
           math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0},""" +
-        s""""healed":$nHealed"""
+        s""""healed":$nHealed,"cores":${cpus.toInt}"""
     val headline = s"""{"metric":"total","value":$total,"n":${
       results.length},"unit":"sec","sf":"$sfDir",$sentinel}"""
 
@@ -326,7 +339,7 @@ object Bench {
     // fold reworks cut suite CPU ~24%)
     val priorCpw: Option[Double] = try {
       val f = java.nio.file.Paths.get("bench/qmap.json")
-      if (sfName != CanonicalSf || !java.nio.file.Files.exists(f)) None
+      if (!canonicalRun || !java.nio.file.Files.exists(f)) None
       else {
         val re = """"cpu_per_wall":([0-9.eE+-]+)""".r
         scala.jdk.CollectionConverters.ListHasAsScala(
@@ -339,7 +352,8 @@ object Bench {
       if (only.nonEmpty) None // partial runs are routed by name already
       else dirtyReason(math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0,
         nHealed, load1(loadBefore), load1(loadAfter), cpus.toInt, priorCpw)
-    val target = recordTarget(only.nonEmpty, sfName, dirty.isDefined)
+    val target = recordTarget(only.nonEmpty, sfName, dirty.isDefined,
+      cpus.toInt)
     dirty.foreach { why =>
       println(s"""{"metric":"dirty_run","reason":"$why","written":"$target"}""")
     }

@@ -77,26 +77,93 @@ object TransportSource {
 
 /** Resume-token offset. The token rides base64 so the offset JSON never
   * depends on what bytes a deployment's tokens contain; `None` is the
-  * pre-history start ("poll from the beginning of retention"). */
-private[source] final case class TokenOffset(token: Option[String])
+  * pre-history start ("poll from the beginning of retention"). `rows`
+  * is the size of the batch that ENDED at this token: a restart rebuild
+  * re-polls with that exact size, so the rebuild stays correct even if
+  * `--maxDocs` changed across the restart (tokens are opaque — only the
+  * original row count reproduces the original batch boundary). Absent
+  * on pre-rows checkpoints and on the initial offset. */
+private[source] final case class TokenOffset(token: Option[String],
+                                             rows: Option[Int] = None)
     extends Offset {
   override def json(): String = token match {
     case Some(t) => s"""{"token":"${Base64.getEncoder
-      .encodeToString(t.getBytes("UTF-8"))}"}"""
+      .encodeToString(t.getBytes("UTF-8"))}"""" +
+      rows.map(r => s""","rows":$r""").getOrElse("") + "}"
     case None => """{"token":null}"""
   }
 }
 
 private[source] object TokenOffset {
   private val Re = """\{"token":"([A-Za-z0-9+/=]*)"\}""".r
+  private val ReRows = """\{"token":"([A-Za-z0-9+/=]*)","rows":(\d+)\}""".r
 
   def parse(json: String): TokenOffset = json.trim match {
     case """{"token":null}""" => TokenOffset(None)
+    case ReRows(b64, n) => TokenOffset(Some(
+      new String(Base64.getDecoder.decode(b64), "UTF-8")), Some(n.toInt))
     case Re(b64) => TokenOffset(Some(
       new String(Base64.getDecoder.decode(b64), "UTF-8")))
     case other =>
       throw new IllegalArgumentException(s"bad transport offset: $other")
   }
+}
+
+/** Driver-side lag gauges for running transport sources — the analog of
+  * the reference's intake-position line in its stats loop
+  * (monstache.go:4959-4972): without it, a wedged transport (or a sink
+  * so slow commits stop landing) is invisible until the watchdog fires.
+  * [[TransportMicroBatch]] updates its gauge on every poll/commit;
+  * [[graft.streaming.HealthServer]] serves the snapshot at `/sources`.
+  * Keyed by the stream's transport name — control-plane-sized,
+  * driver-local, best-effort (a restart's replayed batch is counted by
+  * its commit only, so `docsPending` may transiently undercount). */
+object TransportLag {
+  final case class Gauge(
+      transport: String,
+      lastPollAtMs: Long,
+      lastDataAtMs: Long,
+      lastCommitAtMs: Long,
+      docsPolled: Long,
+      docsCommitted: Long,
+      lastToken: Option[String]) {
+    /** Polled-but-uncommitted rows — rises while a micro-batch is being
+      * processed, falls back on commit; monotone growth = wedged sink. */
+    def docsPending: Long = math.max(docsPolled - docsCommitted, 0L)
+  }
+
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, Gauge]()
+
+  private def now(): Long = System.currentTimeMillis()
+
+  private[source] def onPoll(key: String, docs: Int,
+                             token: Option[String]): Unit =
+    reg.compute(key, (_, g0) => {
+      val g = Option(g0).getOrElse(Gauge(key, 0L, 0L, 0L, 0L, 0L, None))
+      g.copy(lastPollAtMs = now(),
+        lastDataAtMs = if (docs > 0) now() else g.lastDataAtMs,
+        docsPolled = g.docsPolled + docs,
+        lastToken = token.orElse(g.lastToken))
+    })
+
+  private[source] def onCommit(key: String, docs: Long,
+                               token: String): Unit =
+    reg.compute(key, (_, g0) => {
+      val g = Option(g0).getOrElse(Gauge(key, 0L, 0L, 0L, 0L, 0L, None))
+      g.copy(lastCommitAtMs = now(),
+        docsCommitted = g.docsCommitted + docs,
+        lastToken = Some(token))
+    })
+
+  def snapshot: Map[String, Gauge] = {
+    val b = Map.newBuilder[String, Gauge]
+    reg.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+
+  /** Specs and daemon restarts start from a clean slate. */
+  def reset(): Unit = reg.clear()
 }
 
 /** Zero-arg provider instantiated by Spark from the format string. */
@@ -134,24 +201,58 @@ private[source] class TransportTable(opts: CaseInsensitiveStringMap)
           val maxDocs = Option(opts.get("maxdocs")).map(_.toInt)
             .getOrElse(10000)
           require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
-          new TransportMicroBatch(transport, maxDocs)
+          val lagKey = Option(opts.get("transport"))
+            .orElse(Option(opts.get("transportclass")))
+            .getOrElse(transport.getClass.getName)
+          new TransportMicroBatch(transport, maxDocs, lagKey)
         }
       }
     }
 }
 
 private[source] class TransportMicroBatch(transport: SourceTransport,
-                                          maxDocs: Int)
+                                          maxDocs: Int,
+                                          lagKey: String = "transport",
+                                          drainWalkSteps: Int = 10000)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  /** Trigger.AvailableNow (the daemon's --once drain): nothing to
-    * capture — `latestOffset` already returns its start offset the
-    * moment a poll comes back empty on the same token, which ends the
-    * run. A token space is opaque (no order), so "all available" IS
-    * "drain until the transport reports idle" — the reference's
-    * exit-after mode drains its direct reads the same way. */
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  /** Trigger.AvailableNow (the daemon's --once drain): the
+    * SupportsTriggerAvailableNow contract caps the run at the data
+    * available when the trigger fires — against a transport that keeps
+    * producing, "drain until an idle poll" never terminates. Tokens are
+    * opaque (no order), so the cap is captured as a WALK: at the first
+    * trigger after prepare, poll driver-side from the restart offset to
+    * the current tail once, recording each step's (start token → row
+    * count, end token); the drain then replays exactly those steps
+    * (replayable-while-retained + append-only ⇒ same rows) and stops at
+    * the captured tail, ignoring anything that arrived later. The walk
+    * discards event payloads (O(#steps) memory) — the drain re-polls
+    * each batch, so a capped run reads the backlog twice; the daemon's
+    * --once mode is the bounded-backlog path where that is cheap.
+    * `drainWalkSteps` backstops a true firehose: the cap cuts the
+    * drain at a consistent token and the next --once run continues. */
+  override def prepareForTriggerAvailableNow(): Unit = { prepared = true }
+
+  @volatile private var prepared = false
+  @volatile private var drainPlan: Option[DrainPlan] = None
+
+  private def walk(from: Option[String]): DrainPlan = {
+    val steps = Map.newBuilder[Option[String], (Int, String)]
+    var tok = from
+    var n = 0
+    var done = false
+    while (!done && n < drainWalkSteps) {
+      val b = transport.poll(tok, maxDocs)
+      if (b.events.isEmpty && tok.contains(b.nextToken)) done = true
+      else {
+        steps += tok -> ((b.events.size, b.nextToken))
+        tok = Some(b.nextToken)
+        n += 1
+      }
+    }
+    DrainPlan(steps.result(), tok)
+  }
 
   // the last poll, keyed by (start, end) offsets — latestOffset already
   // read the batch's events, so the common path's planInputPartitions
@@ -169,10 +270,41 @@ private[source] class TransportMicroBatch(transport: SourceTransport,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TokenOffset]
-    val batch = transport.poll(s.token, maxDocs)
-    val end = TokenOffset(Some(batch.nextToken))
-    if (batch.events.isEmpty && s.token.contains(batch.nextToken)) start
-    else { cached = Some((s, end, batch.events)); end }
+    if (prepared && drainPlan.isEmpty) drainPlan = Some(walk(s.token))
+    drainPlan match {
+      case Some(p) if s.token != p.tail =>
+        p.steps.get(s.token) match {
+          case Some((n, endTok)) =>
+            val batch =
+              if (n == 0) SourceBatch(Nil, endTok)
+              else transport.poll(s.token, n)
+            require(batch.nextToken == endTok,
+              s"drain replay from ${s.token} landed on token " +
+                s"${batch.nextToken}, but the prepare-time walk recorded " +
+                s"$endTok — the source lost retained history")
+            val end = TokenOffset(Some(endTok), Some(n))
+            TransportLag.onPoll(lagKey, batch.events.size, end.token)
+            cached = Some((s, end, batch.events)); end
+          case None =>
+            // off the captured walk (an offset from before prepare, or a
+            // re-prepared restart): re-anchor the walk here — it keys its
+            // first step at s.token or tails out immediately
+            drainPlan = Some(walk(s.token))
+            latestOffset(start, limit)
+        }
+      case Some(_) => start // captured tail reached: the drain is done
+      case None =>
+        val batch = transport.poll(s.token, maxDocs)
+        val end = TokenOffset(Some(batch.nextToken),
+          Some(batch.events.size))
+        if (batch.events.isEmpty && s.token.contains(batch.nextToken)) {
+          TransportLag.onPoll(lagKey, 0, s.token)
+          start
+        } else {
+          TransportLag.onPoll(lagKey, batch.events.size, end.token)
+          cached = Some((s, end, batch.events)); end
+        }
+    }
   }
 
   override def latestOffset(): Offset =
@@ -186,13 +318,21 @@ private[source] class TransportMicroBatch(transport: SourceTransport,
     val events = cached match {
       case Some((cs, ce, evs)) if cs == s && ce == e => evs
       case _ =>
-        // restart path: rebuild the checkpointed-but-uncommitted batch
-        val batch = transport.poll(s.token, maxDocs)
+        // restart path: rebuild the checkpointed-but-uncommitted batch by
+        // re-polling with the batch's RECORDED row count (the offset
+        // carries it), so the rebuild reproduces the original boundary
+        // even if --maxDocs changed across the restart; a pre-rows
+        // checkpoint falls back to the current maxDocs
+        val n = e.rows.getOrElse(maxDocs)
+        val batch =
+          if (n == 0) SourceBatch(Nil, e.token.getOrElse(""))
+          else transport.poll(s.token, n)
         require(e.token.contains(batch.nextToken),
-          s"transport replay from ${s.token} landed on token " +
+          s"transport replay of $n rows from ${s.token} landed on token " +
             s"${batch.nextToken}, but the checkpoint recorded ${e.token}" +
-            " — the source lost retained history; refusing to narrow " +
-            "the batch")
+            " — the source lost retained history (or, if this checkpoint" +
+            " predates per-batch row counts in offsets, --maxDocs" +
+            " changed across the restart); refusing to narrow the batch")
         batch.events
     }
     Array(TransportPartition(events))
@@ -215,7 +355,13 @@ private[source] class TransportMicroBatch(transport: SourceTransport,
     }
 
   override def commit(end: Offset): Unit = {
-    end.asInstanceOf[TokenOffset].token.foreach(transport.commit)
+    val e = end.asInstanceOf[TokenOffset]
+    e.token.foreach { t =>
+      transport.commit(t)
+      // the offset carries its batch's row count, so the lag gauge's
+      // docsCommitted needs no side table
+      TransportLag.onCommit(lagKey, e.rows.getOrElse(0).toLong, t)
+    }
     cached = cached.filter { case (_, ce, _) => ce != end }
   }
 
@@ -226,3 +372,8 @@ private[source] class TransportMicroBatch(transport: SourceTransport,
   * serial-cursor shape — see [[TransportSource]] scale note). */
 private[source] final case class TransportPartition(events: Seq[ChangeEvent])
     extends InputPartition
+
+/** A prepare-time drain capture: each step maps a start token to its
+  * (row count, end token); `tail` is where the drain stops. */
+private[source] final case class DrainPlan(
+    steps: Map[Option[String], (Int, String)], tail: Option[String])

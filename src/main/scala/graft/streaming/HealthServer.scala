@@ -182,6 +182,28 @@ object HealthServer {
         }
         respond(ex, 200, qs.mkString("[", ",", "]"))
       })
+    // monstache.go:4959-4972 — the reference's stats loop logs its
+    // intake position; here the transport-source lag gauges make a
+    // wedged transport (poll age rising) or a stalled sink (docs_pending
+    // rising with commit age) visible before the liveness probe fires
+    server.createContext("/sources",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val now = System.currentTimeMillis()
+        def age(at: Long): Long = if (at <= 0L) -1L else now - at
+        val gs = graft.source.TransportLag.snapshot.toSeq.sortBy(_._1)
+          .map { case (k, g) =>
+            s"""{"transport":${jsonStr(k)},""" +
+              s""""docs_polled":${g.docsPolled},""" +
+              s""""docs_committed":${g.docsCommitted},""" +
+              s""""docs_pending":${g.docsPending},""" +
+              s""""poll_age_ms":${age(g.lastPollAtMs)},""" +
+              s""""data_age_ms":${age(g.lastDataAtMs)},""" +
+              s""""commit_age_ms":${age(g.lastCommitAtMs)},""" +
+              s""""last_token":${g.lastToken.map(jsonStr)
+                .getOrElse("null")}}"""
+          }
+        respond(ex, 200, gs.mkString("[", ",", "]"))
+      })
     // monstache.go:4250-4266 — the effective config
     server.createContext("/config",
       (ex: com.sun.net.httpserver.HttpExchange) =>

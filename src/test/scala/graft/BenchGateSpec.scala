@@ -83,4 +83,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.recordTarget(filtered = true, "sf0.001", dirty = false)
       == "qmap.partial.json")
   }
+
+  test("only a canonical-core full run may write the record") {
+    // the committed walls are local[32] quantities; a full sf0.1 run at
+    // the default SPARK_GRAFT_CPUS=4 passes the core-scaled cpu_per_wall
+    // band yet carries ~8x walls — it must route to a diagnostic file,
+    // never re-anchor the prior heal trigger
+    assert(Bench.recordTarget(filtered = false, "sf0.1", dirty = false,
+      cores = 4) == "qmap.cores4.json")
+    // even a dirty small-core run routes by cores (the dirty label is
+    // meaningless against the wrong-band floor)
+    assert(Bench.recordTarget(filtered = false, "sf0.1", dirty = true,
+      cores = 4) == "qmap.cores4.json")
+    // SF routing wins over core routing — one diagnostic axis at a time,
+    // named by the rarer deviation
+    assert(Bench.recordTarget(filtered = false, "sf0.001", dirty = false,
+      cores = 4) == "qmap.sf0.001.json")
+    assert(Bench.recordTarget(filtered = false, "sf0.1", dirty = false,
+      cores = Bench.CanonicalCores) == "qmap.json")
+  }
 }

@@ -149,6 +149,88 @@ class SourceTransportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lost retained history"))
   }
 
+  test("Trigger.AvailableNow caps the drain at prepare-time availability") {
+    // the SupportsTriggerAvailableNow contract: events arriving AFTER
+    // the prepare-time walk must not extend the drain — against a
+    // transport that keeps producing, an uncapped idle-poll drain never
+    // terminates (the daemon --once hang class)
+    val t = new MockTransport((0 until 50).map(mkEvent))
+    val s = new TransportMicroBatch(t, 20)
+    s.prepareForTriggerAvailableNow()
+    var off = s.initialOffset()
+    var drained = 0
+    var batches = 0
+    var done = false
+    while (!done && batches < 10) {
+      val nxt = s.latestOffset(off, ReadLimit.maxRows(20))
+      if (nxt == off) done = true
+      else {
+        if (batches == 0) t.append((50 until 70).map(mkEvent))
+        drained += s.planInputPartitions(off, nxt)(0)
+          .asInstanceOf[TransportPartition].events.size
+        s.commit(nxt); off = nxt; batches += 1
+      }
+    }
+    assert(done, "the drain must terminate at the prepare-time tail")
+    assert(drained == 50,
+      s"only prepare-time rows belong to the drain, got $drained")
+    // the next run (a fresh prepare) picks up the late arrivals
+    val s2 = new TransportMicroBatch(t, 20)
+    s2.prepareForTriggerAvailableNow()
+    val nxt2 = s2.latestOffset(off, ReadLimit.maxRows(20))
+    assert(s2.planInputPartitions(off, nxt2)(0)
+      .asInstanceOf[TransportPartition].events.size == 20)
+  }
+
+  test("the drain walk is bounded against a firehose transport") {
+    // a transport with an endless backlog: the walk cap cuts the drain
+    // at a consistent token instead of polling forever at prepare time
+    val t = new MockTransport((0 until 1000).map(mkEvent))
+    val s = new TransportMicroBatch(t, 5, drainWalkSteps = 3)
+    s.prepareForTriggerAvailableNow()
+    var off = s.initialOffset()
+    var drained = 0
+    var done = false
+    while (!done && drained <= 1000) {
+      val nxt = s.latestOffset(off, ReadLimit.maxRows(5))
+      if (nxt == off) done = true
+      else {
+        drained += s.planInputPartitions(off, nxt)(0)
+          .asInstanceOf[TransportPartition].events.size
+        s.commit(nxt); off = nxt
+      }
+    }
+    assert(done && drained == 15,
+      s"3 walk steps x 5 docs = 15 rows per --once run, got $drained")
+  }
+
+  test("restart rebuild re-polls with the RECORDED batch size, not maxDocs") {
+    val t = new MockTransport((0 until 40).map(mkEvent))
+    val s1 = new TransportMicroBatch(t, 25)
+    val start = s1.initialOffset()
+    val end = s1.latestOffset(start, ReadLimit.maxRows(25))
+    // the offset of record carries the batch's row count
+    assert(end.asInstanceOf[TokenOffset].rows.contains(25))
+
+    // restart with a CHANGED --maxDocs: the rebuild must reproduce the
+    // original 25-row boundary from the offset's recorded size
+    val s2 = new TransportMicroBatch(t, 10)
+    val parts = s2.planInputPartitions(
+      s2.deserializeOffset(start.json()), s2.deserializeOffset(end.json()))
+    assert(parts(0).asInstanceOf[TransportPartition].events.size == 25)
+
+    // a pre-rows checkpoint (legacy offset JSON, no recorded size) with
+    // a changed maxDocs cannot reproduce the boundary — the raise must
+    // name the maxDocs change as a possible cause, not just "lost
+    // history" (round-13 advice)
+    val legacyEnd = s2.deserializeOffset(
+      s"""{"token":"${java.util.Base64.getEncoder
+        .encodeToString("25".getBytes("UTF-8"))}"}""")
+    val e = intercept[IllegalArgumentException](s2.planInputPartitions(
+      s2.deserializeOffset(start.json()), legacyEnd))
+    assert(e.getMessage.contains("maxDocs"))
+  }
+
   test("an idle poll (token identity) yields no new micro-batch") {
     val t = new MockTransport((0 until 5).map(mkEvent))
     val s = new TransportMicroBatch(t, 10)
@@ -156,6 +238,37 @@ class SourceTransportSpec extends AnyFunSuite {
     assert(o1.asInstanceOf[TokenOffset].token.contains("5"))
     val o2 = s.latestOffset(o1, ReadLimit.maxRows(10))
     assert(o2 eq o1, "no data + same token must return the start offset")
+  }
+
+  test("the in-memory mock passes the SourceTransport TCK") {
+    // the reusable contract kit a real transport author runs
+    // (graft.source.testkit) — the mock going through it is what keeps
+    // the kit itself honest
+    new graft.source.testkit.SourceTransportTCK(
+      () => new MockTransport((0 until 40).map(mkEvent))).run()
+  }
+
+  test("the TCK catches a transport that silently retires history") {
+    // commits advance retention, and polls of retired tokens return a
+    // SILENT empty batch instead of replaying or throwing — the
+    // data-loss violation the kit exists to reject
+    class Lossy extends SourceTransport {
+      private val log = (0 until 40).map(mkEvent)
+      @volatile private var committedUpTo = -1
+      override def poll(tok: Option[String], maxDocs: Int): SourceBatch =
+        if (tok.exists(_.toInt < committedUpTo))
+          SourceBatch(Nil, tok.get) // silent gap, the contract violation
+        else {
+          val from = tok.map(_.toInt).getOrElse(0)
+          val evs = log.slice(from, from + maxDocs)
+          SourceBatch(evs, (from + evs.length).toString)
+        }
+      override def commit(token: String): Unit = { committedUpTo = token.toInt }
+    }
+    val e = intercept[AssertionError](
+      new graft.source.testkit.SourceTransportTCK(() => new Lossy).run())
+    assert(e.getMessage.contains("silently alter history"),
+      s"wrong violation surfaced: ${e.getMessage}")
   }
 
   test("token offsets round-trip arbitrary token bytes through JSON") {

@@ -81,6 +81,62 @@ class HealthServerSpec extends AnyFunSuite {
     } finally handle.close()
   }
 
+  test("/sources surfaces transport lag rising and falling") {
+    import graft.source._
+    TransportLag.reset()
+    val handle = HealthServer.start(spark, port = 0)
+    try {
+      // no transport polled yet: empty gauge list
+      assert(get(handle.port, "/sources") == (200, "[]"))
+
+      val log = (0 until 30).map { i =>
+        ChangeEvent(i.toLong, i.toString, "app", "t0", "app.t0", "i",
+          1000L + i, i.toLong, s"""{"k":$i}""", 0.0, "oplog")
+      }
+      val t = new SourceTransport {
+        override def poll(tok: Option[String], maxDocs: Int): SourceBatch = {
+          val from = tok.map(_.toInt).getOrElse(0)
+          val evs = log.slice(from, from + maxDocs)
+          SourceBatch(evs, (from + evs.length).toString)
+        }
+      }
+      val s = TransportTestKit.microBatch(t, 20, lagKey = "lag-probe")
+      val start = s.initialOffset()
+      val end = s.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(20))
+
+      // polled-but-uncommitted: pending rises — the wedged-sink signature
+      val (c1, b1) = get(handle.port, "/sources")
+      assert(c1 == 200)
+      assert(b1.contains(""""transport":"lag-probe""""))
+      assert(b1.contains(""""docs_polled":20"""))
+      assert(b1.contains(""""docs_pending":20"""))
+      assert(b1.contains(""""commit_age_ms":-1"""), "no commit yet")
+
+      // the batch commits: pending falls back to zero, commit age appears
+      s.commit(end)
+      val (_, b2) = get(handle.port, "/sources")
+      assert(b2.contains(""""docs_committed":20"""))
+      assert(b2.contains(""""docs_pending":0"""))
+      assert(!b2.contains(""""commit_age_ms":-1"""))
+      assert(b2.contains(""""last_token":"20""""))
+
+      // the tail of the log: pending rises 0 → 10, falls again on commit
+      val end2 = s.latestOffset(end,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(20))
+      assert(get(handle.port, "/sources")._2.contains(""""docs_pending":10"""))
+      s.commit(end2)
+      // a truly idle poll: counters hold, poll age refreshes (liveness
+      // of the tail loop even when no data moves)
+      val idle = s.latestOffset(end2,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(20))
+      assert(idle == end2)
+      val (_, b3) = get(handle.port, "/sources")
+      assert(b3.contains(""""docs_polled":30"""))
+      assert(b3.contains(""""docs_pending":0"""))
+    } finally { handle.close(); TransportLag.reset() }
+  }
+
   test("a stale live query flips healthz to 503; an errored one too") {
     val listener = new HealthServer.Listener(clock = () => 1000000L)
     // a live query whose last progress is 60 s old
