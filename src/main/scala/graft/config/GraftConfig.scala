@@ -180,7 +180,8 @@ object ConfiguredPipeline {
   /** envelope → F1-F4 chain → registry (F5/F6, P1-P3, P11) → P5 oplog
     * date/ts injection → K7/P3/P4 routing metadata. */
   def hotPath(cfg: GraftConfig,
-              registry: TransformRegistry = TransformRegistry())(
+              registry: TransformRegistry = TransformRegistry(),
+              quarantine: Boolean = false)(
               df: DataFrame): DataFrame = {
     val filtered = NamespaceFilter(df, cfg.namespaceFilter)
     // prune-invalid-json runs BEFORE the mappers, like the reference's
@@ -197,7 +198,7 @@ object ConfiguredPipeline {
         .withColumn(cfg.oplogTsFieldName, col("ts_us"))
         .withColumn(cfg.oplogDateFieldName,
           date_format(timestamp_micros(col("ts_us")), cfg.oplogDateJvmFormat))
-    Routing.withMeta(stamped, cfg.mappings)
+    Routing.withMeta(stamped, cfg.mappings, quarantine = quarantine)
   }
 
   /** The "what the index holds" batch answer: hot path + last-writer-wins
@@ -368,9 +369,17 @@ object ConfiguredPipeline {
           s"'$fileContentCol' column — file content must be a column of " +
           "the events frame or of a relate collection frame (or disable " +
           "index-files)")
+    // advisory oversize tag BEFORE attach (the reference logs the skip,
+    // monstache.go:1425-1429), then the hot path in quarantine mode so
+    // id rejects reach writeBatch TAGGED instead of silently filtered —
+    // the sink boundary is where the errors channel lives
+    val tagged =
+      if (cfg.indexFiles) FileContent.tagSkips(routed, fileContentCol,
+        cfg.maxFileSize, cfg.fileNamespaces)
+      else routed
     val withFiles = FileContent.foldIntoDocument(
-      attachFiles(cfg)(routed, fileContentCol))
-    hotPath(cfg, registry)(withFiles)
+      attachFiles(cfg)(tagged, fileContentCol))
+    hotPath(cfg, registry, quarantine = true)(withFiles)
   }
 
   /** [[routeData]] run continuously into a pluggable sink — the

@@ -35,6 +35,31 @@ object FileContent {
         graft.codec.Codecs.binaryToBase64(col(contentCol).cast("binary"))))
   }
 
+  /** Tag file-namespace rows whose content exceeds the cap with the
+    * advisory [[Quarantine.OversizedFile]] reason — the reference LOGS
+    * the oversize skip (monstache.go:1425-1429) while still indexing the
+    * doc without content; [[attach]] alone leaves skipped rows
+    * indistinguishable from out-of-namespace ones. The op is NOT removed
+    * (advisory, not fatal); [[graft.sink.SinkWriter.writeBatch]] copies
+    * the tag to the quarantine channel. A pre-existing reason column is
+    * kept (first reason wins — one op, one headline reason). */
+  def tagSkips(df: DataFrame, contentCol: String, maxBytes: Long,
+               namespaces: Seq[String] = Nil): DataFrame = {
+    if (maxBytes <= 0) df
+    else {
+      val inNs =
+        if (namespaces.isEmpty) lit(true)
+        else col("namespace").isin(namespaces: _*)
+      val over = inNs && octet_length(col(contentCol)) > maxBytes
+      val prior =
+        if (df.columns.contains(Quarantine.ReasonCol))
+          Seq(col(Quarantine.ReasonCol))
+        else Seq.empty
+      df.withColumn(Quarantine.ReasonCol,
+        coalesce(prior :+ when(over, lit(Quarantine.OversizedFile)): _*))
+    }
+  }
+
   /** Fold an attached `file` column INTO the document body — the
     * reference sets `op.Data["file"] = base64` (addFileContent,
     * monstache.go:1416-1432), so content travels inside the indexed doc,

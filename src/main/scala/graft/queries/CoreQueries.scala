@@ -1470,7 +1470,52 @@ object CoreQueries extends QueryFamily {
             col("est"), col("exact"))
       },
       _.orderBy("pair", "pct"),
-      Some(funnelLatencySql))
+      Some(funnelLatencySql)),
+
+    // ── Rejects quarantine census (q197): the errors channel the
+    //    reference keeps visible — every doc op with an unkeyable id is
+    //    skipped WITH a log line (monstache.go:3167-3171), never
+    //    silently. The fixture corrupts ids in-query by event_id
+    //    arithmetic (empty at %97, 600-char pad at %101 — over the
+    //    512-BYTE sink key cap); [[Routing.withMeta]] in quarantine mode
+    //    tags instead of filtering, and the census counts ops by reason.
+    //    Drop ops are exempt by contract (they carry no id; the n_drop
+    //    column proves they all land in `accepted`). Pure column algebra
+    //    → one shuffle for the 3-row census. ───────────────────────────
+    QueryDef.sorted(
+      "q197_reject_census",
+      (s, dir) => {
+        val fixture = EventLog.envelopeWithDrops(s, dir).withColumn("id",
+          when(col("event_id") % 97 === 0, lit(""))
+            .when(col("event_id") % 101 === 0, rpad(col("id"), 600, "x"))
+            .otherwise(col("id")))
+        Routing.withMeta(fixture, quarantine = true)
+          .groupBy(coalesce(col(Quarantine.ReasonCol), lit("accepted"))
+            .as("reason"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("operation").isin("drop_coll", "drop_db"),
+              lit(1))).as("n_drop"))
+      },
+      _.orderBy("reason"),
+      Some(
+        s"""WITH ${EventLog.oracleCteWithDrops}
+          |, fixture AS (
+          |  SELECT *, CASE WHEN event_id % 97 = 0 THEN ''
+          |                 WHEN event_id % 101 = 0 THEN rpad(id, 600, 'x')
+          |                 ELSE id END AS fid
+          |  FROM envd),
+          |tagged AS (
+          |  SELECT *, CASE
+          |      WHEN operation IN ('drop_coll','drop_db') THEN NULL
+          |      WHEN fid IS NULL OR length(fid) = 0 THEN 'empty_id'
+          |      WHEN octet_length(encode(fid)) > 512 THEN 'oversized_id'
+          |      ELSE NULL END AS reject_reason
+          |  FROM fixture)
+          |SELECT coalesce(reject_reason, 'accepted') AS reason,
+          |       count(*) AS n,
+          |       count(CASE WHEN operation IN ('drop_coll','drop_db')
+          |                  THEN 1 END) AS n_drop
+          |FROM tagged GROUP BY 1 ORDER BY reason""".stripMargin))
   )
 
   /** Shared oracle for q185/q188: the FULL-LOG step-latency quantiles —

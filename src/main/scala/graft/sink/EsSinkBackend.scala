@@ -62,7 +62,11 @@ final case class EsSinkConfig(
       * deployment that forgets the connector-read override must get an
       * error naming the fix, not a driver OOM collecting an index-sized
       * frame (the `maxStrata`/`maxSample` loud-contract class). */
-    maxScanStateRows: Int = 100000)
+    maxScanStateRows: Int = 100000,
+    /** Where [[EsSinkBackend.quarantine]] lands rejected ops — the
+      * analog of the reference's error index (`processErr` indexes each
+      * bulk failure into a visible place, monstache.go:3493-3508). */
+    rejectsIndex: String = "graft.rejects")
 
 /** Elasticsearch-shaped [[SinkBackend]] — the deployment skeleton the
   * round-11 verdict asked for: every frame the [[SinkWriter]] hands over
@@ -155,6 +159,30 @@ class EsSinkBackend(transport: EsTransport,
             s""""_id":${js(r.getString(1) + "@" + r.getLong(3))}""" +
             s"""${routing(r, 2)}}}"""
           val doc = if (r.isNullAt(4)) "{}" else r.getString(4)
+          action + "\n" + doc
+        })
+      }
+  }
+
+  /** The rejects channel → the rejects index (`processErr`,
+    * monstache.go:3493-3508). Deterministic `_id` = `event_id@reason`
+    * so a replayed batch overwrites its own reject rows instead of
+    * double-reporting (the appendHistory replay discipline). No
+    * external version: one op yields at most one row per reason. */
+  override def quarantine(rejects: DataFrame): Unit = {
+    val t = transport; val cfg = es; val slp = sleep
+    rejects.select(col("event_id"), col("namespace"), col("operation"),
+        col("id"), col("version"), col("reject_reason"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        sendChunked(t, cfg, slp, rows.map { r =>
+          val action = s"""{"index":{"_index":${js(cfg.rejectsIndex)},""" +
+            s""""_id":${js(r.getLong(0) + "@" + r.getString(5))}}}"""
+          val doc = s"""{"event_id":${r.getLong(0)},""" +
+            s""""namespace":${js(r.getString(1))},""" +
+            s""""operation":${js(r.getString(2))},""" +
+            s""""id":${if (r.isNullAt(3)) "null" else js(r.getString(3))},""" +
+            s""""version":${r.getLong(4)},""" +
+            s""""reason":${js(r.getString(5))}}"""
           action + "\n" + doc
         })
       }

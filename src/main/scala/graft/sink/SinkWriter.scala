@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.config.GraftConfig
-import graft.operators.{DeleteStrategies, Routing, TimeMachine, Upsert}
+import graft.operators.{DeleteStrategies, Quarantine, Routing, TimeMachine, Upsert}
 
 /** The pluggable sink surface behind the K-layer (SURVEY §2.9) — the
   * piece a production deployment implements against a real store, and
@@ -79,6 +79,16 @@ trait SinkBackend {
   /** Dated history appends: TimeMachine.history's columns. */
   def appendHistory(history: DataFrame): Unit
 
+  /** The rejects channel: (event_id, namespace, operation, id, version,
+    * reject_reason) — every op the writer tagged, fatal (never indexed:
+    * empty/oversized id) or advisory (indexed without content:
+    * oversized file). The reference logs each of these
+    * (monstache.go:3167-3171) and routes bulk errors to a visible index
+    * via `processErr` (3493-3508); a backend that drops this frame
+    * re-creates the silent-reject gap, so the shipped backends both
+    * persist it. Default no-op keeps mock backends small. */
+  def quarantine(rejects: DataFrame): Unit = ()
+
   /** What the sink holds now: (namespace, id, meta_index, meta_routing)
     * — the delete-resolution view. */
   def sinkState(spark: SparkSession): DataFrame
@@ -117,11 +127,29 @@ object SinkWriter {
     val spark = batch.sparkSession
     val routed0 =
       if (batch.columns.contains("meta_index")) batch
-      else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings)
-    // persisted for the batch only (streaming-twin contract): up to four
+      else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings,
+        quarantine = true)
+    // persisted for the batch only (streaming-twin contract): up to five
     // consumers below, released before returning
-    val b = routed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = routed0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the rejects side output: every tagged op reaches the backend's
+    // quarantine channel (reject-sized frame); FATAL reasons (unkeyable
+    // id) then leave the sink-bound flow entirely — the reference skips
+    // them with an error log (monstache.go:3167-3171). A pre-routed
+    // batch without the tag column (a caller that ran withMeta in
+    // filter mode upstream) has nothing to report.
+    val hasTags = tagged.columns.contains(Quarantine.ReasonCol)
+    val b =
+      if (!hasTags) tagged
+      else tagged.filter(Quarantine.keep(col(Quarantine.ReasonCol)))
+        .drop(Quarantine.ReasonCol)
     try {
+      if (hasTags)
+        backend.quarantine(tagged
+          .filter(col(Quarantine.ReasonCol).isNotNull)
+          .select(col("event_id"), col("namespace"), col("operation"),
+            col("id"), col("version"), col(Quarantine.ReasonCol)))
       // K4 history first: every version appends, before dedup/fences —
       // and before the strategy-2 delete filter below: the time machine
       // is the audit trail (its own contract includes "d" rows), and an
@@ -210,7 +238,7 @@ object SinkWriter {
               col("hit_routing").as("del_routing"),
               col("version").as("del_version")))
       }
-    } finally b.unpersist(false)
+    } finally tagged.unpersist(false)
   }
 
   /** Continuous form: envelope stream → optional transform → the batch
@@ -250,6 +278,9 @@ class InMemorySinkBackend extends SinkBackend {
   val state = TrieMap[(String, String), SinkDoc]()
   /** (history_index, source_id, version) appends, in arrival order. */
   val history = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+  /** (event_id, namespace, operation, reject_reason) — the quarantine
+    * channel, in arrival order. */
+  val rejected = new scala.collection.mutable.ArrayBuffer[(Long, String, String, String)]()
   /** Each [[bootstrap]] call's resolved file (namespace, index) pairs, in
     * call order — what a real backend turns into ingest-pipeline PUTs. */
   val bootstraps = new scala.collection.mutable.ArrayBuffer[Seq[(String, String)]]()
@@ -301,6 +332,14 @@ class InMemorySinkBackend extends SinkBackend {
   override def appendHistory(h: DataFrame): Unit = { noteOp();
     history ++= h.select("history_index", "source_id", "version").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  override def quarantine(rejects: DataFrame): Unit = { noteOp();
+    rejected ++= rejects
+      .select("event_id", "namespace", "operation", "reject_reason")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
   }
 
   override def sinkState(spark: SparkSession): DataFrame = {

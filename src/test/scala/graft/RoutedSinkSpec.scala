@@ -99,6 +99,18 @@ class RoutedSinkSpec extends AnyFunSuite {
     assert(!streamBackend.state(("parts_idx", "2")).document
       .contains("\"file\":"))
     assert(streamBackend.state(("parts_idx", "1")).namespace == "app.parts")
+
+    // the over-cap file skip is ADVISORY: the op indexed (without
+    // content, asserted above) AND surfaced on the quarantine channel
+    // with its reason — the reference logs the oversize skip
+    // (monstache.go:1425-1429); both twins report it identically
+    for (b <- Seq(batchBackend, streamBackend)) {
+      assert(b.rejected.map(r => (r._2, r._4)).toSet ==
+        Set(("app.parts", "oversized_file")),
+        s"quarantine: ${b.rejected}")
+      // part 1's under-cap re-emissions must NOT be tagged
+      assert(b.rejected.size == 1)
+    }
   }
 
   test("foldIntoDocument: canonical fold, pass-throughs, and no-op frames") {

@@ -75,6 +75,35 @@ class SinkWriterSpec extends AnyFunSuite {
     assert(backend.state(("app.t0", "2")).version == 21)
   }
 
+  test("rejects never reach the backend but always reach the quarantine") {
+    import spark.implicits._
+    val backend = new InMemorySinkBackend
+    val big = "x" * 600 // 600 bytes > the 512-byte sink key cap
+    val b = Seq(
+      ev(0, "1", "app.t0", "i", 10),      // accepted
+      ev(1, "", "app.t0", "i", 11),       // FATAL: empty id
+      ev(2, null, "app.t0", "u", 12),     // FATAL: null id
+      ev(3, big, "app.t0", "i", 13),      // FATAL: oversized id
+      drop(4, "app.t1", "drop_coll", 14)) // id-less drop op: EXEMPT
+    SinkWriter.writeBatch(b.toDF(), cfg, backend)
+    // fatal rejects never land in the sink state...
+    assert(backend.state.keySet == Set(("app.t0", "1")),
+      s"only the accepted op may index, got ${backend.state.keySet}")
+    // ...but every one of them reaches the quarantine channel with its
+    // reason (the reference's error-logged skip, monstache.go:3167-3171)
+    assert(backend.rejected.map(r => (r._1, r._4)).sorted == Seq(
+      (1L, "empty_id"), (2L, "empty_id"), (3L, "oversized_id")),
+      s"quarantine contents: ${backend.rejected}")
+    // the K4 audit trail also excludes unkeyable ops (no id = no key)
+    assert(backend.history.map(_._2).toSet == Set("1"))
+
+    // a replayed batch reports the same rejects again (at-least-once on
+    // the errors channel — the Es backend's deterministic reject ids
+    // make the replay overwrite, the mock just appends)
+    SinkWriter.writeBatch(b.toDF(), cfg, backend)
+    assert(backend.rejected.size == 6)
+  }
+
   test("dropDatabase wipes the db prefix; later ops recreate") {
     import spark.implicits._
     val backend = new InMemorySinkBackend

@@ -193,6 +193,30 @@ class EsSinkBackendSpec extends AnyFunSuite {
     assert(!p.contains("version_type"))                // append-only, unversioned
   }
 
+  test("quarantine lands in the rejects index with deterministic ids") {
+    val key = "es-rej"; EsMock.reset(key)
+    val rej = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(42L, "app.t0", "i", null, 9L, "empty_id"),
+        Row(43L, "app.t0", "u", "x" * 600, 10L, "oversized_id")),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("namespace", StringType),
+        StructField("operation", StringType),
+        StructField("id", StringType),
+        StructField("version", LongType),
+        StructField("reject_reason", StringType)))).repartition(1)
+    backend(key).quarantine(rej)
+    val p = EsMock.q(EsMock.payloads, key).asScala.toSeq.head
+    assert(p.contains(""""_index":"graft.rejects""""))
+    // deterministic _id = event_id@reason: a replayed batch overwrites
+    // its own reject rows instead of double-reporting
+    assert(p.contains(""""_id":"42@empty_id""""))
+    assert(p.contains(""""_id":"43@oversized_id""""))
+    assert(p.contains(""""reason":"empty_id""""))
+    assert(p.contains(""""id":null"""), "null id survives as JSON null")
+    assert(!p.contains("version_type"), "one row per (op, reason)")
+  }
+
   test("K8 bootstrap installs one attachment pipeline per file index") {
     val key = "es-boot"; EsMock.reset(key)
     backend(key).bootstrap(GraftConfig(),
