@@ -5964,7 +5964,67 @@ object LlmQueries extends QueryFamily {
            |       CAST(doc_idx AS BIGINT) AS doc_idx,
            |       CAST(start_tok AS BIGINT) AS start_tok,
            |       CAST(end_tok AS BIGINT) AS end_tok
-           |FROM spans ORDER BY pack_id, doc_idx""".stripMargin))
+           |FROM spans ORDER BY pack_id, doc_idx""".stripMargin)),
+
+    // ── Token-shard offset plan (q198): the arithmetic behind the
+    //    trainer-consumable binary export (TokenShards: Megatron-style
+    //    .bin of little-endian int32 BPE ids + 20-byte .idx records) —
+    //    every doc's shard, pack, SHARD-GLOBAL [start_tok, end_tok) and
+    //    the int32 byte range. Token counts come from the q161 merge
+    //    REPLAY over the distinct word set (exact, not the q123 lookup
+    //    fallback); shard = pack bucket, laid out in ascending doc_id —
+    //    the same order the packing cumsum assigns, so pack boundaries
+    //    are contiguous byte ranges. The byte-exactness of the .bin/.idx
+    //    files themselves is TokenShardsSpec's read-back pin; this row
+    //    pins the offset algebra both engines must agree on. ───────────
+    QueryDef.sorted(
+      "q198_token_shard_offsets",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val (merges, _) = Bpe.train(Bpe.wordCensus(docs), nMerges = 8)
+        val tok = TokenShards.withTokenIds(docs, merges)
+        TokenShards.shardSpans(tok.select(col("doc_id"), col("tokens")),
+            budget = 256, nBuckets = 8)
+          .select(col("doc_id").cast("long"), col("shard"),
+            col("pack_id").cast("long"), col("doc_idx"),
+            col("start_tok").cast("long"), col("end_tok").cast("long"),
+            col("start_byte").cast("long"), col("end_byte").cast("long"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH ${Bpe.sqlTrainCtes("documents", 8)},
+           |docw AS MATERIALIZED (
+           |  SELECT doc_id, unnest(${W("text")}) AS w
+           |  FROM documents WHERE text IS NOT NULL),
+           |wapp AS MATERIALIZED (SELECT DISTINCT w FROM docw),
+           |${Bpe.sqlApplyCtes("wapp", 8)},
+           |cnt AS (
+           |  SELECT d.doc_id, coalesce(sum(len(a.syms)), 0) AS tokens
+           |  FROM documents d
+           |  LEFT JOIN docw w ON w.doc_id = d.doc_id
+           |  LEFT JOIN aps8 a ON a.w = w.w
+           |  GROUP BY d.doc_id),
+           |packed AS (${Packing.sqlPacksCounted("cnt", 256, 8)}),
+           |spans AS (
+           |  SELECT doc_id, bucket AS shard, pack_id,
+           |         row_number() OVER (PARTITION BY pack_id
+           |                            ORDER BY doc_id) - 1 AS doc_idx,
+           |         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |                           ROWS UNBOUNDED PRECEDING) - tokens
+           |           AS start_tok,
+           |         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |                           ROWS UNBOUNDED PRECEDING) AS end_tok
+           |  FROM packed)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(shard AS BIGINT) AS shard,
+           |       CAST(pack_id AS BIGINT) AS pack_id,
+           |       CAST(doc_idx AS BIGINT) AS doc_idx,
+           |       CAST(start_tok AS BIGINT) AS start_tok,
+           |       CAST(end_tok AS BIGINT) AS end_tok,
+           |       CAST(start_tok * 4 AS BIGINT) AS start_byte,
+           |       CAST(end_tok * 4 AS BIGINT) AS end_byte
+           |FROM spans ORDER BY doc_id""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

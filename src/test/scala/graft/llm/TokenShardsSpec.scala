@@ -1,0 +1,112 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The trainer-consumable binary export: merge-derived vocab, token-id
+  * assembly, shard-global offsets, and the .bin/.idx/manifest files —
+  * pinned by reading documents back BIT-EXACT through the offsets. */
+class TokenShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("vocab: core chars 0-35, merge symbols in rank order, dedup'd") {
+    val merges = Seq(BpeMerge(1, "a", "b", 5), BpeMerge(2, "ab", "c", 3),
+      BpeMerge(3, "a", "bc", 2)) // (ab,c) and (a,bc) both join to "abc"
+    val v = TokenShards.vocab(merges)
+    assert(v("a") == 0 && v("b") == 1 && v("z") == 25 && v("0") == 26 &&
+      v("9") == 35)
+    assert(v("ab") == 36 && v("abc") == 37, "first occurrence wins")
+    assert(v.size == 38)
+  }
+
+  test("withTokenIds: replayed ids in word order; empty/null texts = 0") {
+    import spark.implicits._
+    // merges: (a,b)->ab id 36, (ab,a)->aba id 37
+    val merges = Seq(BpeMerge(1, "a", "b", 9), BpeMerge(2, "ab", "a", 4))
+    val docs = Seq(
+      (1L, "aba cab"),         // aba -> [37]; cab -> [c, ab] = [2, 36]
+      (2L, "b?!a"),            // one word, core chars only: [1, 0]
+      (3L, ""),                // wordless
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TokenShards.withTokenIds(docs, merges)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got(0).getSeq[Int](1) == Seq(37, 2, 36))
+    assert(got(0).getLong(2) == 3L)
+    assert(got(1).getSeq[Int](1) == Seq(1, 0))
+    assert(got(2).getSeq[Int](1).isEmpty && got(2).getLong(2) == 0L)
+    assert(got(3).getSeq[Int](1).isEmpty && got(3).getLong(2) == 0L)
+  }
+
+  test("shardSpans: shard-global contiguous spans, int32 byte algebra") {
+    import spark.implicits._
+    val tokenized = (0L until 40L).map(i => (i, (i % 5) + 1)).toDF("doc_id", "tokens")
+    val spans = TokenShards.shardSpans(tokenized, budget = 8, nBuckets = 4)
+      .orderBy("shard", "doc_id").collect()
+    // within a shard, spans tile [0, total) with no gap or overlap
+    spans.groupBy(_.getAs[Long]("shard")).foreach { case (_, ss) =>
+      var expect = 0L
+      ss.foreach { r =>
+        assert(r.getAs[Long]("start_tok") == expect)
+        expect = r.getAs[Long]("end_tok")
+        assert(r.getAs[Long]("start_byte") ==
+          r.getAs[Long]("start_tok") * 4)
+        assert(r.getAs[Long]("end_byte") == r.getAs[Long]("end_tok") * 4)
+      }
+    }
+    // pack ids are monotone in doc order within a shard: pack boundaries
+    // are contiguous byte ranges (the layout contract)
+    spans.groupBy(_.getAs[Long]("shard")).foreach { case (_, ss) =>
+      val packs = ss.map(_.getAs[Long]("pack_id")).toSeq
+      assert(packs == packs.sorted)
+    }
+  }
+
+  test("write + read back: every document bit-exact through the offsets") {
+    import spark.implicits._
+    val docs = spread((0L until 60L).map(i =>
+      (i, s"doc$i ab${"c" * (i % 7).toInt} the quick ${i}fox"))
+      .toDF("doc_id", "text"))
+    val (merges, _) = Bpe.train(Bpe.wordCensus(docs), nMerges = 6)
+    val dir = Files.createTempDirectory("graft-tokshards").toString
+    val manifest = TokenShards.writeTokenShards(docs, merges, dir,
+      budget = 32, nBuckets = 3)
+
+    val expected = TokenShards.withTokenIds(docs, merges)
+    val spans = TokenShards.shardSpans(
+      expected.select(col("doc_id"), col("tokens")), budget = 32,
+      nBuckets = 3)
+    val byDoc = expected.select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val shardOf = spans.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // bit-exact: every doc read back through .idx offsets into .bin
+    (0L until 60L).foreach { id =>
+      assert(TokenShards.readDoc(dir, shardOf(id), id) == byDoc(id),
+        s"doc $id corrupted through the binary round-trip")
+    }
+
+    // the manifest certifies storage: totals match the relational truth
+    val m = manifest.collect()
+    assert(m.map(_.getLong(1)).sum == 60L, "every doc in exactly one shard")
+    assert(m.map(_.getLong(2)).sum == byDoc.values.map(_.size.toLong).sum)
+    m.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * TokenShards.BytesPerToken)
+    }
+
+    // a re-export overwrites atomically and certifies the same bytes
+    val again = TokenShards.writeTokenShards(docs, merges, dir,
+      budget = 32, nBuckets = 3).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(4))).toSeq.sorted ==
+      m.map(r => (r.getLong(0), r.getLong(4))).toSeq.sorted,
+      "replayed export must produce identical checksums")
+  }
+
+  private def spread(df: org.apache.spark.sql.DataFrame) = df.repartition(4)
+}
