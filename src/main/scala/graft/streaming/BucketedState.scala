@@ -153,6 +153,68 @@ object BucketedState {
     } finally bucketed.unpersist()
   }
 
+  /** Compact the store: rewrite each bucket's latest committed version
+    * as ONE file and delete its superseded versions — the
+    * [[graft.llm.Similarity.compactIndex]] maintenance discipline
+    * applied to versioned state. Every merge writes its bucket version
+    * at the plan's own parallelism (up to shuffle-partitions part
+    * files) and GC keeps the predecessor as the crash window, so a
+    * year-long stream accretes per-file open/footer costs on every
+    * read — the standard small-files decay of any append-only store.
+    *
+    * `upToExcl` is the replay fence: batch ids STRICTLY BELOW it are
+    * durably committed in the stream's checkpoint and can never replay
+    * (pass `lastCommittedBatchId + 1`; the default compacts everything
+    * — only valid on a STOPPED stream). A bucket whose latest version
+    * is at or beyond the fence is skipped whole: its predecessor IS the
+    * crash window a replay merges against, and its own files may be
+    * overwritten by that replay anyway.
+    *
+    * In-place rewrite, crash-safe per bucket: the compacted copy lands
+    * in a dot-prefixed sibling (invisible to [[VersionedState.versions]]
+    * and to parquet reads), swaps in with two checked renames
+    * (live → `.v<N>.old`, tmp → live), and only then deletes the `.old`
+    * recovery copy and the superseded versions — a crash at any point
+    * leaves either the original or the recovery copy intact, and a
+    * leftover `.old` fails the next compaction fast at that bucket.
+    * Run offline between merges (the compactIndex contract): a merge
+    * concurrent with compaction could read a bucket mid-swap. */
+  def compact(spark: SparkSession, stateDir: String,
+              upToExcl: Long = Long.MaxValue): Unit = {
+    val f = VersionedState.fs(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
+      .foreach { st =>
+        val bDir = st.getPath.toString
+        val vs = VersionedState.versions(spark, bDir)
+        vs.headOption.filter(_ < upToExcl).foreach { v =>
+          val live = new Path(s"$bDir/v$v")
+          val tmp = new Path(s"$bDir/.v$v.compacting")
+          val old = new Path(s"$bDir/.v$v.old")
+          require(!f.exists(old),
+            s"$old exists: a prior compaction crashed mid-swap. Recover " +
+              s"first (rename it back to $live if $live is missing, " +
+              "else delete it).")
+          // a crashed pre-swap rewrite left only the tmp copy: discard
+          if (f.exists(tmp)) f.delete(tmp, true)
+          spark.read.parquet(live.toString).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          require(f.rename(live, old),
+            s"compact: rename $live -> $old failed; live state untouched")
+          require(f.rename(tmp, live),
+            s"compact: rename $tmp -> $live failed; recover by renaming " +
+              s"$old back to $live")
+          f.delete(old, true)
+          // superseded versions: the fence says v can never be replayed,
+          // so its predecessor crash window is no longer needed
+          vs.filter(_ != v).foreach(o =>
+            f.delete(new Path(s"$bDir/v$o"), true))
+        }
+      }
+  }
+
   /** Full state: each bucket's latest COMMITTED version, unioned. */
   def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val p = new Path(stateDir)

@@ -97,4 +97,61 @@ class BucketedStateSpec extends AnyFunSuite {
       .select("id", "version").as[(String, Long)].collect().toMap
     assert(live("7") == 99999L)
   }
+
+  test("compact: read identity, one file per bucket, replay still fenced") {
+    val dir = Files.createTempDirectory("graft-bstate-compact").toString
+    BucketedState.mergeBatch(toDF(mkOps(0 until 100)), 0L, dir, numBuckets = 4)
+    BucketedState.mergeBatch(toDF(mkOps(100 until 200)), 1L, dir, numBuckets = 4)
+    BucketedState.mergeBatch(toDF(mkOps(200 until 300)), 2L, dir, numBuckets = 4)
+    val before = BucketedState.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet
+
+    // fence at 2: batch 2 may still replay, so its buckets keep their
+    // crash window; batches 0/1 are durably committed
+    BucketedState.compact(spark, dir, upToExcl = 2L)
+    val root = new java.io.File(dir)
+    val buckets = root.listFiles().filter(_.getName.startsWith("b"))
+    buckets.foreach { b =>
+      val vdirs = b.listFiles().filter(_.getName.matches("v\\d+"))
+      if (vdirs.exists(_.getName == "v2")) {
+        // latest at/beyond the fence: skipped whole, predecessor retained
+        assert(vdirs.length >= 2, s"${b.getName}: crash window dropped")
+      } else {
+        // compacted: exactly one version, exactly one parquet part file
+        assert(vdirs.length == 1, s"${b.getName}: superseded versions kept")
+        val parts = vdirs.head.listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(parts == 1, s"${b.getName}: $parts part files after compact")
+      }
+    }
+    assert(BucketedState.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet == before,
+      "compaction must not change what the store reads as")
+
+    // a stopped-stream compaction (fence = max) compacts every bucket...
+    BucketedState.compact(spark, dir)
+    buckets.foreach { b =>
+      val vdirs = b.listFiles().filter(_.getName.matches("v\\d+"))
+      assert(vdirs.length == 1)
+      assert(vdirs.head.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+    assert(BucketedState.liveState(spark, dir)
+      .select("id", "version").as[(String, Long)].collect().toSet == before)
+
+    // ...and the stale-checkpoint replay guard still fires afterwards:
+    // compaction preserves version ids, never renumbers
+    val e = intercept[IllegalArgumentException](
+      BucketedState.mergeBatch(toDF(mkOps(0 until 10)), 0L, dir,
+        numBuckets = 4))
+    assert(e.getMessage.contains("newer than batch 0"))
+
+    // a leftover .old recovery copy fails the next compaction fast
+    val victim = buckets.head
+    val vdir = victim.listFiles().filter(_.getName.matches("v\\d+")).head
+    val old = new java.io.File(victim, s".${vdir.getName}.old")
+    assert(old.mkdir())
+    val e2 = intercept[IllegalArgumentException](
+      BucketedState.compact(spark, dir))
+    assert(e2.getMessage.contains("crashed mid-swap"))
+  }
 }
