@@ -220,6 +220,56 @@ object TokenShards {
         StructField("crc32", LongType))))
   }
 
+  /** Salt for the worker-rank hash — distinct from [[Packing.PackSalt]]
+    * so pack bucketing and rank assignment stay independent streams. */
+  private[llm] val RankSalt = "graft-rank-1:"
+
+  /** Data-parallel loader plan: assign each PACK to a worker rank —
+    * what a distributed training job needs next to the shards (every
+    * rank must know its packs without coordination, and every run/
+    * engine must agree). Assignment is a salted hash of the pack id
+    * (`h32p(salt + pack_id) % nWorkers` — the [[Packing]] bucket
+    * discipline): deterministic, coordination-free, and NO global sort
+    * — a rank-balancing row_number over the pack table would be a
+    * single-reducer window over corpus/budget rows at 100 TB; the hash
+    * balances statistically and [[loaderBalance]] reports the achieved
+    * imbalance as a number instead. Returns one row per pack:
+    * (pack_id, shard, worker, n_docs, tok_sum). */
+  def loaderPlan(packed: DataFrame, nWorkers: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(nWorkers > 0, s"nWorkers must be positive, got $nWorkers")
+    packed.groupBy(col("bucket").cast("long").as("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"))
+      .withColumn("worker",
+        TextHash.h32p(concat(lit(RankSalt), col("pack_id").cast("string")))
+          % nWorkers)
+      .select(col("pack_id"), col("shard"), col("worker"), col("n_docs"),
+        col("tok_sum"))
+  }
+
+  /** SQL twin of [[loaderPlan]]'s worker assignment. */
+  def sqlWorker(packId: String, nWorkers: Int): String =
+    s"(${TextHash.sqlH32p(
+      s"concat('$RankSalt', CAST($packId AS VARCHAR))")} % $nWorkers)"
+
+  /** Per-worker balance census over a [[loaderPlan]]: pack/doc/token
+    * totals and each worker's token share in exact integer
+    * micro-fractions of the grand total — the report that says whether
+    * the hash assignment is even enough or `nWorkers`/`budget` need
+    * retuning (a rank with a fat share is the straggler every epoch).
+    * Workers assigned no packs are absent by construction — the reader
+    * compares row count to nWorkers. One config-sized aggregation. */
+  def loaderBalance(plan: DataFrame): DataFrame = {
+    val per = plan.groupBy(col("worker"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("tok_sum")).as("tok_sum"))
+    val tot = per.agg(sum(col("tok_sum")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("tok_sum * 1000000L DIV greatest(__tot, 1L)"))
+      .drop("__tot")
+  }
+
   /** Read one document's token ids back through the offsets — the
     * trainer's access path, used by the spec to pin bit-exactness. */
   def readDoc(dir: String, shard: Long, docId: Long): Seq[Int] = {

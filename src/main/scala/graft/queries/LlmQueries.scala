@@ -6024,7 +6024,49 @@ object LlmQueries extends QueryFamily {
            |       CAST(end_tok AS BIGINT) AS end_tok,
            |       CAST(start_tok * 4 AS BIGINT) AS start_byte,
            |       CAST(end_tok * 4 AS BIGINT) AS end_byte
-           |FROM spans ORDER BY doc_id""".stripMargin))
+           |FROM spans ORDER BY doc_id""".stripMargin)),
+
+    // ── Loader rank plan + balance census (q199): the data-parallel
+    //    reader's side of q198 — every worker rank must know its packs
+    //    without coordination, identically across runs and engines.
+    //    Assignment is a salted pack-id hash (NO global balancing sort:
+    //    a row_number over the pack table is a single-reducer window
+    //    over corpus/budget rows at 100 TB — the hash balances
+    //    statistically and this census REPORTS the achieved imbalance
+    //    as exact integer micro-shares instead). A fat share is the
+    //    straggler every epoch; this report is what retunes nWorkers/
+    //    budget. ─────────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q199_loader_balance",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val packed = Packing.withPacks(docs, budget = 256, nBuckets = 8)
+        TokenShards.loaderBalance(TokenShards.loaderPlan(packed, nWorkers = 4))
+          .select(col("worker").cast("long"), col("n_packs").cast("long"),
+            col("n_docs").cast("long"), col("tok_sum").cast("long"),
+            col("share_micro").cast("long"))
+      },
+      _.orderBy("worker"),
+      Some(
+        s"""WITH packed AS (${Packing.sqlPacks("documents", 256, 8)}),
+           |plan AS (
+           |  SELECT pack_id, bucket,
+           |         ${TokenShards.sqlWorker("pack_id", 4)} AS worker,
+           |         count(*) AS n_docs, sum(tokens) AS tok_sum
+           |  FROM packed GROUP BY pack_id, bucket),
+           |per AS (
+           |  SELECT worker, count(*) AS n_packs, sum(n_docs) AS n_docs,
+           |         sum(tok_sum) AS tok_sum
+           |  FROM plan GROUP BY worker),
+           |tot AS (SELECT sum(tok_sum) AS t FROM per)
+           |SELECT CAST(worker AS BIGINT) AS worker,
+           |       CAST(n_packs AS BIGINT) AS n_packs,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(tok_sum AS BIGINT) AS tok_sum,
+           |       CAST(tok_sum * 1000000 // greatest(t, 1) AS BIGINT)
+           |         AS share_micro
+           |FROM per, tot ORDER BY worker""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

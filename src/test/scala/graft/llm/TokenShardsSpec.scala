@@ -108,5 +108,31 @@ class TokenShardsSpec extends AnyFunSuite {
       "replayed export must produce identical checksums")
   }
 
+  test("loaderPlan/loaderBalance: coordination-free ranks, exact census") {
+    import spark.implicits._
+    val tokenized = (0L until 200L).map(i => (i, (i % 9) + 1))
+      .toDF("doc_id", "tokens")
+    val packed = Packing.withPacksCounted(tokenized, budget = 16,
+      nBuckets = 4)
+    val plan = TokenShards.loaderPlan(packed, nWorkers = 3).collect()
+    // every pack exactly once, workers in range, assignment deterministic
+    assert(plan.map(_.getAs[Long]("pack_id")).distinct.length == plan.length)
+    assert(plan.forall(r => (0L until 3L).contains(r.getAs[Long]("worker"))))
+    val again = TokenShards.loaderPlan(packed, nWorkers = 3).collect()
+    assert(plan.map(r => (r.getAs[Long]("pack_id"),
+      r.getAs[Long]("worker"))).sorted.toSeq ==
+      again.map(r => (r.getAs[Long]("pack_id"),
+        r.getAs[Long]("worker"))).sorted.toSeq)
+
+    val bal = TokenShards.loaderBalance(
+      TokenShards.loaderPlan(packed, nWorkers = 3)).collect()
+    // census conserves the corpus and shares tile ~1e6 (truncating div)
+    val totalTokens = 200L / 9 * (1 to 9).sum +
+      (1 to (200 % 9).toInt).map(_.toLong).sum
+    assert(bal.map(_.getAs[Long]("tok_sum")).sum == totalTokens)
+    val shares = bal.map(_.getAs[Long]("share_micro")).sum
+    assert(shares <= 1000000L && shares > 1000000L - 3)
+  }
+
   private def spread(df: org.apache.spark.sql.DataFrame) = df.repartition(4)
 }
