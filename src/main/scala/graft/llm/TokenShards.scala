@@ -185,10 +185,20 @@ object TokenShards {
         }
         closeShard()
       }
-    // manifest from read-back, one executor task per shard
+    manifest(spark, dir)
+  }
+
+  /** Checksum manifest from an executor-side READ-BACK of the shard
+    * files — certifies the bytes on storage, not the frame that was
+    * supposed to land there (the [[Sharding.writeShards]] discipline);
+    * cross-checks `.idx` token totals against `.bin` length. */
+  def manifest(spark: org.apache.spark.sql.SparkSession,
+               dir: String): DataFrame = {
     val shardIds = {
       val d = new java.io.File(dir)
-      d.listFiles((_, n) => n.startsWith("shard=") && n.endsWith(".bin"))
+      Option(d.listFiles((_, n) =>
+          n.startsWith("shard=") && n.endsWith(".bin")))
+        .getOrElse(Array.empty)
         .map(_.getName.stripPrefix("shard=").stripSuffix(".bin").toLong)
         .sorted.toSeq
     }
@@ -218,6 +228,169 @@ object TokenShards {
         StructField("n_tokens", LongType),
         StructField("bin_bytes", LongType),
         StructField("crc32", LongType))))
+  }
+
+  /** Per-shard tail facts read from the `.idx` files (driver-side,
+    * shard-count-sized): total tokens already exported and the last
+    * exported doc id — what the incremental append continues from. */
+  private def shardTails(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Map[Long, (Long, Long)] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles((_, n) =>
+      n.startsWith("shard=") && n.endsWith(".idx"))).getOrElse(Array.empty)
+    files.map { f =>
+      val shard = f.getName.stripPrefix("shard=").stripSuffix(".idx").toLong
+      val ix = java.nio.file.Files.readAllBytes(f.toPath)
+      require(ix.length % IdxRecordBytes == 0,
+        s"${f.getName} is torn: ${ix.length} bytes")
+      val n = ix.length / IdxRecordBytes
+      if (n == 0) shard -> ((0L, Long.MinValue))
+      else {
+        val last = (n - 1) * IdxRecordBytes
+        val lastDoc = leLong(ix, last)
+        val total = leLong(ix, last + 8) + leInt(ix, last + 16)
+        shard -> ((total, lastDoc))
+      }
+    }.toMap
+  }
+
+  /** Incrementally APPEND a batch of new documents to an existing
+    * export — the year-long-stream path beside
+    * [[graft.streaming.BucketedState.compact]]: because
+    * [[Packing.withPacksCounted]]'s cumulative sum orders each bucket by
+    * ascending id, a batch whose ids all sort AFTER the exported ones
+    * extends every shard strictly at its tail — existing pack
+    * assignments, offsets, and bytes are never disturbed, so the shard
+    * files are append-only and `append(A) then append(B) ≡ write(A∪B)`
+    * BYTE-IDENTICAL (spec-pinned). The additive-batch id contract is
+    * checked per touched shard against the `.idx` tail and violated
+    * loudly (an out-of-order id would silently re-pack history).
+    *
+    * Crash safety per shard: the existing files copy to dot-prefixed
+    * temps, the batch streams onto the copies, and the same checked
+    * two-rename swap as [[graft.streaming.BucketedState.compact]]
+    * replaces the live pair — O(shard bytes) per append, amortized by
+    * batching (a true log-structured segment store would trade that for
+    * read-side stitching; the flat `.bin` IS the trainer contract).
+    * Untouched shards are not read, not copied, not written. */
+  def appendTokenShards(newDocs: DataFrame, merges: Seq[BpeMerge],
+                        dir: String, budget: Int, nBuckets: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val tails = shardTails(spark, dir)
+    val tokenized = withTokenIds(newDocs, merges, idCol, textCol)
+    val bucketed = tokenized.withColumn("bucket",
+      TextHash.h32p(concat(lit(Packing.PackSalt), col(idCol).cast("string")))
+        % nBuckets)
+    // additive-batch guard, driver-side over shard-count rows
+    val mins = bucketed.groupBy(col("bucket"))
+      .agg(min(col(idCol).cast("long")).as("min_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mins.foreach { case (b, minId) =>
+      tails.get(b).filter(_._2 >= minId).foreach { case (_, lastDoc) =>
+        throw new IllegalArgumentException(
+          s"appendTokenShards: shard=$b already exported doc id $lastDoc" +
+            s" >= incoming min id $minId — the append contract needs " +
+            "every new id to sort after the exported ones, or the pack " +
+            "cumsum would silently re-pack history; re-export instead")
+      }
+    }
+    val priorTokens = tails.map { case (b, (tot, _)) => (b, tot) }
+    val priorB = spark.sparkContext.broadcast(priorTokens)
+    val priorCol = udf((b: Long) => priorB.value.getOrElse(b, 0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    val spans = bucketed
+      .withColumn("__cum", priorCol(col("bucket")) +
+        sum(col("tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("start_tok", col("__cum") - col("tokens"))
+      .withColumn("shard", col("bucket").cast("long"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spans.select(col("shard"), col(idCol).cast("long").as("__id"),
+        col("start_tok"), col("token_ids"))
+      .repartition(nBuckets, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        // Task-retry idempotence: a retried task may revisit a shard a
+        // previous attempt already swapped — the live .idx tail then
+        // already covers this batch's first id and the shard is SKIPPED
+        // whole. A crash between the two swaps leaves the .old recovery
+        // pair, which fails the retry loudly with instructions (the
+        // compact discipline) — never a silent double-append.
+        var cur = -1L
+        var skip = false
+        var bin: java.io.OutputStream = null
+        var idx: java.io.OutputStream = null
+        var binTmp: java.nio.file.Path = null
+        var idxTmp: java.nio.file.Path = null
+        def p(name: String) = java.nio.file.Paths.get(dir, name)
+        def closeShard(): Unit = if (cur >= 0 && !skip) {
+          bin.close(); idx.close()
+          val names = Seq(s"shard=$cur.bin", s"shard=$cur.idx")
+          names.foreach { n =>
+            if (java.nio.file.Files.exists(p(n)))
+              java.nio.file.Files.move(p(n), p(s".$n.old"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          java.nio.file.Files.move(binTmp, p(names(0)),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.move(idxTmp, p(names(1)),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          names.foreach(n => java.nio.file.Files.deleteIfExists(p(s".$n.old")))
+        }
+        def lastExportedDoc(shard: Long): Long = {
+          val liveIdx = p(s"shard=$shard.idx")
+          if (!java.nio.file.Files.exists(liveIdx)) Long.MinValue
+          else {
+            val ix = java.nio.file.Files.readAllBytes(liveIdx)
+            if (ix.length < IdxRecordBytes) Long.MinValue
+            else leLong(ix, ix.length - IdxRecordBytes)
+          }
+        }
+        def openShard(shard: Long, firstId: Long): Unit = {
+          Seq(s"shard=$shard.bin", s"shard=$shard.idx").foreach { n =>
+            require(!java.nio.file.Files.exists(p(s".$n.old")),
+              s"$dir/.$n.old exists: a prior append crashed between its " +
+                s"swaps. Recover shard=$shard by restoring the .old pair " +
+                "over the live files, then retry.")
+          }
+          skip = lastExportedDoc(shard) >= firstId
+          if (!skip) {
+            binTmp = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(dir), s"shard-$shard", ".bin.app")
+            idxTmp = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(dir), s"shard-$shard", ".idx.app")
+            if (java.nio.file.Files.exists(p(s"shard=$shard.bin")))
+              java.nio.file.Files.copy(p(s"shard=$shard.bin"), binTmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            if (java.nio.file.Files.exists(p(s"shard=$shard.idx")))
+              java.nio.file.Files.copy(p(s"shard=$shard.idx"), idxTmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            bin = new java.io.BufferedOutputStream(java.nio.file.Files
+              .newOutputStream(binTmp, java.nio.file.StandardOpenOption.APPEND))
+            idx = new java.io.BufferedOutputStream(java.nio.file.Files
+              .newOutputStream(idxTmp, java.nio.file.StandardOpenOption.APPEND))
+          }
+        }
+        rows.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != cur) {
+            closeShard(); cur = shard; openShard(shard, r.getLong(1))
+          }
+          if (!skip) {
+            val ids = r.getSeq[Int](3)
+            putLeLong(idx, r.getLong(1))
+            putLeLong(idx, r.getLong(2))
+            putLeInt(idx, ids.size)
+            ids.foreach(putLeInt(bin, _))
+          }
+        }
+        closeShard()
+      }
+    manifest(spark, dir)
   }
 
   /** Salt for the worker-rank hash — distinct from [[Packing.PackSalt]]

@@ -108,6 +108,41 @@ class TokenShardsSpec extends AnyFunSuite {
       "replayed export must produce identical checksums")
   }
 
+  test("append(B) after write(A) is byte-identical to write(A + B)") {
+    import spark.implicits._
+    val mk = (r: Range) => spread(r.map(i =>
+      (i.toLong, s"w$i ab${"c" * (i % 5)} xyz ${i}q")).toDF("doc_id", "text"))
+    val all = mk(0 until 80)
+    // frozen tokenizer: the SAME merge table drives both paths (an
+    // append never retrains — the q161 replay contract)
+    val (merges, _) = Bpe.train(Bpe.wordCensus(all), nMerges = 5)
+
+    val dirFull = Files.createTempDirectory("graft-tok-full").toString
+    val mFull = TokenShards.writeTokenShards(all, merges, dirFull,
+      budget = 24, nBuckets = 3).collect()
+
+    val dirInc = Files.createTempDirectory("graft-tok-inc").toString
+    TokenShards.writeTokenShards(mk(0 until 50), merges, dirInc,
+      budget = 24, nBuckets = 3)
+    val mInc = TokenShards.appendTokenShards(mk(50 until 80), merges,
+      dirInc, budget = 24, nBuckets = 3).collect()
+
+    // CRC equality per shard = the bytes are identical: the append
+    // extended every shard strictly at its tail
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(key(mInc) == key(mFull),
+      s"incremental export diverged:\nfull ${key(mFull)}\ninc  ${key(mInc)}")
+
+    // an out-of-order batch (ids at or below the exported tail) is a
+    // loud contract violation, never a silent re-pack
+    val e = intercept[IllegalArgumentException](
+      TokenShards.appendTokenShards(mk(40 until 60), merges, dirInc,
+        budget = 24, nBuckets = 3))
+    assert(e.getMessage.contains("sort after"))
+  }
+
   test("loaderPlan/loaderBalance: coordination-free ranks, exact census") {
     import spark.implicits._
     val tokenized = (0L until 200L).map(i => (i, (i % 9) + 1))
