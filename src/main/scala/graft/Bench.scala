@@ -145,6 +145,36 @@ object Bench {
     else None
   }
 
+  /** /tmp-crowding decay (round-14 diagnosis): every Verify/test/bench
+    * JVM leaks `graft-*` temp directories (per-query index builds,
+    * checkpoints — `Files.createTempDirectory` has no recursive
+    * delete-on-exit), and at ~5k entries in the tmp dir every temp-file
+    * CREATION slows enough that disk-artifact queries decay 2–3× across
+    * successive runs with no code change (q96: 15.2 s at 5431 stale
+    * dirs → 7.9 s after a sweep; the round-14 run-3 record inflated the
+    * same way). Sweep STALE ones (mtime beyond [[TempSweepAgeMs]] — this
+    * run's own dirs are younger; the idle-host record contract means no
+    * concurrent foreign run owns any) before the warm-up, so every full
+    * run times against the same tmp state. */
+  private val TempSweepAgeMs = 10 * 60 * 1000L
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private def sweepStaleTempDirs(): Int = {
+    val tmpDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - TempSweepAgeMs
+    val stale = Option(tmpDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft-") &&
+        f.lastModified() < cutoff)
+    stale.foreach(deleteRecursively)
+    stale.length
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -155,6 +185,9 @@ object Bench {
     def runToNoop(name: String): Unit =
       SparkEntry.benchQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+
+    val swept = sweepStaleTempDirs()
+    println(s"""{"metric":"temp_sweep","stale_dirs_removed":$swept}""")
 
     // SPARK_GRAFT_ONLY=q31,q45 restricts the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
