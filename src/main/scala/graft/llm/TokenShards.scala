@@ -443,6 +443,24 @@ object TokenShards {
       .drop("__tot")
   }
 
+  /** Per-epoch read order over a [[loaderPlan]]: each worker visits its
+    * packs in a deterministic pseudo-random order that RESHUFFLES every
+    * epoch — [[Sharding.orderKey]] over the pack id, the repo's one
+    * epoch-permutation convention (q80's shard discipline applied to
+    * the loader side), so run N of epoch E on any engine reads the same
+    * sequence. `seq` is the dense 0-based position within the worker;
+    * the worker assignment itself never moves across epochs (that is
+    * [[loaderPlan]]'s hash). One window per worker: parallelism = the
+    * worker count, and each worker's list is manifest-sized
+    * (packs/worker) — the list its loader materializes anyway. */
+  def epochOrder(plan: DataFrame, epoch: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("worker")).orderBy(col("__ok"), col("pack_id"))
+    plan.withColumn("__ok", Sharding.orderKey(col("pack_id"), epoch))
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .drop("__ok")
+  }
+
   /** Read one document's token ids back through the offsets — the
     * trainer's access path, used by the spec to pin bit-exactness. */
   def readDoc(dir: String, shard: Long, docId: Long): Seq[Int] = {

@@ -6066,7 +6066,48 @@ object LlmQueries extends QueryFamily {
            |       CAST(tok_sum AS BIGINT) AS tok_sum,
            |       CAST(tok_sum * 1000000 // greatest(t, 1) AS BIGINT)
            |         AS share_micro
-           |FROM per, tot ORDER BY worker""".stripMargin))
+           |FROM per, tot ORDER BY worker""".stripMargin)),
+
+    // ── Loader epoch order (q200): q199's companion — each worker
+    //    visits its packs in a deterministic pseudo-random order that
+    //    reshuffles per epoch (Sharding.orderKey over the pack id — the
+    //    q80 permutation convention on the loader side), so every run
+    //    and engine reads the same epoch-E sequence with no coordination
+    //    and no RNG. Worker assignment never moves across epochs; seq is
+    //    the dense position within the worker. One window per worker —
+    //    each worker's list is manifest-sized, the list its loader
+    //    materializes anyway. ─────────────────────────────────────────────
+    QueryDef.sorted(
+      "q200_loader_epoch_order",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val packed = Packing.withPacks(docs, budget = 256, nBuckets = 8)
+        TokenShards.epochOrder(
+            TokenShards.loaderPlan(packed, nWorkers = 4), epoch = 1)
+          .select(col("worker").cast("long"), col("seq"),
+            col("pack_id").cast("long"), col("n_docs").cast("long"),
+            col("tok_sum").cast("long"))
+      },
+      _.orderBy("worker", "seq"),
+      Some(
+        s"""WITH packed AS (${Packing.sqlPacks("documents", 256, 8)}),
+           |plan AS (
+           |  SELECT pack_id, ${TokenShards.sqlWorker("pack_id", 4)}
+           |           AS worker,
+           |         count(*) AS n_docs, sum(tokens) AS tok_sum
+           |  FROM packed GROUP BY pack_id),
+           |ord AS (
+           |  SELECT *, row_number() OVER (PARTITION BY worker
+           |    ORDER BY ${Sharding.sqlOrderKey("pack_id", 1)}, pack_id)
+           |    - 1 AS seq
+           |  FROM plan)
+           |SELECT CAST(worker AS BIGINT) AS worker,
+           |       CAST(seq AS BIGINT) AS seq,
+           |       CAST(pack_id AS BIGINT) AS pack_id,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(tok_sum AS BIGINT) AS tok_sum
+           |FROM ord ORDER BY worker, seq""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

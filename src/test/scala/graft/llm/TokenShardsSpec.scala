@@ -169,5 +169,33 @@ class TokenShardsSpec extends AnyFunSuite {
     assert(shares <= 1000000L && shares > 1000000L - 3)
   }
 
+  test("epochOrder: per-epoch permutation, stable workers, dense seq") {
+    import spark.implicits._
+    val tokenized = (0L until 300L).map(i => (i, (i % 7) + 1))
+      .toDF("doc_id", "tokens")
+    val plan = TokenShards.loaderPlan(
+      Packing.withPacksCounted(tokenized, budget = 16, nBuckets = 4),
+      nWorkers = 3)
+    def order(epoch: Int) = TokenShards.epochOrder(plan, epoch)
+      .select("worker", "seq", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = order(1)
+    // seq is dense 0..n-1 within each worker
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic: same epoch, same order
+    assert(order(1).toSeq == e1.toSeq)
+    // a new epoch permutes at least one worker's visit order...
+    val e2 = order(2)
+    val visit = (es: Array[(Long, Long, Long)]) =>
+      es.groupBy(_._1).map { case (w, r) =>
+        w -> r.sortBy(_._2).map(_._3).toSeq }
+    assert(visit(e1) != visit(e2), "epoch must reshuffle the read order")
+    // ...but never moves a pack between workers (loaderPlan's hash)
+    assert(e1.map(r => (r._3, r._1)).sorted.toSeq ==
+      e2.map(r => (r._3, r._1)).sorted.toSeq)
+  }
+
   private def spread(df: org.apache.spark.sql.DataFrame) = df.repartition(4)
 }
