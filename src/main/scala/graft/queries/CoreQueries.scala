@@ -1515,8 +1515,109 @@ object CoreQueries extends QueryFamily {
           |       count(*) AS n,
           |       count(CASE WHEN operation IN ('drop_coll','drop_db')
           |                  THEN 1 END) AS n_drop
-          |FROM tagged GROUP BY 1 ORDER BY reason""".stripMargin))
+          |FROM tagged GROUP BY 1 ORDER BY reason""".stripMargin)),
+
+    // ── Point-in-time (as-of) join (q201): every purchase picks up the
+    //    user's most recent at-or-before view within 24h — the no-future-
+    //    leakage feature-attachment join. NOT a join under the hood: both
+    //    sides union, shuffle ONCE on the user key, sort once, and a
+    //    single running last(payload) window hands each purchase its
+    //    match (the naive r.ts <= l.ts join explodes quadratically on hot
+    //    keys). The oracle replays the argmax per row via LATERAL — the
+    //    semantics, not the plan. ──────────────────────────────────────
+    QueryDef.sorted(
+      "q201_asof_join",
+      (s, dir) => asofViewsBeforePurchases(
+        s.read.parquet(s"$dir/events.parquet")),
+      _.orderBy("event_id"),
+      Some(asofOracleSql)),
+
+    // ── Incremental as-of (q202): the month of events folds in three
+    //    time-partitioned batches; the carried state is ONE right row per
+    //    user (the latest view), so matching new purchases never re-reads
+    //    history. Output ∪ over batches must equal the full-corpus as-of
+    //    EXACTLY — q201's oracle verbatim; the hash match IS the fold
+    //    identity. ──────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q202_asof_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val base = ev.withColumn("__t", EventLog.tsUsOf(ev))
+        val lefts = base.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("__t"))
+        val rights = base.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_event_id"),
+            col("value").as("v_value"), col("__t"))
+        val cut1 = 1704931200000000L // 2024-01-11T00:00:00Z
+        val cut2 = 1705795200000000L // 2024-01-21T00:00:00Z
+        // NULL-ts lefts ride the first batch (a cut predicate can place
+        // them nowhere else); they match nothing, as in the full run
+        val lCuts = Seq(
+          lefts.filter(col("__t").isNull || col("__t") < cut1),
+          lefts.filter(col("__t") >= cut1 && col("__t") < cut2),
+          lefts.filter(col("__t") >= cut2))
+        val rCuts = Seq(
+          rights.filter(col("__t") < cut1),
+          rights.filter(col("__t") >= cut1 && col("__t") < cut2),
+          rights.filter(col("__t") >= cut2))
+        val outs = lCuts.zip(rCuts)
+          .foldLeft((Seq.empty[org.apache.spark.sql.DataFrame],
+            AsofJoin.emptyState(rights))) { case ((acc, st), (lb, rb)) =>
+            val (o, st2) = AsofJoin.asofBackwardIncremental(lb, rb, st,
+              Seq("user_id"), col("__t"), col("__t"), "v_event_id",
+              toleranceUs = Some(86400000000L))
+            (acc :+ o, st2)
+          }._1
+        outs.reduce(_ unionByName _)
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("asof_v_event_id").as("v_event_id"),
+            col("asof_ts_us").as("v_ts_us"),
+            (col("ts_us") - col("asof_ts_us")).as("lag_us"),
+            col("asof_v_value").as("v_value"))
+      },
+      _.orderBy("event_id"),
+      Some(asofOracleSql))
   )
+
+  /** q201's plan, shared with the q202 fold identity: purchases as-of
+    * backward against views on the user key, 24h tolerance. */
+  private def asofViewsBeforePurchases(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = ev.withColumn("__t", EventLog.tsUsOf(ev))
+    val lefts = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("__t"))
+    val rights = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_event_id"),
+        col("value").as("v_value"), col("__t"))
+    AsofJoin.asofBackward(lefts, rights, Seq("user_id"),
+        col("__t"), col("__t"), "v_event_id",
+        toleranceUs = Some(86400000000L))
+      .select(col("event_id"), col("user_id").cast("long"), col("ts_us"),
+        col("asof_v_event_id").as("v_event_id"),
+        col("asof_ts_us").as("v_ts_us"),
+        (col("ts_us") - col("asof_ts_us")).as("lag_us"),
+        col("asof_v_value").as("v_value"))
+  }
+
+  /** The as-of semantics in SQL — per-left argmax via LATERAL with the
+    * same (ts, tie) resolution; shared by q201 and q202 (fold identity). */
+  private def asofOracleSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'view'
+      |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+      |SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id, l.ts_us,
+      |       m.event_id AS v_event_id, m.ts_us AS v_ts_us,
+      |       l.ts_us - m.ts_us AS lag_us, m.value AS v_value
+      |FROM l LEFT JOIN LATERAL (
+      |  SELECT r.event_id, r.ts_us, r.value FROM r
+      |  WHERE r.user_id = l.user_id AND r.ts_us <= l.ts_us
+      |    AND l.ts_us - r.ts_us <= 86400000000
+      |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1) m ON TRUE
+      |ORDER BY l.event_id""".stripMargin
 
   /** Shared oracle for q185/q188: the FULL-LOG step-latency quantiles —
     * q188's incremental folds must reproduce it exactly. */

@@ -178,6 +178,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one sort, got ${nodes("Sort")}:\n$plan")
   }
 
+  test("as-of join plans ZERO joins: one union exchange, one sort") {
+    val plan = fmt(SparkEntry.benchQueries("q201_asof_join")(spark, dir))
+    // the whole point vs `l JOIN r ON key AND r.ts <= l.ts`: no join
+    // node anywhere (no hot-key explosion to prune), both sides union
+    // into ONE key exchange and ONE (ts, side, tie) sort
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    def nodes(name: String) =
+      plan.linesIterator.count(_.matches(s"""^\\(\\d+\\) $name.*"""))
+    assert(nodes("Exchange") === 1,
+      s"expected one exchange, got ${nodes("Exchange")}:\n$plan")
+    assert(nodes("Sort") === 1,
+      s"expected one sort, got ${nodes("Sort")}:\n$plan")
+    assert(nodes("Window") <= 2, // running match + (guard slot unused)
+      s"expected at most two window nodes:\n$plan")
+  }
+
   test("exact-k sampling is a bounded heap, never a window sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = fmt(graft.llm.Sampling.exactKPerStratum(docs, 7, "source"))
