@@ -909,6 +909,136 @@ object EventAnalytics {
         StructField("day", LongType))))
   }
 
+  /** Rolling event-time features — at every event, the user's trailing
+    * activity over each window: `n_<name>` (event count) and
+    * `sum_<name>` (sum of `valueCol`, an INTEGER expression — the caller
+    * floors/scales floats so the accumulation is exact and replayable
+    * cross-engine), plus `prev_gap_us` (micros since the user's previous
+    * event; NULL on their first). The feature-engineering pass a
+    * training pipeline runs before sampling: recency/frequency at the
+    * moment of each example, no future leakage by construction.
+    *
+    * Window semantics are RANGE (value-based): the frame is every event
+    * with ts in [cur − windowUs, cur] INCLUSIVE of both edges and of
+    * equal-timestamp peers later in tie order — the standard SQL RANGE
+    * frame, replayed identically by the oracle. NULL user/ts events are
+    * excluded by statement.
+    *
+    * Scale shape: ONE user-keyed exchange; the lag window sorts (user,
+    * ts, tie) and every RANGE frame rides the same sort (its required
+    * (user, ts) prefix is satisfied), so all features stack as Window
+    * nodes over a single shuffle+sort — partitions are user-sized.
+    * PlanAuditSpec pins one exchange, one sort. */
+  def rollingFeatures(events: DataFrame, tsUs: Column, valueCol: Column,
+                      windows: Seq[(String, Long)],
+                      userCol: String = "user_id",
+                      tieCol: String = "event_id"): DataFrame = {
+    require(windows.nonEmpty, "rollingFeatures: no windows")
+    require(windows.map(_._1).distinct.length == windows.length,
+      "rollingFeatures: duplicate window names")
+    require(windows.forall(_._2 > 0),
+      s"rollingFeatures: non-positive window in $windows")
+    val base = events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .withColumn("__v", valueCol.cast("long"))
+    stackFeatures(base, windows, userCol, tieCol).drop("__v")
+  }
+
+  /** The shared frame stack: `prev_gap_us` + per-window count/sum over a
+    * frame that already carries `ts_us` and `__v`. */
+  private def stackFeatures(base: DataFrame, windows: Seq[(String, Long)],
+                            userCol: String, tieCol: String): DataFrame = {
+    val tieW = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+    val out0 = base.withColumn("prev_gap_us",
+      col("ts_us") - lag(col("ts_us"), 1).over(tieW))
+    windows.foldLeft(out0) { case (df, (name, w)) =>
+      val rw = Window.partitionBy(col(userCol)).orderBy(col("ts_us").asc)
+        .rangeBetween(-w, 0)
+      df.withColumn(s"n_$name", count(lit(1)).over(rw))
+        .withColumn(s"sum_$name", sum(col("__v")).over(rw))
+    }
+  }
+
+  /** Empty state for [[rollingFeaturesIncremental]]: the minimal replay
+    * slice — (user, tie, ts_us, __v). */
+  def emptyRollingState(spark: org.apache.spark.sql.SparkSession,
+                        userCol: String = "user_id",
+                        tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField(userCol, LongType),
+        StructField(tieCol, LongType), StructField("ts_us", LongType),
+        StructField("__v", LongType))))
+  }
+
+  /** Incremental rolling features — the log-ingest shape: a batch that is
+    * STRICTLY time-partitioned globally (every batch event after every
+    * previously folded one — strict because a boundary-straddling
+    * timestamp tie would put later RANGE peers in an already-shipped
+    * row's frame; enforced loudly, never trusted) computes its features
+    * against (carried state ∪ batch), and the new state keeps only what
+    * any future batch can still see: events within the widest window of
+    * the global tail, plus each user's single latest event (the
+    * `prev_gap_us` anchor — a user silent for a year still gets their
+    * true gap). Output ∪ over batches equals [[rollingFeatures]] over
+    * the full corpus EXACTLY (q206's oracle is q204's verbatim); state
+    * is window-bounded plus one row per user, never proportional to
+    * history.
+    *
+    * Scale shape: the feature stack is the same one-exchange window
+    * pass over (state ∪ batch); the two global tails ride broadcast
+    * one-row frames (control-plane); the latest-per-user keep flag is a
+    * per-user max over the already-partitioned frame. */
+  def rollingFeaturesIncremental(newEvents: DataFrame, state: DataFrame,
+                                 tsUs: Column, valueCol: Column,
+                                 windows: Seq[(String, Long)],
+                                 userCol: String = "user_id",
+                                 tieCol: String = "event_id")
+      : (DataFrame, DataFrame) = {
+    require(windows.nonEmpty, "rollingFeaturesIncremental: no windows")
+    val maxW = windows.map(_._2).max
+    val st = graft.CacheBarriers.barrier(state)
+    // contract check rides a broadcast one-row tail and is consumed by
+    // both output paths (the batch rows flow into features AND state)
+    val stTail = st.agg(max(col("ts_us")).as("__mst"))
+    val b = newEvents
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .withColumn("__v", valueCol.cast("long"))
+      .crossJoin(broadcast(stTail))
+      .withColumn("__chk",
+        when(col("__mst").isNotNull && col("ts_us") <= col("__mst"),
+          raise_error(concat(
+            lit("rollingFeaturesIncremental: batch event at "),
+            col("ts_us").cast("string"),
+            lit(" at-or-before the folded tail "),
+            col("__mst").cast("string"),
+            lit(" — batches must be strictly time-partitioned"))))
+          .otherwise(lit(1)))
+      .filter(col("__chk") === 1).drop("__chk", "__mst")
+    val u = graft.CacheBarriers.barrier(
+      st.withColumn("__st", lit(true))
+        .unionByName(b.withColumn("__st", lit(false)),
+          allowMissingColumns = true))
+    val features = stackFeatures(u, windows, userCol, tieCol)
+      .filter(!col("__st")).drop("__st", "__v")
+    // new state: the widest window back from the NEW global tail, plus
+    // each user's latest event (strict ≥ keeps the inclusive frame edge)
+    val uTail = u.agg(max(col("ts_us")).as("__g"))
+    val lastW = Window.partitionBy(col(userCol))
+    val nextState = u
+      .withColumn("__last",
+        struct(col("ts_us"), col(tieCol)) <=>
+          max(struct(col("ts_us"), col(tieCol))).over(lastW))
+      .crossJoin(broadcast(uTail))
+      .filter(col("ts_us") >= col("__g") - maxW || col("__last"))
+      .select(col(userCol), col(tieCol), col("ts_us"), col("__v"))
+    (features, nextState)
+  }
+
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
     * fstep_{n-1}`, each (user, t). Chain them into the report with
     * scalar `count(*)` subqueries. */

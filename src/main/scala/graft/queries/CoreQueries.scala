@@ -1576,7 +1576,154 @@ object CoreQueries extends QueryFamily {
             col("asof_v_value").as("v_value"))
       },
       _.orderBy("event_id"),
-      Some(asofOracleSql))
+      Some(asofOracleSql)),
+
+    // ── Interval-containment join (q203): every error event attributed
+    //    to every session whose ±40-minute grace window covers it —
+    //    sessions built from the NON-error events (30-min gap), so a
+    //    between-sessions error can match zero, one, or (silence between
+    //    30 and 80 minutes) BOTH neighbouring windows. Spark would plan
+    //    the raw `ts BETWEEN s AND e` as a nested loop; [[IntervalJoin]]
+    //    discretizes both sides onto a 1-hour grid and joins EQUI on
+    //    (user, cell) + a residual filter — never quadratic. The oracle
+    //    states the containment directly. ──────────────────────────────
+    QueryDef.sorted(
+      "q203_interval_attribution",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val tsU = EventLog.tsUsOf(ev)
+        val padUs = 2400L * 1000000L
+        val sess = Sessionize.sessionStats(
+            ev.filter(col("event_type") =!= "error"),
+            gapUs = 1800L * 1000000L, tsUs = tsU)
+          .select(col("user_id"), col("session_seq"),
+            col("start_us"), col("end_us"),
+            (col("start_us") - padUs).as("__ps"),
+            (col("end_us") + padUs).as("__pe"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), tsU.as("__t"))
+        IntervalJoin.byContainment(errs, sess, Seq("user_id"),
+            col("__t"), col("__ps"), col("__pe"),
+            binUs = 3600L * 1000000L)
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("iv_session_seq").as("session_seq"),
+            col("iv_start_us").as("sess_start_us"),
+            col("iv_end_us").as("sess_end_us"))
+      },
+      _.orderBy("event_id", "session_seq"),
+      Some(
+        s"""WITH ne AS (SELECT * FROM events WHERE event_type <> 'error'),
+           |${Sessionize.sqlSessionCtes("ne", 1800L * 1000000L)},
+           |sess AS (
+           |  SELECT user_id, session_seq,
+           |         min(ts_us) AS start_us, max(ts_us) AS end_us
+           |  FROM sess_s GROUP BY 1, 2),
+           |err AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           |  WHERE event_type = 'error'
+           |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+           |SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+           |       p.ts_us, CAST(s.session_seq AS BIGINT) AS session_seq,
+           |       CAST(s.start_us AS BIGINT) AS sess_start_us,
+           |       CAST(s.end_us AS BIGINT) AS sess_end_us
+           |FROM err p JOIN sess s
+           |  ON p.user_id = s.user_id
+           | AND p.ts_us >= s.start_us - 2400000000
+           | AND p.ts_us <= s.end_us + 2400000000
+           |ORDER BY p.event_id, s.session_seq""".stripMargin)),
+
+    // ── Rolling event-time features (q204): at every event, the user's
+    //    trailing 7-day and 1-day activity (count + integer value sum)
+    //    and the gap since their previous event — recency/frequency at
+    //    the moment of each example, no future leakage by construction.
+    //    All features stack as RANGE windows over ONE user-keyed
+    //    exchange and one (user, ts, tie) sort; sums are floored to
+    //    BIGINT so the accumulation replays exactly cross-engine. ──────
+    QueryDef.sorted(
+      "q204_rolling_features",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.rollingFeatures(ev,
+            tsUs = EventLog.tsUsOf(ev),
+            valueCol = floor(col("value")),
+            windows = Seq("7d" -> 604800000000L, "1d" -> 86400000000L))
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("n_7d"), col("sum_7d"),
+            col("n_1d"), col("sum_1d"), col("prev_gap_us"))
+      },
+      _.orderBy("event_id"),
+      Some(rollingOracleSql)),
+
+    // ── Incremental rolling features (q206): the month of events folds
+    //    in three strictly time-partitioned batches; the carried state
+    //    is the widest window back from the global tail plus each
+    //    user's single latest event (the gap anchor), so features for
+    //    new events never re-read history. Output ∪ over batches must
+    //    equal q204 EXACTLY — its oracle verbatim; the hash match IS
+    //    the fold identity. ─────────────────────────────────────────────
+    QueryDef.sorted(
+      "q206_rolling_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val withTs = ev.withColumn("__t", EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L // 2024-01-11T00:00:00Z
+        val cut2 = 1705795200000000L // 2024-01-21T00:00:00Z
+        val wins = Seq("7d" -> 604800000000L, "1d" -> 86400000000L)
+        val batches = Seq(
+          withTs.filter(col("__t") < cut1),
+          withTs.filter(col("__t") >= cut1 && col("__t") < cut2),
+          withTs.filter(col("__t") >= cut2))
+        val outs = batches.foldLeft(
+          (Seq.empty[org.apache.spark.sql.DataFrame],
+            EventAnalytics.emptyRollingState(s))) { case ((acc, st), b) =>
+          val (f, st2) = EventAnalytics.rollingFeaturesIncremental(
+            b, st, tsUs = col("__t"), valueCol = floor(col("value")),
+            windows = wins)
+          (acc :+ f, st2)
+        }._1
+        outs.reduce(_ unionByName _)
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("n_7d"), col("sum_7d"),
+            col("n_1d"), col("sum_1d"), col("prev_gap_us"))
+      },
+      _.orderBy("event_id"),
+      Some(rollingOracleSql)),
+
+    // ── SCD2 interval build (q205): each user's purchase-tier history
+    //    (tier = value÷100, floored) compressed into [from, to) validity
+    //    intervals — consecutive same-tier purchases collapse, a tier
+    //    change closes and reopens, the last interval stays open. The
+    //    dimension-versioning table behind point-in-time joins. One key
+    //    exchange; an island's start row IS its interval row (no
+    //    aggregation pass). ────────────────────────────────────────────
+    QueryDef.sorted(
+      "q205_scd2_intervals",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        Scd2.intervals(
+            ev.filter(col("event_type") === "purchase"),
+            Seq("user_id"), EventLog.tsUsOf(ev),
+            floor(col("value") / 100).cast("long"), "event_id")
+          .select(col("user_id").cast("long"), col("value").as("tier"),
+            col("valid_from_us"), col("valid_to_us"))
+      },
+      _.orderBy("user_id", "valid_from_us"),
+      Some(
+        """WITH c AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |         CAST(floor(value / 100) AS BIGINT) AS tier
+          |  FROM events WHERE event_type = 'purchase'
+          |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+          |l AS (SELECT *, lag(ts_us) OVER w AS pts, lag(tier) OVER w AS ptier
+          |      FROM c
+          |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          |s AS (SELECT * FROM l WHERE pts IS NULL
+          |                         OR tier IS DISTINCT FROM ptier)
+          |SELECT CAST(user_id AS BIGINT) AS user_id, tier,
+          |       ts_us AS valid_from_us,
+          |       lead(ts_us) OVER (PARTITION BY user_id
+          |         ORDER BY ts_us, event_id) AS valid_to_us
+          |FROM s ORDER BY user_id, valid_from_us""".stripMargin))
   )
 
   /** q201's plan, shared with the q202 fold identity: purchases as-of
@@ -1598,6 +1745,27 @@ object CoreQueries extends QueryFamily {
         (col("ts_us") - col("asof_ts_us")).as("lag_us"),
         col("asof_v_value").as("v_value"))
   }
+
+  /** The full-corpus rolling-feature SQL — shared by q204 and q206 (the
+    * fold identity). */
+  private def rollingOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+      |SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us,
+      |       count(*) OVER w7 AS n_7d,
+      |       CAST(sum(v) OVER w7 AS BIGINT) AS sum_7d,
+      |       count(*) OVER w1 AS n_1d,
+      |       CAST(sum(v) OVER w1 AS BIGINT) AS sum_1d,
+      |       ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |         ORDER BY ts_us, event_id) AS prev_gap_us
+      |FROM e
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+      |       w1 AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 
   /** The as-of semantics in SQL — per-left argmax via LATERAL with the
     * same (ts, tie) resolution; shared by q201 and q202 (fold identity). */

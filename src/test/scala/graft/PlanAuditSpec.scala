@@ -194,6 +194,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected at most two window nodes:\n$plan")
   }
 
+  test("interval join plans an EQUI join on the grid, never a nested loop") {
+    val plan = fmt(SparkEntry.benchQueries("q203_interval_attribution")(
+      spark, dir))
+    // the raw `ts BETWEEN s AND e` predicate would plan a broadcast
+    // nested loop (quadratic the moment neither side broadcasts); the
+    // grid discretization must keep it a hash/merge join
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Join"), s"expected an equi join:\n$plan")
+  }
+
+  test("rolling features stack every frame on ONE exchange and ONE sort") {
+    val plan = fmt(SparkEntry.benchQueries("q204_rolling_features")(
+      spark, dir))
+    def nodes(name: String) =
+      plan.linesIterator.count(_.matches(s"""^\\(\\d+\\) $name.*"""))
+    // the lag window's (user, ts, tie) sort satisfies every RANGE
+    // frame's (user, ts) prefix — 5 features, one shuffle, one sort
+    assert(nodes("Exchange") === 1,
+      s"expected one exchange, got ${nodes("Exchange")}:\n$plan")
+    assert(nodes("Sort") === 1,
+      s"expected one sort, got ${nodes("Sort")}:\n$plan")
+  }
+
+  test("SCD2 build rides one exchange: the start filter keeps the lead in-place") {
+    val plan = fmt(SparkEntry.benchQueries("q205_scd2_intervals")(spark, dir))
+    def nodes(name: String) =
+      plan.linesIterator.count(_.matches(s"""^\\(\\d+\\) $name.*"""))
+    assert(nodes("Exchange") === 1,
+      s"expected one exchange, got ${nodes("Exchange")}:\n$plan")
+  }
+
   test("exact-k sampling is a bounded heap, never a window sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = fmt(graft.llm.Sampling.exactKPerStratum(docs, 7, "source"))
