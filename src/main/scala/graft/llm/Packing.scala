@@ -86,6 +86,50 @@ object Packing {
         sum(col(idCol)).as("id_sum"))
   }
 
+  /** Interleaved multimodal packing — the vision-language trainer's
+    * budget accounting (LLaVA/Flamingo-style: an image enters the
+    * sequence as its patch grid plus delimiter tokens, all charged
+    * against the same context budget as text): a document's effective
+    * length is `textTokens + patchTokens` (the caller derives patch
+    * tokens from PARSED media metadata — [[graft.multimodal.Multimodal
+    * .withImageDims]] → grid size + separators — so the plan moves one
+    * metadata row per asset, never a media byte), and the pack
+    * assignment is [[withPacksCounted]] verbatim: same salt, same
+    * next-fit cumulative sum, same collision-audited id arithmetic,
+    * documents atomic (an image's patches never split across packs).
+    * Adds `text_tokens`, `patch_tokens` (0 for text-only docs),
+    * `tokens`, `bucket`, `pack_id`. */
+  def withInterleavedPacks(docs: DataFrame, budget: Int, nBuckets: Int,
+                           textTokens: Column, patchTokens: Column,
+                           idCol: String = "doc_id"): DataFrame =
+    withPacksCounted(
+      docs
+        .withColumn("text_tokens", coalesce(textTokens.cast("long"), lit(0L)))
+        .withColumn("patch_tokens",
+          coalesce(patchTokens.cast("long"), lit(0L)))
+        .withColumn("tokens", col("text_tokens") + col("patch_tokens")),
+      budget, nBuckets, idCol)
+
+  /** Per-pack modality split — [[packCensus]]'s vision-language sibling:
+    * how much of each pack's budget is text vs patches, how many docs
+    * carry an image, and the integer micro fill ratio against `budget`
+    * (can exceed 1e6: next-fit keeps documents atomic, so a pack whose
+    * last document straddles the boundary legitimately overflows — the
+    * number the budget/patch-size trade is tuned on). */
+  def modalityCensus(packed: DataFrame, budget: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"modalityCensus: budget=$budget must be positive")
+    packed.groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("patch_tokens") > 0, lit(1))).as("n_images"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("patch_tokens")).as("patch_tokens"),
+        sum(col("tokens")).as("tok_sum"),
+        sum(col(idCol)).as("id_sum"))
+      .withColumn("fill_micro",
+        expr(s"tok_sum * 1000000L DIV ${budget}L"))
+  }
+
   val BatchSalt = "graft-batch|"
 
   /** Per-(length-bucket, sub-stream) batch-index stride: 2^30 batches

@@ -6107,7 +6107,74 @@ object LlmQueries extends QueryFamily {
            |       CAST(pack_id AS BIGINT) AS pack_id,
            |       CAST(n_docs AS BIGINT) AS n_docs,
            |       CAST(tok_sum AS BIGINT) AS tok_sum
-           |FROM ord ORDER BY worker, seq""".stripMargin))
+           |FROM ord ORDER BY worker, seq""".stripMargin)),
+
+    // ── Interleaved multimodal packing (q207): the vision-language
+    //    budget accounting — a doc with an attached image is charged
+    //    text tokens PLUS its ViT patch grid (64px patches from the
+    //    PARSED PNG/GIF dims, q190's plan) plus 2 delimiter tokens, and
+    //    the next-fit pack fills one 512-token context budget across
+    //    both modalities (images atomic, never split). The census
+    //    reports each pack's text/patch split, image count, and fill —
+    //    the numbers the budget/patch-size trade is tuned on. The
+    //    oracle recomputes the dims from the fixture arithmetic the
+    //    bytes encode; the assets join is doc-keyed (one metadata row
+    //    per asset, never a media byte). ───────────────────────────────
+    QueryDef.sorted(
+      "q207_interleaved_packs",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val imgs = Multimodal.withImageDims(syntheticImages(s, dir))
+          .select(col("doc_id"),
+            when(col("fmt") =!= "unknown",
+              ceil(col("img_w") / 64.0) * ceil(col("img_h") / 64.0) + 2
+            ).cast("long").as("__patches"))
+        val packed = Packing.withInterleavedPacks(
+          docs.join(imgs, "doc_id"), budget = 512, nBuckets = 8,
+          textTokens = coalesce(size(TextHash.words(col("text"))), lit(0)),
+          patchTokens = col("__patches"))
+        Packing.modalityCensus(packed, budget = 512)
+          .select(col("pack_id").cast("long"), col("n_docs"),
+            col("n_images"), col("text_tokens"), col("patch_tokens"),
+            col("tok_sum"), col("id_sum"), col("fill_micro"))
+      },
+      _.orderBy("pack_id"),
+      Some {
+        val eff =
+          """SELECT d.doc_id,
+            |       coalesce(len(%s), 0) AS text_tokens,
+            |       CASE WHEN i.w IS NULL THEN 0
+            |            ELSE ((i.w + 63) // 64) * ((i.h + 63) // 64) + 2
+            |       END AS patch_tokens,
+            |       coalesce(len(%s), 0) +
+            |       CASE WHEN i.w IS NULL THEN 0
+            |            ELSE ((i.w + 63) // 64) * ((i.h + 63) // 64) + 2
+            |       END AS tokens
+            |FROM documents d JOIN img i USING (doc_id)"""
+            .stripMargin.format(W("d.text"), W("d.text"))
+        s"""WITH img AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN doc_id % 640 + 1
+           |              WHEN 1 THEN doc_id % 1000 + 1 END AS w,
+           |         CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 1
+           |              WHEN 1 THEN doc_id % 200 + 1 END AS h
+           |  FROM documents),
+           |eff AS ($eff),
+           |packed AS (${Packing.sqlPacksCounted("eff", 512, 8)}),
+           |j AS (SELECT p.pack_id, p.tokens, e.text_tokens,
+           |             e.patch_tokens, p.doc_id
+           |      FROM packed p JOIN eff e USING (doc_id))
+           |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs,
+           |       count(CASE WHEN patch_tokens > 0 THEN 1 END) AS n_images,
+           |       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+           |       CAST(sum(patch_tokens) AS BIGINT) AS patch_tokens,
+           |       CAST(sum(tokens) AS BIGINT) AS tok_sum,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |       CAST(sum(tokens) * 1000000 // 512 AS BIGINT) AS fill_micro
+           |FROM j GROUP BY pack_id ORDER BY pack_id""".stripMargin
+      })
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -112,6 +112,36 @@ class PackingSpec extends AnyFunSuite {
       Packing.lengthBucketBatches(df, 10, 0, 8))
   }
 
+  test("interleaved packs charge patches against the same budget, atomically") {
+    // one bucket so the next-fit order is the plain doc_id order
+    val mm = spark.range(0, 6).select(col("id").as("doc_id"))
+      .withColumn("tt", lit(100L))
+      .withColumn("pt", when(col("doc_id") % 2 === 0, lit(150L)))
+    val packed = Packing.withInterleavedPacks(mm, budget = 256,
+      nBuckets = 1, textTokens = col("tt"), patchTokens = col("pt"))
+    val rows = packed.select("doc_id", "tokens", "pack_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // effective lengths: 250,100,250,100,250,100; cumsum starts
+    // 0,250,350,600,700,950 → packs 0,0,1,2,2,3 — the 250-token image
+    // doc at cum 350 lands whole in pack 1, never split
+    assert(rows.view.mapValues(_._1).toMap ===
+      Map(0L -> 250L, 1L -> 100L, 2L -> 250L, 3L -> 100L, 4L -> 250L,
+        5L -> 100L))
+    assert(rows.view.mapValues(_._2).toMap ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    val census = Packing.modalityCensus(packed, budget = 256)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_images"),
+          r.getAs[Long]("text_tokens"), r.getAs[Long]("patch_tokens"),
+          r.getAs[Long]("fill_micro")))).toMap
+    assert(census === Map(
+      0L -> ((2L, 1L, 200L, 150L, 1367187L)), // 350/256: atomic overflow
+      1L -> ((1L, 1L, 100L, 150L, 976562L)),
+      2L -> ((2L, 1L, 200L, 150L, 1367187L)),
+      3L -> ((1L, 0L, 100L, 0L, 390625L))))
+  }
+
   test("quantized codes are in [0,255] and reconstruction is within one step") {
     val vecs = Seq(
       (1L, Seq(0.0f, 0.5f, 1.0f, -1.0f)),
