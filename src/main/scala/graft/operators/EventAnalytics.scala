@@ -1025,18 +1025,30 @@ object EventAnalytics {
           allowMissingColumns = true))
     val features = stackFeatures(u, windows, userCol, tieCol)
       .filter(!col("__st")).drop("__st", "__v")
-    // new state: the widest window back from the NEW global tail, plus
-    // each user's latest event (strict ≥ keeps the inclusive frame edge)
-    val uTail = u.agg(max(col("ts_us")).as("__g"))
+    (features, pruneRollingState(u, maxW, userCol, tieCol))
+  }
+
+  /** The rolling-state retention rule: keep events within `maxW` of the
+    * frame's own tail (strict ≥ keeps the inclusive frame edge) plus
+    * each user's single latest event (the gap anchor). Monotone — early
+    * pruning against a lower tail never drops a row the final tail
+    * would keep — and idempotent over duplicate rows, which makes it
+    * the replay-safe combine the bucketed streaming twin needs
+    * ([[graft.streaming.StreamingRollingFeatures]]: prune(distinct(prev
+    * ∪ slice)) per bucket; a per-bucket tail only RETAINS MORE, and a
+    * kept-extra row older than any future frame contributes nothing). */
+  def pruneRollingState(state: DataFrame, maxW: Long,
+                        userCol: String = "user_id",
+                        tieCol: String = "event_id"): DataFrame = {
+    val tail = state.agg(max(col("ts_us")).as("__g"))
     val lastW = Window.partitionBy(col(userCol))
-    val nextState = u
+    state
       .withColumn("__last",
         struct(col("ts_us"), col(tieCol)) <=>
           max(struct(col("ts_us"), col(tieCol))).over(lastW))
-      .crossJoin(broadcast(uTail))
+      .crossJoin(broadcast(tail))
       .filter(col("ts_us") >= col("__g") - maxW || col("__last"))
       .select(col(userCol), col(tieCol), col("ts_us"), col("__v"))
-    (features, nextState)
   }
 
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
