@@ -51,4 +51,86 @@ object Scd2 {
       .select(keyCols.map(col) :+ col("value") :+ col("valid_from_us")
         :+ col("valid_to_us"): _*)
   }
+
+  /** Empty state for [[intervalsIncremental]]: one row per key — the
+    * OPEN interval's opening change event (value, valid_from, its tie)
+    * plus `last_ts_us`, the latest event the key has folded (the
+    * time-partition fence; collapsed events advance it without opening
+    * intervals). */
+  def emptyState(spark: org.apache.spark.sql.SparkSession,
+                 keyCols: Seq[String] = Seq("user_id"),
+                 tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(keyCols.map(StructField(_, LongType)) ++ Seq(
+        StructField("value", LongType), StructField("valid_from_us", LongType),
+        StructField(tieCol, LongType), StructField("last_ts_us", LongType))))
+  }
+
+  /** Incremental SCD2 — the log-ingest shape: the carried state row IS
+    * the open interval's opening change event, so it simply re-enters
+    * the same islands algebra ahead of the batch (a first batch event
+    * carrying the same value collapses into it — the interval keeps its
+    * original `valid_from`; a changed value closes it at the change
+    * instant). Returns (closed intervals — final, safe to ship; new
+    * state — one row per key). Closed ∪ open-as-intervals after folding
+    * b1…bn equals [[intervals]](b1 ∪ … ∪ bn) EXACTLY (q209 reuses
+    * q205's oracle verbatim); state is one row per key, never
+    * proportional to history.
+    *
+    * Contract: every batch event at-or-after the key's folded tail
+    * (`last_ts_us` — advanced by collapsed events too, which never open
+    * intervals but do fence reordering), enforced by a row-lazy raise
+    * riding the value column every output path consumes. */
+  def intervalsIncremental(newChanges: DataFrame, state: DataFrame,
+                           keyCols: Seq[String], tsUs: Column,
+                           valueCol: Column, tieCol: String)
+      : (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val st = graft.CacheBarriers.barrier(state)
+    val syn = st.select(keyCols.map(col) ++ Seq(col("value"),
+      col("valid_from_us").as("ts_us"), col(tieCol),
+      col("last_ts_us").as("__slast"), lit(true).as("__st")): _*)
+    val b = newChanges
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col("ts_us").isNotNull)
+      .withColumn("value", valueCol)
+      .select(keyCols.map(col) ++ Seq(col("value"), col("ts_us"),
+        col(tieCol), lit(null).cast("long").as("__slast"),
+        lit(false).as("__st")): _*)
+    val keys = keyCols.map(col)
+    // the state row sorts before any batch row: its ts is at-or-before
+    // the fence, and at an equal instant __st orders it first
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("ts_us").asc, col("__st").desc, col(tieCol).asc)
+    val fence = max(when(col("__st"), col("__slast")))
+      .over(Window.partitionBy(keys: _*))
+    val tail = max(col("ts_us")).over(Window.partitionBy(keys: _*))
+    val marked = syn.unionByName(b)
+      .withColumn("__v",
+        when(!col("__st") && col("ts_us") < fence,
+          raise_error(concat(
+            lit("scd2 incremental: batch event at "),
+            col("ts_us").cast("string"),
+            lit(" precedes the folded tail "),
+            fence.cast("string"),
+            lit(" — batches must be time-partitioned per key"))))
+          .otherwise(col("value")))
+      .withColumn("__tail", tail)
+      .withColumn("__pts", lag(col("ts_us"), 1).over(w))
+      .withColumn("__pval", lag(col("__v"), 1).over(w))
+      .filter(col("__pts").isNull || !(col("__v") <=> col("__pval")))
+      .withColumn("__to", lead(col("ts_us"), 1).over(w))
+    val closed = marked.filter(col("__to").isNotNull)
+      .select(keys :+ col("__v").as("value") :+
+        col("ts_us").as("valid_from_us") :+
+        col("__to").as("valid_to_us"): _*)
+    val newState = marked.filter(col("__to").isNull)
+      .select(keys ++ Seq(col("__v").as("value"),
+        col("ts_us").as("valid_from_us"), col(tieCol),
+        col("__tail").as("last_ts_us")): _*)
+    (closed, newState)
+  }
 }

@@ -1708,22 +1708,85 @@ object CoreQueries extends QueryFamily {
             col("valid_from_us"), col("valid_to_us"))
       },
       _.orderBy("user_id", "valid_from_us"),
+      Some(scd2OracleSql)),
+
+    // ── Incremental SCD2 (q209): the tier history folds in three
+    //    time-partitioned batches — the carried state row (one per user:
+    //    the open interval's opening change event plus the folded-tail
+    //    fence) re-enters the same islands algebra ahead of each batch,
+    //    so a boundary-straddling same-tier run keeps its ORIGINAL
+    //    valid_from. Closed ∪ open must equal q205 EXACTLY — its oracle
+    //    verbatim; the hash match IS the fold identity. ────────────────
+    QueryDef.sorted(
+      "q209_scd2_incremental",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val purch = ev.filter(col("event_type") === "purchase")
+          .withColumn("__t", EventLog.tsUsOf(ev))
+        val cut1 = 1704931200000000L // 2024-01-11T00:00:00Z
+        val cut2 = 1705795200000000L // 2024-01-21T00:00:00Z
+        val batches = Seq(
+          purch.filter(col("__t") < cut1),
+          purch.filter(col("__t") >= cut1 && col("__t") < cut2),
+          purch.filter(col("__t") >= cut2))
+        val (closed, st) = batches.foldLeft(
+          (Seq.empty[org.apache.spark.sql.DataFrame],
+            Scd2.emptyState(s))) { case ((acc, st0), b) =>
+          val (c, st1) = Scd2.intervalsIncremental(b, st0, Seq("user_id"),
+            col("__t"), floor(col("value") / 100).cast("long"), "event_id")
+          (acc :+ c, st1)
+        }
+        closed.reduce(_ unionByName _)
+          .unionByName(st.select("user_id", "value", "valid_from_us")
+            .withColumn("valid_to_us", lit(null).cast("long")))
+          .select(col("user_id").cast("long"), col("value").as("tier"),
+            col("valid_from_us"), col("valid_to_us"))
+      },
+      _.orderBy("user_id", "valid_from_us"),
+      Some(scd2OracleSql)),
+
+    // ── Forward as-of (q208): each signup picks up the user's EARLIEST
+    //    at-or-after purchase within 7 days — time-to-conversion, the
+    //    forward mirror of q201 on the same zero-join union-window plan
+    //    (sort order mirrored, ties still to the largest event id).
+    //    Unconverted signups survive with a NULL match. ────────────────
+    QueryDef.sorted(
+      "q208_asof_forward",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val base = ev.withColumn("__t", EventLog.tsUsOf(ev))
+        val lefts = base.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("__t"))
+        val rights = base.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("value").as("p_value"), col("__t"))
+        AsofJoin.asofForward(lefts, rights, Seq("user_id"),
+            col("__t"), col("__t"), "p_event_id",
+            toleranceUs = Some(7L * 86400000000L))
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("asof_p_event_id").as("p_event_id"),
+            col("asof_ts_us").as("p_ts_us"),
+            (col("asof_ts_us") - col("ts_us")).as("wait_us"),
+            col("asof_p_value").as("p_value"))
+      },
+      _.orderBy("event_id"),
       Some(
-        """WITH c AS (
-          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-          |         CAST(floor(value / 100) AS BIGINT) AS tier
+        """WITH l AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          |  FROM events WHERE event_type = 'signup'),
+          |r AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
           |  FROM events WHERE event_type = 'purchase'
-          |    AND user_id IS NOT NULL AND ts IS NOT NULL),
-          |l AS (SELECT *, lag(ts_us) OVER w AS pts, lag(tier) OVER w AS ptier
-          |      FROM c
-          |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-          |s AS (SELECT * FROM l WHERE pts IS NULL
-          |                         OR tier IS DISTINCT FROM ptier)
-          |SELECT CAST(user_id AS BIGINT) AS user_id, tier,
-          |       ts_us AS valid_from_us,
-          |       lead(ts_us) OVER (PARTITION BY user_id
-          |         ORDER BY ts_us, event_id) AS valid_to_us
-          |FROM s ORDER BY user_id, valid_from_us""".stripMargin))
+          |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+          |SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id,
+          |       l.ts_us, m.event_id AS p_event_id, m.ts_us AS p_ts_us,
+          |       m.ts_us - l.ts_us AS wait_us, m.value AS p_value
+          |FROM l LEFT JOIN LATERAL (
+          |  SELECT r.event_id, r.ts_us, r.value FROM r
+          |  WHERE r.user_id = l.user_id AND r.ts_us >= l.ts_us
+          |    AND r.ts_us - l.ts_us <= 604800000000
+          |  ORDER BY r.ts_us ASC, r.event_id DESC LIMIT 1) m ON TRUE
+          |ORDER BY l.event_id""".stripMargin))
   )
 
   /** q201's plan, shared with the q202 fold identity: purchases as-of
@@ -1745,6 +1808,25 @@ object CoreQueries extends QueryFamily {
         (col("ts_us") - col("asof_ts_us")).as("lag_us"),
         col("asof_v_value").as("v_value"))
   }
+
+  /** The full-corpus SCD2 SQL — shared by q205 and q209 (the fold
+    * identity). */
+  private def scd2OracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value / 100) AS BIGINT) AS tier
+      |  FROM events WHERE event_type = 'purchase'
+      |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+      |l AS (SELECT *, lag(ts_us) OVER w AS pts, lag(tier) OVER w AS ptier
+      |      FROM c
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT * FROM l WHERE pts IS NULL
+      |                         OR tier IS DISTINCT FROM ptier)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, tier,
+      |       ts_us AS valid_from_us,
+      |       lead(ts_us) OVER (PARTITION BY user_id
+      |         ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM s ORDER BY user_id, valid_from_us""".stripMargin
 
   /** The full-corpus rolling-feature SQL — shared by q204 and q206 (the
     * fold identity). */

@@ -53,6 +53,51 @@ class Scd2Spec extends AnyFunSuite {
       (2L, Some(8L), 10L, None)))
   }
 
+  test("incremental fold ≡ full intervals; collapse keeps the original from") {
+    val all = ch(
+      (1L, 1L, 10L, 5L), (2L, 1L, 20L, 5L), // batch 1
+      (3L, 1L, 30L, 5L), // batch 2: collapses into the open interval
+      (4L, 1L, 40L, 7L), (5L, 2L, 45L, 1L), // batch 2: change; new key
+      (6L, 1L, 50L, 7L)) // batch 3: collapse again
+    val full = ivs(all)
+    def cut(lo: Long, hi: Long) = all.filter(col("t") >= lo && col("t") < hi)
+    val s0 = Scd2.emptyState(spark, Seq("k"))
+    val (c1, s1) = Scd2.intervalsIncremental(cut(0L, 25L), s0, Seq("k"),
+      col("t"), col("v"), "event_id")
+    val (c2, s2) = Scd2.intervalsIncremental(cut(25L, 48L), s1, Seq("k"),
+      col("t"), col("v"), "event_id")
+    val (c3, s3) = Scd2.intervalsIncremental(cut(48L, 99L), s2, Seq("k"),
+      col("t"), col("v"), "event_id")
+    val folded = c1.unionByName(c2).unionByName(c3)
+      .unionByName(s3.select("k", "value", "valid_from_us")
+        .withColumn("valid_to_us", lit(null).cast("long")))
+      .collect().map(r => (r.getAs[Long]("k"),
+        Option(r.getAs[java.lang.Long]("value")).map(_.longValue),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.longValue)))
+      .toSet
+    assert(folded === full)
+    // state: one row per key; the fence advanced past the collapses
+    val st = s3.collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[Long]("value"), r.getAs[Long]("valid_from_us"),
+        r.getAs[Long]("last_ts_us")))).toMap
+    assert(st === Map(1L -> ((7L, 40L, 50L)), 2L -> ((1L, 45L, 45L))))
+  }
+
+  test("incremental: an event behind the folded tail raises loudly") {
+    // the fence advances on COLLAPSED events too: t=20 collapsed into
+    // the open interval, so a late t=15 arrival must still raise
+    val (c1, s1) = Scd2.intervalsIncremental(
+      ch((1L, 1L, 10L, 5L), (2L, 1L, 20L, 5L)),
+      Scd2.emptyState(spark, Seq("k")), Seq("k"), col("t"), col("v"),
+      "event_id")
+    c1.collect()
+    val (c2, _) = Scd2.intervalsIncremental(ch((3L, 1L, 15L, 9L)), s1,
+      Seq("k"), col("t"), col("v"), "event_id")
+    val e = intercept[Exception] { c2.collect() }
+    assert(e.getMessage.contains("time-partitioned"))
+  }
+
   test("NULL key/ts change events are excluded by statement") {
     import spark.implicits._
     val df = Seq(
