@@ -1051,6 +1051,60 @@ object EventAnalytics {
       .select(col(userCol), col(tieCol), col("ts_us"), col("__v"))
   }
 
+  /** Temporal per-key holdout — the recommendation-eval split: each
+    * user's LAST `k` events (by (ts, tie) desc) are `test`, the rest
+    * `train` — the leave-last-k-out discipline that keeps evaluation
+    * strictly in each user's future (a random split leaks future
+    * interactions into training). Users with ≤ k events land entirely
+    * in `test` — stated; filter by the per-user census if a minimum
+    * train history is required. One user-keyed exchange, one sort;
+    * NULL user/ts excluded by statement. Adds `ts_us` and `split`. */
+  def temporalHoldout(events: DataFrame, k: Int, tsUs: Column,
+                      userCol: String = "user_id",
+                      tieCol: String = "event_id"): DataFrame = {
+    require(k > 0, s"temporalHoldout: k=$k must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us").desc, col(tieCol).desc)
+    events
+      .withColumn("ts_us", tsUs.cast("long"))
+      .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("split", when(col("__rn") <= k, lit("test"))
+        .otherwise(lit("train")))
+      .drop("__rn")
+  }
+
+  /** Skip-gram pair mining — the word2vec/item2vec training-pair shape
+    * over sessionized event sequences: for every event, its co-occurring
+    * successors within `maxDist` positions INSIDE the same session,
+    * counted by (earlier type, later type, distance). NOT a self-join:
+    * each distance is a `lead(type, d)` frame, and all `maxDist` frames
+    * stack on the session sort — one exchange, one sort, zero joins
+    * (the self-join formulation shuffles the corpus twice and explodes
+    * on hot sessions before the distance filter prunes). Pairs are
+    * ordered (a precedes b); ties inside a timestamp resolve by the
+    * session sort's tie column, so counts replay cross-engine. */
+  def skipgramPairs(events: DataFrame, gapUs: Long, maxDist: Int,
+                    tsUs: Column, userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tieCol: String = "event_id"): DataFrame = {
+    require(maxDist > 0, s"skipgramPairs: maxDist=$maxDist must be positive")
+    val sess = Sessionize.withSessions(
+      events.filter(col(typeCol).isNotNull), gapUs, tsUs, userCol, tieCol)
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+    val withLeads = (1 to maxDist).foldLeft(sess) { (df, d) =>
+      df.withColumn(s"__l$d", lead(col(typeCol), d).over(w))
+    }
+    withLeads
+      .withColumn("__p", explode(array((1 to maxDist).map(d =>
+        struct(col(s"__l$d").as("b"), lit(d).as("dist"))): _*)))
+      .filter(col("__p.b").isNotNull)
+      .groupBy(col(typeCol).as("a"), col("__p.b").as("b"),
+        col("__p.dist").as("dist"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DuckDB twin of [[funnel]]'s per-step reached CTEs: `fstep_0 …
     * fstep_{n-1}`, each (user, t). Chain them into the report with
     * scalar `count(*)` subqueries. */

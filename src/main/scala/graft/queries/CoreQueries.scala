@@ -1786,7 +1786,176 @@ object CoreQueries extends QueryFamily {
           |  WHERE r.user_id = l.user_id AND r.ts_us >= l.ts_us
           |    AND r.ts_us - l.ts_us <= 604800000000
           |  ORDER BY r.ts_us ASC, r.event_id DESC LIMIT 1) m ON TRUE
-          |ORDER BY l.event_id""".stripMargin))
+          |ORDER BY l.event_id""".stripMargin)),
+
+    // ── Point-in-time training examples (q210): one row per CLICK with
+    //    everything a leakage-free click model needs AT that instant —
+    //    trailing 7-day activity (rolling features), the user's standing
+    //    purchase tier (as-of over purchases), and the freshest view
+    //    within 24h (as-of over views). ZERO joins: the feature columns
+    //    ride through both as-of passes as left columns, so the whole
+    //    assembly is three user-keyed window passes. ────────────────────
+    QueryDef.sorted(
+      "q210_training_examples",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val tsU = EventLog.tsUsOf(ev)
+        val feats = EventAnalytics.rollingFeatures(ev, tsU,
+            floor(col("value")), Seq("7d" -> 604800000000L))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("n_7d"),
+            col("sum_7d"), col("prev_gap_us"), col("ts_us").as("__t"))
+        val base = ev.withColumn("__t", tsU)
+        val tiers = base.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            floor(col("value") / 100).cast("long").as("ptier"), col("__t"))
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("vid"),
+            col("value").as("vval"), col("__t"))
+        val withTier = AsofJoin.asofBackward(feats, tiers, Seq("user_id"),
+            col("__t"), col("__t"), "pid", prefix = "t_")
+          .drop("ts_us", "t___t", "t_pid")
+        val out = AsofJoin.asofBackward(withTier, views, Seq("user_id"),
+          col("__t"), col("__t"), "vid",
+          toleranceUs = Some(86400000000L), prefix = "v_")
+        out.select(col("event_id"), col("user_id").cast("long"),
+          col("ts_us"), col("n_7d"), col("sum_7d"), col("prev_gap_us"),
+          col("t_ptier").as("tier"), col("v_vid").as("view_event_id"),
+          (col("ts_us") - col("v_ts_us")).as("view_age_us"),
+          col("v_vval").as("view_value"))
+      },
+      _.orderBy("event_id"),
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+          |         CAST(floor(value) AS BIGINT) AS v, value
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |f AS (
+          |  SELECT event_id, user_id, ts_us,
+          |         count(*) OVER w7 AS n_7d,
+          |         CAST(sum(v) OVER w7 AS BIGINT) AS sum_7d,
+          |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          |           ORDER BY ts_us, event_id) AS prev_gap_us,
+          |         event_type
+          |  FROM e
+          |  WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+          |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+          |c AS (SELECT * FROM f WHERE event_type = 'click'),
+          |p AS (SELECT event_id, user_id, ts_us,
+          |             CAST(floor(value / 100) AS BIGINT) AS ptier
+          |      FROM e WHERE event_type = 'purchase'),
+          |vw AS (SELECT event_id, user_id, ts_us, value FROM e
+          |       WHERE event_type = 'view')
+          |SELECT c.event_id, CAST(c.user_id AS BIGINT) AS user_id,
+          |       c.ts_us, c.n_7d, c.sum_7d, c.prev_gap_us,
+          |       tp.ptier AS tier, mv.event_id AS view_event_id,
+          |       c.ts_us - mv.ts_us AS view_age_us,
+          |       mv.value AS view_value
+          |FROM c
+          |LEFT JOIN LATERAL (
+          |  SELECT p.ptier FROM p
+          |  WHERE p.user_id = c.user_id AND p.ts_us <= c.ts_us
+          |  ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) tp ON TRUE
+          |LEFT JOIN LATERAL (
+          |  SELECT vw.event_id, vw.ts_us, vw.value FROM vw
+          |  WHERE vw.user_id = c.user_id AND vw.ts_us <= c.ts_us
+          |    AND c.ts_us - vw.ts_us <= 86400000000
+          |  ORDER BY vw.ts_us DESC, vw.event_id DESC LIMIT 1) mv ON TRUE
+          |ORDER BY c.event_id""".stripMargin)),
+
+    // ── Temporal per-user holdout (q211): each user's LAST 3 events are
+    //    `test`, the rest `train` — the leave-last-k-out eval split that
+    //    keeps evaluation strictly in each user's future (a random split
+    //    leaks future interactions into training). One user-keyed
+    //    exchange and sort. ────────────────────────────────────────────
+    QueryDef.sorted(
+      "q211_temporal_holdout",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.temporalHoldout(ev, k = 3,
+            tsUs = EventLog.tsUsOf(ev))
+          .select(col("event_id"), col("user_id").cast("long"),
+            col("ts_us"), col("split"))
+      },
+      _.orderBy("event_id"),
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+          |SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us,
+          |       CASE WHEN rn <= 3 THEN 'test' ELSE 'train' END AS split
+          |FROM r ORDER BY event_id""".stripMargin)),
+
+    // ── Session documents (q212): each session rendered as an ordered
+    //    event-type sequence string — the event-stream-to-trainable-
+    //    sequence assembly an SFT/behavior-model pipeline feeds to the
+    //    packing stage. Deterministic inside a session by (ts, tie);
+    //    one (user, session)-keyed aggregation over the session sort. ──
+    QueryDef.sorted(
+      "q212_session_documents",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        Sessionize.withSessions(ev, gapUs = 1800L * 1000000L,
+            tsUs = EventLog.tsUsOf(ev))
+          .groupBy(col("user_id").cast("long").as("user_id"),
+            col("session_seq"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("ts_us"),
+                col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("doc"),
+            count(lit(1)).as("n_events"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      },
+      _.orderBy("user_id", "session_seq"),
+      Some(
+        s"""WITH ${Sessionize.sqlSessionCtes("events", 1800L * 1000000L)}
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |       CAST(session_seq AS BIGINT) AS session_seq,
+           |       string_agg(event_type, '>'
+           |         ORDER BY ts_us, event_id) AS doc,
+           |       count(*) AS n_events,
+           |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+           |FROM sess_s GROUP BY 1, 2
+           |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ── Skip-gram pair mining (q213): word2vec/item2vec training pairs
+    //    from sessionized sequences — every (earlier, later) event-type
+    //    pair within 3 positions inside a session, counted by distance.
+    //    NOT a self-join: each distance is a lead() frame and all three
+    //    stack on ONE session sort (the join formulation shuffles the
+    //    corpus twice and explodes on hot sessions). ────────────────────
+    QueryDef.sorted(
+      "q213_skipgram_pairs",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        EventAnalytics.skipgramPairs(ev, gapUs = 1800L * 1000000L,
+          maxDist = 3, tsUs = EventLog.tsUsOf(ev))
+      },
+      _.orderBy("a", "b", "dist"),
+      Some(
+        s"""WITH ne AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+           |${Sessionize.sqlSessionCtes("ne", 1800L * 1000000L)},
+           |l AS (
+           |  SELECT event_type,
+           |         lead(event_type, 1) OVER w AS l1,
+           |         lead(event_type, 2) OVER w AS l2,
+           |         lead(event_type, 3) OVER w AS l3
+           |  FROM sess_s
+           |  WINDOW w AS (PARTITION BY user_id, session_seq
+           |               ORDER BY ts_us, event_id)),
+           |u AS (
+           |  SELECT event_type AS a, l1 AS b, 1 AS dist FROM l
+           |  WHERE l1 IS NOT NULL
+           |  UNION ALL
+           |  SELECT event_type, l2, 2 FROM l WHERE l2 IS NOT NULL
+           |  UNION ALL
+           |  SELECT event_type, l3, 3 FROM l WHERE l3 IS NOT NULL)
+           |SELECT a, b, CAST(dist AS INTEGER) AS dist,
+           |       count(*) AS n
+           |FROM u GROUP BY 1, 2, 3 ORDER BY a, b, dist""".stripMargin))
   )
 
   /** q201's plan, shared with the q202 fold identity: purchases as-of

@@ -226,6 +226,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one exchange, got ${nodes("Exchange")}:\n$plan")
   }
 
+  test("the training-example assembly plans ZERO joins (three window passes)") {
+    val plan = fmt(SparkEntry.benchQueries("q210_training_examples")(
+      spark, dir))
+    assert(!plan.contains("Join"),
+      s"the composite must chain through as-of, never join:\n$plan")
+  }
+
+  test("skip-gram mining plans ZERO joins; the pair window rides the user exchange") {
+    val plan = fmt(SparkEntry.benchQueries("q213_skipgram_pairs")(
+      spark, dir))
+    assert(!plan.contains("Join"),
+      s"skip-gram must stack lead() frames, never self-join:\n$plan")
+    def nodes(name: String) =
+      plan.linesIterator.count(_.matches(s"""^\\(\\d+\\) $name.*"""))
+    // user exchange (windows) + census partial→final exchange
+    assert(nodes("Exchange") <= 2,
+      s"expected at most two exchanges, got ${nodes("Exchange")}:\n$plan")
+  }
+
   test("exact-k sampling is a bounded heap, never a window sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = fmt(graft.llm.Sampling.exactKPerStratum(docs, 7, "source"))
