@@ -1955,7 +1955,54 @@ object CoreQueries extends QueryFamily {
            |  SELECT event_type, l3, 3 FROM l WHERE l3 IS NOT NULL)
            |SELECT a, b, CAST(dist AS INTEGER) AS dist,
            |       count(*) AS n
-           |FROM u GROUP BY 1, 2, 3 ORDER BY a, b, dist""".stripMargin))
+           |FROM u GROUP BY 1, 2, 3 ORDER BY a, b, dist""".stripMargin)),
+
+    // ── Distance-conditioned transition probabilities (q214): q213's
+    //    pair census normalized per (source type, distance) — P(b | a,
+    //    d) as exact integer micro-fractions (no float division
+    //    anywhere), the Markov-ish transition table a sequence model's
+    //    data card reports. The normalizing window partitions by (a,
+    //    dist) — vocabulary-sized frames, never corpus-sized. ──────────
+    QueryDef.sorted(
+      "q214_transition_probs",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val counts = EventAnalytics.skipgramPairs(ev,
+          gapUs = 1800L * 1000000L, maxDist = 3,
+          tsUs = EventLog.tsUsOf(ev))
+        counts
+          .withColumn("__tot", sum(col("n")).over(
+            Window.partitionBy(col("a"), col("dist"))))
+          .withColumn("p_micro", expr("n * 1000000L DIV __tot"))
+          .select("a", "b", "dist", "n", "p_micro")
+      },
+      _.orderBy("a", "b", "dist"),
+      Some(
+        s"""WITH ne AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+           |${Sessionize.sqlSessionCtes("ne", 1800L * 1000000L)},
+           |l AS (
+           |  SELECT event_type,
+           |         lead(event_type, 1) OVER w AS l1,
+           |         lead(event_type, 2) OVER w AS l2,
+           |         lead(event_type, 3) OVER w AS l3
+           |  FROM sess_s
+           |  WINDOW w AS (PARTITION BY user_id, session_seq
+           |               ORDER BY ts_us, event_id)),
+           |u AS (
+           |  SELECT event_type AS a, l1 AS b, 1 AS dist FROM l
+           |  WHERE l1 IS NOT NULL
+           |  UNION ALL
+           |  SELECT event_type, l2, 2 FROM l WHERE l2 IS NOT NULL
+           |  UNION ALL
+           |  SELECT event_type, l3, 3 FROM l WHERE l3 IS NOT NULL),
+           |c AS (SELECT a, b, CAST(dist AS INTEGER) AS dist,
+           |             count(*) AS n
+           |      FROM u GROUP BY 1, 2, 3)
+           |SELECT a, b, dist, n,
+           |       CAST(n * 1000000 //
+           |            sum(n) OVER (PARTITION BY a, dist) AS BIGINT)
+           |         AS p_micro
+           |FROM c ORDER BY a, b, dist""".stripMargin))
   )
 
   /** q201's plan, shared with the q202 fold identity: purchases as-of
