@@ -80,6 +80,16 @@ object AsofJoin {
     val clash = left.columns.toSeq.intersect(reserved)
     require(clash.isEmpty, s"left columns ${clash.mkString(", ")} collide " +
       s"with the as-of output — rename or change prefix")
+    // internal working names: a caller frame already carrying one would
+    // compute silently wrong results — fail loudly like the output check
+    val working = Seq("__ats", "__aside", "__atie", "__am", "__am0",
+      "__am1", "__stts")
+    val wclashL = left.columns.toSeq.intersect(working)
+    require(wclashL.isEmpty, s"left columns ${wclashL.mkString(", ")} " +
+      "collide with as-of working names — rename them")
+    val wclashR = right.columns.toSeq.intersect(working)
+    require(wclashR.isEmpty, s"right columns ${wclashR.mkString(", ")} " +
+      "collide with as-of working names — rename them")
 
     // right rows: key + micros ts + ONE payload struct (match fields ride
     // inside so a NULL payload value never un-matches a row)
@@ -156,8 +166,12 @@ object AsofJoin {
   }
 
   /** Incremental backward as-of — the log-ingest shape: a TIME-
-    * PARTITIONED batch (every batch row at-or-after the state's
-    * compaction point, per key — enforced loudly on both sides) joins
+    * PARTITIONED batch (every batch left at-or-after, and every batch
+    * right STRICTLY after, the state's compaction point, per key —
+    * enforced loudly on both sides; the right side is strict because a
+    * batch right at exactly the state's timestamp could out-tie the
+    * compacted row for lefts already shipped in earlier batches,
+    * silently breaking the fold identity) joins
     * against (batch rights ∪ the carried one-row-per-key state), and the
     * new state is the latest right per key over the same union. Output ∪
     * over batches equals [[asofBackward]] over the full corpus EXACTLY
@@ -192,13 +206,14 @@ object AsofJoin {
         min(when(!col(StateCol), col("__ats"))).as("__minb"))
       .withColumn("__chk",
         when(col("__stts").isNotNull && col("__minb").isNotNull &&
-          col("__minb") < col("__stts"),
+          col("__minb") <= col("__stts"),
           raise_error(concat(
             lit("asof incremental: batch right at "),
             col("__minb").cast("string"),
-            lit(" precedes the compacted state at "),
+            lit(" is at-or-before the compacted state at "),
             col("__stts").cast("string"),
-            lit(" — batches must be time-partitioned per key"))))
+            lit(" — batches must be time-partitioned per key, batch " +
+              "rights strictly after the state"))))
           .otherwise(lit(1)))
       .filter(col("__chk") === 1)
       .select(newRight.columns.toSeq.map(c =>

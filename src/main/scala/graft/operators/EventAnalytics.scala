@@ -938,11 +938,26 @@ object EventAnalytics {
       "rollingFeatures: duplicate window names")
     require(windows.forall(_._2 > 0),
       s"rollingFeatures: non-positive window in $windows")
+    rollingClashCheck(events, windows)
     val base = events
       .withColumn("ts_us", tsUs.cast("long"))
       .filter(col(userCol).isNotNull && col("ts_us").isNotNull)
       .withColumn("__v", valueCol.cast("long"))
     stackFeatures(base, windows, userCol, tieCol).drop("__v")
+  }
+
+  /** Working/output-name clash guard for the rolling-features family:
+    * an input frame already carrying `ts_us`/`__v` (the working names it
+    * would silently clobber) or a feature output name computes wrong
+    * results silently — fail loudly instead, like the as-of/scd2
+    * checks. */
+  private def rollingClashCheck(events: DataFrame,
+                                windows: Seq[(String, Long)]): Unit = {
+    val reserved = Seq("ts_us", "__v", "prev_gap_us") ++
+      windows.flatMap { case (n, _) => Seq(s"n_$n", s"sum_$n") }
+    val clash = events.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with rolling-features working/output names — rename them")
   }
 
   /** The shared frame stack: `prev_gap_us` + per-window count/sum over a
@@ -999,6 +1014,7 @@ object EventAnalytics {
                                  tieCol: String = "event_id")
       : (DataFrame, DataFrame) = {
     require(windows.nonEmpty, "rollingFeaturesIncremental: no windows")
+    rollingClashCheck(newEvents, windows)
     val maxW = windows.map(_._2).max
     val st = graft.CacheBarriers.barrier(state)
     // contract check rides a broadcast one-row tail and is consumed by

@@ -35,22 +35,32 @@ object Scd2 {
   def intervals(changes: DataFrame, keyCols: Seq[String], tsUs: Column,
                 valueCol: Column, tieCol: String): DataFrame = {
     require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    // internal working names stay off the input namespace entirely (the
+    // caller's own ts_us/value columns are never clobbered mid-plan —
+    // tsUs/valueCol expressions resolve against the untouched frame);
+    // a frame already carrying a working name still fails loudly
+    val wclash = changes.columns.toSeq.intersect(WorkingCols)
+    require(wclash.isEmpty, s"input columns ${wclash.mkString(", ")} " +
+      "collide with scd2 working names — rename them")
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("ts_us").asc, col(tieCol).asc)
+      .orderBy(col("__sts").asc, col(tieCol).asc)
     changes
-      .withColumn("ts_us", tsUs.cast("long"))
+      .withColumn("__sts", tsUs.cast("long"))
+      .withColumn("__sval", valueCol)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
-        col("ts_us").isNotNull)
-      .withColumn("value", valueCol)
-      .withColumn("__pts", lag(col("ts_us"), 1).over(w))
-      .withColumn("__pval", lag(col("value"), 1).over(w))
+        col("__sts").isNotNull)
+      .withColumn("__pts", lag(col("__sts"), 1).over(w))
+      .withColumn("__pval", lag(col("__sval"), 1).over(w))
       // first row per key (no predecessor) or a null-safe value change
-      .filter(col("__pts").isNull || !(col("value") <=> col("__pval")))
-      .withColumn("valid_from_us", col("ts_us"))
-      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
-      .select(keyCols.map(col) :+ col("value") :+ col("valid_from_us")
-        :+ col("valid_to_us"): _*)
+      .filter(col("__pts").isNull || !(col("__sval") <=> col("__pval")))
+      .select(keyCols.map(col) :+ col("__sval").as("value")
+        :+ col("__sts").as("valid_from_us")
+        :+ lead(col("__sts"), 1).over(w).as("valid_to_us"): _*)
   }
+
+  /** Internal working-column names — inputs must not carry these. */
+  private val WorkingCols = Seq("__sts", "__sval", "__slast", "__st",
+    "__v", "__tail", "__pts", "__pval", "__to")
 
   /** Empty state for [[intervalsIncremental]]: one row per key — the
     * OPEN interval's opening change event (value, valid_from, its tie)
@@ -79,57 +89,65 @@ object Scd2 {
     * q205's oracle verbatim); state is one row per key, never
     * proportional to history.
     *
-    * Contract: every batch event at-or-after the key's folded tail
+    * Contract: every batch event STRICTLY after the key's folded tail
     * (`last_ts_us` — advanced by collapsed events too, which never open
-    * intervals but do fence reordering), enforced by a row-lazy raise
-    * riding the value column every output path consumes. */
+    * intervals but do fence reordering). Strict, not at-or-after: an
+    * event already folded at the tail instant (possibly collapsed and
+    * discarded from state) cannot be re-tie-ordered against a batch
+    * arrival at that same instant, so equal-ts admission would silently
+    * break the fold identity. Enforced by a row-lazy raise riding the
+    * value column every output path consumes. */
   def intervalsIncremental(newChanges: DataFrame, state: DataFrame,
                            keyCols: Seq[String], tsUs: Column,
                            valueCol: Column, tieCol: String)
       : (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val wclash = newChanges.columns.toSeq.intersect(WorkingCols)
+    require(wclash.isEmpty, s"input columns ${wclash.mkString(", ")} " +
+      "collide with scd2 working names — rename them")
     val st = graft.CacheBarriers.barrier(state)
-    val syn = st.select(keyCols.map(col) ++ Seq(col("value"),
-      col("valid_from_us").as("ts_us"), col(tieCol),
+    val syn = st.select(keyCols.map(col) ++ Seq(col("value").as("__sval"),
+      col("valid_from_us").as("__sts"), col(tieCol),
       col("last_ts_us").as("__slast"), lit(true).as("__st")): _*)
     val b = newChanges
-      .withColumn("ts_us", tsUs.cast("long"))
+      .withColumn("__sts", tsUs.cast("long"))
+      .withColumn("__sval", valueCol)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
-        col("ts_us").isNotNull)
-      .withColumn("value", valueCol)
-      .select(keyCols.map(col) ++ Seq(col("value"), col("ts_us"),
+        col("__sts").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("__sval"), col("__sts"),
         col(tieCol), lit(null).cast("long").as("__slast"),
         lit(false).as("__st")): _*)
     val keys = keyCols.map(col)
     // the state row sorts before any batch row: its ts is at-or-before
     // the fence, and at an equal instant __st orders it first
     val w = Window.partitionBy(keys: _*)
-      .orderBy(col("ts_us").asc, col("__st").desc, col(tieCol).asc)
+      .orderBy(col("__sts").asc, col("__st").desc, col(tieCol).asc)
     val fence = max(when(col("__st"), col("__slast")))
       .over(Window.partitionBy(keys: _*))
-    val tail = max(col("ts_us")).over(Window.partitionBy(keys: _*))
+    val tail = max(col("__sts")).over(Window.partitionBy(keys: _*))
     val marked = syn.unionByName(b)
       .withColumn("__v",
-        when(!col("__st") && col("ts_us") < fence,
+        when(!col("__st") && col("__sts") <= fence,
           raise_error(concat(
             lit("scd2 incremental: batch event at "),
-            col("ts_us").cast("string"),
-            lit(" precedes the folded tail "),
+            col("__sts").cast("string"),
+            lit(" is at-or-before the folded tail "),
             fence.cast("string"),
-            lit(" — batches must be time-partitioned per key"))))
-          .otherwise(col("value")))
+            lit(" — batches must be time-partitioned per key, " +
+              "strictly after the folded tail"))))
+          .otherwise(col("__sval")))
       .withColumn("__tail", tail)
-      .withColumn("__pts", lag(col("ts_us"), 1).over(w))
+      .withColumn("__pts", lag(col("__sts"), 1).over(w))
       .withColumn("__pval", lag(col("__v"), 1).over(w))
       .filter(col("__pts").isNull || !(col("__v") <=> col("__pval")))
-      .withColumn("__to", lead(col("ts_us"), 1).over(w))
+      .withColumn("__to", lead(col("__sts"), 1).over(w))
     val closed = marked.filter(col("__to").isNotNull)
       .select(keys :+ col("__v").as("value") :+
-        col("ts_us").as("valid_from_us") :+
+        col("__sts").as("valid_from_us") :+
         col("__to").as("valid_to_us"): _*)
     val newState = marked.filter(col("__to").isNull)
       .select(keys ++ Seq(col("__v").as("value"),
-        col("ts_us").as("valid_from_us"), col(tieCol),
+        col("__sts").as("valid_from_us"), col(tieCol),
         col("__tail").as("last_ts_us")): _*)
     (closed, newState)
   }
