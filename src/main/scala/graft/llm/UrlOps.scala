@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation axis — the RefinedWeb-class URL filter stage
+  * (Penedo et al. 2023 §3.1 run URL blocklists and per-domain stats
+  * before any content rule): parse scheme/host/path/query out of a URL
+  * column, reduce the host to its REGISTERED DOMAIN with the public-
+  * suffix-list algorithm (publicsuffix.org/list: longest matching rule
+  * wins, `*.tld` wildcards match one extra label, `!host` exceptions
+  * beat everything), then gate per domain. The reference has no URL
+  * operator (monstache namespaces are `db.collection` strings); this is
+  * training-data extension surface.
+  *
+  * Spark-first shape: the suffix table is CONFIG-SIZED (the real PSL is
+  * ~10k rules — kilobytes), so it ships inside the plan as literal
+  * arrays and the whole lookup is per-row column algebra over the
+  * host's label list: candidate suffixes of k labels probe the rule
+  * sets via `array_contains`, `array_max` picks the longest match. No
+  * UDF, no join, NO SHUFFLE — at 100 TB the lookup rides the scan,
+  * where a rule-table join would explode candidates ×k and re-shuffle
+  * the corpus to group them back. (A broadcast join reaches the same
+  * no-shuffle scan only until the groupBy; the literal form never
+  * leaves the row.) The oracle replays the same algebra over the same
+  * spliced rule literals.
+  *
+  * PSL semantics implemented: plain rules, wildcard rules (`*.` + one
+  * label), exception rules (leftmost label dropped from the prevailing
+  * suffix); no match defaults to the `*` rule (the bare TLD). The
+  * registered domain is the public suffix plus one label; a host that
+  * IS a public suffix has none (NULL). */
+object UrlOps {
+
+  /** A public-suffix rule set. `exception` entries are stored WITHOUT
+    * the `!` mark; wildcard entries keep their `*.` head. */
+  final case class SuffixRules(plain: Seq[String], wildcard: Seq[String],
+                               exception: Seq[String]) {
+    require(wildcard.forall(_.startsWith("*.")),
+      "wildcard rules must start with '*.'")
+    require(exception.forall(_.count(_ == '.') >= 1),
+      "exception rules need at least two labels")
+    /** Longest rule, in labels — bounds the candidate probe count. */
+    val maxLabels: Int =
+      (plain.map(_.count(_ == '.') + 1) ++
+        wildcard.map(_.count(_ == '.') + 1) ++
+        exception.map(_.count(_ == '.') + 1) ++ Seq(1)).max
+  }
+
+  /** A deterministic config-sized default: common TLDs, two-label
+    * suffixes, a hosted-platform suffix, and the classic `*.ck` /
+    * `!www.ck` wildcard+exception pair. A deployment swaps in the full
+    * published list — same algebra, longer literals. */
+  val DefaultRules: SuffixRules = SuffixRules(
+    plain = Seq("com", "org", "net", "io", "uk", "co.uk", "org.uk",
+      "jp", "co.jp", "github.io"),
+    wildcard = Seq("*.ck"),
+    exception = Seq("www.ck"))
+
+  /** URL part regexes — RE2-safe (no lookaround/backrefs), one
+    * definition for both engines. Host stops at `/ ? #` or `:` (port);
+    * path starts at the first `/` after the authority. */
+  val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
+  val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+  val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+  val QueryRe = "\\?([^#]*)"
+
+  /** Adds `scheme`, `host`, `path`, `query` (empty string when absent —
+    * both engines' no-match value, stated rather than NULL-juggled). */
+  def withUrlParts(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val working = Seq("scheme", "host", "path", "query")
+    val clash = df.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with withUrlParts output names — rename them")
+    val u = coalesce(col(urlCol), lit(""))
+    df.withColumn("scheme", regexp_extract(u, SchemeRe, 1))
+      .withColumn("host", regexp_extract(u, HostRe, 1))
+      .withColumn("path", regexp_extract(u, PathRe, 1))
+      .withColumn("query", regexp_extract(u, QueryRe, 1))
+  }
+
+  /** Adds `public_suffix` and `registered_domain` from a host column by
+    * the PSL algorithm over `rules`. NULL/empty hosts yield NULLs. */
+  def withDomain(df: DataFrame, hostCol: String = "host",
+                 rules: SuffixRules = DefaultRules): DataFrame = {
+    val working = Seq("public_suffix", "registered_domain")
+    val clash = df.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with withDomain output names — rename them")
+    val lbl = split(col(hostCol), "\\.")
+    val n = size(lbl)
+    def suf(k: Column): Column =
+      array_join(slice(lbl, n - k + 1, k), ".")
+    val ks = sequence(lit(1), least(n, lit(rules.maxLabels)))
+    val plainArr = typedLit(rules.plain)
+    val wildArr = typedLit(rules.wildcard)
+    val excArr = typedLit(rules.exception)
+    val kp = array_max(filter(ks, k => array_contains(plainArr, suf(k))))
+    val kw = array_max(filter(ks, k =>
+      k > 1 && array_contains(wildArr, concat(lit("*."), suf(k - 1)))))
+    val ke = array_max(filter(ks, k => array_contains(excArr, suf(k))))
+    val psLen = when(ke.isNotNull, ke - 1)
+      .otherwise(greatest(coalesce(kp, lit(1)), coalesce(kw, lit(1))))
+    val ok = col(hostCol).isNotNull && length(col(hostCol)) > 0
+    df.withColumn("public_suffix", when(ok, suf(psLen)))
+      .withColumn("registered_domain",
+        when(ok && n > psLen, suf(psLen + 1)))
+  }
+
+  /** The RefinedWeb-style domain gate: `blocked` (registered domain on
+    * the blocklist) and `kept` (not blocked AND within the first
+    * `maxPerDomain` rows of its domain by `tieCol` — the per-domain cap
+    * that stops any one site from dominating the corpus). Rows with a
+    * NULL registered domain (bare public suffixes, unparseable hosts)
+    * pass through ungated — stated: a cap keyed on nothing would
+    * lump them into one false mega-domain.
+    *
+    * Scale shape: the blocklist rides the plan as a literal
+    * (config-sized, like the suffix table); the cap is ONE
+    * domain-keyed window — the q74 source-gate shape. Domain skew
+    * (one huge site) is real at 100 TB: cap first at a coarser
+    * deterministic sub-key ([[graft.operators.Skew]]) or pre-aggregate
+    * counts if a single domain exceeds a partition. */
+  def domainGate(df: DataFrame, blocklist: Seq[String], maxPerDomain: Int,
+                 tieCol: String = "doc_id",
+                 domainCol: String = "registered_domain"): DataFrame = {
+    require(maxPerDomain > 0, s"domainGate: maxPerDomain=$maxPerDomain")
+    val working = Seq("blocked", "kept", "__rnk")
+    val clash = df.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with domainGate working/output names — rename them")
+    val blk = typedLit(blocklist)
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(tieCol).asc)
+    df.withColumn("blocked",
+        col(domainCol).isNotNull && array_contains(blk, col(domainCol)))
+      .withColumn("__rnk",
+        when(col(domainCol).isNotNull, row_number().over(w)))
+      .withColumn("kept", !col("blocked") &&
+        (col(domainCol).isNull || col("__rnk") <= maxPerDomain))
+      .drop("__rnk")
+  }
+
+  // ── DuckDB twins ──────────────────────────────────────────────────────
+
+  private def sqlList(xs: Seq[String]): String =
+    if (xs.isEmpty) "CAST([] AS VARCHAR[])"
+    else xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ",", "]")
+
+  /** Twin of [[withUrlParts]] over a url expression: the four part
+    * expressions, in (scheme, host, path, query) order. */
+  def sqlUrlParts(u: String): Seq[(String, String)] = {
+    val cu = s"coalesce($u, '')"
+    Seq(
+      "scheme" -> s"regexp_extract($cu, '$SchemeRe', 1)",
+      "host" -> s"regexp_extract($cu, '$HostRe', 1)",
+      "path" -> s"regexp_extract($cu, '$PathRe', 1)",
+      "query" -> s"regexp_extract($cu, '\\?([^#]*)', 1)")
+  }
+
+  /** Twin of [[withDomain]]: two SELECT-able expressions over a host
+    * expression. `lblE` must be `string_split(host, '.')` bound in an
+    * enclosing CTE (spliced repeatedly otherwise). */
+  def sqlDomain(host: String, lbl: String,
+                rules: SuffixRules = DefaultRules): Seq[(String, String)] = {
+    val n = s"len($lbl)"
+    def suf(k: String) =
+      s"array_to_string(list_slice($lbl, $n - ($k) + 1, $n), '.')"
+    val ks = s"range(1, least($n, ${rules.maxLabels}) + 1)"
+    val kp = s"CAST(list_max(list_filter($ks, k -> " +
+      s"list_contains(${sqlList(rules.plain)}, ${suf("k")}))) AS INT)"
+    val kw = s"CAST(list_max(list_filter($ks, k -> k > 1 AND " +
+      s"list_contains(${sqlList(rules.wildcard)}, " +
+      s"'*.' || ${suf("k - 1")}))) AS INT)"
+    val ke = s"CAST(list_max(list_filter($ks, k -> " +
+      s"list_contains(${sqlList(rules.exception)}, ${suf("k")}))) AS INT)"
+    val psLen = s"(CASE WHEN $ke IS NOT NULL THEN $ke - 1 " +
+      s"ELSE greatest(coalesce($kp, 1), coalesce($kw, 1)) END)"
+    val ok = s"($host IS NOT NULL AND length($host) > 0)"
+    Seq(
+      "public_suffix" -> s"(CASE WHEN $ok THEN ${suf(psLen)} END)",
+      "registered_domain" ->
+        s"(CASE WHEN $ok AND $n > $psLen THEN ${suf(s"$psLen + 1")} END)")
+  }
+}

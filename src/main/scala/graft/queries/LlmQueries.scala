@@ -110,6 +110,174 @@ object LlmQueries extends QueryFamily {
        |          ELSE CAST([] AS VARCHAR[]) END) AS ls
        |  FROM base)""".stripMargin
 
+  /** Derived HTML corpus for the extraction queries (q215/q216): each
+    * doc's words render as 6-word sentence paragraphs inside full page
+    * chrome — title, style, h1 — plus, by id arithmetic, a link-farm
+    * nav (every 3rd: word-count-passing blocks are impossible there,
+    * the li splits isolate each anchor), a script (every 4th), a
+    * high-link-density footer that PASSES the word gate (every 5th —
+    * the block only density catches), an entity paragraph (every 6th),
+    * a comment (every 7th), a prose paragraph with an inline link that
+    * must SURVIVE density (every 8th), and an unclosed-tag paragraph
+    * (every 11th). Emitted once as columns and once as the oracle CTE
+    * pair ([[sqlHtmlCorpusCtes]]), TextHash's define-once-emit-twice
+    * rule. */
+  private def htmlCorpus(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull))
+    val ws = words(col("text"))
+    val nch = greatest(floor((size(ws) + lit(5)) / 6).cast("int"), lit(1))
+    val paras = transform(sequence(lit(0), nch - 1), i =>
+      concat(lit("<p class=\"c\">"),
+        array_join(slice(ws, i * lit(6) + lit(1), lit(6)), " "),
+        lit(".</p>")))
+    val none = lit("")
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit(" | "), array_join(slice(ws, lit(1), lit(2)), " "),
+      lit("</title><style>.c{color:#111}</style></head><body>"),
+      when(col("doc_id") % 3 === 0, lit(HtmlNav)).otherwise(none),
+      lit("<h1>"), array_join(slice(ws, lit(1), lit(3)), " "),
+      lit("</h1>"),
+      array_join(paras, ""),
+      when(col("doc_id") % 4 === 0,
+        lit("<script>var q = 1;</script>")).otherwise(none),
+      when(col("doc_id") % 6 === 0, lit(HtmlEntityPara)).otherwise(none),
+      when(col("doc_id") % 7 === 0,
+        lit("<!-- build 123 -->")).otherwise(none),
+      when(col("doc_id") % 5 === 0, lit(HtmlFooter)).otherwise(none),
+      when(col("doc_id") % 8 === 0, lit(HtmlLinkPara)).otherwise(none),
+      when(col("doc_id") % 11 === 0,
+        lit("<p>broken <b>bold text runs here")).otherwise(none),
+      lit("</body></html>"))
+    raw.select(col("doc_id"), html.as("html"))
+  }
+
+  /** The constant chrome fragments — no apostrophes (spliced into the
+    * oracle as single-quoted literals). */
+  private val HtmlNav =
+    "<ul id=\"nav\" data-k=\"v\"><li><a href=\"/\">home</a></li>" +
+      "<li><a href=\"/about\">about us page</a></li>" +
+      "<li><a href=\"/contact\">contact form here</a></li></ul>"
+  private val HtmlFooter =
+    "<div>copyright 2024 the example site " +
+      "<a href=\"/terms\">terms of service</a> " +
+      "<a href=\"/privacy\">privacy policy text</a></div>"
+  private val HtmlEntityPara =
+    "<p class=\"c\">alpha &amp; beta &lt;i&gt; stays here.</p>"
+  private val HtmlLinkPara =
+    "<p class=\"c\">read the full spark guide at " +
+      "<a href=\"/docs\">docs</a> now.</p>"
+
+  /** DuckDB CTE pair `base, hb` replaying [[htmlCorpus]]; `hb.html` is
+    * the page. Double quotes pass through SQL single-quoted literals
+    * untouched. */
+  private val sqlHtmlCorpusCtes: String =
+    s"""base AS (SELECT doc_id, ${W("text")} AS ws FROM documents
+       |          WHERE text IS NOT NULL),
+       |hb AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>doc ' || doc_id || ' | ' ||
+       |    coalesce(array_to_string(ws[1:2], ' '), '') ||
+       |    '</title><style>.c{color:#111}</style></head><body>' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN '$HtmlNav' ELSE '' END) ||
+       |    '<h1>' || coalesce(array_to_string(ws[1:3], ' '), '') ||
+       |    '</h1>' ||
+       |    array_to_string(list_transform(
+       |      range(0, greatest(CAST(floor((len(ws)+5)/6) AS INT), 1)),
+       |      i -> '<p class="c">' ||
+       |           coalesce(array_to_string(
+       |             list_slice(ws, i*6+1, i*6+6), ' '), '') || '.</p>'),
+       |      '') ||
+       |    (CASE WHEN doc_id % 4 = 0
+       |          THEN '<script>var q = 1;</script>' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '$HtmlEntityPara'
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '<!-- build 123 -->'
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '$HtmlFooter' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 8 = 0 THEN '$HtmlLinkPara' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0
+       |          THEN '<p>broken <b>bold text runs here' ELSE '' END) ||
+       |    '</body></html>' AS html
+       |  FROM base)""".stripMargin
+
+  /** DuckDB CTE chain `hx, hx2, blk, sc, kp` replaying
+    * [[graft.llm.Extract.htmlExtract]] over `hb.html` (minWords=5,
+    * maxLinkDensity=0.33 — the q215/q216 constants). */
+  private val sqlHtmlExtractCtes: String =
+    s"""hx AS (SELECT doc_id, ${Extract.sqlNoJunk("html")} AS nj FROM hb),
+       |hx2 AS (SELECT doc_id, ${Extract.sqlTitle("nj")} AS title,
+       |               ${Extract.sqlBlocks(Extract.sqlBody("nj"))} AS bl
+       |        FROM hx),
+       |blk AS (SELECT doc_id, title, unnest(bl) AS b,
+       |               unnest(range(0, len(bl))) AS pos
+       |        FROM hx2),
+       |sc AS (SELECT doc_id, title, pos, ${Extract.sqlCleanText("b")} AS txt,
+       |              contains(b, chr(1)) AS hd,
+       |              ${Extract.sqlLinkChars("b")} AS lc
+       |       FROM blk),
+       |kp AS (SELECT *, ${Extract.sqlKeep("txt", "hd", "lc", 5, 0.33)}
+       |              AS keep
+       |       FROM sc)""".stripMargin
+
+  /** Derived URL corpus for the domain queries (q217/q218): one URL per
+    * doc from pure (source, doc_id) arithmetic — subdomain depth cycles
+    * mod 4 (none / www / blog / two-label cdn.assets), the site is
+    * `source-(id%50)`, the suffix cycles mod 6 through plain
+    * (.com/.org/.io), two-label (.co.uk), hosted-platform (.github.io),
+    * and wildcard-ruled (.ck) suffixes, every 30th doc is the literal
+    * exception host `www.ck`, and every `%4==1` doc carries a query
+    * string. Together the set exercises every PSL rule type. Emitted
+    * once as columns and once as the oracle CTE ([[sqlUrlCorpusCte]]). */
+  private def urlCorpus(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").filter(col("source").isNotNull))
+    val sub = when(col("doc_id") % 4 === 1, lit("www."))
+      .when(col("doc_id") % 4 === 2, lit("blog."))
+      .when(col("doc_id") % 4 === 3, lit("cdn.assets."))
+      .otherwise(lit(""))
+    val tld = when(col("doc_id") % 6 === 0, lit(".com"))
+      .when(col("doc_id") % 6 === 1, lit(".co.uk"))
+      .when(col("doc_id") % 6 === 2, lit(".github.io"))
+      .when(col("doc_id") % 6 === 3, lit(".org"))
+      .when(col("doc_id") % 6 === 4, lit(".ck"))
+      .otherwise(lit(".io"))
+    val host = when(col("doc_id") % 30 === 0, lit("www.ck"))
+      .otherwise(concat(sub, col("source"), lit("-"),
+        (col("doc_id") % 50).cast("string"), tld))
+    val url = concat(lit("https://"), host,
+      lit("/p/"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 4 === 1, lit("?utm=x&ref=y")).otherwise(lit("")))
+    raw.select(col("doc_id"), col("source"), url.as("url"))
+  }
+
+  /** DuckDB CTE `uc` replaying [[urlCorpus]]. */
+  private val sqlUrlCorpusCte: String =
+    """uc AS (
+      |  SELECT doc_id, source,
+      |    'https://' ||
+      |    (CASE WHEN doc_id % 30 = 0 THEN 'www.ck'
+      |          ELSE (CASE doc_id % 4 WHEN 1 THEN 'www.'
+      |                     WHEN 2 THEN 'blog.' WHEN 3 THEN 'cdn.assets.'
+      |                     ELSE '' END) ||
+      |               source || '-' || (doc_id % 50) ||
+      |               (CASE doc_id % 6 WHEN 0 THEN '.com'
+      |                     WHEN 1 THEN '.co.uk' WHEN 2 THEN '.github.io'
+      |                     WHEN 3 THEN '.org' WHEN 4 THEN '.ck'
+      |                     ELSE '.io' END)
+      |     END) ||
+      |    '/p/' || (doc_id % 13) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '?utm=x&ref=y' ELSE '' END)
+      |      AS url
+      |  FROM documents WHERE source IS NOT NULL)""".stripMargin
+
+  /** q218's gate constants: one arithmetic-guaranteed .com domain and
+    * the PSL exception host itself. */
+  private val DomainBlocklist = Seq("src12-12.com", "www.ck")
+
   /** Per-language downsampling rates (per mille) for the stratified-sample
     * query: cap the over-represented strata, keep the rare ones whole. */
   private val SampleRates: Seq[(String, Int)] =
@@ -6174,6 +6342,150 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
            |       CAST(sum(tokens) * 1000000 // 512 AS BIGINT) AS fill_micro
            |FROM j GROUP BY pack_id ORDER BY pack_id""".stripMargin
+      }),
+
+    // ── HTML → text extraction (q215): the boilerpipe/jusText-class
+    //    extractor over a derived full-chrome HTML corpus — script/
+    //    style/comment strip, title capture, heading-marked block
+    //    segmentation, link-density + word-count block scoring, ordered
+    //    reassembly. The corpus plants one specimen per failure mode
+    //    (link-farm nav, word-gate-passing link footer, entity text,
+    //    inline-link prose, unclosed tags); the oracle replays tag
+    //    strip, entity decode, every per-block predicate, and the
+    //    reassembled text cell for cell. Pure narrow column algebra —
+    //    scan-speed at 100 TB. ─────────────────────────────────────────
+    QueryDef.sorted(
+      "q215_html_extract",
+      (s, dir) =>
+        Extract.htmlExtract(htmlCorpus(s, dir), "html")
+          .select(col("doc_id").cast("long"), col("title"),
+            col("n_blocks"), col("n_kept"),
+            md5(col("text")).as("body_hash")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH $sqlHtmlCorpusCtes,
+           |$sqlHtmlExtractCtes
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, title,
+           |       CAST(count(CASE WHEN txt <> '' THEN 1 END) AS BIGINT)
+           |         AS n_blocks,
+           |       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT)
+           |         AS n_kept,
+           |       md5(coalesce(string_agg(txt, chr(10) ORDER BY pos)
+           |                      FILTER (WHERE keep), '')) AS body_hash
+           |FROM kp GROUP BY doc_id, title ORDER BY doc_id""".stripMargin)),
+
+    // ── HTML → text → C4 line rules (q216): the composed crawl front
+    //    end — q215's extractor feeds q126's C4 cleaning in ONE narrow
+    //    stage (heading lines carry no terminal punctuation and fall to
+    //    the line rule; sentence paragraphs survive; pages with <3 kept
+    //    lines drop whole). The oracle chains both replays end to end,
+    //    so a defect anywhere in the chain hash-mismatches. ────────────
+    QueryDef.sorted(
+      "q216_html_c4_chain",
+      (s, dir) =>
+        TextAnalysis.c4Clean(
+            Extract.htmlExtract(htmlCorpus(s, dir), "html")
+              .select(col("doc_id"), col("text")))
+          .select(col("doc_id").cast("long"), col("n_lines"),
+            col("n_kept"), col("page_kept"),
+            md5(col("text_clean")).as("clean_hash")),
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH $sqlHtmlCorpusCtes,
+           |$sqlHtmlExtractCtes,
+           |per AS (SELECT doc_id,
+           |               coalesce(string_agg(txt, chr(10) ORDER BY pos)
+           |                          FILTER (WHERE keep), '') AS body
+           |        FROM kp GROUP BY doc_id),
+           |c4 AS (SELECT doc_id,
+           |              ${TextAnalysis.sqlC4Kept("body", 3)} AS kl,
+           |              len(string_split(body, chr(10))) AS n_lines,
+           |              ${TextAnalysis.sqlC4PageBlocked("body")} AS blk
+           |       FROM per)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(n_lines AS BIGINT) AS n_lines,
+           |       CAST(len(kl) AS BIGINT) AS n_kept,
+           |       (NOT blk AND len(kl) >= 3) AS page_kept,
+           |       md5(array_to_string(kl, chr(10))) AS clean_hash
+           |FROM c4 ORDER BY doc_id""".stripMargin)),
+
+    // ── URL parse + registered domain (q217): the RefinedWeb URL axis —
+    //    scheme/host/path/query split by shared-regex column algebra,
+    //    then the public-suffix-list reduction over a derived URL corpus
+    //    that exercises every rule type (plain, two-label, hosted-
+    //    platform, `*.ck` wildcard, `!www.ck` exception, bare-suffix
+    //    hosts with NO registrable domain). The suffix table rides the
+    //    plan as literals, so the whole lookup is per-row algebra — no
+    //    UDF, no join, no shuffle; the oracle replays the same
+    //    candidate-probe over the same spliced rules. ──────────────────
+    QueryDef.sorted(
+      "q217_url_domains",
+      (s, dir) =>
+        UrlOps.withDomain(UrlOps.withUrlParts(urlCorpus(s, dir)))
+          .select(col("doc_id").cast("long"), col("scheme"), col("host"),
+            col("path"), col("query"), col("public_suffix"),
+            col("registered_domain")),
+      _.orderBy("doc_id"),
+      Some {
+        val parts = UrlOps.sqlUrlParts("url")
+          .map { case (n, e) => s"$e AS \"$n\"" }.mkString(",\n|       ")
+        val dom = UrlOps.sqlDomain("host", "lbl")
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n|       ")
+        s"""WITH $sqlUrlCorpusCte,
+           |up AS (SELECT doc_id, $parts FROM uc),
+           |lb AS (SELECT *, string_split(host, '.') AS lbl FROM up)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, scheme, host, path,
+           |       "query",
+           |       $dom
+           |FROM lb ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Domain gate census (q218): the runnable URL-filter stage —
+    //    blocklist hits (including the exception host www.ck itself)
+    //    plus a per-domain document cap (first `1` per registered
+    //    domain by doc id — the q74 source-gate shape keyed on domain),
+    //    NULL-domain rows passing through ungated. One domain-keyed
+    //    window + one census aggregation; blocklist and suffix table
+    //    both ride the plan as literals. ────────────────────────────────
+    QueryDef.sorted(
+      "q218_domain_gate",
+      (s, dir) => {
+        val dom = UrlOps.withDomain(UrlOps.withUrlParts(urlCorpus(s, dir)))
+        UrlOps.domainGate(dom, DomainBlocklist, maxPerDomain = 1)
+          .groupBy(col("registered_domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      _.orderBy(col("registered_domain").asc_nulls_first),
+      Some {
+        val rd = UrlOps.sqlDomain("host", "lbl")
+          .collect { case ("registered_domain", e) => e }.head
+        val blk = DomainBlocklist.map(d => s"'$d'").mkString("[", ",", "]")
+        s"""WITH $sqlUrlCorpusCte,
+           |up AS (SELECT doc_id,
+           |              regexp_extract(url, '${UrlOps.HostRe}', 1) AS host
+           |       FROM uc),
+           |lb AS (SELECT doc_id, string_split(host, '.') AS lbl, host
+           |       FROM up),
+           |dom AS (SELECT doc_id, $rd AS rd FROM lb),
+           |gated AS (SELECT doc_id, rd,
+           |                 (rd IS NOT NULL AND list_contains($blk, rd))
+           |                   AS blocked,
+           |                 CASE WHEN rd IS NOT NULL THEN row_number()
+           |                   OVER (PARTITION BY rd ORDER BY doc_id) END
+           |                   AS rnk
+           |          FROM dom)
+           |SELECT rd AS registered_domain,
+           |       count(*) AS n_docs,
+           |       CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT)
+           |         AS n_blocked,
+           |       CAST(count(CASE WHEN NOT blocked
+           |                        AND (rd IS NULL OR rnk <= 1) THEN 1
+           |                  END) AS BIGINT) AS n_kept,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM gated GROUP BY rd ORDER BY rd NULLS FIRST""".stripMargin
       })
   )
 

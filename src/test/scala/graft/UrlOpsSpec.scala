@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.UrlOps
+
+/** URL parsing + public-suffix-list reduction: every PSL rule type
+  * (plain, multi-label, wildcard, exception, no-match default) and the
+  * domain gate's blocklist/cap/NULL-pass-through semantics. */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def parts(url: String): (String, String, String, String) = {
+    import spark.implicits._
+    val r = UrlOps.withUrlParts(Seq((1L, url)).toDF("doc_id", "url")).head()
+    (r.getAs[String]("scheme"), r.getAs[String]("host"),
+      r.getAs[String]("path"), r.getAs[String]("query"))
+  }
+
+  private def dom(host: String): (String, Option[String]) = {
+    import spark.implicits._
+    val r = UrlOps.withDomain(Seq((1L, host)).toDF("doc_id", "host")).head()
+    (r.getAs[String]("public_suffix"),
+      Option(r.getAs[String]("registered_domain")))
+  }
+
+  test("url parts: scheme/host/path/query, port and fragment excluded") {
+    assert(parts("https://www.example.com/a/b?x=1&y=2#frag") ===
+      (("https", "www.example.com", "/a/b", "x=1&y=2")))
+    assert(parts("http://example.org:8080/p") ===
+      (("http", "example.org", "/p", "")))
+    assert(parts("https://example.io") === (("https", "example.io", "", "")))
+  }
+
+  test("plain rules: longest match wins (co.uk over uk)") {
+    assert(dom("www.example.co.uk") ===
+      (("co.uk", Some("example.co.uk"))))
+    assert(dom("example.com") === (("com", Some("example.com"))))
+  }
+
+  test("hosted-platform suffix: github.io beats io") {
+    assert(dom("github.io") === (("github.io", None)))
+    assert(dom("user.github.io") ===
+      (("github.io", Some("user.github.io"))))
+    assert(dom("www.user.github.io") ===
+      (("github.io", Some("user.github.io"))))
+  }
+
+  test("wildcard *.ck: every x.ck is itself a public suffix") {
+    assert(dom("site.ck") === (("site.ck", None)))
+    assert(dom("shop.site.ck") === (("site.ck", Some("shop.site.ck"))))
+  }
+
+  test("exception !www.ck beats the wildcard") {
+    assert(dom("www.ck") === (("ck", Some("www.ck"))))
+    // deeper hosts still resolve through the exception: ps stays ck
+    assert(dom("sub.www.ck") === (("ck", Some("www.ck"))))
+  }
+
+  test("no rule match defaults to the bare TLD (the * rule)") {
+    assert(dom("example.dev") === (("dev", Some("example.dev"))))
+    assert(dom("a.b.example.dev") === (("dev", Some("example.dev"))))
+  }
+
+  test("a bare public suffix has no registrable domain") {
+    assert(dom("com") === (("com", None)))
+    assert(dom("co.uk") === (("co.uk", None)))
+  }
+
+  test("domain gate: blocklist, per-domain cap, NULL pass-through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a.com")), (2L, Some("a.com")), (3L, Some("a.com")),
+      (4L, Some("bad.com")), (5L, Option.empty[String]),
+      (6L, Option.empty[String])).toDF("doc_id", "registered_domain")
+    val out = UrlOps.domainGate(df, Seq("bad.com"), maxPerDomain = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("blocked"), r.getAs[Boolean]("kept")))).toMap
+    assert(out === Map(
+      1L -> ((false, true)), 2L -> ((false, true)),
+      3L -> ((false, false)), // over the cap
+      4L -> ((true, false)), // blocklisted
+      5L -> ((false, true)), 6L -> ((false, true)))) // NULL: ungated
+  }
+
+  test("output-name clashes fail loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "u", "h")).toDF("doc_id", "url", "host")
+    val e = intercept[IllegalArgumentException](UrlOps.withUrlParts(df))
+    assert(e.getMessage.contains("collide"))
+  }
+}
