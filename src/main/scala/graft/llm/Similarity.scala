@@ -816,6 +816,72 @@ object Similarity {
         sqrt(dot(col("v"), col("v"))).as("vn"), bkeys.as("bkeys"))
   }
 
+  /** The shared BIT artifact an entire parameterization ladder derives
+    * from: (`__id`, v, vn, `__bits`) — ONE sign pass (`planes`
+    * literal-array dots, narrow, codegen) no matter how many (bands ×
+    * probes) tiers read it. Band keys are pure modular regroupings of
+    * these bits ([[pairsFromBits]]), so an n-tier recall audit
+    * ([[lshRecallReportTiers]]) signs once and derives n key sets
+    * arithmetically — exactly the shape the DuckDB oracle already uses
+    * (one `bits` column, n key expressions). The caller wraps it in a
+    * [[graft.CacheBarriers.barrier]]; at deployment scale this frame IS
+    * the persisted audit artifact (write it once, every sweep and
+    * repeat audit reads it). */
+  def signBitsArtifact(vectors: DataFrame, dim: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       planes: Int = 64): DataFrame = {
+    val signs = signMatrix(planes, dim)
+    val bits = array((0 until planes).map { p =>
+      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
+    }: _*)
+    vectors
+      .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .withColumn("__bits", bits)
+      .select(col("__id"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("vn"), col("__bits"))
+  }
+
+  /** Verified near-dup pairs for ONE (bands, probes) parameterization
+    * over a [[signBitsArtifact]]: `probes = 1` produces exactly
+    * [[signLshNearDupPairs]]'s numbers, `probes > 1` exactly
+    * [[multiProbeSignLshPairs]]'s (same rotated-view indexing) — but
+    * the sign pass is NOT repeated: keys regroup the artifact's bits,
+    * candidates band-join, verification joins the artifact's (v, vn).
+    * No per-tier cache: the one barrier worth keeping is the artifact
+    * itself, which the caller owns. */
+  def pairsFromBits(bitsArtifact: DataFrame, minCos: Double,
+                    planes: Int = 64, bands: Int = 8, probes: Int = 1,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    require(planes % bands == 0,
+      s"planes=$planes must divide into bands=$bands")
+    val rows = planes / bands
+    require(rows <= 30, s"rows-per-band=$rows overflows the Int band key")
+    require(probes >= 1 && rows % probes == 0,
+      s"probes=$probes must divide rows-per-band=$rows")
+    val step = rows / probes
+    val keys = flatten(array((0 until probes).map { kp =>
+      val s0 = kp * step
+      array((0 until bands).map { b =>
+        (0 until rows).map(r =>
+          col("__bits")((b * rows + r + s0) % planes) * lit(1L << r))
+          .reduce(_ + _)
+      }: _*)
+    }: _*))
+    val all = bitsArtifact.select(col("__id"),
+      posexplode(keys).as(Seq("band_idx", "band_key")))
+    val bandRows = capSignBands(all, all, maxBucketSize)
+    val cand = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    signVerifyPairs(cand, bitsArtifact, minCos)
+  }
+
   /** One (band_idx, band_key) row per band of a signed frame. */
   private def signBandRows(signed: DataFrame): DataFrame =
     signed.select(col("__id"),

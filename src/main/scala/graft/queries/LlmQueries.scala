@@ -3717,15 +3717,18 @@ object LlmQueries extends QueryFamily {
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
         val corpus = e.unionByName(near).unionByName(edge)
+        // ONE sign pass for the whole ladder: every tier's band keys
+        // regroup the same persisted bit artifact (the oracle's shared
+        // `bits` CTE, mirrored) — n tiers no longer pay n sign passes
+        val bits = graft.CacheBarriers.barrier(
+          Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
+            vecCol = "v"))
         Similarity.lshRecallReportTiers(corpus, Seq(
-            "a_bands4" -> Similarity.signLshNearDupPairs(corpus,
-              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+            "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
               bands = 4),
-            "b_bands4_probe2" -> Similarity.multiProbeSignLshPairs(corpus,
-              minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
-              vecCol = "v", bands = 4),
-            "c_bands8" -> Similarity.signLshNearDupPairs(corpus,
-              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+            "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
+              minCos = 0.95, bands = 4, probes = 2),
+            "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
               bands = 8)),
           minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
           // The audit's documented 100 TB usage: ground truth is all-pairs
@@ -4622,18 +4625,23 @@ object LlmQueries extends QueryFamily {
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
         val corpus = e.unionByName(near).unionByName(edge)
-        val ladder = Similarity.lshRecallReportTiers(corpus, Seq(
-            "a_bands4" -> Similarity.signLshNearDupPairs(corpus,
-              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+        // the q135 artifact discipline: sign once, regroup per tier;
+        // the LADDER itself is barriered — the persisted tiers table
+        // the selector (and any repeat sweep) reads instead of
+        // recomputing
+        val bits = graft.CacheBarriers.barrier(
+          Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
+            vecCol = "v"))
+        val ladder = graft.CacheBarriers.barrier(
+          Similarity.lshRecallReportTiers(corpus, Seq(
+            "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
               bands = 4),
-            "b_bands4_probe2" -> Similarity.multiProbeSignLshPairs(corpus,
-              minCos = 0.95, dim = 64, probes = 2, idCol = "vec_id",
-              vecCol = "v", bands = 4),
-            "c_bands8" -> Similarity.signLshNearDupPairs(corpus,
-              minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
+            "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
+              minCos = 0.95, bands = 4, probes = 2),
+            "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
               bands = 8)),
           minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
-          samplePred = col("vec_id") % 4 === 0)
+          samplePred = col("vec_id") % 4 === 0))
         Similarity.selectLshConfig(ladder, targetRecallMicro = 950000L)
       },
       _.orderBy("tier"),

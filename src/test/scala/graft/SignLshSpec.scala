@@ -194,6 +194,28 @@ class SignLshSpec extends AnyFunSuite {
     assert(multi.size > single.size)
   }
 
+  test("pairsFromBits ≡ per-tier sign passes at every (bands, probes)") {
+    import spark.implicits._
+    val docs = embFixture
+    val df = docs.toDF("vec_id", "v")
+    val bits = Similarity.signBitsArtifact(df, dim = 16, idCol = "vec_id",
+      vecCol = "v", planes = 16)
+    def setOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    // probes = 1: the base tier's exact numbers (cos_scaled included)
+    assert(setOf(Similarity.pairsFromBits(bits, minCos = 0.9,
+        planes = 16, bands = 2)) ===
+      setOf(Similarity.signLshNearDupPairs(df, minCos = 0.9, dim = 16,
+        idCol = "vec_id", vecCol = "v", planes = 16, bands = 2)))
+    // probes > 1: the rotated-view tier's exact numbers
+    assert(setOf(Similarity.pairsFromBits(bits, minCos = 0.9,
+        planes = 16, bands = 2, probes = 4)) ===
+      setOf(Similarity.multiProbeSignLshPairs(df, minCos = 0.9, dim = 16,
+        probes = 4, idCol = "vec_id", vecCol = "v", planes = 16,
+        bands = 2)))
+  }
+
   test("signMatrix is deterministic and ±1-valued") {
     val m1 = Similarity.signMatrix(8, 4)
     val m2 = Similarity.signMatrix(8, 4)
