@@ -342,14 +342,6 @@ object Bench {
     val wall = timedWallNs.get() / 1e9 // true wall across ALL timed runs
     val cpuSec = quiesceCpu() / 1e9    // executor CPU over the same span
     val loadAfter = loadavg()
-    val sentinel =
-      s""""load_before":"$loadBefore","load_after":"$loadAfter",""" +
-        s""""cpu_sec":${math.round(cpuSec * 10) / 10.0},""" +
-        s""""cpu_per_wall":${
-          math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0},""" +
-        s""""healed":$nHealed,"cores":${cpus.toInt}"""
-    val headline = s"""{"metric":"total","value":$total,"n":${
-      results.length},"unit":"sec","sf":"$sfDir",$sentinel}"""
 
     // The committed artifact of record: full names, full precision,
     // per-query CPU, heal counts + triggers, and the sentinel —
@@ -387,6 +379,20 @@ object Bench {
         nHealed, load1(loadBefore), load1(loadAfter), cpus.toInt, priorCpw)
     val target = recordTarget(only.nonEmpty, sfName, dirty.isDefined,
       cpus.toInt)
+    // the run's verdict rides INSIDE the headline (printed first AND
+    // last): the driver's bounded stdout capture always holds one, so
+    // BENCH_r*.json self-describes as clean vs dirty-diverted without
+    // cross-referencing bench/ files (round-14 verdict ask)
+    val sentinel =
+      s""""load_before":"$loadBefore","load_after":"$loadAfter",""" +
+        s""""cpu_sec":${math.round(cpuSec * 10) / 10.0},""" +
+        s""""cpu_per_wall":${
+          math.round(cpuSec / math.max(wall, 1e-9) * 100) / 100.0},""" +
+        s""""healed":$nHealed,"cores":${cpus.toInt},""" +
+        s""""verdict":"${dirty.fold("clean")(w => s"dirty:$w")}",""" +
+        s""""record":"$target""""
+    val headline = s"""{"metric":"total","value":$total,"n":${
+      results.length},"unit":"sec","sf":"$sfDir",$sentinel}"""
     dirty.foreach { why =>
       println(s"""{"metric":"dirty_run","reason":"$why","written":"$target"}""")
     }

@@ -347,31 +347,9 @@ object Multimodal {
     * file) rather than overflowing. */
   def mp4Meta(content: Array[Byte]): Option[(Long, Long, Int, Int)] = {
     def u16(i: Int) = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
-    def u32(i: Int): Long =
-      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
-        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    def u32(i: Int): Long = mp4U32(content, i)
     def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
-    def tag(i: Int) = new String(content.slice(i, i + 4), "US-ASCII")
-    // walk [from, until) box headers, returning (type, bodyOff, bodyEnd)
-    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var i = from
-        def hasNext: Boolean = i + 8 <= until
-        def next(): (String, Int, Int) = {
-          val declared = u32(i)
-          val t = tag(i + 4)
-          val (bodyOff, size) =
-            if (declared == 1L && i + 16 <= until) (i + 16, u64(i + 8))
-            else if (declared == 0L) (i + 8, (until - i).toLong)
-            else (i + 8, declared)
-          val end =
-            if (size < 8 || i + size > until) until // malformed/truncated
-            else (i + size).toInt
-          val r = (t, bodyOff, end)
-          i = end
-          r
-        }
-      }
+    def boxes(from: Int, until: Int) = mp4Boxes(content, from, until)
     if (content.length < 8) return None
     boxes(0, content.length).collectFirst {
       case ("moov", off, end) =>
@@ -401,26 +379,161 @@ object Multimodal {
     }.flatten
   }
 
+  private def mp4U32(content: Array[Byte], i: Int): Long =
+    ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+      ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+
+  /** The shared [from, until) box-header walk of [[mp4Meta]], factored
+    * for its table-reading sibling: (type, bodyOff, bodyEnd); size 1 =
+    * 64-bit largesize, size 0 = to end; a declared size past the buffer
+    * ends the walk (truncated file) rather than overflowing. */
+  private def mp4Boxes(content: Array[Byte], from: Int,
+                       until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var i = from
+      def hasNext: Boolean = i + 8 <= until
+      def next(): (String, Int, Int) = {
+        val declared = mp4U32(content, i)
+        val t = new String(content.slice(i + 4, i + 8), "US-ASCII")
+        val (bodyOff, size) =
+          if (declared == 1L && i + 16 <= until)
+            (i + 16, (mp4U32(content, i + 8) << 32) | mp4U32(content, i + 12))
+          else if (declared == 0L) (i + 8, (until - i).toLong)
+          else (i + 8, declared)
+        val end =
+          if (size < 8 || i + size > until) until // malformed/truncated
+          else (i + size).toInt
+        val r = (t, bodyOff, end)
+        i = end
+        r
+      }
+    }
+
+  /** Absurd-count backstop for the sample tables: a corrupt header
+    * declaring billions of entries must not allocate them — the real
+    * bound is the box body size, checked first; this caps what a
+    * size-0-to-EOF box could still claim. */
+  private val MaxSampleEntries = 1 << 20
+
+  /** `stsz`/`stco` sample tables — the byte-addressability data
+    * [[videoSamplePlan]]'s doc names as the missing piece: walks
+    * `moov` → each `trak` → `mdia` → `minf` → `stbl` and returns the
+    * FIRST track carrying both tables as (sampleSizes, chunkOffsets).
+    * Both `stsz` forms parse: the compact constant-size form
+    * (sample_size ≠ 0: every sample that size, no table) and the
+    * per-sample table (sample_size = 0). Same per-row-imperative
+    * justification, truncation discipline, and None-on-malformed
+    * contract as [[mp4Meta]]; entry counts are bounded by the box body
+    * BEFORE any allocation. */
+  def mp4SampleTables(content: Array[Byte])
+      : Option[(Array[Long], Array[Long])] = {
+    def u32(i: Int): Long = mp4U32(content, i)
+    if (content.length < 8) return None
+    def stblTables(sb: Int, se: Int): Option[(Array[Long], Array[Long])] = {
+      var sizes: Option[Array[Long]] = None
+      var offs: Option[Array[Long]] = None
+      mp4Boxes(content, sb, se).foreach {
+        case ("stsz", tb, te) if sizes.isEmpty && tb + 12 <= te =>
+          val fixed = u32(tb + 4)
+          val n = u32(tb + 8)
+          if (n >= 0 && n <= MaxSampleEntries) {
+            if (fixed != 0L)
+              sizes = Some(Array.fill(n.toInt)(fixed))
+            else if (tb + 12 + 4 * n <= te)
+              sizes = Some(Array.tabulate(n.toInt)(i => u32(tb + 12 + 4 * i)))
+          }
+        case ("stco", tb, te) if offs.isEmpty && tb + 8 <= te =>
+          val n = u32(tb + 4)
+          if (n >= 0 && n <= MaxSampleEntries && tb + 8 + 4 * n <= te)
+            offs = Some(Array.tabulate(n.toInt)(i => u32(tb + 8 + 4 * i)))
+        case _ =>
+      }
+      for (s <- sizes; o <- offs) yield (s, o)
+    }
+    mp4Boxes(content, 0, content.length).collectFirst {
+      case ("moov", off, end) =>
+        var found: Option[(Array[Long], Array[Long])] = None
+        mp4Boxes(content, off, end).foreach {
+          case ("trak", b, e) if found.isEmpty =>
+            mp4Boxes(content, b, e).foreach {
+              case ("mdia", mb, me) if found.isEmpty =>
+                mp4Boxes(content, mb, me).foreach {
+                  case ("minf", nb, ne) if found.isEmpty =>
+                    mp4Boxes(content, nb, ne).foreach {
+                      case ("stbl", sb, se) if found.isEmpty =>
+                        found = stblTables(sb, se)
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        found
+    }.flatten
+  }
+
+  /** Sample tables as columns: `sample_sizes` / `chunk_offs`
+    * (`array<bigint>`, NULL when the container carries no parseable
+    * stsz+stco pair). The walker is the justified per-row-imperative
+    * class ([[mp4Meta]]'s argument); at 100 TB this still moves one
+    * metadata row per asset — the tables are KB-sized headers, never
+    * media bytes. */
+  def withSampleTables(assets: DataFrame,
+                       contentCol: String = "content"): DataFrame = {
+    val f = org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else mp4SampleTables(b).map { case (s, o) => (s.toSeq, o.toSeq) })
+    assets
+      .withColumn("__st", f(col(contentCol)))
+      .withColumn("sample_sizes", col("__st._1"))
+      .withColumn("chunk_offs", col("__st._2"))
+      .drop("__st")
+  }
+
   /** Decoder batch plan over parsed CANONICAL MP4 assets
     * ([[withVideoMeta]]'s output) — the video sibling of
     * [[audioWindowPlan]]: fixed `sampleEveryMs` sampling instants, one
     * row per instant with the TIME range a decode UDF seeks
     * (`sample_idx`, `t_off_us`, `t_len_us`; the last range truncates to
-    * the duration, non-mp4 rows drop). Video frames are not
-    * byte-addressable without the sample tables (`stsz`/`stco`), so the
-    * honest ranged-read unit is a time-indexed seek — which is exactly
-    * the API the decode stage (ffmpeg-class, stubbed here: no codecs in
-    * the container) exposes. Same 100 TB discipline as q189: the
-    * planner moves one metadata row per sample and never a media byte;
-    * pure nonnegative integer math the oracle replays. */
+    * the duration, non-mp4 rows drop) PLUS, when the meta frame carries
+    * [[withSampleTables]]'s columns, the TRUE byte range
+    * (`byte_off`/`byte_len` from `stco`/`stsz` — a ranged GET, the
+    * audio plan's discipline) — NULL for tableless containers, where
+    * the time-indexed seek the decode stage (ffmpeg-class, stubbed
+    * here: no codecs in the container) exposes remains the honest
+    * unit. Same 100 TB discipline as q189: the planner moves one
+    * metadata row per sample and never a media byte; pure nonnegative
+    * integer math the oracle replays. */
   def videoSamplePlan(meta: DataFrame, sampleEveryMs: Int): DataFrame = {
     require(sampleEveryMs > 0, s"videoSamplePlan: sampleEveryMs=$sampleEveryMs")
     val step = sampleEveryMs * 1000L
-    meta.filter(col("vfmt") === "mp4" && col("vdur_us") > 0)
+    val base = meta.filter(col("vfmt") === "mp4" && col("vdur_us") > 0)
       .withColumn("sample_idx",
         explode(sequence(lit(0L), expr(s"(vdur_us + ${step - 1}) DIV $step - 1"))))
       .withColumn("t_off_us", expr(s"sample_idx * $step"))
       .withColumn("t_len_us", expr(s"least($step, vdur_us - t_off_us)"))
+    // TRUE byte ranges when the sample tables rode in
+    // ([[withSampleTables]]): the instant maps to its sample index by
+    // uniform timing over the track (j = t·n DIV dur — the stts-less
+    // approximation, stated; a decode stage with stts refines it), and
+    // the range is that sample's (chunk_offset, size). Tableless
+    // containers keep NULL byte columns — the time-seek fallback the
+    // previous contract documented.
+    if (!meta.columns.contains("sample_sizes")) base
+    else {
+      val n = size(col("sample_sizes"))
+      val ok = col("sample_sizes").isNotNull && col("chunk_offs").isNotNull &&
+        n > 0 && size(col("chunk_offs")) === n
+      base
+        .withColumn("__j", when(ok,
+          expr("t_off_us * size(sample_sizes) DIV vdur_us").cast("int")))
+        .withColumn("byte_off", element_at(col("chunk_offs"), col("__j") + 1))
+        .withColumn("byte_len", element_at(col("sample_sizes"), col("__j") + 1))
+        .drop("__j")
+    }
   }
 
   /** Decoder batch plan over parsed CANONICAL WAV assets

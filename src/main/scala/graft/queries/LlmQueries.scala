@@ -469,8 +469,11 @@ object LlmQueries extends QueryFamily {
     * unity matrix) and one `trak` with a version-0 `tkhd` whose
     * width/height ride 16.16 fixed point — built in column algebra from
     * doc_id arithmetic around md5 payloads; every 3rd doc stays a raw
-    * (non-video) blob. Same text-IS-NOT-NULL guard as [[syntheticWavs]]
-    * (a NULL payload would NULL the whole content). */
+    * (non-video) blob. The %3==1 docs additionally carry a real
+    * `mdia`→`minf`→`stbl` chain with per-sample `stsz`+`stco` tables
+    * (q194's byte-range path); %3==2 docs stay tableless (the NULL
+    * fallback). Same text-IS-NOT-NULL guard as [[syntheticWavs]] (a
+    * NULL payload would NULL the whole content). */
   private def syntheticMp4s(s: org.apache.spark.sql.SparkSession,
                             dir: String) = {
     val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
@@ -484,29 +487,61 @@ object LlmQueries extends QueryFamily {
       (lit(600) + (col("doc_id") % 5) * 600).as("ts"),
       ((col("doc_id") % 2000 + 1) * 3).as("dur"),
       (col("doc_id") % 1920 + 1).as("w"),
-      (col("doc_id") % 1080 + 1).as("h"))
+      (col("doc_id") % 1080 + 1).as("h"),
+      // the %3==1 sample tables: 2–5 samples, size_i = ssz + 16i,
+      // one chunk per sample at off_i = 4096 + i·ssz + 8·i·(i−1)
+      // (the cumulative of the linearly growing sizes, closed form)
+      (col("doc_id") % 4 + 2).as("nsamp"),
+      ((col("doc_id") % 7 + 1) * 100).as("ssz"))
+    // ftyp: size 24, 'ftyp', brand isom, minor, compat isom/iso2
+    val ftyp = lit("00000018" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D69736F32")
+    // mvhd v0: size 108 — ver/flags, creation, modification, then
+    // timescale/duration, rate 1.0, volume 1.0 + reserved(2+8),
+    // matrix, predefined(24), next track id
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32("ts"), be32("dur"),
+      lit("00010000" + "0100" + "0000" + "0" * 16 + unityMatrix +
+        "0" * 48 + "00000002"))
+    // tkhd v0: size 92 — ver/flags, creation, modification, track id 1,
+    // reserved, duration, reserved(8), layer, alt group, volume,
+    // reserved, matrix, 16.16 dims
+    val tkhd = concat(
+      lit("0000005C" + "746B6864" +
+        "00000000" + "00000000" + "00000000" + "00000001" + "00000000"),
+      be32("dur"),
+      lit("0" * 16 + "0000" + "0000" + "0000" + "0000" + unityMatrix),
+      be32("w * 65536"), be32("h * 65536"))
+    // mdia > minf > stbl > (stsz per-sample form + stco), sizes ride
+    // the sample count: stsz 20+4n, stco 16+4n, stbl 44+8n, minf
+    // 52+8n, mdia 60+8n
+    val mdia = concat(
+      be32("60 + 8 * nsamp"), lit("6D646961"),
+      be32("52 + 8 * nsamp"), lit("6D696E66"),
+      be32("44 + 8 * nsamp"), lit("7374626C"),
+      be32("20 + 4 * nsamp"), lit("7374737A"), lit("00000000"),
+      lit("00000000"), be32("nsamp"),
+      expr("array_join(transform(sequence(0, nsamp - 1), " +
+        "i -> lpad(hex(ssz + 16 * i), 8, '0')), '')"),
+      be32("16 + 4 * nsamp"), lit("7374636F"), lit("00000000"),
+      be32("nsamp"),
+      expr("array_join(transform(sequence(0, nsamp - 1), " +
+        "i -> lpad(hex(4096 + i * ssz + 8 * i * (i - 1)), 8, '0')), '')"))
     val hexStr = when(col("doc_id") % 3 === 0, md5(col("text")))
+      // %3==1: the FULL canonical container — the fixed ftyp/mvhd/tkhd
+      // prefix is byte-identical (q193's fixed-offset matcher reads the
+      // same 240 bytes), but trak grows an mdia carrying real
+      // stsz/stco sample tables; moov 276+8n, trak 160+8n
+      .when(col("doc_id") % 3 === 1, concat(
+        ftyp, be32("276 + 8 * nsamp"), lit("6D6F6F76"), mvhd,
+        be32("160 + 8 * nsamp"), lit("7472616B"), tkhd, mdia,
+        md5(col("text"))))
+      // %3==2: the tableless layout — moov 216 = 8 + mvhd 108 +
+      // trak 100 (the byte-range plan's NULL fallback specimen)
       .otherwise(concat(
-        // ftyp: size 24, 'ftyp', brand isom, minor, compat isom/iso2
-        lit("00000018" + "66747970" + "69736F6D" + "00000200" +
-          "69736F6D69736F32"),
-        // moov: size 216 = 8 + mvhd 108 + trak 100
-        lit("000000D8" + "6D6F6F76"),
-        // mvhd v0: size 108, tag, ver/flags, creation, modification
-        lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
-        be32("ts"), be32("dur"),
-        // rate 1.0, volume 1.0 + reserved(2+8), matrix, predefined(24),
-        // next track id
-        lit("00010000" + "0100" + "0000" + "0" * 16 + unityMatrix +
-          "0" * 48 + "00000002"),
-        // trak: size 100; tkhd v0: size 92, tag, ver/flags, creation,
-        // modification, track id 1, reserved, duration
-        lit("00000064" + "7472616B" + "0000005C" + "746B6864" +
-          "00000000" + "00000000" + "00000000" + "00000001" + "00000000"),
-        be32("dur"),
-        // reserved(8), layer, alt group, volume, reserved, matrix
-        lit("0" * 16 + "0000" + "0000" + "0000" + "0000" + unityMatrix),
-        be32("w * 65536"), be32("h * 65536"),
+        ftyp, lit("000000D8" + "6D6F6F76"), mvhd,
+        lit("00000064" + "7472616B"), tkhd,
         md5(col("text"))))
     base.select(col("doc_id"), unhex(hexStr).as("content"))
   }
@@ -6050,27 +6085,41 @@ object LlmQueries extends QueryFamily {
       "q194_video_sample_plan",
       (s, dir) =>
         Multimodal.videoSamplePlan(
-            Multimodal.withVideoMeta(syntheticMp4s(s, dir)),
+            Multimodal.withSampleTables(
+              Multimodal.withVideoMeta(syntheticMp4s(s, dir))),
             sampleEveryMs = 40)
           .select(col("doc_id").cast("long"), col("sample_idx"),
-            col("t_off_us"), col("t_len_us")),
+            col("t_off_us"), col("t_len_us"), col("byte_off"),
+            col("byte_len")),
       _.orderBy("doc_id", "sample_idx"),
       Some(
         s"""WITH p AS (
            |  SELECT doc_id,
            |         ((doc_id % 2000 + 1) * 3 * 1000000)
-           |           // (600 + (doc_id % 5) * 600) AS dur_us
+           |           // (600 + (doc_id % 5) * 600) AS dur_us,
+           |         doc_id % 4 + 2 AS nsamp,
+           |         (doc_id % 7 + 1) * 100 AS ssz
            |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
-           |x AS (SELECT doc_id, dur_us,
+           |x AS (SELECT doc_id, dur_us, nsamp, ssz,
            |             unnest(range(0, (dur_us + 39999) // 40000))
            |               AS sample_idx
-           |      FROM p WHERE dur_us > 0)
+           |      FROM p WHERE dur_us > 0),
+           |-- the byte range replays the stsz/stco GROUND-TRUTH
+           |-- arithmetic the %3==1 fixtures were built from (uniform
+           |-- timing: j = t·n DIV dur); the parser is what's under test
+           |j AS (SELECT *, CASE WHEN doc_id % 3 = 1
+           |                THEN sample_idx * 40000 * nsamp // dur_us
+           |                END AS sj
+           |      FROM x)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |       CAST(sample_idx AS BIGINT) AS sample_idx,
            |       CAST(sample_idx * 40000 AS BIGINT) AS t_off_us,
            |       CAST(least(40000, dur_us - sample_idx * 40000) AS BIGINT)
-           |         AS t_len_us
-           |FROM x ORDER BY doc_id, sample_idx""".stripMargin)),
+           |         AS t_len_us,
+           |       CAST(4096 + sj * ssz + 8 * sj * (sj - 1) AS BIGINT)
+           |         AS byte_off,
+           |       CAST(ssz + 16 * sj AS BIGINT) AS byte_len
+           |FROM j ORDER BY doc_id, sample_idx""".stripMargin)),
 
     // ── Length-bucketed batch plan (q195): the DYNAMIC-BATCHING planner
     //    — q67's padding complement (packing concatenates into a fixed

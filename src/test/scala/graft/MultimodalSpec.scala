@@ -320,6 +320,68 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.videoSamplePlan(meta, sampleEveryMs = 0))
   }
 
+  test("mp4SampleTables parses stsz (both forms) + stco down the chain") {
+    // moov > trak > mdia > minf > stbl with a 3-entry per-sample stsz
+    // (sizes 100,116,132) and a 3-entry stco (offsets 4096,4196,4312)
+    def stbl(stsz: String, stco: String) = {
+      val stblBody = stsz + stco
+      def box(tag: String, body: String) =
+        f"${8 + body.length / 2}%08X" + tag + body
+      val sb = box("7374626C", stblBody)
+      val minf = box("6D696E66", sb)
+      val mdia = box("6D646961", minf)
+      val trak = box("7472616B", mdia)
+      box("6D6F6F76", trak)
+    }
+    val perSample = stbl(
+      "00000020" + "7374737A" + "00000000" + "00000000" + "00000003" +
+        "00000064" + "00000074" + "00000084",
+      "0000001C" + "7374636F" + "00000000" + "00000003" +
+        "00001000" + "00001064" + "000010D8")
+    assert(Multimodal.mp4SampleTables(bytes(perSample)) match {
+      case Some((s, o)) =>
+        s.toSeq == Seq(100L, 116L, 132L) &&
+          o.toSeq == Seq(4096L, 4196L, 4312L)
+      case None => false
+    })
+    // compact constant-size stsz form: sample_size ≠ 0, no table
+    val constSize = stbl(
+      "00000014" + "7374737A" + "00000000" + "000000C8" + "00000002",
+      "00000018" + "7374636F" + "00000000" + "00000002" +
+        "00002000" + "000020C8")
+    assert(Multimodal.mp4SampleTables(bytes(constSize)) match {
+      case Some((s, o)) =>
+        s.toSeq == Seq(200L, 200L) && o.toSeq == Seq(8192L, 8392L)
+      case None => false
+    })
+    // a file cut mid-table (the last stco entry's bytes missing) and
+    // junk degrade to None, never a throw
+    assert(Multimodal.mp4SampleTables(
+      bytes(perSample).dropRight(4)) === None)
+    assert(Multimodal.mp4SampleTables(bytes("DEADBEEF")) === None)
+    assert(Multimodal.mp4SampleTables(Array.empty[Byte]) === None)
+  }
+
+  test("videoSamplePlan emits byte ranges from tables, NULL without") {
+    import spark.implicits._
+    val meta = Seq(
+      // 100 ms, 2 samples: instants 0,1 → sample 0; instant 2 → 1
+      (1L, "mp4", Some(100000L), Some(Seq(100L, 116L)),
+        Some(Seq(4096L, 4196L))),
+      (2L, "mp4", Some(100000L), None: Option[Seq[Long]],
+        None: Option[Seq[Long]]))
+      .toDF("doc_id", "vfmt", "vdur_us", "sample_sizes", "chunk_offs")
+    val got = Multimodal.videoSamplePlan(meta, sampleEveryMs = 40)
+      .select("doc_id", "sample_idx", "byte_off", "byte_len")
+      .as[(Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, Some(4096L), Some(100L)),
+      (1L, 1L, Some(4096L), Some(100L)), // 40000·2/100000 = 0
+      (1L, 2L, Some(4196L), Some(116L)), // 80000·2/100000 = 1
+      (2L, 0L, None, None), (2L, 1L, None, None), (2L, 2L, None, None)))
+  }
+
   test("jpegDims walks the marker stream to SOF0") {
     // SOI + APP0 (16 bytes) + DHT (to prove non-frame C4 is skipped) +
     // SOF0 with height 480, width 640, then EOI
