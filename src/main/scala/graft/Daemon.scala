@@ -35,8 +35,13 @@ import graft.streaming.{HealthServer, SdWatchdog}
   * {{{
   *   graft.Daemon <config.toml> <eventsDir> <workDir>
   *       [--port N] [--interval SECONDS] [--once]
-  *       [--transport KEY] [--maxDocs N] [--sink KEY]
+  *       [--transport KEY] [--maxDocs N] [--sink KEY] [--pipeline KEY]
   * }}}
+  *
+  * `--pipeline curation` swaps the store hot path for the LLM curation
+  * chain (gate → dedup artifacts → kept slices) through the bucketed
+  * state stores — [[graft.streaming.CurationDaemon]]; the `[curation]`
+  * TOML table tunes it.
   *
   * `eventsDir` must hold at least one parquet file at startup (it pins
   * the stream schema — the reference likewise refuses to start without a
@@ -58,7 +63,8 @@ object Daemon {
                         intervalSec: Long = 10L, once: Boolean = false,
                         transport: Option[String] = None,
                         maxDocs: Int = 10000,
-                        sink: Option[String] = None)
+                        sink: Option[String] = None,
+                        pipeline: Option[String] = None)
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     val (flags, pos) = {
@@ -69,7 +75,7 @@ object Daemon {
         argv(i) match {
           case "--once" => f("once") = "true"; i += 1
           case k @ ("--port" | "--interval" | "--transport" | "--maxDocs"
-              | "--sink") =>
+              | "--sink" | "--pipeline") =>
             require(i + 1 < argv.length, s"$k needs a value")
             f(k.drop(2)) = argv(i + 1); i += 2
           case other => p += other; i += 1
@@ -80,14 +86,15 @@ object Daemon {
     require(pos.length == 3,
       "usage: graft.Daemon <config.toml> <eventsDir> <workDir> " +
         "[--port N] [--interval SECONDS] [--once] " +
-        "[--transport KEY] [--maxDocs N] [--sink KEY]")
+        "[--transport KEY] [--maxDocs N] [--sink KEY] [--pipeline KEY]")
     Args(pos(0), pos(1), pos(2),
       port = flags.get("port").map(_.toInt).getOrElse(8080),
       intervalSec = flags.get("interval").map(_.toLong).getOrElse(10L),
       once = flags.contains("once"),
       transport = flags.get("transport"),
       maxDocs = flags.get("maxDocs").map(_.toInt).getOrElse(10000),
-      sink = flags.get("sink"))
+      sink = flags.get("sink"),
+      pipeline = flags.get("pipeline"))
   }
 
   /** Everything the daemon started — close() tears it down in reverse
@@ -143,13 +150,24 @@ object Daemon {
     // monstache.go:3464-3495) into a registered [[graft.sink.SinkWiring]];
     // the default runs the hot path into the versioned-state stand-in.
     // Both checkpoint under workDir, so kill + restart resumes either.
-    val query = a.sink match {
-      case Some(key) =>
+    // Pipeline selection: `--pipeline curation` runs the LLM curation
+    // chain live through the bucketed artifact stores (the training-data
+    // extension's hot path — [[graft.streaming.CurationDaemon]]); the
+    // `[curation]` TOML table tunes it. Unknown keys fail at startup.
+    val query = (a.pipeline, a.sink) match {
+      case (Some("curation"), _) =>
+        graft.streaming.CurationDaemon.start(events,
+          s"${a.workDir}/state", s"${a.workDir}/checkpoint",
+          cfg.curation, trigger = trigger)
+      case (Some(other), _) =>
+        throw new IllegalArgumentException(
+          s"--pipeline $other: unknown pipeline (supported: curation)")
+      case (None, Some(key)) =>
         val w = graft.sink.SinkWirings.lookup(key)
         ConfiguredPipeline.startRoutedSink(cfg,
           collections = w.collections, fileContentCol = w.fileContentCol)(
           events, s"${a.workDir}/checkpoint", w.backend, trigger = trigger)
-      case None =>
+      case (None, None) =>
         ConfiguredPipeline.startStream(cfg)(
           events, s"${a.workDir}/state", s"${a.workDir}/checkpoint",
           trigger = trigger)

@@ -50,7 +50,8 @@ case class GraftConfig(
     droppedDatabases: Boolean = true,                 // dropped-databases (365; default true, 2139)
     droppedCollections: Boolean = true,               // dropped-collections (366)
     disableDeleteProtection: Boolean = false,         // disable-delete-protection (351)
-    routingNamespaces: Seq[String] = Nil) {           // routing-namespaces (415)
+    routingNamespaces: Seq[String] = Nil,             // routing-namespaces (415)
+    curation: CurationConfig = CurationConfig()) {    // [curation] (extension surface)
 
   def namespaceFilter: NamespaceFilterConfig =
     NamespaceFilterConfig(namespaceRegex, namespaceExcludeRegex,
@@ -59,6 +60,17 @@ case class GraftConfig(
   /** The oplog-date format translated from the reference's Go layout. */
   def oplogDateJvmFormat: String = Codecs.goLayoutToJvm(oplogDateFieldFormat)
 }
+
+/** The `[curation]` table — the LLM-curation pipeline's TOML surface
+  * (extension, no reference analog: monstache has no curation stage).
+  * Selected at the daemon by `--pipeline curation`; the envelope maps to
+  * curation documents as doc_id = CAST(envelope id AS BIGINT), text =
+  * the `text-field` JSON field of the document body, source = the
+  * envelope's collection name. */
+case class CurationConfig(
+    numBuckets: Int = 64,      // num-buckets  (bucketed-state fan-out)
+    lineMinChars: Int = 10,    // line-min-chars (line-census threshold)
+    textField: String = "text") // text-field  (JSON field carrying text)
 
 object GraftConfig {
 
@@ -154,7 +166,29 @@ object GraftConfig {
       droppedDatabases = doc.bool("dropped-databases", default = true),
       droppedCollections = doc.bool("dropped-collections", default = true),
       disableDeleteProtection = doc.bool("disable-delete-protection"),
-      routingNamespaces = doc.strings("routing-namespaces"))
+      routingNamespaces = doc.strings("routing-namespaces"),
+      curation = doc.tables.get("curation").map { t =>
+        def tInt(key: String, default: Int): Int = t.get(key) match {
+          case None => default
+          case Some(n: Long) =>
+            try Math.toIntExact(n)
+            catch { case _: ArithmeticException =>
+              Toml.Doc.mismatch(s"curation.$key", "32-bit integer", n)
+            }
+          case Some(other) =>
+            Toml.Doc.mismatch(s"curation.$key", "integer", other)
+        }
+        val cc = CurationConfig(
+          numBuckets = tInt("num-buckets", CurationConfig().numBuckets),
+          lineMinChars =
+            tInt("line-min-chars", CurationConfig().lineMinChars),
+          textField = t.get("text-field")
+            .map(Toml.Doc.str("curation.text-field", _))
+            .getOrElse(CurationConfig().textField))
+        require(cc.numBuckets > 0,
+          s"config: curation.num-buckets must be positive, got ${cc.numBuckets}")
+        cc
+      }.getOrElse(CurationConfig()))
   }
 
   def load(path: String): GraftConfig =

@@ -206,6 +206,88 @@ class DaemonSpec extends AnyFunSuite {
     }
   }
 
+  test("--pipeline curation: live curation chain, kill + resume ≡ batch fold") {
+    // the curation hot path run the way the reference runs its sink
+    // path: transport tail → envelope→doc mapping → bucketed gate/dedup
+    // merges, killed between chunks and resumed from the checkpoint;
+    // the accumulated kept corpus must equal the batch
+    // curateIncremental fold over the same two batches
+    import graft.source.{ChangeEvent, SourceBatch, SourceTransport, SourceTransports}
+    import graft.streaming.{BucketedCuration, CurationDaemon}
+    import graft.llm.Curation
+    import spark.implicits._
+
+    def text(i: Long): String =
+      (0 until 26).map(j => s"k${i}x$j").mkString(" ")
+    def trunc(t: String): String = t.split(" ").dropRight(5).mkString(" ")
+    def ev(eid: Long, id: Long, txt: String): ChangeEvent =
+      ChangeEvent(eid, id.toString, "app", "web", "app.web", "i",
+        1000000L + eid, 1000000L + eid, s"""{"text":"$txt"}""", 0.0,
+        "oplog")
+    // chunk1: fresh docs; chunk2: an exact dup, a near-dup, fresh
+    val chunk1 = (0L until 12L).map(i => ev(i, i, text(i)))
+    val chunk2 = Seq(
+      ev(20, 100, text(3)),        // exact dup -> dropped
+      ev(21, 101, trunc(text(5))), // near-dup -> dropped
+      ev(22, 102, text(40)))       // fresh -> kept
+    val log = scala.collection.mutable.ArrayBuffer[ChangeEvent](chunk1: _*)
+    SourceTransports.register("daemon-cur-src", new SourceTransport {
+      override def poll(tok: Option[String], maxDocs: Int): SourceBatch =
+        log.synchronized {
+          val from = tok.map(_.toInt).getOrElse(0)
+          val evs = log.slice(from, from + maxDocs).toVector
+          SourceBatch(evs, (from + evs.length).toString)
+        }
+    })
+    try {
+      val workDir = Files.createTempDirectory("graft-daemon-work5").toString
+      val cfgPath = Files.createTempDirectory("graft-daemon-cfg5")
+        .resolve("graft.toml")
+      Files.writeString(cfgPath,
+        "[curation]\nnum-buckets = 8\n")
+      def run(): Unit = {
+        val running = Daemon.start(spark, Daemon.Args(
+          cfgPath.toString, "/unused", workDir, port = 0, once = true,
+          transport = Some("daemon-cur-src"), pipeline = Some("curation")))
+        try running.query.awaitTermination() finally running.close()
+      }
+      run() // chunk1, then the daemon exits (the kill)
+      val stateDir = s"$workDir/state"
+      def kept(): Set[Long] =
+        BucketedCuration.keptCorpus(spark, stateDir)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept() == (0L until 12L).toSet,
+        "chunk1 all fresh: every doc kept before the resume")
+      log.synchronized { log ++= chunk2 }
+      run() // resume from checkpoint: only chunk2 replays
+
+      // batch twin: empty bootstrap artifacts, then the same two
+      // batches folded through curateIncremental
+      val (_, art0) = Curation.artifactsOf(
+        Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+        sourceCol = Some("source"))
+      val b1 = chunk1.map(e => (e.id.toLong, text(e.id.toLong), "web"))
+      val b2 = Seq((100L, text(3), "web"), (101L, trunc(text(5)), "web"),
+        (102L, text(40), "web"))
+      val (k1, art1) = Curation.curateIncremental(
+        b1.toDF("doc_id", "text", "source"), art0,
+        sourceCol = Some("source"))
+      val (k2, _) = Curation.curateIncremental(
+        b2.toDF("doc_id", "text", "source"), art1,
+        sourceCol = Some("source"))
+      val twinKept = (k1.select("doc_id").collect() ++
+        k2.select("doc_id").collect()).map(_.getLong(0)).toSet
+      assert(kept() == twinKept,
+        "daemon kept corpus after kill+resume must equal the batch fold")
+      assert(!twinKept.contains(100L) && !twinKept.contains(101L) &&
+        twinKept.contains(102L))
+      // the artifact view is live for downstream readers
+      val art = BucketedCuration.latestArtifacts(spark, stateDir)
+      assert(art.isDefined)
+      assert(art.get.hashReps.count() > 0)
+    } finally SourceTransports.unregister("daemon-cur-src")
+  }
+
   test("an empty events dir refuses to start (schema pin, loud)") {
     val emptyDir = Files.createTempDirectory("graft-daemon-empty").toString
     val cfgPath = Files.createTempDirectory("graft-daemon-cfg2")
