@@ -108,6 +108,51 @@ object UrlOps {
         when(ok && n > psLen, suf(psLen + 1)))
   }
 
+  /** Query params canonicalization strips: exact names plus the
+    * `utm_` prefix family — the tracking decorations that make one page
+    * look like many URLs. Extend per deployment; the list is plan
+    * literal like the suffix table. */
+  val TrackingParams: Seq[String] =
+    Seq("ref", "fbclid", "gclid", "msclkid", "igshid")
+  val TrackingPrefix = "utm_"
+
+  /** URL canonicalization — the step BEFORE URL-keyed exact dedup
+    * (RefinedWeb §3.1 dedups by URL before any content pass; without
+    * canonicalization every tracking decoration defeats it): lowercase
+    * scheme and host, drop default ports (https:443 / http:80), drop
+    * the fragment, strip tracking params and SORT the survivors,
+    * normalize the path's trailing slashes (empty → `/`). Adds
+    * `canonical_url`. Pure per-row column algebra, shared-regex with
+    * the oracle; dot-segment resolution (`/a/../b`) is out of scope —
+    * stated, the corpus contract is crawler-emitted absolute URLs. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    require(!df.columns.contains("canonical_url"),
+      "input column canonical_url collides with the output — rename it")
+    val u = coalesce(col(urlCol), lit(""))
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val hostPort = regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val host = lower(element_at(split(hostPort, ":"), 1))
+    val port = when(size(split(hostPort, ":")) > 1,
+      element_at(split(hostPort, ":"), 2))
+    val portPart = when(port.isNull, lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(u, PathRe, 1)
+    val trimmed = rtrim(rawPath, "/")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val q = regexp_extract(u, QueryRe, 1)
+    val keptParams = array_sort(filter(split(q, "&"), p =>
+      p =!= "" && !p.startsWith(TrackingPrefix) &&
+        !array_contains(typedLit(TrackingParams),
+          element_at(split(p, "="), 1))))
+    val qPart = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    df.withColumn("canonical_url",
+      when(scheme === "" || host === "", lit(null).cast("string"))
+        .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart)))
+  }
+
   /** The RefinedWeb-style domain gate: `blocked` (registered domain on
     * the blocklist) and `kept` (not blocked AND within the first
     * `maxPerDomain` rows of its domain by `tieCol` — the per-domain cap
@@ -156,6 +201,34 @@ object UrlOps {
       "host" -> s"regexp_extract($cu, '$HostRe', 1)",
       "path" -> s"regexp_extract($cu, '$PathRe', 1)",
       "query" -> s"regexp_extract($cu, '\\?([^#]*)', 1)")
+  }
+
+  /** Twin of [[withCanonicalUrl]] over a url expression — one
+    * expression; bind intermediates in a CTE if splicing repeatedly. */
+  def sqlCanonicalUrl(u: String): String = {
+    val cu = s"coalesce($u, '')"
+    val scheme = s"lower(regexp_extract($cu, '$SchemeRe', 1))"
+    val hostPort =
+      s"regexp_extract($cu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"
+    val host = s"lower(string_split($hostPort, ':')[1])"
+    val port = s"(CASE WHEN len(string_split($hostPort, ':')) > 1 " +
+      s"THEN string_split($hostPort, ':')[2] END)"
+    val portPart = s"(CASE WHEN $port IS NULL THEN '' " +
+      s"WHEN $scheme = 'https' AND $port = '443' THEN '' " +
+      s"WHEN $scheme = 'http' AND $port = '80' THEN '' " +
+      s"ELSE ':' || $port END)"
+    val trimmed = s"rtrim(regexp_extract($cu, '$PathRe', 1), '/')"
+    val path = s"(CASE WHEN $trimmed = '' THEN '/' ELSE $trimmed END)"
+    val names = TrackingParams.map(t => s"'$t'").mkString("[", ",", "]")
+    val kept = s"list_sort(list_filter(" +
+      s"string_split(regexp_extract($cu, '\\?([^#]*)', 1), '&'), " +
+      s"p -> p <> '' AND NOT starts_with(p, '$TrackingPrefix') " +
+      s"AND NOT list_contains($names, string_split(p, '=')[1])))"
+    val qPart = s"(CASE WHEN len($kept) > 0 " +
+      s"THEN '?' || array_to_string($kept, '&') ELSE '' END)"
+    s"(CASE WHEN $scheme = '' OR $host = '' THEN NULL " +
+      s"ELSE $scheme || '://' || $host || $portPart || $path || $qPart " +
+      s"END)"
   }
 
   /** Twin of [[withDomain]]: two SELECT-able expressions over a host

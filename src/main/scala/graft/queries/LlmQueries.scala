@@ -6543,7 +6543,61 @@ object LlmQueries extends QueryFamily {
            |                  END) AS BIGINT) AS n_kept,
            |       CAST(sum(doc_id) AS BIGINT) AS id_sum
            |FROM gated GROUP BY rd ORDER BY rd NULLS FIRST""".stripMargin
-      })
+      }),
+
+    // ── URL canonicalization + URL-keyed dedup (q219): the RefinedWeb
+    //    URL-dedup stage made runnable — every 3rd doc gains a noisy
+    //    twin (uppercased host, explicit :443, trailing slash, tracking
+    //    params, fragment) that canonicalization must collapse onto the
+    //    original: lowercase scheme/host, default-port drop, tracking
+    //    strip + param sort, trailing-slash normalization, fragment
+    //    drop. Dedup keeps each canonical URL's min id — one narrow
+    //    canonicalization pass + one URL-keyed exchange. The oracle
+    //    replays the full canonical algebra and the representative
+    //    election. ─────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q219_url_canonical_dedup",
+      (s, dir) => {
+        val base = urlCorpus(s, dir)
+        val noisy = base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+            concat(lit("https://"),
+              upper(regexp_extract(col("url"), UrlOps.HostRe, 1)),
+              lit(":443"),
+              regexp_extract(col("url"), UrlOps.PathRe, 1), lit("/"),
+              when(col("doc_id") % 4 === 1,
+                lit("?utm=x&ref=y&utm_source=feed&gclid=g#frag"))
+                .otherwise(lit("?utm_source=feed&gclid=g#frag")))
+              .as("url"))
+        val canon = UrlOps.withCanonicalUrl(base.unionByName(noisy))
+        val reps = canon.groupBy("canonical_url")
+          .agg(min(col("doc_id")).as("rep_id"))
+        canon.join(reps, Seq("canonical_url"))
+          .select(col("doc_id").cast("long"),
+            md5(col("canonical_url")).as("canon_hash"),
+            (col("doc_id") === col("rep_id")).as("kept"))
+      },
+      _.orderBy("doc_id"),
+      Some(
+        s"""WITH $sqlUrlCorpusCte,
+           |corpus AS (
+           |  SELECT doc_id, url FROM uc
+           |  UNION ALL
+           |  SELECT doc_id + 700000,
+           |    'https://' ||
+           |    upper(regexp_extract(url, '${UrlOps.HostRe}', 1)) ||
+           |    ':443' || regexp_extract(url, '${UrlOps.PathRe}', 1) ||
+           |    '/' ||
+           |    (CASE WHEN doc_id % 4 = 1
+           |          THEN '?utm=x&ref=y&utm_source=feed&gclid=g#frag'
+           |          ELSE '?utm_source=feed&gclid=g#frag' END)
+           |  FROM uc WHERE doc_id % 3 = 0),
+           |canon AS (SELECT doc_id, ${UrlOps.sqlCanonicalUrl("url")} AS c
+           |          FROM corpus),
+           |reps AS (SELECT c, min(doc_id) AS rep_id FROM canon GROUP BY c)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(c) AS canon_hash,
+           |       doc_id = rep_id AS kept
+           |FROM canon JOIN reps USING (c) ORDER BY doc_id""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

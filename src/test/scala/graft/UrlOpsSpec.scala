@@ -83,6 +83,29 @@ class UrlOpsSpec extends AnyFunSuite {
       5L -> ((false, true)), 6L -> ((false, true)))) // NULL: ungated
   }
 
+  test("canonicalization: case, ports, tracking, slash, fragment") {
+    import spark.implicits._
+    def canon(url: String): String =
+      UrlOps.withCanonicalUrl(Seq((1L, url)).toDF("doc_id", "url"))
+        .select("canonical_url").head().getString(0)
+    // the noisy-twin class collapses onto the clean form
+    assert(canon("https://WWW.Example.COM:443/a/b/?utm_source=f&gclid=g#x")
+      === "https://www.example.com/a/b")
+    assert(canon("https://www.example.com/a/b") ===
+      "https://www.example.com/a/b")
+    // non-default port survives; params sort; non-tracking params stay
+    assert(canon("https://h.io:8443/p?b=2&a=1&ref=r") ===
+      "https://h.io:8443/p?a=1&b=2")
+    // bare host normalizes to '/'; http:80 drops
+    assert(canon("http://h.io:80") === "http://h.io/")
+    // 'utm' without the underscore is NOT a tracking prefix match
+    assert(canon("https://h.io/p?utm=x") === "https://h.io/p?utm=x")
+    // unparseable → NULL
+    assert(UrlOps.withCanonicalUrl(
+        Seq((1L, "not a url")).toDF("doc_id", "url"))
+      .select("canonical_url").head().isNullAt(0))
+  }
+
   test("output-name clashes fail loudly") {
     import spark.implicits._
     val df = Seq((1L, "u", "h")).toDF("doc_id", "url", "host")
