@@ -233,6 +233,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the composite must chain through as-of, never join:\n$plan")
   }
 
+  test("HTML extraction is purely narrow: no exchange, no join") {
+    import spark.implicits._
+    val df = graft.llm.Extract.htmlExtract(
+      Seq((1L, "<p>some html body text here</p>")).toDF("doc_id", "html"))
+    val plan = fmt(df)
+    assert(!plan.contains("Exchange"), s"extraction shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"extraction joined:\n$plan")
+  }
+
+  test("PSL domain reduction is narrow: literal rules, no join, no shuffle") {
+    import spark.implicits._
+    val df = graft.llm.UrlOps.withDomain(graft.llm.UrlOps.withUrlParts(
+      Seq((1L, "https://www.example.co.uk/p")).toDF("doc_id", "url")))
+    val plan = fmt(df)
+    assert(!plan.contains("Exchange"), s"PSL lookup shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"PSL lookup joined:\n$plan")
+  }
+
   test("skip-gram mining plans ZERO joins; the pair window rides the user exchange") {
     val plan = fmt(SparkEntry.benchQueries("q213_skipgram_pairs")(
       spark, dir))
