@@ -186,6 +186,47 @@ object UrlOps {
       .drop("__rnk")
   }
 
+  /** Per-registered-domain census — the ADDITIVE artifact of the URL
+    * axis (the q74 source-counts convention on domains): per-domain doc
+    * count plus an id-sum evidence column, both pure sums, so
+    * doc-disjoint batches fold by [[mergeDomainCensus]] into exactly
+    * the union census and a year-long crawl never re-reads old
+    * batches. The NULL-domain group is carried (it is real corpus
+    * mass); one domain-keyed partial-aggregated exchange. */
+  def domainCensus(docs: DataFrame,
+                   domainCol: String = "registered_domain"): DataFrame =
+    docs.groupBy(col(domainCol).as("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+
+  /** Fold a doc-disjoint batch's census into a persisted one — pure
+    * per-domain addition (census-sized aggregation, never the corpus). */
+  def mergeDomainCensus(persisted: DataFrame, batch: DataFrame): DataFrame =
+    persisted.unionByName(batch)
+      .groupBy("registered_domain")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("id_sum")).as("id_sum"))
+
+  /** Census-level gate verdict: a domain survives when it is not
+    * blocklisted AND holds at most `maxShareMicro` millionths of the
+    * corpus (the spam-farm share cap — RefinedWeb's domain-dominance
+    * concern at census granularity; [[domainGate]] is the row-level
+    * form). NULL domains are never blocked (nothing to key on); the
+    * grand total rides a broadcast one-row frame; integer micro shares
+    * replay cross-engine. */
+  def withDomainVerdict(census: DataFrame, blocklist: Seq[String],
+                        maxShareMicro: Long): DataFrame = {
+    require(maxShareMicro >= 0 && maxShareMicro <= 1000000L,
+      s"withDomainVerdict: maxShareMicro=$maxShareMicro out of range")
+    val total = census.agg(sum(col("n_docs")).as("__total"))
+    census.crossJoin(broadcast(total))
+      .withColumn("share_micro",
+        expr("n_docs * 1000000L DIV greatest(__total, 1L)"))
+      .withColumn("blocked", col("registered_domain").isNotNull &&
+        array_contains(typedLit(blocklist), col("registered_domain")))
+      .withColumn("kept",
+        !col("blocked") && col("share_micro") <= maxShareMicro)
+      .drop("__total")
+  }
+
   // ── DuckDB twins ──────────────────────────────────────────────────────
 
   private def sqlList(xs: Seq[String]): String =

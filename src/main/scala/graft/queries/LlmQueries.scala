@@ -6570,9 +6570,13 @@ object LlmQueries extends QueryFamily {
                 .otherwise(lit("?utm_source=feed&gclid=g#frag")))
               .as("url"))
         val canon = UrlOps.withCanonicalUrl(base.unionByName(noisy))
-        val reps = canon.groupBy("canonical_url")
-          .agg(min(col("doc_id")).as("rep_id"))
-        canon.join(reps, Seq("canonical_url"))
+        // ONE canonical-keyed exchange: the min-id election rides an
+        // unbounded window (no sort, no groupBy+join-back second pass
+        // over the corpus)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_url"))
+        canon
+          .withColumn("rep_id", min(col("doc_id")).over(w))
           .select(col("doc_id").cast("long"),
             md5(col("canonical_url")).as("canon_hash"),
             (col("doc_id") === col("rep_id")).as("kept"))
@@ -6597,7 +6601,56 @@ object LlmQueries extends QueryFamily {
            |reps AS (SELECT c, min(doc_id) AS rep_id FROM canon GROUP BY c)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(c) AS canon_hash,
            |       doc_id = rep_id AS kept
-           |FROM canon JOIN reps USING (c) ORDER BY doc_id""".stripMargin))
+           |FROM canon JOIN reps USING (c) ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental domain census + share gate (q220): the URL axis
+    //    gets the house additive-artifact treatment — per-domain
+    //    (n_docs, id_sum) folds across doc-disjoint batches by pure
+    //    addition, and the verdict view (blocklist + corpus-share cap,
+    //    the spam-farm dominance gate) reads the FOLDED census. The
+    //    oracle computes the full-corpus census + verdict in one
+    //    statement, so the hash match IS the fold identity. ────────────
+    QueryDef.sorted(
+      "q220_domain_census_incremental",
+      (s, dir) => {
+        val dom = UrlOps.withDomain(UrlOps.withUrlParts(urlCorpus(s, dir)))
+        val folded = UrlOps.mergeDomainCensus(
+          UrlOps.domainCensus(dom.filter(col("doc_id") % 2 === 0)),
+          UrlOps.domainCensus(dom.filter(col("doc_id") % 2 =!= 0)))
+        UrlOps.withDomainVerdict(folded, DomainBlocklist,
+            maxShareMicro = 9000L)
+          .select(col("registered_domain"), col("n_docs"), col("id_sum"),
+            col("share_micro"), col("blocked"), col("kept"))
+      },
+      _.orderBy(col("registered_domain").asc_nulls_first),
+      Some {
+        val rd = UrlOps.sqlDomain("host", "lbl")
+          .collect { case ("registered_domain", e) => e }.head
+        val blk = DomainBlocklist.map(d => s"'$d'").mkString("[", ",", "]")
+        s"""WITH $sqlUrlCorpusCte,
+           |up AS (SELECT doc_id,
+           |              regexp_extract(url, '${UrlOps.HostRe}', 1) AS host
+           |       FROM uc),
+           |lb AS (SELECT doc_id, string_split(host, '.') AS lbl, host
+           |       FROM up),
+           |dom AS (SELECT doc_id, $rd AS rd FROM lb),
+           |cen AS (SELECT rd AS registered_domain, count(*) AS n_docs,
+           |               sum(doc_id) AS id_sum
+           |        FROM dom GROUP BY rd),
+           |tot AS (SELECT sum(n_docs) AS t FROM cen)
+           |SELECT registered_domain,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(id_sum AS BIGINT) AS id_sum,
+           |       CAST(n_docs * 1000000 // greatest(t, 1) AS BIGINT)
+           |         AS share_micro,
+           |       (registered_domain IS NOT NULL AND
+           |        list_contains($blk, registered_domain)) AS blocked,
+           |       (NOT (registered_domain IS NOT NULL AND
+           |             list_contains($blk, registered_domain)) AND
+           |        n_docs * 1000000 // greatest(t, 1) <= 9000) AS kept
+           |FROM cen, tot
+           |ORDER BY registered_domain NULLS FIRST""".stripMargin
+      })
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -106,6 +106,28 @@ class UrlOpsSpec extends AnyFunSuite {
       .select("canonical_url").head().isNullAt(0))
   }
 
+  test("domain census folds additively; verdict gates blocklist + share") {
+    import spark.implicits._
+    def docs(rows: (Long, Option[String])*) =
+      rows.toDF("doc_id", "registered_domain")
+    val all = docs((1L, Some("a.com")), (2L, Some("a.com")),
+      (3L, Some("a.com")), (4L, Some("b.com")), (5L, Option.empty[String]))
+    val folded = UrlOps.mergeDomainCensus(
+      UrlOps.domainCensus(all.filter($"doc_id" <= 2)),
+      UrlOps.domainCensus(all.filter($"doc_id" > 2)))
+    val full = UrlOps.domainCensus(all)
+    assert(folded.collect().map(_.toSeq).toSet ===
+      full.collect().map(_.toSeq).toSet)
+    val v = UrlOps.withDomainVerdict(folded, Seq("b.com"),
+        maxShareMicro = 500000L)
+      .collect().map(r => Option(r.getAs[String]("registered_domain")) ->
+        ((r.getAs[Long]("share_micro"), r.getAs[Boolean]("blocked"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(v(Some("a.com")) === ((600000L, false, false))) // over share
+    assert(v(Some("b.com")) === ((200000L, true, false))) // blocklisted
+    assert(v(None) === ((200000L, false, true))) // NULL: share-gated only
+  }
+
   test("output-name clashes fail loudly") {
     import spark.implicits._
     val df = Seq((1L, "u", "h")).toDF("doc_id", "url", "host")
