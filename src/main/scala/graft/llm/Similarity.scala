@@ -1161,8 +1161,19 @@ object Similarity {
                            vecCol: String = "embedding",
                            samplePred: Column = lit(true),
                            maxSample: Int = 20000): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     require(tiers.nonEmpty, "lshRecallReportTiers: no tiers to audit")
+    val (ids, gt, n) = auditGroundTruth(vectors, minCos, dim, idCol,
+      vecCol, samplePred, maxSample)
+    auditTiers(ids, gt, n, tiers)
+  }
+
+  /** The audit's shared ground truth: (sample ids, all-pairs gt at
+    * minCos, sample size) — built once per corpus snapshot, consumed by
+    * every tier; the quadratic pass lives here and ONLY here. */
+  private def auditGroundTruth(vectors: DataFrame, minCos: Double,
+                               dim: Int, idCol: String, vecCol: String,
+                               samplePred: Column, maxSample: Int)
+      : (DataFrame, DataFrame, Long) = {
     val sample = graft.CacheBarriers.barrier(
       vectors.filter(samplePred)
         .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
@@ -1179,7 +1190,13 @@ object Similarity {
         .filter(col("cos").isNotNull && !isnan(col("cos")) &&
           col("cos") >= minCos)
         .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")))
-    val ids = sample.select(col("__id"))
+    (sample.select(col("__id")), gt, n)
+  }
+
+  /** The audit step over an already-built ground truth. */
+  private def auditTiers(ids: DataFrame, gt: DataFrame, n: Long,
+                         tiers: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val nTrue = gt.agg(count(lit(1)).as("n_true"))
     tiers.map { case (tier, pairs) =>
       val cand = graft.CacheBarriers.barrier(
@@ -1201,6 +1218,38 @@ object Similarity {
         .select(col("tier"), col("n_sample"), col("n_true"), col("n_cand"),
           col("n_hit"), col("recall_micro"), col("precision_micro"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Persist the audit's ground truth — `dir/sample` (the audited id
+    * slice) and `dir/gt` (the all-pairs true positives at the audit's
+    * minCos) — the family-wide audit-artifact layout: the quadratic
+    * ground-truth pass runs ONCE per corpus snapshot, and every later
+    * parameterization sweep ([[auditFromArtifacts]]) or repeat audit
+    * reads it, exactly the discipline the sign-bits artifact applies to
+    * the signing pass. Layout is engine-neutral (two id tables), so the
+    * minhash (text) and sign-LSH (embedding) families share it. */
+  def writeAuditArtifacts(vectors: DataFrame, dir: String, minCos: Double,
+                          dim: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          samplePred: Column = lit(true),
+                          maxSample: Int = 20000): Unit = {
+    val (ids, gt, _) = auditGroundTruth(vectors, minCos, dim, idCol,
+      vecCol, samplePred, maxSample)
+    ids.write.mode("overwrite").parquet(s"$dir/sample")
+    gt.write.mode("overwrite").parquet(s"$dir/gt")
+  }
+
+  /** Audit tier pair-sets against PERSISTED ground truth — no sample
+    * pass, no quadratic rebuild; same output schema as
+    * [[lshRecallReportTiers]], so [[selectLshConfig]] consumes either. */
+  def auditFromArtifacts(spark: org.apache.spark.sql.SparkSession,
+                         dir: String,
+                         tiers: Seq[(String, DataFrame)]): DataFrame = {
+    require(tiers.nonEmpty, "auditFromArtifacts: no tiers to audit")
+    val ids = graft.CacheBarriers.barrier(
+      spark.read.parquet(s"$dir/sample"))
+    val gt = graft.CacheBarriers.barrier(spark.read.parquet(s"$dir/gt"))
+    auditTiers(ids, gt, ids.count(), tiers)
   }
 
   /** Parameterization selector over an [[lshRecallReportTiers]] ladder —
