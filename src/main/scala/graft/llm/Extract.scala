@@ -159,6 +159,53 @@ object Extract {
       .drop("__nojunk", "__body", "__blocks", "__scored", "__kept")
   }
 
+  /** Page-level crawl directives — the gate signals a crawl pipeline
+    * honors BEFORE content rules: `meta_robots` (the robots meta tag's
+    * content attribute), `noindex` (whether it carries the noindex
+    * token — such pages must not enter a corpus), and
+    * `canonical_href` (`<link rel="canonical">` — the page's OWN
+    * declared dedup key, which feeds [[UrlOps.withCanonicalUrl]]-style
+    * URL dedup ahead of any content hash). Empty string when absent
+    * (the engines' shared no-match value). First matching tag wins;
+    * attributes are matched in the written order `name=` before
+    * `content=` / `rel=` before `href=` — the normalized-markup
+    * contract, stated (RE2 has no lookaround to order-normalize). Pure
+    * narrow column algebra like the extractor. */
+  def withPageDirectives(docs: DataFrame,
+                         htmlCol: String = "html"): DataFrame = {
+    val working = Seq("meta_robots", "noindex", "canonical_href")
+    val clash = docs.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with withPageDirectives output names — rename them")
+    val raw = coalesce(col(htmlCol), lit(""))
+    val robotsTag =
+      regexp_extract(raw, "(?is)<meta[^>]*name=\"robots\"[^>]*>", 0)
+    val canonTag =
+      regexp_extract(raw, "(?is)<link[^>]*rel=\"canonical\"[^>]*>", 0)
+    docs
+      .withColumn("meta_robots",
+        regexp_extract(robotsTag, "(?is)content=\"([^\"]*)\"", 1))
+      .withColumn("noindex",
+        lower(col("meta_robots")).contains("noindex"))
+      .withColumn("canonical_href",
+        regexp_extract(canonTag, "(?is)href=\"([^\"]*)\"", 1))
+  }
+
+  /** DuckDB twins of [[withPageDirectives]], in output order. */
+  def sqlPageDirectives(html: String): Seq[(String, String)] = {
+    val cu = s"coalesce($html, '')"
+    val robots = "regexp_extract(regexp_extract(" + cu +
+      ", '(?is)<meta[^>]*name=\"robots\"[^>]*>', 0)" +
+      ", '(?is)content=\"([^\"]*)\"', 1)"
+    val canon = "regexp_extract(regexp_extract(" + cu +
+      ", '(?is)<link[^>]*rel=\"canonical\"[^>]*>', 0)" +
+      ", '(?is)href=\"([^\"]*)\"', 1)"
+    Seq(
+      "meta_robots" -> robots,
+      "noindex" -> s"contains(lower($robots), 'noindex')",
+      "canonical_href" -> canon)
+  }
+
   // ── DuckDB twins (the oracle splices these over a CTE carrying the
   //    raw html column) ─────────────────────────────────────────────────
 

@@ -6650,6 +6650,68 @@ object LlmQueries extends QueryFamily {
            |        n_docs * 1000000 // greatest(t, 1) <= 9000) AS kept
            |FROM cen, tot
            |ORDER BY registered_domain NULLS FIRST""".stripMargin
+      }),
+
+    // ── Page directives (q221): the crawl gate signals honored BEFORE
+    //    content rules — meta-robots extraction with the noindex
+    //    verdict (such pages must never enter a corpus) and the page's
+    //    own rel=canonical declaration (the declared URL-dedup key).
+    //    The corpus plants noindex / index / absent robots tags and
+    //    canonical links by id arithmetic; the oracle replays the
+    //    two-step tag→attribute regexes over the same built pages, so
+    //    a parser defect hash-mismatches. ──────────────────────────────
+    QueryDef.sorted(
+      "q221_page_directives",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source")
+          .filter(col("text").isNotNull && col("source").isNotNull))
+        val ws = words(col("text"))
+        val html = concat(
+          lit("<html><head><title>d</title>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .when(col("doc_id") % 3 === 1,
+              lit("<meta name=\"robots\" content=\"index, follow\">"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://"),
+              col("source"), lit(".example.com/p/"),
+              (col("doc_id") % 13).cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body><p>"),
+          array_join(slice(ws, lit(1), lit(5)), " "),
+          lit(".</p></body></html>"))
+        Extract.withPageDirectives(
+            docs.select(col("doc_id"), html.as("html")))
+          .select(col("doc_id").cast("long"), col("meta_robots"),
+            col("noindex"), col("canonical_href"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val dirs = Extract.sqlPageDirectives("html")
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n|       ")
+        s"""WITH pc AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>d</title>' ||
+           |    (CASE WHEN doc_id % 3 = 0
+           |          THEN '<meta name="robots" content="noindex, nofollow">'
+           |          WHEN doc_id % 3 = 1
+           |          THEN '<meta name="robots" content="index, follow">'
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 4 = 0
+           |          THEN '<link rel="canonical" href="https://' ||
+           |               source || '.example.com/p/' || (doc_id % 13) ||
+           |               '">'
+           |          ELSE '' END) ||
+           |    '</head><body><p>' ||
+           |    coalesce(array_to_string((${W("text")})[1:5], ' '), '') ||
+           |    '.</p></body></html>' AS html
+           |  FROM documents
+           |  WHERE text IS NOT NULL AND source IS NOT NULL)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       $dirs
+           |FROM pc ORDER BY doc_id""".stripMargin
       })
   )
 

@@ -87,6 +87,26 @@ class ExtractSpec extends AnyFunSuite {
     assert(r.getAs[String]("text") === "")
   }
 
+  test("page directives: robots + canonical extraction, absent = empty") {
+    import spark.implicits._
+    def dirs(html: String) = {
+      val r = Extract.withPageDirectives(
+        Seq((1L, html)).toDF("doc_id", "html")).head()
+      (r.getAs[String]("meta_robots"), r.getAs[Boolean]("noindex"),
+        r.getAs[String]("canonical_href"))
+    }
+    assert(dirs("<head><meta name=\"robots\" content=\"NOINDEX, nofollow\">" +
+      "<link rel=\"canonical\" href=\"https://a.com/p\"></head>") ===
+      (("NOINDEX, nofollow", true, "https://a.com/p")))
+    assert(dirs("<meta name=\"robots\" content=\"index, follow\">") ===
+      (("index, follow", false, "")))
+    assert(dirs("<p>no head at all</p>") === (("", false, "")))
+    // other meta tags never match; extra attributes before name are fine
+    assert(dirs("<meta charset=\"utf8\"><meta data-x=\"1\" " +
+      "name=\"robots\" content=\"noindex\">") ===
+      (("noindex", true, "")))
+  }
+
   test("working/output name clashes fail loudly") {
     import spark.implicits._
     val df = Seq((1L, "<p>x</p>", "t")).toDF("doc_id", "html", "title")
