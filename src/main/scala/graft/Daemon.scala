@@ -115,6 +115,12 @@ object Daemon {
   /** Assemble and start the daemon (separated from [[main]] so the spec
     * can drive the full lifecycle in-process). */
   def start(spark: SparkSession, a: Args): Running = {
+    // flag-combination validation first (before any file I/O) — every
+    // bad combination fails loudly at startup: the curation chain has
+    // no sink seam, so a co-passed --sink would otherwise be silently
+    // ignored while the user believes the sink wiring is active
+    require(!(a.pipeline.contains("curation") && a.sink.nonEmpty),
+      "--pipeline curation cannot be combined with --sink")
     val cfg = GraftConfig.load(a.configPath)
     val configToml =
       java.nio.file.Files.readString(java.nio.file.Paths.get(a.configPath))
@@ -155,6 +161,7 @@ object Daemon {
     // extension's hot path — [[graft.streaming.CurationDaemon]]); the
     // `[curation]` TOML table tunes it. Unknown keys fail at startup.
     val query = (a.pipeline, a.sink) match {
+      // --sink with curation already rejected at the top of start()
       case (Some("curation"), _) =>
         graft.streaming.CurationDaemon.start(events,
           s"${a.workDir}/state", s"${a.workDir}/checkpoint",

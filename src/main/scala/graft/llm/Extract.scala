@@ -166,11 +166,17 @@ object Extract {
     * `canonical_href` (`<link rel="canonical">` — the page's OWN
     * declared dedup key, which feeds [[UrlOps.withCanonicalUrl]]-style
     * URL dedup ahead of any content hash). Empty string when absent
-    * (the engines' shared no-match value). First matching tag wins;
-    * attributes are matched in the written order `name=` before
-    * `content=` / `rel=` before `href=` — the normalized-markup
-    * contract, stated (RE2 has no lookaround to order-normalize). Pure
-    * narrow column algebra like the extractor. */
+    * (the engines' shared no-match value). First matching tag wins.
+    * Because noindex is a must-not-enter gate, the matcher fails
+    * CLOSED on real-world markup variation rather than open: the tag
+    * match keys on the identifying attribute (`name=robots` /
+    * `rel=canonical`) appearing ANYWHERE inside the tag (so
+    * `<meta content="noindex" name="robots">` — attribute order
+    * reversed — still matches), and the value attribute accepts
+    * double-quoted, single-quoted, and unquoted forms, preferred in
+    * that order. All regexes stay RE2-safe (alternation-free tag
+    * match + three quoted-form probes, no lookaround). Pure narrow
+    * column algebra like the extractor. */
   def withPageDirectives(docs: DataFrame,
                          htmlCol: String = "html"): DataFrame = {
     val working = Seq("meta_robots", "noindex", "canonical_href")
@@ -179,27 +185,43 @@ object Extract {
       "collide with withPageDirectives output names — rename them")
     val raw = coalesce(col(htmlCol), lit(""))
     val robotsTag =
-      regexp_extract(raw, "(?is)<meta[^>]*name=\"robots\"[^>]*>", 0)
+      regexp_extract(raw, "(?is)<meta[^>]*name=['\"]?robots\\b[^>]*>", 0)
     val canonTag =
-      regexp_extract(raw, "(?is)<link[^>]*rel=\"canonical\"[^>]*>", 0)
+      regexp_extract(raw, "(?is)<link[^>]*rel=['\"]?canonical\\b[^>]*>", 0)
+    // value attribute in any quoting: double-quoted, else single-quoted,
+    // else unquoted (stops at whitespace/quote/tag-end)
+    def attr(tag: Column, name: String): Column = {
+      val dq = regexp_extract(tag, s"(?is)$name=\"([^\"]*)\"", 1)
+      val sq = regexp_extract(tag, s"(?is)$name='([^']*)'", 1)
+      val uq = regexp_extract(tag, s"(?is)$name=([^\\s\"'>]+)", 1)
+      when(dq =!= "", dq).when(sq =!= "", sq).otherwise(uq)
+    }
     docs
-      .withColumn("meta_robots",
-        regexp_extract(robotsTag, "(?is)content=\"([^\"]*)\"", 1))
+      .withColumn("meta_robots", attr(robotsTag, "content"))
       .withColumn("noindex",
         lower(col("meta_robots")).contains("noindex"))
-      .withColumn("canonical_href",
-        regexp_extract(canonTag, "(?is)href=\"([^\"]*)\"", 1))
+      .withColumn("canonical_href", attr(canonTag, "href"))
   }
 
   /** DuckDB twins of [[withPageDirectives]], in output order. */
   def sqlPageDirectives(html: String): Seq[(String, String)] = {
     val cu = s"coalesce($html, '')"
-    val robots = "regexp_extract(regexp_extract(" + cu +
-      ", '(?is)<meta[^>]*name=\"robots\"[^>]*>', 0)" +
-      ", '(?is)content=\"([^\"]*)\"', 1)"
-    val canon = "regexp_extract(regexp_extract(" + cu +
-      ", '(?is)<link[^>]*rel=\"canonical\"[^>]*>', 0)" +
-      ", '(?is)href=\"([^\"]*)\"', 1)"
+    // same fail-closed matching as the Spark side: identifying
+    // attribute anywhere in the tag, any quoting on it, and the value
+    // attribute probed double-quoted → single-quoted → unquoted
+    def attr(tag: String, name: String): String = {
+      val dq = s"regexp_extract($tag, '(?is)$name=\"([^\"]*)\"', 1)"
+      val sq = s"regexp_extract($tag, '(?is)$name=''([^'']*)''', 1)"
+      val uq = s"regexp_extract($tag, '(?is)$name=([^\\s\"''>]+)', 1)"
+      s"(CASE WHEN $dq <> '' THEN $dq WHEN $sq <> '' THEN $sq " +
+        s"ELSE $uq END)"
+    }
+    val robotsTag = s"regexp_extract($cu, " +
+      "'(?is)<meta[^>]*name=[''\"]?robots\\b[^>]*>', 0)"
+    val canonTag = s"regexp_extract($cu, " +
+      "'(?is)<link[^>]*rel=[''\"]?canonical\\b[^>]*>', 0)"
+    val robots = attr(robotsTag, "content")
+    val canon = attr(canonTag, "href")
     Seq(
       "meta_robots" -> robots,
       "noindex" -> s"contains(lower($robots), 'noindex')",

@@ -59,10 +59,17 @@ object UrlOps {
     exception = Seq("www.ck"))
 
   /** URL part regexes — RE2-safe (no lookaround/backrefs), one
-    * definition for both engines. Host stops at `/ ? #` or `:` (port);
-    * path starts at the first `/` after the authority. */
+    * definition for both engines. The host match first skips an
+    * optional `userinfo@` prefix (crawls DO carry
+    * `https://alice:pw@host/` URLs; without the skip every userinfo
+    * URL would collapse onto the same false 'alice' host and URL-keyed
+    * dedup would drop documents across real hosts), then takes either
+    * a bracketed IPv6 literal whole (`[2001:db8::1]`, brackets kept)
+    * or a regular host stopped at `/ ? #` or `:` (port); path starts
+    * at the first `/` after the authority. */
   val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
-  val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+  val HostRe =
+    "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:@]+)"
   val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
   val QueryRe = "\\?([^#]*)"
 
@@ -88,6 +95,8 @@ object UrlOps {
     val clash = df.columns.toSeq.intersect(working)
     require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
       "collide with withDomain output names — rename them")
+    // IP literals have no public suffix: bracketed IPv6 hosts fail
+    // closed to (NULL, NULL) rather than electing '[2001' as a suffix
     val lbl = split(col(hostCol), "\\.")
     val n = size(lbl)
     def suf(k: Column): Column =
@@ -102,7 +111,8 @@ object UrlOps {
     val ke = array_max(filter(ks, k => array_contains(excArr, suf(k))))
     val psLen = when(ke.isNotNull, ke - 1)
       .otherwise(greatest(coalesce(kp, lit(1)), coalesce(kw, lit(1))))
-    val ok = col(hostCol).isNotNull && length(col(hostCol)) > 0
+    val ok = col(hostCol).isNotNull && length(col(hostCol)) > 0 &&
+      !col(hostCol).startsWith("[")
     df.withColumn("public_suffix", when(ok, suf(psLen)))
       .withColumn("registered_domain",
         when(ok && n > psLen, suf(psLen + 1)))
@@ -124,13 +134,19 @@ object UrlOps {
     * normalize the path's trailing slashes (empty → `/`). Adds
     * `canonical_url`. Pure per-row column algebra, shared-regex with
     * the oracle; dot-segment resolution (`/a/../b`) is out of scope —
-    * stated, the corpus contract is crawler-emitted absolute URLs. */
+    * stated, the corpus contract is crawler-emitted absolute URLs.
+    * A `userinfo@` prefix is stripped before host extraction (see
+    * [[HostRe]] — two URLs differing only in userinfo are the same
+    * page); bracketed IPv6 hosts yield a NULL `canonical_url` — the
+    * colon-laden literal defeats the port split, so they fail CLOSED
+    * to the no-dedup path rather than collapsing onto a wrong key. */
   def withCanonicalUrl(df: DataFrame, urlCol: String = "url"): DataFrame = {
     require(!df.columns.contains("canonical_url"),
       "input column canonical_url collides with the output — rename it")
     val u = coalesce(col(urlCol), lit(""))
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
-    val hostPort = regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val hostPort = regexp_extract(u,
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
     val host = lower(element_at(split(hostPort, ":"), 1))
     val port = when(size(split(hostPort, ":")) > 1,
       element_at(split(hostPort, ":"), 2))
@@ -149,7 +165,8 @@ object UrlOps {
     val qPart = when(size(keptParams) > 0,
       concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
     df.withColumn("canonical_url",
-      when(scheme === "" || host === "", lit(null).cast("string"))
+      when(scheme === "" || host === "" || hostPort.startsWith("["),
+        lit(null).cast("string"))
         .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart)))
   }
 
@@ -249,8 +266,8 @@ object UrlOps {
   def sqlCanonicalUrl(u: String): String = {
     val cu = s"coalesce($u, '')"
     val scheme = s"lower(regexp_extract($cu, '$SchemeRe', 1))"
-    val hostPort =
-      s"regexp_extract($cu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"
+    val hostPort = s"regexp_extract($cu, " +
+      "'^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)"
     val host = s"lower(string_split($hostPort, ':')[1])"
     val port = s"(CASE WHEN len(string_split($hostPort, ':')) > 1 " +
       s"THEN string_split($hostPort, ':')[2] END)"
@@ -267,7 +284,8 @@ object UrlOps {
       s"AND NOT list_contains($names, string_split(p, '=')[1])))"
     val qPart = s"(CASE WHEN len($kept) > 0 " +
       s"THEN '?' || array_to_string($kept, '&') ELSE '' END)"
-    s"(CASE WHEN $scheme = '' OR $host = '' THEN NULL " +
+    s"(CASE WHEN $scheme = '' OR $host = '' " +
+      s"OR starts_with($hostPort, '[') THEN NULL " +
       s"ELSE $scheme || '://' || $host || $portPart || $path || $qPart " +
       s"END)"
   }
@@ -290,7 +308,8 @@ object UrlOps {
       s"list_contains(${sqlList(rules.exception)}, ${suf("k")}))) AS INT)"
     val psLen = s"(CASE WHEN $ke IS NOT NULL THEN $ke - 1 " +
       s"ELSE greatest(coalesce($kp, 1), coalesce($kw, 1)) END)"
-    val ok = s"($host IS NOT NULL AND length($host) > 0)"
+    val ok = s"($host IS NOT NULL AND length($host) > 0 " +
+      s"AND NOT starts_with($host, '['))"
     Seq(
       "public_suffix" -> s"(CASE WHEN $ok THEN ${suf(psLen)} END)",
       "registered_domain" ->

@@ -521,7 +521,16 @@ object Multimodal {
     // approximation, stated; a decode stage with stts refines it), and
     // the range is that sample's (chunk_offset, size). Tableless
     // containers keep NULL byte columns — the time-seek fallback the
-    // previous contract documented.
+    // previous contract documented. Overflow guard: a corrupt-but-
+    // parseable header (u32 duration at timescale 1 gives vdur_us up
+    // to ~4.3e15; MaxSampleEntries allows n up to 2^20) can push the
+    // INTERMEDIATE product t·n past Long range even though the true
+    // quotient is always < n (t < dur) — under ANSI that's a runtime
+    // error, pre-ANSI a negative index. `try_multiply` turns the
+    // overflow into NULL and the index falls back to the same ratio
+    // in double precision (j error ~1e-10 at these magnitudes — an
+    // off-by-one sample on an already-degenerate header at worst),
+    // then clamps to [0, n-1] so element_at stays in range.
     if (!meta.columns.contains("sample_sizes")) base
     else {
       val n = size(col("sample_sizes"))
@@ -529,7 +538,12 @@ object Multimodal {
         n > 0 && size(col("chunk_offs")) === n
       base
         .withColumn("__j", when(ok,
-          expr("t_off_us * size(sample_sizes) DIV vdur_us").cast("int")))
+          expr("least(greatest(coalesce(" +
+            "try_multiply(t_off_us, CAST(size(sample_sizes) AS BIGINT))" +
+            " DIV vdur_us, " +
+            "CAST(floor((CAST(t_off_us AS DOUBLE) / vdur_us)" +
+            " * size(sample_sizes)) AS BIGINT)), 0L)," +
+            " CAST(size(sample_sizes) - 1 AS BIGINT))").cast("int")))
         .withColumn("byte_off", element_at(col("chunk_offs"), col("__j") + 1))
         .withColumn("byte_len", element_at(col("sample_sizes"), col("__j") + 1))
         .drop("__j")

@@ -36,6 +36,18 @@ class DaemonSpec extends AnyFunSuite {
     }
   }
 
+  test("--pipeline curation + --sink fails loudly at startup") {
+    // the curation chain has no sink seam — silently ignoring --sink
+    // would start a topology the user didn't ask for
+    val e = intercept[IllegalArgumentException] {
+      Daemon.start(spark, Daemon.Args("/c.toml", "/events", "/work",
+        once = true, sink = Some("some-sink"),
+        pipeline = Some("curation")))
+    }
+    assert(e.getMessage.contains("--pipeline curation"))
+    assert(e.getMessage.contains("--sink"))
+  }
+
   test("--once lifecycle: drains the drop dir, serves health, tears down") {
     val eventsDir = Files.createTempDirectory("graft-daemon-events")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),

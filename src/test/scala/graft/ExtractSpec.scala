@@ -107,6 +107,31 @@ class ExtractSpec extends AnyFunSuite {
       (("noindex", true, "")))
   }
 
+  test("page directives fail closed on markup variation: quoting + order") {
+    import spark.implicits._
+    def dirs(html: String) = {
+      val r = Extract.withPageDirectives(
+        Seq((1L, html)).toDF("doc_id", "html")).head()
+      (r.getAs[String]("meta_robots"), r.getAs[Boolean]("noindex"),
+        r.getAs[String]("canonical_href"))
+    }
+    // reversed attribute order — the must-not-enter gate still fires
+    assert(dirs("<meta content=\"noindex\" name=\"robots\">") ===
+      (("noindex", true, "")))
+    // single quotes / no quotes on either attribute
+    assert(dirs("<meta name='robots' content='noindex, nofollow'>") ===
+      (("noindex, nofollow", true, "")))
+    assert(dirs("<meta name=robots content=noindex>") ===
+      (("noindex", true, "")))
+    assert(dirs("<link href='https://a.com/p' rel='canonical'>") ===
+      (("", false, "https://a.com/p")))
+    assert(dirs("<link rel=canonical href=https://a.com/p>") ===
+      (("", false, "https://a.com/p")))
+    // the \b boundary: name=robotsx is NOT the robots tag
+    assert(dirs("<meta name=\"robotsx\" content=\"noindex\">") ===
+      (("", false, "")))
+  }
+
   test("working/output name clashes fail loudly") {
     import spark.implicits._
     val df = Seq((1L, "<p>x</p>", "t")).toDF("doc_id", "html", "title")

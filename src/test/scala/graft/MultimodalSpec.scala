@@ -382,6 +382,35 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, 0L, None, None), (2L, 1L, None, None), (2L, 2L, None, None)))
   }
 
+  test("videoSamplePlan clamps adversarial headers instead of overflowing") {
+    import spark.implicits._
+    // u32 duration at timescale 1 → vdur_us ~4.3e15; 2^20 samples:
+    // t_off_us · n overflows Long partway through the instant grid —
+    // every row must land on a valid clamped sample, never throw
+    val n = 1 << 20
+    val meta = Seq(
+      (1L, "mp4", Some(4300000000000000L),
+        Some(Seq.tabulate(n)(i => 100L + i)),
+        Some(Seq.tabulate(n)(i => 4096L + 8L * i))))
+      .toDF("doc_id", "vfmt", "vdur_us", "sample_sizes", "chunk_offs")
+    val got = Multimodal.videoSamplePlan(meta, sampleEveryMs = 2000000000)
+      .select("sample_idx", "byte_off", "byte_len")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(got.length === 2150)
+    val dur = 4300000000000000L
+    val step = 2000000000L * 1000L
+    got.foreach { case (k, off, len) =>
+      val t = k * step
+      // exact index while t·n fits a Long, the double-ratio fallback
+      // beyond — the same arithmetic the plan's coalesce takes
+      val j =
+        if (t <= Long.MaxValue / n) t * n / dur
+        else math.floor((t.toDouble / dur) * n).toLong
+      assert(off === Some(4096L + 8L * j))
+      assert(len === Some(100L + j))
+    }
+  }
+
   test("jpegDims walks the marker stream to SOF0") {
     // SOI + APP0 (16 bytes) + DHT (to prove non-frame C4 is skipped) +
     // SOF0 with height 480, width 640, then EOI

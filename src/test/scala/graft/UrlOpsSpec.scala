@@ -32,6 +32,41 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(parts("https://example.io") === (("https", "example.io", "", "")))
   }
 
+  test("userinfo strips from host; IPv6 literals are kept whole") {
+    // without the strip every userinfo URL collapses onto host 'alice'
+    assert(parts("https://alice:pw@example.com/a") ===
+      (("https", "example.com", "/a", "")))
+    assert(parts("https://bob@example.org:8080/p?q=1") ===
+      (("https", "example.org", "/p", "q=1")))
+    // an @ in path/query is NOT userinfo
+    assert(parts("https://example.com/u/@handle") ===
+      (("https", "example.com", "/u/@handle", "")))
+    assert(parts("https://[2001:db8::1]:8080/x") ===
+      (("https", "[2001:db8::1]", "/x", "")))
+    // IP literals have no public suffix — PSL fails closed to NULLs
+    import spark.implicits._
+    val r = UrlOps.withDomain(
+      Seq((1L, "[2001:db8::1]")).toDF("doc_id", "host")).head()
+    assert(r.isNullAt(r.fieldIndex("public_suffix")))
+    assert(r.isNullAt(r.fieldIndex("registered_domain")))
+  }
+
+  test("canonical url: userinfo collapses, IPv6 fails closed to NULL") {
+    import spark.implicits._
+    def canon(url: String): Option[String] = {
+      val r = UrlOps.withCanonicalUrl(
+        Seq((1L, url)).toDF("doc_id", "url")).head()
+      Option(r.getAs[String]("canonical_url"))
+    }
+    assert(canon("https://alice:pw@Example.com/a/") ===
+      Some("https://example.com/a"))
+    assert(canon("https://Example.com/a") === Some("https://example.com/a"))
+    // bracketed IPv6: the colon-laden literal defeats the port split —
+    // NULL key = the no-dedup path, never a wrong shared key
+    assert(canon("https://[2001:db8::1]/a") === None)
+    assert(canon("https://[2001:db8::1]:8080/a?x=1") === None)
+  }
+
   test("plain rules: longest match wins (co.uk over uk)") {
     assert(dom("www.example.co.uk") ===
       (("co.uk", Some("example.co.uk"))))
