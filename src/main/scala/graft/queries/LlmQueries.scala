@@ -358,11 +358,137 @@ object LlmQueries extends QueryFamily {
     * their oracles derive from one value). */
   private val UnigramP = Unigram.Params()
 
-  private val sqlRobotsPath: String =
-    """(CASE doc_id % 8 WHEN 0 THEN '/' WHEN 1 THEN '/p/1'
+  /** q231/q232's sitemap corpus: one sitemap per doc on the q225
+    * policy domains — every 9th-mod-4 doc a two-child
+    * `<sitemapindex>`, the rest `<urlset>`s with 1–3 entries whose
+    * loc reuses the robots path specimens and whose optional tags
+    * (lastmod / changefreq / priority incl. the 1.0 form and the
+    * absent arm) cycle by entry arithmetic. */
+  private def sitemapCorpus(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").filter(col("doc_id").isNotNull))
+    val d = col("doc_id")
+    val domain = concat(lit("rb"), (d % 6).cast("string"), lit(".example"))
+    val entries = transform(sequence(lit(0), (d % 3).cast("int")), j => {
+      val x = d + j
+      concat(
+        lit("<url><loc>https://"), domain, robotsPath(x), lit("</loc>"),
+        when(x % 2 === 0, concat(lit("<lastmod>2024-01-"),
+          lpad((x % 28 + 1).cast("string"), 2, "0"), lit("</lastmod>")))
+          .otherwise(lit("")),
+        when(x % 3 === 0, lit("<changefreq>daily</changefreq>"))
+          .when(x % 3 === 1, lit("<changefreq>weekly</changefreq>"))
+          .otherwise(lit("")),
+        when(x % 4 === 3, lit(""))
+          .when(x % 10 === 9, lit("<priority>1.0</priority>"))
+          .otherwise(concat(lit("<priority>0."), (x % 10).cast("string"),
+            lit("</priority>"))),
+        lit("</url>"))
+    })
+    val head = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    val ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    val urlsetBody = concat(lit(s"""$head<urlset xmlns="$ns">"""),
+      array_join(entries, ""), lit("</urlset>"))
+    val indexBody = concat(lit(s"""$head<sitemapindex xmlns="$ns">"""),
+      lit("<sitemap><loc>https://"), domain, lit("/sitemap-"),
+      (d % 5).cast("string"), lit(".xml</loc></sitemap>"),
+      lit("<sitemap><loc>https://"), domain, lit("/sitemap-"),
+      (d % 5 + 1).cast("string"),
+      lit(".xml</loc><lastmod>2024-02-01</lastmod></sitemap>"),
+      lit("</sitemapindex>"))
+    raw.select(d,
+      when(d % 9 === 4, indexBody).otherwise(urlsetBody).as("body"))
+  }
+
+  /** Ground-truth CTEs for the sitemap corpus (the mp4 discipline: the
+    * oracle replays the GENERATING arithmetic, not XML parsing):
+    * `smu(doc_id, kind, entry_idx, loc, lastmod, changefreq,
+    * priority_micro)` — urlset entries; `smi(…)` — index entries. */
+  private val sqlSitemapCtes: String =
+    s"""smd AS (SELECT doc_id,
+       |          'rb' || (doc_id % 6) || '.example' AS domain
+       |        FROM documents WHERE doc_id IS NOT NULL),
+       |sme AS (SELECT doc_id, domain,
+       |          unnest(range(0, doc_id % 3 + 1)) AS j
+       |        FROM smd WHERE doc_id % 9 <> 4),
+       |smu AS (SELECT doc_id, 'urlset' AS kind,
+       |          CAST(j AS BIGINT) AS entry_idx,
+       |          'https://' || domain ||
+       |            ${sqlRobotsPathOn("doc_id + j")} AS loc,
+       |          CASE WHEN (doc_id + j) % 2 = 0
+       |               THEN '2024-01-' ||
+       |                 lpad(CAST((doc_id + j) % 28 + 1 AS VARCHAR),
+       |                   2, '0')
+       |               ELSE '' END AS lastmod,
+       |          CASE WHEN (doc_id + j) % 3 = 0 THEN 'daily'
+       |               WHEN (doc_id + j) % 3 = 1 THEN 'weekly'
+       |               ELSE '' END AS changefreq,
+       |          CASE WHEN (doc_id + j) % 4 = 3 THEN NULL
+       |               WHEN (doc_id + j) % 10 = 9 THEN 1000000
+       |               ELSE ((doc_id + j) % 10) * 100000 END
+       |            AS priority_micro
+       |        FROM sme),
+       |smi AS (SELECT doc_id, 'sitemapindex' AS kind,
+       |          CAST(j AS BIGINT) AS entry_idx,
+       |          'https://' || domain || '/sitemap-' ||
+       |            (doc_id % 5 + j) || '.xml' AS loc,
+       |          CASE WHEN j = 1 THEN '2024-02-01' ELSE '' END
+       |            AS lastmod,
+       |          '' AS changefreq,
+       |          CAST(NULL AS BIGINT) AS priority_micro
+       |        FROM (SELECT doc_id, domain, unnest(range(0, 2)) AS j
+       |              FROM smd WHERE doc_id % 9 = 4))""".stripMargin
+
+  private def sqlRobotsPathOn(e: String): String =
+    s"""(CASE ($e) % 8 WHEN 0 THEN '/' WHEN 1 THEN '/p/1'
       | WHEN 2 THEN '/p/1x' WHEN 3 THEN '/p/9' WHEN 4 THEN '/p/19'
       | WHEN 5 THEN '/private/x' WHEN 6 THEN '/tmp/ok/f'
       | ELSE '/tmp/z' END)""".stripMargin.replaceAll("\n", "")
+
+  private val sqlRobotsPath: String = sqlRobotsPathOn("doc_id")
+
+  /** Shared oracle CTE chain replaying [[RobotsTxt.gateUrls]] for
+    * target UA `graftbot` over a CTE `urls(…, domain, path)` —
+    * requires `rrules` in scope; emits `gmrk` (per-`key` best-match
+    * rows carrying `hit`/`directive`/`value`, filter `mr = 1`) and
+    * `delays(domain, crawl_delay)`. `key` is the top-1 window's
+    * partition column (doc_id for q225's one-URL-per-doc corpus, loc
+    * for the frontier's deduped URL set). */
+  private def sqlRobotsGateCtes(key: String): String =
+    s"""spec AS (SELECT DISTINCT domain, group_id, ua FROM rrules),
+       |spec2 AS (SELECT domain, group_id,
+       |            CASE WHEN ua = '*' THEN 0
+       |                 WHEN starts_with('graftbot', ua)
+       |                 THEN length(ua) END AS sp
+       |          FROM spec),
+       |gw AS (SELECT domain, group_id, dense_rank() OVER
+       |         (PARTITION BY domain ORDER BY sp DESC, group_id ASC)
+       |         AS rk
+       |       FROM spec2 WHERE sp IS NOT NULL),
+       |cg AS (SELECT DISTINCT domain, group_id FROM gw WHERE rk = 1),
+       |chosen AS (SELECT r.* FROM rrules r
+       |           JOIN cg USING (domain, group_id)),
+       |delays AS (SELECT domain, max(CAST(value AS BIGINT))
+       |             AS crawl_delay
+       |           FROM chosen WHERE directive = 'crawl-delay'
+       |           GROUP BY domain),
+       |pths AS (SELECT DISTINCT domain, directive, value FROM chosen
+       |         WHERE directive IN ('allow', 'disallow')
+       |           AND value <> ''),
+       |rx AS (SELECT *, ${RobotsTxt.sqlPatternRegex("value")} AS rgx
+       |       FROM pths),
+       |gj AS (SELECT u.*, r.directive, r.value,
+       |             (r.value IS NOT NULL AND
+       |              regexp_matches(u.path, r.rgx)) AS hit
+       |      FROM urls u LEFT JOIN rx r USING (domain)),
+       |gmrk AS (SELECT *, row_number() OVER (PARTITION BY $key
+       |          ORDER BY (CASE WHEN hit THEN length(value)
+       |                         ELSE -1 END) DESC,
+       |                   (CASE WHEN directive = 'allow' THEN 1
+       |                         ELSE 0 END) DESC,
+       |                   value ASC NULLS LAST) AS mr
+       |        FROM gj)""".stripMargin
 
   /** Per-language downsampling rates (per mille) for the stratified-sample
     * query: cap the over-represented strata, keep the rare ones whole. */
@@ -7020,46 +7146,14 @@ object LlmQueries extends QueryFamily {
            |           'rb' || (doc_id % 6) || '.example' AS domain,
            |           $sqlRobotsPath AS path
            |         FROM documents WHERE doc_id IS NOT NULL),
-           |spec AS (SELECT DISTINCT domain, group_id, ua FROM rrules),
-           |spec2 AS (SELECT domain, group_id,
-           |            CASE WHEN ua = '*' THEN 0
-           |                 WHEN starts_with('graftbot', ua)
-           |                 THEN length(ua) END AS sp
-           |          FROM spec),
-           |gw AS (SELECT domain, group_id, dense_rank() OVER
-           |         (PARTITION BY domain ORDER BY sp DESC, group_id ASC)
-           |         AS rk
-           |       FROM spec2 WHERE sp IS NOT NULL),
-           |cg AS (SELECT DISTINCT domain, group_id FROM gw WHERE rk = 1),
-           |chosen AS (SELECT r.* FROM rrules r
-           |           JOIN cg USING (domain, group_id)),
-           |delays AS (SELECT domain, max(CAST(value AS BIGINT))
-           |             AS crawl_delay
-           |           FROM chosen WHERE directive = 'crawl-delay'
-           |           GROUP BY domain),
-           |pths AS (SELECT DISTINCT domain, directive, value FROM chosen
-           |         WHERE directive IN ('allow', 'disallow')
-           |           AND value <> ''),
-           |rx AS (SELECT *, ${RobotsTxt.sqlPatternRegex("value")} AS rgx
-           |       FROM pths),
-           |j AS (SELECT u.doc_id, u.domain, u.path, r.directive, r.value,
-           |             (r.value IS NOT NULL AND
-           |              regexp_matches(u.path, r.rgx)) AS hit
-           |      FROM urls u LEFT JOIN rx r USING (domain)),
-           |mrk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-           |          ORDER BY (CASE WHEN hit THEN length(value)
-           |                         ELSE -1 END) DESC,
-           |                   (CASE WHEN directive = 'allow' THEN 1
-           |                         ELSE 0 END) DESC,
-           |                   value ASC NULLS LAST) AS mr
-           |        FROM j)
+           |${sqlRobotsGateCtes("doc_id")}
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, path,
            |       coalesce((CASE WHEN hit THEN directive END)
            |                  <> 'disallow', true) AS allowed,
            |       CASE WHEN hit THEN directive END AS matched_directive,
            |       CASE WHEN hit THEN value END AS matched_pattern,
            |       d.crawl_delay
-           |FROM mrk LEFT JOIN delays d USING (domain)
+           |FROM gmrk LEFT JOIN delays d USING (domain)
            |WHERE mr = 1 ORDER BY doc_id""".stripMargin)),
 
     // ── Unigram-LM tokenizer training (q226): the SentencePiece-style
@@ -7285,7 +7379,81 @@ object LlmQueries extends QueryFamily {
            |          array_to_string(list_slice(ws, i*8 + 7, i*8 + 8), ' ')])),
            |         ' ')) AS text_hash
            |FROM pparts
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ── sitemap.xml parse (q231): the discovery half of the
+    //    crawl-policy axis (robots is the permission half) — urlset
+    //    and sitemapindex entries with loc / lastmod / changefreq /
+    //    priority (integer micro, NULL when absent), over a corpus
+    //    planting every tag-presence arm. The oracle replays the
+    //    GENERATING arithmetic (the mp4 discipline), so any parser
+    //    drift — a missed entry, a mis-scaled priority —
+    //    hash-mismatches. One narrow extract-all + explode. ────────────
+    QueryDef.sorted(
+      "q231_sitemap_parse",
+      (s, dir) =>
+        Sitemaps.parseEntries(sitemapCorpus(s, dir))
+          .select(col("doc_id").cast("long"), col("kind"),
+            col("entry_idx").cast("long"), col("loc"), col("lastmod"),
+            col("changefreq"), col("priority_micro")),
+      _.orderBy("doc_id", "entry_idx"),
+      Some(
+        s"""WITH $sqlSitemapCtes
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, entry_idx,
+           |       loc, lastmod, changefreq,
+           |       CAST(priority_micro AS BIGINT) AS priority_micro
+           |FROM (SELECT * FROM smu UNION ALL SELECT * FROM smi)
+           |ORDER BY doc_id, entry_idx""".stripMargin)),
+
+    // ── Politeness-scheduled crawl frontier (q232): sitemaps ×
+    //    robots, composed — discovered URLs dedup by loc (min id, max
+    //    priority), gate through the full REP precedence ladder, and
+    //    each domain's allowed URLs order by (priority DESC, loc) with
+    //    fetch instants spaced by the domain's crawl-delay — the fetch
+    //    schedule a polite crawler executes. The oracle recomputes
+    //    discovery, dedup, the gate, and the schedule from scratch. ────
+    QueryDef.sorted(
+      "q232_crawl_frontier",
+      (s, dir) => {
+        val entries = Sitemaps.parseEntries(sitemapCorpus(s, dir))
+        val rules = RobotsTxt.parseRules(robotsCorpus(s), "domain", "body")
+        Sitemaps.frontier(entries, rules, "graftbot")
+          .select(col("domain"), col("seq"), col("doc_id").cast("long"),
+            col("loc"), col("priority_micro"), col("crawl_delay"),
+            col("fetch_at_ms"))
+      },
+      _.orderBy("domain", "seq"),
+      Some(
+        s"""WITH $sqlRobotsCte,
+           |${RobotsTxt.sqlRulesCtes},
+           |$sqlSitemapCtes,
+           |locs AS (SELECT loc, min(doc_id) AS doc_id,
+           |           max(priority_micro) AS priority_micro
+           |         FROM smu WHERE loc <> '' GROUP BY loc),
+           |urls AS (SELECT doc_id, loc, priority_micro,
+           |           regexp_extract(loc, '${UrlOps.HostRe}', 1)
+           |             AS domain,
+           |           coalesce(nullif(
+           |             regexp_extract(loc, '${UrlOps.PathRe}', 1), ''),
+           |             '/') AS path
+           |         FROM locs),
+           |${sqlRobotsGateCtes("loc")},
+           |gated AS (SELECT m.*, d.crawl_delay
+           |          FROM gmrk m LEFT JOIN delays d USING (domain)
+           |          WHERE mr = 1 AND coalesce(
+           |            (CASE WHEN hit THEN directive END) <> 'disallow',
+           |            true)),
+           |fr AS (SELECT *, row_number() OVER (PARTITION BY domain
+           |         ORDER BY priority_micro DESC NULLS LAST, loc ASC)
+           |         - 1 AS seq
+           |       FROM gated)
+           |SELECT domain, CAST(seq AS BIGINT) AS seq,
+           |       CAST(doc_id AS BIGINT) AS doc_id, loc,
+           |       CAST(priority_micro AS BIGINT) AS priority_micro,
+           |       crawl_delay,
+           |       CAST(seq * (coalesce(crawl_delay, 1) * 1000)
+           |            AS BIGINT) AS fetch_at_ms
+           |FROM fr ORDER BY domain, seq""".stripMargin))
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -357,6 +357,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window planning shuffled beyond the input spread:\n$plan")
   }
 
+  test("WARC/PDF container parses are narrow: scan → parse, no shuffle") {
+    // the container claim at 100 TB: one file = one partition = one
+    // sequential parse riding the binaryFile scan — any Exchange means
+    // bytes started crossing the wire before the members were reduced
+    // to header rows
+    for (q <- Seq("q222_warc_members", "q228_pdf_objects")) {
+      val plan = fmt(SparkEntry.benchQueries(q)(spark, dir))
+      assert(!plan.contains("Exchange"), s"$q shuffled raw bytes:\n$plan")
+      assert(!plan.contains("Join"), s"$q joined:\n$plan")
+    }
+  }
+
+  test("robots gate broadcasts the policy table") {
+    // the rule table is domains-sized (here: six literal policies);
+    // the per-URL join must be broadcast, never a corpus shuffle
+    val plan = fmt(SparkEntry.benchQueries("q225_robots_gate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"policy join not broadcast:\n$plan")
+  }
+
+  test("unigram training plans no window; census aggs stay partial") {
+    // the Viterbi fold is a per-row column aggregate — a Window here
+    // would mean the DP regressed to a corpus-wide sort
+    val plan = fmt(SparkEntry.benchQueries("q226_unigram_train")(spark, dir))
+    assert(!plan.contains("Window"), s"unigram planned a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"census lost its agg:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
