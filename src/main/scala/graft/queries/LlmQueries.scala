@@ -3970,26 +3970,29 @@ object LlmQueries extends QueryFamily {
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
         val corpus = e.unionByName(near).unionByName(edge)
-        // ONE sign pass for the whole ladder: every tier's band keys
-        // regroup the same persisted bit artifact (the oracle's shared
-        // `bits` CTE, mirrored) — n tiers no longer pay n sign passes
-        val bits = graft.CacheBarriers.barrier(
+        // the FULL audit-artifact discipline: the quadratic ground
+        // truth (writeAuditArtifacts — all-pairs BY DESIGN over a
+        // deterministic id-slice, never the full corpus; the +100000/
+        // +200000 variant offsets are ≡ 0 (mod 4) so the slice keeps
+        // its planted near/edge pairs) AND the sign pass both persist
+        // once per process; every invocation — and every later
+        // parameterization sweep — audits its tiers against the disk
+        // artifacts, which is exactly how a deployment runs this
+        val art = sharedArtifact("q135", dir) { a =>
+          Similarity.writeAuditArtifacts(corpus, a, minCos = 0.95,
+            dim = 64, idCol = "vec_id", vecCol = "v",
+            samplePred = col("vec_id") % 4 === 0)
           Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
-            vecCol = "v"))
-        Similarity.lshRecallReportTiers(corpus, Seq(
-            "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
-              bands = 4),
-            "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
-              minCos = 0.95, bands = 4, probes = 2),
-            "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
-              bands = 8)),
-          minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
-          // The audit's documented 100 TB usage: ground truth is all-pairs
-          // BY DESIGN, so the sample must be a deterministic id-slice —
-          // never the full corpus (quadratic in corpus size). The +100000/
-          // +200000 variant offsets are ≡ 0 (mod 4), so the slice keeps
-          // its planted near/edge pairs and n_true stays meaningful.
-          samplePred = col("vec_id") % 4 === 0)
+            vecCol = "v").write.mode("overwrite").parquet(s"$a/bits")
+        }
+        val bits = s.read.parquet(s"$art/bits")
+        Similarity.auditFromArtifacts(s, art, Seq(
+          "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
+            bands = 4),
+          "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
+            minCos = 0.95, bands = 4, probes = 2),
+          "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
+            bands = 8)))
       },
       _.orderBy("tier"),
       Some {
@@ -4878,23 +4881,24 @@ object LlmQueries extends QueryFamily {
           .select((col("vec_id") + 200000).as("vec_id"),
             transform(col("v"), (x, i) => when(i < 10, x + 0.1d).otherwise(x)).as("v"))
         val corpus = e.unionByName(near).unionByName(edge)
-        // the q135 artifact discipline: sign once, regroup per tier;
-        // the LADDER itself is barriered — the persisted tiers table
-        // the selector (and any repeat sweep) reads instead of
-        // recomputing
-        val bits = graft.CacheBarriers.barrier(
+        // the q135 artifact discipline end to end: ground truth + sign
+        // bits persist once per process; the selector's sweep audits
+        // against the disk artifacts (its own corpus, its own key)
+        val art = sharedArtifact("q159", dir) { a =>
+          Similarity.writeAuditArtifacts(corpus, a, minCos = 0.95,
+            dim = 64, idCol = "vec_id", vecCol = "v",
+            samplePred = col("vec_id") % 4 === 0)
           Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
-            vecCol = "v"))
-        val ladder = graft.CacheBarriers.barrier(
-          Similarity.lshRecallReportTiers(corpus, Seq(
-            "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
-              bands = 4),
-            "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
-              minCos = 0.95, bands = 4, probes = 2),
-            "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
-              bands = 8)),
-          minCos = 0.95, dim = 64, idCol = "vec_id", vecCol = "v",
-          samplePred = col("vec_id") % 4 === 0))
+            vecCol = "v").write.mode("overwrite").parquet(s"$a/bits")
+        }
+        val bits = s.read.parquet(s"$art/bits")
+        val ladder = Similarity.auditFromArtifacts(s, art, Seq(
+          "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
+            bands = 4),
+          "b_bands4_probe2" -> Similarity.pairsFromBits(bits,
+            minCos = 0.95, bands = 4, probes = 2),
+          "c_bands8" -> Similarity.pairsFromBits(bits, minCos = 0.95,
+            bands = 8)))
         Similarity.selectLshConfig(ladder, targetRecallMicro = 950000L)
       },
       _.orderBy("tier"),
@@ -7453,7 +7457,55 @@ object LlmQueries extends QueryFamily {
            |       crawl_delay,
            |       CAST(seq * (coalesce(crawl_delay, 1) * 1000)
            |            AS BIGINT) AS fetch_at_ms
-           |FROM fr ORDER BY domain, seq""".stripMargin))
+           |FROM fr ORDER BY domain, seq""".stripMargin)),
+
+    // ── Incremental WARC member census (q233): the additive-artifact
+    //    convention applied to the crawl front door — per
+    //    (warc_type, http_status, mime) member counts and byte masses
+    //    fold across FILE-disjoint batches by pure addition, so a
+    //    rolling crawl's census never re-reads old segments. The query
+    //    folds the {crawl_0,crawl_1} census into {crawl_2,crawl_3}'s;
+    //    the oracle computes the full-corpus census in one statement,
+    //    so the hash match IS the fold identity (the q220 proof
+    //    pattern on containers). ─────────────────────────────────────────
+    QueryDef.sorted(
+      "q233_warc_census_incremental",
+      (s, dir) => {
+        val fx = graft.source.WarcFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.warc").load(fx)
+        val m = graft.source.Warc.withWarcMembers(files)
+          .withColumn("__f",
+            regexp_extract(col("path"), "crawl_([0-9]+)\\.warc$", 1)
+              .cast("long"))
+        val folded = graft.source.Warc.mergeMemberCensus(
+          graft.source.Warc.memberCensus(m.filter(col("__f") < 2)),
+          graft.source.Warc.memberCensus(m.filter(col("__f") >= 2)))
+        folded.select(col("warc_type"),
+          col("http_status").cast("long").as("http_status"), col("mime"),
+          col("n_members"), col("bytes_sum"), col("cl_sum"))
+      },
+      _.orderBy(col("warc_type"),
+        col("http_status").asc_nulls_first, col("mime")),
+      Some {
+        import graft.source.WarcFixtures
+        s"""WITH ${WarcFixtures.sqlRecordCtes},
+           |mem AS (
+           |  SELECT 'response' AS warc_type, status AS http_status,
+           |         mime, len(rec) AS mlen, len(http) AS cl
+           |  FROM wall
+           |  UNION ALL
+           |  SELECT 'warcinfo', NULL, 'application/warc-fields',
+           |         len(${WarcFixtures.sqlInfoRec("file_id")}),
+           |         ${WarcFixtures.InfoPayload.length}
+           |  FROM (SELECT DISTINCT file_id FROM wall))
+           |SELECT warc_type, CAST(http_status AS BIGINT) AS http_status,
+           |       mime, count(*) AS n_members,
+           |       CAST(sum(mlen) AS BIGINT) AS bytes_sum,
+           |       CAST(sum(cl) AS BIGINT) AS cl_sum
+           |FROM mem GROUP BY warc_type, http_status, mime
+           |ORDER BY warc_type, http_status NULLS FIRST, mime""".stripMargin
+      })
   )
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000

@@ -1,5 +1,7 @@
 package graft.source
 
+import java.util.zip.Inflater
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,10 +11,13 @@ import org.apache.spark.sql.functions._
   * skeleton (`N G obj … endobj` spans, stream framing via the
   * `/Length` dict entry), replay the xref table against the actual
   * object offsets (a lying or shifted xref is the classic corrupt-PDF
-  * failure), and extract text from UNCOMPRESSED content streams (the
-  * `Tj` / `TJ` show-text operators). FlateDecode streams are out of
-  * scope in this container (no codec dependency, stated) — the
-  * fixture writes uncompressed streams, which the PDF spec permits.
+  * failure), and extract text via the `Tj` / `TJ` show-text operators
+  * from content streams — uncompressed or `/Filter /FlateDecode`
+  * (zlib inflate, the dominant real-world encoding; a stream that
+  * fails to inflate contributes no text — fail closed). The oracle
+  * fixture writes uncompressed streams (deflate output bytes are not
+  * SQL-replayable, stated); the flate path is spec-verified against
+  * bytes this codebase compresses itself.
   *
   * Scale shape: one PDF = one binary cell = one narrow parse riding
   * the scan (the q132/q133/q193 pattern); only header-level rows and
@@ -92,18 +97,43 @@ object Pdf {
     }
   }
 
+  /** Inflate a zlib-wrapped FlateDecode stream body; None on any
+    * corruption (fail closed — the stream contributes no text). */
+  private def inflate(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(b)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary())
+          throw new java.util.zip.DataFormatException("truncated")
+      }
+      inf.end()
+      Some(bos.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    }
+
   /** Per-PDF text census: page count (`/Type /Page` objects), show-text
     * operator counts, and the text — every `(…) Tj` string plus every
     * string inside a `[…] TJ` array, in stream order, joined by one
-    * space. Escape sequences inside strings are out of scope (the
-    * fixture contract is `[a-z0-9 ]` payloads, stated). */
+    * space. `/Filter /FlateDecode` streams inflate first. Escape
+    * sequences inside strings are out of scope (the fixture contract
+    * is `[a-z0-9 ]` payloads, stated). */
   def textCensus(bytes: Array[Byte]): (Long, Long, Long, String) = {
     if (bytes == null) return (0L, 0L, 0L, "")
     val s = new String(bytes, Iso)
     if (!s.startsWith("%PDF-")) return (0L, 0L, 0L, "")
     val nPages = """/Type /Page\b""".r.findAllMatchIn(s).size.toLong
-    val streams = """(?s)stream\n(.*?)\nendstream""".r
-      .findAllMatchIn(s).map(_.group(1)).toSeq
+    val streams = """(?s)<<(.*?)>>\s*stream\n(.*?)\nendstream""".r
+      .findAllMatchIn(s).map { m =>
+        if (!m.group(1).contains("/Filter /FlateDecode")) m.group(2)
+        else inflate(m.group(2).getBytes(Iso))
+          .map(new String(_, Iso)).getOrElse("")
+      }.toSeq
     val parts = streams.flatMap { body =>
       // interleave Tj and TJ hits in stream order
       val tj = TjRe.findAllMatchIn(body).map(m => (m.start, Seq(m.group(1))))

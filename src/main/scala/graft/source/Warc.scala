@@ -164,6 +164,28 @@ object Warc {
     out.result()
   }
 
+  /** Per-(warc_type, http_status, mime) member census — the ADDITIVE
+    * artifact of the WARC axis (the domain-census convention on
+    * containers): member count, compressed/stored byte mass, and
+    * payload byte mass, all pure sums, so file-disjoint crawl batches
+    * fold by [[mergeMemberCensus]] into exactly the union census and a
+    * rolling crawl never re-reads old segments. One partial-aggregated
+    * exchange over census-sized keys. */
+  def memberCensus(members: DataFrame): DataFrame =
+    members.groupBy(col("warc_type"), col("http_status"), col("mime"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("member_len")).as("bytes_sum"),
+        sum(col("content_length")).as("cl_sum"))
+
+  /** Fold a file-disjoint batch's census into a persisted one — pure
+    * per-key addition (census-sized, never the corpus). */
+  def mergeMemberCensus(persisted: DataFrame, batch: DataFrame): DataFrame =
+    persisted.unionByName(batch)
+      .groupBy(col("warc_type"), col("http_status"), col("mime"))
+      .agg(sum(col("n_members")).as("n_members"),
+        sum(col("bytes_sum")).as("bytes_sum"),
+        sum(col("cl_sum")).as("cl_sum"))
+
   /** Explode `binaryFile` rows (`path`, `content`) into one row per
     * parsed member, the file's columns carried alongside. One narrow
     * per-file stage — no shuffle; the parse cost rides the scan. */

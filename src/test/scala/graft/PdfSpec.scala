@@ -54,6 +54,31 @@ class PdfSpec extends AnyFunSuite {
     assert(objs.forall(!_.xref_ok))
   }
 
+  test("FlateDecode streams inflate for text; corrupt flate fails closed") {
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(Iso)); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    val content = "BT (compressed words here) Tj [(tail) -120 (end)] TJ ET"
+    val enc = new String(deflate(content), Iso)
+    def pdf(body: String) =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+        s"2 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>" +
+        s"\nstream\n$body\nendstream\nendobj\n").getBytes(Iso)
+    val (np, ntj, ntja, text) = Pdf.textCensus(pdf(enc))
+    assert((np, ntj, ntja) === ((1L, 1L, 1L)))
+    assert(text === "compressed words here tail end")
+    // corrupt flate body: no text, no throw; page census still parses
+    val bad = Pdf.textCensus(pdf(enc.drop(2)))
+    assert(bad === ((1L, 0L, 0L, "")))
+    // the uncompressed fixture path is untouched by the dict scan
+    assert(Pdf.textCensus(onePage.getBytes(Iso))._4
+      .startsWith("alpha beta gamma delta"))
+  }
+
   test("fail closed: truncation, junk, missing xref") {
     val bytes = onePage.getBytes(Iso)
     // cut before the xref: objects parse, claims become None
