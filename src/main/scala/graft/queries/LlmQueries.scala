@@ -7505,8 +7505,347 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(cl) AS BIGINT) AS cl_sum
            |FROM mem GROUP BY warc_type, http_status, mime
            |ORDER BY warc_type, http_status NULLS FIRST, mime""".stripMargin
-      })
+      }),
+
+    // ── TAR container ingestion (q234): the multimodal shard front
+    //    door — REAL `shard_<f>.tar` files on disk (written by
+    //    [[graft.source.TarFixtures]] in the WebDataset layout: three
+    //    adjacent members per sample), read through the real
+    //    `binaryFile` source and walked by [[graft.source.Tar
+    //    .entries]]: 512-byte header framing, NUL-padded names, octal
+    //    size/mtime parse, checksum verification, data padding,
+    //    zero-block termination. The oracle rebuilds every member
+    //    from documents arithmetic and replays entry offsets as
+    //    padded cumulative sums in (doc_id, ext) order per file, so
+    //    one byte of framing drift (a mis-padded block, a misparsed
+    //    octal digit) hash-mismatches. 100 TB shape: the unit of
+    //    parallelism is the shard file; the walk is one narrow
+    //    per-file pass riding the scan, no shuffle. ──────────────────────
+    QueryDef.sorted(
+      "q234_tar_entries",
+      (s, dir) => {
+        val fx = graft.source.TarFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.tar").load(fx)
+        graft.source.Tar.withTarEntries(files).select(
+          regexp_extract(col("path"), "shard_([0-9]+)\\.tar$", 1)
+            .cast("long").as("file_id"),
+          col("name"), col("entry_off"), col("data_off"), col("size"),
+          col("mtime"), col("typeflag"), col("chksum_ok"),
+          md5(col("body")).as("body_hash"))
+      },
+      _.orderBy("file_id", "entry_off"),
+      Some {
+        import graft.source.TarFixtures
+        s"""WITH ${TarFixtures.sqlEntryCtes}
+           |SELECT CAST(file_id AS BIGINT) AS file_id, name,
+           |       CAST(entry_off AS BIGINT) AS entry_off,
+           |       CAST(entry_off + 512 AS BIGINT) AS data_off,
+           |       CAST(size AS BIGINT) AS size,
+           |       CAST(mtime AS BIGINT) AS mtime,
+           |       '0' AS typeflag, true AS chksum_ok,
+           |       md5(body) AS body_hash
+           |FROM toff ORDER BY file_id, entry_off""".stripMargin
+      }),
+
+    // ── WebDataset sample assembly (q235): q234's entry walk grouped
+    //    back into training SAMPLES — [[graft.source.Tar
+    //    .webdatasetSamples]]' (shard, key) census (member set,
+    //    byte mass, completeness against {img,json,txt}, checksum
+    //    health) joined with the decoded per-sample metadata: the
+    //    `.json` member REALLY parsed (`get_json_object`), the `.txt`
+    //    member word-counted by the corpus splitter, the `.img`
+    //    member's byte mass. The oracle replays both halves from
+    //    documents arithmetic, so a grouping defect (a key split on
+    //    the wrong dot, a member leaking across samples) or a decode
+    //    defect hash-mismatches. 100 TB shape: members of a sample
+    //    are adjacent in one shard by construction — both aggregates
+    //    partial map-side and exchange sample-census rows, never
+    //    bodies; AQE reuses the (file_id, key) exchange across the
+    //    join's two sides. ───────────────────────────────────────────────
+    QueryDef.sorted(
+      "q235_webdataset_samples",
+      (s, dir) => {
+        val fx = graft.source.TarFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.tar").load(fx)
+        val ent = graft.source.Tar.withTarEntries(files)
+          .withColumn("file_id",
+            regexp_extract(col("path"), "shard_([0-9]+)\\.tar$", 1)
+              .cast("long"))
+          .drop("path", "length", "modificationTime")
+        val samples = graft.source.Tar
+          .webdatasetSamples(ent, Seq("img", "json", "txt"),
+            pathCol = "file_id")
+        val ext = regexp_extract(col("name"), "\\.([^.]*)$", 1)
+        val meta = ent
+          .groupBy(col("file_id"),
+            regexp_extract(col("name"), "^(.*)\\.[^.]*$", 1).as("key"))
+          .agg(
+            max(when(ext === "json",
+              get_json_object(col("body"), "$.doc").cast("long")))
+              .as("json_doc"),
+            max(when(ext === "json",
+              get_json_object(col("body"), "$.nc").cast("long")))
+              .as("json_nc"),
+            max(when(ext === "txt",
+              size(graft.llm.TextHash.words(col("body"))).cast("long")))
+              .as("txt_words"),
+            max(when(ext === "img", col("size"))).as("img_bytes"))
+        samples.join(meta, Seq("file_id", "key"))
+          .select(col("file_id"), col("key"), col("n_members"),
+            col("exts"), col("bytes_sum"), col("all_chksum_ok"),
+            col("complete"), col("json_doc"), col("json_nc"),
+            col("txt_words"), col("img_bytes"))
+      },
+      _.orderBy("file_id", "key"),
+      Some {
+        import graft.source.TarFixtures
+        val ws = graft.llm.TextHash.sqlWords("text")
+        s"""WITH ${TarFixtures.sqlEntryCtes}
+           |SELECT CAST(file_id AS BIGINT) AS file_id, skey AS key,
+           |       3::BIGINT AS n_members, 'img,json,txt' AS exts,
+           |       CAST(sum(size) AS BIGINT) AS bytes_sum,
+           |       true AS all_chksum_ok, true AS complete,
+           |       CAST(doc_id AS BIGINT) AS json_doc,
+           |       CAST(n_chars AS BIGINT) AS json_nc,
+           |       CAST(len($ws) AS BIGINT) AS txt_words,
+           |       CAST(32 * ((doc_id // 5) % 3 + 1) AS BIGINT) AS img_bytes
+           |FROM toff
+           |GROUP BY file_id, skey, doc_id, n_chars, text
+           |ORDER BY file_id, key""".stripMargin
+      }),
+
+    // ── Chat-transcript structure (q236): the SFT front door —
+    //    conversations serialized as OpenAI-style message-list JSON
+    //    (built per document: a templated user turn, then 6-word turns
+    //    alternating from the corpus words; doc_id%3 adds a system
+    //    prefix, doc_id%7=5 plants a broken double-user turn), REALLY
+    //    parsed back by [[graft.llm.Chat.parseTurns]] (`from_json`)
+    //    and scanned by [[graft.llm.Chat.withTurnStats]]: role
+    //    censuses, word masses, and the `roles_ok` alternation gate.
+    //    The oracle replays every stat from word arithmetic — a parse
+    //    or scan defect anywhere (role order, slice bounds, word
+    //    counts) hash-mismatches. 100 TB shape: narrow
+    //    per-conversation work, bounded turn arrays, no shuffle. ────────
+    QueryDef.sorted(
+      "q236_chat_turns",
+      (s, dir) => {
+        val st = Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        st.select(col("conv_id"), col("n_turns").cast("long"),
+          col("has_system"), col("n_user").cast("long"),
+          col("n_assistant").cast("long"), col("roles_ok"),
+          col("user_words"), col("asst_words"),
+          col("first_role"), col("last_role"))
+      },
+      _.orderBy("conv_id"),
+      Some(s"""WITH $chatTurnCtes
+           |, ag AS (
+           |  SELECT doc_id, max(k) + 1 AS nt,
+           |    count(*) FILTER (WHERE role = 'user') AS n_user,
+           |    count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+           |    sum(wc) FILTER (WHERE role = 'user') AS user_words,
+           |    sum(wc) FILTER (WHERE role = 'assistant') AS asst_words,
+           |    (bool_and(role = CASE WHEN j % 2 = 0 THEN 'user'
+           |                          ELSE 'assistant' END) AND
+           |     max(CASE WHEN j = k THEN role END) = 'assistant')
+           |      AS roles_ok,
+           |    max(CASE WHEN j = k THEN role END) AS last_role
+           |  FROM t1 GROUP BY doc_id)
+           |SELECT CAST(doc_id AS BIGINT) AS conv_id,
+           |       CAST(nt + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           |            AS BIGINT) AS n_turns,
+           |       (doc_id % 3 = 0) AS has_system,
+           |       CAST(n_user AS BIGINT) AS n_user,
+           |       CAST(n_assistant AS BIGINT) AS n_assistant,
+           |       roles_ok,
+           |       CAST(coalesce(user_words, 0) AS BIGINT) AS user_words,
+           |       CAST(coalesce(asst_words, 0) AS BIGINT) AS asst_words,
+           |       CASE WHEN doc_id % 3 = 0 THEN 'system' ELSE 'user' END
+           |         AS first_role,
+           |       last_role
+           |FROM ag ORDER BY conv_id""".stripMargin)),
+
+    // ── SFT pair extraction + prompt dedup (q237): q236's roles_ok
+    //    conversations exploded by [[graft.llm.Chat.sftPairs]] into
+    //    one (prompt, response) example per assistant turn — the
+    //    prompt is every prior turn rendered `role: content` — then
+    //    deduplicated exactly on the prompt hash by [[graft.llm.Chat
+    //    .dedupByPrompt]] (templated first-turn instructions collide
+    //    across conversations BY CONSTRUCTION: ten prompt classes, so
+    //    the dedup does real work). The oracle re-renders every
+    //    prompt string and replays the keep-first window. 100 TB
+    //    shape: the explosion is narrow; the only exchange is the
+    //    hash partition on the 128-bit prompt key. ──────────────────────
+    QueryDef.sorted(
+      "q237_sft_pairs",
+      (s, dir) => {
+        val st = Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        Chat.dedupByPrompt(Chat.sftPairs(st, "conv_id"), "conv_id")
+          .select(col("conv_id"), col("turn_idx").cast("long"),
+            col("prompt_hash"), col("response_hash"),
+            col("response_words"), col("kept"))
+      },
+      _.orderBy("conv_id", "turn_idx"),
+      Some(s"""WITH $chatTurnCtes
+           |, ok AS (
+           |  SELECT doc_id FROM t1 GROUP BY doc_id, k
+           |  HAVING bool_and(role = CASE WHEN j % 2 = 0 THEN 'user'
+           |                              ELSE 'assistant' END)
+           |     AND max(CASE WHEN j = k THEN role END) = 'assistant'),
+           |pr AS (
+           |  SELECT t.doc_id, t.j, t.wc, md5(t.content) AS response_hash,
+           |    md5((CASE WHEN t.doc_id % 3 = 0
+           |          THEN 'system: You are a concise assistant' || chr(10)
+           |          ELSE '' END) ||
+           |        array_to_string(list_transform(range(0, t.j), i ->
+           |          (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+           |          || ': ' ||
+           |          CASE WHEN i = 0
+           |               THEN 'please summarize category ' || (t.doc_id % 5)
+           |               ELSE array_to_string(
+           |                      t.aw[(i-1)*6+1:(i-1)*6+6], ' ') END),
+           |          chr(10))) AS prompt_hash
+           |  FROM t1 t JOIN ok USING (doc_id)
+           |  WHERE t.role = 'assistant')
+           |SELECT CAST(doc_id AS BIGINT) AS conv_id,
+           |       CAST(j + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           |            AS BIGINT) AS turn_idx,
+           |       prompt_hash, response_hash,
+           |       CAST(wc AS BIGINT) AS response_words,
+           |       (row_number() OVER (PARTITION BY prompt_hash
+           |                           ORDER BY doc_id, j) = 1) AS kept
+           |FROM pr ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // ── Preference-pair construction (q238): the DPO/RLHF set built
+    //    from q237's colliding prompts — every prompt with ≥2
+    //    candidate responses elects a deterministic (chosen,
+    //    rejected) pair by the longest-response baseline rank
+    //    ([[graft.llm.Chat.preferencePairs]]; a model-scored elector
+    //    swaps the rank column, same plan). The ten templated prompt
+    //    classes collide across conversations by construction, so
+    //    election and margins do real work. The oracle replays both
+    //    rank windows and the margin arithmetic. 100 TB shape: one
+    //    exchange on prompt_hash shared by both windows and the
+    //    rank-1 self-join (AQE exchange reuse). ──────────────────────────
+    QueryDef.sorted(
+      "q238_preference_pairs",
+      (s, dir) => {
+        val st = Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        Chat.preferencePairs(Chat.sftPairs(st, "conv_id"), "conv_id")
+          .select(col("prompt_hash"), col("n_candidates"),
+            col("chosen_conv"), col("chosen_turn").cast("long"),
+            col("chosen_words"), col("rejected_conv"),
+            col("rejected_turn").cast("long"), col("rejected_words"),
+            col("margin"))
+      },
+      _.orderBy("prompt_hash"),
+      Some(s"""WITH $chatTurnCtes
+           |, ok AS (
+           |  SELECT doc_id FROM t1 GROUP BY doc_id, k
+           |  HAVING bool_and(role = CASE WHEN j % 2 = 0 THEN 'user'
+           |                              ELSE 'assistant' END)
+           |     AND max(CASE WHEN j = k THEN role END) = 'assistant'),
+           |pr AS (
+           |  SELECT t.doc_id, t.j, t.wc,
+           |    t.j + CASE WHEN t.doc_id % 3 = 0 THEN 1 ELSE 0 END AS ti,
+           |    md5((CASE WHEN t.doc_id % 3 = 0
+           |          THEN 'system: You are a concise assistant' || chr(10)
+           |          ELSE '' END) ||
+           |        array_to_string(list_transform(range(0, t.j), i ->
+           |          (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+           |          || ': ' ||
+           |          CASE WHEN i = 0
+           |               THEN 'please summarize category ' || (t.doc_id % 5)
+           |               ELSE array_to_string(
+           |                      t.aw[(i-1)*6+1:(i-1)*6+6], ' ') END),
+           |          chr(10))) AS prompt_hash
+           |  FROM t1 t JOIN ok USING (doc_id)
+           |  WHERE t.role = 'assistant'),
+           |cand AS (
+           |  SELECT *, count(*) OVER (PARTITION BY prompt_hash) AS n,
+           |    row_number() OVER (PARTITION BY prompt_hash
+           |      ORDER BY wc DESC, doc_id, j) AS rc,
+           |    row_number() OVER (PARTITION BY prompt_hash
+           |      ORDER BY wc, doc_id DESC, j DESC) AS rr
+           |  FROM pr)
+           |SELECT c.prompt_hash, CAST(c.n AS BIGINT) AS n_candidates,
+           |       CAST(c.doc_id AS BIGINT) AS chosen_conv,
+           |       CAST(c.ti AS BIGINT) AS chosen_turn,
+           |       CAST(c.wc AS BIGINT) AS chosen_words,
+           |       CAST(r.doc_id AS BIGINT) AS rejected_conv,
+           |       CAST(r.ti AS BIGINT) AS rejected_turn,
+           |       CAST(r.wc AS BIGINT) AS rejected_words,
+           |       CAST(c.wc - r.wc AS BIGINT) AS margin
+           |FROM cand c JOIN cand r USING (prompt_hash)
+           |WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2
+           |ORDER BY prompt_hash""".stripMargin))
   )
+
+  /** The q236/q237 conversation corpus: one chat per document —
+    * content turn 0 a TEMPLATED user instruction (ten classes:
+    * category = doc_id%5 — the realistic duplicate source), then
+    * alternating 6-word turns from the alnum-filtered corpus words
+    * (≤7), a system prefix on doc_id%3=0, and a deliberately broken
+    * double-user turn on doc_id%7=5 (the roles_ok gate's work).
+    * Serialized with `to_json` so the queries parse REAL JSON. */
+  private def chatCorpus(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        filter(graft.llm.TextHash.words(col("text")),
+          w => w.rlike("^[A-Za-z0-9]+$")).as("aw"))
+      .filter(size(col("aw")) >= 1)
+      .withColumn("k", expr("least((size(aw) + 5) DIV 6, 7)"))
+      .withColumn("__ct", expr(
+        """transform(sequence(0, k), j -> named_struct(
+          |  'role', CASE WHEN j = 0 THEN 'user'
+          |               WHEN j = 1 AND doc_id % 7 = 5 THEN 'user'
+          |               WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END,
+          |  'content', CASE WHEN j = 0
+          |    THEN concat('please summarize category ',
+          |                CAST(doc_id % 5 AS STRING))
+          |    ELSE array_join(slice(aw, (j-1)*6+1, 6), ' ') END))"""
+          .stripMargin))
+      .withColumn("__turns", when(col("doc_id") % 3 === 0, expr(
+        """concat(array(named_struct(
+          |  'role', 'system', 'content', 'You are a concise assistant')),
+          |  __ct)""".stripMargin))
+        .otherwise(col("__ct")))
+      .select(col("doc_id").as("conv_id"),
+        to_json(col("__turns")).as("conv_json"))
+
+  /** Shared oracle CTEs for q236/q237: `c1` (doc_id, alnum words,
+    * k = word-turn count) → `t1` (one row per content turn j with
+    * role / content / word count — the same arithmetic the corpus
+    * builder runs in Spark). */
+  private def chatTurnCtes: String = {
+    val ws = TextHash.sqlWords("text")
+    s"""c0 AS (
+       |  SELECT doc_id,
+       |    list_filter($ws, x -> regexp_full_match(x, '[A-Za-z0-9]+'))
+       |      AS aw
+       |  FROM documents WHERE text IS NOT NULL),
+       |c1 AS (SELECT doc_id, aw, least((len(aw) + 5) // 6, 7) AS k
+       |       FROM c0 WHERE len(aw) >= 1),
+       |t0 AS (SELECT doc_id, aw, k, unnest(range(0, k + 1)) AS j FROM c1),
+       |t1 AS (
+       |  SELECT doc_id, aw, k, j,
+       |    CASE WHEN j = 0 THEN 'user'
+       |         WHEN j = 1 AND doc_id % 7 = 5 THEN 'user'
+       |         WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    CASE WHEN j = 0
+       |         THEN 'please summarize category ' || (doc_id % 5)
+       |         ELSE array_to_string(aw[(j-1)*6+1:(j-1)*6+6], ' ') END
+       |      AS content,
+       |    CASE WHEN j = 0 THEN 4
+       |         ELSE len(aw[(j-1)*6+1:(j-1)*6+6]) END AS wc
+       |  FROM t0)""".stripMargin
+  }
 
   /** q191/q192's report body over any `(source, w, tf)` census: top-1000
     * per source by the bounded heap (map-side ≤ k rows per source per
