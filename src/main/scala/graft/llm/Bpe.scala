@@ -314,11 +314,15 @@ object Bpe {
     * the frame alive when the pick is empty (training exhausted).
     * Parameterizing the prefix lets [[sqlApplyCtes]] replay the SAME
     * application against a different word set (the apply chain) without
-    * colliding with the training chain's names. */
-  private def sqlStepOn(p: String, r: Int): String = {
+    * colliding with the training chain's names; `pick` and `mergedSql`
+    * let [[WordPiece]] reuse the identical gaps-and-islands apply with
+    * its own pick CTEs and `a + strip-##(b)` fusion. */
+  private[llm] def sqlStepOn(p: String, r: Int, pick: String = "bpt",
+      mergedSql: (String, String) => String =
+        (a, b) => s"$a || $b"): String = {
     val prev = s"$p${r - 1}"
     s"""${p}x$r AS MATERIALIZED (SELECT s.w, s.n, s.syms, t.a, t.b
-       |          FROM $prev s LEFT JOIN bpt$r t ON true),
+       |          FROM $prev s LEFT JOIN $pick$r t ON true),
        |${p}p$r AS MATERIALIZED (SELECT w, n, a, b, j, syms[j] AS s,
        |                 (a IS NOT NULL AND syms[j] = a
        |                  AND j < len(syms) AND syms[j+1] = b) AS m
@@ -331,7 +335,8 @@ object Bpe {
        |                                             ORDER BY j) AS rn
        |             FROM ${p}g$r) WHERE rn % 2 = 1),
        |${p}n$r AS MATERIALIZED (SELECT p.w, p.n, p.j,
-       |                 CASE WHEN st.j IS NOT NULL THEN p.a || p.b
+       |                 CASE WHEN st.j IS NOT NULL
+       |                      THEN ${mergedSql("p.a", "p.b")}
        |                      ELSE p.s END AS s
        |          FROM ${p}p$r p
        |          LEFT JOIN ${p}st$r st ON p.w = st.w AND p.j = st.j

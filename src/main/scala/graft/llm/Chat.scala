@@ -158,4 +158,34 @@ object Chat {
       .orderBy(col(convIdCol), col("turn_idx"))
     pairs.withColumn("kept", row_number().over(w) === 1)
   }
+
+  /** The dedup's persisted artifact: the distinct prompt keys a batch
+    * has seen — prompt-class-sized, ADDITIVE across batches
+    * (union-distinct), the repo's census-artifact convention. */
+  def promptSet(pairs: DataFrame): DataFrame =
+    pairs.select(col("prompt_hash")).distinct()
+
+  /** Incremental [[dedupByPrompt]]: dedup a NEW batch against the
+    * persisted prompt set — kept iff first within the batch AND the
+    * prompt is unseen. When batches arrive in convId order (the
+    * daily-ingest contract every incremental operator here states),
+    * the fold reproduces the full-corpus keep-first EXACTLY (q241's
+    * proof). One window exchange on prompt_hash; the seen-set join is
+    * key-sized and broadcast below the threshold. */
+  def dedupByPromptIncremental(batch: DataFrame, seen: DataFrame,
+                               convIdCol: String): DataFrame = {
+    val working = Seq("__seen")
+    val clash = batch.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with dedupByPromptIncremental working names — rename them")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt_hash"))
+      .orderBy(col(convIdCol), col("turn_idx"))
+    batch
+      .join(seen.select(col("prompt_hash")).distinct()
+        .withColumn("__seen", lit(true)), Seq("prompt_hash"), "left")
+      .withColumn("kept",
+        row_number().over(w) === 1 && col("__seen").isNull)
+      .drop("__seen")
+  }
 }

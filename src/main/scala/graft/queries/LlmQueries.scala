@@ -7782,7 +7782,207 @@ object LlmQueries extends QueryFamily {
            |       CAST(c.wc - r.wc AS BIGINT) AS margin
            |FROM cand c JOIN cand r USING (prompt_hash)
            |WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2
-           |ORDER BY prompt_hash""".stripMargin))
+           |ORDER BY prompt_hash""".stripMargin)),
+
+    // ── WordPiece training (q239): the tokenizer trio's third member
+    //    (BPE q122 picks by frequency, unigram q226 prunes by EM;
+    //    WordPiece picks by LIKELIHOOD GAIN cnt·10⁶ DIV (cnt_a·cnt_b))
+    //    — [[graft.llm.WordPiece.train]] over the bounded word census:
+    //    ##-marked alphabet, per-round symbol+pair censuses, integer
+    //    micro scores, gaps-and-islands greedy apply. The oracle
+    //    replays every round (census, score, pick, rewrite), so one
+    //    mis-scored pick reorders every later merge and
+    //    hash-mismatches. 100 TB shape: Sennrich's census trick —
+    //    one corpus-sized word shuffle, then vocabulary-sized rounds
+    //    with 1-row argmax collects. ─────────────────────────────────────
+    QueryDef.sorted(
+      "q239_wordpiece_train",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        val (merges, _) = WordPiece.train(Bpe.wordCensus(docs), nMerges = 8)
+        s.createDataFrame(merges)
+          .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+            col("ab"), col("cnt"), col("score_micro"))
+      },
+      _.orderBy("rank"),
+      Some(
+        s"""WITH ${WordPiece.sqlTrainCtes("documents", 8)}
+           |SELECT CAST(rank AS BIGINT) AS rank, a, b, ab,
+           |       CAST(cnt AS BIGINT) AS cnt,
+           |       CAST(score_micro AS BIGINT) AS score_micro
+           |FROM wpmerges ORDER BY rank""".stripMargin)),
+
+    // ── WordPiece tokenization (q240): greedy longest-match inference
+    //    with the REAL `[UNK]` semantics — every distinct corpus word
+    //    walks the trained vocabulary longest-prefix-first
+    //    ([[graft.llm.WordPiece.segmentCensus]], a bounded column
+    //    fold), ineligible or unmatchable words collapse to `[UNK]`,
+    //    and documents count tokens + UNKs through the census join
+    //    ([[WordPiece.withWpTokens]], the q123 shape). The min-count
+    //    training floor makes UNKs REAL: singleton words can hold
+    //    (position, char) forms the alphabet never saw. The oracle
+    //    unrolls the greedy walk one CTE per consumed character over
+    //    the replayed vocabulary. 100 TB shape: the walk runs on the
+    //    distinct-word census, never per occurrence; docs pay one
+    //    word explode + census join + doc-keyed sum. ────────────────────
+    QueryDef.sorted(
+      "q240_wordpiece_tokens",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+        // probe docs: the synthetic corpus is 31 frequent short words,
+        // so every [UNK] arm is derived — an ineligible
+        // uppercase+punct word, an over-length hex word, and an
+        // 8-char hex word whose characters the trained alphabet has
+        // never seen (the REAL greedy-walk failure)
+        val probes = docs
+          .filter(col("doc_id") % 25 === 0 && col("text").isNotNull)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(upper(element_at(TextHash.words(col("text")), 1)),
+              lit("! "), substring(md5(col("text")), 1, 16), lit(" "),
+              substring(md5(col("text")), 1, 8)).as("text"))
+        val all = docs.unionByName(probes)
+        val census = Bpe.wordCensus(docs) // training sees REAL docs only
+        val (merges, _) = WordPiece.train(census, nMerges = 8)
+        val words = all
+          .select(explode(TextHash.words(col("text"))).as("w")).distinct()
+        val seg = WordPiece.segmentCensus(words,
+          WordPiece.vocab(census, merges))
+        WordPiece.withWpTokens(all, seg)
+          .select(col("doc_id"), col("wp_tokens"), col("unk_words"))
+      },
+      _.orderBy("doc_id"),
+      Some {
+        val ws = TextHash.sqlWords("text")
+        s"""WITH ${WordPiece.sqlTrainCtes("documents", 8)},
+           |aldp AS (SELECT doc_id + 400000 AS doc_id,
+           |           upper(($ws)[1]) || '! ' ||
+           |           substr(md5(text), 1, 16) || ' ' ||
+           |           substr(md5(text), 1, 8) AS text
+           |         FROM documents
+           |         WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+           |alld AS (SELECT doc_id, text FROM documents
+           |         UNION ALL SELECT doc_id, text FROM aldp),
+           |${WordPiece.sqlSegmentCtes(
+            s"(SELECT DISTINCT unnest($ws) AS w FROM alld)", 8)},
+           |dw AS (SELECT doc_id, unnest($ws) AS w FROM alld),
+           |tok AS (SELECT d.doc_id,
+           |          CASE WHEN g.w IS NULL OR g.unk THEN 1
+           |               ELSE len(g.ps) END AS t,
+           |          CASE WHEN g.w IS NULL OR g.unk THEN 1 ELSE 0 END AS uf
+           |        FROM dw d LEFT JOIN wpseg g ON d.w = g.w),
+           |agg AS (SELECT doc_id, sum(t) AS wt, sum(uf) AS wu
+           |        FROM tok GROUP BY doc_id)
+           |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |       CAST(coalesce(a.wt, 0) AS BIGINT) AS wp_tokens,
+           |       CAST(coalesce(a.wu, 0) AS BIGINT) AS unk_words
+           |FROM alld d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Incremental SFT prompt dedup (q241): q237's keep-first fold
+    //    across convId-ordered batches — batch 1 (conv_id ≤ mid)
+    //    dedups alone, its distinct prompt set persists
+    //    ([[graft.llm.Chat.promptSet]], prompt-class-sized, additive
+    //    by union-distinct), batch 2 dedups against it
+    //    ([[Chat.dedupByPromptIncremental]]). The oracle computes the
+    //    GLOBAL keep-first window in one statement, so the hash match
+    //    IS the fold identity (the q220/q233 proof pattern on the SFT
+    //    axis). 100 TB shape: each batch pays one prompt_hash window
+    //    exchange; the seen set joins key-sized, broadcast under the
+    //    threshold. ──────────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q241_sft_dedup_incremental",
+      (s, dir) => {
+        val st = Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        val pairs = Chat.sftPairs(st, "conv_id")
+        // bounded control-plane collect: ONE max over the pair frame,
+        // the batch fence every incremental query here derives
+        val mid = pairs.agg(max(col("conv_id"))).collect()(0).getLong(0) / 2
+        val b1 = Chat.dedupByPrompt(
+          pairs.filter(col("conv_id") <= mid), "conv_id")
+        val b2 = Chat.dedupByPromptIncremental(
+          pairs.filter(col("conv_id") > mid),
+          Chat.promptSet(b1), "conv_id")
+        b1.withColumn("batch", lit(1L))
+          .unionByName(b2.withColumn("batch", lit(2L)))
+          .select(col("conv_id"), col("turn_idx").cast("long"),
+            col("prompt_hash"), col("kept"), col("batch"))
+      },
+      _.orderBy("conv_id", "turn_idx"),
+      Some(s"""WITH $chatTurnCtes
+           |, ok AS (
+           |  SELECT doc_id FROM t1 GROUP BY doc_id, k
+           |  HAVING bool_and(role = CASE WHEN j % 2 = 0 THEN 'user'
+           |                              ELSE 'assistant' END)
+           |     AND max(CASE WHEN j = k THEN role END) = 'assistant'),
+           |pr AS (
+           |  SELECT t.doc_id, t.j,
+           |    md5((CASE WHEN t.doc_id % 3 = 0
+           |          THEN 'system: You are a concise assistant' || chr(10)
+           |          ELSE '' END) ||
+           |        array_to_string(list_transform(range(0, t.j), i ->
+           |          (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+           |          || ': ' ||
+           |          CASE WHEN i = 0
+           |               THEN 'please summarize category ' || (t.doc_id % 5)
+           |               ELSE array_to_string(
+           |                      t.aw[(i-1)*6+1:(i-1)*6+6], ' ') END),
+           |          chr(10))) AS prompt_hash
+           |  FROM t1 t JOIN ok USING (doc_id)
+           |  WHERE t.role = 'assistant')
+           |SELECT CAST(doc_id AS BIGINT) AS conv_id,
+           |       CAST(j + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           |            AS BIGINT) AS turn_idx,
+           |       prompt_hash,
+           |       (row_number() OVER (PARTITION BY prompt_hash
+           |                           ORDER BY doc_id, j) = 1) AS kept,
+           |       CAST(CASE WHEN doc_id <=
+           |              (SELECT max(doc_id) FROM pr) // 2
+           |            THEN 1 ELSE 2 END AS BIGINT) AS batch
+           |FROM pr ORDER BY conv_id, turn_idx""".stripMargin)),
+
+    // ── Incremental TAR entry census (q242): the additive-artifact
+    //    convention on shards — per (ext, typeflag, chksum_ok) entry
+    //    counts, stored byte mass (header + padded data), and
+    //    declared data mass fold across SHARD-disjoint batches by
+    //    pure addition ([[graft.source.Tar.{entryCensus,
+    //    mergeEntryCensus}]]). The query folds shard_0's census into
+    //    {shard_1, shard_2}'s; the oracle computes the full-corpus
+    //    census in one statement, so the hash match IS the fold
+    //    identity (q233's proof on the TAR axis). ──────────────────────
+    QueryDef.sorted(
+      "q242_tar_census_incremental",
+      (s, dir) => {
+        val fx = graft.source.TarFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.tar").load(fx)
+        val ent = graft.source.Tar.withTarEntries(files)
+          .withColumn("__f",
+            regexp_extract(col("path"), "shard_([0-9]+)\\.tar$", 1)
+              .cast("long"))
+        val folded = graft.source.Tar.mergeEntryCensus(
+          graft.source.Tar.entryCensus(ent.filter(col("__f") === 0)),
+          graft.source.Tar.entryCensus(ent.filter(col("__f") > 0)))
+        folded.select(col("ext"), col("typeflag"), col("chksum_ok"),
+          col("n_entries"), col("stored_sum"), col("size_sum"))
+      },
+      _.orderBy("ext"),
+      Some {
+        import graft.source.TarFixtures
+        s"""WITH ${TarFixtures.sqlEntryCtes}
+           |SELECT CASE ext_idx WHEN 0 THEN 'img' WHEN 1 THEN 'json'
+           |         ELSE 'txt' END AS ext,
+           |       '0' AS typeflag, true AS chksum_ok,
+           |       count(*) AS n_entries,
+           |       CAST(sum(512 + ((size + 511) // 512) * 512) AS BIGINT)
+           |         AS stored_sum,
+           |       CAST(sum(size) AS BIGINT) AS size_sum
+           |FROM toff GROUP BY ext_idx
+           |ORDER BY ext""".stripMargin
+      })
   )
 
   /** The q236/q237 conversation corpus: one chat per document —

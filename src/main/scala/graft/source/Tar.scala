@@ -123,6 +123,30 @@ object Tar {
         col("__entries.*")): _*)
   }
 
+  /** Per-(extension, typeflag, chksum_ok) entry census — the ADDITIVE
+    * artifact of the TAR axis (the [[Warc.memberCensus]] convention on
+    * shards): entry count, stored byte mass (header + padded data),
+    * and declared data mass, all pure sums, so shard-disjoint batches
+    * fold by [[mergeEntryCensus]] into exactly the union census and a
+    * rolling shard drop never re-reads old shards. One
+    * partial-aggregated exchange over census-sized keys. */
+  def entryCensus(entries: DataFrame): DataFrame =
+    entries
+      .groupBy(regexp_extract(col("name"), "\\.([^.]*)$", 1).as("ext"),
+        col("typeflag"), col("chksum_ok"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(expr("512 + ((size + 511) DIV 512) * 512")).as("stored_sum"),
+        sum(col("size")).as("size_sum"))
+
+  /** Fold a shard-disjoint batch's census into a persisted one — pure
+    * per-key addition (census-sized, never the corpus). */
+  def mergeEntryCensus(persisted: DataFrame, batch: DataFrame): DataFrame =
+    persisted.unionByName(batch)
+      .groupBy(col("ext"), col("typeflag"), col("chksum_ok"))
+      .agg(sum(col("n_entries")).as("n_entries"),
+        sum(col("stored_sum")).as("stored_sum"),
+        sum(col("size_sum")).as("size_sum"))
+
   /** WebDataset sample assembly: group entries by sample key (the
     * member name up to its LAST dot — WebDataset's convention; dots
     * inside the key survive) and report the sample's member set,

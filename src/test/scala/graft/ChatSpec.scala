@@ -146,6 +146,27 @@ class ChatSpec extends AnyFunSuite {
     assert(r.getAs[Long]("margin") === 0L)
   }
 
+  test("incremental prompt dedup reproduces the global keep-first") {
+    val convs = Chat.withTurnStats(Chat.parseTurns((10L to 19L).map(i =>
+      conv(i, s"""[{"role":"user","content":"tmpl ${i % 3}"},{"role":"assistant","content":"r$i words"}]"""))
+      .toDF("conv_id", "conv_json"), "conv_json"))
+    val pairs = Chat.sftPairs(convs, "conv_id")
+    val global = Chat.dedupByPrompt(pairs, "conv_id")
+      .select("conv_id", "turn_idx", "kept")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2))
+      .toMap
+    val b1 = Chat.dedupByPrompt(pairs.filter(col("conv_id") <= 14), "conv_id")
+    val b2 = Chat.dedupByPromptIncremental(
+      pairs.filter(col("conv_id") > 14), Chat.promptSet(b1), "conv_id")
+    val folded = b1.unionByName(b2)
+      .select("conv_id", "turn_idx", "kept")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2))
+      .toMap
+    assert(folded === global)
+    // the fold did real work: batch 2 repeats batch-1 templates
+    assert(b2.filter(!col("kept")).count() > 0)
+  }
+
   test("working-name clash guard") {
     val bad = parsed.withColumn("pos", lit(1))
     val e = intercept[IllegalArgumentException](

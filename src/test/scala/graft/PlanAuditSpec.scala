@@ -362,11 +362,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // sequential parse riding the binaryFile scan — any Exchange means
     // bytes started crossing the wire before the members were reduced
     // to header rows
-    for (q <- Seq("q222_warc_members", "q228_pdf_objects")) {
+    for (q <- Seq("q222_warc_members", "q228_pdf_objects",
+        "q234_tar_entries")) {
       val plan = fmt(SparkEntry.benchQueries(q)(spark, dir))
       assert(!plan.contains("Exchange"), s"$q shuffled raw bytes:\n$plan")
       assert(!plan.contains("Join"), s"$q joined:\n$plan")
     }
+  }
+
+  test("chat parse/stats are narrow; SFT dedup rides ONE prompt exchange") {
+    // q236: the JSON round-trip and the turn scan are per-conversation
+    // column algebra — an Exchange would mean transcript bytes crossed
+    // the wire for a row-local computation
+    val stats = fmt(SparkEntry.benchQueries("q236_chat_turns")(spark, dir))
+    assert(!stats.contains("Exchange"), s"q236 shuffled:\n$stats")
+    assert(!stats.contains("Join"), s"q236 joined:\n$stats")
+    // q237: exactly the one hash partition on prompt_hash that exact
+    // dedup requires — the explosion and the prompt render stay narrow
+    val pairs = fmt(SparkEntry.benchQueries("q237_sft_pairs")(spark, dir))
+    assert("Exchange \\(".r.findAllIn(pairs).size === 1,
+      s"q237 shuffled beyond the prompt key:\n$pairs")
   }
 
   test("robots gate broadcasts the policy table") {
