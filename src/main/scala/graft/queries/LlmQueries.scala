@@ -7681,8 +7681,11 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q237_sft_pairs",
       (s, dir) => {
-        val st = Chat.withTurnStats(
-          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        // barrier: the roles_ok gate otherwise pushes to the scan with
+        // the whole from_json corpus derivation INLINED PER REFERENCE
+        // (Catalyst collapses the projects) — parse once, filter cached
+        val st = graft.CacheBarriers.barrier(Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json")))
         Chat.dedupByPrompt(Chat.sftPairs(st, "conv_id"), "conv_id")
           .select(col("conv_id"), col("turn_idx").cast("long"),
             col("prompt_hash"), col("response_hash"),
@@ -7733,8 +7736,8 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q238_preference_pairs",
       (s, dir) => {
-        val st = Chat.withTurnStats(
-          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
+        val st = graft.CacheBarriers.barrier(Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))) // see q237
         Chat.preferencePairs(Chat.sftPairs(st, "conv_id"), "conv_id")
           .select(col("prompt_hash"), col("n_candidates"),
             col("chosen_conv"), col("chosen_turn").cast("long"),
@@ -7895,9 +7898,12 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q241_sft_dedup_incremental",
       (s, dir) => {
-        val st = Chat.withTurnStats(
-          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))
-        val pairs = Chat.sftPairs(st, "conv_id")
+        val st = graft.CacheBarriers.barrier(Chat.withTurnStats(
+          Chat.parseTurns(chatCorpus(s, dir), "conv_json"))) // see q237
+        // barrier: the pair frame feeds the fence collect, both batch
+        // slices, and the union — without it the corpus derivation
+        // (JSON round-trip + explode) recomputes four times
+        val pairs = graft.CacheBarriers.barrier(Chat.sftPairs(st, "conv_id"))
         // bounded control-plane collect: ONE max over the pair frame,
         // the batch fence every incremental query here derives
         val mid = pairs.agg(max(col("conv_id"))).collect()(0).getLong(0) / 2
@@ -7994,7 +8000,7 @@ object LlmQueries extends QueryFamily {
     * Serialized with `to_json` so the queries parse REAL JSON. */
   private def chatCorpus(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    spread(s, s.read.parquet(s"$dir/documents.parquet"))
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         filter(graft.llm.TextHash.words(col("text")),

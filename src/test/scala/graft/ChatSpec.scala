@@ -168,9 +168,9 @@ class ChatSpec extends AnyFunSuite {
   }
 
   test("working-name clash guard") {
-    val bad = parsed.withColumn("pos", lit(1))
+    val bad = parsed.withColumn("__pair", lit(1))
     val e = intercept[IllegalArgumentException](
       Chat.sftPairs(bad, "conv_id"))
-    assert(e.getMessage.contains("pos"))
+    assert(e.getMessage.contains("__pair"))
   }
 }

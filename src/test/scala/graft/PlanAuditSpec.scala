@@ -371,17 +371,24 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("chat parse/stats are narrow; SFT dedup rides ONE prompt exchange") {
-    // q236: the JSON round-trip and the turn scan are per-conversation
-    // column algebra — an Exchange would mean transcript bytes crossed
-    // the wire for a row-local computation
+    // q236: beyond the deliberate round-robin input spread, the JSON
+    // round-trip and the turn scan are per-conversation column algebra
+    // — a second Exchange would mean transcript bytes crossed the wire
+    // for a row-local computation
     val stats = fmt(SparkEntry.benchQueries("q236_chat_turns")(spark, dir))
-    assert(!stats.contains("Exchange"), s"q236 shuffled:\n$stats")
+    assert("Exchange \\(".r.findAllIn(stats).size <= 1,
+      s"q236 shuffled beyond the input spread:\n$stats")
     assert(!stats.contains("Join"), s"q236 joined:\n$stats")
-    // q237: exactly the one hash partition on prompt_hash that exact
-    // dedup requires — the explosion and the prompt render stay narrow
+    // q237: the input spread plus exactly the one hash partition on
+    // prompt_hash that exact dedup requires — the explosion and the
+    // prompt render stay narrow (and run against the parse-once cached
+    // frame, never re-deriving the corpus per reference)
     val pairs = fmt(SparkEntry.benchQueries("q237_sft_pairs")(spark, dir))
-    assert("Exchange \\(".r.findAllIn(pairs).size === 1,
-      s"q237 shuffled beyond the prompt key:\n$pairs")
+    assert("Exchange \\(".r.findAllIn(pairs).size <= 2,
+      s"q237 shuffled beyond spread + prompt key:\n$pairs")
+    assert(pairs.contains("InMemoryTableScan") ||
+      pairs.contains("TableCacheQueryStage"),
+      s"q237 lost its parse-once barrier:\n$pairs")
   }
 
   test("robots gate broadcasts the policy table") {
