@@ -7988,8 +7988,341 @@ object LlmQueries extends QueryFamily {
            |       CAST(sum(size) AS BIGINT) AS size_sum
            |FROM toff GROUP BY ext_idx
            |ORDER BY ext""".stripMargin
-      })
+      }),
+
+    // ── Misra–Gries heavy hitters (q243): the WHICH-keys mergeable
+    //    sketch (Agarwal et al., PODS 2012 merge) — four doc-id shards
+    //    each compressed to k=8 counters per source, merged in a fixed
+    //    tree ((0⊕1)⊕(2⊕3)), audited against the exact census: per
+    //    surviving term the one-sided underestimate 0 ≤ under ≤ err,
+    //    and per source missed_heavy = 0 (every term with exact > err
+    //    must survive — the survival guarantee, verified not assumed).
+    //    The oracle replays every rank window, subtraction, and merge
+    //    of the tree (the Bpe-unroll discipline). ──────────────────────
+    QueryDef.sorted(
+      "q243_heavy_hitters",
+      (s, dir) => {
+        val k = HeavyHitters.KDefault
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))
+        val words = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(TextHash.words(col("text"))).as("__w"))
+        def shard(i: Int) = HeavyHitters.truncate(
+          HeavyHitters.census(words.filter(col("doc_id") % 4 === i),
+            col("__w"), Seq("source")), k, Seq("source"))
+        val root = HeavyHitters.merge(
+          HeavyHitters.merge(shard(0), shard(1), Seq("source"), k),
+          HeavyHitters.merge(shard(2), shard(3), Seq("source"), k),
+          Seq("source"), k)
+        val exact = words.groupBy(col("source"), col("__w"))
+          .agg(count(lit(1)).as("exact"))
+          .withColumnRenamed("__w", "term")
+        val ger = root.select(col("source"), col("err")).distinct()
+        val missed = exact.join(broadcast(ger), Seq("source"))
+          .filter(col("exact") > col("err"))
+          .join(root.select(col("source"), col("term")),
+            Seq("source", "term"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("missed_heavy"))
+        val kept = root.groupBy(col("source"))
+          .agg(count(lit(1)).as("kept"))
+        root.join(exact, Seq("source", "term"))
+          .join(broadcast(kept), Seq("source"))
+          .join(broadcast(missed), Seq("source"), "left")
+          .withColumn("missed_heavy",
+            coalesce(col("missed_heavy"), lit(0L)))
+          .withColumn("under", col("exact") - col("n"))
+          .select(col("source"), col("term"), col("n"), col("err"),
+            col("exact"), col("under"), col("kept"), col("missed_heavy"))
+      },
+      _.orderBy("source", "term"),
+      Some {
+        val k = HeavyHitters.KDefault
+        s"""WITH wt AS (
+           |  SELECT doc_id, source AS grp, unnest(${W("text")}) AS k
+           |  FROM documents WHERE text IS NOT NULL),
+           |w0 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 0),
+           |w1 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 1),
+           |w2 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 2),
+           |w3 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 3),
+           |${HeavyHitters.sqlCensusCte("w0", "c0")},
+           |${HeavyHitters.sqlTruncateCtes("c0", k, "t0")},
+           |${HeavyHitters.sqlCensusCte("w1", "c1")},
+           |${HeavyHitters.sqlTruncateCtes("c1", k, "t1")},
+           |${HeavyHitters.sqlCensusCte("w2", "c2")},
+           |${HeavyHitters.sqlTruncateCtes("c2", k, "t2")},
+           |${HeavyHitters.sqlCensusCte("w3", "c3")},
+           |${HeavyHitters.sqlTruncateCtes("c3", k, "t3")},
+           |${HeavyHitters.sqlMergeCtes("t0", "t1", k, "m01")},
+           |${HeavyHitters.sqlMergeCtes("t2", "t3", k, "m23")},
+           |${HeavyHitters.sqlMergeCtes("m01", "m23", k, "rt")},
+           |ex AS (SELECT grp, k AS term, count(*) AS exact
+           |       FROM wt GROUP BY 1, 2),
+           |ger AS (SELECT DISTINCT grp, err FROM rt),
+           |ms AS (
+           |  SELECT e.grp, count(*) AS missed
+           |  FROM ex e JOIN ger g ON e.grp = g.grp
+           |  WHERE e.exact > g.err
+           |    AND NOT EXISTS (SELECT 1 FROM rt r
+           |                    WHERE r.grp = e.grp AND r.term = e.term)
+           |  GROUP BY e.grp),
+           |kp AS (SELECT grp, count(*) AS kept FROM rt GROUP BY 1)
+           |SELECT r.grp AS source, r.term,
+           |       CAST(r.n AS BIGINT) AS n, CAST(r.err AS BIGINT) AS err,
+           |       CAST(e.exact AS BIGINT) AS exact,
+           |       CAST(e.exact - r.n AS BIGINT) AS under,
+           |       CAST(kp.kept AS BIGINT) AS kept,
+           |       CAST(coalesce(ms.missed, 0) AS BIGINT) AS missed_heavy
+           |FROM rt r
+           |JOIN ex e ON r.grp = e.grp AND r.term = e.term
+           |JOIN kp ON r.grp = kp.grp
+           |LEFT JOIN ms ON r.grp = ms.grp
+           |ORDER BY source, r.term""".stripMargin
+      }),
+
+    // ── Sketch-family bracket (q244): the MG summary NAMES the heavy
+    //    candidates (lower bound), the CMS BOUNDS them from above —
+    //    for every surviving (source, term) the truth sits in
+    //    [mg_lo, cms_hi], audited as bracket = 1 on every row. This is
+    //    the sketch interlock a 100 TB stopword/boilerplate audit runs
+    //    instead of a vocabulary-sized census: both artifacts are
+    //    config-sized, only the one map-side-combining census pass
+    //    touches the corpus. ────────────────────────────────────────────
+    QueryDef.sorted(
+      "q244_hh_countmin_bracket",
+      (s, dir) => {
+        val k = HeavyHitters.KDefault
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))
+        val words = docs.filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextHash.words(col("text"))).as("__w"))
+        val mg = HeavyHitters.truncate(
+          HeavyHitters.census(words, col("__w"), Seq("source")),
+          k, Seq("source"))
+        val probes = mg.select(col("term")).distinct()
+        val est = CountMin.estimates(CountMin.wordCensus(docs), probes,
+          Seq("source"))
+        val exact = words.groupBy(col("source"), col("__w"))
+          .agg(count(lit(1)).as("exact"))
+          .withColumnRenamed("__w", "term")
+        mg.join(est, Seq("source", "term"))
+          .join(exact, Seq("source", "term"))
+          .withColumn("bracket",
+            (col("n") <= col("exact") && col("exact") <= col("est"))
+              .cast("long"))
+          .select(col("source"), col("term"), col("n").as("mg_lo"),
+            col("exact"), col("est").as("cms_hi"), col("bracket"))
+      },
+      _.orderBy("source", "term"),
+      Some {
+        val k = HeavyHitters.KDefault
+        s"""WITH wt AS (
+           |  SELECT source AS grp, unnest(${W("text")}) AS k
+           |  FROM documents WHERE text IS NOT NULL),
+           |${HeavyHitters.sqlCensusCte("wt", "hc")},
+           |${HeavyHitters.sqlTruncateCtes("hc", k, "mg")},
+           |${CountMin.sqlCensusCtes("wt")},
+           |probes AS (SELECT DISTINCT term FROM mg),
+           |${CountMin.sqlEstimateCte("probes")},
+           |ex AS (SELECT grp, k AS term, count(*) AS exact
+           |       FROM wt GROUP BY 1, 2)
+           |SELECT m.grp AS source, m.term,
+           |       CAST(m.n AS BIGINT) AS mg_lo,
+           |       CAST(x.exact AS BIGINT) AS exact,
+           |       CAST(e.est AS BIGINT) AS cms_hi,
+           |       CAST(CASE WHEN m.n <= x.exact AND x.exact <= e.est
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS bracket
+           |FROM mg m
+           |JOIN est e ON m.grp = e.grp AND m.term = e.term
+           |JOIN ex x ON m.grp = x.grp AND m.term = x.term
+           |ORDER BY source, m.term""".stripMargin
+      }),
+
+    // ── ZIP container ingestion (q245): the third container front
+    //    door — REAL `archive_<f>.zip` files on disk (written by
+    //    [[graft.source.ZipFixtures]]: local headers, central
+    //    directory, EOCD), read through the real `binaryFile` source
+    //    and parsed END-FIRST by [[graft.source.Zip.entries]]: EOCD
+    //    backward scan, central-directory walk, local-header
+    //    resolution of each data offset, method-0 pass-through and
+    //    REAL method-8 inflate (the fixtures frame deflate as stored
+    //    blocks, so csize stays pure arithmetic), CRC-32
+    //    re-verification. The oracle rebuilds every member from
+    //    documents arithmetic and replays local/central/data offsets
+    //    as cumulative sums in (doc_id, member) order per archive —
+    //    one byte of layout drift hash-mismatches. 100 TB shape: the
+    //    unit of parallelism is the archive; one narrow per-file pass
+    //    riding the scan, no shuffle. ────────────────────────────────────
+    QueryDef.sorted(
+      "q245_zip_entries",
+      (s, dir) => {
+        val fx = graft.source.ZipFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.zip").load(fx)
+        graft.source.Zip.withZipEntries(files).select(
+          regexp_extract(col("path"), "archive_([0-9]+)\\.zip$", 1)
+            .cast("long").as("file_id"),
+          col("name"), col("cd_off"), col("local_off"), col("data_off"),
+          col("method"), col("csize"), col("usize"),
+          col("dos_time"), col("dos_date"), col("crc_ok"),
+          md5(col("body")).as("body_hash"))
+      },
+      _.orderBy("file_id", "local_off"),
+      Some {
+        import graft.source.ZipFixtures
+        s"""WITH ${ZipFixtures.sqlEntryCtes}
+           |SELECT CAST(file_id AS BIGINT) AS file_id, name,
+           |       CAST(lsum + cd_rel AS BIGINT) AS cd_off,
+           |       CAST(local_off AS BIGINT) AS local_off,
+           |       CAST(local_off + 30 + nlen AS BIGINT) AS data_off,
+           |       CAST(method AS BIGINT) AS method,
+           |       CAST(csize AS BIGINT) AS csize,
+           |       CAST(usize AS BIGINT) AS usize,
+           |       CAST(dos_time AS BIGINT) AS dos_time,
+           |       CAST(dos_date AS BIGINT) AS dos_date,
+           |       true AS crc_ok, md5(body) AS body_hash
+           |FROM zoff ORDER BY file_id, local_off""".stripMargin
+      }),
+
+    // ── Incremental ZIP member census (q246): the additive-artifact
+    //    proof on the ZIP axis (the q233/q242 pattern): census the
+    //    archive-0 batch and the archive-1/2 batch separately, fold
+    //    with [[graft.source.Zip.mergeEntryCensus]], and gate the FOLD
+    //    against the oracle's single-pass full-corpus census — the
+    //    identity a rolling archive drop needs so old archives are
+    //    never re-read. ─────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q246_zip_census_incremental",
+      (s, dir) => {
+        val fx = graft.source.ZipFixtures.ensure(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.zip").load(fx)
+        val ent = graft.source.Zip.withZipEntries(files)
+          .withColumn("file_id",
+            regexp_extract(col("path"), "archive_([0-9]+)\\.zip$", 1)
+              .cast("long"))
+        val b0 = graft.source.Zip.entryCensus(
+          ent.filter(col("file_id") === 0))
+        val rest = graft.source.Zip.entryCensus(
+          ent.filter(col("file_id") =!= 0))
+        graft.source.Zip.mergeEntryCensus(b0, rest)
+          .select(col("ext"), col("method"), col("crc_ok"),
+            col("n_entries"), col("csize_sum"), col("usize_sum"))
+      },
+      _.orderBy("ext", "method"),
+      Some {
+        import graft.source.ZipFixtures
+        s"""WITH ${ZipFixtures.sqlEntryCtes}
+           |SELECT regexp_extract(name, '\\.([^.]*)$$', 1) AS ext,
+           |       CAST(method AS BIGINT) AS method, true AS crc_ok,
+           |       count(*) AS n_entries,
+           |       CAST(sum(csize) AS BIGINT) AS csize_sum,
+           |       CAST(sum(usize) AS BIGINT) AS usize_sum
+           |FROM zoff GROUP BY 1, 2 ORDER BY ext, method""".stripMargin
+      }),
+
+    // ── Host link graph (q247): `<a href>` extraction over the derived
+    //    link corpus — BOTH quote styles parsed, relative/mailto hrefs
+    //    dropped at the absolute-http(s) gate, hosts by the shared
+    //    UrlOps regex, self-loops excluded — collapsed to the
+    //    (src_host, dst_host, n) edge census. The oracle computes the
+    //    edge set from the corpus ARITHMETIC (never re-parsing HTML),
+    //    so any extraction defect — a quote style missed, a mailto
+    //    leaking through, a self-loop kept — changes the census and
+    //    hash-mismatches. 100 TB shape: one narrow regexp pass riding
+    //    the scan + one partial-aggregated exchange on (src, dst). ──────
+    QueryDef.sorted(
+      "q247_host_links",
+      (s, dir) => {
+        val edges = LinkGraph.hostEdges(
+          LinkGraph.withLinks(linkCorpus(s, dir)))
+        edges.select(col("src_host"), col("dst_host"), col("n"))
+      },
+      _.orderBy("src_host", "dst_host"),
+      Some(
+        s"""WITH $sqlLinkCorpusCtes
+           |SELECT src_host, dst_host, count(*) AS n FROM lk
+           |WHERE src_host <> dst_host
+           |GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin)),
+
+    // ── Host PageRank (q248): the crawl-priority authority score over
+    //    q247's edge set — four damped power iterations in INTEGER
+    //    micro fixed-point, every truncation identical on both engines;
+    //    the oracle unrolls all four iterations (the Bpe-unroll
+    //    discipline), so one wrong DIV, one dangling-mass drift, one
+    //    missed in-edge hash-mismatches. 100 TB shape: per iteration
+    //    one host-graph-sized shuffle join + one partial-aggregated
+    //    exchange, lineage flattened by a persist barrier per round —
+    //    never a corpus-sized stage after extraction. ───────────────────
+    QueryDef.sorted(
+      "q248_host_pagerank",
+      (s, dir) => {
+        val edges = LinkGraph.hostEdges(
+          LinkGraph.withLinks(linkCorpus(s, dir)))
+        LinkGraph.pagerank(edges, iters = 4)
+      },
+      _.orderBy("host"),
+      Some(
+        s"""WITH $sqlLinkCorpusCtes,
+           |le AS (SELECT src_host, dst_host FROM lk
+           |       WHERE src_host <> dst_host GROUP BY 1, 2),
+           |${LinkGraph.sqlPagerankCtes("le", 4, "prr")}
+           |SELECT host, CAST(rank_micro AS BIGINT) AS rank_micro
+           |FROM prr ORDER BY host""".stripMargin))
   )
+
+  /** Derived link corpus for the link-graph queries (q247/q248): every
+    * document is a page at `https://site<doc_id%40>.com/p/<doc_id%13>`
+    * whose HTML carries two absolute cross-host links in DIFFERENT
+    * quote styles (`site<(id·7+3)%40>` double-quoted,
+    * `site<(id·11+5)%40>` single-quoted — arithmetic chosen so neither
+    * ever equals the page's own host), plus extraction hazards on
+    * arithmetic arms: a relative href (id%5=0), a mailto: (id%7=2),
+    * and an explicit SELF-loop link (id%3=1). The oracle replays the
+    * link set from the same arithmetic without re-parsing HTML. */
+  private def linkCorpus(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id"))
+    def site(c: Column) = concat(lit("site"), c.cast("string"), lit(".com"))
+    val sh = site(col("doc_id") % 40)
+    val d1 = site((col("doc_id") * 7 + 3) % 40)
+    val d2 = site((col("doc_id") * 11 + 5) % 40)
+    val none = lit("")
+    val html = concat(
+      lit("<p>see <a href=\"https://"), d1, lit("/a/1\">first</a> and "),
+      lit("<a class='l' href='https://"), d2, lit("/b?x=1'>second</a>"),
+      when(col("doc_id") % 5 === 0,
+        lit(" <a href=\"/rel/path\">rel</a>")).otherwise(none),
+      when(col("doc_id") % 7 === 2,
+        lit(" <a href=\"mailto:x@y.z\">mail</a>")).otherwise(none),
+      when(col("doc_id") % 3 === 1,
+        concat(lit(" <a href=\"https://"), sh, lit("/self\">self</a>")))
+        .otherwise(none),
+      lit("</p>"))
+    raw.select(col("doc_id"),
+      concat(lit("https://"), sh, lit("/p/"),
+        (col("doc_id") % 13).cast("string")).as("url"),
+      html.as("html"))
+  }
+
+  /** DuckDB CTEs `lc, lk` replaying [[linkCorpus]]'s LINK SET (one row
+    * per absolute cross-page link, self-loops included — q247's census
+    * filters them, matching [[graft.llm.LinkGraph.hostEdges]]). */
+  private def sqlLinkCorpusCtes: String =
+    """lc AS (SELECT doc_id, doc_id % 40 AS sh,
+      |              (doc_id * 7 + 3) % 40 AS d1,
+      |              (doc_id * 11 + 5) % 40 AS d2
+      |       FROM documents),
+      |lk AS (
+      |  SELECT 'site' || sh || '.com' AS src_host,
+      |         'site' || d1 || '.com' AS dst_host FROM lc
+      |  UNION ALL
+      |  SELECT 'site' || sh || '.com', 'site' || d2 || '.com' FROM lc
+      |  UNION ALL
+      |  SELECT 'site' || sh || '.com', 'site' || sh || '.com'
+      |  FROM lc WHERE doc_id % 3 = 1)""".stripMargin
 
   /** The q236/q237 conversation corpus: one chat per document —
     * content turn 0 a TEMPLATED user instruction (ten classes:
