@@ -84,15 +84,17 @@ object HeavyHitters {
   def truncate(summary: DataFrame, k: Int,
                groupCols: Seq[String]): DataFrame = {
     require(k >= 1, s"k=$k: an MG summary needs at least one counter")
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    // join-free: the (k+1)-th count reaches every row through a second
+    // window over the SAME partitioning — one exchange, no broadcast
+    // job (summaries merge often; per-step fixed overhead compounds)
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("n").desc, col("term").asc)
-    val ranked = summary.withColumn("__rk", row_number().over(w))
-    val sub = ranked.filter(col("__rk") === k + 1)
-      .select(groupCols.map(col) :+ col("n").as("__sub"): _*)
-    ranked.filter(col("__rk") <= k)
-      .join(sub, groupCols, "left")
-      .withColumn("__sub", coalesce(col("__sub"), lit(0L)))
-      .filter(col("n") > col("__sub"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    summary
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__sub", coalesce(
+        max(when(col("__rk") === k + 1, col("n"))).over(wAll), lit(0L)))
+      .filter(col("__rk") <= k && col("n") > col("__sub"))
       .select(groupCols.map(col)
         :+ col("term")
         :+ (col("n") - col("__sub")).as("n")
@@ -115,17 +117,23 @@ object HeavyHitters {
     * total mass N (err ≤ N by construction). */
   def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
             k: Int = KDefault): DataFrame = {
-    def counters(df: DataFrame) =
-      df.select(groupCols.map(col) :+ col("term") :+ col("n"): _*)
-    def errOf(df: DataFrame) =
-      df.select(groupCols.map(col) :+ col("err"): _*).distinct()
-    val summed = counters(a).unionByName(counters(b))
+    // join-free: tag each side, recover the two per-group errs through
+    // a window over the union (err is constant per group per side by
+    // construction), sum counters key-wise, truncate — two exchanges
+    // total, no broadcast jobs
+    def side(df: DataFrame, tag: Int) =
+      df.select(groupCols.map(col) :+ col("term") :+ col("n")
+        :+ col("err") :+ lit(tag).as("__side"): _*)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val summed = side(a, 0).unionByName(side(b, 1))
+      .withColumn("__errt",
+        coalesce(max(when(col("__side") === 0, col("err"))).over(wg),
+          lit(0L)) +
+          coalesce(max(when(col("__side") === 1, col("err"))).over(wg),
+            lit(0L)))
       .groupBy(groupCols.map(col) :+ col("term"): _*)
-      .agg(sum(col("n")).as("n"))
-    val errs = errOf(a).unionByName(errOf(b))
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("err")).as("err"))
-    truncate(summed.join(errs, groupCols), k, groupCols)
+      .agg(sum(col("n")).as("n"), max(col("__errt")).as("err"))
+    truncate(summed, k, groupCols)
   }
 
   // ── DuckDB side (same rank order, same integer math) ──────────────────

@@ -7991,33 +7991,44 @@ object LlmQueries extends QueryFamily {
       }),
 
     // ── Misra–Gries heavy hitters (q243): the WHICH-keys mergeable
-    //    sketch (Agarwal et al., PODS 2012 merge) — four doc-id shards
-    //    each compressed to k=8 counters per source, merged in a fixed
-    //    tree ((0⊕1)⊕(2⊕3)), audited against the exact census: per
-    //    surviving term the one-sided underestimate 0 ≤ under ≤ err,
-    //    and per source missed_heavy = 0 (every term with exact > err
-    //    must survive — the survival guarantee, verified not assumed).
-    //    The oracle replays every rank window, subtraction, and merge
-    //    of the tree (the Bpe-unroll discipline). ──────────────────────
+    //    sketch (Agarwal et al., PODS 2012 merge) — two doc-id shards
+    //    (the q176/q233 two-batch convention; deeper merge trees are
+    //    the spec's job) each compressed to k=8 counters per source,
+    //    merged, audited against the exact census: per surviving term
+    //    the one-sided underestimate 0 ≤ under ≤ err, and per source
+    //    missed_heavy = 0 (every term with exact > err must survive —
+    //    the survival guarantee, verified not assumed). The oracle
+    //    replays every rank window, subtraction, and the merge
+    //    (the Bpe-unroll discipline). ────────────────────────────────────
     QueryDef.sorted(
       "q243_heavy_hitters",
       (s, dir) => {
         val k = HeavyHitters.KDefault
         val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "text"))
-        val words = docs.filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"),
-            explode(TextHash.words(col("text"))).as("__w"))
+        // ONE corpus pass: census per (shard, source) in a single
+        // map-side-combining aggregation, barrier it, and derive the
+        // four shard censuses AND the exact census from that frame —
+        // the corpus is never re-exploded (the artifact discipline:
+        // everything after the first shuffle is census-sized)
+        val bySrd = graft.CacheBarriers.barrier(
+          docs.filter(col("text").isNotNull)
+            .select((col("doc_id") % 2).as("__srd"), col("source"),
+              explode(TextHash.words(col("text"))).as("term"))
+            .groupBy(col("__srd"), col("source"), col("term"))
+            .agg(count(lit(1)).as("n")))
         def shard(i: Int) = HeavyHitters.truncate(
-          HeavyHitters.census(words.filter(col("doc_id") % 4 === i),
-            col("__w"), Seq("source")), k, Seq("source"))
-        val root = HeavyHitters.merge(
-          HeavyHitters.merge(shard(0), shard(1), Seq("source"), k),
-          HeavyHitters.merge(shard(2), shard(3), Seq("source"), k),
-          Seq("source"), k)
-        val exact = words.groupBy(col("source"), col("__w"))
-          .agg(count(lit(1)).as("exact"))
-          .withColumnRenamed("__w", "term")
+          bySrd.filter(col("__srd") === i)
+            .select(col("source"), col("term"), col("n"),
+              lit(0L).as("err")), k, Seq("source"))
+        // root feeds FOUR consumers (output join, ger, missed, kept) —
+        // barrier it so the merge evaluates once, not once per
+        // consumer (the lineage-fanout discipline)
+        val root = graft.CacheBarriers.barrier(
+          HeavyHitters.merge(shard(0), shard(1), Seq("source"), k))
+        val exact = graft.CacheBarriers.barrier(
+          bySrd.groupBy(col("source"), col("term"))
+            .agg(sum(col("n")).as("exact")))
         val ger = root.select(col("source"), col("err")).distinct()
         val missed = exact.join(broadcast(ger), Seq("source"))
           .filter(col("exact") > col("err"))
@@ -8041,21 +8052,13 @@ object LlmQueries extends QueryFamily {
         s"""WITH wt AS (
            |  SELECT doc_id, source AS grp, unnest(${W("text")}) AS k
            |  FROM documents WHERE text IS NOT NULL),
-           |w0 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 0),
-           |w1 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 1),
-           |w2 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 2),
-           |w3 AS (SELECT grp, k FROM wt WHERE doc_id % 4 = 3),
+           |w0 AS (SELECT grp, k FROM wt WHERE doc_id % 2 = 0),
+           |w1 AS (SELECT grp, k FROM wt WHERE doc_id % 2 = 1),
            |${HeavyHitters.sqlCensusCte("w0", "c0")},
            |${HeavyHitters.sqlTruncateCtes("c0", k, "t0")},
            |${HeavyHitters.sqlCensusCte("w1", "c1")},
            |${HeavyHitters.sqlTruncateCtes("c1", k, "t1")},
-           |${HeavyHitters.sqlCensusCte("w2", "c2")},
-           |${HeavyHitters.sqlTruncateCtes("c2", k, "t2")},
-           |${HeavyHitters.sqlCensusCte("w3", "c3")},
-           |${HeavyHitters.sqlTruncateCtes("c3", k, "t3")},
-           |${HeavyHitters.sqlMergeCtes("t0", "t1", k, "m01")},
-           |${HeavyHitters.sqlMergeCtes("t2", "t3", k, "m23")},
-           |${HeavyHitters.sqlMergeCtes("m01", "m23", k, "rt")},
+           |${HeavyHitters.sqlMergeCtes("t0", "t1", k, "rt")},
            |ex AS (SELECT grp, k AS term, count(*) AS exact
            |       FROM wt GROUP BY 1, 2),
            |ger AS (SELECT DISTINCT grp, err FROM rt),
@@ -8094,18 +8097,20 @@ object LlmQueries extends QueryFamily {
         val k = HeavyHitters.KDefault
         val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "text"))
-        val words = docs.filter(col("text").isNotNull)
-          .select(col("source"),
-            explode(TextHash.words(col("text"))).as("__w"))
-        val mg = HeavyHitters.truncate(
-          HeavyHitters.census(words, col("__w"), Seq("source")),
-          k, Seq("source"))
+        // one word-census pass feeds BOTH the MG compression and the
+        // exact side; the CMS keeps its own (cell-granular) pass
+        val wcen = graft.CacheBarriers.barrier(
+          docs.filter(col("text").isNotNull)
+            .select(col("source"),
+              explode(TextHash.words(col("text"))).as("term"))
+            .groupBy(col("source"), col("term"))
+            .agg(count(lit(1)).as("n")))
+        val mg = graft.CacheBarriers.barrier(HeavyHitters.truncate(
+          wcen.withColumn("err", lit(0L)), k, Seq("source")))
         val probes = mg.select(col("term")).distinct()
         val est = CountMin.estimates(CountMin.wordCensus(docs), probes,
           Seq("source"))
-        val exact = words.groupBy(col("source"), col("__w"))
-          .agg(count(lit(1)).as("exact"))
-          .withColumnRenamed("__w", "term")
+        val exact = wcen.withColumnRenamed("n", "exact")
         mg.join(est, Seq("source", "term"))
           .join(exact, Seq("source", "term"))
           .withColumn("bracket",
