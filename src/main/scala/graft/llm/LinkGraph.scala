@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hyperlink extraction and host-graph authority scoring — the crawl-
@@ -28,11 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: extraction is one narrow regexp pass riding the scan;
   * the edge census is one partial-aggregated exchange on (src, dst);
-  * each rank iteration is one edges⋈ranks shuffle join (ranks is
-  * host-count-sized, broadcastable for bounded frontiers) + one
-  * partial-aggregated exchange on dst, with a persist barrier per
-  * iteration so lineage stays flat — k iterations, k bounded shuffles,
-  * never a corpus-sized stage after extraction. */
+  * out-degrees join the edge table once OUTSIDE the loop, and each
+  * rank iteration is then one edges⋈broadcast(ranks) join (ranks is
+  * host-count-sized; at web scale swap the hint for a shuffle join —
+  * the recurrence is identical) + one partial-aggregated exchange on
+  * dst — k iterations, k bounded exchanges, never a corpus-sized
+  * stage after extraction. */
 object LinkGraph {
 
   /** `<a … href="…">` / `<a … href='…'>` — RE2-safe, both quote
@@ -52,6 +54,56 @@ object LinkGraph {
         regexp_extract_all(h, lit(HrefDq), lit(1)),
         regexp_extract_all(h, lit(HrefSq), lit(1)))))
       .filter(col("link").rlike("^https?://"))
+  }
+
+  /** Simple (non-nested) anchors, both quote styles: href + the text
+    * up to the closing tag. Nested markup inside `<a>` is out of scope
+    * (the [[Extract]] simplification, stated). */
+  val AnchorDq = "<[aA][^>]*\\shref=\"([^\"]*)\"[^>]*>([^<]*)</[aA]>"
+  val AnchorSq = "<[aA][^>]*\\shref='([^']*)'[^>]*>([^<]*)</[aA]>"
+
+  /** One row per absolute http(s) link WITH its anchor text: adds
+    * `link`, `anchor`. The anchor is the web's oldest relevance label —
+    * what OTHER pages call a page — and feeds the per-host anchor-term
+    * census ([[anchorCensus]]). Same narrow-scan shape as
+    * [[withLinks]]. */
+  def withAnchors(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val working = Seq("link", "anchor")
+    val clash = pages.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with withAnchors output names — rename them")
+    val h = coalesce(col(htmlCol), lit(""))
+    def pairs(re: String) = zip_with(
+      regexp_extract_all(h, lit(re), lit(1)),
+      regexp_extract_all(h, lit(re), lit(2)),
+      (l, t) => struct(l.as("link"), t.as("anchor")))
+    pages
+      .withColumn("__pair",
+        explode(concat(pairs(AnchorDq), pairs(AnchorSq))))
+      .withColumn("link", col("__pair.link"))
+      .withColumn("anchor", col("__pair.anchor"))
+      .drop("__pair")
+      .filter(col("link").rlike("^https?://"))
+  }
+
+  /** Per-destination-host TOP anchor terms as a Misra–Gries summary
+    * `(dst_host, term, n, err)` — the config-sized "what the web calls
+    * this host" artifact (self-links included: a site's own nav labels
+    * are anchor evidence too, stated). One map-side-combining census
+    * exchange, then [[HeavyHitters.truncate]]'s single window exchange.
+    */
+  def anchorCensus(anchors: DataFrame,
+                   k: Int = HeavyHitters.KDefault): DataFrame = {
+    val dst = lower(regexp_extract(col("link"), UrlOps.HostRe, 1))
+    val words = anchors
+      .select(dst.as("dst_host"),
+        explode(TextHash.words(col("anchor"))).as("term"))
+      .filter(col("dst_host") =!= "")
+    HeavyHitters.truncate(
+      words.groupBy(col("dst_host"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("err", lit(0L)),
+      k, Seq("dst_host"))
   }
 
   /** Host-level edge census `(src_host, dst_host, n)` from extracted
@@ -76,32 +128,65 @@ object LinkGraph {
     * class doc for the exact recurrence). */
   def pagerank(edges: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters=$iters: need at least one iteration")
-    val e = graft.CacheBarriers.barrier(
-      edges.select(col("src_host"), col("dst_host")).distinct())
+    val e = edges.select(col("src_host"), col("dst_host")).distinct()
     val nodes = e.select(col("src_host").as("host"))
       .union(e.select(col("dst_host").as("host"))).distinct()
     val nn = nodes.agg(count(lit(1)).as("__n"))
-    val deg = graft.CacheBarriers.barrier(
-      e.groupBy(col("src_host")).agg(count(lit(1)).as("__od")))
+    val deg = e.groupBy(col("src_host")).agg(count(lit(1)).as("__od"))
+    // out-degree rides the edge table ONCE, outside the loop — one
+    // join per iteration, not two
+    val e2 = graft.CacheBarriers.barrier(e.join(deg, "src_host"))
     val base = graft.CacheBarriers.barrier(
       nodes.crossJoin(broadcast(nn)))
     var r = base.select(col("host"),
       expr("1000000L DIV __n").as("r"), col("__n"))
     (1 to iters).foreach { _ =>
-      val contrib = e
-        .join(r.select(col("host"), col("r")),
-          e("src_host") === col("host"))
-        .join(deg, "src_host")
+      // ranks are host-count-sized — broadcast them to the edge side
+      // (at web scale swap for a shuffle join; the recurrence is
+      // identical either way)
+      val contrib = e2
+        .join(broadcast(r.select(col("host").as("__h"), col("r"))),
+          col("src_host") === col("__h"))
         .groupBy(col("dst_host"))
         .agg(sum(expr("r DIV __od")).as("__s"))
-      r = graft.CacheBarriers.barrier(
-        base.join(contrib, base("host") === contrib("dst_host"), "left")
-          .select(base("host"),
-            (expr("(150 * (1000000L DIV __n)) DIV 1000") +
-              expr("(850 * coalesce(__s, 0L)) DIV 1000")).as("r"),
-            col("__n")))
+      r = base.join(broadcast(contrib),
+        base("host") === contrib("dst_host"), "left")
+        .select(base("host"),
+          (expr("(150 * (1000000L DIV __n)) DIV 1000") +
+            expr("(850 * coalesce(__s, 0L)) DIV 1000")).as("r"),
+          col("__n"))
     }
     r.select(col("host"), col("r").as("rank_micro"))
+  }
+
+  /** Crawl-budget apportionment: split an integer fetch budget across
+    * hosts PROPORTIONAL to rank by the largest-remainder (Hamilton)
+    * method — `base = rank·B DIV Σrank` each, then the leftover slots
+    * go to the largest remainders (ties by host ASC — total order,
+    * both engines agree). Exactly Σslots = B by construction; pure
+    * integer arithmetic, so the oracle replays every slot
+    * ([[sqlCrawlBudgetCtes]]).
+    *
+    * Scale shape: the whole allocation is ONE single-partition window
+    * stage over the HOST frame — host-count-sized by definition (the
+    * thing being apportioned), never the corpus; no broadcast jobs,
+    * no extra actions (the broadcast-per-aggregate version cost ~1 s
+    * of fixed scheduling per job). For frontiers too large for one
+    * partition, apportion per region/tenant by adding the partition
+    * key to every window. */
+  def crawlBudget(ranks: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget: negative fetch budgets")
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("__rem").desc, col("host").asc)
+    ranks
+      .withColumn("__tot", sum(col("rank_micro")).over(wAll))
+      .withColumn("__base", expr(s"rank_micro * ${budget}L DIV __tot"))
+      .withColumn("__rem", expr(s"rank_micro * ${budget}L % __tot"))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("slots", col("__base") +
+        when(col("__rk") <= col("__left"), lit(1L)).otherwise(lit(0L)))
+      .select(col("host"), col("rank_micro"), col("slots"))
   }
 
   // ── DuckDB side (same integer recurrence, iterations unrolled) ────────
@@ -136,4 +221,22 @@ object LinkGraph {
     val fin = s"$out AS (SELECT host, r AS rank_micro FROM pr$iters)"
     (head +: rounds :+ fin).mkString(",\n")
   }
+
+  /** CTEs ending in `<out>(host, rank_micro, slots)` — the
+    * [[crawlBudget]] twin over `<ranks>(host, rank_micro)`. */
+  def sqlCrawlBudgetCtes(ranks: String, budget: Long,
+                         out: String): String =
+    s"""cbt AS (SELECT sum(rank_micro) AS tot FROM $ranks),
+       |cbb AS (
+       |  SELECT host, rank_micro,
+       |         (rank_micro * $budget) // tot AS base,
+       |         (rank_micro * $budget) % tot AS rem
+       |  FROM $ranks CROSS JOIN cbt),
+       |cbl AS (SELECT $budget - sum(base) AS leftover FROM cbb),
+       |$out AS (
+       |  SELECT host, rank_micro,
+       |         base + CASE WHEN row_number()
+       |             OVER (ORDER BY rem DESC, host ASC) <= leftover
+       |           THEN 1 ELSE 0 END AS slots
+       |  FROM cbb CROSS JOIN cbl)""".stripMargin
 }

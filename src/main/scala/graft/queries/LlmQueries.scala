@@ -8274,7 +8274,78 @@ object LlmQueries extends QueryFamily {
            |       WHERE src_host <> dst_host GROUP BY 1, 2),
            |${LinkGraph.sqlPagerankCtes("le", 4, "prr")}
            |SELECT host, CAST(rank_micro AS BIGINT) AS rank_micro
-           |FROM prr ORDER BY host""".stripMargin))
+           |FROM prr ORDER BY host""".stripMargin)),
+
+    // ── Crawl-budget apportionment (q249): the step that makes q248's
+    //    ranks ACTIONABLE — a 10 000-fetch budget split across hosts by
+    //    the largest-remainder method, Σslots = budget exactly, every
+    //    base share, remainder, and leftover slot replayed in integer
+    //    arithmetic by the oracle. Composes the full axis end to end:
+    //    href extraction → edge census → PageRank → allocation. 100 TB
+    //    shape: both aggregates ride as single-row broadcasts; the
+    //    remainder rank is a host-frame window (the thing being
+    //    apportioned), never corpus-sized. ─────────────────────────────
+    QueryDef.sorted(
+      "q249_crawl_budget",
+      (s, dir) => {
+        val edges = LinkGraph.hostEdges(
+          LinkGraph.withLinks(linkCorpus(s, dir)))
+        LinkGraph.crawlBudget(LinkGraph.pagerank(edges, iters = 4),
+          budget = 10000L)
+      },
+      _.orderBy("host"),
+      Some(
+        s"""WITH $sqlLinkCorpusCtes,
+           |le AS (SELECT src_host, dst_host FROM lk
+           |       WHERE src_host <> dst_host GROUP BY 1, 2),
+           |${LinkGraph.sqlPagerankCtes("le", 4, "prr")},
+           |${LinkGraph.sqlCrawlBudgetCtes("prr", 10000L, "cbo")}
+           |SELECT host, CAST(rank_micro AS BIGINT) AS rank_micro,
+           |       CAST(slots AS BIGINT) AS slots
+           |FROM cbo ORDER BY host""".stripMargin)),
+
+    // ── Anchor-term census (q250): the web's oldest relevance label —
+    //    what OTHER pages' link text calls a host — extracted as
+    //    (href, anchor) pairs in both quote styles and compressed to a
+    //    per-destination-host Misra–Gries top-k summary (the q243
+    //    machinery composed onto the q247 axis). The oracle rebuilds
+    //    every anchor from corpus word arithmetic (never re-parsing
+    //    HTML) and replays the census + truncation, so a pairing
+    //    defect (anchor matched to the wrong href) or a census defect
+    //    hash-mismatches. 100 TB shape: narrow two-regex scan → one
+    //    map-side-combining census exchange → one window exchange;
+    //    the artifact is k rows per host. ──────────────────────────────
+    QueryDef.sorted(
+      "q250_anchor_census",
+      (s, dir) => {
+        LinkGraph.anchorCensus(
+          LinkGraph.withAnchors(linkCorpus(s, dir)))
+          .select(col("dst_host"), col("term"), col("n"), col("err"))
+      },
+      _.orderBy("dst_host", "term"),
+      Some {
+        val k = HeavyHitters.KDefault
+        val aw = "list_filter(" + TextHash.sqlWords("coalesce(text, '')") +
+          ", x -> regexp_full_match(x, '[A-Za-z0-9]+'))"
+        s"""WITH la AS (
+           |  SELECT doc_id, $aw AS aw,
+           |         doc_id % 40 AS sh, (doc_id * 7 + 3) % 40 AS d1,
+           |         (doc_id * 11 + 5) % 40 AS d2
+           |  FROM documents),
+           |acin AS (
+           |  SELECT 'site' || d1 || '.com' AS grp, unnest(aw[1:3]) AS k
+           |  FROM la
+           |  UNION ALL
+           |  SELECT 'site' || d2 || '.com', unnest(aw[4:6]) FROM la
+           |  UNION ALL
+           |  SELECT 'site' || sh || '.com', 'self' FROM la
+           |  WHERE doc_id % 3 = 1),
+           |${HeavyHitters.sqlCensusCte("acin", "acc")},
+           |${HeavyHitters.sqlTruncateCtes("acc", k, "act")}
+           |SELECT grp AS dst_host, term, CAST(n AS BIGINT) AS n,
+           |       CAST(err AS BIGINT) AS err
+           |FROM act ORDER BY dst_host, term""".stripMargin
+      })
   )
 
   /** Derived link corpus for the link-graph queries (q247/q248): every
@@ -8289,15 +8360,23 @@ object LlmQueries extends QueryFamily {
   private def linkCorpus(s: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
     val raw = spread(s, s.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id"))
+      .select("doc_id", "text"))
     def site(c: Column) = concat(lit("site"), c.cast("string"), lit(".com"))
     val sh = site(col("doc_id") % 40)
     val d1 = site((col("doc_id") * 7 + 3) % 40)
     val d2 = site((col("doc_id") * 11 + 5) % 40)
     val none = lit("")
+    // anchors derive from the doc's alnum words (quote/tag-safe by the
+    // alnum filter): words 1-3 label the first link, 4-6 the second
+    val aw = filter(words(coalesce(col("text"), lit(""))),
+      w => w.rlike("^[A-Za-z0-9]+$"))
+    val a1 = array_join(slice(aw, 1, 3), " ")
+    val a2 = array_join(slice(aw, 4, 3), " ")
     val html = concat(
-      lit("<p>see <a href=\"https://"), d1, lit("/a/1\">first</a> and "),
-      lit("<a class='l' href='https://"), d2, lit("/b?x=1'>second</a>"),
+      lit("<p>see <a href=\"https://"), d1, lit("/a/1\">"), a1,
+      lit("</a> and "),
+      lit("<a class='l' href='https://"), d2, lit("/b?x=1'>"), a2,
+      lit("</a>"),
       when(col("doc_id") % 5 === 0,
         lit(" <a href=\"/rel/path\">rel</a>")).otherwise(none),
       when(col("doc_id") % 7 === 2,

@@ -52,6 +52,57 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r === Map("a" -> 49999L, "b" -> 375830L, "c" -> 574164L))
   }
 
+  test("withAnchors pairs each href with ITS anchor text, both styles") {
+    val out = LinkGraph.withAnchors(pages(
+      "https://a.com/" ->
+        ("""<a href="https://b.com/x">spark engine</a> mid """ +
+          """<a class='k' href='https://c.com/y'>data pipeline</a>""" +
+          """<a href="/rel">skip me</a>""")))
+      .select("link", "anchor").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("https://b.com/x" -> "spark engine",
+      "https://c.com/y" -> "data pipeline"))
+  }
+
+  test("anchorCensus aggregates anchor words per destination host") {
+    import spark.implicits._
+    val anchors = Seq(
+      ("https://b.com/1", "fast spark"), ("https://b.com/2", "fast engine"),
+      ("https://c.com/1", "slow")).toDF("link", "anchor")
+    val cen = LinkGraph.anchorCensus(anchors, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // b.com counts: fast 2, engine 1, spark 1; k=2 -> sub = 1 (3rd
+    // largest), engine's 1 - 1 dies, fast survives at 2 - 1
+    assert(cen === Map(("b.com", "fast") -> 1L, ("c.com", "slow") -> 1L))
+  }
+
+  test("crawlBudget apportions exactly, largest remainders first") {
+    import spark.implicits._
+    // shares 3:1:1 of 10 → quotas 6, 2, 2 exactly... then skew one
+    val ranks = Seq(("a", 600000L), ("b", 200000L), ("c", 200000L))
+      .toDF("host", "rank_micro")
+    val out = LinkGraph.crawlBudget(ranks, 10L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 6L, "b" -> 2L, "c" -> 2L))
+    // 7 slots at shares 1:1:1 → bases 2,2,2, remainder slot to host ASC
+    val tie = LinkGraph.crawlBudget(
+      Seq(("x", 5L), ("y", 5L), ("z", 5L)).toDF("host", "rank_micro"),
+      7L).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tie === Map("x" -> 3L, "y" -> 2L, "z" -> 2L))
+  }
+
+  test("crawlBudget always sums to the budget") {
+    import spark.implicits._
+    val ranks = Seq(("a", 49999L), ("b", 375830L), ("c", 574164L),
+      ("d", 7L)).toDF("host", "rank_micro")
+    for (b <- Seq(0L, 1L, 13L, 997L)) {
+      val slots = LinkGraph.crawlBudget(ranks, b).collect()
+        .map(_.getLong(2))
+      assert(slots.sum === b, s"budget $b")
+      assert(slots.forall(_ >= 0L))
+    }
+  }
+
   test("pagerank is deterministic and rank mass stays bounded") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),

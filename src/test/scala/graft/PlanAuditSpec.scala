@@ -407,6 +407,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"census lost its agg:\n$plan")
   }
 
+  test("MG truncate is join-free: one exchange, two windows") {
+    // the (k+1)-th count must reach rows through a second window over
+    // the SAME partitioning — a join here re-introduces the broadcast
+    // job per merge step that made q243 run 40x slow
+    import spark.implicits._
+    val census = Seq(("a", "x", 5L, 0L), ("a", "y", 3L, 0L))
+      .toDF("grp", "term", "n", "err")
+    val plan = fmt(graft.llm.HeavyHitters.truncate(census, 2, Seq("grp")))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges == 1, s"truncate must plan exactly 1 exchange:\n$plan")
+    assert(!plan.contains("Join"), s"truncate must not join:\n$plan")
+  }
+
+  test("MG merge rides one exchange end to end (grp-subset partitioning)") {
+    // window on grp, groupBy (grp, term), truncate's windows on grp —
+    // all satisfied by the ONE grp hash partitioning
+    import spark.implicits._
+    def s(rows: (String, String, Long, Long)*) =
+      rows.toDF("grp", "term", "n", "err")
+    val plan = fmt(graft.llm.HeavyHitters.merge(
+      s(("a", "x", 5L, 1L)), s(("a", "y", 3L, 2L)), Seq("grp"), 2))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges == 1, s"merge must plan exactly 1 exchange:\n$plan")
+    assert(!plan.contains("Join"), s"merge must not join:\n$plan")
+  }
+
+  test("host edge census keeps its map-side partial agg, no window") {
+    val plan = fmt(SparkEntry.benchQueries("q247_host_links")(spark, dir))
+    assert(plan.contains("partial_count"),
+      s"edge census lost its partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"edge census planned a window:\n$plan")
+  }
+
+  test("container walks are narrow: no exchange before the entry rows") {
+    // ZIP/TAR parse rides the binaryFile scan; a shuffle here would
+    // move archive bytes
+    import spark.implicits._
+    val files = Seq(("a.zip", graft.source.ZipFixtures.archive(Seq(
+      graft.source.ZipFixtures.Member("t.txt", 0, "x".getBytes("ISO-8859-1"),
+        0L, graft.source.ZipFixtures.DosDate)))))
+      .toDF("path", "content")
+    val plan = fmt(graft.source.Zip.withZipEntries(files))
+    assert(!plan.contains("Exchange"),
+      s"zip walk must not shuffle:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (fleet-wide guard)") {
     // BroadcastNestedLoopJoin against a broadcast-small side is a chosen
     // shape (ANN query sets, centroid tables); CartesianProduct — both
