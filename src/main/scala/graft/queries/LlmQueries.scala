@@ -8345,7 +8345,64 @@ object LlmQueries extends QueryFamily {
            |SELECT grp AS dst_host, term, CAST(n AS BIGINT) AS n,
            |       CAST(err AS BIGINT) AS err
            |FROM act ORDER BY dst_host, term""".stripMargin
-      })
+      }),
+
+    // ── Judge-agreement audit (q251): Cohen's kappa per judge pair in
+    //    integer micro fixed-point — the label-QA step a reward-model
+    //    pipeline runs before trusting preference labels (Artstein &
+    //    Poesio 2008). The judges here are three independent quality
+    //    HEURISTICS labeling every document good/bad (length, word
+    //    count, digit presence — "do our heuristics even agree beyond
+    //    chance?"), with the length judge abstaining on doc_id%7=0 so
+    //    pairwise-complete n differs per pair. The oracle replays the
+    //    pair join, both marginal censuses, and every micro truncation
+    //    (both engines' integer division truncates toward zero — the
+    //    negative-kappa case is engine-consistent, pinned in
+    //    AgreementSpec). ──────────────────────────────────────────────────
+    QueryDef.sorted(
+      "q251_judge_agreement",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "n_chars"))
+          .filter(col("text").isNotNull)
+        def gb(c: Column) = when(c, lit("good")).otherwise(lit("bad"))
+        val j0 = docs
+          .filter(col("n_chars").isNotNull && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("item"), lit("len").as("judge"),
+            gb(col("n_chars") >= 250).as("label"))
+        val j1 = docs.select(col("doc_id").as("item"),
+          lit("wc").as("judge"),
+          gb(size(TextHash.words(col("text"))) >= 40).as("label"))
+        val j2 = docs.select(col("doc_id").as("item"),
+          lit("digit").as("judge"),
+          gb(col("text").rlike("[0-9]")).as("label"))
+        Agreement.cohenKappa(j0.unionByName(j1).unionByName(j2))
+      },
+      _.orderBy("judge_a", "judge_b"),
+      Some(
+        s"""WITH jl AS (
+           |  SELECT doc_id AS item, 'len' AS judge,
+           |         CASE WHEN n_chars >= 250 THEN 'good' ELSE 'bad' END
+           |           AS label
+           |  FROM documents
+           |  WHERE text IS NOT NULL AND n_chars IS NOT NULL
+           |    AND doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, 'wc',
+           |         CASE WHEN len(${W("text")}) >= 40
+           |              THEN 'good' ELSE 'bad' END
+           |  FROM documents WHERE text IS NOT NULL
+           |  UNION ALL
+           |  SELECT doc_id, 'digit',
+           |         CASE WHEN regexp_matches(text, '[0-9]')
+           |              THEN 'good' ELSE 'bad' END
+           |  FROM documents WHERE text IS NOT NULL),
+           |${Agreement.sqlKappaCtes("jl", "kp")}
+           |SELECT judge_a, judge_b, CAST(n AS BIGINT) AS n,
+           |       CAST(po_micro AS BIGINT) AS po_micro,
+           |       CAST(pe_micro AS BIGINT) AS pe_micro,
+           |       CAST(kappa_micro AS BIGINT) AS kappa_micro
+           |FROM kp ORDER BY judge_a, judge_b""".stripMargin))
   )
 
   /** Derived link corpus for the link-graph queries (q247/q248): every
