@@ -123,6 +123,17 @@ object LinkGraph {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Fold a crawl-disjoint batch's edge census into a persisted one —
+    * pure per-(src, dst) addition (the [[graft.source.Tar
+    * .mergeEntryCensus]] convention on the link axis): a rolling crawl
+    * appends new batches without re-reading old pages, and the folded
+    * census feeds [[pagerank]] unchanged. Census-sized, never the
+    * corpus. */
+  def mergeEdgeCensus(persisted: DataFrame, batch: DataFrame): DataFrame =
+    persisted.unionByName(batch)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("n")).as("n"))
+
   /** Integer-micro PageRank over the DISTINCT edge set of a census —
     * `(host, rank_micro)` after `iters` damped power iterations (see
     * class doc for the exact recurrence). */

@@ -78,6 +78,51 @@ object RobotsTxt {
         col("directive"), col("value"), col("pos"))
   }
 
+  /** `Sitemap:` discovery — REP's third directive class, GLOBAL (a
+    * sitemap line binds to no user-agent group, so it parses
+    * independently of [[parseRules]]' group machinery): one row per
+    * `Sitemap:` line, key matched case-insensitively, comments
+    * stripped by the same `#.*$` rule as every other line (stated: a
+    * raw `#` fragment in the URL would be cut — REP comments win).
+    * Output `(domain…, pos, sitemap_url)`; empty values drop. This is
+    * the discovery half the frontier composes with
+    * [[Sitemaps.parseEntries]]: robots.txt names the sitemaps, the
+    * sitemaps name the URLs. One narrow explode — no shuffle. */
+  def sitemapUrls(robots: DataFrame, domainCol: String = "domain",
+                  bodyCol: String = "body"): DataFrame = {
+    val working = Seq("pos", "sitemap_url", "__line", "__clean")
+    val clash = robots.columns.toSeq.intersect(working)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with sitemapUrls working/output names — rename them")
+    robots
+      .select(col(domainCol),
+        posexplode(split(coalesce(col(bodyCol), lit("")), "\n", -1))
+          .as(Seq("pos", "__line")))
+      .withColumn("__clean",
+        trim(regexp_replace(col("__line"), "#.*$", "")))
+      .withColumn("sitemap_url",
+        trim(regexp_extract(col("__clean"),
+          "^(?i)sitemap\\s*:\\s*(.*)$", 1)))
+      .filter(col("sitemap_url") =!= "")
+      .select(col(domainCol), col("pos"), col("sitemap_url"))
+  }
+
+  /** DuckDB twin of [[sitemapUrls]]: CTEs ending in
+    * `<out>(domain, pos, sitemap_url)` over `<src>(domain, body)`. */
+  def sqlSitemapCtes(src: String = "rsrc", out: String = "rsm"): String =
+    s"""${out}l AS (
+       |  SELECT domain, unnest(range(0, len(bls))) AS pos,
+       |         trim(regexp_replace(unnest(bls), '#.*$$', '')) AS cl
+       |  FROM (SELECT domain, string_split(body, chr(10)) AS bls
+       |        FROM $src)),
+       |$out AS (
+       |  SELECT domain, pos,
+       |         trim(regexp_extract(cl, '^(?i)sitemap\\s*:\\s*(.*)$$', 1))
+       |           AS sitemap_url
+       |  FROM ${out}l
+       |  WHERE trim(regexp_extract(cl, '^(?i)sitemap\\s*:\\s*(.*)$$', 1))
+       |        <> '')""".stripMargin
+
   /** Engine-shared SQL (runs verbatim under Spark AND DuckDB): a REP
     * path pattern rendered as a regex — metacharacters escaped via
     * literal `replace` chains (chr(92) = backslash, so no string-

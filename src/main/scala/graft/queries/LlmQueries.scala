@@ -336,6 +336,31 @@ object LlmQueries extends QueryFamily {
     RobotsBodies.toDF("domain", "body")
   }
 
+  /** q253's sitemap-discovery corpus — the `Sitemap:` edge cases:
+    * mid-group placement, multiple per domain, inline comment,
+    * lowercase no-space key, and a domain with none. Kept SEPARATE
+    * from [[RobotsBodies]] so q224/q225's rule-parse oracles stay
+    * byte-identical. */
+  private val SitemapRobots: Seq[(String, String)] = Seq(
+    "sm0.example" -> ("User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://sm0.example/sitemap.xml\n"),
+    "sm1.example" -> ("Sitemap: https://cdn.sm1.example/s1.xml\n" +
+      "Sitemap: https://cdn.sm1.example/s2.xml # inline\n" +
+      "User-agent: *\nAllow: /\n"),
+    "sm2.example" -> "sitemap:https://sm2.example/a.xml\n",
+    "sm3.example" -> "# none here\nUser-agent: *\nDisallow:\n")
+
+  /** DuckDB CTE `smsrc` replaying [[SitemapRobots]] (the
+    * [[sqlRobotsCte]] convention: newlines as chr(10)). */
+  private def sqlSitemapRobotsCte: String =
+    "smsrc AS (SELECT * FROM (VALUES " + SitemapRobots.map { case (d, b) =>
+      val body =
+        if (b.isEmpty) "''"
+        else b.split("\n", -1).map(seg => s"'$seg'")
+          .mkString(" || chr(10) || ")
+      s"('$d', $body)"
+    }.mkString(", ") + ") AS t(domain, body))"
+
   /** DuckDB CTE `rsrc` replaying [[RobotsBodies]] (newlines as
     * chr(10) so no string-escape divergence). */
   private val sqlRobotsCte: String =
@@ -8402,7 +8427,87 @@ object LlmQueries extends QueryFamily {
            |       CAST(po_micro AS BIGINT) AS po_micro,
            |       CAST(pe_micro AS BIGINT) AS pe_micro,
            |       CAST(kappa_micro AS BIGINT) AS kappa_micro
-           |FROM kp ORDER BY judge_a, judge_b""".stripMargin))
+           |FROM kp ORDER BY judge_a, judge_b""".stripMargin)),
+
+    // ── Incremental link-edge census (q252): the additive-artifact
+    //    proof on the link axis (the q233/q242/q246 pattern): census
+    //    the even-doc and odd-doc page batches separately, fold with
+    //    [[graft.llm.LinkGraph.mergeEdgeCensus]], and gate the FOLD
+    //    against the oracle's single-pass full census — the identity a
+    //    rolling crawl needs so old pages are never re-parsed, and the
+    //    folded census feeds q248's PageRank unchanged. ─────────────────
+    QueryDef.sorted(
+      "q252_link_census_incremental",
+      (s, dir) => {
+        val links = LinkGraph.withLinks(linkCorpus(s, dir))
+        val even = LinkGraph.hostEdges(
+          links.filter(col("doc_id") % 2 === 0))
+        val odd = LinkGraph.hostEdges(
+          links.filter(col("doc_id") % 2 === 1))
+        LinkGraph.mergeEdgeCensus(even, odd)
+          .select(col("src_host"), col("dst_host"), col("n"))
+      },
+      _.orderBy("src_host", "dst_host"),
+      Some(
+        s"""WITH $sqlLinkCorpusCtes
+           |SELECT src_host, dst_host, count(*) AS n FROM lk
+           |WHERE src_host <> dst_host
+           |GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin)),
+
+    // ── robots.txt sitemap discovery (q253): REP's third directive
+    //    class — `Sitemap:` lines are GLOBAL (bound to no user-agent
+    //    group), matched case-insensitively with the same comment
+    //    stripping as every rule line, over a corpus exercising the
+    //    edges: mid-group lines, multiple sitemaps per domain, inline
+    //    comments, `sitemap:` with no space, lowercase key, and
+    //    domains with none. This is the discovery half q232's frontier
+    //    presupposes: robots.txt names the sitemaps, the sitemaps name
+    //    the URLs. One narrow explode, no shuffle. ───────────────────────
+    QueryDef.sorted(
+      "q253_robots_sitemaps",
+      (s, dir) => {
+        import s.implicits._
+        RobotsTxt.sitemapUrls(SitemapRobots.toDF("domain", "body"))
+          .select(col("domain"), col("pos").cast("long"),
+            col("sitemap_url"))
+      },
+      _.orderBy("domain", "pos"),
+      Some(
+        s"""WITH $sqlSitemapRobotsCte,
+           |${RobotsTxt.sqlSitemapCtes("smsrc", "rsm")}
+           |SELECT domain, CAST(pos AS BIGINT) AS pos, sitemap_url
+           |FROM rsm ORDER BY domain, pos""".stripMargin)),
+
+    // ── Span-corruption plan (q254): the T5-style denoising mask plan
+    //    under the no-RNG discipline — every FULL 20-token window
+    //    masks one 3-token span whose offset is a salted hash of
+    //    (doc_id, window), so every worker, epoch, and engine derives
+    //    the identical 15% plan, and the oracle replays every offset
+    //    and every masked span verbatim (a sampled plan would be
+    //    unverifiable). One narrow pass: words, a bounded sequence
+    //    explode, per-row hash arithmetic — no shuffle. ─────────────────
+    QueryDef.sorted(
+      "q254_mask_plan",
+      (s, dir) => {
+        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        Masking.withMaskPlan(docs)
+          .select(col("doc_id").cast("long"), col("span_idx"),
+            col("start_tok"), col("len"), md5(col("masked"))
+              .as("masked_hash"))
+      },
+      _.orderBy("doc_id", "span_idx"),
+      Some(
+        s"""WITH mws AS (
+           |  SELECT doc_id, ${W("text")} AS ws
+           |  FROM documents WHERE text IS NOT NULL),
+           |${Masking.sqlMaskCtes("mws", "mkp")}
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(span_idx AS BIGINT) AS span_idx,
+           |       CAST(start_tok AS BIGINT) AS start_tok,
+           |       CAST(len AS BIGINT) AS len,
+           |       md5(masked) AS masked_hash
+           |FROM mkp ORDER BY doc_id, span_idx""".stripMargin))
   )
 
   /** Derived link corpus for the link-graph queries (q247/q248): every

@@ -77,4 +77,27 @@ class RobotsTxtSpec extends AnyFunSuite {
     val other = "User-agent: otherbot\nDisallow: /\n"
     assert(gate(other, "/x") === ((true, None, None, None)))
   }
+
+  test("sitemap discovery: global lines, any case, comments stripped") {
+    import spark.implicits._
+    val body = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://d.example/a.xml\n" +
+      "SITEMAP: https://d.example/b.xml # inline\n" +
+      "sitemap:https://d.example/c.xml\n" +
+      "# Sitemap: https://d.example/commented.xml\n" +
+      "Sitemap:\n" // empty value drops
+    val out = RobotsTxt.sitemapUrls(
+      Seq(("d.example", body)).toDF("domain", "body"))
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Int]("pos"), r.getAs[String]("sitemap_url")))
+    assert(out.toSeq === Seq(2 -> "https://d.example/a.xml",
+      3 -> "https://d.example/b.xml", 4 -> "https://d.example/c.xml"))
+  }
+
+  test("sitemap discovery on a null/empty body is empty, not a crash") {
+    import spark.implicits._
+    assert(RobotsTxt.sitemapUrls(
+      Seq(("d.example", null: String), ("e.example", ""))
+        .toDF("domain", "body")).count() === 0L)
+  }
 }
