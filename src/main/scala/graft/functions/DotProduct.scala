@@ -105,6 +105,10 @@ object GraftFunctions {
   val LangScoresName = "graft_lang_scores"
   val PosFpName = "graft_pos_fp"
   val BloomHitName = "graft_bloom_hit"
+  val PlaneProjName = "graft_plane_project"
+  val PlaneBitsName = "graft_plane_bits"
+  val PlaneKeysName = "graft_plane_keys"
+  val HashedTfName = "graft_hashed_tf"
 
   private def arity1(name: String, clazz: Class[_],
                      mk: Expression => Expression)
@@ -155,7 +159,45 @@ object GraftFunctions {
         require(children.size == 2,
           s"$BloomHitName expects exactly 2 arguments, got ${children.size}")
         BloomHit(children(0), children(1))
+      }),
+    planeBuilder(PlaneProjName, "proj", withBands = false),
+    planeBuilder(PlaneBitsName, "bits", withBands = false),
+    planeBuilder(PlaneKeysName, "keys", withBands = true),
+    (FunctionIdentifier(HashedTfName),
+      new ExpressionInfo(classOf[HashedTf].getName, HashedTfName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$HashedTfName expects exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable,
+          s"$HashedTfName: dim must be a literal")
+        val d = children(1).eval()
+        require(d != null, s"$HashedTfName: dim must not be null")
+        HashedTf(children.head, d.asInstanceOf[Number].intValue())
       }))
+
+  /** (vec, ns, rows, dim[, bands]) with everything after the vector a
+    * required literal — the [[SignPlanes]] matrix is built at plan
+    * construction, so the parameters cannot be data-dependent. */
+  private def planeBuilder(name: String, mode: String, withBands: Boolean)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[SignPlanes].getName, name),
+      (children: Seq[Expression]) => {
+        val arity = if (withBands) 5 else 4
+        require(children.size == arity,
+          s"$name expects exactly $arity arguments, got ${children.size}")
+        def lit(i: Int): Any = {
+          require(children(i).foldable, s"$name: argument $i must be a literal")
+          val v = children(i).eval()
+          require(v != null, s"$name: argument $i must not be null")
+          v
+        }
+        SignPlanes(children.head, lit(1).toString,
+          lit(2).asInstanceOf[Number].intValue(),
+          lit(3).asInstanceOf[Number].intValue(),
+          if (withBands) lit(4).asInstanceOf[Number].intValue() else 1,
+          mode)
+      })
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

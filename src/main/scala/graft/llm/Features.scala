@@ -40,23 +40,21 @@ object Features {
                       textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 4096,
       s"dim=$dim: hashed-TF buckets must be in [2, 4096]")
-    val ids = docs.select(col(idCol).as("doc_id"))
-    val wp = docs.select(col(idCol).as("doc_id"),
-      explode(words(col(textCol))).as("w"))
-    val bs = wp.select(col("doc_id"),
-      (TextHash.h32p(col("w")) % dim).cast("int").as("b"),
-      when(TextHash.h32p(concat(lit("sgn:"), col("w"))) % 2 === 0, 1L)
-        .otherwise(-1L).as("s"))
-    val m = bs.groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("s")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
-        .as("__m"))
-    ids.join(m, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol),
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
-          .as("v"))
+    // ONE narrow per-row pass ([[graft.functions.HashedTf]]): the vector
+    // is a pure function of the document's own words, so the previous
+    // explode → (doc, bucket) aggregation → per-doc map → dense
+    // transform shape paid two exchanges, an ObjectHashAggregate and
+    // O(dim) element_at map scans per slot for nothing. Long bucket sums
+    // are order-free, so the fused form is bit-identical (the oracle twin
+    // replays the group-by form unchanged). NULL text (words → NULL)
+    // coalesces to the zero vector — exactly the docless-id outcome of
+    // the old ids LEFT join.
+    val zero = typedLit(Seq.fill(dim)(0.0d))
+    docs.select(col(idCol),
+      coalesce(
+        call_function(graft.functions.GraftFunctions.HashedTfName,
+          words(col(textCol)), lit(dim)),
+        zero).as("v"))
   }
 
   /** The ADDITIVE document-frequency census: (wh = 64-bit md5 prefix of
@@ -141,16 +139,21 @@ object Features {
         (when(TextHash.h32p(concat(lit("sgn:"), col("w"))) % 2 === 0, 1L)
           .otherwise(-1L) *
           expr(s"${nDocs}L * 1000L DIV coalesce(df, 1L)")).as("s"))
-    val m = bs.groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("s")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
-        .as("__m"))
+    // ONE doc-keyed aggregation pivoting the dim bucket sums into
+    // columns, instead of the previous (doc, bucket) aggregation →
+    // per-doc map assembly (ObjectHashAggregate) → O(dim) element_at
+    // map scans per output slot: one exchange fewer, map-side combine
+    // unchanged, and the same LONG bucket sums (order-free, so the
+    // regrouping is bit-identical; the oracle twin is untouched). The
+    // ids LEFT join still restores no-word docs; their all-NULL sums
+    // coalesce to the zero vector exactly as the missing-map rows did.
+    val sums = (0 until dim).map(i =>
+      sum(when(col("b") === i, col("s"))).as(s"__s$i"))
+    val m = bs.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
     ids.join(m, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
-          .as("v"))
+        array((0 until dim).map(i =>
+          coalesce(col(s"__s$i"), lit(0L)).cast("double")): _*).as("v"))
   }
 
   /** DuckDB CTE fragment replaying [[dfCensus]] + [[hashedTfIdfVectors]]

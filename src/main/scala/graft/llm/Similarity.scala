@@ -675,13 +675,16 @@ object Similarity {
     require(dimOut >= 1 && dimOut <= dimIn,
       s"dimOut=$dimOut must be in [1, dimIn=$dimIn] — projecting UP has " +
         "no JL contract")
-    val r = jlMatrix(dimOut, dimIn)
+    // one native pass for the dimOut plane dots (see [[signVectors]]'s
+    // note: the dimOut-dot array form went O(dimOut²·dimIn) per row once
+    // the sign pass re-referenced it 64×); same "jl:" matrix, same fold
+    // order, bit-identical projections
     vectors
       .select(col(idCol), cleanVec(col(vecCol)).as(vecCol))
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dimIn)
-      .withColumn(outCol, array((0 until dimOut).map { j =>
-        dot(col(vecCol), typedLit(r(j).toSeq))
-      }: _*))
+      .withColumn(outCol,
+        call_function(graft.functions.GraftFunctions.PlaneProjName,
+          col(vecCol), lit("jl"), lit(dimOut), lit(dimIn)))
   }
 
   /** Sign-LSH in a JL-PROJECTED space with exact verification in the
@@ -800,20 +803,21 @@ object Similarity {
       s"planes=$planes must divide into bands=$bands")
     val rows = planes / bands
     require(rows <= 30, s"rows-per-band=$rows overflows the Int band key")
-    val signs = signMatrix(planes, dim)
-    val bits = array((0 until planes).map { p =>
-      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
-    }: _*)
-    val bkeys = array((0 until bands).map { b =>
-      (0 until rows).map(r => col("__bits")(b * rows + r) * lit(1L << r))
-        .reduce(_ + _)
-    }: _*)
+    // ONE native pass (graft_plane_keys) instead of a 64-dot `__bits`
+    // alias re-referenced 64× by the key expressions: CollapseProject
+    // substituted the whole dot array into every reference, so the sign
+    // pass cost O(planes²·dim) per row — measured ~20 executor-CPU s on
+    // a 6.2k-row sf0.1 corpus, the dominant cost of every sign-LSH
+    // query. Same matrix, same fold order, bit-identical keys
+    // ([[graft.functions.SignPlanes]]; the oracle twin is untouched).
     vectors
       .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
-      .withColumn("__bits", bits)
       .select(col("__id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("vn"), bkeys.as("bkeys"))
+        sqrt(dot(col("v"), col("v"))).as("vn"),
+        call_function(graft.functions.GraftFunctions.PlaneKeysName,
+          col("v"), lit("rp"), lit(planes), lit(dim), lit(bands))
+          .as("bkeys"))
   }
 
   /** The shared BIT artifact an entire parameterization ladder derives
@@ -830,18 +834,17 @@ object Similarity {
   def signBitsArtifact(vectors: DataFrame, dim: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       planes: Int = 64): DataFrame = {
-    val signs = signMatrix(planes, dim)
-    val bits = array((0 until planes).map { p =>
-      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
-    }: _*)
+                       planes: Int = 64): DataFrame =
+    // one native pass for the 64 sign bits (see [[signVectors]]'s note —
+    // the 64-dot array form was O(planes²·dim) once a consumer
+    // re-referenced it); same matrix, same fold order, bit-identical
     vectors
       .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
-      .withColumn("__bits", bits)
       .select(col("__id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("vn"), col("__bits"))
-  }
+        sqrt(dot(col("v"), col("v"))).as("vn"),
+        call_function(graft.functions.GraftFunctions.PlaneBitsName,
+          col("v"), lit("rp"), lit(planes), lit(dim)).as("__bits"))
 
   /** Verified near-dup pairs for ONE (bands, probes) parameterization
     * over a [[signBitsArtifact]]: `probes = 1` produces exactly
@@ -1004,39 +1007,17 @@ object Similarity {
       s"probes=$probes must divide rows-per-band=$rows (rotations step " +
         "by rows/probes bits; a full-band rotation is the identity " +
         "partition)")
-    val step = rows / probes
-    val signs = signMatrix(planes, dim)
-    val bits = array((0 until planes).map { p =>
-      when(dot(col("v"), typedLit(signs(p).toSeq)) >= 0, 1L).otherwise(0L)
-    }: _*)
-    val probeKeys = flatten(array((0 until probes).map { kp =>
-      val s = kp * step
-      array((0 until bands).map { b =>
-        (0 until rows).map(r =>
-          col("__bits")((b * rows + r + s) % planes) * lit(1L << r))
-          .reduce(_ + _)
-      }: _*)
-    }: _*))
-    val signed = graft.CacheBarriers.barrier(
-      vectors
-        .select(col(idCol).as("__id"), cleanVec(col(vecCol)).as("v"))
-        .filter(col("v").isNotNull && size(col("v")) === dim)
-        .withColumn("__bits", bits)
-        .select(col("__id"), col("v"),
-          sqrt(dot(col("v"), col("v"))).as("vn"), probeKeys.as("pkeys")))
-    // the flattened index probe·bands + band IS the band_idx of the
-    // widened bucket space — cap and join machinery apply unchanged
-    val all = signed.select(col("__id"),
-      posexplode(col("pkeys")).as(Seq("band_idx", "band_key")))
-    val bandRows = capSignBands(all, all, maxBucketSize)
-    val cand = bandRows.alias("a")
-      .join(bandRows.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    signVerifyPairs(cand, signed, minCos)
+    // One sign pass into the BIT artifact, keys derived from the cached
+    // bits column — this is exactly [[pairsFromBits]]'s contract, so the
+    // body IS that composition. The previous inline form built the
+    // probe-key array from probes×bands×rows = 256 references to a
+    // 64-dot `__bits` alias, which CollapseProject substituted into
+    // every reference (the [[signVectors]] duplication note, 256× here);
+    // deriving keys from the barriered artifact's ATTRIBUTE makes each
+    // reference an element read of a cached long array instead.
+    val art = graft.CacheBarriers.barrier(
+      signBitsArtifact(vectors, dim, idCol, vecCol, planes))
+    pairsFromBits(art, minCos, planes, bands, probes, maxBucketSize)
   }
 
   /** Semantic decontamination — the embedding-space member of the

@@ -3469,8 +3469,11 @@ object LlmQueries extends QueryFamily {
         val vars = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + VarOffset).as("doc_id"),
             truncText(ws).as("text"))
-        val corpus = spread(s,
-          docs.unionByName(dups).unionByName(vars))
+        // barrier: the derived corpus has FOUR consumers (df census,
+        // nDocs count, the featurize's word explode and its id side) —
+        // without it each re-derives the union + truncText from parquet
+        val corpus = graft.CacheBarriers.barrier(spread(s,
+          docs.unionByName(dups).unionByName(vars)))
         val vecs = Features.hashedTfIdfVectors(corpus,
           Features.dfCensus(corpus), nDocs = corpus.count(), dim = 64)
         // 4×16-bit bands — see q116's note; idf softens but does not
@@ -3523,12 +3526,18 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q118_hashed_tfidf_incremental",
       (s, dir) => {
-        val docs = spread(s, s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text"))
+        // barriers: docs feeds its census, its count and the batch
+        // derivation; batch feeds its census, its count and the
+        // featurize (word explode + id side) — without them each
+        // consumer re-derives from parquet
+        val docs = graft.CacheBarriers.barrier(
+          spread(s, s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")))
         val ws = words(col("text"))
-        val batch = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + VarOffset).as("doc_id"),
-            truncText(ws).as("text"))
+        val batch = graft.CacheBarriers.barrier(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + VarOffset).as("doc_id"),
+              truncText(ws).as("text")))
         val merged = Features.mergeDfCensus(
           Features.dfCensus(docs), Features.dfCensus(batch))
         val n = docs.count() + batch.count()
@@ -6157,8 +6166,19 @@ object LlmQueries extends QueryFamily {
     QueryDef.sorted(
       "q189_audio_window_plan",
       (s, dir) =>
+        // localCheckpoint: the window plan's filters + column chain
+        // otherwise inline the entire hex-built fixture tree into every
+        // pushed-down predicate and output column (a ~100 KB physical
+        // plan), and Catalyst + codegen over those megatrees cost ~4 s
+        // of DRIVER time per run against ~0.4 s of executor work. The
+        // checkpoint truncates the plan at the parsed-meta boundary
+        // (guide §7.3 "very large plans" / §3.3 "materialise an
+        // intermediate"); the meta frame is one narrow row per asset.
         Multimodal.audioWindowPlan(
-            Multimodal.withAudioMeta(syntheticWavs(s, dir)),
+            Multimodal.withAudioMeta(syntheticWavs(s, dir))
+              .select("doc_id", "afmt", "channels", "sample_rate_hz",
+                "bits", "data_bytes")
+              .localCheckpoint(true),
             winMs = 10, hopMs = 5)
           .select(col("doc_id").cast("long"), col("window_idx"),
             col("sample_off"), col("n_samples"), col("byte_off"),
