@@ -315,14 +315,27 @@ object Similarity {
                                  centroids: Array[Centroid], cap: Int,
                                  keepCentral: Boolean,
                                  idCol: String = "vec_id",
-                                 vecCol: String = "embedding"): DataFrame = {
+                                 vecCol: String = "embedding"): DataFrame =
+    diversityFoldScored(
+      ivfAssignScored(newVecs, centroids, idCol, vecCol)
+        .filter(col("bucket") =!= UnassignedBucket)
+        .select(col(idCol).cast("string").as("id"), col("bucket"),
+          col("cos_scaled")),
+      keptState, cap, keepCentral)
+
+  /** [[diversitySampleIncremental]] over an ALREADY-SCORED batch —
+    * (id string, bucket, cos_scaled), the frame the assignment pass
+    * produces. Split out because the assignment is a pure function of
+    * (vector, centroids) and therefore ARM-INDEPENDENT: a caller folding
+    * the same batches under several keep policies (q168's central vs
+    * diverse arms) scores each batch once and shares the barriered
+    * scored frame across arms, instead of paying one assignment scan
+    * per (arm × fold step). */
+  def diversityFoldScored(batchScored: DataFrame, keptState: DataFrame,
+                          cap: Int, keepCentral: Boolean): DataFrame = {
     require(cap >= 1, s"cap=$cap: keep at least one row per cluster")
-    val spark = newVecs.sparkSession
+    val spark = batchScored.sparkSession
     import spark.implicits._
-    val batchScored = ivfAssignScored(newVecs, centroids, idCol, vecCol)
-      .filter(col("bucket") =!= UnassignedBucket)
-      .select(col(idCol).cast("string").as("id"), col("bucket"),
-        col("cos_scaled"))
     // id-keyed strict dedupe: identical replays collapse (distinct rows,
     // one per id); an id surviving with TWO distinct (bucket, cos) rows
     // broke the ids-immutable contract — raise instead of letting the
