@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.llm.{Features, Similarity}
 
-/** Disposable measurement scaffold for the optimization round —
-  * times sub-plans of hot queries to attribute stage CPU. Not part of
-  * the engine; removed when the round's attribution is done. */
+/** Measurement scaffold for the optimization rounds — times sub-plans
+  * of hot queries to attribute stage CPU (round 16 used it to localize
+  * the sign-LSH featurize/sign costs; kept for the next optimization
+  * round). Not part of the engine's query surface. */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,9 +3,9 @@ package graft.llm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Disposable round-16 measurement shim — exposes cleanVec's algebra to
-  * the ScratchProbe without widening Similarity's API. Removed with the
-  * probe when attribution is done. */
+/** Measurement shim for the optimization rounds — exposes cleanVec's
+  * algebra to [[graft.ScratchProbe]] without widening Similarity's API.
+  * Not part of the engine's query surface. */
 object SimProbe {
   def clean(c: Column): Column = {
     val broken = exists(c, x => {
