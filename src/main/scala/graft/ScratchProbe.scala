@@ -55,40 +55,46 @@ object ScratchProbe {
     val corpus = docs.unionByName(dups).unionByName(vars)
       .repartition(spark.sparkContext.defaultParallelism)
 
-    val n = corpus.count()
+    val _ = (corpus, Features, Similarity) // round-16 probes retired
+
+    // ── round-17 probes: q226 unigram-train decomposition ─────────────
+    val U = graft.llm.Unigram
+    val B = graft.llm.Bpe
+    val p = U.Params()
+    val plain = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text")
     (1 to 2).foreach { round =>
       println(s"== round $round ==")
-      def vecs = Features.hashedTfIdfVectors(corpus,
-        Features.dfCensus(corpus), nDocs = n, dim = 64)
-      timed("tfidf vectors") (noop(vecs))
-      timed("clean+filter") {
-        noop(vecs.select(col("doc_id"),
-          graft.llm.SimProbe.clean(col("v")).as("v"))
-          .filter(col("v").isNotNull && size(col("v")) === 64))
+      timed("word census") (noop(B.wordCensus(plain)))
+      timed("trunc census") {
+        noop(U.truncCensus(B.wordCensus(plain), p.maxWordLen))
       }
-      timed("clean+vn") {
-        noop(vecs.select(col("doc_id"),
-          graft.llm.SimProbe.clean(col("v")).as("v"))
-          .filter(col("v").isNotNull && size(col("v")) === 64)
-          .select(col("doc_id"), col("v"),
-            sqrt(Similarity.dot(col("v"), col("v"))).as("vn")))
+      timed("seed+costs") {
+        noop(U.withCosts(U.seedVocab(
+          U.truncCensus(B.wordCensus(plain), p.maxWordLen), p)))
       }
-      timed("signed") {
-        noop(Similarity.signVectors(vecs, 64, "doc_id", "v", 64, 4))
+      timed("train r1 (native dp)") {
+        noop(U.train(B.wordCensus(plain), p, rounds = 1))
       }
-      timed("signed barriered vecs") {
-        noop(Similarity.signVectors(
-          graft.CacheBarriers.barrier(vecs), 64, "doc_id", "v", 64, 4))
+      val wtr = graft.CacheBarriers.barrier(
+        U.truncCensus(B.wordCensus(plain), p.maxWordLen))
+      val vocab = U.collectVocab(U.withCosts(U.seedVocab(wtr, p)))
+      timed("segment native") (noop(U.segmentCensus(wtr, vocab, p)))
+      timed("segment column form") {
+        noop(U.segmentCensusColumnForm(wtr, vocab, p))
       }
-      timed("full pairs") {
-        noop(Similarity.signLshNearDupPairs(vecs, minCos = 0.90, dim = 64,
-          idCol = "doc_id", vecCol = "v", bands = 4))
+      // ── minhash signature: does deriving bkeys from the sig alias
+      //    re-evaluate the minhash chain (the SignPlanes disease), or
+      //    does codegen subexpression elimination already dedupe it?
+      val docs2 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      timed("signature sig only") {
+        noop(graft.llm.Dedup.withSignature(docs2)
+          .select(col("doc_id"), col("sh"), col("sig")))
       }
-      timed("embed signed") {
-        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-        noop(Similarity.signVectors(e, 64, "vec_id", "v", 64, 8))
+      timed("signature sig+bkeys") {
+        noop(graft.llm.Dedup.withSignature(docs2)
+          .select(col("doc_id"), col("sh"), col("bkeys")))
       }
     }
     spark.stop()

@@ -109,6 +109,7 @@ object GraftFunctions {
   val PlaneBitsName = "graft_plane_bits"
   val PlaneKeysName = "graft_plane_keys"
   val HashedTfName = "graft_hashed_tf"
+  val UnigramViterbiName = "graft_unigram_viterbi"
 
   private def arity1(name: String, clazz: Class[_],
                      mk: Expression => Expression)
@@ -173,6 +174,35 @@ object GraftFunctions {
         val d = children(1).eval()
         require(d != null, s"$HashedTfName: dim must not be null")
         HashedTf(children.head, d.asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier(UnigramViterbiName),
+      new ExpressionInfo(classOf[UnigramViterbi].getName, UnigramViterbiName),
+      (children: Seq[Expression]) => {
+        // (word, pieces, costs, maxPieceLen, maxWordLen) — everything
+        // after the word a required literal: the vocabulary becomes a
+        // hash-map reference object at plan construction, so it cannot
+        // be data-dependent (the BPE merge-table argument)
+        require(children.size == 5,
+          s"$UnigramViterbiName expects exactly 5 arguments, got ${
+            children.size}")
+        def lit(i: Int): Any = {
+          require(children(i).foldable,
+            s"$UnigramViterbiName: argument $i must be a literal")
+          val v = children(i).eval()
+          require(v != null,
+            s"$UnigramViterbiName: argument $i must not be null")
+          v
+        }
+        val ps = lit(1).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        val cs = lit(2).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        UnigramViterbi(children.head,
+          ps.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toIndexedSeq,
+          cs.toLongArray().toIndexedSeq,
+          lit(3).asInstanceOf[Number].intValue(),
+          lit(4).asInstanceOf[Number].intValue())
       }))
 
   /** (vec, ns, rows, dim[, bands]) with everything after the vector a

@@ -40,10 +40,17 @@ import graft.llm.TextHash
   *    made a [[DotProduct]] return NULL per plane) yields all-NULL
   *    elements, as the per-plane dots did.
   *  - bits: array<long> of `rows` sign bits, bit = dot >= 0 under Java
-  *    primitive comparison (NaN → false → 0, matching codegen'd Spark
-  *    `>=` on doubles and the `when(...).otherwise(0)` it replaces; a
-  *    NULL dot also took the otherwise-0 branch, so broken vectors yield
-  *    all-zero bits).
+  *    primitive comparison. NaN → false → 0; note Spark's own `>=`
+  *    ORDERS NaN above every double (NaN >= 0 is true there), so a NaN
+  *    dot is the one input the two comparisons disagree on. Inputs pass
+  *    [[graft.llm.Similarity.cleanVec]] (finite elements only), so a NaN
+  *    dot would require ±Inf overflow CANCELLATION across the ±1-plane
+  *    sum — products of ~1e154-magnitude elements — which no embedding
+  *    in this engine carries; the corner is documented as out of
+  *    contract rather than claimed Spark-`>=`-equivalent. A NULL dot
+  *    took the `otherwise(0)` branch
+  *    in the replaced column form, so broken vectors yield all-zero
+  *    bits.
   *  - keys: array<long> of `bands` band keys, key_b = Σ_r bit(b·rpb+r)·2^r
   *    — the bits mode folded straight into keys, never materializing bits.
   */

@@ -125,8 +125,16 @@ object Features {
   def hashedTfIdfVectors(docs: DataFrame, census: DataFrame, nDocs: Long,
                          dim: Int = 64, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    require(dim >= 2 && dim <= 4096,
-      s"dim=$dim: hashed-TF buckets must be in [2, 4096]")
+    // the pivot below builds ONE conditional aggregate per bucket, so
+    // dim bounds the aggregation's expression count — 256 keeps the
+    // generated aggregate comfortably inside whole-stage-codegen's
+    // method-size limits (round-16 ADVICE: at the old 4096 cap the agg
+    // would fall back to interpreted eval or choke the planner); a
+    // wider featurizer should go back to the (doc, bucket) map
+    // aggregation shape instead of widening this pivot
+    require(dim >= 2 && dim <= 256,
+      s"dim=$dim: the pivoted hashed-TF-IDF aggregation is bounded to " +
+        "[2, 256] buckets (one conditional aggregate per bucket)")
     require(nDocs >= 1, s"nDocs=$nDocs: the census corpus cannot be empty")
     val ids = docs.select(col(idCol).as("doc_id"))
     val wp = docs.select(col(idCol).as("doc_id"),

@@ -123,9 +123,35 @@ object Unigram {
        |    ELSE st END).ps""".stripMargin.replaceAll("\n", " "))
 
   /** Segment a truncated census under a collected vocabulary:
-    * `(w, n, ps)` with `ps` the Viterbi piece list. */
+    * `(w, n, ps)` with `ps` the Viterbi piece list.
+    *
+    * ONE native pass per word ([[graft.functions.UnigramViterbi]] —
+    * DP + backwalk fused, vocabulary in a hash-map reference object).
+    * The previous column form ([[dpCol]] + [[walkCol]], kept below as
+    * the documented algorithm and UnigramViterbiSpec's parity
+    * reference) carried the vocabulary as a ~90-entry map LITERAL in
+    * the plan (q226's one-EM-round train replay analyzed to 240 KB of
+    * plan text) and paid a LINEAR `element_at` map scan per DP
+    * candidate; the native pass is O(len · maxPieceLen) with O(1)
+    * lookups and a config-sized plan. Same combined `score·32 + j`
+    * encoding, same tie-breaks, bit-identical pieces — the DuckDB
+    * recursive-CTE twin is untouched. */
   def segmentCensus(census: DataFrame, vocab: Map[String, Long],
                     p: Params): DataFrame = {
+    val (ks, vs) = vocab.toSeq.sortBy(_._1).unzip
+    census.withColumn("ps",
+      call_function(graft.functions.GraftFunctions.UnigramViterbiName,
+        col("w"), typedLit(ks), typedLit(vs),
+        lit(p.maxPieceLen), lit(p.maxWordLen)))
+  }
+
+  /** The replaced column-form segmentation — [[segmentCensus]]'s
+    * algorithm as the `dpCol`/`walkCol` expression stack. Retained as
+    * executable documentation and as UnigramViterbiSpec's parity
+    * reference; not used on any query path. */
+  private[graft] def segmentCensusColumnForm(census: DataFrame,
+                                             vocab: Map[String, Long],
+                                             p: Params): DataFrame = {
     val (ks, vs) = vocab.toSeq.sortBy(_._1).unzip
     census
       .withColumn("__vm", map_from_arrays(typedLit(ks), typedLit(vs)))

@@ -55,7 +55,17 @@ object DeleteStrategies {
   def statelessRouted(deletes: DataFrame, sinkState: DataFrame,
                       stateIdCol: String = "id",
                       deleteProtection: Boolean = true): DataFrame = {
-    val counts = sinkState.groupBy(col(stateIdCol).as("id"))
+    // prune the state to the delete ids BEFORE counting (guide §3.2):
+    // the hit census is only ever read through the join on the delete's
+    // id, so aggregating non-matching state rows is pure waste — and the
+    // state side is unbounded (everything the sink holds) while the
+    // delete side is one micro-batch's tombstones, small by
+    // construction, hence the explicit broadcast of its key set
+    val delIds = broadcast(deletes.select(col("id")).distinct())
+    val counts = sinkState
+      .join(delIds.withColumnRenamed("id", stateIdCol), Seq(stateIdCol),
+        "left_semi")
+      .groupBy(col(stateIdCol).as("id"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("meta_index")).as("one_index"),
         min(col("meta_routing")).as("one_routing"))

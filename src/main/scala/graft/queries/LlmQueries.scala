@@ -4052,7 +4052,10 @@ object LlmQueries extends QueryFamily {
           Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
             vecCol = "v").write.mode("overwrite").parquet(s"$a/bits")
         }
-        val bits = s.read.parquet(s"$art/bits")
+        // ONE scan of the bits artifact feeds all three tiers (each tier
+        // reads it three times: band keys + both verify joins — nine
+        // parquet scans before; guide §2.4)
+        val bits = graft.CacheBarriers.barrier(s.read.parquet(s"$art/bits"))
         Similarity.auditFromArtifacts(s, art, Seq(
           "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
             bands = 4),
@@ -4958,7 +4961,9 @@ object LlmQueries extends QueryFamily {
           Similarity.signBitsArtifact(corpus, dim = 64, idCol = "vec_id",
             vecCol = "v").write.mode("overwrite").parquet(s"$a/bits")
         }
-        val bits = s.read.parquet(s"$art/bits")
+        // ONE scan of the bits artifact feeds all three tiers (q135's
+        // note: nine parquet scans before; guide §2.4)
+        val bits = graft.CacheBarriers.barrier(s.read.parquet(s"$art/bits"))
         val ladder = Similarity.auditFromArtifacts(s, art, Seq(
           "a_bands4" -> Similarity.pairsFromBits(bits, minCos = 0.95,
             bands = 4),

@@ -84,6 +84,39 @@ class BenchGateSpec extends AnyFunSuite {
       == "qmap.partial.json")
   }
 
+  test("the anchor composition check keys on name-set overlap") {
+    val base = (1 to 100).map(i => s"q$i").toSet
+    // identical suite anchors
+    assert(Bench.compositionMatches(base, base))
+    // growth within 5% still anchors (shared queries dominate)
+    assert(Bench.compositionMatches(base, base + "q101" + "q102"))
+    // growth beyond 5% falls back to the bootstrap floor (round-16
+    // deadlock: an n=233 anchor gating an n=254 suite)
+    val grown = base ++ (101 to 121).map(i => s"q$i")
+    assert(!Bench.compositionMatches(base, grown))
+    // the round-16 ADVICE case: SAME COUNT but >5% of the names are
+    // renames/replacements — the count check anchored on a stale band,
+    // the overlap check must not
+    val renamed = base -- (1 to 10).map(i => s"q$i") ++
+      (1 to 10).map(i => s"r$i")
+    assert(!Bench.compositionMatches(renamed, base))
+    // an empty registry never anchors
+    assert(!Bench.compositionMatches(base, Set.empty))
+  }
+
+  test("last_run.json carries the headline plus the full query map") {
+    val headline =
+      """{"metric":"total","value":12.5,"n":2,"unit":"sec","sf":"/d/sf0.1"}"""
+    val line = Bench.lastRunLine(headline,
+      Seq("q01_envelope" -> 1.25, "q02_ns_filter" -> 0.5))
+    // one JSON object: headline fields preserved, queries spliced in
+    assert(line.startsWith(headline.dropRight(1)))
+    assert(line.contains(""""queries":{"q01_envelope":1.25,"q02_ns_filter":0.5}"""))
+    assert(line.endsWith("}}"))
+    // parses as a single JSON document (no nested-line format drift)
+    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
+  }
+
   test("only a canonical-core full run may write the record") {
     // the committed walls are local[32] quantities; a full sf0.1 run at
     // the default SPARK_GRAFT_CPUS=4 passes the core-scaled cpu_per_wall
