@@ -155,10 +155,18 @@ object SinkWriter {
       if (batch.columns.contains("meta_index")) batch
       else Routing.withMeta(Routing.extractDocMeta(batch), cfg.mappings,
         quarantine = true)
-    // persisted for the batch only (streaming-twin contract): up to five
-    // consumers below, released before returning
-    val tagged = routed0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized for the batch only (streaming-twin contract): up to
+    // five consumers below, released before returning. localCheckpoint —
+    // not persist — because every downstream JOB (the pre-delete layer
+    // job, the delete resolution, a composite's follow-on reads) would
+    // otherwise re-analyze and re-optimize the full envelope→route
+    // logical plan just to hit the cache at physical planning; the
+    // envelope's from_json + relate fan-out tree is large enough that
+    // driver planning, not executor work, dominated the measured wall
+    // (q171/q91 stage probe: Σ task run-time ≈ 1.3 s of a 7.8 s wall).
+    // Checkpointing truncates the plan to the materialized RDD for every
+    // consumer (guide §7.3, the q189 remedy). Batch-sized, same contract.
+    val tagged = routed0.localCheckpoint(true)
     // the rejects side output: every tagged op reaches the backend's
     // quarantine channel (reject-sized frame); FATAL reasons (unkeyable
     // id) then leave the sink-bound flow entirely — the reference skips
@@ -273,7 +281,14 @@ object SinkWriter {
               col("hit_routing").as("del_routing"),
               col("version").as("del_version")))
       }
-    } finally tagged.unpersist(false)
+    } finally tagged.queryExecution.analyzed match {
+      // release the checkpoint's backing blocks NOW (Dataset.unpersist is
+      // a cache-manager no-op for a checkpointed frame; without this a
+      // long-lived stream would hold every batch's blocks until GC)
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(false); ()
+      case _ => tagged.unpersist(false); ()
+    }
   }
 
   /** Continuous form: envelope stream → optional transform → the batch
